@@ -1,8 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -11,7 +11,7 @@ import graft.Tables
   * Every op is a pure `(SparkSession, String) => DataFrame` over the parquet
   * tables; plans are fully declarative so Catalyst does pushdown / pruning /
   * join selection / AQE. Hash-match discipline (SURVEY.md §2.9): total-order
-  * ORDER BY with a unique tie-break, decimal-exact accumulation for money
+  * ORDER BY with a unique tie-break, scale-to-integer accumulation for money
   * sums (order-independent, so local[4] and a 1000-executor cluster produce
   * bit-identical output), ms-truncated epoch longs for any `events.ts`
   * derived value (parquet stores ns; Spark truncates to µs, DuckDB keeps ns).
@@ -29,14 +29,206 @@ object Relational {
   def msum(c: Column): Column =
     sum(round(c * lit(10000)).cast("long")).cast("double") / lit(10000.0)
 
+  /** Scaled-long per-row value for when the accumulation itself must stay
+    * integral (window running sums, conditional sums).
+    */
+  def scaled(c: Column): Column = round(c * lit(10000)).cast("long")
+
+  /** events.ts reduced to epoch milliseconds — the only portable form of the
+    * ns-precision event timestamps (Spark truncates parquet ns->µs, DuckDB
+    * keeps ns; both floor to the same ms).
+    */
+  def tsMs(c: Column): Column = unix_millis(c)
+
   type Q = (SparkSession, String) => DataFrame
+
+  // ===== §2.1 scans / sources =====
+
+  /** Pruned projection scan: only 4 of 11 lineitem columns are read
+    * (ReadSchema in the plan), global order + limit plans as
+    * TakeOrderedAndProject (no full sort at scale).
+    */
+  val scanProject: Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .limit(100)
+  }
+
+  /** Predicate + projection pushdown proof: shipdate range reaches the
+    * parquet scan as PushedFilters (row-group + dictionary pruning at scale).
+    */
+  val scanPruned: Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= to_timestamp(lit("1998-01-01 00:00:00")) &&
+        $"l_shipdate" < to_timestamp(lit("1998-04-01 00:00:00")))
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate".cast("date").as("ship_date"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Dynamic JSON property projection (the reference's dynamic per-node
+    * property maps, SURVEY.md §1.1): extract a typed field from the JSON
+    * `props` column, aggregate by it.
+    */
+  val srcJsonProps: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(get_json_object($"props", "$.k").cast("long").as("k"), $"value")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("cnt"), msum($"value").as("sum_value"))
+      .orderBy($"k")
+  }
+
+  // ===== §2.2 projections / filters =====
+
+  val filterBasic: Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter(
+        $"l_quantity".between(10, 30) &&
+          $"l_suppkey".isin(1L, 2L, 3L) &&
+          ((nullif($"l_returnflag", lit("N")) <=> lit("A")) || $"l_linestatus" === "O"))
+      .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_quantity", $"l_returnflag", $"l_linestatus")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val filterLike: Q = (s, dir) => {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_type".like("ECO%") || $"p_name".rlike("widget$"))
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_type")
+      .orderBy($"p_partkey")
+  }
+
+  /** Computed columns + CASE WHEN. Per-row double arithmetic is IEEE-
+    * deterministic (identical on both engines) — no rounding needed.
+    */
+  val projectExpr: Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("disc_price"),
+        ($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")).as("charge"),
+        when($"l_returnflag" === "A", lit("returned"))
+          .when($"l_returnflag" === "N", lit("ok"))
+          .otherwise(lit("other")).as("flag_desc"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  // ===== §2.3 joins =====
+
+  /** Large-side equi-join: both sides shuffle on the join key (SMJ/SHJ per
+    * Catalyst + AQE); at 100 TB this is the canonical co-partitioned join —
+    * bucketing both tables by orderkey removes the shuffle entirely.
+    */
+  val joinInnerHash: Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey", "inner")
+      .select($"o_orderkey", $"l_linenumber", $"o_custkey", $"l_quantity", $"o_orderstatus")
+      .orderBy($"o_orderkey", $"l_linenumber")
+  }
+
+  /** Star-schema dimension join: nation/region are broadcast (explicit hint;
+    * at 100 TB the fact side streams, dims ship to every executor once).
+    */
+  val joinBroadcast: Q = (s, dir) => {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_cust"), msum($"c_acctbal").as("sum_acctbal"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Left outer with a filtered right side (= ON-clause extra predicate):
+    * per-order count of heavy lines, zero for unmatched orders.
+    */
+  val joinOuterLeft: Q = (s, dir) => {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir).filter($"l_quantity" > 45)
+    Tables.orders(s, dir)
+      .join(big, $"l_orderkey" === $"o_orderkey", "left")
+      .groupBy($"o_orderkey", $"o_orderpriority")
+      .agg(count($"l_orderkey").as("n_big"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Full outer on the customer/high-value-order key sets, classifying each
+    * key by which side matched.
+    */
+  val joinOuterFull: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables.customer(s, dir).select($"c_custkey")
+    val o = Tables.orders(s, dir).filter($"o_totalprice" > 400000)
+      .select($"o_custkey").distinct()
+    c.join(o, $"c_custkey" === $"o_custkey", "full")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        when($"c_custkey".isNotNull && $"o_custkey".isNotNull, lit("both"))
+          .when($"c_custkey".isNotNull, lit("left_only"))
+          .otherwise(lit("right_only")).as("side"))
+      .orderBy($"custkey")
+  }
+
+  /** EXISTS as left-semi: customers with at least one 400k+ order. */
+  val joinSemi: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.orders(s, dir).filter($"o_totalprice" > 400000)
+    Tables.customer(s, dir)
+      .join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** NOT EXISTS as left-anti: customers with no 400k+ order. */
+  val joinAnti: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.orders(s, dir).filter($"o_totalprice" > 400000)
+    Tables.customer(s, dir)
+      .join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Range/theta self-join, banded into an equi-join: event pairs of the
+    * same user within (0, 1h]. Naively this is a BroadcastNestedLoopJoin
+    * (quadratic — dead at 100 TB); instead each left row is exploded into
+    * its two covering 1h bands so the join is equi on (user_id, band) with a
+    * residual range filter. Pair blow-up is bounded by per-(user, hour)
+    * density, and the join shuffles/partitions like any hash join.
+    */
+  val joinThetaRange: Q = (s, dir) => {
+    import s.implicits._
+    val winMs = 3600L * 1000
+    val e = Tables.events(s, dir).select($"event_id", $"user_id", tsMs($"ts").as("ts_ms"))
+    val left = e.select($"event_id".as("id1"), $"user_id", $"ts_ms".as("t1"))
+      .withColumn("band", explode(array(floor($"t1" / winMs), floor($"t1" / winMs) + 1)))
+    val right = e.select($"event_id".as("id2"), $"user_id".as("u2"),
+      floor($"ts_ms" / winMs).as("band2"), $"ts_ms".as("t2"))
+    left.join(right, $"user_id" === $"u2" && $"band" === $"band2")
+      .filter($"t2" > $"t1" && $"t2" <= $"t1" + winMs)
+      .select($"id1", $"id2", $"user_id", ($"t2" - $"t1").as("delta_ms"))
+      .orderBy($"id1", $"id2")
+  }
+
+  /** Tiny dimension cross product. */
+  val joinCross: Q = (s, dir) => {
+    import s.implicits._
+    Tables.region(s, dir).select($"r_name")
+      .crossJoin(Tables.nation(s, dir).select($"n_name"))
+      .orderBy($"r_name", $"n_name")
+  }
 
   // ===== §2.4 aggregations =====
 
   /** TPC-H Q1 shape — the flagship `entry` query.
     * One pass over lineitem: pruned scan -> pushed filter -> partial+final
-    * hash agg (map-side combine is automatic) -> tiny sort. No shuffle other
-    * than the 4-group aggregate exchange; scales linearly in input.
+    * hash agg (map-side combine is automatic) -> tiny sort.
     */
   val aggPricing: Q = (s, dir) => {
     import s.implicits._
@@ -54,7 +246,274 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Exact multi-distinct per group (plans as Expand + two-phase agg). */
+  val aggDistinct: Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** HLL++ approximate distinct — sketch-based, mergeable, one pass; the
+    * 100 TB substitute for exact distinct. No DuckDB oracle (different
+    * sketch); ScalaTest asserts ±5% of exact.
+    */
+  val aggApproxHll: Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** ROLLUP with grouping_id disambiguation; group keys coalesced to a
+    * sentinel so the oracle never sorts NULLs (Spark and DuckDB default
+    * NULL order differs).
+    */
+  val aggRollup: Q = (s, dir) => {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .rollup($"n_name", $"c_mktsegment")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), msum($"c_acctbal").as("sum_bal"))
+      .select(
+        $"gid",
+        coalesce($"n_name", lit("(all)")).as("nation"),
+        coalesce($"c_mktsegment", lit("(all)")).as("segment"),
+        $"n", $"sum_bal")
+      .orderBy($"gid", $"nation", $"segment")
+  }
+
+  /** CUBE over two low-cardinality keys. */
+  val aggCube: Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+      .select(
+        $"gid",
+        coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
+        coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
+        $"n", $"sum_qty")
+      .orderBy($"gid", $"returnflag", $"linestatus")
+  }
+
+  /** Explicit GROUPING SETS via SQL (identical syntax on DuckDB). */
+  val aggGroupingSets: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("gs_customer")
+    Tables.nation(s, dir).createOrReplaceTempView("gs_nation")
+    s.sql(
+      """SELECT CAST(grouping(n_name) AS BIGINT) AS g_nation,
+        |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+        |  coalesce(n_name, '(all)') AS nation,
+        |  coalesce(c_mktsegment, '(all)') AS segment,
+        |  count(*) AS n
+        |FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY g_nation, g_seg, nation, segment""".stripMargin)
+  }
+
+  /** Conditional aggregates (FILTER / CASE-WHEN form). */
+  val aggFiltered: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        (sum(when($"o_orderpriority" === "1-URGENT", scaled($"o_totalprice"))).cast("double") / 10000.0)
+          .as("urgent_total"),
+        count(when($"o_totalprice" > 200000, lit(1))).as("n_big"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Ordered statistics per group; interpolated median + sample stddev are
+    * rounded (both engines accumulate doubles in different orders).
+    */
+  val aggStats: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"),
+        round(stddev_samp($"o_totalprice"), 4).as("sd_price"),
+        round(expr("percentile(o_totalprice, 0.5D)"), 4).as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  // ===== §2.5 windows / sorts / limits / set ops =====
+
+  /** Per-nation top-3 by balance: row_number over a unique order (rank /
+    * dense_rank over the tie-prone order to exercise tie semantics).
+    */
+  val winRank: Q = (s, dir) => {
+    import s.implicits._
+    val unique = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+    val ties = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc)
+    Tables.customer(s, dir)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+        row_number().over(unique).cast("long").as("rn"),
+        rank().over(ties).cast("long").as("rnk"),
+        dense_rank().over(ties).cast("long").as("drnk"))
+      .filter($"rn" <= 3)
+      .orderBy($"c_nationkey", $"rn")
+  }
+
+  /** Per-user event sequencing: lag/lead over (ts_ms, event_id) — the
+    * ms-reduced timestamp keeps frames identical across engines.
+    */
+  val winLagLead: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", tsMs($"ts").as("ts_ms"), $"value")
+      .select($"user_id", $"event_id", $"ts_ms",
+        ($"ts_ms" - lag($"ts_ms", 1).over(w)).as("delta_ms"),
+        lead($"value", 1).over(w).as("next_value"))
+      .orderBy($"user_id", $"ts_ms", $"event_id")
+  }
+
+  /** Running sum per supplier with an explicit ROWS frame (exact: quantity
+    * is integer-valued).
+    */
+  val winFrameRows: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        $"l_shipdate".cast("date").as("ship_date"),
+        sum($"l_quantity").over(w).as("running_qty"))
+      .orderBy($"l_suppkey", $"ship_date", $"l_orderkey", $"l_linenumber")
+  }
+
+  /** 7-day moving revenue over daily order totals with a RANGE frame on the
+    * epoch-day ordinal; accumulation stays in scaled longs until the end.
+    */
+  val winFrameRange: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy(datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day_n"))
+      .agg(sum(scaled($"o_totalprice")).as("scaled_total"))
+    val w = Window.orderBy($"day_n").rangeBetween(-6, Window.currentRow)
+    daily
+      .select($"day_n",
+        ($"scaled_total".cast("double") / 10000.0).as("day_total"),
+        (sum($"scaled_total").over(w).cast("double") / 10000.0).as("mov_total"),
+        count(lit(1)).over(w).as("n_days"))
+      .orderBy($"day_n")
+  }
+
+  /** Quartiles + per-partition first/last over an explicit full frame. */
+  val winNtileFirstLast: Q = (s, dir) => {
+    import s.implicits._
+    val ord = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey")
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, dir)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+        ntile(4).over(ord).cast("long").as("quartile"),
+        first($"c_name").over(full).as("richest"),
+        last($"c_name").over(full).as("poorest"))
+      .orderBy($"c_mktsegment", $"c_acctbal".desc, $"c_custkey")
+  }
+
+  /** Multi-key mixed-direction sort with explicit NULL placement (nulls
+    * injected via NULLIF so the dataset exercises the rule).
+    */
+  val sortMultikey: Q = (s, dir) => {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_custkey", nullif($"c_mktsegment", lit("BUILDING")).as("seg_or_null"), $"c_acctbal")
+      .orderBy($"seg_or_null".desc_nulls_last, $"c_acctbal".desc, $"c_custkey")
+  }
+
+  /** Global top-k: plans as TakeOrderedAndProject (per-partition heaps +
+    * single merge — no global sort, the 100 TB-correct shape).
+    */
+  val topkLimit: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(50)
+  }
+
+  val setUnionAll: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter($"l_returnflag" === "A")
+      .select($"l_orderkey", $"l_linenumber", lit("A").as("src"))
+    val b = li.filter($"l_linestatus" === "O")
+      .select($"l_orderkey", $"l_linenumber", lit("B").as("src"))
+    a.unionAll(b).orderBy($"l_orderkey", $"l_linenumber", $"src")
+  }
+
+  val setUnionDistinct: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val a = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+    val b = c.filter($"c_acctbal" > 9000).select($"c_custkey")
+    a.union(b).distinct().orderBy($"c_custkey")
+  }
+
+  val setIntersect: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val a = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+    val b = c.filter($"c_acctbal" > 5000).select($"c_custkey")
+    a.intersect(b).orderBy($"c_custkey")
+  }
+
+  val setExcept: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val a = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+    val b = c.filter($"c_acctbal" > 5000).select($"c_custkey")
+    a.except(b).orderBy($"c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
-    "agg_pricing" -> aggPricing
+    "scan_project" -> scanProject,
+    "scan_pruned" -> scanPruned,
+    "src_json_props" -> srcJsonProps,
+    "filter_basic" -> filterBasic,
+    "filter_like" -> filterLike,
+    "project_expr" -> projectExpr,
+    "join_inner_hash" -> joinInnerHash,
+    "join_broadcast" -> joinBroadcast,
+    "join_outer_left" -> joinOuterLeft,
+    "join_outer_full" -> joinOuterFull,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_theta_range" -> joinThetaRange,
+    "join_cross" -> joinCross,
+    "agg_pricing" -> aggPricing,
+    "agg_distinct" -> aggDistinct,
+    "agg_approx_hll" -> aggApproxHll,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_filtered" -> aggFiltered,
+    "agg_stats" -> aggStats,
+    "win_rank" -> winRank,
+    "win_lag_lead" -> winLagLead,
+    "win_frame_rows" -> winFrameRows,
+    "win_frame_range" -> winFrameRange,
+    "win_ntile_firstlast" -> winNtileFirstLast,
+    "sort_multikey" -> sortMultikey,
+    "topk_limit" -> topkLimit,
+    "set_union_all" -> setUnionAll,
+    "set_union_distinct" -> setUnionDistinct,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept
   )
 }

@@ -13,23 +13,263 @@ package graft.oracle
   * `CAST(double AS DECIMAL)` is NOT portable — verified drift); `events.ts`
   * is parquet timestamp[ns] — always reduce through epoch_ms before
   * comparing/aggregating; integer sums cast to BIGINT or DOUBLE (DuckDB
-  * sum(BIGINT) widens to HUGEINT).
+  * sum(BIGINT) widens to HUGEINT); NULL sort order differs (Spark NULLS
+  * FIRST asc, DuckDB NULLS LAST) — coalesce group keys or spell NULLS
+  * FIRST/LAST explicitly.
   */
 object OracleSql {
 
+  /** DuckDB spelling of the portable exact money sum. */
+  private def msum(expr: String): String =
+    s"CAST(sum(CAST(round(($expr) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0"
+
   val sql: Map[String, String] = Map(
-    "agg_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_base_price,
-        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
-        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_charge,
-        |  sum(l_quantity) / count(*) AS avg_qty,
-        |  CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*) AS avg_price,
-        |  count(*) AS count_order
+    // ===== §2.1 scans =====
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "src_json_props" ->
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+         |  count(*) AS cnt, ${msum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    // ===== §2.2 filters / projections =====
+    "filter_basic" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, l_returnflag, l_linestatus
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 30
+        |  AND l_suppkey IN (1, 2, 3)
+        |  AND (nullif(l_returnflag, 'N') IS NOT DISTINCT FROM 'A' OR l_linestatus = 'O')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "filter_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_type
+        |FROM part
+        |WHERE p_type LIKE 'ECO%' OR regexp_matches(p_name, 'widget$')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS disc_price,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+        |  CASE WHEN l_returnflag = 'A' THEN 'returned'
+        |       WHEN l_returnflag = 'N' THEN 'ok'
+        |       ELSE 'other' END AS flag_desc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // ===== §2.3 joins =====
+    "join_inner_hash" ->
+      """SELECT o_orderkey, l_linenumber, o_custkey, l_quantity, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+
+    "join_broadcast" ->
+      s"""SELECT r_name, n_name, count(*) AS n_cust, ${msum("c_acctbal")} AS sum_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_outer_left" ->
+      """SELECT o_orderkey, o_orderpriority, count(l_orderkey) AS n_big
+        |FROM orders LEFT JOIN lineitem
+        |  ON l_orderkey = o_orderkey AND l_quantity > 45
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_outer_full" ->
+      """WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+        |       WHEN c_custkey IS NOT NULL THEN 'left_only'
+        |       ELSE 'right_only' END AS side
+        |FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT e1.event_id AS id1, e2.event_id AS id2, e1.user_id AS user_id,
+        |  epoch_ms(e2.ts) - epoch_ms(e1.ts) AS delta_ms
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND epoch_ms(e2.ts) > epoch_ms(e1.ts)
+        | AND epoch_ms(e2.ts) <= epoch_ms(e1.ts) + 3600000
+        |ORDER BY id1, id2""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    // ===== §2.4 aggregations =====
+    "agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  ${msum("l_extendedprice")} AS sum_base_price,
+         |  ${msum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${msum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  sum(l_quantity) / count(*) AS avg_qty,
+         |  ${msum("l_extendedprice")} / count(*) AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      s"""SELECT grouping(n_name, c_mktsegment) AS gid,
+         |  coalesce(n_name, '(all)') AS nation,
+         |  coalesce(c_mktsegment, '(all)') AS segment,
+         |  count(*) AS n, ${msum("c_acctbal")} AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP (n_name, c_mktsegment)
+         |ORDER BY gid, nation, segment""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT grouping(l_returnflag, l_linestatus) AS gid,
+        |  coalesce(l_returnflag, '(all)') AS returnflag,
+        |  coalesce(l_linestatus, '(all)') AS linestatus,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT grouping(n_name) AS g_nation, grouping(c_mktsegment) AS g_seg,
+        |  coalesce(n_name, '(all)') AS nation,
+        |  coalesce(c_mktsegment, '(all)') AS segment,
+        |  count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY g_nation, g_seg, nation, segment""".stripMargin,
+
+    "agg_filtered" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT))
+        |       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) / 10000.0 AS urgent_total,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT o_orderstatus,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  round(stddev_samp(o_totalprice), 4) AS sd_price,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // ===== §2.5 windows / sorts / set ops =====
+    "win_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        |    rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT user_id, event_id, ts_ms,
+        |  ts_ms - lag(ts_ms, 1) OVER w AS delta_ms,
+        |  lead(value, 1) OVER w AS next_value
+        |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
+    "win_frame_rows" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(l_shipdate AS DATE) AS ship_date,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin,
+
+    "win_frame_range" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_n,
+        |    sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS scaled_total
+        |  FROM orders GROUP BY 1)
+        |SELECT day_n,
+        |  CAST(scaled_total AS DOUBLE) / 10000.0 AS day_total,
+        |  CAST(sum(scaled_total) OVER w AS DOUBLE) / 10000.0 AS mov_total,
+        |  count(*) OVER w AS n_days
+        |FROM daily
+        |WINDOW w AS (ORDER BY day_n RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day_n""".stripMargin,
+
+    "win_ntile_firstlast" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(c_name) OVER wf AS richest,
+        |  last_value(c_name) OVER wf AS poorest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+        |  wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "sort_multikey" ->
+      """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_or_null, c_acctbal
+        |FROM customer
+        |ORDER BY seg_or_null DESC NULLS LAST, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "topk_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "set_union_all" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'A' AS src FROM lineitem WHERE l_returnflag = 'A'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'B' AS src FROM lineitem WHERE l_linestatus = 'O') t
+        |ORDER BY l_orderkey, l_linenumber, src""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin
   )
 }

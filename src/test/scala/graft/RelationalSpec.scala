@@ -1,33 +1,106 @@
 package graft
 
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
 
 class RelationalSpec extends SparkSpec {
 
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
   test("registry: every oracleSql key has a queries entry") {
-    val q = SparkEntry.queries.keySet
+    val keys = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(o.subsetOf(q), s"oracle keys without query impl: ${o.diff(q)}")
+    assert(o.subsetOf(keys), s"oracle keys without query impl: ${o.diff(keys)}")
   }
 
-  test("agg_pricing: 6 groups, exact flag/status domain, positive sums") {
-    val df = SparkEntry.queries("agg_pricing")(spark, sf)
-    val rows = df.collect()
-    assert(rows.length === 6) // {A,N,R} x {F,O} minus impossible combos = 6 here
-    val flags = rows.map(_.getString(0)).toSet
-    assert(flags.subsetOf(Set("A", "N", "R")))
-    rows.foreach { r =>
-      assert(r.getDouble(r.fieldIndex("sum_qty")) > 0)
-      assert(r.getDouble(r.fieldIndex("sum_charge")) >= r.getDouble(r.fieldIndex("sum_disc_price")))
-      assert(r.getLong(r.fieldIndex("count_order")) > 0)
+  test("registry: every query returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
     }
   }
 
-  test("agg_pricing: filter is pushed to the parquet scan") {
-    val df = SparkEntry.queries("agg_pricing")(spark, sf)
-    val physical = df.queryExecution.executedPlan.toString
-    assert(physical.contains("PushedFilters") && physical.contains("l_shipdate"),
-      s"expected shipdate pushdown in plan:\n$physical")
+  test("agg_pricing: 6 groups, positive sums, charge >= disc_price") {
+    val rows = q("agg_pricing").collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("sum_qty")) > 0)
+      assert(r.getDouble(r.fieldIndex("sum_charge")) >= r.getDouble(r.fieldIndex("sum_disc_price")))
+    }
+  }
+
+  test("agg_pricing: shipdate filter is pushed to the parquet scan") {
+    val p = plan(q("agg_pricing"))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+  }
+
+  test("scan_project: reads only the 4 projected columns") {
+    val p = plan(q("scan_project"))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice,l_discount") && !p.contains("l_returnflag"),
+      s"scan not pruned:\n$p")
+  }
+
+  test("topk_limit and scan_project plan as TakeOrderedAndProject (no global sort)") {
+    assert(plan(q("topk_limit")).contains("TakeOrderedAndProject"))
+    assert(plan(q("scan_project")).contains("TakeOrderedAndProject"))
+  }
+
+  test("join_broadcast: dims are broadcast, not shuffled") {
+    val p = plan(q("join_broadcast"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("join_theta_range: banding avoids BroadcastNestedLoopJoin") {
+    val p = plan(q("join_theta_range"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta join fell back to BNLJ:\n$p")
+  }
+
+  test("join_theta_range: pairs are strictly ordered and within the window") {
+    q("join_theta_range").collect().foreach { r =>
+      val d = r.getLong(r.fieldIndex("delta_ms"))
+      assert(d > 0 && d <= 3600000)
+    }
+  }
+
+  test("join_semi + join_anti partition customer") {
+    val semi = q("join_semi").count()
+    val anti = q("join_anti").count()
+    val all = Tables.customer(spark, sf).count()
+    assert(semi + anti === all)
+  }
+
+  test("agg_approx_hll: within 5% of exact distinct") {
+    val approx = q("agg_approx_hll").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = q("agg_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("n_parts"))).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.05, s"$k: approx=$ap exact=$ex")
+    }
+  }
+
+  test("set algebra: intersect + except = union-distinct of left") {
+    val inter = q("set_intersect").count()
+    val exc = q("set_except").count()
+    val left = Tables.customer(spark, sf)
+      .filter("c_mktsegment = 'AUTOMOBILE'").count()
+    assert(inter + exc === left)
+  }
+
+  test("agg_rollup: grand total row equals table count") {
+    val rows = q("agg_rollup").collect()
+    val grand = rows.filter(_.getLong(0) == 3L)
+    assert(grand.length === 1)
+    assert(grand.head.getLong(grand.head.fieldIndex("n")) === Tables.customer(spark, sf).count())
+  }
+
+  test("win_frame_rows: running sum is monotone per supplier") {
+    val rows = q("win_frame_rows").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val running = rs.map(r => r.getDouble(r.fieldIndex("running_qty")))
+      assert(running.zip(running.tail).forall { case (a, b) => b >= a })
+    }
   }
 
   test("entry: flagship query returns rows") {

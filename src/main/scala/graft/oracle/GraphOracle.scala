@@ -1,0 +1,127 @@
+package graft.oracle
+
+/** DuckDB oracle SQL for the graph operators (SURVEY.md §2.6). Same
+  * discipline as [[OracleSql]]: total-order ORDER BY, BIGINT casts where
+  * DuckDB widens (sum(BIGINT) → HUGEINT), round(…,4) on float aggregates,
+  * `epoch_ms` to reduce the ns-precision event timestamps.
+  *
+  * The iterative fixpoints (graph_cc, graph_sssp) are expressed as bounded
+  * `WITH RECURSIVE` min-label / min-depth propagation — semantically the
+  * fixpoint GraphX Pregel computes. `graph_pagerank` is intentionally absent
+  * (float iteration, not hash-stable — SURVEY.md §2.6).
+  */
+object GraphOracle {
+
+  /** Shared CTE text: customer->part weighted edges. */
+  private val edgesCte =
+    """e AS (SELECT o_custkey AS src, l_partkey AS dst, count(*) AS w
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared CTE text: canonical co-purchase pairs with shared-order count. */
+  private val copurchaseCte =
+    """lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |cp AS (SELECT x.p AS a, y.p AS b, count(*) AS w
+      |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "graph_build_edges" ->
+      """SELECT o_custkey AS src, l_partkey AS dst, count(*) AS w
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+
+    "graph_degree" ->
+      s"""WITH $edgesCte
+         |SELECT * FROM (
+         |  SELECT 'c' AS side, src AS vertex, count(*) AS degree,
+         |    CAST(sum(w) AS BIGINT) AS strength
+         |  FROM e GROUP BY src
+         |  UNION ALL
+         |  SELECT 'p' AS side, dst AS vertex, count(*) AS degree,
+         |    CAST(sum(w) AS BIGINT) AS strength
+         |  FROM e GROUP BY dst) t
+         |ORDER BY side, vertex""".stripMargin,
+
+    "graph_neighbors_1hop" ->
+      s"""WITH $edgesCte
+         |SELECT dst, p_name, w
+         |FROM e JOIN part ON p_partkey = dst
+         |WHERE src = 1 ORDER BY dst""".stripMargin,
+
+    "graph_khop_2" ->
+      s"""WITH $edgesCte,
+         |cohort AS (SELECT c_custkey AS src FROM customer WHERE c_mktsegment = 'BUILDING'),
+         |p1 AS (SELECT DISTINCT dst FROM e JOIN cohort USING (src)),
+         |c2 AS (SELECT DISTINCT src FROM e JOIN p1 USING (dst)),
+         |p2 AS (SELECT DISTINCT dst FROM e JOIN c2 USING (src))
+         |SELECT p2.dst AS part, CAST(coalesce(h.h1, 2) AS BIGINT) AS hop
+         |FROM p2 LEFT JOIN (SELECT dst, 1 AS h1 FROM p1) h ON p2.dst = h.dst
+         |ORDER BY part""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH $copurchaseCte
+         |SELECT
+         |  (SELECT count(*) FROM cp e1
+         |     JOIN cp e2 ON e2.a = e1.b
+         |     JOIN cp e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+         |  (SELECT count(*) FROM cp) AS n_edges""".stripMargin,
+
+    "graph_common_neighbors" ->
+      s"""WITH $edgesCte
+         |SELECT e1.dst AS p1, e2.dst AS p2, count(*) AS common
+         |FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |GROUP BY 1, 2
+         |ORDER BY common DESC, p1, p2 LIMIT 20""".stripMargin,
+
+    "graph_tag_similarity" ->
+      """WITH cohort AS (SELECT c_custkey FROM customer WHERE c_nationkey = 1),
+        |tags AS (
+        |  SELECT o_custkey AS cust, p_brand AS tag,
+        |    CAST(sum(l_quantity) AS BIGINT) AS w
+        |  FROM orders
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN cohort ON o_custkey = c_custkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT t1.cust AS c1, t2.cust AS c2,
+        |  CAST(sum(t1.w * t2.w) AS BIGINT) AS dot
+        |FROM tags t1 JOIN tags t2 ON t1.tag = t2.tag AND t1.cust < t2.cust
+        |GROUP BY 1, 2
+        |ORDER BY dot DESC, c1, c2 LIMIT 20""".stripMargin,
+
+    "graph_cc" ->
+      s"""WITH RECURSIVE $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp WHERE w >= 2
+         |       UNION ALL SELECT b, a FROM cp WHERE w >= 2),
+         |reach(node, label) AS (
+         |  SELECT p_partkey, p_partkey FROM part
+         |  UNION
+         |  SELECT e2.b, reach.label FROM reach JOIN e2 ON e2.a = reach.node)
+         |SELECT node AS part, min(label) AS comp
+         |FROM reach GROUP BY node ORDER BY part""".stripMargin,
+
+    "graph_sssp" ->
+      s"""WITH RECURSIVE $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |bfs(node, d) AS (
+         |  SELECT CAST(1 AS BIGINT) AS node, 0 AS d
+         |  UNION
+         |  SELECT e2.b, bfs.d + 1 FROM bfs JOIN e2 ON e2.a = bfs.node
+         |  WHERE bfs.d < 6)
+         |SELECT node AS part, CAST(min(d) AS BIGINT) AS dist
+         |FROM bfs GROUP BY node ORDER BY part""".stripMargin,
+
+    "graph_trending" ->
+      """WITH e AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    epoch_ms(ts) // 86400000 AS day, value
+        |  FROM events),
+        |m AS (SELECT max(day) AS max_day FROM e)
+        |SELECT item,
+        |  round(sum(value * exp((day - max_day) / 7.0)), 4) AS score,
+        |  count(*) AS n
+        |FROM e, m GROUP BY item
+        |ORDER BY score DESC, item LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphBridge
+import graft.ops.GraphOps
+
+class GraphSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  private def df(pairs: Seq[(Long, Long)], names: (String, String)): DataFrame = {
+    import spark.implicits._
+    pairs.toDF(names._1, names._2)
+  }
+
+  // --- golden fixtures (SURVEY.md §5.2): path 1-2-3, pair 5-6, singleton 9 ---
+  private val fixtureV = Seq(1L, 2L, 3L, 5L, 6L, 9L)
+  private val fixtureE = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+
+  test("GraphBridge.connectedComponents: min-label components on fixture") {
+    import spark.implicits._
+    val v = fixtureV.toDF("id")
+    val comps = GraphBridge.connectedComponents(spark, v, df(fixtureE, ("a", "b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
+  test("GraphBridge.shortestHops: BFS depths on fixture (undirected)") {
+    import spark.implicits._
+    val v = fixtureV.toDF("id")
+    val both = fixtureE ++ fixtureE.map(_.swap)
+    val d = GraphBridge.shortestHops(spark, v, df(both, ("a", "b")), src = 1L, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("graph_cc: labels are min ids and constant across every edge") {
+    import spark.implicits._
+    val comps = q("graph_cc").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comps.foreach { case (part, comp) => assert(comp <= part) }
+    GraphOps.copurchase(spark, sf).filter($"w" >= 2).select($"a", $"b")
+      .collect().foreach { r =>
+        assert(comps(r.getLong(0)) === comps(r.getLong(1)),
+          s"edge ${r.getLong(0)}-${r.getLong(1)} crosses components")
+      }
+  }
+
+  test("graph_sssp: source at 0, neighbors of source at 1, dist <= 6") {
+    import spark.implicits._
+    val d = q("graph_sssp").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(1L) === 0L)
+    val nbrs = GraphOps.copurchase(spark, sf)
+      .filter($"a" === 1 || $"b" === 1).collect()
+      .map(r => if (r.getLong(0) == 1L) r.getLong(1) else r.getLong(0))
+    nbrs.foreach(n => assert(d(n) === 1L, s"neighbor $n of source not at dist 1"))
+    d.values.foreach(v => assert(v >= 0 && v <= 6))
+  }
+
+  test("graph_triangles: matches GraphX TriangleCount on the same graph") {
+    import spark.implicits._
+    import org.apache.spark.graphx.{Edge, Graph}
+    val ours = q("graph_triangles").collect().head.getLong(0)
+    val cp = GraphOps.copurchase(spark, sf).select($"a", $"b")
+    val eRDD = cp.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val g = Graph.fromEdges(eRDD, 1)
+    val gx = g.triangleCount().vertices.map(_._2.toLong).sum() / 3
+    assert(ours === gx.toLong, s"ours=$ours graphx=$gx")
+  }
+
+  test("graph_pagerank: top ranks track a hand-rolled power iteration") {
+    import spark.implicits._
+    val ours = q("graph_pagerank").collect().map(_.getLong(0)).toSeq
+    // power iteration: r = 0.15 + 0.85 * sum(r_u / outdeg_u) over in-edges
+    val cp = GraphOps.copurchase(spark, sf).select($"a", $"b")
+    val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b"))).cache()
+    val outdeg = both.groupBy($"a").agg(count(lit(1)).as("deg")).cache()
+    var ranks = Tables.part(spark, sf).select($"p_partkey".as("id"), lit(1.0).as("r"))
+    for (_ <- 1 to 10) {
+      val contrib = both.join(outdeg, "a").join(ranks, $"a" === $"id")
+        .groupBy($"b".as("nid")).agg(sum($"r" / $"deg").as("m"))
+      ranks = ranks.join(contrib, $"id" === $"nid", "left")
+        .select($"id", (lit(0.15) + lit(0.85) * coalesce($"m", lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    val power = ranks.orderBy($"r".desc, $"id").limit(10).collect().map(_.getLong(0)).toSet
+    val overlap = ours.take(5).count(power.contains)
+    assert(overlap >= 3, s"top-5 GraphX ranks $ours vs power-iteration top-10 $power")
+  }
+
+  test("graph_khop_2: hops are 1 or 2 and hop-1 set equals cohort purchases") {
+    import spark.implicits._
+    val rows = q("graph_khop_2").collect()
+    rows.foreach(r => assert(Set(1L, 2L).contains(r.getLong(1))))
+    val adj = GraphOps.edges(spark, sf)
+    val p1 = adj.join(
+        Tables.customer(spark, sf).filter($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey".as("src")), "src")
+      .select($"dst").distinct().collect().map(_.getLong(0)).toSet
+    val got1 = rows.filter(_.getLong(1) == 1L).map(_.getLong(0)).toSet
+    assert(got1 === p1)
+  }
+
+  test("graph_degree: customer-side degrees sum to edge count") {
+    val rows = q("graph_degree").collect()
+    val cDeg = rows.filter(_.getString(0) == "c").map(r => r.getLong(r.fieldIndex("degree"))).sum
+    val pDeg = rows.filter(_.getString(0) == "p").map(r => r.getLong(r.fieldIndex("degree"))).sum
+    val edges = GraphOps.edges(spark, sf).count()
+    assert(cDeg === edges)
+    assert(pDeg === edges)
+  }
+
+  test("graph_trending: scores are positive and descending") {
+    val scores = q("graph_trending").collect().map(r => r.getDouble(r.fieldIndex("score")))
+    assert(scores.nonEmpty)
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+  }
+}

@@ -1,0 +1,463 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.expr.FloatVec
+
+/** Payload record for the multimodal decode path (binary column + key). */
+case class MmPayload(doc_id: Long, payload: Array[Byte])
+
+/** Scalar-function batteries + LLM-training-data pipeline operators
+  * (SURVEY.md §2.7 and the north-star additions in BASELINE.json:6):
+  * dedup (exact hash, shingle-Jaccard, MinHash-LSH, SimHash), similarity
+  * search (brute-force and IVF cluster-pruned), text analysis (token stats,
+  * tf-idf, language id, quality scoring, fingerprinting) and multimodal
+  * binary plumbing.
+  *
+  * Scale notes are per-op; the common themes: all-pairs work is always
+  * blocked (label, LSH band, cluster) before pairing; similarity inner loops
+  * go through the codegen'd native [[graft.expr.FloatDot]] expression, not
+  * per-element lambdas; every hash is an engine-portable md5/sha2 so the
+  * DuckDB oracle can replay it.
+  */
+object LlmOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Engine-portable 4-decimal rounding for values that can land exactly on
+    * a half boundary (small-integer ratios): `floor(x*1e4 + 0.5)/1e4` is the
+    * same double arithmetic on Spark and DuckDB, whereas `round(x, 4)`
+    * differs at boundaries (Spark rounds the exact decimal expansion of the
+    * double, DuckDB rounds in double arithmetic). Positive inputs only.
+    */
+  private def pround4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)
+
+  /** 3-token shingle set (Spark SQL dialect; 0-based array indexing).
+    * Callers must pre-filter to size(split(text,' ')) >= 3 — mirrored in the
+    * oracle's WHERE — so the sequence() bound stays non-negative.
+    */
+  private val shingleSql =
+    """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+      |  i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])))""".stripMargin
+
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", expr(shingleSql).as("sh"))
+  }
+
+  /** Exact all-pairs shingle overlap ≥ minJaccard (brute force via shingle
+    * equi-join — the join key IS the blocking at this scale; the 100 TB path
+    * is llm_dedup_minhash below, which prunes candidates with banded LSH
+    * first).
+    */
+  private def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
+    import s.implicits._
+    val sh = docsWithShingles(s, dir)
+    val ex = sh.select($"doc_id", explode($"sh").as("s"))
+    val sizes = sh.select($"doc_id", size($"sh").as("n"))
+    ex.as("a").join(ex.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .withColumn("j", $"common" / ($"n1" + $"n2" - $"common"))
+      .filter($"j" >= minJ)
+  }
+
+  // ===== §2.7 function batteries =====
+
+  val fnString: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      upper(substring($"text", 1, 10)).as("head10"),
+      length($"text").cast("long").as("len"),
+      size(split($"text", " ")).cast("long").as("n_tokens"),
+      regexp_extract($"text", "([a-z]+)", 1).as("first_word"),
+      concat_ws("|", $"lang", $"source").as("tag"),
+      trim(concat(lit("  "), $"lang", lit("  "))).as("trimmed"),
+      try_element_at(split($"text", " "), lit(3)).as("tok3"))
+      .orderBy($"doc_id")
+  }
+
+  val fnDate: Q = (s, dir) => {
+    import s.implicits._
+    val d = $"o_orderdate".cast("date")
+    Tables.orders(s, dir).select(
+      $"o_orderkey",
+      year($"o_orderdate").cast("long").as("yr"),
+      month($"o_orderdate").cast("long").as("mo"),
+      dayofmonth($"o_orderdate").cast("long").as("dom"),
+      date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
+      datediff(d, lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+      date_add(d, 30).as("plus30"),
+      last_day(d).as("eom"))
+      .orderBy($"o_orderkey")
+  }
+
+  val fnMath: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir).select(
+      $"o_orderkey",
+      round($"o_totalprice", 2).as("r2"),
+      abs($"o_totalprice" - 200000).as("ad"),
+      round(sqrt($"o_totalprice"), 6).as("sq"),
+      round(log($"o_totalprice"), 6).as("lg"),
+      round(pow($"o_totalprice" / 1000.0, 2), 6).as("pw"),
+      pmod($"o_orderkey", lit(7L)).as("pm"),
+      signum($"o_totalprice" - 200000).cast("long").as("sg"))
+      .orderBy($"o_orderkey")
+  }
+
+  val fnArray: Q = (s, dir) => {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id",
+        size($"embedding").cast("long").as("dim"),
+        array_min($"embedding").as("mn"),
+        array_max($"embedding").as("mx"),
+        posexplode(slice($"embedding", 1, 3)).as(Seq("p0", "val")))
+      .select($"vec_id", ($"p0" + 1).cast("long").as("pos"), $"val", $"dim", $"mn", $"mx")
+      .orderBy($"vec_id", $"pos")
+  }
+
+  /** Map build + access + explode: per-order tag map returnflag -> quantity.
+    * Maps are unordered, so the map is exploded back to rows before output
+    * (SURVEY.md §2.9 item 4); the map-typed intermediate exercises
+    * map_from_entries / map_keys / try_element_at.
+    */
+  val fnMap: Q = (s, dir) => {
+    import s.implicits._
+    val g = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey".as("okey"), $"l_returnflag".as("tag"))
+      .agg(sum($"l_quantity").as("qty"))
+    g.groupBy($"okey")
+      .agg(map_from_entries(collect_list(struct($"tag", $"qty"))).as("tags"))
+      .select($"okey",
+        size(map_keys($"tags")).cast("long").as("n_tags"),
+        try_element_at($"tags", lit("A")).as("qty_a"),
+        explode($"tags").as(Seq("tag", "qty")))
+      .select($"okey", $"n_tags", $"qty_a", $"tag", $"qty")
+      .orderBy($"okey", $"tag")
+  }
+
+  // ===== dedup =====
+
+  /** Exact dedup on normalized text hash; min doc_id survives per group.
+    * One hash-groupBy pass — the canonical 100 TB exact-dedup shape.
+    */
+  val llmDedupExact: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(sha2(lower(trim($"text")), 256).as("h"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select($"keep_id", $"h", $"n_dups")
+      .orderBy($"keep_id")
+  }
+
+  /** Near-dup pairs: exact 3-shingle Jaccard >= 0.6. */
+  val llmDedupNear: Q = (s, dir) => {
+    import s.implicits._
+    jaccardPairs(s, dir, 0.6)
+      .select($"d1", $"d2", round($"j", 4).as("jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
+  /** MinHash-LSH near-dup — the scale path: 8 portable minhashes
+    * (min md5 over salted shingles), banded 4×2; only band-collision
+    * candidates are verified with exact Jaccard (>= 0.5). At 100 TB the
+    * band bucket join replaces the all-pairs shingle join entirely.
+    */
+  val llmDedupMinhash: Q = (s, dir) => {
+    import s.implicits._
+    val ex = docsWithShingles(s, dir).select($"doc_id", explode($"sh").as("s"))
+    val hashAggs = (0 to 7).map(i => min(md5(concat(lit(i.toString), $"s"))).as(s"h$i"))
+    val mh = ex.groupBy($"doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    val bands = mh.select($"doc_id", explode(array(
+      struct(lit(0).as("band"), concat($"h0", $"h1").as("key")),
+      struct(lit(1).as("band"), concat($"h2", $"h3").as("key")),
+      struct(lit(2).as("band"), concat($"h4", $"h5").as("key")),
+      struct(lit(3).as("band"), concat($"h6", $"h7").as("key")))).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val cands = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.key" === $"y.key" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2")).distinct()
+    jaccardPairs(s, dir, 0.5).join(cands, Seq("d1", "d2"))
+      .select($"d1", $"d2", round($"j", 4).as("jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
+  /** SimHash (64-bit, token-hash bit-majority) per document — computed
+    * entirely inside one aggregate over the collected token-hash list (no
+    * 64× row blow-up). xxhash64 is Spark-native (no DuckDB twin ⇒ no
+    * oracle); LlmSpec asserts bit-level properties instead.
+    */
+  val llmDedupSimhash: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id").agg(collect_list(xxhash64($"w")).as("hs"))
+      .select($"doc_id", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
+          |  acc + IF(aggregate(hs, 0, (a, h) ->
+          |             a + IF((shiftright(h, b) & 1) = 1, 1, -1)) >= 0,
+          |           shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
+        .as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  // ===== similarity search =====
+
+  /** Brute-force exact top-10 cosine neighbors of probe vec 0. Codegen'd
+    * FloatDot inner loop; probe is a broadcast single row; top-k is
+    * TakeOrderedAndProject on the rounded score (rounding makes the order
+    * engine-portable).
+    */
+  val llmSimSearch: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("selfdot", FloatVec.floatDot($"embedding", $"embedding"))
+    val probe = e.filter($"vec_id" === 0)
+      .select($"embedding".as("pe"), $"selfdot".as("pd"))
+    e.filter($"vec_id" =!= 0).crossJoin(broadcast(probe))
+      .withColumn("cos",
+        FloatVec.floatDot($"embedding", $"pe") / (sqrt($"selfdot") * sqrt($"pd")))
+      .select($"vec_id", $"label".cast("long").as("label"), round($"cos", 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** All-pairs label-blocked cosine >= 0.3 (dedup-by-meaning). Blocking on
+    * label bounds the pair space; per-vector norms are computed once before
+    * pairing so the pair loop is one dot product.
+    */
+  val llmSimJoin: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(FloatVec.floatDot($"embedding", $"embedding")))
+    e.as("x").join(e.as("y"), $"x.label" === $"y.label" && $"x.vec_id" < $"y.vec_id")
+      .withColumn("rcos", round(
+        FloatVec.floatDot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"), 4))
+      .filter($"rcos" >= 0.3)
+      .select($"x.vec_id".as("p1"), $"y.vec_id".as("p2"),
+        $"x.label".cast("long").as("label"), $"rcos".as("cos"))
+      .orderBy($"p1", $"p2")
+  }
+
+  /** IVF-style cluster-pruned ANN: fixed codebook = vectors 0..9, every
+    * vector assigned to its max-cosine centroid, probe 42 searched only
+    * within its own cluster (top-5). The assignment pass + cluster-local
+    * search is the 100 TB ANN shape (scan cost /= n_clusters).
+    */
+  val llmAnnIvf: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(FloatVec.floatDot($"embedding", $"embedding")))
+    val cent = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", round(
+        FloatVec.floatDot($"embedding", $"ce") / ($"nrm" * $"cn"), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cid", $"embedding", $"nrm")
+    val probe = assigned.filter($"vec_id" === 42)
+      .select($"cid".as("pcid"), $"embedding".as("pe"), $"nrm".as("pn"))
+    assigned.join(broadcast(probe), $"cid" === $"pcid")
+      .filter($"vec_id" =!= 42)
+      .select($"vec_id", $"cid".cast("long").as("cid"),
+        round(FloatVec.floatDot($"embedding", $"pe") / ($"nrm" * $"pn"), 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(5)
+  }
+
+  // ===== text analysis =====
+
+  val llmTextStats: Q = (s, dir) => {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"lang", $"doc_id", explode(split($"text", " ")).as("tok"))
+    val stats = tok.groupBy($"lang").agg(
+      countDistinct($"doc_id").as("n_docs"),
+      count(lit(1)).as("n_tokens"),
+      countDistinct($"tok").as("n_distinct"))
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok")
+    val top = tok.groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"lang", $"tok".as("top_term"), $"cnt".as("top_cnt"))
+    stats.join(top, "lang")
+      .select($"lang", $"n_docs", $"n_tokens", $"n_distinct",
+        round($"n_tokens" / $"n_docs", 4).as("avg_tokens"), $"top_term", $"top_cnt")
+      .orderBy($"lang")
+  }
+
+  /** tf-idf top-3 terms per source: tf = term share within source,
+    * idf = ln(n_sources / doc-frequency across sources).
+    */
+  val llmTfidfTopk: Q = (s, dir) => {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("term"))
+    val perSrc = tok.groupBy($"source", $"term").agg(count(lit(1)).as("cnt"))
+    val tot = tok.groupBy($"source").agg(count(lit(1)).as("total"))
+    val dfc = perSrc.groupBy($"term").agg(count(lit(1)).as("dfc"))
+    val ns = Tables.documents(s, dir).agg(countDistinct($"source").as("ns"))
+    val w = Window.partitionBy($"source").orderBy($"score".desc, $"term")
+    perSrc.join(tot, "source").join(dfc, "term").crossJoin(broadcast(ns))
+      .withColumn("score", ($"cnt" / $"total") * log($"ns" / $"dfc"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"source", $"term", round($"score", 6).as("score"), $"rnk")
+      .orderBy($"source", $"rnk")
+  }
+
+  val llmTokenCount: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      size(split($"text", " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("bpe_tokens"),
+      length($"text").cast("long").as("n_chars_calc"))
+      .orderBy($"doc_id")
+  }
+
+  /** Heuristic document quality score: stopword ratio, punctuation ratio,
+    * average token length — the standard cheap pre-filters of a training
+    * data pipeline, one narrow projection pass.
+    */
+  val llmQualityScore: Q = (s, dir) => {
+    import s.implicits._
+    val stop = Seq("the", "of", "and", "to", "in", "a", "is")
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        length($"text").cast("long").as("len"),
+        size(split($"text", " ")).cast("long").as("nt"),
+        size(filter(split($"text", " "), w => w.isin(stop.map(lit): _*)))
+          .cast("long").as("stop_cnt"),
+        length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("long").as("punct_cnt"))
+      .select($"doc_id", $"len", $"nt", $"stop_cnt", $"punct_cnt",
+        pround4(($"len" - ($"nt" - 1)) / $"nt").as("avg_tok_len"),
+        pround4($"stop_cnt" / $"nt").as("stop_ratio"),
+        pround4(
+          lit(0.4) * ($"stop_cnt" / $"nt") +
+            lit(0.3) * (lit(1.0) - $"punct_cnt" / $"len") +
+            lit(0.3) * least(($"len" - ($"nt" - 1)) / $"nt" / 10.0, lit(1.0)))
+          .as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** n-gram-heuristic language id: score = stopword-table hits per candidate
+    * language, argmax with alphabetical tie-break (the mechanics of a real
+    * lang-id pass; the lists are tiny inline fixtures).
+    */
+  val llmLangId: Q = (s, dir) => {
+    import s.implicits._
+    val sw = Seq(
+      "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "is",
+      "de" -> "der", "de" -> "und", "de" -> "das", "de" -> "ist",
+      "es" -> "el", "es" -> "que", "es" -> "los", "es" -> "la",
+      "fr" -> "le", "fr" -> "et", "fr" -> "les", "fr" -> "des",
+      "zh" -> "de", "zh" -> "shi", "zh" -> "bu", "zh" -> "le"
+    ).toDF("cand", "w")
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val rn = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand")
+    val best = tok.join(broadcast(sw), "w")
+      .groupBy($"doc_id", $"cand").agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(rn)).filter($"rn" === 1)
+      .select($"doc_id", $"cand", $"score")
+    Tables.documents(s, dir).join(best, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang",
+        coalesce($"cand", lit("und")).as("lang_pred"),
+        coalesce($"score", lit(0L)).as("score"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprint: min salted-md5 shingle hash (winnowing-style
+    * content signature) + shingle cardinality.
+    */
+  val llmFingerprint: Q = (s, dir) => {
+    import s.implicits._
+    docsWithShingles(s, dir)
+      .select($"doc_id", explode($"sh").as("s"))
+      .groupBy($"doc_id")
+      .agg(min(substring(md5($"s"), 1, 16)).as("fingerprint"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  // ===== multimodal =====
+
+  /** Multimodal join: text + vector in one row (doc_id = vec_id), filtered
+    * by lang, scored against a probe embedding.
+    */
+  val llmMultimodalJoin: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("selfdot", FloatVec.floatDot($"embedding", $"embedding"))
+    val probe = e.filter($"vec_id" === 0)
+      .select($"embedding".as("pe"), $"selfdot".as("pd"))
+    Tables.documents(s, dir).filter($"lang" === "en")
+      .join(e, $"doc_id" === $"vec_id")
+      .crossJoin(broadcast(probe))
+      .select($"doc_id", $"label".cast("long").as("label"), $"n_chars",
+        round(FloatVec.floatDot($"embedding", $"pe") / (sqrt($"selfdot") * sqrt($"pd")), 4)
+          .as("cos_probe"))
+      .orderBy($"doc_id")
+  }
+
+  /** Opaque-binary decode plumbing (images/audio in a real pipeline; the
+    * container has no codec libs, so the "decode" is a deterministic stub —
+    * SHA-256 + byte length — while the Spark-side shape is real: a typed
+    * Dataset, batched mapPartitions with per-partition state (the digest),
+    * schema'd output). Swapping the stub for a JNI/image decode keeps every
+    * other line unchanged.
+    */
+  val mmDecodeStub: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[MmPayload]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { r =>
+          val digest = md.digest(r.payload)
+          (r.doc_id, r.payload.length.toLong,
+            digest.map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "sha")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> fnString,
+    "fn_date" -> fnDate,
+    "fn_math" -> fnMath,
+    "fn_array" -> fnArray,
+    "fn_map" -> fnMap,
+    "llm_dedup_exact" -> llmDedupExact,
+    "llm_dedup_near" -> llmDedupNear,
+    "llm_dedup_minhash" -> llmDedupMinhash,
+    "llm_dedup_simhash" -> llmDedupSimhash,
+    "llm_sim_search" -> llmSimSearch,
+    "llm_sim_join" -> llmSimJoin,
+    "llm_ann_ivf" -> llmAnnIvf,
+    "llm_text_stats" -> llmTextStats,
+    "llm_tfidf_topk" -> llmTfidfTopk,
+    "llm_token_count" -> llmTokenCount,
+    "llm_quality_score" -> llmQualityScore,
+    "llm_lang_id" -> llmLangId,
+    "llm_fingerprint" -> llmFingerprint,
+    "llm_multimodal_join" -> llmMultimodalJoin,
+    "mm_decode_stub" -> mmDecodeStub
+  )
+}

@@ -1,0 +1,263 @@
+package graft.oracle
+
+/** DuckDB oracle SQL for the function batteries + LLM-pipeline operators
+  * (SURVEY.md §2.7). Dialect pairs used here: split↔string_split (DuckDB
+  * lists are 1-based), explode↔unnest, sha2(x,256)↔sha256, md5↔md5,
+  * regexp_extract_all↔regexp_extract_all, regexp_replace needs the 'g' flag
+  * in DuckDB, date_trunc returns DATE in DuckDB vs TIMESTAMP in Spark (cast
+  * both), ln↔ln, cosine via list_cosine_similarity on DOUBLE[] casts.
+  * llm_dedup_simhash is intentionally absent (xxhash64 has no DuckDB twin).
+  */
+object LlmOracle {
+
+  /** DuckDB spelling of the 3-token shingle set (1-based list indexing). */
+  private val shingles =
+    """list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |  i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))""".stripMargin
+
+  private val shingleDocs =
+    s"""sh AS (SELECT doc_id, $shingles AS s
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh)""".stripMargin
+
+  private val jaccardPairs =
+    s"""$shingleDocs,
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT d1, d2, common / (s1.n + s2.n - common) AS j
+       |  FROM pairs
+       |  JOIN sizes s1 ON d1 = s1.doc_id
+       |  JOIN sizes s2 ON d2 = s2.doc_id)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    // ===== function batteries =====
+    "fn_string" ->
+      """SELECT doc_id,
+        |  upper(substr(text, 1, 10)) AS head10,
+        |  CAST(length(text) AS BIGINT) AS len,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  concat_ws('|', lang, source) AS tag,
+        |  trim('  ' || lang || '  ') AS trimmed,
+        |  string_split(text, ' ')[3] AS tok3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT o_orderkey,
+        |  round(o_totalprice, 2) AS r2,
+        |  abs(o_totalprice - 200000) AS ad,
+        |  round(sqrt(o_totalprice), 6) AS sq,
+        |  round(ln(o_totalprice), 6) AS lg,
+        |  round(pow(o_totalprice / 1000.0, 2), 6) AS pw,
+        |  (o_orderkey % 7 + 7) % 7 AS pm,
+        |  CAST(sign(o_totalprice - 200000) AS BIGINT) AS sg
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_array" ->
+      """SELECT vec_id, CAST(pos AS BIGINT) AS pos, embedding[pos] AS val,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  list_min(embedding) AS mn, list_max(embedding) AS mx
+        |FROM embeddings, (VALUES (1), (2), (3)) p(pos)
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "fn_map" ->
+      """WITH g AS (
+        |  SELECT l_orderkey AS okey, l_returnflag AS tag, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (
+        |  SELECT okey, CAST(count(*) AS BIGINT) AS n_tags,
+        |    sum(qty) FILTER (WHERE tag = 'A') AS qty_a
+        |  FROM g GROUP BY 1)
+        |SELECT g.okey, n_tags, qty_a, tag, qty
+        |FROM g JOIN s ON g.okey = s.okey
+        |ORDER BY g.okey, tag""".stripMargin,
+
+    // ===== dedup =====
+    "llm_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, sha256(lower(trim(text))) AS h,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY 2 ORDER BY keep_id""".stripMargin,
+
+    "llm_dedup_near" ->
+      s"""WITH $jaccardPairs
+         |SELECT d1, d2, round(j, 4) AS jaccard
+         |FROM jac WHERE j >= 0.6 ORDER BY d1, d2""".stripMargin,
+
+    "llm_dedup_minhash" ->
+      s"""WITH $jaccardPairs,
+         |mh AS (
+         |  SELECT doc_id,
+         |    min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
+         |    min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3,
+         |    min(md5('4' || s)) AS h4, min(md5('5' || s)) AS h5,
+         |    min(md5('6' || s)) AS h6, min(md5('7' || s)) AS h7
+         |  FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, band,
+         |    CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+         |              WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS key
+         |  FROM mh, (VALUES (0), (1), (2), (3)) b(band)),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT jac.d1, jac.d2, round(j, 4) AS jaccard
+         |FROM jac JOIN cands ON jac.d1 = cands.d1 AND jac.d2 = cands.d2
+         |WHERE j >= 0.5 ORDER BY jac.d1, jac.d2""".stripMargin,
+
+    // ===== similarity =====
+    "llm_sim_search" ->
+      """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  round(list_cosine_similarity(embedding::DOUBLE[], pe::DOUBLE[]), 4) AS cos
+        |FROM embeddings, p
+        |WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "llm_sim_join" ->
+      """SELECT x.vec_id AS p1, y.vec_id AS p2, CAST(x.label AS BIGINT) AS label,
+        |  round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings x JOIN embeddings y
+        |  ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= 0.3
+        |ORDER BY p1, p2""".stripMargin,
+
+    "llm_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 10),
+        |assigned AS (
+        |  SELECT vec_id, cid, embedding FROM (
+        |    SELECT e.vec_id, c.cid, e.embedding,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+        |                 c.cid) AS rn
+        |    FROM embeddings e, cent c) t
+        |  WHERE rn = 1),
+        |probe AS (SELECT cid AS pcid, embedding AS pe FROM assigned WHERE vec_id = 42)
+        |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], p.pe::DOUBLE[]), 4) AS cos
+        |FROM assigned a, probe p
+        |WHERE a.cid = p.pcid AND a.vec_id <> 42
+        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin,
+
+    // ===== text analysis =====
+    "llm_text_stats" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |stats AS (
+        |  SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+        |    count(DISTINCT tok) AS n_distinct
+        |  FROM tok GROUP BY lang),
+        |top AS (
+        |  SELECT lang, tok AS top_term, cnt AS top_cnt FROM (
+        |    SELECT lang, tok, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rn
+        |    FROM tok GROUP BY lang, tok) t
+        |  WHERE rn = 1)
+        |SELECT stats.lang, n_docs, n_tokens, n_distinct,
+        |  round(n_tokens / n_docs, 4) AS avg_tokens, top_term, top_cnt
+        |FROM stats JOIN top ON stats.lang = top.lang
+        |ORDER BY stats.lang""".stripMargin,
+
+    "llm_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |per_src AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, count(*) AS total FROM tok GROUP BY 1),
+        |dfc AS (SELECT term, count(*) AS dfc FROM per_src GROUP BY 1),
+        |ns AS (SELECT count(DISTINCT source) AS ns FROM documents),
+        |scored AS (
+        |  SELECT p.source, p.term,
+        |    (cnt / total) * ln(ns / dfc) AS score
+        |  FROM per_src p JOIN tot ON p.source = tot.source
+        |  JOIN dfc ON p.term = dfc.term
+        |  CROSS JOIN ns)
+        |SELECT source, term, round(score, 6) AS score, rnk FROM (
+        |  SELECT source, term, score,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS BIGINT) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
+
+    "llm_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'of', 'and', 'to', 'in', 'a', 'is'))) AS BIGINT) AS stop_cnt,
+        |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_cnt
+        |  FROM documents)
+        |SELECT doc_id, len, nt, stop_cnt, punct_cnt,
+        |  floor((len - (nt - 1)) / nt * 10000.0 + 0.5) / 10000.0 AS avg_tok_len,
+        |  floor(stop_cnt / nt * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+        |  floor((0.4 * (stop_cnt / nt) + 0.3 * (1.0 - punct_cnt / len)
+        |    + 0.3 * least((len - (nt - 1)) / nt / 10.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "llm_lang_id" ->
+      """WITH sw(cand, w) AS (VALUES
+        |  ('en','the'),('en','and'),('en','of'),('en','is'),
+        |  ('de','der'),('de','und'),('de','das'),('de','ist'),
+        |  ('es','el'),('es','que'),('es','los'),('es','la'),
+        |  ('fr','le'),('fr','et'),('fr','les'),('fr','des'),
+        |  ('zh','de'),('zh','shi'),('zh','bu'),('zh','le')),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |best AS (
+        |  SELECT doc_id, cand, score FROM (
+        |    SELECT tok.doc_id, sw.cand, count(*) AS score,
+        |      row_number() OVER (PARTITION BY tok.doc_id
+        |        ORDER BY count(*) DESC, sw.cand) AS rn
+        |    FROM tok JOIN sw ON tok.w = sw.w
+        |    GROUP BY 1, 2) t
+        |  WHERE rn = 1)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(best.cand, 'und') AS lang_pred,
+        |  coalesce(best.score, 0) AS score
+        |FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "llm_fingerprint" ->
+      s"""WITH $shingleDocs
+         |SELECT doc_id, min(substr(md5(s), 1, 16)) AS fingerprint,
+         |  count(*) AS n_shingles
+         |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // ===== multimodal =====
+    "llm_multimodal_join" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+        |SELECT doc_id, CAST(label AS BIGINT) AS label, n_chars,
+        |  round(list_cosine_similarity(embedding::DOUBLE[], pe::DOUBLE[]), 4) AS cos_probe
+        |FROM documents JOIN e ON doc_id = vec_id, p
+        |WHERE lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

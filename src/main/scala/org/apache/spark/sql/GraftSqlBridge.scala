@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column↔Expression converters.
+  * Spark 4 removed the public `Column(Expression)` constructor (Connect API
+  * unification); custom native expressions (graft.expr.*) still need to be
+  * wrapped into Columns to compose with the DataFrame API. This is the only
+  * file outside the `graft` namespace.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

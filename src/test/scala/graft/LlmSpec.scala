@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.expr.FloatVec
+
+class LlmSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("FloatDot: matches an independent double fold, interpreted and codegen'd") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf).limit(20)
+      .withColumn("fast", FloatVec.floatDot($"embedding", $"embedding"))
+      .withColumn("slow", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    e.collect().foreach { r =>
+      assert(r.getDouble(r.fieldIndex("fast")) === r.getDouble(r.fieldIndex("slow")))
+    }
+  }
+
+  test("float_dot registers as a SQL function") {
+    FloatVec.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql")
+    val n = spark.sql(
+      "SELECT float_dot(embedding, embedding) AS d FROM emb_sql WHERE vec_id < 5")
+      .collect()
+    assert(n.length === 5 && n.forall(_.getDouble(0) > 0))
+  }
+
+  test("llm_dedup_exact is idempotent: dedup of deduped keep-set is itself") {
+    val once = q("llm_dedup_exact").collect()
+    assert(once.length === once.map(_.getString(1)).distinct.length)
+    assert(once.map(r => r.getLong(r.fieldIndex("n_dups"))).forall(_ >= 1))
+  }
+
+  test("llm_dedup_minhash candidates are a superset of high-jaccard near pairs") {
+    // every j >= 0.6 pair (near) must also be caught by MinHash-LSH at >= 0.5
+    val near = q("llm_dedup_near").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = q("llm_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = near.diff(mh)
+    assert(missed.isEmpty, s"LSH missed high-sim pairs: $missed")
+  }
+
+  test("llm_dedup_simhash: near-identical docs have small hamming distance") {
+    import spark.implicits._
+    val sim = q("llm_dedup_simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the known near-dup pairs (jaccard >= 0.6) should sit close in simhash space
+    val near = q("llm_dedup_near").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.nonEmpty)
+    val dists = near.map { case (a, b) => java.lang.Long.bitCount(sim(a) ^ sim(b)) }
+    assert(dists.count(_ <= 12) >= dists.length / 2,
+      s"simhash distances of near-dups too large: ${dists.toSeq}")
+  }
+
+  test("llm_sim_search: cosine in [-1,1], self excluded, descending") {
+    val rows = q("llm_sim_search").collect()
+    assert(rows.length === 10)
+    val cs = rows.map(r => r.getDouble(r.fieldIndex("cos")))
+    assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    assert(!rows.map(_.getLong(0)).contains(0L))
+  }
+
+  test("llm_sim_join: pairs symmetric-canonical and above threshold") {
+    q("llm_sim_join").collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(r.fieldIndex("cos")) >= 0.3)
+    }
+  }
+
+  test("llm_ann_ivf: returns 5 cluster-local neighbors of the probe") {
+    val rows = q("llm_ann_ivf").collect()
+    assert(rows.length === 5)
+    assert(rows.map(r => r.getLong(r.fieldIndex("cid"))).distinct.length === 1)
+  }
+
+  test("llm_tfidf_topk: 3 ranked terms per source, scores descending in rank") {
+    val rows = q("llm_tfidf_topk").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length === 3)
+      val byRank = rs.sortBy(_.getLong(rs.head.fieldIndex("rnk")))
+      val scores = byRank.map(_.getDouble(byRank.head.fieldIndex("score")))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("llm_quality_score: ratios are in [0,1] and quality bounded") {
+    q("llm_quality_score").collect().foreach { r =>
+      val sr = r.getDouble(r.fieldIndex("stop_ratio"))
+      val quality = r.getDouble(r.fieldIndex("quality"))
+      assert(sr >= 0 && sr <= 1)
+      assert(quality >= 0 && quality <= 1.0001)
+    }
+  }
+
+  test("mm_decode_stub: sha matches Spark's native sha2 over the same bytes") {
+    import spark.implicits._
+    val ours = q("mm_decode_stub").select($"doc_id", $"sha")
+    val native = Tables.documents(spark, sf)
+      .select($"doc_id", sha2($"text".cast("binary"), 256).as("sha2"))
+    val joined = ours.join(native, "doc_id")
+      .filter($"sha" =!= $"sha2").count()
+    assert(joined === 0)
+  }
+
+  test("llm_sim_search plan: probe is broadcast, scan is pruned to used columns") {
+    val p = q("llm_sim_search").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("fn batteries return full-table row counts") {
+    val docs = Tables.documents(spark, sf).count()
+    assert(q("fn_string").count() === docs)
+    assert(q("llm_token_count").count() === docs)
+    assert(q("fn_date").count() === Tables.orders(spark, sf).count())
+    assert(q("fn_array").count() === Tables.embeddings(spark, sf).count() * 3)
+  }
+}

@@ -17,11 +17,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.GraphOps.queries ++ ops.LlmOps.queries
+    ops.Relational.queries ++ ops.GraphOps.queries ++ ops.LlmOps.queries ++
+      ops.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    oracle.OracleSql.sql ++ oracle.GraphOracle.sql ++ oracle.LlmOracle.sql
+    oracle.OracleSql.sql ++ oracle.GraphOracle.sql ++ oracle.LlmOracle.sql ++
+      oracle.StreamingOracle.sql
 }

@@ -1,0 +1,217 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** Event value projected to the portable millisecond domain. */
+case class EventRow(user_id: Long, ts_ms: Long, value: Double)
+
+/** Running per-user fold state — the event-sourcing fold that rebuilds the
+  * reference's node-actor state from its journal (SURVEY.md §2.8). Sums are
+  * scale-to-integer so the fold is order-independent and exact.
+  */
+case class UserState(n: Long, sumScaled: Long, maxTs: Long)
+
+/** Streaming surface (SURVEY.md §2.8), modeled on Structured Streaming over
+  * the `events` table. Each windowing/dedup/stateful operator exists twice:
+  *
+  *   - a batch form (this file's `queries` entries) using the SAME windowing
+  *     primitives (`window`, `session_window`, `flatMapGroupsWithState` in
+  *     batch mode) — deterministic, DuckDB-oracle-checked;
+  *   - a `readStream` form (the `*Stream` builders) driven by
+  *     StreamingSpec with processAllAvailable(), asserted ≡ the batch twin.
+  *
+  * Batch/stream sharing one code path is the point: at 100 TB the same
+  * query graph runs incrementally with watermark-bounded state instead of
+  * as a full re-scan.
+  */
+object StreamingOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val SessionGapMs = 1800000L // 30 minutes
+
+  // ===== shared transform cores (batch DataFrame in, result out) =====
+
+  /** 5-minute tumbling count+sum by event_type; window keyed by epoch-ms
+    * start (the only portable form of the ns-precision source timestamps).
+    */
+  private def tumblingCore(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), Relational.msum($"value").as("sum_value"))
+      .select(unix_millis($"w.start").as("ws_ms"), $"event_type", $"n", $"sum_value")
+  }
+
+  /** 10-minute windows sliding every 5 — each event lands in 2 windows. */
+  private def slidingCore(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"w.start").as("ws_ms"), $"event_type", $"n")
+  }
+
+  /** Per-user session windows, 30-minute gap: start, end(+gap), count, span. */
+  private def sessionCore(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_millis($"w.start").as("start_ms"),
+        unix_millis($"w.end").as("end_ms"), $"n_events")
+  }
+
+  // ===== registry entries (batch twins, oracle-checked) =====
+
+  val streamTumbling: Q = (s, dir) => {
+    import s.implicits._
+    tumblingCore(Tables.events(s, dir)).orderBy($"ws_ms", $"event_type")
+  }
+
+  val streamSliding: Q = (s, dir) => {
+    import s.implicits._
+    slidingCore(Tables.events(s, dir)).orderBy($"ws_ms", $"event_type")
+  }
+
+  val streamSession: Q = (s, dir) => {
+    import s.implicits._
+    sessionCore(Tables.events(s, dir)).orderBy($"user_id", $"start_ms")
+  }
+
+  /** Watermarked-dedup batch twin: one row per (user_id, event_type) with
+    * first-seen time and the count of duplicates that dedup would drop
+    * (dropDuplicates keeps an arbitrary row, so the twin reduces to
+    * order-independent aggregates — SURVEY.md §2.8).
+    */
+  val streamDedup: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(min(unix_millis($"ts")).as("first_ts_ms"),
+        (count(lit(1)) - 1).as("n_dropped"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Event-sourcing fold via flatMapGroupsWithState in BATCH mode (each
+    * group gets one invocation over all its events — identical semantics to
+    * the incremental streaming run asserted in StreamingSpec). The fold is
+    * commutative (count / scaled-sum / max), so executor iteration order
+    * cannot change the result.
+    */
+  val streamStatefulFold: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id", unix_millis($"ts").as("ts_ms"), $"value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, (Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, events, state) =>
+        val init = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+        val folded = events.foldLeft(init) { (st, e) =>
+          UserState(st.n + 1, st.sumScaled + math.round(e.value * 10000), math.max(st.maxTs, e.ts_ms))
+        }
+        state.update(folded)
+        Iterator((uid, folded.n, folded.sumScaled / 10000.0, folded.maxTs))
+      }
+      .toDF("user_id", "n_events", "sum_value", "last_ts_ms")
+      .orderBy($"user_id")
+  }
+
+  /** Watermark semantics, demonstrated with a real two-micro-batch streaming
+    * run: batch 1 = the newer half of events (advances the watermark to
+    * max - 10 min), batch 2 = events >1 h older than that watermark — all
+    * dropped, so the result is exactly batch 1's windows. Returns the
+    * memory-sink table (no DuckDB oracle — the driver records rows>0;
+    * StreamingSpec asserts the late rows really were dropped).
+    */
+  val streamLateData: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"event_id", $"ts", $"user_id", $"value")
+    val cut = e.agg(expr("percentile(unix_millis(ts), 0.5D)")).head().getDouble(0).toLong
+    val tmp = Files.createTempDirectory("graft_late_").toString
+    val inDir = s"$tmp/in"
+    e.filter(unix_millis($"ts") >= cut).write.parquet(inDir)
+
+    val stream = s.readStream.schema(e.schema).parquet(inDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), Relational.msum($"value").as("sum_value"))
+      .select(unix_millis($"w.start").as("ws_ms"), $"n", $"sum_value")
+    val name = s"late_${System.nanoTime()}"
+    val query = stream.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update).start()
+    try {
+      query.processAllAvailable() // batch 1: watermark -> maxTs - 10 min
+      e.filter(unix_millis($"ts") < cut - 3600000L).write.mode("append").parquet(inDir)
+      query.processAllAvailable() // batch 2: everything late, dropped
+    } finally query.stop()
+    s.table(name).orderBy($"ws_ms")
+  }
+
+  // ===== readStream builders (library surface; driven by StreamingSpec) =====
+
+  /** The events table as a replayable stream, with the same ns→µs timestamp
+    * normalization as the batch loader.
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(s, dir).schema // ts already TimestampType here
+    // The file-stream source monitors a DIRECTORY; the sf dir holds one
+    // parquet file per table, so glob-filter to the events file. (In
+    // production the source would be a partitioned directory or Kafka.)
+    val raw = s.readStream
+      .schema(schema.copy(fields = schema.fields.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  def tumblingStream(s: SparkSession, dir: String): DataFrame =
+    tumblingCore(eventsStream(s, dir).withWatermark("ts", "10 minutes"))
+
+  def slidingStream(s: SparkSession, dir: String): DataFrame =
+    slidingCore(eventsStream(s, dir).withWatermark("ts", "10 minutes"))
+
+  def sessionStream(s: SparkSession, dir: String): DataFrame =
+    sessionCore(eventsStream(s, dir).withWatermark("ts", "30 minutes"))
+
+  def dedupStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .select($"user_id", $"event_type")
+  }
+
+  def statefulFoldStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    eventsStream(s, dir)
+      .select($"user_id", unix_millis($"ts").as("ts_ms"), $"value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, (Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, events, state) =>
+        val init = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+        val folded = events.foldLeft(init) { (st, e) =>
+          UserState(st.n + 1, st.sumScaled + math.round(e.value * 10000), math.max(st.maxTs, e.ts_ms))
+        }
+        state.update(folded)
+        Iterator((uid, folded.n, folded.sumScaled / 10000.0, folded.maxTs))
+      }
+      .toDF("user_id", "n_events", "sum_value", "last_ts_ms")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+    "stream_dedup" -> streamDedup,
+    "stream_stateful_fold" -> streamStatefulFold,
+    "stream_late_data" -> streamLateData
+  )
+}

@@ -1,0 +1,57 @@
+package graft.oracle
+
+/** DuckDB oracle SQL for the streaming batch twins (SURVEY.md §2.8).
+  * Window starts are expressed as epoch-ms integer arithmetic — the portable
+  * reduction of the ns-precision event timestamps — which is exactly what
+  * Spark's epoch-aligned window()/session_window() produce after
+  * unix_millis. Session semantics: a new session starts when the gap is
+  * >= 30 min (Spark merges only strictly-inside-the-gap events; end is
+  * exclusive). stream_late_data has no oracle (watermark progression is a
+  * streaming-runtime behavior, asserted in StreamingSpec).
+  */
+object StreamingOracle {
+
+  private def msum(expr: String): String =
+    s"CAST(sum(CAST(round(($expr) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0"
+
+  val sql: Map[String, String] = Map(
+    "stream_tumbling" ->
+      s"""SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, event_type,
+         |  count(*) AS n, ${msum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY ws_ms, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      """SELECT (epoch_ms(ts) // 300000 - k) * 300000 AS ws_ms, event_type,
+        |  count(*) AS n
+        |FROM events, (VALUES (0), (1)) t(k)
+        |GROUP BY 1, 2 ORDER BY ws_ms, event_type""".stripMargin,
+
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |x AS (
+        |  SELECT user_id, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL
+        |           OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |y AS (
+        |  SELECT user_id, ms,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms,
+        |  count(*) AS n_events
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT user_id, event_type, min(epoch_ms(ts)) AS first_ts_ms,
+        |  count(*) - 1 AS n_dropped
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+    "stream_stateful_fold" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |  ${msum("value")} AS sum_value,
+         |  max(epoch_ms(ts)) AS last_ts_ms
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ops.StreamingOps
+
+/** Batch ≡ stream equivalence for every §2.8 operator: the readStream
+  * variant replayed over the same parquet (processAllAvailable) must produce
+  * the batch twin's rows.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def runStream(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"t${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  test("stream_tumbling: streaming run equals batch twin") {
+    val batch = SparkEntry.queries("stream_tumbling")(spark, sf)
+    val stream = runStream(StreamingOps.tumblingStream(spark, sf), OutputMode.Complete)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
+  test("stream_sliding: streaming run equals batch twin") {
+    val batch = SparkEntry.queries("stream_sliding")(spark, sf)
+    val stream = runStream(StreamingOps.slidingStream(spark, sf), OutputMode.Complete)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
+  test("stream_session: streaming run equals batch twin") {
+    val batch = SparkEntry.queries("stream_session")(spark, sf)
+    val stream = runStream(StreamingOps.sessionStream(spark, sf), OutputMode.Complete)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
+  test("stream_dedup: streaming dedup keeps exactly the twin's key set") {
+    val batch = SparkEntry.queries("stream_dedup")(spark, sf)
+      .select("user_id", "event_type")
+    val stream = runStream(StreamingOps.dedupStream(spark, sf), OutputMode.Append)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
+  test("stream_stateful_fold: incremental fold equals batch fold") {
+    val batch = SparkEntry.queries("stream_stateful_fold")(spark, sf)
+    val stream = runStream(StreamingOps.statefulFoldStream(spark, sf), OutputMode.Append)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
+  test("stream_late_data: rows behind the watermark are dropped") {
+    import spark.implicits._
+    val result = SparkEntry.queries("stream_late_data")(spark, sf)
+    val gotN = result.agg(sum($"n")).head().getLong(0)
+    val e = Tables.events(spark, sf)
+    val cut = e.agg(expr("percentile(unix_millis(ts), 0.5D)")).head().getDouble(0).toLong
+    val onTime = e.filter(unix_millis($"ts") >= cut).count()
+    val late = e.filter(unix_millis($"ts") < cut - 3600000L).count()
+    assert(late > 0, "fixture must contain late rows for this test to mean anything")
+    assert(gotN === onTime, s"windows should count only on-time rows ($onTime), got $gotN")
+  }
+
+  test("session windows respect the 30-minute gap invariant") {
+    val rows = SparkEntry.queries("stream_session")(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, sess) =>
+      val sorted = sess.sortBy(_.getLong(sess.head.fieldIndex("start_ms")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // next session starts at or after the previous session's end
+          assert(b.getLong(b.fieldIndex("start_ms")) >= a.getLong(a.fieldIndex("end_ms")))
+        case _ =>
+      }
+    }
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.FloatDot
+import graft.expr.{FloatDot, StableHash64}
 
 /** SparkSessionExtensions entry point: enable with
   * `spark.sql.extensions=graft.GraftExtensions` to get the engine's native
@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("stable_hash64"),
+      new ExpressionInfo(classOf[StableHash64].getName, "stable_hash64"),
+      (children: Seq[Expression]) => StableHash64(children.head)))
   }
 }

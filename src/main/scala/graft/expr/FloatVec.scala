@@ -74,13 +74,18 @@ object FloatVec {
     floatDot(a, b) / (sqrt(floatDot(a, a)) * sqrt(floatDot(b, b)))
   }
 
-  /** Register `float_dot` for SQL use (idempotent). The same builder is also
-    * exposed through [[GraftExtensions]] for
+  /** Register the graft native functions for SQL use (idempotent). The same
+    * builders are exposed through [[graft.GraftExtensions]] for
     * `spark.sql.extensions`-configured sessions.
     */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (children: Seq[Expression]) => FloatDot(children(0), children(1)))
+    s.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("stable_hash64"),
+      new ExpressionInfo(classOf[StableHash64].getName, "stable_hash64"),
+      (children: Seq[Expression]) => StableHash64(children.head))
+  }
 }

@@ -233,8 +233,33 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Per-customer weighted tag map (brand -> total quantity) built by the
+    * custom TypedImperativeAggregate [[graft.expr.MapSumAgg]] in ONE
+    * aggregation — partial maps merge at the exchange instead of shuffling a
+    * row per (customer, brand) occurrence. Exploded + sorted for output
+    * (maps are unordered — SURVEY.md §2.9 item 4).
+    */
+  val graphTagProfile: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.expr.MapSumAgg
+    val base = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+    val tagMap = GraftSqlBridge.column(
+      MapSumAgg(
+        GraftSqlBridge.expression($"p_brand"),
+        GraftSqlBridge.expression($"l_quantity".cast("long"))).toAggregateExpression())
+    base.groupBy($"o_custkey".as("cust"))
+      .agg(tagMap.as("tags"))
+      .select($"cust", explode($"tags").as(Seq("tag", "w")))
+      .orderBy($"cust", $"tag")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_build_edges" -> graphBuildEdges,
+    "graph_tag_profile" -> graphTagProfile,
     "graph_degree" -> graphDegree,
     "graph_neighbors_1hop" -> graphNeighbors1hop,
     "graph_khop_2" -> graphKhop2,

@@ -36,19 +36,20 @@ object LlmOps {
   private def pround4(c: Column): Column =
     floor(c * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)
 
-  /** 3-token shingle set (Spark SQL dialect; 0-based array indexing).
-    * Callers must pre-filter to size(split(text,' ')) >= 3 — mirrored in the
-    * oracle's WHERE — so the sequence() bound stays non-negative.
+  /** Distinct (doc_id, shingle) rows via the custom Generator
+    * [[graft.expr.ShingleGen]] — one tokenize pass per document, rows
+    * streamed straight out (no per-row array materialization). The >= 3
+    * token pre-filter mirrors the oracle's WHERE (short docs have no
+    * 3-shingles on either engine).
     */
-  private val shingleSql =
-    """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
-      |  i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])))""".stripMargin
-
-  private def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
     Tables.documents(s, dir)
       .filter(size(split($"text", " ")) >= 3)
-      .select($"doc_id", expr(shingleSql).as("sh"))
+      .select($"doc_id", GraftSqlBridge.column(
+        graft.expr.ShingleGen(GraftSqlBridge.expression($"text"), 3)).as("s"))
+      .distinct()
   }
 
   /** Exact all-pairs shingle overlap ≥ minJaccard (brute force via shingle
@@ -58,9 +59,8 @@ object LlmOps {
     */
   private def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
     import s.implicits._
-    val sh = docsWithShingles(s, dir)
-    val ex = sh.select($"doc_id", explode($"sh").as("s"))
-    val sizes = sh.select($"doc_id", size($"sh").as("n"))
+    val ex = shingleRows(s, dir)
+    val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     ex.as("a").join(ex.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("common"))
@@ -176,7 +176,7 @@ object LlmOps {
     */
   val llmDedupMinhash: Q = (s, dir) => {
     import s.implicits._
-    val ex = docsWithShingles(s, dir).select($"doc_id", explode($"sh").as("s"))
+    val ex = shingleRows(s, dir)
     val hashAggs = (0 to 7).map(i => min(md5(concat(lit(i.toString), $"s"))).as(s"h$i"))
     val mh = ex.groupBy($"doc_id").agg(hashAggs.head, hashAggs.tail: _*)
     val bands = mh.select($"doc_id", explode(array(
@@ -386,8 +386,7 @@ object LlmOps {
     */
   val llmFingerprint: Q = (s, dir) => {
     import s.implicits._
-    docsWithShingles(s, dir)
-      .select($"doc_id", explode($"sh").as("s"))
+    shingleRows(s, dir)
       .groupBy($"doc_id")
       .agg(min(substring(md5($"s"), 1, 16)).as("fingerprint"),
         count(lit(1)).as("n_shingles"))

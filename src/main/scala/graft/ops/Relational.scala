@@ -216,6 +216,56 @@ object Relational {
       .orderBy($"id1", $"id2")
   }
 
+  /** As-of join — no built-in Spark exec: for each purchase event, the
+    * latest click of the same user at or before it (attribution). The
+    * distributed formulation is the union+window trick: tag both sides,
+    * sort each user's timeline once, and carry the last non-null click
+    * forward (`last(..., ignoreNulls)` over a running frame). One shuffle on
+    * user_id + one window — linear, against the quadratic per-key
+    * nested-loop a naive theta join would plan. Clicks are deduped to one
+    * per (user, ms) keeping max event_id, matching DuckDB's native
+    * ASOF JOIN tie behavior deterministically.
+    */
+  val joinAsof: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_id", $"user_id", tsMs($"ts").as("ts_ms"), $"event_type")
+    val clicks = e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts_ms").agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"ts_ms", $"click_id", $"ts_ms".as("c_ts"),
+        lit(0).as("side"), lit(null).cast("long").as("purchase_id"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_ms", lit(null).cast("long").as("click_id"),
+        lit(null).cast("long").as("c_ts"), lit(1).as("side"),
+        $"event_id".as("purchase_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("m_click", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("m_ts", last($"c_ts", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"purchase_id", $"user_id", $"ts_ms".as("purchase_ts_ms"),
+        $"m_click".as("click_id"), $"m_ts".as("click_ts_ms"),
+        ($"ts_ms" - $"m_ts").as("gap_ms"))
+      .orderBy($"purchase_id")
+  }
+
+  /** Per-group top-k via the bounded-heap Aggregator (k-row state per group,
+    * merged associatively) — the scale path for "top 3 per segment" that
+    * win_rank answers with a full window sort.
+    */
+  val aggTopkGroup: Q = (s, dir) => {
+    import s.implicits._
+    val topk = graft.expr.TopKAgg.topk(3)
+    Tables.customer(s, dir)
+      .groupBy($"c_mktsegment")
+      .agg(topk($"c_acctbal", $"c_custkey").as("top"))
+      .select($"c_mktsegment", posexplode($"top").as(Seq("p0", "t")))
+      .select($"c_mktsegment", ($"p0" + 1).cast("long").as("rnk"),
+        $"t._2".as("c_custkey"), $"t._1".as("c_acctbal"))
+      .orderBy($"c_mktsegment", $"rnk")
+  }
+
   /** Tiny dimension cross product. */
   val joinCross: Q = (s, dir) => {
     import s.implicits._
@@ -495,7 +545,9 @@ object Relational {
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "join_theta_range" -> joinThetaRange,
+    "join_asof" -> joinAsof,
     "join_cross" -> joinCross,
+    "agg_topk_group" -> aggTopkGroup,
     "agg_pricing" -> aggPricing,
     "agg_distinct" -> aggDistinct,
     "agg_approx_hll" -> aggApproxHll,

@@ -90,6 +90,14 @@ object GraphOracle {
         |GROUP BY 1, 2
         |ORDER BY dot DESC, c1, c2 LIMIT 20""".stripMargin,
 
+    "graph_tag_profile" ->
+      """SELECT o_custkey AS cust, p_brand AS tag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |GROUP BY 1, 2 ORDER BY cust, tag""".stripMargin,
+
     "graph_cc" ->
       s"""WITH RECURSIVE $copurchaseCte,
          |e2 AS (SELECT a, b FROM cp WHERE w >= 2

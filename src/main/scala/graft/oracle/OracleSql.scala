@@ -121,6 +121,28 @@ object OracleSql {
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
 
+    "join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |clicks AS (
+        |  SELECT user_id, ts_ms, max(event_id) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ts_ms
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.ts_ms AS purchase_ts_ms,
+        |  c.click_id, c.ts_ms AS click_ts_ms, p.ts_ms - c.ts_ms AS gap_ms
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts_ms <= p.ts_ms
+        |ORDER BY purchase_id""".stripMargin,
+
+    "agg_topk_group" ->
+      """SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+
     // ===== §2.4 aggregations =====
     "agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.{StableHash64, TopKAgg}
+
+/** ScalaCheck property layer (SURVEY.md §5.3): algebraic invariants of the
+  * engine's primitives over generated inputs. Spark-touching properties cap
+  * minSuccessful low (each case runs real jobs); pure-JVM properties run the
+  * full default 100.
+  */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val token: Gen[String] = Gen.choose(1, 8).flatMap(n =>
+    Gen.stringOfN(n, Gen.alphaLowerChar))
+  private val text: Gen[String] = Gen.choose(0, 12).flatMap(n =>
+    Gen.listOfN(n, token).map(_.mkString(" ")))
+
+  // --- pure JVM: full 100 cases ---
+
+  property("stable_hash64 equals the documented FNV-1a fold (pure)") =
+    Prop.forAllNoShrink(Gen.asciiPrintableStr) { s =>
+      val ref = s.getBytes("UTF-8").foldLeft(0xcbf29ce484222325L)((h, b) =>
+        (h ^ (b & 0xffL)) * 0x100000001b3L)
+      StableHash64.hash(s.getBytes("UTF-8")) == ref
+    }
+
+  property("TopKAgg: reduce/merge in any split order equals global sort-take") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0L, 1000L))),
+      Gen.chooseNum(0, 10)) { (xs, cut) =>
+      val agg = new TopKAgg(3)
+      val (l, r) = xs.splitAt(math.min(cut, xs.length))
+      val viaAgg = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      val expected = xs.sortBy { case (s, id) => (-s, id) }.take(3)
+      viaAgg == expected
+    }
+
+  // --- Spark-backed: 10 cases each ---
+
+  property("exact dedup is idempotent and keeps one row per normalized text") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 50L), text))) { rows =>
+      rows.isEmpty || {
+        def dedup(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(sha2(lower(trim($"text")), 256).as("h"))
+            .agg(min($"id").as("id"), first(lower(trim($"text"))).as("text"))
+            .select($"id", $"text")
+        val df = rows.toDF("id", "text")
+        val once = dedup(df)
+        val twice = dedup(once)
+        once.count() == rows.map(r => r._2.trim.toLowerCase).distinct.size &&
+          twice.count() == once.count()
+      }
+    }
+
+  property("float_dot is symmetric and self-cosine is 1") =
+    forAll(Gen.listOfN(8, Gen.chooseNum(-10f, 10f))) { v =>
+      v.exists(math.abs(_) > 1e-3) ==> {
+        val df = Seq((v, v)).toDF("a", "b")
+        val r = df.select(
+          graft.expr.FloatVec.floatDot($"a", $"b").as("ab"),
+          graft.expr.FloatVec.floatDot($"b", $"a").as("ba"),
+          graft.expr.FloatVec.floatCosine($"a", $"a").as("self")).head()
+        r.getDouble(0) == r.getDouble(1) && math.abs(r.getDouble(2) - 1.0) < 1e-9
+      }
+    }
+
+  property("intersect + except partition the left multiset-distinct") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, 30L)), Gen.listOf(Gen.chooseNum(0L, 30L))) {
+      (a, b) =>
+        a.nonEmpty ==> {
+          val da = a.toDF("x")
+          val db = b.toDF("x")
+          val inter = da.intersect(db).count()
+          val exc = da.except(db).count()
+          inter + exc == a.distinct.size
+        }
+    }
+
+  property("running window sum equals per-key prefix sums") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(-100L, 100L)))) { rows =>
+      rows.nonEmpty ==> {
+        val indexed = rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"k").orderBy($"i")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val got = indexed.toDF("k", "i", "v")
+          .withColumn("rs", sum($"v").over(w))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+        val expected = indexed.groupBy(_._1).flatMap { case (k, rs) =>
+          rs.sortBy(_._2).scanLeft((k, -1L, 0L)) { case ((_, _, acc), (_, i, v)) =>
+            (k, i, acc + v)
+          }.drop(1).map { case (k2, i, acc) => (k2, i) -> acc }
+        }
+        got == expected
+      }
+    }
+
+  property("connected components: labels are fixpoint and equal min reachable id") =
+    forAll(Gen.chooseNum(2, 8), Gen.listOf(Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 7L)))) {
+      (n, edgesRaw) =>
+        val vertices = (0L until n.toLong).toList
+        val edges = edgesRaw.map { case (a, b) => (a % n, b % n) }.filter(e => e._1 != e._2)
+        // brute-force union-find
+        val parent = scala.collection.mutable.Map(vertices.map(v => v -> v): _*)
+        def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = vertices.map(v => v -> {
+          // min id in the component
+          val root = find(v)
+          vertices.filter(u => find(u) == root).min
+        }).toMap
+        val got = graph.GraphBridge.connectedComponents(
+          spark, vertices.toDF("id"), edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+    }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** 100 TB-posture demonstrations (SURVEY.md §4/§7 "M6"): the physical-layout
+  * techniques the engine's operators assume at cluster scale, proven on the
+  * local harness by asserting the PLANS, not just the results.
+  */
+class ScaleSpec extends SparkSpec {
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange on either side") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // the in-memory catalog forgets tables across JVMs but their files persist
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      val d = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (d.exists()) {
+        Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+    }
+    Tables.lineitem(spark, sf)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    Tables.orders(spark, sf)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(sum($"l_quantity").as("q"))
+      joined.collect() // force execution (final plan under AQE)
+      // AQE's toString repeats the tree under "== Initial Plan ==" — count
+      // exchanges only in the final section
+      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      // the join itself must be shuffle-free (bucket-local); only the final
+      // 3-group agg may exchange
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(shuffles <= 1, s"expected bucket-co-located join (<=1 exchange for the agg):\n$plan")
+    }
+  }
+
+  test("partitioned parquet layout prunes partitions at planning time") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_part_").toString + "/out"
+    Tables.orders(spark, sf).write.partitionBy("o_orderstatus").parquet(dir)
+    val df = spark.read.parquet(dir).filter($"o_orderstatus" === "F")
+      .select($"o_orderkey")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("o_orderstatus"), scan)
+    // behavioral proof: only the F partition's files are read
+    val allRows = spark.read.parquet(dir).count()
+    val fRows = df.count()
+    assert(fRows > 0 && fRows < allRows)
+  }
+
+  test("AQE is active: joins plan adaptively (runtime re-planning at scale)") {
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val df = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority").count()
+    assert(df.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
+  }
+
+  test("no operator collects to the driver: every registry plan is a lazy DataFrame") {
+    // structural guarantee: building every plan must not trigger a job;
+    // queries that *run* jobs at build time (late_data's streaming demo and
+    // joinAsof's none) are exempted explicitly.
+    val exempt = Set("stream_late_data")
+    SparkEntry.queries.filterNot(kv => exempt(kv._1)).foreach { case (name, fn) =>
+      val df = fn(spark, sf) // must return without running the full query
+      assert(df.schema.nonEmpty, s"$name returned an empty-schema plan")
+    }
+  }
+
+  test("shuffle partition count follows the session config (no hardcoded 200)") {
+    import spark.implicits._
+    val df = Tables.lineitem(spark, sf).groupBy($"l_suppkey").count()
+    df.collect()
+    val parts = df.rdd.getNumPartitions
+    assert(parts <= 8, s"agg produced $parts partitions; expected <= shuffle.partitions(4)+AQE coalesce")
+  }
+}

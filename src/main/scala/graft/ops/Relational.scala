@@ -398,6 +398,119 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
+  /** Pivot: order counts per priority × status (fixed value list so the
+    * output schema is static — the scalable form; dynamic pivot needs a
+    * driver-side distinct pass).
+    */
+  val aggPivot: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"),
+        coalesce($"P", lit(0L)).as("n_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Bivariate statistics per group; inputs pre-scaled to O(1..100) so the
+    * cross-engine accumulation drift sits far below the round(4) grain.
+    */
+  val aggCorr: Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", ($"l_extendedprice" / 1000.0).as("p"), $"l_quantity".as("q"))
+      .groupBy($"l_returnflag")
+      .agg(
+        round(corr($"p", $"q"), 4).as("corr_pq"),
+        round(covar_samp($"p", $"q"), 4).as("covar_pq"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Ordered string aggregation (LISTAGG) — sorted before joining so the
+    * concatenation is order-independent, hence cluster-safe.
+    */
+  val aggListagg: Q = (s, dir) => {
+    import s.implicits._
+    Tables.nation(s, dir)
+      .groupBy($"n_regionkey")
+      .agg(array_join(sort_array(collect_list($"n_name")), ",").as("nations"))
+      .orderBy($"n_regionkey")
+  }
+
+  /** Distinct-set aggregation, emitted as a sorted array (deterministic). */
+  val aggCollectSet: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      // the distinct set is emitted joined, not as a list column: parquet
+      // list inner-field naming differs between writers (Spark "element",
+      // DuckDB "l"), which a strict schema compare would flag
+      .agg(array_join(sort_array(collect_set($"o_orderstatus")), ",").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Relative-rank window functions: percent_rank and cume_dist are exact
+    * rationals of row counts — identical doubles on both engines.
+    */
+  val winPercentCume: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(s, dir)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy($"c_mktsegment", $"c_acctbal", $"c_custkey")
+  }
+
+  /** Correlated EXISTS subquery in SQL form — exercises Catalyst's
+    * decorrelation (plans as a left-semi join, not a per-row probe).
+    */
+  val joinExistsSubquery: Q = (s, dir) => {
+    Tables.supplier(s, dir).createOrReplaceTempView("sq_supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("sq_lineitem")
+    s.sql(
+      """SELECT s_suppkey, s_name
+        |FROM sq_supplier
+        |WHERE EXISTS (SELECT 1 FROM sq_lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** Scalar subquery threshold: orders above the global average price. The
+    * average is computed from the exact scaled-integer sum so both engines
+    * compare against the bit-identical threshold.
+    */
+  val scalarSubquery: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("ss_orders")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM ss_orders
+        |WHERE o_totalprice >
+        |  (SELECT CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+        |     / 10000.0 / count(*) FROM ss_orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** t-digest-style approximate percentiles (mergeable sketch — the 100 TB
+    * substitute for exact sort-based quantiles). Sketch internals differ
+    * from DuckDB's ⇒ no oracle; RelationalSpec brackets it against exact.
+    */
+  val aggApproxQuantile: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5D, 1000)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.95D, 1000)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
   // ===== §2.5 windows / sorts / limits / set ops =====
 
   /** Per-nation top-3 by balance: row_number over a unique order (rank /
@@ -556,6 +669,14 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_filtered" -> aggFiltered,
     "agg_stats" -> aggStats,
+    "agg_pivot" -> aggPivot,
+    "agg_corr" -> aggCorr,
+    "agg_listagg" -> aggListagg,
+    "agg_collect_set" -> aggCollectSet,
+    "agg_approx_quantile" -> aggApproxQuantile,
+    "win_percent_cume" -> winPercentCume,
+    "join_exists_subquery" -> joinExistsSubquery,
+    "scalar_subquery" -> scalarSubquery,
     "win_rank" -> winRank,
     "win_lag_lead" -> winLagLead,
     "win_frame_rows" -> winFrameRows,

@@ -106,4 +106,34 @@ class RelationalSpec extends SparkSpec {
   test("entry: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("agg_approx_quantile: p50/p95 bracket the exact percentiles within 5%") {
+    import org.apache.spark.sql.functions._
+    val approx = q("agg_approx_quantile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, sf).groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5D)").as("p50"),
+        expr("percentile(o_totalprice, 0.95D)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (e50, e95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - e50) / e50 <= 0.05, s"$k p50 approx=$a50 exact=$e50")
+      assert(math.abs(a95 - e95) / e95 <= 0.05, s"$k p95 approx=$a95 exact=$e95")
+    }
+  }
+
+  test("join_exists_subquery decorrelates to a semi join (no per-row probe)") {
+    val p = plan(q("join_exists_subquery"))
+    assert(p.contains("SemiJoin") || p.contains("LeftSemi"), p)
+  }
+
+  test("agg_pivot row sums equal per-priority totals") {
+    val rows = q("agg_pivot").collect()
+    val totals = Tables.orders(spark, sf).groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val s = r.getLong(1) + r.getLong(2) + r.getLong(3)
+      assert(s === totals(r.getString(0)))
+    }
+  }
 }

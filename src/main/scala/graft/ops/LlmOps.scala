@@ -188,7 +188,19 @@ object LlmOps {
     val cands = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.key" === $"y.key" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2")).distinct()
-    jaccardPairs(s, dir, 0.5).join(cands, Seq("d1", "d2"))
+    // exact Jaccard for CANDIDATES ONLY — the whole point of LSH at scale:
+    // verification work is proportional to band collisions, not to all
+    // co-shingling pairs (contrast llm_dedup_near's brute-force join)
+    val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = cands
+      .join(ex.select($"doc_id".as("d1"), $"s".as("s1")), "d1")
+      .join(ex.select($"doc_id".as("d2"), $"s".as("s1")), Seq("d2", "s1"))
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .withColumn("j", $"common" / ($"n1" + $"n2" - $"common"))
+      .filter($"j" >= 0.5)
       .select($"d1", $"d2", round($"j", 4).as("jaccard"))
       .orderBy($"d1", $"d2")
   }

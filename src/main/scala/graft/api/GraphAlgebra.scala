@@ -1,0 +1,130 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphBridge
+
+/** The engine's public graph API, parameterized over caller DataFrames —
+  * the reference's query surface (adjacency, hop-limited traversal,
+  * co-occurrence similarity, ranking, trending) as composable library
+  * functions. The driver-facing registry ops in `ops.GraphOps` are thin
+  * instantiations of these over the TPC-H-derived purchase graph.
+  *
+  * Conventions: a *bipartite incidence* is any DataFrame with a context
+  * column and an item column (customer→part, order→part, doc→shingle); a
+  * *pair graph* is (a, b, w) with a < b canonical undirected edges.
+  */
+object GraphAlgebra {
+
+  /** Weighted adjacency from an incidence: (src, dst, w = multiplicity). */
+  def adjacency(incidence: DataFrame, src: String, dst: String): DataFrame =
+    incidence.groupBy(col(src).as("src"), col(dst).as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Co-occurrence projection: canonical (a < b) item pairs sharing a
+    * context, w = number of shared contexts. The self-join is keyed on the
+    * context (bounded per-context fan-out ⇒ scalable), never on the item.
+    */
+  def project(incidence: DataFrame, ctx: String, item: String): DataFrame = {
+    val lp = incidence.select(col(ctx).as("ok"), col(item).as("p")).distinct()
+    lp.as("x").join(lp.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Out/in degree and strength per vertex of a (src, dst, w) adjacency. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("degree"), sum(col("w")).as("strength"))
+      .select(lit("out").as("side"), col("vertex"), col("degree"), col("strength"))
+    val in = edges.groupBy(col("dst").as("vertex"))
+      .agg(count(lit(1)).as("degree"), sum(col("w")).as("strength"))
+      .select(lit("in").as("side"), col("vertex"), col("degree"), col("strength"))
+    out.unionAll(in)
+  }
+
+  /** Point adjacency query: the neighborhood of one vertex. */
+  def neighbors(edges: DataFrame, vertex: Long): DataFrame =
+    edges.filter(col("src") === vertex).select(col("dst"), col("w"))
+
+  /** Bipartite 2-hop traversal with visited-set semantics: items reachable
+    * from a cohort of src vertices at hop 1 (direct) and hop 2 (through
+    * co-occurring src vertices). Fixed hop budget ⇒ iterated joins, fully
+    * Catalyst-planned.
+    */
+  def khop2(edges: DataFrame, cohort: DataFrame): DataFrame = {
+    val adj = edges.select(col("src"), col("dst"))
+    val c = cohort.toDF("src")
+    val p1 = adj.join(c, "src").select(col("dst")).distinct()
+    val c2 = adj.join(p1, "dst").select(col("src")).distinct()
+    val p2 = adj.join(c2, "src").select(col("dst")).distinct()
+    p2.join(p1.withColumn("h1", lit(1L)), Seq("dst"), "left")
+      .select(col("dst").as("part"), coalesce(col("h1"), lit(2L)).as("hop"))
+  }
+
+  /** Triangle count of a canonical pair graph, node-iterator formulation
+    * (sum of |N⁺(a) ∩ N⁺(b)| over edges, sorted adjacency lists +
+    * codegen'd array_intersect — no Σdeg² wedge shuffle).
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val cp = pairs.select(col("a"), col("b"))
+    val adj = cp.groupBy(col("a").as("v"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    val tri = cp
+      .join(adj.select(col("v"), col("nbrs").as("na")), col("a") === col("v"))
+      .join(adj.select(col("v").as("v2"), col("nbrs").as("nb")), col("b") === col("v2"))
+      .select(size(array_intersect(col("na"), col("nb"))).cast("long").as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
+    tri.crossJoin(cp.agg(count(lit(1)).as("n_edges")))
+  }
+
+  /** Top-k item pairs by shared contexts (related-items query). */
+  def commonNeighbors(edges: DataFrame, k: Int): DataFrame =
+    edges.select(col("src"), col("dst")).as("e1")
+      .join(edges.select(col("src"), col("dst")).as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .groupBy(col("e1.dst").as("p1"), col("e2.dst").as("p2"))
+      .agg(count(lit(1)).as("common"))
+      .orderBy(col("common").desc, col("p1"), col("p2"))
+      .limit(k)
+
+  /** Connected components of a pair graph (GraphX Pregel; labels = min
+    * vertex id in component). `vertices` is a single-column id frame and
+    * may include isolated vertices.
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame =
+    GraphBridge.connectedComponents(vertices.sparkSession, vertices,
+      pairs.select(col("a"), col("b")))
+
+  /** BFS hop distances from `src` over an undirected pair graph, ≤ maxHops. */
+  def shortestHops(vertices: DataFrame, pairs: DataFrame, src: Long, maxHops: Int): DataFrame = {
+    val cp = pairs.select(col("a"), col("b"))
+    val both = cp.unionAll(cp.select(col("b").as("a"), col("a").as("b")))
+    GraphBridge.shortestHops(vertices.sparkSession, vertices, both, src, maxHops)
+  }
+
+  /** Static PageRank over an undirected pair graph, fixed iterations. */
+  def pageRank(vertices: DataFrame, pairs: DataFrame, iters: Int): DataFrame = {
+    val cp = pairs.select(col("a"), col("b"))
+    val both = cp.unionAll(cp.select(col("b").as("a"), col("a").as("b")))
+    GraphBridge.pageRank(vertices.sparkSession, vertices, both, iters)
+  }
+
+  /** Time-decayed popularity: score = Σ value · exp((day − max_day)/τ days),
+    * top-k items. The max-day scalar is broadcast, never collected.
+    */
+  def trending(events: DataFrame, item: Column, tsMs: Column, value: Column,
+               decayDays: Double, k: Int): DataFrame = {
+    val e = events.select(item.as("item"),
+      floor(tsMs.cast("long") / lit(86400000L)).cast("long").as("day"), value.as("value"))
+    val maxDay = e.agg(max(col("day")).as("max_day"))
+    e.crossJoin(broadcast(maxDay))
+      .groupBy(col("item"))
+      .agg(round(sum(col("value") * exp((col("day") - col("max_day")) / lit(decayDays))), 4)
+        .as("score"), count(lit(1)).as("n"))
+      .orderBy(col("score").desc, col("item"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.ShingleGen
+
+/** Public text-pipeline API over any (id, text) corpus — the LLM
+  * training-data operators as composable functions. The registry ops in
+  * `ops.LlmOps` instantiate these over the `documents` fixture.
+  *
+  * All-pairs stages are candidate-bounded (shingle keys, LSH bands); hashes
+  * are engine-portable (sha2/md5).
+  */
+object TextPipeline {
+
+  /** Distinct (id, shingle) rows via the ShingleGen UDTF. */
+  def shingles(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    docs.filter(size(split(text, " ")) >= n)
+      .select(id.as("doc_id"),
+        GraftSqlBridge.column(ShingleGen(GraftSqlBridge.expression(text), n)).as("s"))
+      .distinct()
+
+  /** Exact dedup groups on normalized text hash; min id survives. */
+  def dedupExact(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.groupBy(sha2(lower(trim(text)), 256).as("h"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact shingle-Jaccard near-dup pairs ≥ minJ (brute-force; the shingle
+    * equi-join is the blocking). Use [[minhashLsh]] at scale.
+    */
+  def dedupNear(docs: DataFrame, id: Column, text: Column, minJ: Double): DataFrame = {
+    val ex = shingles(docs, id, text)
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    jaccardOf(
+      ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("common")),
+      sizes, minJ)
+  }
+
+  /** MinHash-LSH near-dup: nHashes portable minhashes in `bands` bands;
+    * exact Jaccard verified for band-collision candidates only.
+    */
+  def minhashLsh(docs: DataFrame, id: Column, text: Column,
+                 minJ: Double, nHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(nHashes % bands == 0, "nHashes must divide into bands")
+    val rows = nHashes / bands
+    val ex = shingles(docs, id, text)
+    val hashAggs = (0 until nHashes).map(i =>
+      min(md5(concat(lit(i.toString), col("s")))).as(s"h$i"))
+    val mh = ex.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val key = concat((0 until rows).map(r => col(s"h${b * rows + r}")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val bandRows = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cands
+      .join(ex.select(col("doc_id").as("d1"), col("s").as("s1")), "d1")
+      .join(ex.select(col("doc_id").as("d2"), col("s").as("s1")), Seq("d2", "s1"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    jaccardOf(common, sizes, minJ)
+  }
+
+  private def jaccardOf(common: DataFrame, sizes: DataFrame, minJ: Double): DataFrame =
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("j", col("common") / (col("n1") + col("n2") - col("common")))
+      .filter(col("j") >= minJ)
+      .select(col("d1"), col("d2"), round(col("j"), 4).as("jaccard"))
+
+  /** 64-bit SimHash per document (token-hash bit majority, one nested
+    * aggregate — no row blow-up).
+    */
+  def simhash(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(split(text, " ")).as("w"))
+      .groupBy(col("doc_id")).agg(collect_list(xxhash64(col("w"))).as("hs"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
+          |  acc + IF(aggregate(hs, 0, (a, h) ->
+          |             a + IF((shiftright(h, b) & 1) = 1, 1, -1)) >= 0,
+          |           shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
+        .as("simhash"))
+
+  /** Winnowing-style fingerprint: min salted-md5 shingle + cardinality. */
+  def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame =
+    shingles(docs, id, text)
+      .groupBy(col("doc_id"))
+      .agg(min(substring(md5(col("s")), 1, 16)).as("fingerprint"),
+        count(lit(1)).as("n_shingles"))
+
+  /** tf-idf top-k terms per grouping column. */
+  def tfidfTopK(docs: DataFrame, group: Column, text: Column, k: Int): DataFrame = {
+    val tok = docs.select(group.as("source"), explode(split(text, " ")).as("term"))
+    val perSrc = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = tok.groupBy(col("source")).agg(count(lit(1)).as("total"))
+    val dfc = perSrc.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+    val ns = docs.agg(countDistinct(group).as("ns"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("term"))
+    perSrc.join(tot, "source").join(dfc, "term").crossJoin(broadcast(ns))
+      .withColumn("score", (col("cnt") / col("total")) * log(col("ns") / col("dfc")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("term"), round(col("score"), 6).as("score"), col("rnk"))
+  }
+
+  /** Stopword-table language id: argmax candidate by hit count. */
+  def langId(docs: DataFrame, id: Column, text: Column, stopwords: DataFrame): DataFrame = {
+    val tok = docs.select(id.as("doc_id"), explode(split(text, " ")).as("w"))
+    val rn = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
+    val best = tok.join(broadcast(stopwords.toDF("cand", "w")), "w")
+      .groupBy(col("doc_id"), col("cand")).agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(rn)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand"), col("score"))
+    docs.select(id.as("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cand"), lit("und")).as("lang_pred"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+}

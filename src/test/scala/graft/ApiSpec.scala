@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.{GraphAlgebra, TextPipeline, VectorIndex}
+
+/** The public API layer must (a) run on arbitrary caller DataFrames, not
+  * just the fixtures, and (b) agree with the oracle-checked registry ops
+  * when instantiated over the same inputs.
+  */
+class ApiSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("GraphAlgebra.project + triangles on a hand-built incidence") {
+    import spark.implicits._
+    // contexts: {1:a,b,c} {2:a,b} -> pairs (a,b)w2 (a,c)w1 (b,c)w1 -> 1 triangle
+    val inc = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"))
+      .toDF("ctx", "item")
+    val pairs = GraphAlgebra.project(inc, "ctx", "item")
+    val got = pairs.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+    val tri = GraphAlgebra.triangles(pairs).head()
+    assert(tri.getLong(0) === 1L && tri.getLong(1) === 3L)
+  }
+
+  test("GraphAlgebra.commonNeighbors over the purchase adjacency equals the registry op") {
+    import spark.implicits._
+    val inc = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"l_orderkey" === $"o_orderkey")
+    val adj = GraphAlgebra.adjacency(inc, "o_custkey", "l_partkey")
+    val api = GraphAlgebra.commonNeighbors(adj, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val reg = q("graph_common_neighbors").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(api === reg)
+  }
+
+  test("GraphAlgebra.trending equals the registry op over events") {
+    import spark.implicits._
+    val api = GraphAlgebra.trending(
+      Tables.events(spark, sf)
+        .select(get_json_object($"props", "$.k").cast("long").as("i"),
+          unix_millis($"ts").as("m"), $"value"),
+      col("i"), col("m"), col("value"), decayDays = 7.0, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val reg = q("graph_trending").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(api === reg)
+  }
+
+  test("TextPipeline near-dup and LSH agree with registry ops on the corpus") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val near = TextPipeline.dedupNear(docs, $"doc_id", $"text", 0.6)
+      .orderBy("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val regNear = q("llm_dedup_near").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(near === regNear)
+    val lsh = TextPipeline.minhashLsh(docs, $"doc_id", $"text", 0.5)
+      .orderBy("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val regLsh = q("llm_dedup_minhash").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lsh === regLsh)
+  }
+
+  test("TextPipeline works on a caller-supplied corpus (not the fixture)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma delta epsilon"), // exact dup of 10
+      (12L, "alpha beta gamma delta zeta"),    // near dup
+      (13L, "one two three four five six")
+    ).toDF("id", "body")
+    val exact = TextPipeline.dedupExact(corpus, $"id", $"body")
+      .collect().map(r => r.getLong(r.fieldIndex("keep_id")) ->
+        r.getLong(r.fieldIndex("n_dups"))).toMap
+    assert(exact(10L) === 2L) // 10 survives for {10, 11}
+    val near = TextPipeline.dedupNear(corpus, $"id", $"body", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((10L, 11L)) && near.contains((10L, 12L)))
+    val fp = TextPipeline.fingerprint(corpus, $"id", $"body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(10L) === fp(11L))
+    assert(fp(10L) !== fp(13L))
+  }
+
+  test("VectorIndex.topK and simJoin equal the registry similarity ops") {
+    import spark.implicits._
+    val idx = VectorIndex.index(Tables.embeddings(spark, sf), $"vec_id", $"embedding")
+    val api = VectorIndex.topK(idx, probeId = 0L, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val reg = q("llm_sim_search").collect()
+      .map(r => (r.getLong(0), r.getDouble(r.fieldIndex("cos")))).toSeq
+    assert(api === reg)
+    val block = Tables.embeddings(spark, sf).select($"vec_id", $"label".as("block"))
+    val apiJoin = VectorIndex.simJoin(idx, block, 0.3)
+      .orderBy("p1", "p2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val regJoin = q("llm_sim_join").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(apiJoin === regJoin)
+  }
+
+  test("VectorIndex IVF on caller vectors finds the planted neighbor") {
+    import spark.implicits._
+    // 2-d toy vectors: two tight clusters around (1,0) and (0,1)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),     // centroids
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.95f, 0.05f)),
+      (4L, Array(0.1f, 0.9f))
+    ).toDF("vid", "emb")
+    val idx = VectorIndex.index(vecs, $"vid", $"emb")
+    val cents = idx.filter($"vec_id" < 2)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
+    val assigned = VectorIndex.ivfAssign(idx, cents)
+    val got = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) === 0L && got(3L) === 0L && got(4L) === 1L)
+    val res = VectorIndex.ivfSearch(assigned, probeId = 2L, k = 2).collect()
+    assert(res.map(_.getLong(0)).toSet === Set(0L, 3L)) // own cluster only
+  }
+}

@@ -81,6 +81,21 @@ object Relational {
       .orderBy($"k")
   }
 
+  /** Parquet sink round-trip: filter → write snappy parquet → re-read. The
+    * re-read result is what's checked, so the op proves the sink preserves
+    * schema + values bit-exactly (the harness additionally sinks every
+    * query's output itself — Verify.scala).
+    */
+  val sinkParquet: Q = (s, dir) => {
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString + "/orders"
+    Tables.orders(s, dir)
+      .filter($"o_totalprice" > 300000)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy($"o_orderkey")
+  }
+
   // ===== §2.2 projections / filters =====
 
   val filterBasic: Q = (s, dir) => {
@@ -648,6 +663,7 @@ object Relational {
     "scan_project" -> scanProject,
     "scan_pruned" -> scanPruned,
     "src_json_props" -> srcJsonProps,
+    "sink_parquet" -> sinkParquet,
     "filter_basic" -> filterBasic,
     "filter_like" -> filterLike,
     "project_expr" -> projectExpr,

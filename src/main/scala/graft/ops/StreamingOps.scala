@@ -11,6 +11,12 @@ import graft.Tables
 /** Event value projected to the portable millisecond domain. */
 case class EventRow(user_id: Long, ts_ms: Long, value: Double)
 
+/** One (user -> item) edge observation from the event stream. */
+case class EdgeEvent(user_id: Long, item: Long, ts_ms: Long, value: Double)
+
+/** Folded edge state: weight accumulators per (user, item) pair. */
+case class EdgeState(n: Long, sumScaled: Long, maxTs: Long)
+
 /** Running per-user fold state — the event-sourcing fold that rebuilds the
   * reference's node-actor state from its journal (SURVEY.md §2.8). Sums are
   * scale-to-integer so the fold is order-independent and exact.
@@ -121,6 +127,53 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** The reference's write path, relationalized: the event journal folds
+    * into graph EDGE state — (user -(interacts)-> item) weights accumulated
+    * per pair via flatMapGroupsWithState keyed on the edge. This is exactly
+    * how the actor DB materializes adjacency from its journal, as an
+    * incremental stream (streaming variant) or a one-shot batch replay
+    * (this registry entry — same code path, oracle-checked).
+    */
+  val streamEdgeUpsert: Q = (s, dir) => {
+    import s.implicits._
+    edgeEvents(Tables.events(s, dir))
+      .groupByKey(e => (e.user_id, e.item))
+      .flatMapGroupsWithState[EdgeState, (Long, Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(edgeFold)
+      .toDF("user_id", "item", "n_events", "weight", "last_ts_ms")
+      .orderBy($"user_id", $"item")
+  }
+
+  private def edgeEvents(e: DataFrame): org.apache.spark.sql.Dataset[EdgeEvent] = {
+    import e.sparkSession.implicits._
+    e.select($"user_id",
+      get_json_object($"props", "$.k").cast("long").as("item"),
+      unix_millis($"ts").as("ts_ms"), $"value")
+      .as[EdgeEvent]
+  }
+
+  private val edgeFold: ((Long, Long), Iterator[EdgeEvent],
+      org.apache.spark.sql.streaming.GroupState[EdgeState]) =>
+      Iterator[(Long, Long, Long, Double, Long)] = { (key, events, state) =>
+    val init = state.getOption.getOrElse(EdgeState(0L, 0L, Long.MinValue))
+    val folded = events.foldLeft(init) { (st, e) =>
+      EdgeState(st.n + 1, st.sumScaled + math.round(e.value * 10000),
+        math.max(st.maxTs, e.ts_ms))
+    }
+    state.update(folded)
+    Iterator((key._1, key._2, folded.n, folded.sumScaled / 10000.0, folded.maxTs))
+  }
+
+  /** Streaming variant of [[streamEdgeUpsert]] for incremental ingestion. */
+  def edgeUpsertStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    edgeEvents(eventsStream(s, dir))
+      .groupByKey(e => (e.user_id, e.item))
+      .flatMapGroupsWithState[EdgeState, (Long, Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(edgeFold)
+      .toDF("user_id", "item", "n_events", "weight", "last_ts_ms")
+  }
+
   /** Watermark semantics, demonstrated with a real two-micro-batch streaming
     * run: batch 1 = the newer half of events (advances the watermark to
     * max - 10 min), batch 2 = events >1 h older than that watermark — all
@@ -212,6 +265,7 @@ object StreamingOps {
     "stream_session" -> streamSession,
     "stream_dedup" -> streamDedup,
     "stream_stateful_fold" -> streamStatefulFold,
+    "stream_edge_upsert" -> streamEdgeUpsert,
     "stream_late_data" -> streamLateData
   )
 }

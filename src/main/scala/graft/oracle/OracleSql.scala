@@ -41,6 +41,11 @@ object OracleSql {
          |  count(*) AS cnt, ${msum("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
+    "sink_parquet" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_totalprice > 300000
+        |ORDER BY o_orderkey""".stripMargin,
+
     // ===== §2.2 filters / projections =====
     "filter_basic" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, l_returnflag, l_linestatus

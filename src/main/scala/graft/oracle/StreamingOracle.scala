@@ -48,6 +48,12 @@ object StreamingOracle {
         |  count(*) - 1 AS n_dropped
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
+    "stream_edge_upsert" ->
+      s"""SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+         |  count(*) AS n_events, ${msum("value")} AS weight,
+         |  max(epoch_ms(ts)) AS last_ts_ms
+         |FROM events GROUP BY 1, 2 ORDER BY user_id, item""".stripMargin,
+
     "stream_stateful_fold" ->
       s"""SELECT user_id, count(*) AS n_events,
          |  ${msum("value")} AS sum_value,

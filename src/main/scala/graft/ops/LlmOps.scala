@@ -449,7 +449,25 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Video-style frame sampling over opaque payloads (text bytes stand in
+    * for the codec stream — ASCII, so byte slices == char slices and the
+    * DuckDB oracle can replay them with substr): 16-byte frames, every 4th
+    * kept, hashed. One generator-shaped mapPartitions pass via
+    * [[graft.api.Multimodal.sampleFrames]].
+    */
+  val mmFrameSample: Q = (s, dir) => {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .select($"doc_id".as("id"), $"text".cast("binary").as("payload"))
+      .as[graft.api.Multimodal.Payload]
+    graft.api.Multimodal.sampleFrames(payloads, frameBytes = 16, stride = 4)
+      .toDF("doc_id", "frame_idx", "frame")
+      .select($"doc_id", $"frame_idx", md5($"frame").as("frame_md5"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_frame_sample" -> mmFrameSample,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,

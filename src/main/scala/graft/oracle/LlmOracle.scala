@@ -254,6 +254,14 @@ object LlmOracle {
         |WHERE lang = 'en'
         |ORDER BY doc_id""".stripMargin,
 
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(x.i AS BIGINT) AS frame_idx,
+        |  md5(substr(text, CAST(x.i * 16 + 1 AS INT), 16)) AS frame_md5
+        |FROM documents t,
+        |  LATERAL (SELECT unnest(range(0, octet_length(CAST(t.text AS BLOB)) // 16)) AS i) x
+        |WHERE x.i % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "mm_decode_stub" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -99,6 +99,29 @@ class ApiSpec extends SparkSpec {
     assert(apiJoin === regJoin)
   }
 
+  test("Multimodal pipeline: decode -> resize -> frames -> features on caller payloads") {
+    import spark.implicits._
+    import graft.api.Multimodal
+    val payloads = Seq(
+      Multimodal.Payload(1L, Array.tabulate(200)(_.toByte)),
+      Multimodal.Payload(2L, Array.tabulate(40)(i => (i * 3).toByte)),
+      Multimodal.Payload(3L, Array.empty[Byte])
+    ).toDS()
+    val decoded = Multimodal.decode(payloads).collect().map(d => d.id -> d).toMap
+    assert(decoded(1L).n_bytes === 200L && decoded(3L).n_bytes === 0L)
+    val resized = Multimodal.resize(Multimodal.decode(payloads), maxSide = 10)
+      .collect()
+    resized.foreach(d => assert(math.max(d.width, d.height) <= 10))
+    val frames = Multimodal.sampleFrames(payloads, frameBytes = 16, stride = 2)
+      .collect().groupBy(_.id)
+    assert(frames(1L).map(_.frame_idx).toSeq.sorted === Seq(0L, 2L, 4L, 6L, 8L, 10L))
+    assert(frames(2L).map(_.frame_idx).toSeq === Seq(0L)) // 40/16 = 2 frames, stride 2 -> idx 0
+    assert(!frames.contains(3L)) // empty payload -> no frames
+    val feats = Multimodal.frameFeatures(Multimodal.sampleFrames(payloads, 16, 2))
+    assert(feats.count() > 0)
+    assert(feats.filter(col("energy") < 0).count() === 0)
+  }
+
   test("VectorIndex IVF on caller vectors finds the planted neighbor") {
     import spark.implicits._
     // 2-d toy vectors: two tight clusters around (1,0) and (0,1)

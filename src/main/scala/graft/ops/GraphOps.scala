@@ -213,6 +213,46 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Node-similarity by neighborhood Jaccard: |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+    * over the customer→part adjacency, top-20 part pairs. Same candidate
+    * generation as common-neighbors, normalized by degrees (the reference's
+    * related-nodes scoring with set semantics).
+    */
+  val graphJaccardNodes: Q = (s, dir) => {
+    import s.implicits._
+    val adj = edges(s, dir).select($"src", $"dst")
+    val deg = adj.groupBy($"dst".as("p")).agg(count(lit(1)).as("d"))
+    adj.as("e1")
+      .join(adj.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
+      .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
+      .agg(count(lit(1)).as("common"))
+      .join(deg.select($"p".as("p1"), $"d".as("d1")), "p1")
+      .join(deg.select($"p".as("p2"), $"d".as("d2")), "p2")
+      .withColumn("jac", round($"common" / ($"d1" + $"d2" - $"common"), 4))
+      .select($"p1", $"p2", $"common", $"jac")
+      .orderBy($"jac".desc, $"p1", $"p2")
+      .limit(20)
+  }
+
+  /** Personalized PageRank from part 1 over the undirected co-purchase
+    * graph (the reference's "recommendations for this node" ranking).
+    * Float-iteration values ⇒ no oracle (like graph_pagerank); GraphSpec
+    * sanity-checks that the source dominates its own ranking.
+    */
+  val graphPpr: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.graphx.{Edge, Graph}
+    val cp = copurchaseBoth(s, dir)
+    val vRDD = partVertices(s, dir).rdd.map(r => (r.getLong(0), 1))
+    val eRDD = cp.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph(vRDD, eRDD).personalizedPageRank(1L, 0.0001, 0.15)
+      .vertices.map { case (id, rank) => (id, rank) }
+      .toDF("part", "rank")
+      .select($"part", round($"rank", 4).as("rank"))
+      .orderBy($"rank".desc, $"part")
+      .limit(20)
+  }
+
   /** Trending query: per-item (events.props.k) time-decayed popularity,
     * half-life-style exp decay over whole days back from the newest event,
     * top-20. The max-day scalar is a broadcast, not a collect.
@@ -265,6 +305,8 @@ object GraphOps {
     "graph_khop_2" -> graphKhop2,
     "graph_triangles" -> graphTriangles,
     "graph_common_neighbors" -> graphCommonNeighbors,
+    "graph_jaccard_nodes" -> graphJaccardNodes,
+    "graph_ppr" -> graphPpr,
     "graph_tag_similarity" -> graphTagSimilarity,
     "graph_cc" -> graphCc,
     "graph_sssp" -> graphSssp,

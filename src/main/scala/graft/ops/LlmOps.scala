@@ -147,6 +147,37 @@ object LlmOps {
       .orderBy($"okey", $"tag")
   }
 
+  /** Conditional-expression battery: coalesce/nvl, nullif, greatest/least,
+    * nested CASE — over orders with injected NULLs so every branch fires.
+    */
+  val fnCond: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir).select(
+      $"o_orderkey",
+      nullif($"o_orderstatus", lit("P")).as("status_or_null"),
+      coalesce(nullif($"o_orderstatus", lit("P")), lit("(pending)")).as("status_filled"),
+      greatest($"o_totalprice", lit(100000.0)).as("floor_price"),
+      least($"o_totalprice", lit(400000.0)).as("cap_price"),
+      when($"o_totalprice" > 300000, lit("high"))
+        .when($"o_totalprice" > 150000, lit("mid"))
+        .otherwise(lit("low")).as("bucket"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Bitwise-operator battery over integer keys. */
+  val fnBitwise: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir).select(
+      $"o_orderkey",
+      ($"o_orderkey".bitwiseAND(lit(255L))).as("and255"),
+      ($"o_orderkey".bitwiseOR(lit(16L))).as("or16"),
+      ($"o_orderkey".bitwiseXOR($"o_custkey")).as("xor_cust"),
+      shiftright($"o_orderkey", 4).as("shr4"),
+      expr("shiftleft(o_orderkey, 2)").as("shl2"),
+      bit_count($"o_orderkey").cast("long").as("popcount"))
+      .orderBy($"o_orderkey")
+  }
+
   // ===== dedup =====
 
   /** Exact dedup on normalized text hash; min doc_id survives per group.
@@ -473,6 +504,8 @@ object LlmOps {
     "fn_math" -> fnMath,
     "fn_array" -> fnArray,
     "fn_map" -> fnMap,
+    "fn_cond" -> fnCond,
+    "fn_bitwise" -> fnBitwise,
     "llm_dedup_exact" -> llmDedupExact,
     "llm_dedup_near" -> llmDedupNear,
     "llm_dedup_minhash" -> llmDedupMinhash,

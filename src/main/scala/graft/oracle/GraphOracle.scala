@@ -74,6 +74,20 @@ object GraphOracle {
          |GROUP BY 1, 2
          |ORDER BY common DESC, p1, p2 LIMIT 20""".stripMargin,
 
+    "graph_jaccard_nodes" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT dst AS p, count(*) AS d FROM e GROUP BY dst),
+         |pairs AS (
+         |  SELECT e1.dst AS p1, e2.dst AS p2, count(*) AS common
+         |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2)
+         |SELECT pairs.p1, pairs.p2, common,
+         |  round(common / (d1.d + d2.d - common), 4) AS jac
+         |FROM pairs
+         |JOIN deg d1 ON pairs.p1 = d1.p
+         |JOIN deg d2 ON pairs.p2 = d2.p
+         |ORDER BY jac DESC, pairs.p1, pairs.p2 LIMIT 20""".stripMargin,
+
     "graph_tag_similarity" ->
       """WITH cohort AS (SELECT c_custkey FROM customer WHERE c_nationkey = 1),
         |tags AS (

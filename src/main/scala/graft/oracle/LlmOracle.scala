@@ -87,6 +87,27 @@ object LlmOracle {
         |FROM g JOIN s ON g.okey = s.okey
         |ORDER BY g.okey, tag""".stripMargin,
 
+    "fn_cond" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'P') AS status_or_null,
+        |  coalesce(nullif(o_orderstatus, 'P'), '(pending)') AS status_filled,
+        |  greatest(o_totalprice, 100000.0) AS floor_price,
+        |  least(o_totalprice, 400000.0) AS cap_price,
+        |  CASE WHEN o_totalprice > 300000 THEN 'high'
+        |       WHEN o_totalprice > 150000 THEN 'mid'
+        |       ELSE 'low' END AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS and255,
+        |  o_orderkey | 16 AS or16,
+        |  xor(o_orderkey, o_custkey) AS xor_cust,
+        |  o_orderkey >> 4 AS shr4,
+        |  o_orderkey << 2 AS shl2,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     // ===== dedup =====
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, sha256(lower(trim(text))) AS h,

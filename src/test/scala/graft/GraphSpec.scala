@@ -89,6 +89,21 @@ class GraphSpec extends SparkSpec {
     assert(overlap >= 3, s"top-5 GraphX ranks $ours vs power-iteration top-10 $power")
   }
 
+  test("graph_ppr: the personalization source tops its own ranking") {
+    val rows = q("graph_ppr").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(0) === 1L, s"source should rank first, got ${rows.head}")
+    val ranks = rows.map(r => r.getDouble(r.fieldIndex("rank")))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("graph_jaccard_nodes: jaccard bounded by 1 and consistent with counts") {
+    q("graph_jaccard_nodes").collect().foreach { r =>
+      val j = r.getDouble(r.fieldIndex("jac"))
+      assert(j > 0 && j <= 1.0)
+    }
+  }
+
   test("graph_khop_2: hops are 1 or 2 and hop-1 set equals cohort purchases") {
     import spark.implicits._
     val rows = q("graph_khop_2").collect()

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions.expr
   * its own pruned scan).
   */
 object Tables {
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")

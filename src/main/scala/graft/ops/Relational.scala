@@ -511,6 +511,26 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** TPC-H-Q3-shaped plain-SQL query (CTE + 3-way join + agg + top-k),
+    * written once in the Spark∩DuckDB shared dialect: the SAME text runs on
+    * both engines (`OracleSql.Q3` is also the oracle string), proving the
+    * engine drives ANSI SQL end-to-end, not just the DataFrame API.
+    */
+  val sqlQ3: Q = (s, dir) => {
+    Seq("customer", "orders", "lineitem").foreach(t =>
+      Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(graft.oracle.OracleSql.Q3)
+  }
+
+  /** TPC-H-Q5-shaped plain-SQL query (6-way star join, region-filtered),
+    * same shared-dialect single-source-of-truth pattern as sql_q3.
+    */
+  val sqlQ5: Q = (s, dir) => {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region").foreach(t =>
+      Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(graft.oracle.OracleSql.Q5)
+  }
+
   /** t-digest-style approximate percentiles (mergeable sketch — the 100 TB
     * substitute for exact sort-based quantiles). Sketch internals differ
     * from DuckDB's ⇒ no oracle; RelationalSpec brackets it against exact.
@@ -693,6 +713,8 @@ object Relational {
     "win_percent_cume" -> winPercentCume,
     "join_exists_subquery" -> joinExistsSubquery,
     "scalar_subquery" -> scalarSubquery,
+    "sql_q3" -> sqlQ3,
+    "sql_q5" -> sqlQ5,
     "win_rank" -> winRank,
     "win_lag_lead" -> winLagLead,
     "win_frame_rows" -> winFrameRows,

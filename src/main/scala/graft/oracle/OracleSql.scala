@@ -23,7 +23,40 @@ object OracleSql {
   private def msum(expr: String): String =
     s"CAST(sum(CAST(round(($expr) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0"
 
+  /** Spark∩DuckDB shared-dialect SQL: the same text is executed by
+    * `spark.sql` (ops.Relational.sqlQ3/Q5) AND shipped as the oracle —
+    * one source of truth, zero drift.
+    */
+  val Q3: String =
+    s"""WITH rev AS (
+       |  SELECT l_orderkey,
+       |    CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS sr
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  WHERE c_mktsegment = 'BUILDING'
+       |    AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00')
+       |SELECT l_orderkey, CAST(sum(sr) AS DOUBLE) / 10000.0 AS revenue
+       |FROM rev GROUP BY l_orderkey
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  val Q5: String =
+    s"""SELECT n_name,
+       |  ${msum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "sql_q3" -> Q3,
+    "sql_q5" -> Q5,
     // ===== §2.1 scans =====
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

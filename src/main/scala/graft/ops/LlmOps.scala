@@ -436,6 +436,49 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** The training-data cleaning pipeline end-to-end in ONE declarative
+    * query — quality gate (≥10 tokens) → exact dedup (keep min id) →
+    * near-dup drop (Jaccard ≥ 0.6, survivor = smaller id) → per-lang corpus
+    * stats. Each stage is an operator proven above; composing them in one
+    * plan is the point: Catalyst sees the whole pipeline (shared scans,
+    * pushed filters), exactly how a 100 TB cleaning job should be shaped —
+    * one pass, not four materialized stages.
+    */
+  val llmPipelineE2e: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val keepq = docs.filter(size(split($"text", " ")) >= 10)
+    val exactKeep = keepq
+      .groupBy(sha2(lower(trim($"text")), 256).as("h"))
+      .agg(min($"doc_id").as("keep"))
+    val nearDrop = jaccardPairs(s, dir, 0.6).select($"d2").distinct()
+    keepq
+      .join(exactKeep, $"doc_id" === $"keep")
+      .join(nearDrop, $"doc_id" === $"d2", "left_anti")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " "))).cast("long").as("n_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over the
+    * token stream, h = (h·31 + md5₃₂(tok)) mod 1000003 — same left fold on
+    * both engines (Spark `aggregate` seeded with the first token ≡ DuckDB
+    * `reduce`). Complements llm_fingerprint (set-based min-hash): the
+    * rolling hash changes when token ORDER changes.
+    */
+  val llmRollingHash: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", expr(
+        """aggregate(
+          |  transform(slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |            t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 1000003),
+          |  CAST(conv(substring(md5(split(text, ' ')[0]), 1, 8), 16, 10) AS BIGINT) % 1000003,
+          |  (a, x) -> (a * 31 + x) % 1000003)""".stripMargin).as("rolling"))
+      .orderBy($"doc_id")
+  }
+
   // ===== multimodal =====
 
   /** Multimodal join: text + vector in one row (doc_id = vec_id), filtered
@@ -519,7 +562,9 @@ object LlmOps {
     "llm_quality_score" -> llmQualityScore,
     "llm_lang_id" -> llmLangId,
     "llm_fingerprint" -> llmFingerprint,
+    "llm_rolling_hash" -> llmRollingHash,
     "llm_multimodal_join" -> llmMultimodalJoin,
+    "llm_pipeline_e2e" -> llmPipelineE2e,
     "mm_decode_stub" -> mmDecodeStub
   )
 }

@@ -265,6 +265,33 @@ object LlmOracle {
          |  count(*) AS n_shingles
          |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "llm_rolling_hash" ->
+      """SELECT doc_id,
+        |  reduce(
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 1000003),
+        |    (a, b) -> (a * 31 + b) % 1000003) AS rolling
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_pipeline_e2e" ->
+      s"""WITH $jaccardPairs,
+         |keepq AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 10),
+         |exact AS (
+         |  SELECT min(doc_id) AS keep FROM keepq
+         |  GROUP BY sha256(lower(trim(text)))),
+         |neardrop AS (SELECT DISTINCT d2 FROM jac WHERE j >= 0.6),
+         |clean AS (
+         |  SELECT k.doc_id, k.lang, k.text
+         |  FROM keepq k
+         |  JOIN exact ON k.doc_id = exact.keep
+         |  LEFT JOIN neardrop ON k.doc_id = neardrop.d2
+         |  WHERE neardrop.d2 IS NULL)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |FROM clean GROUP BY lang ORDER BY lang""".stripMargin,
+
     // ===== multimodal =====
     "llm_multimodal_join" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

@@ -21,5 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("stable_hash64"),
       new ExpressionInfo(classOf[StableHash64].getName, "stable_hash64"),
       (children: Seq[Expression]) => StableHash64(children.head)))
+    // custom physical operator: as-of join (plans.AsOfJoinPlan -> Exec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -265,6 +265,29 @@ object Relational {
       .orderBy($"purchase_id")
   }
 
+  /** The same as-of semantics through the CUSTOM PHYSICAL OPERATOR
+    * (plans.AsOfJoinExec — logical node + planner strategy + co-partitioned
+    * single-pass merge with O(1) state). Same oracle as join_asof: the
+    * custom exec is itself correctness-graded against DuckDB's native
+    * ASOF JOIN.
+    */
+  val joinAsofExec: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_id", $"user_id", tsMs($"ts").as("ts_ms"), $"event_type")
+    val clicks = e.filter($"event_type" === "click")
+      .groupBy($"user_id".as("c_user"), $"ts_ms".as("c_ts"))
+      .agg(max($"event_id").as("click_id"))
+      .select($"c_user", $"c_ts", $"click_id")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts_ms")
+    graft.plans.AsOfJoin.asof(purchases, clicks, "user_id", "c_user", "ts_ms", "c_ts")
+      .select($"purchase_id", $"user_id", $"ts_ms".as("purchase_ts_ms"),
+        $"click_id", $"c_ts".as("click_ts_ms"),
+        ($"ts_ms" - $"c_ts").as("gap_ms"))
+      .orderBy($"purchase_id")
+  }
+
   /** Per-group top-k via the bounded-heap Aggregator (k-row state per group,
     * merged associatively) — the scale path for "top 3 per segment" that
     * win_rank answers with a full window sort.
@@ -695,6 +718,7 @@ object Relational {
     "join_anti" -> joinAnti,
     "join_theta_range" -> joinThetaRange,
     "join_asof" -> joinAsof,
+    "join_asof_exec" -> joinAsofExec,
     "join_cross" -> joinCross,
     "agg_topk_group" -> aggTopkGroup,
     "agg_pricing" -> aggPricing,

@@ -79,6 +79,13 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions wires all injection points without error") {
+    // the per-session register/install paths are exercised throughout the
+    // suite; this asserts the spark.sql.extensions entry point stays valid
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+  }
+
   test("FloatDot survives whole-stage codegen (projection runs inside a codegen stage)") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     import spark.implicits._

@@ -1,0 +1,30 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Harness-owned scratch space for operators that need a filesystem side
+  * effect (parquet sink round-trip, file-stream input dirs). One fixed
+  * directory per operator name, wiped and recreated on each invocation —
+  * repeated Verify/Bench runs reuse the same paths instead of accumulating
+  * unbounded /tmp garbage (ADVICE r1). Single-threaded harness assumption:
+  * Verify/Bench run queries sequentially, so per-name reuse cannot race.
+  */
+object Scratch {
+  private val base: Path = Paths.get(
+    sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-scratch")
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+
+  /** A clean (empty, existing) scratch directory for `name`. */
+  def dir(name: String): String = {
+    val d = base.resolve(name)
+    deleteRecursively(d)
+    Files.createDirectories(d)
+    d.toString
+  }
+}

@@ -25,15 +25,22 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively (PARQUET_TYPE_ILLEGAL). Read it as a raw nanos long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor to a µs
+    * natively (PARQUET_TYPE_ILLEGAL). Reading with an explicit user schema
+    * that declares `ts` as LongType makes the vectorized reader hand back the
+    * raw nanos int64 — scoped to THIS read, no session-wide
+    * `spark.sql.legacy.parquet.nanosAsLong` mutation (which would change how
+    * every later ns-parquet read in the session resolves). Then floor to a µs
     * TimestampType — the same truncation DuckDB's epoch_ms/epoch_us apply,
     * so derived ms values hash-match (SURVEY.md §2.9 item 3).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
+  val eventsRawSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+
+  def events(s: SparkSession, d: String): DataFrame =
+    s.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -337,7 +337,7 @@ object LlmOps {
       .select($"lang", $"tok".as("top_term"), $"cnt".as("top_cnt"))
     stats.join(top, "lang")
       .select($"lang", $"n_docs", $"n_tokens", $"n_distinct",
-        round($"n_tokens" / $"n_docs", 4).as("avg_tokens"), $"top_term", $"top_cnt")
+        pround4($"n_tokens" / $"n_docs").as("avg_tokens"), $"top_term", $"top_cnt")
       .orderBy($"lang")
   }
 

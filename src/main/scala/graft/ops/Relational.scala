@@ -88,7 +88,7 @@ object Relational {
     */
   val sinkParquet: Q = (s, dir) => {
     import s.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString + "/orders"
+    val out = s"${graft.Scratch.dir("sink_parquet")}/orders"
     Tables.orders(s, dir)
       .filter($"o_totalprice" > 300000)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")

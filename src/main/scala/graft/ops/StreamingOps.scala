@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -185,8 +183,7 @@ object StreamingOps {
     import s.implicits._
     val e = Tables.events(s, dir).select($"event_id", $"ts", $"user_id", $"value")
     val cut = e.agg(expr("percentile(unix_millis(ts), 0.5D)")).head().getDouble(0).toLong
-    val tmp = Files.createTempDirectory("graft_late_").toString
-    val inDir = s"$tmp/in"
+    val inDir = s"${graft.Scratch.dir("stream_late_data")}/in"
     e.filter(unix_millis($"ts") >= cut).write.parquet(inDir)
 
     val stream = s.readStream.schema(e.schema).parquet(inDir)
@@ -211,7 +208,6 @@ object StreamingOps {
     * normalization as the batch loader.
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.events(s, dir).schema // ts already TimestampType here
     // The file-stream source monitors a DIRECTORY; the sf dir holds one
     // parquet file per table, so glob-filter to the events file. (In

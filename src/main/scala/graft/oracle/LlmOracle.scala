@@ -191,7 +191,7 @@ object LlmOracle {
         |    FROM tok GROUP BY lang, tok) t
         |  WHERE rn = 1)
         |SELECT stats.lang, n_docs, n_tokens, n_distinct,
-        |  round(n_tokens / n_docs, 4) AS avg_tokens, top_term, top_cnt
+        |  floor((n_tokens / n_docs) * 10000.0 + 0.5) / 10000.0 AS avg_tokens, top_term, top_cnt
         |FROM stats JOIN top ON stats.lang = top.lang
         |ORDER BY stats.lang""".stripMargin,
 

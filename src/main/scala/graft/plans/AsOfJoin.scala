@@ -85,13 +85,21 @@ case class AsOfJoinExec(
         private var rightHeadTime = 0L
         private var matched: InternalRow = _ // last right row with key == current probe key
         private var matchedKey = 0L
+        // NULL keys/times never match (DuckDB ASOF semantics): null-keyed
+        // right rows are skipped, null-keyed left rows emit the outer null
+        // row. Nulls sort first under the required ascending order, so
+        // skipping them up front cannot skip past a live match.
         private def advanceRightHead(): Unit = {
-          if (rightIter.hasNext) {
-            rightHead = rightIter.next()
-            val kt = rkProj(rightHead)
-            rightHeadKey = kt.getLong(0)
-            rightHeadTime = kt.getLong(1)
-          } else rightHead = null
+          rightHead = null
+          while (rightHead == null && rightIter.hasNext) {
+            val candidate = rightIter.next()
+            val kt = rkProj(candidate)
+            if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+              rightHead = candidate
+              rightHeadKey = kt.getLong(0)
+              rightHeadTime = kt.getLong(1)
+            }
+          }
         }
         advanceRightHead()
 
@@ -99,6 +107,7 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = leftIter.next()
           val kt = lkProj(l)
+          if (kt.isNullAt(0) || kt.isNullAt(1)) return out(joined(l, nullRight))
           val key = kt.getLong(0)
           val time = kt.getLong(1)
           // consume right rows up to (key, time); remember the last same-key one
@@ -154,9 +163,16 @@ object AsOfJoin {
     install(s)
     val lPlan = GraftSqlBridge.analyzed(leftDf)
     val rPlan = GraftSqlBridge.analyzed(rightDf)
-    def resolve(plan: LogicalPlan, name: String): Expression =
-      plan.output.find(_.name == name).getOrElse(
+    def resolve(plan: LogicalPlan, name: String): Expression = {
+      val attr = plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not in ${plan.output.map(_.name)}"))
+      // The merge exec reads keys/times with getLong — enforce the documented
+      // bigint contract instead of silently producing garbage matches.
+      if (attr.dataType != org.apache.spark.sql.types.LongType)
+        throw new IllegalArgumentException(
+          s"as-of key/time column $name must be BIGINT, got ${attr.dataType.sql}")
+      attr
+    }
     GraftSqlBridge.ofRows(s, AsOfJoinPlan(lPlan, rPlan,
       resolve(lPlan, leftKey), resolve(rPlan, rightKey),
       resolve(lPlan, leftTime), resolve(rPlan, rightTime)))

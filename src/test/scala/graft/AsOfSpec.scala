@@ -76,4 +76,28 @@ class AsOfSpec extends SparkSpec {
     // (1,100) matches rt=100 inclusively; (1,50) matches rt=40; (2,100) no match
     assert(got === Set((1L, 100L, 7L), (1L, 50L, 8L), (2L, 100L, -1L)))
   }
+
+  test("non-bigint key/time columns are rejected at construction") {
+    import spark.implicits._
+    val l = Seq((1, 100L)).toDF("k", "t") // k is IntegerType
+    val r = Seq((1L, 40L)).toDF("rk", "rt")
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, "k", "rk", "t", "rt")
+    }
+    assert(ex.getMessage.contains("must be BIGINT"))
+  }
+
+  test("NULL keys never match (DuckDB ASOF semantics)") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(100L), 0L), (None, Some(100L), 1L), (Some(1L), None, 2L))
+      .toDF("k", "t", "lv")
+    val r = Seq((Some(1L), Some(50L), 7L), (None, Some(10L), 8L), (Some(1L), None, 9L))
+      .toDF("rk", "rt", "rv")
+    val got = AsOfJoin.asof(l, r, "k", "rk", "t", "rt")
+      .collect().map(row => (row.getLong(2),
+        if (row.isNullAt(5)) -1L else row.getLong(5))).toSet
+    // only the fully non-null left row matches the fully non-null right row;
+    // null-keyed rows on either side are outer/no-ops, never "key 0"
+    assert(got === Set((0L, 7L), (1L, -1L), (2L, -1L)))
+  }
 }

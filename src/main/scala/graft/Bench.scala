@@ -10,19 +10,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: first query otherwise pays executor/codegen/parquet
-    // init (~4s) and reads as a false per-query regression
+    // untimed warmup: the first timed query otherwise pays executor/codegen/
+    // parquet/shuffle/GraphX init (tens of seconds at local[32]) and reads as
+    // a false per-query regression. Warm the actual machinery: a fact-table
+    // scan, a shuffle agg+join, and a tiny Pregel run to load GraphX.
     spark.range(1000).count()
-    try spark.read.parquet(s"$sfDir/nation.parquet").count()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    try {
+      import spark.implicits._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.groupBy($"l_returnflag").count()
+        .join(li.limit(1), Seq("l_returnflag"), "left").count()
+      val vs = spark.sparkContext.parallelize(Seq((1L, 1), (2L, 1)))
+      val es = spark.sparkContext.parallelize(
+        Seq(org.apache.spark.graphx.Edge(1L, 2L, 1)))
+      org.apache.spark.graphx.Graph(vs, es).connectedComponents().vertices.count()
+    } catch { case _: Throwable => () }
+    // deterministic (sorted) execution order — Map iteration order is
+    // arbitrary, which made run-to-run per-query comparisons noisy
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

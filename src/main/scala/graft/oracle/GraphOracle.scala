@@ -7,8 +7,9 @@ package graft.oracle
   *
   * The iterative fixpoints (graph_cc, graph_sssp) are expressed as bounded
   * `WITH RECURSIVE` min-label / min-depth propagation — semantically the
-  * fixpoint GraphX Pregel computes. `graph_pagerank` is intentionally absent
-  * (float iteration, not hash-stable — SURVEY.md §2.6).
+  * fixpoint GraphX Pregel computes. PageRank/PPR are unrolled fixed-iteration
+  * CTE chains over exact scaled-integer arithmetic (see [[pagerankSql]]) —
+  * the float variants would not be hash-stable, the integer ones are.
   */
 object GraphOracle {
 
@@ -25,7 +26,43 @@ object GraphOracle {
       |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Unrolled fixed-iteration PageRank (10 CTE blocks, generated): the Spark
+    * side iterates exact scaled-BIGINT arithmetic (mass = 1e12), and `//` on
+    * non-negative integers is the same truncating division as Spark's `div`,
+    * so each iteration is bit-identical — float PageRank could never be
+    * hash-stable, integer PageRank is. `reset` is the per-vertex teleport
+    * term: uniform for global PageRank, all-at-source for personalized.
+    */
+  private def pagerankSql(reset: String, r0: String): String = {
+    val base =
+      s"""WITH parts AS (SELECT p_partkey AS part FROM part),
+         |lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e0 AS (SELECT x.p AS a, y.p AS b FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+         |  GROUP BY 1, 2),
+         |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg ON e.src = deg.src),
+         |n AS (SELECT count(*) AS n FROM parts),
+         |r0 AS ($r0)""".stripMargin
+    val iters = (1 to 10).map { i =>
+      s"""c$i AS (SELECT ed.dst AS part, CAST(SUM(r${i - 1}.r // ed.deg) AS BIGINT) AS csum
+         |  FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.part GROUP BY ed.dst),
+         |r$i AS (SELECT p.part,
+         |  CAST($reset + COALESCE(c$i.csum, 0) * 85 // 100 AS BIGINT) AS r
+         |  FROM parts p CROSS JOIN n LEFT JOIN c$i ON p.part = c$i.part)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters\nSELECT part, r AS rank_scaled FROM r10 ORDER BY rank_scaled DESC, part LIMIT 20"
+  }
+
   val sql: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql(
+      reset = "15000000000000 // (n.n * 100)",
+      r0 = "SELECT part, CAST(1000000000000 // n.n AS BIGINT) AS r FROM parts, n"),
+
+    "graph_ppr" -> pagerankSql(
+      reset = "CASE WHEN p.part = 1 THEN 150000000000 ELSE 0 END",
+      r0 = "SELECT part, CAST(CASE WHEN part = 1 THEN 1000000000000 ELSE 0 END AS BIGINT) AS r FROM parts"),
+
     "graph_build_edges" ->
       """SELECT o_custkey AS src, l_partkey AS dst, count(*) AS w
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey

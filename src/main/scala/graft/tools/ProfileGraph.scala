@@ -2,14 +2,15 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: break down the GraphX-op cost — co-purchase build vs
-  * RDD conversion + Pregel.
+/** Dev utility: time the heavy graph/LLM queries in isolation at the
+  * driver's bench parallelism (SPARK_GRAFT_CPUS, default 32).
   */
 object ProfileGraph {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -17,11 +18,11 @@ object ProfileGraph {
       val t0 = System.nanoTime(); val r = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    time("copurchase.count")(graft.ops.GraphOps.copurchase(spark, sfDir).count())
-    time("copurchase.count (2nd)")(graft.ops.GraphOps.copurchase(spark, sfDir).count())
-    time("graph_pagerank")(graft.SparkEntry.queries("graph_pagerank")(spark, sfDir).count())
-    time("graph_sssp")(graft.SparkEntry.queries("graph_sssp")(spark, sfDir).count())
-    time("graph_cc")(graft.SparkEntry.queries("graph_cc")(spark, sfDir).count())
+    time("warmup copurchase.count")(graft.ops.GraphOps.copurchase(spark, sfDir).count())
+    val keys = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "graph_pagerank", "graph_ppr", "graph_jaccard_nodes",
+      "graph_tag_similarity", "graph_sssp", "graph_cc", "graph_common_neighbors")
+    keys.foreach(k => time(k)(graft.SparkEntry.queries(k)(spark, sfDir).count()))
     spark.stop()
   }
 }

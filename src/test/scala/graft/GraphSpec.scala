@@ -69,31 +69,32 @@ class GraphSpec extends SparkSpec {
     assert(ours === gx.toLong, s"ours=$ours graphx=$gx")
   }
 
-  test("graph_pagerank: top ranks track a hand-rolled power iteration") {
+  test("graph_pagerank: integer power iteration tracks GraphX staticPageRank") {
     import spark.implicits._
     val ours = q("graph_pagerank").collect().map(_.getLong(0)).toSeq
-    // power iteration: r = 0.15 + 0.85 * sum(r_u / outdeg_u) over in-edges
+    // independent float path: the GraphX Pregel implementation (the library
+    // surface for graphs too big for a 10-deep DataFrame lineage)
     val cp = GraphOps.copurchase(spark, sf).select($"a", $"b")
-    val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b"))).cache()
-    val outdeg = both.groupBy($"a").agg(count(lit(1)).as("deg")).cache()
-    var ranks = Tables.part(spark, sf).select($"p_partkey".as("id"), lit(1.0).as("r"))
-    for (_ <- 1 to 10) {
-      val contrib = both.join(outdeg, "a").join(ranks, $"a" === $"id")
-        .groupBy($"b".as("nid")).agg(sum($"r" / $"deg").as("m"))
-      ranks = ranks.join(contrib, $"id" === $"nid", "left")
-        .select($"id", (lit(0.15) + lit(0.85) * coalesce($"m", lit(0.0))).as("r"))
-        .localCheckpoint()
-    }
-    val power = ranks.orderBy($"r".desc, $"id").limit(10).collect().map(_.getLong(0)).toSet
-    val overlap = ours.take(5).count(power.contains)
-    assert(overlap >= 3, s"top-5 GraphX ranks $ours vs power-iteration top-10 $power")
+    val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
+    val graphx = graph.GraphBridge.pageRank(
+        spark, Tables.part(spark, sf).select($"p_partkey"), both, iters = 10)
+      .orderBy($"rank".desc, $"id").limit(10).collect().map(_.getLong(0)).toSet
+    val overlap = ours.take(5).count(graphx.contains)
+    assert(overlap >= 3, s"top-5 integer ranks $ours vs GraphX top-10 $graphx")
+    // rank mass is conserved up to integer-truncation loss: top rank must
+    // stay a sane fraction of the 1e12 total
+    val top = q("graph_pagerank").collect().map(_.getLong(1))
+    assert(top.head > 0L && top.head < PrTotalMass)
+    assert(top.zip(top.tail).forall { case (a, b) => a >= b })
   }
+
+  private val PrTotalMass = 1000000000000L
 
   test("graph_ppr: the personalization source tops its own ranking") {
     val rows = q("graph_ppr").collect()
     assert(rows.nonEmpty)
     assert(rows.head.getLong(0) === 1L, s"source should rank first, got ${rows.head}")
-    val ranks = rows.map(r => r.getDouble(r.fieldIndex("rank")))
+    val ranks = rows.map(r => r.getLong(r.fieldIndex("rank_scaled")))
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
   }
 

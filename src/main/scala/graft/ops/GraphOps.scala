@@ -156,12 +156,15 @@ object GraphOps {
     * — blocking bounds the pair space at scale), pairs ranked by map dot
     * product. Exact integer arithmetic end to end (quantities are integral).
     *
-    * Shape: each customer's tags collapse to ONE map row first, then pairs
-    * dot-product the two maps in place (`map_zip_with` + `aggregate`). The
-    * naive alternative — self-joining the (cust, tag, w) rows on tag — keys
-    * the shuffle on ~25 distinct brands, which caps parallelism at 25 tasks
-    * and skews badly the moment one tag dominates; the map form pairs
-    * |cohort|² rows of ~25 entries instead, which the blocking keeps small.
+    * Shape: each customer's tags collapse to ONE sorted entry-array row,
+    * then pairs dot-product the two maps in place via the codegen'd
+    * two-pointer merge [[graft.expr.SortedMapDot]]. The naive alternative —
+    * self-joining the (cust, tag, w) rows on tag — keys the shuffle on ~25
+    * distinct brands, which caps parallelism at 25 tasks and skews badly the
+    * moment one tag dominates; the interpreted `map_zip_with`+`aggregate`
+    * HOF alternative blocks whole-stage codegen for the pair join around it
+    * (~10× slower pair stage). The map form pairs |cohort|² rows of ~25
+    * entries, which the blocking keeps small.
     */
   val graphTagSimilarity: Q = (s, dir) => {
     import s.implicits._
@@ -175,13 +178,13 @@ object GraphOps {
       .groupBy($"o_custkey".as("cust"), $"p_brand".as("tag"))
       .agg(sum($"l_quantity").cast("long").as("w"))
     val maps = tags.groupBy($"cust")
-      .agg(map_from_entries(collect_list(struct($"tag", $"w"))).as("m"))
-    maps.as("t1").join(maps.as("t2"), $"t1.cust" < $"t2.cust")
+      .agg(sort_array(collect_list(struct($"tag", $"w"))).as("m"))
+      // |cohort| rows; materialized once — otherwise the whole
+      // orders⋈lineitem tag pipeline executes twice, once per join side
+      .localCheckpoint()
+    maps.as("t1").join(broadcast(maps.as("t2")), $"t1.cust" < $"t2.cust")
       .select($"t1.cust".as("c1"), $"t2.cust".as("c2"),
-        aggregate(
-          map_values(map_zip_with($"t1.m", $"t2.m",
-            (_, v1, v2) => coalesce(v1, lit(0L)) * coalesce(v2, lit(0L)))),
-          lit(0L), (acc, x) => acc + x).as("dot"))
+        graft.expr.MapDot.sortedMapDot($"t1.m", $"t2.m").as("dot"))
       .filter($"dot" > 0) // = the tag-join's "shares >= 1 tag" (weights positive)
       .orderBy($"dot".desc, $"c1", $"c2")
       .limit(20)

@@ -97,4 +97,31 @@ class ExprSpec extends SparkSpec {
     assert(codegenStage.isDefined, df.queryExecution.executedPlan.toString)
     assert(df.agg(min("d")).head().getDouble(0) > 0)
   }
+
+  test("SortedMapDot: two-pointer merge equals the explode+join dot product") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 50L).map { id =>
+      val tags = rnd.shuffle(('a' to 'j').toList).take(rnd.nextInt(8) + 2)
+        .map(c => (c.toString, rnd.nextInt(100).toLong + 1))
+      (id, tags)
+    }
+    val flat = rows.flatMap { case (id, ts) => ts.map(t => (id, t._1, t._2)) }
+      .toDF("id", "tag", "w")
+    val maps = flat.groupBy($"id")
+      .agg(sort_array(collect_list(struct($"tag", $"w"))).as("m"))
+    val got = maps.as("x").join(maps.as("y"), $"x.id" < $"y.id")
+      .select($"x.id".as("a"), $"y.id".as("b"),
+        graft.expr.MapDot.sortedMapDot($"x.m", $"y.m").as("dot"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val expected = flat.as("f1").join(flat.as("f2"),
+        $"f1.tag" === $"f2.tag" && $"f1.id" < $"f2.id")
+      .groupBy($"f1.id".as("a"), $"f2.id".as("b"))
+      .agg(sum($"f1.w" * $"f2.w").as("dot"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // explode+join omits pairs with no shared tag; merge yields 0 there
+    expected.foreach { case (k, v) => assert(got(k) === v, s"pair $k") }
+    got.filterNot { case (k, _) => expected.contains(k) }
+      .foreach { case (k, v) => assert(v === 0L, s"disjoint pair $k") }
+  }
 }

@@ -162,6 +162,65 @@ object StreamingOps {
     Iterator((key._1, key._2, folded.n, folded.sumScaled / 10000.0, folded.maxTs))
   }
 
+  /** Attribution pairs — the stream-stream twin of `join_asof`'s domain:
+    * every (purchase, click) pair of the same user with the click in the
+    * 30 minutes at-or-before the purchase. Timestamps are ms-truncated
+    * BEFORE the range condition so the batch twin, the streaming variant,
+    * and the epoch-ms DuckDB oracle all evaluate the identical predicate
+    * (the raw ns-precision tails would make the 30-minute boundary drift
+    * between engines).
+    */
+  private def attributionCore(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val ms = e.withColumn("ts", timestamp_millis(unix_millis($"ts")))
+    val clicks = ms.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val purchases = ms.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"))
+      .select($"purchase_id", $"click_id", $"user_id",
+        unix_millis($"p_ts").as("purchase_ts_ms"), unix_millis($"c_ts").as("click_ts_ms"))
+  }
+
+  /** Batch twin of the stream-stream attribution join (oracle-checked). */
+  val streamJoin: Q = (s, dir) => {
+    import s.implicits._
+    attributionCore(Tables.events(s, dir))
+      .orderBy($"purchase_id", $"click_id")
+  }
+
+  /** Streaming variant: a genuine stream-stream inner join with watermarks
+    * on both sides and a time-interval condition — Spark keeps only the
+    * watermark-bounded window of each side in the state store, which is
+    * what makes this run incrementally over an unbounded feed (at 100 TB/
+    * day: RocksDB state store + event-time watermarks bound state size;
+    * set spark.sql.streaming.stateStore.providerClass to the RocksDB
+    * provider in production).
+    *
+    * Both sides re-read the SAME events stream (filtered differently), as
+    * the reference's journal fan-out does. Asserted ≡ the batch twin in
+    * StreamingSpec.
+    */
+  def attributionStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ms-truncate BEFORE the watermark: replacing the event-time column
+    // after withWatermark would drop the watermark tag
+    val ms = (df: DataFrame) => df.withColumn("ts", timestamp_millis(unix_millis($"ts")))
+    val c = ms(eventsStream(s, dir)).withWatermark("ts", "40 minutes")
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val p = ms(eventsStream(s, dir)).withWatermark("ts", "10 minutes")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    p.join(c,
+      $"user_id" === $"c_user" &&
+        $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"))
+      .select($"purchase_id", $"click_id", $"user_id",
+        unix_millis($"p_ts").as("purchase_ts_ms"), unix_millis($"c_ts").as("click_ts_ms"))
+  }
+
   /** Streaming variant of [[streamEdgeUpsert]] for incremental ingestion. */
   def edgeUpsertStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -262,6 +321,7 @@ object StreamingOps {
     "stream_dedup" -> streamDedup,
     "stream_stateful_fold" -> streamStatefulFold,
     "stream_edge_upsert" -> streamEdgeUpsert,
+    "stream_join" -> streamJoin,
     "stream_late_data" -> streamLateData
   )
 }

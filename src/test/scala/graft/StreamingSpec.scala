@@ -59,6 +59,13 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("stream_join: stream-stream attribution join equals batch twin") {
+    val batch = SparkEntry.queries("stream_join")(spark, sf)
+    val stream = runStream(StreamingOps.attributionStream(spark, sf), OutputMode.Append)
+    assert(stream.count() > 0, "attribution stream produced no pairs")
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
   test("stream_late_data: rows behind the watermark are dropped") {
     import spark.implicits._
     val result = SparkEntry.queries("stream_late_data")(spark, sf)

@@ -23,5 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => StableHash64(children.head)))
     // custom physical operator: as-of join (plans.AsOfJoinPlan -> Exec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // custom optimizer rule: band pure range joins into equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.BandRangeJoinRule)
   }
 }

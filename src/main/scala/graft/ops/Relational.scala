@@ -231,6 +231,26 @@ object Relational {
       .orderBy($"id1", $"id2")
   }
 
+  /** The SAME banding as [[joinThetaRange]], but done BY THE OPTIMIZER: the
+    * query below is the naive pure range join (no equi conjunct at all —
+    * Catalyst alone would plan a cartesian/nested-loop), and
+    * [[graft.plans.BandRangeJoinRule]] rewrites it into the banded
+    * equi-join + residual filter. Pairs within 10 minutes across ALL users,
+    * aggregated per hour so the output stays bounded. RelationalSpec asserts
+    * the physical plan really contains no nested-loop/cartesian join.
+    */
+  val joinThetaRule: Q = (s, dir) => {
+    import s.implicits._
+    graft.plans.BandRangeJoin.install(s)
+    val e = Tables.events(s, dir).select($"event_id", tsMs($"ts").as("t"))
+    val l = e.select($"event_id".as("id1"), $"t".as("t1"))
+    val r = e.select($"event_id".as("id2"), $"t".as("t2"))
+    l.join(r, $"t2" > $"t1" && $"t2" <= $"t1" + 600000L)
+      .groupBy(expr("t1 div 3600000").as("hour"))
+      .agg(count(lit(1)).as("n_pairs"), sum($"t2" - $"t1").as("sum_delta_ms"))
+      .orderBy($"hour")
+  }
+
   /** As-of join — no built-in Spark exec: for each purchase event, the
     * latest click of the same user at or before it (attribution). The
     * distributed formulation is the union+window trick: tag both sides,
@@ -717,6 +737,7 @@ object Relational {
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "join_theta_range" -> joinThetaRange,
+    "join_theta_rule" -> joinThetaRule,
     "join_asof" -> joinAsof,
     "join_asof_exec" -> joinAsofExec,
     "join_cross" -> joinCross,

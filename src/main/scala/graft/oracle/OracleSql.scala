@@ -155,6 +155,13 @@ object OracleSql {
         | AND epoch_ms(e2.ts) <= epoch_ms(e1.ts) + 3600000
         |ORDER BY id1, id2""".stripMargin,
 
+    "join_theta_rule" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS t FROM events)
+        |SELECT a.t // 3600000 AS hour, count(*) AS n_pairs,
+        |  CAST(sum(b.t - a.t) AS BIGINT) AS sum_delta_ms
+        |FROM e a JOIN e b ON b.t > a.t AND b.t <= a.t + 600000
+        |GROUP BY 1 ORDER BY hour""".stripMargin,
+
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,

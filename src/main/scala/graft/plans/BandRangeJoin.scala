@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: rewrite a pure range (theta) inner join whose condition
+  * bounds `leftTime - rightTime` inside a finite window into a BANDED
+  * equi-join — the `join_theta_range` DataFrame rewrite done as a
+  * `Rule[LogicalPlan]`, so SQL-text and library callers get it for free
+  * (SURVEY.md §4 "Range-join banding").
+  *
+  * Without it Catalyst plans a pure range join as BroadcastNestedLoop or
+  * CartesianProduct — O(|L|·|R|) comparisons, dead at scale. The rewrite:
+  *
+  *   - band width W = hi − lo (the window the conjuncts imply);
+  *   - left gains `band = lt div W`;
+  *   - right explodes into the ≤ 2 candidate bands covering
+  *     `[rt + lo, rt + hi]` (truncating div moves by at most 1 across a
+  *     span of W);
+  *   - join becomes equi on the band with the ORIGINAL condition kept as a
+  *     residual filter — exactness is the residual's job, the band only
+  *     prunes pairs.
+  *
+  * Fires only when no equi conjunct exists (with one, hash partitioning
+  * already bounds the pair space) and both time sides are bare/offset
+  * bigint attributes. The rewritten join contains a band equality, so the
+  * rule cannot re-fire on its own output.
+  */
+object BandRangeJoinRule extends Rule[LogicalPlan] {
+
+  /** e as (attribute, additive offset): a, a+c, a-c, c+a. */
+  private def linear(e: Expression): Option[(Attribute, Long)] = e match {
+    case a: AttributeReference if a.dataType == LongType => Some((a, 0L))
+    case Add(a: AttributeReference, Literal(v: Long, LongType), _) => Some((a, v))
+    case Add(Literal(v: Long, LongType), a: AttributeReference, _) => Some((a, v))
+    case Subtract(a: AttributeReference, Literal(v: Long, LongType), _) => Some((a, -v))
+    case _ => None
+  }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConj(a) ++ splitConj(b)
+    case other => Seq(other)
+  }
+
+  /** Normalize one comparison conjunct to a bound on (la − ra):
+    * Some((la, ra, lo, hi)) with exactly one of lo/hi defined. Strict
+    * bounds widen to inclusive — the residual filter restores exactness.
+    */
+  private def asBound(c: Expression, l: LogicalPlan, r: LogicalPlan)
+      : Option[(Attribute, Attribute, Option[Long], Option[Long])] = {
+    def norm(e1: Expression, e2: Expression) = // e1 <= e2
+      (linear(e1), linear(e2)) match {
+        case (Some((a1, o1)), Some((a2, o2))) =>
+          if (l.outputSet.contains(a1) && r.outputSet.contains(a2))
+            Some((a1, a2, None, Some(o2 - o1))) // la - ra <= o2 - o1
+          else if (r.outputSet.contains(a1) && l.outputSet.contains(a2))
+            Some((a2, a1, Some(o1 - o2), None)) // la - ra >= o1 - o2
+          else None
+        case _ => None
+      }
+    c match {
+      case LessThanOrEqual(e1, e2) => norm(e1, e2)
+      case LessThan(e1, e2) => norm(e1, e2)
+      case GreaterThanOrEqual(e1, e2) => norm(e2, e1)
+      case GreaterThan(e1, e2) => norm(e2, e1)
+      case _ => None
+    }
+  }
+
+  private def hasEquiConjunct(conjs: Seq[Expression], l: LogicalPlan, r: LogicalPlan): Boolean =
+    conjs.exists {
+      case EqualTo(e1, e2) =>
+        (e1.references.subsetOf(l.outputSet) && e2.references.subsetOf(r.outputSet)) ||
+          (e1.references.subsetOf(r.outputSet) && e2.references.subsetOf(l.outputSet))
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case j @ Join(l, r, Inner, Some(cond), hint) =>
+      val conjs = splitConj(cond)
+      if (hasEquiConjunct(conjs, l, r)) j
+      else {
+        // tightest (lo, hi) per (la, ra) attribute pair
+        val bounds = conjs.flatMap(asBound(_, l, r))
+          .groupBy(b => (b._1, b._2))
+          .map { case (k, bs) =>
+            k -> (bs.flatMap(_._3).sorted.lastOption, bs.flatMap(_._4).sorted.headOption)
+          }
+        bounds.collectFirst {
+          case ((la, ra), (Some(lo), Some(hi))) if hi > lo => (la, ra, lo, hi)
+        } match {
+          case None => j
+          case Some((la, ra, lo, hi)) =>
+            val w = Literal(hi - lo, LongType)
+            val bandL = Alias(IntegralDivide(la, w), "graft_band_l")()
+            val leftP = Project(l.output :+ bandL, l)
+            val bands = ArrayDistinct(CreateArray(Seq(
+              IntegralDivide(Add(ra, Literal(lo, LongType)), w),
+              IntegralDivide(Add(ra, Literal(hi, LongType)), w))))
+            val bandR = AttributeReference("graft_band_r", LongType, nullable = true)()
+            val rightG = Generate(Explode(bands), unrequiredChildIndex = Nil,
+              outer = false, qualifier = None, generatorOutput = Seq(bandR), r)
+            val banded = Join(leftP, rightG, Inner,
+              Some(And(EqualTo(bandL.toAttribute, bandR), cond)), hint)
+            Project(j.output, banded)
+        }
+      }
+  }
+}
+
+object BandRangeJoin {
+  /** Install the rule on a session (idempotent). Also available through
+    * `spark.sql.extensions=graft.GraftExtensions`.
+    */
+  def install(s: SparkSession): Unit =
+    if (!s.experimental.extraOptimizations.contains(BandRangeJoinRule)) {
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ BandRangeJoinRule
+    }
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 class RelationalSpec extends SparkSpec {
 
@@ -135,5 +136,24 @@ class RelationalSpec extends SparkSpec {
       val s = r.getLong(1) + r.getLong(2) + r.getLong(3)
       assert(s === totals(r.getString(0)))
     }
+  }
+
+  test("join_theta_rule: optimizer bands the range join away from nested-loop") {
+    import spark.implicits._
+    val df = SparkEntry.queries("join_theta_rule")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join was not banded:\n$plan")
+    // exactness: equals the brute-force unbanded evaluation
+    val e = Tables.events(spark, sf)
+      .select($"event_id", unix_millis($"ts").as("t"))
+    val brute = e.select($"t".as("t1")).as("a")
+      .crossJoin(e.select($"t".as("t2")).as("b"))
+      .filter($"t2" > $"t1" && $"t2" <= $"t1" + 600000L)
+      .groupBy(expr("t1 div 3600000").as("hour"))
+      .agg(count(lit(1)).as("n_pairs"), sum($"t2" - $"t1").as("sum_delta_ms"))
+      .orderBy($"hour")
+      .collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq === brute)
   }
 }

@@ -60,6 +60,83 @@ object VectorIndex {
       .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
   }
 
+  /** Train an IVF codebook with MLlib k-means|| (fixed seed ⇒ deterministic
+    * run-to-run). Returns the (cid, ce, cn) centroid frame [[ivfAssign]]
+    * expects. The collect is the codebook itself — k·dim floats, the thing
+    * a production IVF index persists; at 100 TB you train on a sample and
+    * broadcast exactly this frame.
+    */
+  def trainCentroids(indexed: DataFrame, k: Int, maxIter: Int, seed: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val s = indexed.sparkSession
+    import s.implicits._
+    val train = indexed.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features").fit(train)
+    val rows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    rows.toDF("cid", "ce")
+      .withColumn("ce", col("ce").cast("array<float>"))
+      .withColumn("cn", sqrt(FloatVec.floatDot(col("ce"), col("ce"))))
+  }
+
+  /** Random-hyperplane LSH bucket id (nBits sign bits). Hyperplanes are
+    * ±1-component vectors derived from a deterministic integer hash — no
+    * RNG state, so the same bucketing falls out on every run and every
+    * node. Each bit is one codegen'd float_dot against a literal plane.
+    */
+  def lshBucket(embedding: Column, dim: Int, nBits: Int): Column = {
+    def planeComponent(j: Int, i: Int): Float = {
+      // Knuth multiplicative hash of the flat plane index — deterministic
+      val h = ((j.toLong * dim + i) * 2654435761L) >>> 16
+      if ((h & 1L) == 0L) 1f else -1f
+    }
+    (0 until nBits).map { j =>
+      val plane = typedLit((0 until dim).map(planeComponent(j, _)))
+      when(FloatVec.floatDot(embedding, plane) > 0d, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates limited to the probe's bucket. */
+  def lshSearch(indexed: DataFrame, probeId: Long, k: Int, dim: Int, nBits: Int): DataFrame = {
+    val bucketed = indexed.withColumn("bucket", lshBucket(col("embedding"), dim, nBits))
+    val probe = bucketed.filter(col("vec_id") === probeId)
+      .select(col("bucket").as("pb"), col("embedding").as("pe"), col("nrm").as("pn"))
+    bucketed.join(broadcast(probe), col("bucket") === col("pb"))
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), col("bucket"),
+        round(FloatVec.floatDot(col("embedding"), col("pe")) / (col("nrm") * col("pn")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Multi-probe IVF ANN: search the `nprobe` centroids nearest the probe
+    * vector (recall knob of a production IVF index).
+    */
+  def ivfSearchN(assigned: DataFrame, centroids: DataFrame, probeId: Long,
+                 k: Int, nprobe: Int): DataFrame = {
+    val probe = assigned.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pe"), col("nrm").as("pn"))
+    val probeClusters = centroids.crossJoin(broadcast(probe))
+      .select(col("cid"),
+        (FloatVec.floatDot(col("ce"), col("pe")) / (col("cn") * col("pn"))).as("ccos"))
+      .orderBy(col("ccos").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+    assigned.join(broadcast(probeClusters), "cid")
+      .filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        round(FloatVec.floatDot(col("embedding"), col("pe")) / (col("nrm") * col("pn")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Cluster-pruned ANN: search the probe's cluster only. */
   def ivfSearch(assigned: DataFrame, probeId: Long, k: Int): DataFrame = {
     val probe = assigned.filter(col("vec_id") === probeId)

@@ -321,6 +321,35 @@ object LlmOps {
       .limit(5)
   }
 
+  /** IVF ANN with a TRAINED codebook: k-means|| (MLlib, fixed seed, 5
+    * Lloyd iterations) learns 8 centroids, vectors are assigned by max
+    * cosine, and probe 42 searches its 2 nearest clusters (nprobe=2 — the
+    * recall knob). Float k-means has no cross-engine oracle; LlmSpec
+    * asserts determinism and that every returned (vec, cos) agrees with the
+    * brute-force ranking.
+    */
+  val llmAnnKmeans: Q = (s, dir) => {
+    import s.implicits._
+    val idx = graft.api.VectorIndex.index(Tables.embeddings(s, dir), $"vec_id", $"embedding")
+      .localCheckpoint() // reused by train + assign + search
+    val centroids = graft.api.VectorIndex.trainCentroids(idx, k = 8, maxIter = 5, seed = 42L)
+    val assigned = graft.api.VectorIndex.ivfAssign(idx, centroids)
+    graft.api.VectorIndex.ivfSearchN(assigned, centroids, probeId = 42L, k = 5, nprobe = 2)
+  }
+
+  /** LSH-bucketed ANN: 4 deterministic ±1 random-hyperplane sign bits
+    * (16 buckets) prune the candidate set to the probe's bucket before the
+    * exact cosine top-5. The bucket id is pure integer+sign arithmetic over
+    * codegen'd dots — deterministic, but the BUCKETING (not the cosines)
+    * has no DuckDB twin worth maintaining, so LlmSpec grades it instead:
+    * results are a subset of the brute-force ranking with identical cos.
+    */
+  val llmAnnLsh: Q = (s, dir) => {
+    import s.implicits._
+    val idx = graft.api.VectorIndex.index(Tables.embeddings(s, dir), $"vec_id", $"embedding")
+    graft.api.VectorIndex.lshSearch(idx, probeId = 42L, k = 5, dim = 64, nBits = 4)
+  }
+
   // ===== text analysis =====
 
   val llmTextStats: Q = (s, dir) => {
@@ -556,6 +585,8 @@ object LlmOps {
     "llm_sim_search" -> llmSimSearch,
     "llm_sim_join" -> llmSimJoin,
     "llm_ann_ivf" -> llmAnnIvf,
+    "llm_ann_kmeans" -> llmAnnKmeans,
+    "llm_ann_lsh" -> llmAnnLsh,
     "llm_text_stats" -> llmTextStats,
     "llm_tfidf_topk" -> llmTfidfTopk,
     "llm_token_count" -> llmTokenCount,

@@ -120,4 +120,45 @@ class LlmSpec extends SparkSpec {
     assert(q("fn_date").count() === Tables.orders(spark, sf).count())
     assert(q("fn_array").count() === Tables.embeddings(spark, sf).count() * 3)
   }
+
+  /** Exact brute-force (vec_id -> rounded cos to probe 42), the referee for
+    * both ANN variants.
+    */
+  private def bruteCos(): Map[Long, Double] = {
+    import spark.implicits._
+    import graft.expr.FloatVec
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("nrm", sqrt(FloatVec.floatDot($"embedding", $"embedding")))
+    val probe = e.filter($"vec_id" === 42)
+      .select($"embedding".as("pe"), $"nrm".as("pn"))
+    e.filter($"vec_id" =!= 42).crossJoin(broadcast(probe))
+      .select($"vec_id",
+        round(FloatVec.floatDot($"embedding", $"pe") / ($"nrm" * $"pn"), 4).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("llm_ann_kmeans: deterministic, 5 rows, cosines agree with brute force") {
+    val r1 = q("llm_ann_kmeans").collect()
+    val r2 = q("llm_ann_kmeans").collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq, "k-means ANN not deterministic")
+    assert(r1.length === 5)
+    val brute = bruteCos()
+    r1.foreach { r =>
+      assert(brute(r.getLong(0)) === r.getDouble(r.fieldIndex("cos")))
+    }
+    val cs = r1.map(_.getDouble(r1.head.fieldIndex("cos")))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("llm_ann_lsh: bucket-local results with exact cosines") {
+    val rows = q("llm_ann_lsh").collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("bucket"))).distinct.length === 1,
+      "results crossed buckets")
+    val brute = bruteCos()
+    rows.foreach { r =>
+      assert(brute(r.getLong(0)) === r.getDouble(r.fieldIndex("cos")))
+    }
+  }
 }

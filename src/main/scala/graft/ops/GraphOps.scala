@@ -341,6 +341,25 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Edge-PROPERTY filter traversal over the events-derived TYPED edge
+    * graph — the property-graph query shape the reference serves from each
+    * node actor's adjacency: user -(event_type)-> item edges carry
+    * (count, weight) properties, and the traversal filters on type AND a
+    * property threshold ("click edges seen at least twice").
+    */
+  val graphEdgeFilter: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("item"),
+        $"event_type", $"value")
+      .groupBy($"user_id", $"item", $"event_type")
+      .agg(count(lit(1)).as("n"), Relational.msum($"value").as("weight"))
+      .filter($"event_type" === "click" && $"n" >= 2)
+      .select($"user_id", $"item", $"n", $"weight")
+      .orderBy($"user_id", $"item")
+  }
+
   /** Trending query: per-item (events.props.k) time-decayed popularity,
     * half-life-style exp decay over whole days back from the newest event,
     * top-20. The max-day scalar is a broadcast, not a collect.
@@ -399,6 +418,7 @@ object GraphOps {
     "graph_cc" -> graphCc,
     "graph_sssp" -> graphSssp,
     "graph_pagerank" -> graphPagerank,
+    "graph_edge_filter" -> graphEdgeFilter,
     "graph_trending" -> graphTrending
   )
 }

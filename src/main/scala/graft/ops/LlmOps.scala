@@ -70,6 +70,51 @@ object LlmOps {
       .filter($"j" >= minJ)
   }
 
+  /** Word-BIGRAM Jaccard similarity, top-20 doc pairs (the n-gram-Jaccard
+    * member of the dedup family; `llm_dedup_near` is the 3-gram ≥ τ
+    * variant). The bigram equi-join is the blocking; `pround4` because a
+    * small-integer ratio can land exactly on a round(…,4) half boundary.
+    */
+  val llmNgramJaccard: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    val bi = Tables.documents(s, dir)
+      .filter(size(split($"text", " ")) >= 2)
+      .select($"doc_id", GraftSqlBridge.column(
+        graft.expr.ShingleGen(GraftSqlBridge.expression($"text"), 2)).as("s"))
+      .distinct()
+    val sizes = bi.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    bi.as("a").join(bi.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .select($"d1", $"d2", $"common",
+        pround4($"common" / ($"n1" + $"n2" - $"common")).as("jaccard"))
+      .orderBy($"jaccard".desc, $"d1", $"d2")
+      .limit(20)
+  }
+
+  /** Embedding-cosine near-dup dedup (dedup-by-meaning): within each label
+    * block, any vector with an earlier (smaller id) neighbor at cosine
+    * ≥ 0.3 is dropped; survivors keep the group's min id — the greedy
+    * deterministic keep-first rule of `llm_dedup_exact`, lifted to vector
+    * similarity.
+    */
+  val llmDedupEmbed: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(FloatVec.floatDot($"embedding", $"embedding")))
+    val dropped = e.as("x").join(e.as("y"),
+        $"x.label" === $"y.label" && $"x.vec_id" < $"y.vec_id")
+      .filter(round(
+        FloatVec.floatDot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"), 4) >= 0.3)
+      .select($"y.vec_id".as("vec_id")).distinct()
+    Tables.embeddings(s, dir).join(dropped, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"label".cast("long").as("label"))
+      .orderBy($"vec_id")
+  }
+
   // ===== §2.7 function batteries =====
 
   val fnString: Q = (s, dir) => {
@@ -580,6 +625,8 @@ object LlmOps {
     "fn_bitwise" -> fnBitwise,
     "llm_dedup_exact" -> llmDedupExact,
     "llm_dedup_near" -> llmDedupNear,
+    "llm_dedup_embed" -> llmDedupEmbed,
+    "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_dedup_simhash" -> llmDedupSimhash,
     "llm_sim_search" -> llmSimSearch,

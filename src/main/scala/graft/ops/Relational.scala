@@ -443,6 +443,39 @@ object Relational {
   /** Ordered statistics per group; interpolated median + sample stddev are
     * rounded (both engines accumulate doubles in different orders).
     */
+  /** Exact median (interpolated, like DuckDB quantile_cont) plus MODE with
+    * an explicit deterministic tie-break (count desc, value asc) — never
+    * lean on an engine's unspecified mode() tie rule in an oracle-checked
+    * query.
+    */
+  val aggMedianMode: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val med = o.groupBy($"o_orderpriority").agg(
+      round(expr("percentile(o_totalprice, 0.5D)"), 4).as("median_price"),
+      count(lit(1)).as("n"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"c".desc, $"o_orderstatus")
+    val mode = o.groupBy($"o_orderpriority", $"o_orderstatus").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"o_orderpriority", $"o_orderstatus".as("mode_status"), $"c".as("mode_n"))
+    med.join(mode, "o_orderpriority").orderBy($"o_orderpriority")
+  }
+
+  /** CSV source round-trip: write customer to headered CSV, re-read with an
+    * explicit schema, join a parquet dim — the oracle runs on the parquet
+    * originals, so a hash match proves the CSV path preserves every value
+    * (strings AND doubles surviving the text round-trip).
+    */
+  val srcCsv: Q = (s, dir) => {
+    import s.implicits._
+    val out = s"${graft.Scratch.dir("src_csv")}/customer"
+    Tables.customer(s, dir).write.option("header", "true").mode("overwrite").csv(out)
+    val c = s.read.option("header", "true").schema(Tables.customer(s, dir).schema).csv(out)
+    c.join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"c_acctbal", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
   val aggStats: Q = (s, dir) => {
     import s.implicits._
     Tables.orders(s, dir)
@@ -750,6 +783,8 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_filtered" -> aggFiltered,
     "agg_stats" -> aggStats,
+    "agg_median_mode" -> aggMedianMode,
+    "src_csv" -> srcCsv,
     "agg_pivot" -> aggPivot,
     "agg_corr" -> aggCorr,
     "agg_listagg" -> aggListagg,

@@ -63,6 +63,14 @@ object GraphOracle {
       reset = "CASE WHEN p.part = 1 THEN 150000000000 ELSE 0 END",
       r0 = "SELECT part, CAST(CASE WHEN part = 1 THEN 1000000000000 ELSE 0 END AS BIGINT) AS r FROM parts"),
 
+    "graph_edge_filter" ->
+      """SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round((value) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS weight
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY user_id, item""".stripMargin,
+
     "graph_build_edges" ->
       """SELECT o_custkey AS src, l_partkey AS dst, count(*) AS w
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey

@@ -119,6 +119,32 @@ object LlmOracle {
          |SELECT d1, d2, round(j, 4) AS jaccard
          |FROM jac WHERE j >= 0.6 ORDER BY d1, d2""".stripMargin,
 
+    "llm_ngram_jaccard" ->
+      """WITH bh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1]))) AS s
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bex AS (SELECT doc_id, unnest(s) AS s FROM bh),
+        |bsizes AS (SELECT doc_id, len(s) AS n FROM bh),
+        |bpairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM bex a JOIN bex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, common,
+        |  floor((common / (s1.n + s2.n - common)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM bpairs JOIN bsizes s1 ON d1 = s1.doc_id JOIN bsizes s2 ON d2 = s2.doc_id
+        |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin,
+
+    "llm_dedup_embed" ->
+      """WITH dropped AS (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM embeddings x JOIN embeddings y
+        |    ON x.label = y.label AND x.vec_id < y.vec_id
+        |  WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= 0.3)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label
+        |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
+
     "llm_dedup_minhash" ->
       s"""WITH $jaccardPairs,
          |mh AS (

@@ -155,6 +155,28 @@ object OracleSql {
         | AND epoch_ms(e2.ts) <= epoch_ms(e1.ts) + 3600000
         |ORDER BY id1, id2""".stripMargin,
 
+    "agg_median_mode" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority,
+        |    round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |mode_t AS (
+        |  SELECT o_orderpriority, o_orderstatus AS mode_status, c AS mode_n FROM (
+        |    SELECT o_orderpriority, o_orderstatus, count(*) AS c,
+        |      row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY count(*) DESC, o_orderstatus) AS rn
+        |    FROM orders GROUP BY 1, 2) t
+        |  WHERE rn = 1)
+        |SELECT med.o_orderpriority, median_price, n, mode_status, mode_n
+        |FROM med JOIN mode_t ON med.o_orderpriority = mode_t.o_orderpriority
+        |ORDER BY med.o_orderpriority""".stripMargin,
+
+    "src_csv" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal, c_mktsegment
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
     "join_theta_rule" ->
       """WITH e AS (SELECT event_id, epoch_ms(ts) AS t FROM events)
         |SELECT a.t // 3600000 AS hour, count(*) AS n_pairs,

@@ -341,6 +341,27 @@ object GraphOps {
       .limit(20)
   }
 
+  /** 3-hop bounded traversal with min-hop labeling — one hop deeper than
+    * [[graphKhop2]], proving the iterated-join shape extends (each level is
+    * one equi-join + distinct; the visited-set dedup is the coalesce
+    * cascade at the end, keeping the MINIMUM hop per part).
+    */
+  val graphKhop3: Q = (s, dir) => {
+    import s.implicits._
+    val adj = edges(s, dir).select($"src", $"dst")
+    val cohort = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "MACHINERY").select($"c_custkey".as("src"))
+    val p1 = adj.join(cohort, "src").select($"dst").distinct()
+    val c2 = adj.join(p1, "dst").select($"src").distinct()
+    val p2 = adj.join(c2, "src").select($"dst").distinct()
+    val c3 = adj.join(p2, "dst").select($"src").distinct()
+    val p3 = adj.join(c3, "src").select($"dst").distinct()
+    p3.join(p1.withColumn("h1", lit(1L)), Seq("dst"), "left")
+      .join(p2.withColumn("h2", lit(2L)), Seq("dst"), "left")
+      .select($"dst".as("part"), coalesce($"h1", $"h2", lit(3L)).as("hop"))
+      .orderBy($"part")
+  }
+
   /** Edge-PROPERTY filter traversal over the events-derived TYPED edge
     * graph — the property-graph query shape the reference serves from each
     * node actor's adjacency: user -(event_type)-> item edges carry
@@ -410,6 +431,7 @@ object GraphOps {
     "graph_degree" -> graphDegree,
     "graph_neighbors_1hop" -> graphNeighbors1hop,
     "graph_khop_2" -> graphKhop2,
+    "graph_khop_3" -> graphKhop3,
     "graph_triangles" -> graphTriangles,
     "graph_common_neighbors" -> graphCommonNeighbors,
     "graph_jaccard_nodes" -> graphJaccardNodes,

@@ -115,6 +115,25 @@ object LlmOps {
       .orderBy($"vec_id")
   }
 
+  /** Concat-and-chunk sequence packing — the standard LLM-pretraining
+    * packing shape: within each source, documents concatenate in doc_id
+    * order and split at fixed 256-token context boundaries. chunk id =
+    * (running token offset of the doc's start) div 256 — pure window
+    * arithmetic, no iterative bin-packing state, so it scales as one
+    * shuffle on the pack key and is hash-checkable.
+    */
+  val llmPackChunks: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
+      .select($"source", $"doc_id", $"n_tokens",
+        expr("start_off div 256").as("chunk"), $"start_off")
+      .orderBy($"source", $"doc_id")
+  }
+
   // ===== §2.7 function batteries =====
 
   val fnString: Q = (s, dir) => {
@@ -240,8 +259,11 @@ object LlmOps {
   /** Near-dup pairs: exact 3-shingle Jaccard >= 0.6. */
   val llmDedupNear: Q = (s, dir) => {
     import s.implicits._
+    // pround4, not round: the Jaccard ratio is a small-integer quotient and
+    // can land exactly on a 4-decimal half boundary, where round(…,4)
+    // resolves differently on Spark vs DuckDB
     jaccardPairs(s, dir, 0.6)
-      .select($"d1", $"d2", round($"j", 4).as("jaccard"))
+      .select($"d1", $"d2", pround4($"j").as("jaccard"))
       .orderBy($"d1", $"d2")
   }
 
@@ -627,6 +649,7 @@ object LlmOps {
     "llm_dedup_near" -> llmDedupNear,
     "llm_dedup_embed" -> llmDedupEmbed,
     "llm_ngram_jaccard" -> llmNgramJaccard,
+    "llm_pack_chunks" -> llmPackChunks,
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_dedup_simhash" -> llmDedupSimhash,
     "llm_sim_search" -> llmSimSearch,

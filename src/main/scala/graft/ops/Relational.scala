@@ -476,6 +476,31 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** Running DISTINCT count per partition — a window Spark (and standard
+    * SQL) cannot express as `count(DISTINCT) OVER`: flag each (supplier,
+    * part)'s first occurrence with an inner row_number, then running-sum
+    * the flags. Identical formulation on both engines ⇒ hash-stable.
+    */
+  val winRunningDistinct: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_suppkey", $"l_partkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+    // (l_orderkey, l_linenumber) is NOT unique in this data — l_partkey
+    // joins every ordering to make it total, or the running sums at ties
+    // accumulate in engine-dependent order
+    val wFirst = Window.partitionBy($"l_suppkey", $"l_partkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey")
+    val wRun = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.withColumn("first_seen", when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("distinct_parts_so_far", sum($"first_seen").over(wRun))
+      .filter($"l_suppkey" <= 20) // bounded output, full window math upstream
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        $"l_partkey", $"distinct_parts_so_far")
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey")
+  }
+
   val aggStats: Q = (s, dir) => {
     import s.implicits._
     Tables.orders(s, dir)
@@ -785,6 +810,7 @@ object Relational {
     "agg_stats" -> aggStats,
     "agg_median_mode" -> aggMedianMode,
     "src_csv" -> srcCsv,
+    "win_running_distinct" -> winRunningDistinct,
     "agg_pivot" -> aggPivot,
     "agg_corr" -> aggCorr,
     "agg_listagg" -> aggListagg,

@@ -104,6 +104,20 @@ object GraphOracle {
          |FROM p2 LEFT JOIN (SELECT dst, 1 AS h1 FROM p1) h ON p2.dst = h.dst
          |ORDER BY part""".stripMargin,
 
+    "graph_khop_3" ->
+      s"""WITH $edgesCte,
+         |cohort AS (SELECT c_custkey AS src FROM customer WHERE c_mktsegment = 'MACHINERY'),
+         |p1 AS (SELECT DISTINCT dst FROM e JOIN cohort USING (src)),
+         |c2 AS (SELECT DISTINCT src FROM e JOIN p1 USING (dst)),
+         |p2 AS (SELECT DISTINCT dst FROM e JOIN c2 USING (src)),
+         |c3 AS (SELECT DISTINCT src FROM e JOIN p2 USING (dst)),
+         |p3 AS (SELECT DISTINCT dst FROM e JOIN c3 USING (src))
+         |SELECT p3.dst AS part, CAST(coalesce(h1.h, h2.h, 3) AS BIGINT) AS hop
+         |FROM p3
+         |LEFT JOIN (SELECT dst, 1 AS h FROM p1) h1 ON p3.dst = h1.dst
+         |LEFT JOIN (SELECT dst, 2 AS h FROM p2) h2 ON p3.dst = h2.dst
+         |ORDER BY part""".stripMargin,
+
     "graph_triangles" ->
       s"""WITH $copurchaseCte
          |SELECT

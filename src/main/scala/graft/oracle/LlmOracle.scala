@@ -116,7 +116,7 @@ object LlmOracle {
 
     "llm_dedup_near" ->
       s"""WITH $jaccardPairs
-         |SELECT d1, d2, round(j, 4) AS jaccard
+         |SELECT d1, d2, floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM jac WHERE j >= 0.6 ORDER BY d1, d2""".stripMargin,
 
     "llm_ngram_jaccard" ->
@@ -144,6 +144,19 @@ object LlmOracle {
         |SELECT vec_id, CAST(label AS BIGINT) AS label
         |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY vec_id""".stripMargin,
+
+    "llm_pack_chunks" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+        |      AS start_off
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens, start_off // 256 AS chunk, start_off
+        |FROM o ORDER BY source, doc_id""".stripMargin,
 
     "llm_dedup_minhash" ->
       s"""WITH $jaccardPairs,

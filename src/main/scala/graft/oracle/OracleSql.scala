@@ -155,6 +155,20 @@ object OracleSql {
         | AND epoch_ms(e2.ts) <= epoch_ms(e1.ts) + 3600000
         |ORDER BY id1, id2""".stripMargin,
 
+    "win_running_distinct" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, l_partkey, l_shipdate, l_orderkey, l_linenumber,
+        |    CASE WHEN row_number() OVER (PARTITION BY l_suppkey, l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM lineitem)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+        |  CAST(sum(first_seen) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS distinct_parts_so_far
+        |FROM li WHERE l_suppkey <= 20
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin,
+
     "agg_median_mode" ->
       """WITH med AS (
         |  SELECT o_orderpriority,

@@ -72,19 +72,24 @@ object LlmOps {
 
   /** Word-BIGRAM Jaccard similarity, top-20 doc pairs (the n-gram-Jaccard
     * member of the dedup family; `llm_dedup_near` is the 3-gram ≥ τ
-    * variant). The bigram equi-join is the blocking; `pround4` because a
-    * small-integer ratio can land exactly on a round(…,4) half boundary.
+    * variant). Pairs are BLOCKED to the same source on top of the bigram
+    * equi-join — bigrams alone are too common to bound the pair stream
+    * (measured ~10× the cost of the whole 3-gram op at sf0.1); blocking
+    * before pairing is the posture every pair op here takes at scale.
+    * `pround4` because a small-integer ratio can land exactly on a
+    * round(…,4) half boundary.
     */
   val llmNgramJaccard: Q = (s, dir) => {
     import s.implicits._
     import org.apache.spark.sql.GraftSqlBridge
     val bi = Tables.documents(s, dir)
       .filter(size(split($"text", " ")) >= 2)
-      .select($"doc_id", GraftSqlBridge.column(
+      .select($"doc_id", $"source", GraftSqlBridge.column(
         graft.expr.ShingleGen(GraftSqlBridge.expression($"text"), 2)).as("s"))
       .distinct()
     val sizes = bi.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    bi.as("a").join(bi.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+    bi.as("a").join(bi.as("b"),
+        $"a.s" === $"b.s" && $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("common"))
       .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")

@@ -120,15 +120,16 @@ object LlmOracle {
          |FROM jac WHERE j >= 0.6 ORDER BY d1, d2""".stripMargin,
 
     "llm_ngram_jaccard" ->
-      """WITH bh AS (SELECT doc_id,
+      """WITH bh AS (SELECT doc_id, source,
         |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
         |      i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1]))) AS s
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
-        |bex AS (SELECT doc_id, unnest(s) AS s FROM bh),
+        |bex AS (SELECT doc_id, source, unnest(s) AS s FROM bh),
         |bsizes AS (SELECT doc_id, len(s) AS n FROM bh),
         |bpairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        |  FROM bex a JOIN bex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM bex a JOIN bex b
+        |    ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT d1, d2, common,
         |  floor((common / (s1.n + s2.n - common)) * 10000.0 + 0.5) / 10000.0 AS jaccard

@@ -251,6 +251,26 @@ object Relational {
       .orderBy($"hour")
   }
 
+  /** Skew-salted join, graded for correctness: lineitem keyed on
+    * l_returnflag (3 distinct values — maximal skew, a plain hash join puts
+    * a third of the table on one reducer) joined to a per-flag dim through
+    * [[graft.api.Skew.saltedJoin]] with 8 salts, so each heavy key spreads
+    * over 8 tasks. The oracle is the PLAIN join — salting must be
+    * result-invariant.
+    */
+  val joinSkewSalted: Q = (s, dir) => {
+    import s.implicits._
+    val dim = Seq(("A", "returned"), ("N", "ok"), ("R", "refunded"))
+      .toDF("flag", "flag_desc")
+    val probe = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag".as("flag"),
+        $"l_quantity".cast("long").as("qty"))
+    graft.api.Skew.saltedJoin(probe, dim, "flag", salts = 8)
+      .groupBy($"flag", $"flag_desc")
+      .agg(count(lit(1)).as("n"), sum($"qty").as("sum_qty"))
+      .orderBy($"flag")
+  }
+
   /** As-of join — no built-in Spark exec: for each purchase event, the
     * latest click of the same user at or before it (attribution). The
     * distributed formulation is the union+window trick: tag both sides,
@@ -796,6 +816,7 @@ object Relational {
     "join_anti" -> joinAnti,
     "join_theta_range" -> joinThetaRange,
     "join_theta_rule" -> joinThetaRule,
+    "join_skew_salted" -> joinSkewSalted,
     "join_asof" -> joinAsof,
     "join_asof_exec" -> joinAsofExec,
     "join_cross" -> joinCross,

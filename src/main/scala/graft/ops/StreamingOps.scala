@@ -282,6 +282,27 @@ object StreamingOps {
   def tumblingStream(s: SparkSession, dir: String): DataFrame =
     tumblingCore(eventsStream(s, dir).withWatermark("ts", "10 minutes"))
 
+  /** foreachBatch parquet sink: the streaming materialized-view write path
+    * (the reference's serving tables, rebuilt incrementally). Each
+    * micro-batch delivers the UPDATED window rows; foreachBatch upserts
+    * them into a parquet dir partitioned by window start, overwriting only
+    * the partitions the batch touched (dynamic partition overwrite — the
+    * idempotent replay-safe upsert at any scale). Returns the sink path;
+    * StreamingSpec asserts the final table equals the batch twin.
+    */
+  def tumblingToParquet(s: SparkSession, dir: String): String = {
+    val out = s"${graft.Scratch.dir("stream_mview")}/tumbling"
+    val q = tumblingStream(s, dir).writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write.mode("overwrite").partitionBy("ws_ms").parquet(out)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    out
+  }
+
   def slidingStream(s: SparkSession, dir: String): DataFrame =
     slidingCore(eventsStream(s, dir).withWatermark("ts", "10 minutes"))
 

@@ -155,6 +155,14 @@ object OracleSql {
         | AND epoch_ms(e2.ts) <= epoch_ms(e1.ts) + 3600000
         |ORDER BY id1, id2""".stripMargin,
 
+    "join_skew_salted" ->
+      """WITH dim(flag, flag_desc) AS (
+        |  VALUES ('A', 'returned'), ('N', 'ok'), ('R', 'refunded'))
+        |SELECT l_returnflag AS flag, flag_desc, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN dim ON l_returnflag = dim.flag
+        |GROUP BY 1, 2 ORDER BY flag""".stripMargin,
+
     "win_running_distinct" ->
       """WITH li AS (
         |  SELECT l_suppkey, l_partkey, l_shipdate, l_orderkey, l_linenumber,

@@ -59,6 +59,14 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("foreachBatch parquet materialized view equals the batch twin") {
+    val out = StreamingOps.tumblingToParquet(spark, sf)
+    val batch = SparkEntry.queries("stream_tumbling")(spark, sf)
+    val sunk = spark.read.parquet(out)
+      .select(batch.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(sortedRows(sunk) === sortedRows(batch))
+  }
+
   test("stream_join: stream-stream attribution join equals batch twin") {
     val batch = SparkEntry.queries("stream_join")(spark, sf)
     val stream = runStream(StreamingOps.attributionStream(spark, sf), OutputMode.Append)

@@ -22,6 +22,22 @@ object TextPipeline {
         GraftSqlBridge.column(ShingleGen(GraftSqlBridge.expression(text), n)).as("s"))
       .distinct()
 
+  /** Concat-and-chunk sequence packing (the standard LLM-pretraining
+    * packing): within each group, docs concatenate in id order and split at
+    * fixed `contextTokens` boundaries; chunk = running start offset div C.
+    * Pure window arithmetic — one shuffle on the group key, no iterative
+    * bin state.
+    */
+  def packChunks(docs: DataFrame, group: Column, id: Column, text: Column,
+                 contextTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(group.as("grp"), id.as("id"),
+        size(split(text, " ")).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("chunk", expr(s"start_off div $contextTokens"))
+  }
+
   /** Exact dedup groups on normalized text hash; min id survives. */
   def dedupExact(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.groupBy(sha2(lower(trim(text)), 256).as("h"))

@@ -203,6 +203,20 @@ object GraphOps {
       .orderBy($"part")
   }
 
+  /** The SAME connected components WITHOUT GraphX: pure-DataFrame min-label
+    * propagation to the fixpoint ([[graft.api.GraphAlgebra.connectedComponentsDf]])
+    * — proves the engine's whole-graph fixpoints don't require leaving
+    * Catalyst, and is hash-checked against the same recursive oracle as
+    * `graph_cc`.
+    */
+  val graphCcDf: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).filter($"w" >= 2).select($"a", $"b")
+    graft.api.GraphAlgebra.connectedComponentsDf(partVertices(s, dir).toDF("part"), cp)
+      .select($"id".as("part"), $"comp")
+      .orderBy($"part")
+  }
+
   /** Single-source BFS hops from part 1 over the undirected co-purchase
     * graph, capped at 6 hops (GraphX Pregel/ShortestPaths; oracle = bounded
     * recursive BFS with min(depth)).
@@ -215,77 +229,15 @@ object GraphOps {
       .orderBy($"part")
   }
 
-  /** Rank mass carried as a scaled BIGINT (1e12 = total mass 1.0): every
-    * iteration is exact integer arithmetic (`div` truncation ≡ DuckDB `//`
-    * on non-negative values), so the fixed-point chain is bit-identical on
-    * both engines and PageRank becomes hash-checkable — unlike float
-    * iteration, where summation order drifts (SURVEY.md §2.6).
-    */
-  private val PrScale = 1000000000000L
-
-  /** Shared fixed-iteration power-iteration core over the undirected
-    * co-purchase graph. `personalized = Some(src)` teleports all reset mass
-    * to the source (PPR); `None` spreads it uniformly (global PageRank).
-    *
-    * Scale shape: per iteration ONE shuffle — ranks (|V| rows, tiny vs
-    * edges) join the degree-annotated edge list and partial-aggregate
-    * map-side into per-vertex contribution sums. The edge subtree is
-    * identical across iterations, so its exchange is computed once and
-    * reused (ReuseExchange); AQE broadcasts the small ranks side at runtime.
+  /** Exact integer power iteration over the undirected co-purchase graph —
+    * the oracle-checkable fixed point. Core lives in the public API
+    * ([[graft.api.GraphAlgebra.pageRankExact]]); this adapter feeds it the
+    * TPC-H-derived graph.
     */
   private def pagerankRanks(s: SparkSession, dir: String, iters: Int,
-                            personalized: Option[Long]): DataFrame = {
-    import s.implicits._
-    // materialize the edge list ONCE: every iteration streams it again, and
-    // without this the lineitem self-join underneath re-executes per
-    // iteration AND once more for the degree aggregation. At cluster scale
-    // this is the standard "persist the invariant side of an iterative job"
-    // move. Degrees then derive from the checkpointed edges (one cheap agg)
-    // and rejoin as a broadcast.
-    val both = copurchaseBoth(s, dir).localCheckpoint()
-    val deg = both.groupBy($"a".as("v")).agg(count(lit(1)).as("deg"))
-    val ed = both.join(broadcast(deg), $"a" === $"v")
-      .select($"a".as("esrc"), $"b".as("edst"), $"deg")
-      .localCheckpoint() // iterations scan this verbatim 10×; keep it a pure cached read
-    val parts = partVertices(s, dir).select($"p_partkey".as("part"))
-    // one row; materialized once so the per-iteration crossJoin doesn't
-    // rescan the vertex table just to rebroadcast a constant
-    val nDf = parts.agg(count(lit(1)).as("n")).localCheckpoint()
-    // Iterate over ACTIVE vertices only (deg >= 1). The graph is symmetric,
-    // so every active vertex receives at least one contribution row per
-    // iteration — no outer join against the full vertex table needed, and
-    // each iteration is exactly one broadcast join over |E| plus one
-    // partial+final aggregation. Isolated vertices hold the constant reset
-    // rank and are unioned back at the end. |V| ≪ |E| justifies the
-    // broadcast hint; a billion-vertex graph would drop the hint (SMJ) or
-    // take the GraphX Pregel path instead.
-    val resetOf: Column => Column = personalized match {
-      case Some(src) => v => when(v === src, lit(PrScale * 15 / 100)).otherwise(lit(0L))
-      case None => _ => expr(s"${PrScale * 15} div (n * 100)")
-    }
-    var ranks: DataFrame = personalized match {
-      case Some(src) => deg.select($"v".as("part"),
-        when($"v" === src, lit(PrScale)).otherwise(lit(0L)).as("r"))
-      case None => deg.crossJoin(broadcast(nDf))
-        .select($"v".as("part"), expr(s"$PrScale div n").as("r"))
-    }
-    for (_ <- 1 to iters) {
-      val csums = ed.join(broadcast(ranks), $"esrc" === $"part")
-        .groupBy($"edst").agg(sum(expr("r div deg")).as("csum"))
-      val withN = if (personalized.isEmpty) csums.crossJoin(broadcast(nDf)) else csums
-      // truncate the lineage every superstep (|V| rows — cheap): without
-      // this the plan deepens by a join+agg per iteration and AQE re-runs
-      // the optimizer over the whole accumulated tree at every stage
-      // boundary — planning, not data, became the dominant cost
-      ranks = withN.select($"edst".as("part"),
-        (resetOf($"edst") + expr("csum * 85 div 100")).as("r"))
-        .localCheckpoint()
-    }
-    val isolated = parts.join(deg, $"part" === $"v", "left_anti")
-    val isoRanks = (if (personalized.isEmpty) isolated.crossJoin(broadcast(nDf)) else isolated)
-      .select($"part", resetOf($"part").as("r"))
-    ranks.unionAll(isoRanks)
-  }
+                            personalized: Option[Long]): DataFrame =
+    graft.api.GraphAlgebra.pageRankExact(
+      partVertices(s, dir).toDF("part"), copurchaseBoth(s, dir), iters, personalized)
 
   /** PageRank top-20 parts, 10 fixed iterations, d = 0.85, on the undirected
     * co-purchase graph — exact scaled-integer power iteration, DuckDB-oracle
@@ -438,6 +390,7 @@ object GraphOps {
     "graph_ppr" -> graphPpr,
     "graph_tag_similarity" -> graphTagSimilarity,
     "graph_cc" -> graphCc,
+    "graph_cc_df" -> graphCcDf,
     "graph_sssp" -> graphSssp,
     "graph_pagerank" -> graphPagerank,
     "graph_edge_filter" -> graphEdgeFilter,

@@ -129,13 +129,10 @@ object LlmOps {
     */
   val llmPackChunks: Q = (s, dir) => {
     import s.implicits._
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
-      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("n_tokens"))
-      .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
-      .select($"source", $"doc_id", $"n_tokens",
-        expr("start_off div 256").as("chunk"), $"start_off")
+    graft.api.TextPipeline.packChunks(
+        Tables.documents(s, dir), $"source", $"doc_id", $"text", contextTokens = 256)
+      .select($"grp".as("source"), $"id".as("doc_id"), $"n_tokens",
+        $"chunk", $"start_off")
       .orderBy($"source", $"doc_id")
   }
 

@@ -182,6 +182,18 @@ object GraphOracle {
          |SELECT node AS part, min(label) AS comp
          |FROM reach GROUP BY node ORDER BY part""".stripMargin,
 
+    // same fixpoint, pure-DataFrame implementation — same oracle
+    "graph_cc_df" ->
+      s"""WITH RECURSIVE $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp WHERE w >= 2
+         |       UNION ALL SELECT b, a FROM cp WHERE w >= 2),
+         |reach(node, label) AS (
+         |  SELECT p_partkey, p_partkey FROM part
+         |  UNION
+         |  SELECT e2.b, reach.label FROM reach JOIN e2 ON e2.a = reach.node)
+         |SELECT node AS part, min(label) AS comp
+         |FROM reach GROUP BY node ORDER BY part""".stripMargin,
+
     "graph_sssp" ->
       s"""WITH RECURSIVE $copurchaseCte,
          |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),

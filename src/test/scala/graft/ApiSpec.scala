@@ -139,4 +139,44 @@ class ApiSpec extends SparkSpec {
     val res = VectorIndex.ivfSearch(assigned, probeId = 2L, k = 2).collect()
     assert(res.map(_.getLong(0)).toSet === Set(0L, 3L)) // own cluster only
   }
+
+  test("GraphAlgebra.pageRankExact: hub of a star graph tops the ranking") {
+    import spark.implicits._
+    // star: 1 <-> {2,3,4,5}; both directions
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val both = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+    val vertices = (1L to 6L).toDF("part") // 6 is isolated
+    val ranks = GraphAlgebra.pageRankExact(vertices, both, iters = 10, personalized = None)
+      .orderBy($"r".desc, $"part").collect()
+    assert(ranks.head.getLong(0) === 1L, "hub should rank first")
+    // isolated vertex holds exactly the constant reset mass (1e12*15/100/600)
+    val iso = ranks.find(_.getLong(0) === 6L).get.getLong(1)
+    assert(iso === GraphAlgebra.PrScale * 15 / (6 * 100))
+    // total mass is conserved up to truncation loss (never exceeds 1e12)
+    assert(ranks.map(_.getLong(1)).sum <= GraphAlgebra.PrScale)
+  }
+
+  test("GraphAlgebra.connectedComponentsDf equals GraphX on the co-purchase graph") {
+    import spark.implicits._
+    val batch = SparkEntry.queries("graph_cc")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val df = SparkEntry.queries("graph_cc_df")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(df === batch)
+  }
+
+  test("TextPipeline.packChunks: offsets are gapless per group and chunks consistent") {
+    import spark.implicits._
+    val packed = TextPipeline.packChunks(
+      Tables.documents(spark, sf), $"source", $"doc_id", $"text", contextTokens = 128)
+    packed.orderBy($"grp", $"id").collect()
+      .groupBy(_.getString(0)).foreach { case (_, rows) =>
+        var expectOff = 0L
+        rows.foreach { r =>
+          assert(r.getLong(r.fieldIndex("start_off")) === expectOff)
+          assert(r.getLong(r.fieldIndex("chunk")) === expectOff / 128)
+          expectOff += r.getLong(r.fieldIndex("n_tokens"))
+        }
+      }
+  }
 }

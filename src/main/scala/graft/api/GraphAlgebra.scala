@@ -185,8 +185,17 @@ object GraphAlgebra {
     while (changed > 0) {
       val nbrMin = both.join(broadcast(labels), col("a") === col("id"))
         .groupBy(col("b").as("nid")).agg(min(col("lbl")).as("nmin"))
-      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
+      val cand = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      // pointer jumping: also adopt the label OF the current label — takes
+      // round count from O(diameter) to O(log diameter); the invariant
+      // (label = id of a same-component vertex, monotonically decreasing)
+      // is preserved, so the fixpoint is the same min-id labeling
+      val next = cand.as("x").join(broadcast(cand.as("y")),
+          col("x.lbl") === col("y.id"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"))
         .localCheckpoint()
       changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.lbl") =!= col("o.lbl")).count()

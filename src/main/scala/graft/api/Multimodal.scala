@@ -70,6 +70,32 @@ object Multimodal {
     }
   }
 
+  case class AudioWindow(id: Long, win_idx: Long, energy: Long)
+
+  /** Audio-style OVERLAPPING windowing: fixed `windowBytes` windows every
+    * `stride` bytes (stride < window ⇒ overlap), full windows only, with a
+    * per-window energy proxy (byte sum — STUB for a real RMS/spectral
+    * feature). Same single partition-local generator pass as
+    * [[sampleFrames]]; a real audio pipeline swaps the energy body for the
+    * DSP kernel and nothing else moves.
+    */
+  def windowEnergy(payloads: Dataset[Payload], windowBytes: Int, stride: Int): Dataset[AudioWindow] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { p =>
+        val n = if (p.payload.length < windowBytes) 0
+                else (p.payload.length - windowBytes) / stride + 1
+        (0 until n).iterator.map { i =>
+          var s = 0L
+          var j = i * stride
+          val end = i * stride + windowBytes
+          while (j < end) { s += (p.payload(j) & 0xff); j += 1 }
+          AudioWindow(p.id, i.toLong, s)
+        }
+      }
+    }
+  }
+
   /** Stub feature extraction: per-frame digest + energy (sum of bytes) —
     * the aggregation shape of a real embedding pass.
     */

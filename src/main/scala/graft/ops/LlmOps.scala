@@ -638,8 +638,24 @@ object LlmOps {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** Audio-style overlapping windows (32-byte windows, 16-byte stride) with
+    * a per-window energy proxy, via [[graft.api.Multimodal.windowEnergy]].
+    * The documents text is ASCII, so the byte-sum energy has an exact
+    * character-code oracle (`ord` in DuckDB).
+    */
+  val mmAudioWindow: Q = (s, dir) => {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .select($"doc_id".as("id"), $"text".cast("binary").as("payload"))
+      .as[graft.api.Multimodal.Payload]
+    graft.api.Multimodal.windowEnergy(payloads, windowBytes = 32, stride = 16)
+      .toDF("doc_id", "win_idx", "energy")
+      .orderBy($"doc_id", $"win_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_frame_sample" -> mmFrameSample,
+    "mm_audio_window" -> mmAudioWindow,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,

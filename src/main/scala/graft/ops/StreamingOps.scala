@@ -251,8 +251,16 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), Relational.msum($"value").as("sum_value"))
       .select(unix_millis($"w.start").as("ws_ms"), $"n", $"sum_value")
     val name = s"late_${System.nanoTime()}"
-    val query = stream.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update).start()
+    // the windowed agg's STATE STORE count = shuffle partitions at query
+    // start; at the bench's 32 that is 32 state stores for a handful of
+    // window groups — scope it down for this query, restore after (the
+    // streaming runtime pins the value from its first micro-batch)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val query =
+      try stream.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       query.processAllAvailable() // batch 1: watermark -> maxTs - 10 min
       e.filter(unix_millis($"ts") < cut - 3600000L).write.mode("append").parquet(inDir)

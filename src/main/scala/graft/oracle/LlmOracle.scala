@@ -350,6 +350,17 @@ object LlmOracle {
         |WHERE x.i % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // overlapping 32-byte windows every 16 bytes, energy = byte sum (ASCII
+    // text ⇒ ord(char) == byte value)
+    "mm_audio_window" ->
+      """SELECT doc_id, CAST(x.i AS BIGINT) AS win_idx,
+        |  CAST(list_aggregate(list_transform(range(1, 33),
+        |    j -> ord(substr(text, CAST(x.i * 16 + j AS INT), 1))), 'sum') AS BIGINT) AS energy
+        |FROM documents t,
+        |  LATERAL (SELECT unnest(range(0,
+        |    greatest(0, (octet_length(CAST(t.text AS BLOB)) - 32) // 16 + 1))) AS i) x
+        |ORDER BY doc_id, win_idx""".stripMargin,
+
     "mm_decode_stub" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -126,4 +126,65 @@ object PropertySpec extends Properties("graft") {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         got == expected
     }
+
+  property("DataFrame CC (pointer jumping) equals GraphX CC on random graphs") =
+    forAll(Gen.chooseNum(2, 8), Gen.listOf(Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 7L)))) {
+      (n, edgesRaw) =>
+        val vertices = (0L until n.toLong).toList
+        val edges = edgesRaw.map { case (a, b) => (a % n, b % n) }
+          .filter(e => e._1 != e._2)
+          .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+        val graphx = graph.GraphBridge.connectedComponents(
+          spark, vertices.toDF("id"), edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val df = api.GraphAlgebra.connectedComponentsDf(
+          vertices.toDF("part"), edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        df == graphx
+    }
+
+  property("salted join equals the plain join for any salt count") =
+    forAll(Gen.chooseNum(2, 16),
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 100L)))) {
+      (salts, rows) =>
+        val probe = rows.toDF("k", "v")
+        val build = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "tag")
+        val salted = api.Skew.saltedJoin(probe, build, "k", salts)
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+        val plain = probe.join(build, "k")
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+        salted == plain
+    }
+
+  property("SortedMapDot is commutative and matches a reference fold") =
+    forAll(Gen.listOf(Gen.zip(Gen.stringOfN(1, Gen.alphaLowerChar), Gen.chooseNum(1L, 50L))),
+      Gen.listOf(Gen.zip(Gen.stringOfN(1, Gen.alphaLowerChar), Gen.chooseNum(1L, 50L)))) {
+      (m1raw, m2raw) =>
+        val m1 = m1raw.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        val m2 = m2raw.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        val expected = m1.map { case (k, v) => v * m2.getOrElse(k, 0L) }.sum
+        val df = Seq((m1.toSeq.sortBy(_._1), m2.toSeq.sortBy(_._1))).toDF("a", "b")
+        val ab = df.select(graft.expr.MapDot.sortedMapDot(col("a"), col("b"))).head().getLong(0)
+        val ba = df.select(graft.expr.MapDot.sortedMapDot(col("b"), col("a"))).head().getLong(0)
+        ab == expected && ba == expected
+    }
+
+  property("packChunks: per-group offsets are gapless and chunk = off div C") =
+    forAll(Gen.chooseNum(8, 64),
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 2), text))) { (c, docsRaw) =>
+      val docs = docsRaw.zipWithIndex.map { case ((g, t), i) => (s"g$g", i.toLong, t) }
+        .toDF("source", "doc_id", "text")
+      val packed = api.TextPipeline.packChunks(
+          docs, col("source"), col("doc_id"), col("text"), c)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      packed.groupBy(_._1).forall { case (_, rows) =>
+        val sorted = rows.sortBy(_._2)
+        var off = 0L
+        sorted.forall { case (_, _, nTok, startOff, chunk) =>
+          val ok = startOff == off && chunk == off / c
+          off += nTok
+          ok
+        }
+      }
+    }
 }

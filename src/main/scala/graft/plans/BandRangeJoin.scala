@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.unsafe.types.CalendarInterval
 
 /** Optimizer rule: rewrite a pure range (theta) inner join whose condition
   * bounds `leftTime - rightTime` inside a finite window into a BANDED
@@ -32,14 +33,39 @@ import org.apache.spark.sql.types.LongType
   */
 object BandRangeJoinRule extends Rule[LogicalPlan] {
 
-  /** e as (attribute, additive offset): a, a+c, a-c, c+a. */
+  /** Fixed-length micros of a calendar interval (reject month components —
+    * not a constant duration; days accepted as 86400 s, valid in the
+    * engine's UTC sessions).
+    */
+  private def intervalMicros(i: CalendarInterval): Option[Long] =
+    if (i.months != 0) None
+    else Some(i.days * 86400000000L + i.microseconds)
+
+  /** e as (attribute, additive offset) in the attribute's integer domain:
+    * bigint attrs with long-literal offsets, or timestamp attrs with
+    * constant-interval offsets (micros domain).
+    */
   private def linear(e: Expression): Option[(Attribute, Long)] = e match {
     case a: AttributeReference if a.dataType == LongType => Some((a, 0L))
+    case a: AttributeReference if a.dataType == TimestampType => Some((a, 0L))
     case Add(a: AttributeReference, Literal(v: Long, LongType), _) => Some((a, v))
     case Add(Literal(v: Long, LongType), a: AttributeReference, _) => Some((a, v))
     case Subtract(a: AttributeReference, Literal(v: Long, LongType), _) => Some((a, -v))
+    // ANSI interval literals are DayTimeIntervalType (a micros long);
+    // legacy CalendarInterval appears from older parsers
+    case TimestampAddInterval(a: AttributeReference,
+        Literal(v: Long, _: org.apache.spark.sql.types.DayTimeIntervalType), _) =>
+      Some((a, v))
+    case TimestampAddInterval(a: AttributeReference, Literal(i: CalendarInterval, _), _) =>
+      intervalMicros(i).map(m => (a, m))
     case _ => None
   }
+
+  /** The attribute in its integer comparison domain: bigint as-is,
+    * timestamp as epoch micros.
+    */
+  private def asLong(a: Attribute): Expression =
+    if (a.dataType == TimestampType) UnixMicros(a) else a
 
   private def splitConj(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConj(a) ++ splitConj(b)
@@ -91,16 +117,17 @@ object BandRangeJoinRule extends Rule[LogicalPlan] {
             k -> (bs.flatMap(_._3).sorted.lastOption, bs.flatMap(_._4).sorted.headOption)
           }
         bounds.collectFirst {
-          case ((la, ra), (Some(lo), Some(hi))) if hi > lo => (la, ra, lo, hi)
+          case ((la, ra), (Some(lo), Some(hi)))
+            if hi > lo && la.dataType == ra.dataType => (la, ra, lo, hi)
         } match {
           case None => j
           case Some((la, ra, lo, hi)) =>
             val w = Literal(hi - lo, LongType)
-            val bandL = Alias(IntegralDivide(la, w), "graft_band_l")()
+            val bandL = Alias(IntegralDivide(asLong(la), w), "graft_band_l")()
             val leftP = Project(l.output :+ bandL, l)
             val bands = ArrayDistinct(CreateArray(Seq(
-              IntegralDivide(Add(ra, Literal(lo, LongType)), w),
-              IntegralDivide(Add(ra, Literal(hi, LongType)), w))))
+              IntegralDivide(Add(asLong(ra), Literal(lo, LongType)), w),
+              IntegralDivide(Add(asLong(ra), Literal(hi, LongType)), w))))
             val bandR = AttributeReference("graft_band_r", LongType, nullable = true)()
             val rightG = Generate(Explode(bands), unrequiredChildIndex = Nil,
               outer = false, qualifier = None, generatorOutput = Seq(bandR), r)

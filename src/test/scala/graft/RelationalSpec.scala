@@ -138,6 +138,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("BandRangeJoinRule also bands TIMESTAMP interval range joins") {
+    import spark.implicits._
+    graft.plans.BandRangeJoin.install(spark)
+    val e = Tables.events(spark, sf).select($"event_id", $"ts")
+    val l = e.select($"event_id".as("id1"), $"ts".as("t1"))
+    val r = e.select($"event_id".as("id2"), $"ts".as("t2"))
+    val joined = l.join(r,
+      $"t2" > $"t1" && $"t2" <= $"t1" + expr("INTERVAL 10 MINUTES"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"timestamp range join was not banded:\n$plan")
+    // exactness vs the ms-domain brute force
+    val got = joined.count()
+    val ms = Tables.events(spark, sf).select(unix_millis($"ts").as("t"))
+    val brute = ms.as("a").crossJoin(ms.select($"t".as("t2")).as("b"))
+      .filter($"t2" > $"t" && $"t2" <= $"t" + 600000L).count()
+    assert(got === brute)
+  }
+
   test("join_theta_rule: optimizer bands the range join away from nested-loop") {
     import spark.implicits._
     val df = SparkEntry.queries("join_theta_rule")(spark, sf)

@@ -96,6 +96,38 @@ object Relational {
     s.read.parquet(out).orderBy($"o_orderkey")
   }
 
+  /** MERGE-INTO semantics in batch (the reference's node-state upsert as a
+    * set operation): current per-customer state (orders before 1997) merged
+    * with an update batch (1997+) — matched rows update (counts/sums add),
+    * unmatched-right rows insert, each row labeled with its merge action.
+    * Written through the parquet sink and re-read, so the op proves the
+    * whole upsert→persist→serve path; at scale this is the
+    * partition-overwrite (or Delta MERGE) job shape.
+    */
+  val sinkMergeUpsert: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val cutoff = to_timestamp(lit("1997-01-01 00:00:00"))
+    val cur = o.filter($"o_orderdate" < cutoff)
+      .groupBy($"o_custkey".as("ck")).agg(
+        count(lit(1)).as("n0"), sum(scaled($"o_totalprice")).as("t0"))
+    val upd = o.filter($"o_orderdate" >= cutoff)
+      .groupBy($"o_custkey".as("uk")).agg(
+        count(lit(1)).as("n1"), sum(scaled($"o_totalprice")).as("t1"))
+    val merged = cur.join(upd, $"ck" === $"uk", "full")
+      .select(
+        coalesce($"ck", $"uk").as("custkey"),
+        (coalesce($"n0", lit(0L)) + coalesce($"n1", lit(0L))).as("n_orders"),
+        ((coalesce($"t0", lit(0L)) + coalesce($"t1", lit(0L))).cast("double") / 10000.0)
+          .as("total_price"),
+        when($"ck".isNull, lit("inserted"))
+          .when($"uk".isNull, lit("unchanged"))
+          .otherwise(lit("updated")).as("merge_action"))
+    val out = s"${graft.Scratch.dir("sink_merge")}/state"
+    merged.write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy($"custkey")
+  }
+
   // ===== §2.2 projections / filters =====
 
   val filterBasic: Q = (s, dir) => {
@@ -805,6 +837,7 @@ object Relational {
     "scan_pruned" -> scanPruned,
     "src_json_props" -> srcJsonProps,
     "sink_parquet" -> sinkParquet,
+    "sink_merge_upsert" -> sinkMergeUpsert,
     "filter_basic" -> filterBasic,
     "filter_like" -> filterLike,
     "project_expr" -> projectExpr,

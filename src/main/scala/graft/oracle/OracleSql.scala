@@ -79,6 +79,26 @@ object OracleSql {
         |FROM orders WHERE o_totalprice > 300000
         |ORDER BY o_orderkey""".stripMargin,
 
+    "sink_merge_upsert" ->
+      """WITH cur AS (
+        |  SELECT o_custkey AS ck, count(*) AS n0,
+        |    CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS BIGINT) AS t0
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1),
+        |upd AS (
+        |  SELECT o_custkey AS uk, count(*) AS n1,
+        |    CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS BIGINT) AS t1
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT coalesce(ck, uk) AS custkey,
+        |  coalesce(n0, 0) + coalesce(n1, 0) AS n_orders,
+        |  CAST(coalesce(t0, 0) + coalesce(t1, 0) AS DOUBLE) / 10000.0 AS total_price,
+        |  CASE WHEN ck IS NULL THEN 'inserted'
+        |       WHEN uk IS NULL THEN 'unchanged'
+        |       ELSE 'updated' END AS merge_action
+        |FROM cur FULL OUTER JOIN upd ON ck = uk
+        |ORDER BY custkey""".stripMargin,
+
     // ===== §2.2 filters / projections =====
     "filter_basic" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, l_returnflag, l_linestatus

@@ -559,6 +559,48 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** Per-LABEL top-3 neighbors of the probe via the bounded-heap
+    * [[graft.expr.TopKAgg]] — the 100 TB top-k-similarity shape: O(k) state
+    * per group merged associatively at the exchange, versus a window sort
+    * shuffling every scored row. Oracle = the row_number window formulation
+    * (identical (cos desc, vec_id) tie rule).
+    */
+  val llmSimTopk: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(FloatVec.floatDot($"embedding", $"embedding")))
+    val probe = e.filter($"vec_id" === 42).select($"embedding".as("pe"), $"nrm".as("pn"))
+    val scored = e.filter($"vec_id" =!= 42).crossJoin(broadcast(probe))
+      .select($"label", $"vec_id",
+        round(FloatVec.floatDot($"embedding", $"pe") / ($"nrm" * $"pn"), 4).as("cos"))
+    val topk = graft.expr.TopKAgg.topk(3)
+    scored.groupBy($"label")
+      .agg(topk($"cos", $"vec_id").as("top"))
+      .select($"label".cast("long").as("label"), posexplode($"top").as(Seq("p0", "t")))
+      .select($"label", ($"p0" + 1).cast("long").as("rnk"),
+        $"t._2".as("vec_id"), $"t._1".as("cos"))
+      .orderBy($"label", $"rnk")
+  }
+
+  /** The PRETRAINING pipeline end to end: quality gate → exact dedup →
+    * concat-and-chunk packing → per-(source, chunk) stats, all one Catalyst
+    * plan. Complements [[llmPipelineE2e]] (which ends at per-lang stats)
+    * with the packing tail every LLM data pipeline actually ships.
+    */
+  val llmPipelinePack: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val keepq = docs.filter(size(split($"text", " ")) >= 10)
+    val exactKeep = keepq
+      .groupBy(sha2(lower(trim($"text")), 256).as("h"))
+      .agg(min($"doc_id").as("keep"))
+    val survivors = keepq.join(exactKeep, $"doc_id" === $"keep")
+    graft.api.TextPipeline.packChunks(survivors, $"source", $"doc_id", $"text", 256)
+      .groupBy($"grp".as("source"), $"chunk")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("chunk_tokens"))
+      .orderBy($"source", $"chunk")
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
     * token stream, h = (h·31 + md5₃₂(tok)) mod 1000003 — same left fold on
     * both engines (Spark `aggregate` seeded with the first token ≡ DuckDB
@@ -684,6 +726,8 @@ object LlmOps {
     "llm_rolling_hash" -> llmRollingHash,
     "llm_multimodal_join" -> llmMultimodalJoin,
     "llm_pipeline_e2e" -> llmPipelineE2e,
+    "llm_pipeline_pack" -> llmPipelinePack,
+    "llm_sim_topk" -> llmSimTopk,
     "mm_decode_stub" -> mmDecodeStub
   )
 }

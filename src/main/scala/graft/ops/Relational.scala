@@ -96,6 +96,24 @@ object Relational {
     s.read.parquet(out).orderBy($"o_orderkey")
   }
 
+  /** Partitioned sink + PRUNED re-read: write orders hive-partitioned by
+    * priority, read back ONE partition — the scan must show
+    * PartitionFilters (directory pruning: a 100 TB table reads one
+    * partition's files, not all of them; RelationalSpec asserts it). Oracle
+    * = the same filter over the unpartitioned originals.
+    */
+  val sinkPartitioned: Q = (s, dir) => {
+    import s.implicits._
+    val out = s"${graft.Scratch.dir("sink_partitioned")}/orders"
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    s.read.parquet(out)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
   /** MERGE-INTO semantics in batch (the reference's node-state upsert as a
     * set operation): current per-customer state (orders before 1997) merged
     * with an update batch (1997+) — matched rows update (counts/sums add),
@@ -838,6 +856,7 @@ object Relational {
     "src_json_props" -> srcJsonProps,
     "sink_parquet" -> sinkParquet,
     "sink_merge_upsert" -> sinkMergeUpsert,
+    "sink_partitioned" -> sinkPartitioned,
     "filter_basic" -> filterBasic,
     "filter_like" -> filterLike,
     "project_expr" -> projectExpr,

@@ -146,6 +146,36 @@ object LlmOracle {
         |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY vec_id""".stripMargin,
 
+    "llm_sim_topk" ->
+      """WITH scored AS (
+        |  SELECT e.label, e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], p.embedding::DOUBLE[]), 4) AS cos
+        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 42) p
+        |  WHERE e.vec_id <> 42)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(rn AS BIGINT) AS rnk, vec_id, cos
+        |FROM (
+        |  SELECT label, vec_id, cos,
+        |    row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 3 ORDER BY label, rnk""".stripMargin,
+
+    "llm_pipeline_pack" ->
+      """WITH keepq AS (
+        |  SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 10),
+        |ek AS (
+        |  SELECT min(doc_id) AS keep FROM keepq GROUP BY sha256(lower(trim(text)))),
+        |surv AS (SELECT k.* FROM keepq k JOIN ek ON k.doc_id = ek.keep),
+        |d AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM surv),
+        |o AS (
+        |  SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+        |      AS start_off
+        |  FROM d)
+        |SELECT source, start_off // 256 AS chunk, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+        |FROM o GROUP BY 1, 2 ORDER BY source, chunk""".stripMargin,
+
     "llm_pack_chunks" ->
       """WITH d AS (
         |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens

@@ -79,6 +79,11 @@ object OracleSql {
         |FROM orders WHERE o_totalprice > 300000
         |ORDER BY o_orderkey""".stripMargin,
 
+    "sink_partitioned" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+
     "sink_merge_upsert" ->
       """WITH cur AS (
         |  SELECT o_custkey AS ck, count(*) AS n0,

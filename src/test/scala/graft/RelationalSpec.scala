@@ -157,6 +157,14 @@ class RelationalSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("sink_partitioned: the re-read prunes to one hive partition") {
+    val df = SparkEntry.queries("sink_partitioned")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") && p.contains("1-URGENT"),
+      s"partition pruning missing:\n$p")
+    assert(df.count() > 0)
+  }
+
   test("join_theta_rule: optimizer bands the range join away from nested-loop") {
     import spark.implicits._
     val df = SparkEntry.queries("join_theta_rule")(spark, sf)

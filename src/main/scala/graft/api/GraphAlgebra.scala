@@ -204,6 +204,36 @@ object GraphAlgebra {
     labels.select(col("id"), col("lbl").as("comp"))
   }
 
+  /** Bounded BFS WITHOUT GraphX: frontier expansion in pure DataFrames —
+    * per hop one broadcast join of the (small) frontier into the
+    * checkpointed adjacency, anti-join against the visited set, stop early
+    * when the frontier empties. Output (id, dist) for reachable vertices,
+    * dist = minimum hop count (identical to GraphX ShortestPaths and the
+    * recursive BFS oracle).
+    */
+  def bfsHops(edgesBoth: DataFrame, src: Long, maxHops: Int): DataFrame = {
+    val s = edgesBoth.sparkSession
+    import s.implicits._
+    val adj = edgesBoth.select(col("a"), col("b")).localCheckpoint()
+    var dist = Seq((src, 0L)).toDF("id", "dist").localCheckpoint()
+    var frontier = dist.select(col("id"))
+    var h = 1L
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = adj.join(broadcast(frontier), col("a") === col("id"))
+        .select(col("b").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionAll(next.select(col("id"), lit(h).as("dist"))).localCheckpoint()
+        frontier = next
+        h += 1
+      }
+    }
+    dist
+  }
+
   /** Time-decayed popularity: score = Σ value · exp((day − max_day)/τ days),
     * top-k items. The max-day scalar is broadcast, never collected.
     */

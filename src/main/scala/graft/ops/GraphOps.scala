@@ -239,6 +239,16 @@ object GraphOps {
     graft.api.GraphAlgebra.pageRankExact(
       partVertices(s, dir).toDF("part"), copurchaseBoth(s, dir), iters, personalized)
 
+  /** The SAME bounded BFS WITHOUT GraphX ([[graft.api.GraphAlgebra.bfsHops]]
+    * frontier expansion) — same recursive min-depth oracle as `graph_sssp`.
+    */
+  val graphSsspDf: Q = (s, dir) => {
+    import s.implicits._
+    graft.api.GraphAlgebra.bfsHops(copurchaseBoth(s, dir), src = 1L, maxHops = 6)
+      .select($"id".as("part"), $"dist")
+      .orderBy($"part")
+  }
+
   /** PageRank top-20 parts, 10 fixed iterations, d = 0.85, on the undirected
     * co-purchase graph — exact scaled-integer power iteration, DuckDB-oracle
     * hash-checked. GraphSpec cross-checks the ranking against GraphX
@@ -392,6 +402,7 @@ object GraphOps {
     "graph_cc" -> graphCc,
     "graph_cc_df" -> graphCcDf,
     "graph_sssp" -> graphSssp,
+    "graph_sssp_df" -> graphSsspDf,
     "graph_pagerank" -> graphPagerank,
     "graph_edge_filter" -> graphEdgeFilter,
     "graph_trending" -> graphTrending

@@ -205,6 +205,18 @@ object GraphOracle {
          |SELECT node AS part, CAST(min(d) AS BIGINT) AS dist
          |FROM bfs GROUP BY node ORDER BY part""".stripMargin,
 
+    // same BFS, pure-DataFrame frontier-expansion implementation — same oracle
+    "graph_sssp_df" ->
+      s"""WITH RECURSIVE $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |bfs(node, d) AS (
+         |  SELECT CAST(1 AS BIGINT) AS node, 0 AS d
+         |  UNION
+         |  SELECT e2.b, bfs.d + 1 FROM bfs JOIN e2 ON e2.a = bfs.node
+         |  WHERE bfs.d < 6)
+         |SELECT node AS part, CAST(min(d) AS BIGINT) AS dist
+         |FROM bfs GROUP BY node ORDER BY part""".stripMargin,
+
     "graph_trending" ->
       """WITH e AS (
         |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,

@@ -69,6 +69,12 @@ class GraphSpec extends SparkSpec {
     assert(ours === gx.toLong, s"ours=$ours graphx=$gx")
   }
 
+  test("graph_sssp_df: DataFrame frontier BFS equals GraphX ShortestPaths") {
+    val graphx = q("graph_sssp").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val df = q("graph_sssp_df").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(df === graphx)
+  }
+
   test("graph_pagerank: integer power iteration tracks GraphX staticPageRank") {
     import spark.implicits._
     val ours = q("graph_pagerank").collect().map(_.getLong(0)).toSeq

@@ -239,6 +239,31 @@ object GraphOps {
     graft.api.GraphAlgebra.pageRankExact(
       partVertices(s, dir).toDF("part"), copurchaseBoth(s, dir), iters, personalized)
 
+  /** WEIGHTED shortest distance (min-plus semiring) from part 1: 6 rounds
+    * of Bellman-Ford relaxation over the co-purchase graph with edge cost =
+    * co-purchase count (exact BIGINT arithmetic end to end, like the
+    * integer PageRank — each round is one broadcast join + one min-agg, and
+    * the fixed round count matches a generated unrolled CTE oracle
+    * bit-for-bit). Complements the unweighted BFS ops with the second
+    * fixed-point algebra (min-plus vs sum-times).
+    */
+  val graphWsssp: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir)
+    val ed = cp.select($"a", $"b", $"w")
+      .unionAll(cp.select($"b".as("a"), $"a".as("b"), $"w"))
+      .localCheckpoint()
+    var dist = Seq((1L, 0L)).toDF("id", "d").localCheckpoint()
+    for (_ <- 1 to 6) {
+      val relax = ed.join(broadcast(dist), $"a" === $"id")
+        .select($"b".as("id"), ($"d" + $"w").as("d"))
+      dist = dist.unionAll(relax)
+        .groupBy($"id").agg(min($"d").as("d"))
+        .localCheckpoint()
+    }
+    dist.select($"id".as("part"), $"d".as("wdist")).orderBy($"part")
+  }
+
   /** The SAME bounded BFS WITHOUT GraphX ([[graft.api.GraphAlgebra.bfsHops]]
     * frontier expansion) — same recursive min-depth oracle as `graph_sssp`.
     */
@@ -403,6 +428,7 @@ object GraphOps {
     "graph_cc_df" -> graphCcDf,
     "graph_sssp" -> graphSssp,
     "graph_sssp_df" -> graphSsspDf,
+    "graph_wsssp" -> graphWsssp,
     "graph_pagerank" -> graphPagerank,
     "graph_edge_filter" -> graphEdgeFilter,
     "graph_trending" -> graphTrending

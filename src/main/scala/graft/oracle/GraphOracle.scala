@@ -54,7 +54,26 @@ object GraphOracle {
     s"$base,\n$iters\nSELECT part, r AS rank_scaled FROM r10 ORDER BY rank_scaled DESC, part LIMIT 20"
   }
 
+  /** Unrolled 6-round Bellman-Ford (min-plus), exact BIGINT — same
+    * generation trick as [[pagerankSql]].
+    */
+  private val wssspSql: String = {
+    val base =
+      s"""WITH $copurchaseCte,
+         |e2 AS (SELECT a, b, w FROM cp UNION ALL SELECT b, a, w FROM cp),
+         |d0 AS (SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d)""".stripMargin
+    val rounds = (1 to 6).map { i =>
+      s"""d$i AS (SELECT id, CAST(min(d) AS BIGINT) AS d FROM (
+         |  SELECT id, d FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e2.b AS id, d${i - 1}.d + e2.w AS d
+         |  FROM d${i - 1} JOIN e2 ON e2.a = d${i - 1}.id) t GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$rounds\nSELECT id AS part, d AS wdist FROM d6 ORDER BY part"
+  }
+
   val sql: Map[String, String] = Map(
+    "graph_wsssp" -> wssspSql,
     "graph_pagerank" -> pagerankSql(
       reset = "15000000000000 // (n.n * 100)",
       r0 = "SELECT part, CAST(1000000000000 // n.n AS BIGINT) AS r FROM parts, n"),

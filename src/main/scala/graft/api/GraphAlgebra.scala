@@ -185,6 +185,9 @@ object GraphAlgebra {
     while (changed > 0) {
       val nbrMin = both.join(broadcast(labels), col("a") === col("id"))
         .groupBy(col("b").as("nid")).agg(min(col("lbl")).as("nmin"))
+      // checkpointed BEFORE the self-join below — both join sides read it,
+      // and an unmaterialized cand would re-execute the |E| propagation
+      // join twice per round
       val cand = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .localCheckpoint()
@@ -210,6 +213,11 @@ object GraphAlgebra {
     * when the frontier empties. Output (id, dist) for reachable vertices,
     * dist = minimum hop count (identical to GraphX ShortestPaths and the
     * recursive BFS oracle).
+    *
+    * Scale caveat: the frontier is broadcast, which assumes it stays far
+    * below |V| (true for bounded-hop point queries). A whole-graph BFS
+    * whose frontier approaches |V| should drop the hint (shuffle join) or
+    * take the GraphX Pregel path.
     */
   def bfsHops(edgesBoth: DataFrame, src: Long, maxHops: Int): DataFrame = {
     val s = edgesBoth.sparkSession

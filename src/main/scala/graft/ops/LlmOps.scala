@@ -546,12 +546,11 @@ object LlmOps {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val keepq = docs.filter(size(split($"text", " ")) >= 10)
-    val exactKeep = keepq
-      .groupBy(sha2(lower(trim($"text")), 256).as("h"))
-      .agg(min($"doc_id").as("keep"))
+    val exactKeep = graft.api.TextPipeline.dedupExact(keepq, $"doc_id", $"text")
+      .select($"keep_id")
     val nearDrop = jaccardPairs(s, dir, 0.6).select($"d2").distinct()
     keepq
-      .join(exactKeep, $"doc_id" === $"keep")
+      .join(exactKeep, $"doc_id" === $"keep_id")
       .join(nearDrop, $"doc_id" === $"d2", "left_anti")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -556,13 +556,15 @@ object Relational {
     val li = Tables.lineitem(s, dir)
       .select($"l_suppkey", $"l_partkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
     // (l_orderkey, l_linenumber) is NOT unique in this data — l_partkey
-    // joins every ordering to make it total, or the running sums at ties
-    // accumulate in engine-dependent order
+    // joins every ordering to make it total. The running frame is RANGE
+    // (the default when ordered), not ROWS: should a future dataset emit
+    // fully duplicate rows, RANGE gives tied peers the same cumulative
+    // value on both engines, where a ROWS frame would accumulate them in
+    // engine-dependent order
     val wFirst = Window.partitionBy($"l_suppkey", $"l_partkey")
       .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey")
     val wRun = Window.partitionBy($"l_suppkey")
       .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.withColumn("first_seen", when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
       .withColumn("distinct_parts_so_far", sum($"first_seen").over(wRun))
       .filter($"l_suppkey" <= 20) // bounded output, full window math upstream

@@ -196,8 +196,7 @@ object OracleSql {
         |  FROM lineitem)
         |SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
         |  CAST(sum(first_seen) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) AS BIGINT)
         |    AS distinct_parts_so_far
         |FROM li WHERE l_suppkey <= 20
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin,

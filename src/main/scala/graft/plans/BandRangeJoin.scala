@@ -117,17 +117,33 @@ object BandRangeJoinRule extends Rule[LogicalPlan] {
             k -> (bs.flatMap(_._3).sorted.lastOption, bs.flatMap(_._4).sorted.headOption)
           }
         bounds.collectFirst {
+          // overflow guards: the width subtraction must not wrap, and the
+          // band arithmetic below divides BEFORE adding a small offset, so
+          // with w >= 2 and bounded offsets no intermediate can overflow
+          // even for attribute values at the Long extremes (a sentinel
+          // "infinity" time must never be silently dropped — exactness is
+          // the rule's contract)
           case ((la, ra), (Some(lo), Some(hi)))
-            if hi > lo && la.dataType == ra.dataType => (la, ra, lo, hi)
+            if la.dataType == ra.dataType &&
+              math.abs(lo) < (1L << 61) && math.abs(hi) < (1L << 61) &&
+              hi - lo >= 2 => (la, ra, lo, hi)
         } match {
           case None => j
           case Some((la, ra, lo, hi)) =>
-            val w = Literal(hi - lo, LongType)
+            val width = hi - lo
+            val w = Literal(width, LongType)
             val bandL = Alias(IntegralDivide(asLong(la), w), "graft_band_l")()
             val leftP = Project(l.output :+ bandL, l)
-            val bands = ArrayDistinct(CreateArray(Seq(
-              IntegralDivide(Add(asLong(ra), Literal(lo, LongType)), w),
-              IntegralDivide(Add(asLong(ra), Literal(hi, LongType)), w))))
+            // candidate bands as trunc(ra/w) + d — never ra + offset, which
+            // could wrap for extreme ra. Truncating division is NOT
+            // translation-invariant (unlike floor), so the band of a value
+            // in [ra+lo, ra+hi] can deviate from trunc(ra/w) + trunc(k/w)
+            // by up to 2 in either direction — generate the full ±2-widened
+            // offset set (≤ 7 bands for hi - lo = w; the equi-join dedups
+            // via ArrayDistinct and the residual keeps exactness).
+            val dRange = (lo / width - 2) to (hi / width + 2)
+            val bands = ArrayDistinct(CreateArray(
+              dRange.map(d => Add(IntegralDivide(asLong(ra), w), Literal(d, LongType)))))
             val bandR = AttributeReference("graft_band_r", LongType, nullable = true)()
             val rightG = Generate(Explode(bands), unrequiredChildIndex = Nil,
               outer = false, qualifier = None, generatorOutput = Seq(bandR), r)

@@ -77,7 +77,8 @@ class GraphSpec extends SparkSpec {
 
   test("graph_pagerank: integer power iteration tracks GraphX staticPageRank") {
     import spark.implicits._
-    val ours = q("graph_pagerank").collect().map(_.getLong(0)).toSeq
+    val rows = q("graph_pagerank").collect()
+    val ours = rows.map(_.getLong(0)).toSeq
     // independent float path: the GraphX Pregel implementation (the library
     // surface for graphs too big for a 10-deep DataFrame lineage)
     val cp = GraphOps.copurchase(spark, sf).select($"a", $"b")
@@ -89,7 +90,7 @@ class GraphSpec extends SparkSpec {
     assert(overlap >= 3, s"top-5 integer ranks $ours vs GraphX top-10 $graphx")
     // rank mass is conserved up to integer-truncation loss: top rank must
     // stay a sane fraction of the 1e12 total
-    val top = q("graph_pagerank").collect().map(_.getLong(1))
+    val top = rows.map(_.getLong(1))
     assert(top.head > 0L && top.head < PrTotalMass)
     assert(top.zip(top.tail).forall { case (a, b) => a >= b })
   }

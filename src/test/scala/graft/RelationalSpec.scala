@@ -157,6 +157,26 @@ class RelationalSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("BandRangeJoinRule is exact for negative and extreme time values") {
+    import spark.implicits._
+    graft.plans.BandRangeJoin.install(spark)
+    // adversarial domain: negatives straddling zero (truncating-division
+    // asymmetry) and values near the Long extremes (overflow)
+    val ts = Seq(-1000L, -601L, -600L, -599L, -1L, 0L, 1L, 599L, 600L, 601L,
+      Long.MaxValue - 10000, Long.MinValue + 10000)
+    val l = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id1", "t1")
+    val r = ts.zipWithIndex.map { case (t, i) => (i.toLong + 100, t) }.toDF("id2", "t2")
+    val joined = l.join(r, $"t2" >= $"t1" - 600L && $"t2" <= $"t1" + 600L)
+      .select($"id1", $"id2").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val brute = (for {
+      (t1, i1) <- ts.zipWithIndex
+      (t2, i2) <- ts.zipWithIndex
+      // BigInt avoids overflow in the reference predicate itself
+      if BigInt(t2) >= BigInt(t1) - 600 && BigInt(t2) <= BigInt(t1) + 600
+    } yield (i1.toLong, i2.toLong + 100)).toSet
+    assert(joined === brute)
+  }
+
   test("sink_partitioned: the re-read prunes to one hive partition") {
     val df = SparkEntry.queries("sink_partitioned")(spark, sf)
     val p = plan(df)

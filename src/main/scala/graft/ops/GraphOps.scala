@@ -98,6 +98,26 @@ object GraphOps {
       .orderBy($"dst")
   }
 
+  /** Per-node strongest edges — the reference's "this node's top
+    * relationships" serving query: for every customer in a nation-1 cohort,
+    * the 3 heaviest purchase edges via the bounded-heap
+    * [[graft.expr.TopKAgg]] (O(k) mergeable state per node, no window sort
+    * of each adjacency list).
+    */
+  val graphTopkPerNode: Q = (s, dir) => {
+    import s.implicits._
+    val cohort = Tables.customer(s, dir)
+      .filter($"c_nationkey" === 1).select($"c_custkey".as("src"))
+    val topk = graft.expr.TopKAgg.topk(3)
+    edges(s, dir).join(cohort, "src")
+      .groupBy($"src")
+      .agg(topk($"w".cast("double"), $"dst").as("top"))
+      .select($"src", posexplode($"top").as(Seq("p0", "t")))
+      .select($"src", ($"p0" + 1).cast("long").as("rnk"),
+        $"t._2".as("dst"), $"t._1".cast("long").as("w"))
+      .orderBy($"src", $"rnk")
+  }
+
   /** Hop-limited traversal (hop budget 2, visited-set dedup): parts bought
     * by the BUILDING cohort (hop 1), plus parts bought by the cohort's
     * co-purchasers (hop 2). Fixed k ⇒ iterated joins with distinct per
@@ -417,6 +437,7 @@ object GraphOps {
     "graph_tag_profile" -> graphTagProfile,
     "graph_degree" -> graphDegree,
     "graph_neighbors_1hop" -> graphNeighbors1hop,
+    "graph_topk_per_node" -> graphTopkPerNode,
     "graph_khop_2" -> graphKhop2,
     "graph_khop_3" -> graphKhop3,
     "graph_triangles" -> graphTriangles,

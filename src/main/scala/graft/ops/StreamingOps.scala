@@ -9,6 +9,11 @@ import graft.Tables
 /** Event value projected to the portable millisecond domain. */
 case class EventRow(user_id: Long, ts_ms: Long, value: Double)
 
+/** EventRow variant that keeps the watermarked event-time column (required
+  * by event-time-timeout stateful operators).
+  */
+case class EventRowTs(user_id: Long, ts: java.sql.Timestamp, ts_ms: Long, value: Double)
+
 /** One (user -> item) edge observation from the event stream. */
 case class EdgeEvent(user_id: Long, item: Long, ts_ms: Long, value: Double)
 
@@ -339,6 +344,44 @@ object StreamingOps {
         }
         state.update(folded)
         Iterator((uid, folded.n, folded.sumScaled / 10000.0, folded.maxTs))
+      }
+      .toDF("user_id", "n_events", "sum_value", "last_ts_ms")
+  }
+
+  /** State-TTL fold — the reference's actor PASSIVATION pattern: per-user
+    * running state with an EVENT-TIME TIMEOUT. While a user stays active
+    * the fold accumulates silently; once the watermark passes 30 idle
+    * minutes the state is evicted and EMITTED, then rebuilt from scratch if
+    * the user returns. This is what bounds stateful-operator memory on an
+    * unbounded feed (the unbounded-state fold keeps every user forever).
+    * Streaming-only library surface; StreamingSpec asserts evicted rows
+    * equal the batch fold for those users.
+    */
+  def ttlFoldStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      // the watermarked ts column must SURVIVE the projection — event-time
+      // timeout resolves against it
+      .select($"user_id", $"ts", unix_millis($"ts").as("ts_ms"), $"value")
+      .as[EventRowTs]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, (Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (uid, events, state) =>
+        if (state.hasTimedOut) {
+          val st = state.get
+          state.remove() // passivate: evict + emit the folded state
+          Iterator((uid, st.n, st.sumScaled / 10000.0, st.maxTs))
+        } else {
+          val init = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+          val folded = events.foldLeft(init) { (st, e) =>
+            UserState(st.n + 1, st.sumScaled + math.round(e.value * 10000),
+              math.max(st.maxTs, e.ts_ms))
+          }
+          state.update(folded)
+          state.setTimeoutTimestamp(folded.maxTs + 1800000L) // 30-min idle TTL
+          Iterator.empty
+        }
       }
       .toDF("user_id", "n_events", "sum_value", "last_ts_ms")
   }

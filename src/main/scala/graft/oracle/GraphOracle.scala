@@ -113,6 +113,17 @@ object GraphOracle {
          |FROM e JOIN part ON p_partkey = dst
          |WHERE src = 1 ORDER BY dst""".stripMargin,
 
+    "graph_topk_per_node" ->
+      s"""WITH $edgesCte,
+         |cohort AS (SELECT c_custkey AS src FROM customer WHERE c_nationkey = 1),
+         |ranked AS (
+         |  SELECT e.src, e.dst, e.w,
+         |    row_number() OVER (PARTITION BY e.src ORDER BY e.w DESC, e.dst) AS rn
+         |  FROM e JOIN cohort ON e.src = cohort.src)
+         |SELECT src, CAST(rn AS BIGINT) AS rnk, dst, CAST(w AS BIGINT) AS w
+         |FROM ranked WHERE rn <= 3
+         |ORDER BY src, rnk""".stripMargin,
+
     "graph_khop_2" ->
       s"""WITH $edgesCte,
          |cohort AS (SELECT c_custkey AS src FROM customer WHERE c_mktsegment = 'BUILDING'),

@@ -74,6 +74,19 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("state-TTL fold: evicted users carry the exact batch-fold state") {
+    val evicted = runStream(StreamingOps.ttlFoldStream(spark, sf), OutputMode.Append)
+    assert(evicted.count() > 0, "no state was evicted — TTL never fired")
+    // every evicted row must equal the full batch fold for that user
+    // (all of the user's events arrived before the eviction)
+    val batch = SparkEntry.queries("stream_stateful_fold")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.toSeq.map(String.valueOf)).toMap
+    evicted.collect().foreach { r =>
+      assert(batch(r.getLong(0)) === r.toSeq.map(String.valueOf),
+        s"evicted state diverges for user ${r.getLong(0)}")
+    }
+  }
+
   test("stream_late_data: rows behind the watermark are dropped") {
     import spark.implicits._
     val result = SparkEntry.queries("stream_late_data")(spark, sf)

@@ -169,6 +169,26 @@ object PropertySpec extends Properties("graft") {
         ab == expected && ba == expected
     }
 
+  property("banded range join equals brute force for random windows and values") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(-5000L, 5000L)),
+      Gen.chooseNum(-2000L, 2000L), Gen.chooseNum(2L, 3000L)) { (ts, lo, width) =>
+      val hi = lo + width
+      graft.plans.BandRangeJoin.install(spark)
+      val l = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id1", "t1")
+      val r = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id2", "t2")
+      // t2 - t1 ∈ [lo, hi] with strict/inclusive mix exercised by the data
+      val joined = l.join(r, col("t2") >= col("t1") + lit(lo) && col("t2") <= col("t1") + lit(hi))
+        .select(col("id1"), col("id2"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val brute = (for {
+        (t1, i1) <- ts.zipWithIndex
+        (t2, i2) <- ts.zipWithIndex
+        if t2 >= t1 + lo && t2 <= t1 + hi
+      } yield (i1.toLong, i2.toLong)).toSet
+      joined == brute
+    }
+
   property("packChunks: per-group offsets are gapless and chunk = off div C") =
     forAll(Gen.chooseNum(8, 64),
       Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 2), text))) { (c, docsRaw) =>

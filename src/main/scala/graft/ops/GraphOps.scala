@@ -210,6 +210,25 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Recommendation candidates for one node — the reference's
+    * "related-but-not-yet-connected" query: parts co-purchased with part
+    * 1's co-purchase partners (2 hops) that are NOT directly co-purchased
+    * with part 1, ranked by connecting-path count. The 1-hop frontier of a
+    * point query is small, so both traversal joins broadcast it.
+    */
+  val graphRecommend: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchaseBoth(s, dir)
+    val direct = cp.filter($"a" === 1).select($"b".as("part"))
+    val twoHop = cp.filter($"a" === 1).select($"b".as("mid"))
+      .join(cp.select($"a".as("mid"), $"b".as("part")), "mid")
+      .filter($"part" =!= 1)
+      .groupBy($"part").agg(count(lit(1)).as("paths"))
+    twoHop.join(direct, Seq("part"), "left_anti")
+      .orderBy($"paths".desc, $"part")
+      .limit(20)
+  }
+
   /** Connected components of the thresholded (w ≥ 2) co-purchase graph —
     * GraphX Pregel fixpoint; labels = min vertex id, matching the DuckDB
     * recursive min-label oracle. All parts are vertices (never-copurchased
@@ -442,6 +461,7 @@ object GraphOps {
     "graph_khop_3" -> graphKhop3,
     "graph_triangles" -> graphTriangles,
     "graph_common_neighbors" -> graphCommonNeighbors,
+    "graph_recommend" -> graphRecommend,
     "graph_jaccard_nodes" -> graphJaccardNodes,
     "graph_ppr" -> graphPpr,
     "graph_tag_similarity" -> graphTagSimilarity,

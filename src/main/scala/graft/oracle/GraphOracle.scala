@@ -177,6 +177,19 @@ object GraphOracle {
          |JOIN deg d2 ON pairs.p2 = d2.p
          |ORDER BY jac DESC, pairs.p1, pairs.p2 LIMIT 20""".stripMargin,
 
+    "graph_recommend" ->
+      s"""WITH $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |direct AS (SELECT b AS part FROM e2 WHERE a = 1),
+         |two_hop AS (
+         |  SELECT y.b AS part, count(*) AS paths
+         |  FROM e2 x JOIN e2 y ON x.b = y.a
+         |  WHERE x.a = 1 AND y.b <> 1
+         |  GROUP BY y.b)
+         |SELECT part, paths FROM two_hop
+         |WHERE part NOT IN (SELECT part FROM direct)
+         |ORDER BY paths DESC, part LIMIT 20""".stripMargin,
+
     "graph_tag_similarity" ->
       """WITH cohort AS (SELECT c_custkey FROM customer WHERE c_nationkey = 1),
         |tags AS (

@@ -218,13 +218,15 @@ object GraphOps {
     */
   val graphRecommend: Q = (s, dir) => {
     import s.implicits._
-    val cp = copurchaseBoth(s, dir)
+    // one checkpoint: the frontier filter, the 2-hop join AND the direct
+    // anti-join all re-derive the co-purchase projection otherwise
+    val cp = copurchaseBoth(s, dir).localCheckpoint()
     val direct = cp.filter($"a" === 1).select($"b".as("part"))
-    val twoHop = cp.filter($"a" === 1).select($"b".as("mid"))
-      .join(cp.select($"a".as("mid"), $"b".as("part")), "mid")
+    val twoHop = cp.select($"a".as("mid"), $"b".as("part"))
+      .join(broadcast(cp.filter($"a" === 1).select($"b".as("mid"))), "mid")
       .filter($"part" =!= 1)
       .groupBy($"part").agg(count(lit(1)).as("paths"))
-    twoHop.join(direct, Seq("part"), "left_anti")
+    twoHop.join(broadcast(direct), Seq("part"), "left_anti")
       .orderBy($"paths".desc, $"part")
       .limit(20)
   }

@@ -36,6 +36,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness keeps only the last ~2KB of output; the full per-query line
+    // above (~4KB at 116 queries) gets truncated mid-JSON there. Emit a second,
+    // compact summary line (total + 10 slowest queries, well under 1KB) LAST so
+    // the tail always contains one complete parseable JSON object.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val fTotal = f"$total%.2f"
+    println(s"""{"metric":"total","value":$fTotal,"unit":"sec","n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

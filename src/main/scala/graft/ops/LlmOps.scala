@@ -33,7 +33,7 @@ object LlmOps {
     * differs at boundaries (Spark rounds the exact decimal expansion of the
     * double, DuckDB rounds in double arithmetic). Positive inputs only.
     */
-  private def pround4(c: Column): Column =
+  private[graft] def pround4(c: Column): Column =
     floor(c * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)
 
   /** Distinct (doc_id, shingle) rows via the custom Generator
@@ -110,10 +110,14 @@ object LlmOps {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(FloatVec.floatDot($"embedding", $"embedding")))
+    // FloatDot accumulates in double, index order — identical to DuckDB's
+    // list_cosine_similarity — so the unrounded cosines agree to the last
+    // bit; pround4 (not round) removes the residual half-boundary rounding
+    // divergence on the membership threshold.
     val dropped = e.as("x").join(e.as("y"),
         $"x.label" === $"y.label" && $"x.vec_id" < $"y.vec_id")
-      .filter(round(
-        FloatVec.floatDot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"), 4) >= 0.3)
+      .filter(pround4(
+        FloatVec.floatDot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm")) >= 0.3)
       .select($"y.vec_id".as("vec_id")).distinct()
     Tables.embeddings(s, dir).join(dropped, Seq("vec_id"), "left_anti")
       .select($"vec_id", $"label".cast("long").as("label"))
@@ -301,7 +305,10 @@ object LlmOps {
       .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
       .withColumn("j", $"common" / ($"n1" + $"n2" - $"common"))
       .filter($"j" >= 0.5)
-      .select($"d1", $"d2", round($"j", 4).as("jaccard"))
+      // pround4, not round: the verification Jaccard is a small-integer
+      // quotient that can land exactly on a 4-decimal half boundary (same
+      // treatment as llm_dedup_near above)
+      .select($"d1", $"d2", pround4($"j").as("jaccard"))
       .orderBy($"d1", $"d2")
   }
 

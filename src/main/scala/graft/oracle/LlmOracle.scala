@@ -141,7 +141,7 @@ object LlmOracle {
         |  SELECT DISTINCT y.vec_id
         |  FROM embeddings x JOIN embeddings y
         |    ON x.label = y.label AND x.vec_id < y.vec_id
-        |  WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= 0.3)
+        |  WHERE floor(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) * 10000.0 + 0.5) / 10000.0 >= 0.3)
         |SELECT vec_id, CAST(label AS BIGINT) AS label
         |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY vec_id""".stripMargin,
@@ -207,7 +207,7 @@ object LlmOracle {
          |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-         |SELECT jac.d1, jac.d2, round(j, 4) AS jaccard
+         |SELECT jac.d1, jac.d2, floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM jac JOIN cands ON jac.d1 = cands.d1 AND jac.d2 = cands.d2
          |WHERE j >= 0.5 ORDER BY jac.d1, jac.d2""".stripMargin,
 

@@ -189,6 +189,24 @@ object PropertySpec extends Properties("graft") {
       joined == brute
     }
 
+  property("pround4 on integer quotients equals the IEEE double fold, half boundaries included") =
+    forAll(Gen.chooseNum(1L, 80L), Gen.chooseNum(0L, 80L), Gen.chooseNum(0L, 80L)) {
+      (common, extra1, extra2) =>
+        // (common, denom) has the llm_dedup_minhash verification-Jaccard shape:
+        // j = common / (n1 + n2 - common) with n1, n2 >= common. The fixed pair
+        // 2469/20000 = 0.12345 scales to exactly 1234.5 — the half boundary
+        // where plain round(x, 4) divides Spark from DuckDB.
+        val denom = common + extra1 + extra2
+        val cases = Seq((common, denom), (2469L, 20000L), (1L, 20000L), (3L, 40000L))
+        val got = cases.toDF("a", "b")
+          .select(ops.LlmOps.pround4(col("a").cast("double") / col("b")).as("p"))
+          .collect().map(_.getDouble(0)).toSeq
+        val expected = cases.map { case (a, b) =>
+          math.floor(a.toDouble / b * 10000.0 + 0.5) / 10000.0
+        }
+        got == expected
+    }
+
   property("packChunks: per-group offsets are gapless and chunk = off div C") =
     forAll(Gen.chooseNum(8, 64),
       Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 2), text))) { (c, docsRaw) =>

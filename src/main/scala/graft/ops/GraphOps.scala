@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -158,7 +159,9 @@ object GraphOps {
 
   /** Related-nodes query: top-20 part pairs by number of common customers.
     * Self-join on the shared customer then pair-agg; top-k via
-    * TakeOrderedAndProject (no global sort).
+    * TakeOrderedAndProject (no global sort). Exact — deg² pairs per
+    * customer; at cluster scale use the capped-sampling candidate stage of
+    * [[graphJaccardApprox]] (same pair machinery, bounded hub blow-up).
     */
   val graphCommonNeighbors: Q = (s, dir) => {
     import s.implicits._
@@ -333,6 +336,12 @@ object GraphOps {
     * over the customer→part adjacency, top-20 part pairs. Same candidate
     * generation as common-neighbors, normalized by degrees (the reference's
     * related-nodes scoring with set semantics).
+    *
+    * EXACT formulation — measured to be the exact lower bound at sf0.1
+    * (tools/ProfileJac.scala), but the pair join is deg² per customer, so a
+    * 100× hub contributes 10,000× the pairs: at cluster scale use
+    * [[graphJaccardApprox]], whose capped sampling bounds the per-customer
+    * blow-up.
     */
   val graphJaccardNodes: Q = (s, dir) => {
     import s.implicits._
@@ -349,6 +358,50 @@ object GraphOps {
       .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
       .agg(count(lit(1)).as("common"), max($"e1.d").as("d1"), max($"e2.d").as("d2"))
       .withColumn("jac", round($"common" / ($"d1" + $"d2" - $"common"), 4))
+      .select($"p1", $"p2", $"common", $"jac")
+      .orderBy($"jac".desc, $"p1", $"p2")
+      .limit(20)
+  }
+
+  /** Approximate top-20 Jaccard pairs — the 100× path for the
+    * pair-similarity family ([[graphJaccardNodes]] / [[graphCommonNeighbors]]
+    * are the exact twins). Candidates are generated from a DETERMINISTIC
+    * per-customer neighbor sample (row_number over md5, cap 48), bounding
+    * the per-customer pair blow-up at cap² regardless of hub degree — the
+    * exact ops shuffle deg² pairs per customer, so one 100×-degree hub costs
+    * 10,000× its share. Pairs sharing ≥2 sampled customers (2.2% of the full
+    * pair space at sf0.1) are then verified EXACTLY by sorted-adjacency-array
+    * intersection (the [[graphTriangles]] shape): reported common/jac are
+    * true values, the only loss is candidate recall — measured 1.0 at
+    * sf0.01 and sf0.1 (ScaleSpec asserts ≥0.9 at sf0.1). md5 sampling and
+    * integer arithmetic keep it DuckDB-oracle hash-checked.
+    */
+  val graphJaccardApprox: Q = (s, dir) => {
+    import s.implicits._
+    val cap = 48
+    // adj feeds the sample AND the verification arrays — checkpoint once
+    val adj = edges(s, dir).select($"src", $"dst").localCheckpoint()
+    val w = Window.partitionBy($"src").orderBy(
+      md5(concat($"src".cast("string"), lit("#"), $"dst".cast("string"))), $"dst")
+    val samp = adj.withColumn("rn", row_number().over(w)).filter($"rn" <= cap)
+      .select($"src", $"dst")
+      .localCheckpoint() // both self-join sides re-run the window otherwise
+    val cands = samp.as("e1")
+      .join(samp.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
+      .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
+      .agg(count(lit(1)).as("sc")).filter($"sc" >= 2)
+      .select($"p1", $"p2")
+    // exact verification on candidates only: intersect the two parts'
+    // sorted customer arrays in place (work ∝ |cands|·avg-degree, not deg²)
+    val parts = adj.groupBy($"dst".as("p"))
+      .agg(sort_array(collect_list($"src")).as("cs"))
+    cands
+      .join(parts.select($"p".as("p1"), $"cs".as("cs1")), "p1")
+      .join(parts.select($"p".as("p2"), $"cs".as("cs2")), "p2")
+      .select($"p1", $"p2",
+        size(array_intersect($"cs1", $"cs2")).cast("long").as("common"),
+        size($"cs1").as("d1"), size($"cs2").as("d2"))
+      .withColumn("jac", LlmOps.pround4($"common" / ($"d1" + $"d2" - $"common")))
       .select($"p1", $"p2", $"common", $"jac")
       .orderBy($"jac".desc, $"p1", $"p2")
       .limit(20)
@@ -465,6 +518,7 @@ object GraphOps {
     "graph_common_neighbors" -> graphCommonNeighbors,
     "graph_recommend" -> graphRecommend,
     "graph_jaccard_nodes" -> graphJaccardNodes,
+    "graph_jaccard_approx" -> graphJaccardApprox,
     "graph_ppr" -> graphPpr,
     "graph_tag_similarity" -> graphTagSimilarity,
     "graph_cc" -> graphCc,

@@ -177,6 +177,33 @@ object GraphOracle {
          |JOIN deg d2 ON pairs.p2 = d2.p
          |ORDER BY jac DESC, pairs.p1, pairs.p2 LIMIT 20""".stripMargin,
 
+    "graph_jaccard_approx" ->
+      s"""WITH $edgesCte,
+         |samp AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (
+         |      PARTITION BY src
+         |      ORDER BY md5(src::VARCHAR || '#' || dst::VARCHAR), dst) AS rn
+         |    FROM e) t
+         |  WHERE rn <= 48),
+         |cands AS (
+         |  SELECT e1.dst AS p1, e2.dst AS p2
+         |  FROM samp e1 JOIN samp e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |deg AS (SELECT dst AS p, count(*) AS d FROM e GROUP BY dst),
+         |verified AS (
+         |  SELECT c.p1, c.p2, count(*) AS common
+         |  FROM cands c
+         |  JOIN e a1 ON a1.dst = c.p1
+         |  JOIN e a2 ON a2.dst = c.p2 AND a2.src = a1.src
+         |  GROUP BY 1, 2)
+         |SELECT v.p1, v.p2, common,
+         |  floor(common / (d1.d + d2.d - common) * 10000.0 + 0.5) / 10000.0 AS jac
+         |FROM verified v
+         |JOIN deg d1 ON v.p1 = d1.p
+         |JOIN deg d2 ON v.p2 = d2.p
+         |ORDER BY jac DESC, v.p1, v.p2 LIMIT 20""".stripMargin,
+
     "graph_recommend" ->
       s"""WITH $copurchaseCte,
          |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),

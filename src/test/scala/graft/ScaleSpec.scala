@@ -88,6 +88,18 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("graph_jaccard_approx recalls >= 0.9 of the exact top-20 at sf0.1") {
+    // the approximate op exists for hub-bounded candidate generation at
+    // cluster scale; this pins its quality contract at the largest local SF
+    val sfBig = "/root/testdata/sf0.1"
+    val exact = ops.GraphOps.graphJaccardNodes(spark, sfBig).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ops.GraphOps.graphJaccardApprox(spark, sfBig).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size / exact.size.toDouble
+    assert(recall >= 0.9, s"recall $recall of exact top-20")
+  }
+
   test("shuffle partition count follows the session config (no hardcoded 200)") {
     import spark.implicits._
     val df = Tables.lineitem(spark, sf).groupBy($"l_suppkey").count()

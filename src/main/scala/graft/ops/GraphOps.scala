@@ -286,10 +286,20 @@ object GraphOps {
   /** WEIGHTED shortest distance (min-plus semiring) from part 1: 6 rounds
     * of Bellman-Ford relaxation over the co-purchase graph with edge cost =
     * co-purchase count (exact BIGINT arithmetic end to end, like the
-    * integer PageRank — each round is one broadcast join + one min-agg, and
-    * the fixed round count matches a generated unrolled CTE oracle
-    * bit-for-bit). Complements the unweighted BFS ops with the second
-    * fixed-point algebra (min-plus vs sum-times).
+    * integer PageRank — the fixed round count matches a generated unrolled
+    * CTE oracle bit-for-bit). Complements the unweighted BFS ops with the
+    * second fixed-point algebra (min-plus vs sum-times).
+    *
+    * Each round relaxes ONLY from the frontier — vertices whose distance
+    * improved last round — not from the whole settled map: a non-improved
+    * vertex's contributions were already min-folded the round it last
+    * improved, so the per-round dist maps are identical (the classic
+    * Bellman-Ford queue optimization) while the broadcast frame stays
+    * frontier-sized instead of growing toward all reachable vertices.
+    * Scale caveat (same as [[graft.api.GraphAlgebra.bfsHops]]): the
+    * broadcast hint assumes the frontier stays far below |V|; a graph
+    * whose frontier approaches |V| should drop the hint (shuffle join)
+    * or take the GraphX Pregel path.
     */
   val graphWsssp: Q = (s, dir) => {
     import s.implicits._
@@ -298,12 +308,21 @@ object GraphOps {
       .unionAll(cp.select($"b".as("a"), $"a".as("b"), $"w"))
       .localCheckpoint()
     var dist = Seq((1L, 0L)).toDF("id", "d").localCheckpoint()
+    var frontier = dist
     for (_ <- 1 to 6) {
-      val relax = ed.join(broadcast(dist), $"a" === $"id")
+      val relax = ed.join(broadcast(frontier), $"a" === $"id")
         .select($"b".as("id"), ($"d" + $"w").as("d"))
-      dist = dist.unionAll(relax)
+        .groupBy($"id").agg(min($"d").as("d"))
+        .localCheckpoint() // feeds both the new dist and the frontier diff
+      val next = dist.unionAll(relax)
         .groupBy($"id").agg(min($"d").as("d"))
         .localCheckpoint()
+      // improved = candidates strictly better than (or absent from) the old map
+      frontier = relax.as("r")
+        .join(dist.as("o"), $"r.id" === $"o.id", "left")
+        .filter($"o.d".isNull || $"r.d" < $"o.d")
+        .select($"r.id".as("id"), $"r.d".as("d"))
+      dist = next
     }
     dist.select($"id".as("part"), $"d".as("wdist")).orderBy($"part")
   }

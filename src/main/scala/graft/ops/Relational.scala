@@ -288,6 +288,15 @@ object Relational {
     * equi-join + residual filter. Pairs within 10 minutes across ALL users,
     * aggregated per hour so the output stays bounded. RelationalSpec asserts
     * the physical plan really contains no nested-loop/cartesian join.
+    *
+    * `install` DELIBERATELY registers the rule session-wide and leaves it
+    * installed: the returned plan is optimized lazily at action time (after
+    * this function returns), so uninstalling on exit would defeat the op
+    * itself. The rule is a narrow, exactness-preserving rewrite (fires only
+    * on two-sided range predicates a nested-loop join would otherwise
+    * execute), so later queries in the same session can only gain the same
+    * rewrite, never change results. Sessions wanting it from the start use
+    * `spark.sql.extensions=graft.GraftExtensions` instead.
     */
   val joinThetaRule: Q = (s, dir) => {
     import s.implicits._
@@ -555,8 +564,10 @@ object Relational {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
       .select($"l_suppkey", $"l_partkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
-    // (l_orderkey, l_linenumber) is NOT unique in this data — l_partkey
-    // joins every ordering to make it total. The running frame is RANGE
+    // (l_orderkey, l_linenumber) is the lineitem primary key, so the extra
+    // l_partkey ordering column is purely DEFENSIVE against hypothetical
+    // duplicate rows (it is constant within wFirst partitions and a no-op
+    // tie-break in wRun). The running frame is RANGE
     // (the default when ordered), not ROWS: should a future dataset emit
     // fully duplicate rows, RANGE gives tied peers the same cumulative
     // value on both engines, where a ROWS frame would accumulate them in

@@ -14,6 +14,13 @@ class RelationalSpec extends SparkSpec {
     assert(o.subsetOf(keys), s"oracle keys without query impl: ${o.diff(keys)}")
   }
 
+  test("registry: declared counts match the registry (drift guard)") {
+    // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
+    // caught a silent 116-vs-117 drift in the documented count
+    assert(SparkEntry.queries.size === 117, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 111, s"oracles: ${SparkEntry.oracleSql.size}")
+  }
+
   test("registry: every query returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")

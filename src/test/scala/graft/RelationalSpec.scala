@@ -164,6 +164,26 @@ class RelationalSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("BandRangeJoinRule bands the SQL-text BETWEEN spelling too") {
+    import spark.implicits._
+    graft.plans.BandRangeJoin.install(spark)
+    // BETWEEN desugars to >= AND <= in Finish Analysis, BEFORE user-provided
+    // optimizer batches — so the rule sees plain conjuncts. This pins that
+    // ordering (SURVEY round-3 backlog item 3).
+    Tables.events(spark, sf).select($"event_id", unix_millis($"ts").as("t"))
+      .createOrReplaceTempView("ev_band_sql")
+    val df = spark.sql(
+      """SELECT count(*) AS n FROM ev_band_sql a JOIN ev_band_sql b
+        |  ON b.t BETWEEN a.t + 1 AND a.t + 600000""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"SQL BETWEEN range join was not banded:\n$plan")
+    val e = Tables.events(spark, sf).select(unix_millis($"ts").as("t"))
+    val brute = e.as("a").crossJoin(e.select($"t".as("t2")).as("b"))
+      .filter($"t2" >= $"t" + 1L && $"t2" <= $"t" + 600000L).count()
+    assert(df.head().getLong(0) === brute)
+  }
+
   test("BandRangeJoinRule is exact for negative and extreme time values") {
     import spark.implicits._
     graft.plans.BandRangeJoin.install(spark)

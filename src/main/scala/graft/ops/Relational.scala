@@ -564,10 +564,12 @@ object Relational {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
       .select($"l_suppkey", $"l_partkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
-    // (l_orderkey, l_linenumber) is the lineitem primary key, so the extra
-    // l_partkey ordering column is purely DEFENSIVE against hypothetical
-    // duplicate rows (it is constant within wFirst partitions and a no-op
-    // tie-break in wRun). The running frame is RANGE
+    // (l_orderkey, l_linenumber) is the TPC-H primary key ON PAPER, but in
+    // THIS driver-generated testdata it is NOT unique (sf0.01: 45,832
+    // distinct of 60,000 rows — verified in DuckDB), so the extra l_partkey
+    // ordering column is load-bearing: without it, tied rows accumulate in
+    // engine-dependent order (a 56-cell oracle diff in round 1).
+    // The running frame is RANGE
     // (the default when ordered), not ROWS: should a future dataset emit
     // fully duplicate rows, RANGE gives tied peers the same cumulative
     // value on both engines, where a ROWS frame would accumulate them in

@@ -54,9 +54,63 @@ object OracleSql {
        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H-Q7-shaped volume-shipping query (two-nation trade flows by ship
+    * year, symmetric nation-pair disjunction — the classic OR-of-conjuncts
+    * predicate that must NOT break the join into a cartesian). EXTRACT YEAR
+    * is cast to BIGINT on both engines (Spark year() is INT, DuckDB's is
+    * BIGINT).
+    */
+  val Q7: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       |  ${msum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+       |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H-Q10-shaped returned-items report: top-20 customers by revenue
+    * lost to returns in one quarter.
+    */
+  val Q10: String =
+    s"""SELECT c_custkey, c_name,
+       |  ${msum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  c_acctbal, n_name
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   val sql: Map[String, String] = Map(
     "sql_q3" -> Q3,
     "sql_q5" -> Q5,
+    "sql_q7" -> Q7,
+    "sql_q10" -> Q10,
+    "agg_funnel" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+        |  count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+        |  count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS n_funnel
+        |FROM pu""".stripMargin,
     // ===== §2.1 scans =====
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

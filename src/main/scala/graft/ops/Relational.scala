@@ -717,6 +717,48 @@ object Relational {
     s.sql(graft.oracle.OracleSql.Q5)
   }
 
+  /** TPC-H-Q7-shaped volume shipping (two-nation trade flows by ship year).
+    * The symmetric nation-pair OR-predicate stays inside the n1×n2 join
+    * condition; nation is broadcast twice (25 rows), so the disjunction
+    * never degrades the lineitem-side join to a cartesian.
+    */
+  val sqlQ7: Q = (s, dir) => {
+    Seq("customer", "orders", "lineitem", "supplier", "nation").foreach(t =>
+      Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(graft.oracle.OracleSql.Q7)
+  }
+
+  /** TPC-H-Q10-shaped returned-items report (top-20 customers by returned
+    * revenue in a quarter) — date-filtered orders drive the join, customer
+    * attributes ride the groupBy.
+    */
+  val sqlQ10: Q = (s, dir) => {
+    Seq("customer", "orders", "lineitem", "nation").foreach(t =>
+      Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(graft.oracle.OracleSql.Q10)
+  }
+
+  /** Ordered conversion funnel over the event log (view → click →
+    * purchase): per-user min event-time per stage via conditional
+    * aggregates (ONE shuffle on user_id, not three passes), then a
+    * single-row roll-up counting users that completed each prefix in
+    * order. Times compare in the ms domain on both engines (unix_millis ↔
+    * epoch_ms) so sub-ms ordering can't diverge.
+    */
+  val aggFunnel: Q = (s, dir) => {
+    import s.implicits._
+    def tmin(t: String) =
+      min(when($"event_type" === t, unix_millis($"ts"))).as(s"t_$t")
+    val pu = Tables.events(s, dir).groupBy($"user_id")
+      .agg(tmin("view"), tmin("click"), tmin("purchase"))
+    pu.agg(
+      count(lit(1)).as("n_users"),
+      count(when($"t_view".isNotNull, 1)).as("n_view"),
+      count(when($"t_click" > $"t_view", 1)).as("n_view_click"),
+      count(when($"t_purchase" > $"t_click" && $"t_click" > $"t_view", 1))
+        .as("n_funnel"))
+  }
+
   /** t-digest-style approximate percentiles (mergeable sketch — the 100 TB
     * substitute for exact sort-based quantiles). Sketch internals differ
     * from DuckDB's ⇒ no oracle; RelationalSpec brackets it against exact.
@@ -909,6 +951,9 @@ object Relational {
     "scalar_subquery" -> scalarSubquery,
     "sql_q3" -> sqlQ3,
     "sql_q5" -> sqlQ5,
+    "sql_q7" -> sqlQ7,
+    "sql_q10" -> sqlQ10,
+    "agg_funnel" -> aggFunnel,
     "win_rank" -> winRank,
     "win_lag_lead" -> winLagLead,
     "win_frame_rows" -> winFrameRows,

@@ -617,6 +617,46 @@ object LlmOps {
       .orderBy($"source", $"chunk")
   }
 
+  /** Corpus n-gram statistics: top-5 bigrams per language with counts and
+    * ranks — the vocabulary/phrase-frequency pass of a training-data
+    * pipeline. Bigrams come from one `zip_with` over the token array (no
+    * token self-join; the pair construction is per-row, the only shuffle is
+    * the (lang, bigram) count agg + the tiny per-lang top-k window). The
+    * zip_with lambda is interpreted, but it feeds a hash agg, not a pair
+    * join, so codegen blocking is immaterial here.
+    */
+  val llmNgramFreq: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"lang", split(trim($"text"), " ").as("t"))
+    val n1 = greatest(size($"t") - 1, lit(0))
+    val bi = toks.select($"lang", explode(
+      zip_with(slice($"t", lit(1), n1), slice($"t", lit(2), n1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+    val cnt = bi.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
+    cnt.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"lang", $"bigram", $"n", $"rk".cast("long").as("rk"))
+      .orderBy($"lang", $"rk")
+  }
+
+  /** Deterministic stratified downsampling — the corpus-rebalancing step of
+    * a training-data pipeline: keep ≈50% of documents per language stratum
+    * by an md5(doc_id) threshold (pure function of the key ⇒ reproducible
+    * across runs, engines, and cluster layouts — never `rand()`), report
+    * per-stratum totals, kept counts, and the realized ratio.
+    */
+  val llmSampleStratified: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .withColumn("keep", substring(md5($"doc_id".cast("string")), 1, 1) < "8")
+    d.groupBy($"lang").agg(
+        count(lit(1)).as("n_total"),
+        count(when($"keep", 1)).as("n_kept"))
+      .withColumn("kept_ratio", pround4($"n_kept" / $"n_total"))
+      .orderBy($"lang")
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
     * token stream, h = (h·31 + md5₃₂(tok)) mod 1000003 — same left fold on
     * both engines (Spark `aggregate` seeded with the first token ≡ DuckDB
@@ -740,6 +780,8 @@ object LlmOps {
     "llm_lang_id" -> llmLangId,
     "llm_fingerprint" -> llmFingerprint,
     "llm_rolling_hash" -> llmRollingHash,
+    "llm_ngram_freq" -> llmNgramFreq,
+    "llm_sample_stratified" -> llmSampleStratified,
     "llm_multimodal_join" -> llmMultimodalJoin,
     "llm_pipeline_e2e" -> llmPipelineE2e,
     "llm_pipeline_pack" -> llmPipelinePack,

@@ -343,6 +343,28 @@ object LlmOracle {
         |    (a, b) -> (a * 31 + b) % 1000003) AS rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "llm_ngram_freq" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(trim(text), ' ') AS l FROM documents),
+        |bi AS (
+        |  SELECT lang, l[i] || ' ' || l[i+1] AS bigram
+        |  FROM toks, UNNEST(range(1, len(l))) AS t(i)),
+        |cnt AS (SELECT lang, bigram, count(*) AS n FROM bi GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT lang, bigram, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+        |  FROM cnt)
+        |SELECT lang, bigram, n, rk FROM rk WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
+
+    "llm_sample_stratified" ->
+      """SELECT lang,
+        |  count(*) AS n_total,
+        |  count(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '8' THEN 1 END) AS n_kept,
+        |  floor(count(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '8' THEN 1 END)
+        |    / count(*) * 10000.0 + 0.5) / 10000.0 AS kept_ratio
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "llm_pipeline_e2e" ->
       s"""WITH $jaccardPairs,
          |keepq AS (

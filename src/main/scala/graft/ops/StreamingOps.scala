@@ -226,6 +226,41 @@ object StreamingOps {
         unix_millis($"p_ts").as("purchase_ts_ms"), unix_millis($"c_ts").as("click_ts_ms"))
   }
 
+  /** Dimension-enrichment core: events joined to the customer dim on
+    * user_id = c_custkey and rolled up per (segment, event_type, 1-hour
+    * window). The dim side is broadcast — the map-side enrichment every
+    * event pipeline needs; in streaming the static side re-resolves per
+    * micro-batch with NO state store involved (a stream-static join keeps
+    * zero streaming state), which is why this shape scales to any event
+    * rate: state cost is the windowed agg only.
+    */
+  private def enrichCore(e: DataFrame, dim: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.join(broadcast(dim), $"user_id" === $"c_custkey")
+      .groupBy(window($"ts", "1 hour").as("w"), $"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n"), Relational.msum($"value").as("sum_value"))
+      .select(unix_millis($"w.start").as("ws_ms"),
+        $"c_mktsegment".as("segment"), $"event_type", $"n", $"sum_value")
+  }
+
+  private def customerDim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+  }
+
+  /** Batch twin of the stream-static enrichment join (oracle-checked). */
+  val streamEnrich: Q = (s, dir) => {
+    import s.implicits._
+    enrichCore(Tables.events(s, dir), customerDim(s, dir))
+      .orderBy($"ws_ms", $"segment", $"event_type")
+  }
+
+  /** Streaming variant: same core over the event stream; asserted ≡ the
+    * batch twin in StreamingSpec.
+    */
+  def enrichStream(s: SparkSession, dir: String): DataFrame =
+    enrichCore(eventsStream(s, dir), customerDim(s, dir))
+
   /** Streaming variant of [[streamEdgeUpsert]] for incremental ingestion. */
   def edgeUpsertStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -394,6 +429,7 @@ object StreamingOps {
     "stream_stateful_fold" -> streamStatefulFold,
     "stream_edge_upsert" -> streamEdgeUpsert,
     "stream_join" -> streamJoin,
+    "stream_enrich" -> streamEnrich,
     "stream_late_data" -> streamLateData
   )
 }

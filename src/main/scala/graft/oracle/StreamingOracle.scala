@@ -54,6 +54,13 @@ object StreamingOracle {
          |  max(epoch_ms(ts)) AS last_ts_ms
          |FROM events GROUP BY 1, 2 ORDER BY user_id, item""".stripMargin,
 
+    "stream_enrich" ->
+      s"""SELECT (epoch_ms(e.ts) // 3600000) * 3600000 AS ws_ms,
+         |  c.c_mktsegment AS segment, e.event_type,
+         |  count(*) AS n, ${msum("e.value")} AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1, 2, 3 ORDER BY ws_ms, segment, event_type""".stripMargin,
+
     "stream_stateful_fold" ->
       s"""SELECT user_id, count(*) AS n_events,
          |  ${msum("value")} AS sum_value,

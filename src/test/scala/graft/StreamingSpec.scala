@@ -67,6 +67,12 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(sunk) === sortedRows(batch))
   }
 
+  test("stream_enrich: stream-static broadcast enrichment equals batch twin") {
+    val batch = SparkEntry.queries("stream_enrich")(spark, sf)
+    val stream = runStream(StreamingOps.enrichStream(spark, sf), OutputMode.Complete)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
   test("stream_join: stream-stream attribution join equals batch twin") {
     val batch = SparkEntry.queries("stream_join")(spark, sf)
     val stream = runStream(StreamingOps.attributionStream(spark, sf), OutputMode.Append)

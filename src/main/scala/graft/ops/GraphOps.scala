@@ -426,6 +426,20 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Degree distribution of the undirected co-purchase graph — the
+    * first-look structural profile of any graph (hub detection, skew
+    * estimate for join planning): degree = number of distinct co-purchase
+    * partners, histogram over degrees. Two linear aggs, no pairs.
+    */
+  val graphDegreeDist: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).select($"a", $"b")
+    val deg = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
+      .groupBy($"a").agg(count(lit(1)).as("d"))
+    deg.groupBy($"d").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"d")
+  }
+
   /** Personalized PageRank from part 1 over the undirected co-purchase
     * graph (the reference's "recommendations for this node" ranking) — the
     * same exact scaled-integer iteration as [[graphPagerank]] with all reset
@@ -538,6 +552,7 @@ object GraphOps {
     "graph_recommend" -> graphRecommend,
     "graph_jaccard_nodes" -> graphJaccardNodes,
     "graph_jaccard_approx" -> graphJaccardApprox,
+    "graph_degree_dist" -> graphDegreeDist,
     "graph_ppr" -> graphPpr,
     "graph_tag_similarity" -> graphTagSimilarity,
     "graph_cc" -> graphCc,

@@ -657,6 +657,31 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** Unigram-LM quality proxy — the cheap "perplexity-style" document
+    * scorer of a training-data pipeline: corpus unigram frequencies feed a
+    * per-document average surprise avg(−ln p(token)). Low = repetitive/
+    * templated text, high = rare-token soup; both tails get cut in
+    * practice. The vocabulary joins BROADCAST (Heaps' law: |vocab| ≪
+    * corpus tokens; at 100 TB a many-GB vocabulary would switch this to a
+    * shuffle join on token, same plan otherwise). round(…,4) is safe on
+    * the irrational ln values (unlike small-integer ratios).
+    */
+  val llmUnigramLogprob: Q = (s, dir) => {
+    import s.implicits._
+    // freq and the per-doc join share this lineage — checkpoint so the
+    // tokenize pass runs once, not once per join side
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("t"))
+      .localCheckpoint()
+    val freq = tok.groupBy($"t").agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    tok.join(broadcast(freq), "t").crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log($"c" / $"n")), 4).as("avg_surprise"))
+      .orderBy($"doc_id")
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
     * token stream, h = (h·31 + md5₃₂(tok)) mod 1000003 — same left fold on
     * both engines (Spark `aggregate` seeded with the first token ≡ DuckDB
@@ -782,6 +807,7 @@ object LlmOps {
     "llm_rolling_hash" -> llmRollingHash,
     "llm_ngram_freq" -> llmNgramFreq,
     "llm_sample_stratified" -> llmSampleStratified,
+    "llm_unigram_logprob" -> llmUnigramLogprob,
     "llm_multimodal_join" -> llmMultimodalJoin,
     "llm_pipeline_e2e" -> llmPipelineE2e,
     "llm_pipeline_pack" -> llmPipelinePack,

@@ -738,6 +738,22 @@ object Relational {
     s.sql(graft.oracle.OracleSql.Q10)
   }
 
+  /** Fixed-width numeric histogram over order totals (50k-wide buckets):
+    * the one-pass distribution profile used for spill sizing and skew
+    * detection. Bucket = floor(price/width) — identical IEEE double
+    * division on both engines; min/max of doubles are exact.
+    */
+  val aggHistogram: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .withColumn("bucket", floor($"o_totalprice" / 50000.0).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+      .orderBy($"bucket")
+  }
+
   /** Ordered conversion funnel over the event log (view → click →
     * purchase): per-user min event-time per stage via conditional
     * aggregates (ONE shuffle on user_id, not three passes), then a
@@ -954,6 +970,7 @@ object Relational {
     "sql_q7" -> sqlQ7,
     "sql_q10" -> sqlQ10,
     "agg_funnel" -> aggFunnel,
+    "agg_histogram" -> aggHistogram,
     "win_rank" -> winRank,
     "win_lag_lead" -> winLagLead,
     "win_frame_rows" -> winFrameRows,

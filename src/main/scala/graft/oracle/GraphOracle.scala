@@ -177,6 +177,12 @@ object GraphOracle {
          |JOIN deg d2 ON pairs.p2 = d2.p
          |ORDER BY jac DESC, pairs.p1, pairs.p2 LIMIT 20""".stripMargin,
 
+    "graph_degree_dist" ->
+      s"""WITH $copurchaseCte,
+         |bdir AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |deg AS (SELECT a, count(*) AS d FROM bdir GROUP BY a)
+         |SELECT d, count(*) AS n_nodes FROM deg GROUP BY d ORDER BY d""".stripMargin,
+
     "graph_jaccard_approx" ->
       s"""WITH $edgesCte,
          |samp AS (

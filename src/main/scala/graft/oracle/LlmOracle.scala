@@ -365,6 +365,16 @@ object LlmOracle {
         |    / count(*) * 10000.0 + 0.5) / 10000.0 AS kept_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "llm_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents),
+        |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(-ln(c / n)), 4) AS avg_surprise
+        |FROM tok JOIN freq USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "llm_pipeline_e2e" ->
       s"""WITH $jaccardPairs,
          |keepq AS (

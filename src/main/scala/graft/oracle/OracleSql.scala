@@ -99,6 +99,12 @@ object OracleSql {
     "sql_q5" -> Q5,
     "sql_q7" -> Q7,
     "sql_q10" -> Q10,
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "agg_funnel" ->
       """WITH pu AS (
         |  SELECT user_id,

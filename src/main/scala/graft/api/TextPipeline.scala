@@ -92,7 +92,69 @@ object TextPipeline {
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("j", col("common") / (col("n1") + col("n2") - col("common")))
       .filter(col("j") >= minJ)
-      .select(col("d1"), col("d2"), round(col("j"), 4).as("jaccard"))
+      // pround4, not round: small-integer quotient, half-boundary safe
+      // (same treatment as the registry twins — keeps ApiSpec's equality
+      // assertions exact)
+      .select(col("d1"), col("d2"), graft.ops.LlmOps.pround4(col("j")).as("jaccard"))
+
+  // ===== persisted MinHash signature index (offline build / online serve) =====
+
+  /** OFFLINE half of the near-dup index: per-document MinHash signatures
+    * (nHashes portable md5 min-hashes) + shingle count — the artifact a
+    * production pipeline persists. Building it is the expensive full-corpus
+    * tokenize→shingle→hash scan; everything the online side needs per doc
+    * is these nHashes+1 small values.
+    */
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column,
+                        nHashes: Int = 8): DataFrame = {
+    val ex = shingles(docs, id, text)
+    val aggs = (0 until nHashes).map(i =>
+      min(md5(concat(lit(i.toString), col("s")))).as(s"h$i")) :+
+      count(lit(1)).as("n")
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Persist/reload the signature artifact (parquet; trivially splittable,
+    * ~(nHashes·32+16) bytes per doc).
+    */
+  def saveSignatures(sig: DataFrame, path: String): Unit =
+    sig.write.mode("overwrite").parquet(path)
+  def loadSignatures(s: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** ONLINE half: serve near-dup pairs FROM the signature artifact.
+    * Candidates come from the banded signature self-join (no corpus scan);
+    * exact-Jaccard verification re-shingles ONLY candidate documents (a
+    * broadcast semi-join prunes the docs scan to the candidate ids — at
+    * 100 TB this touches a vanishing fraction of the corpus). Result is
+    * bit-identical to [[minhashLsh]] run end-to-end.
+    */
+  def nearDupFromSignatures(sig: DataFrame, docs: DataFrame, id: Column,
+                            text: Column, minJ: Double, nHashes: Int = 8,
+                            bands: Int = 4): DataFrame = {
+    require(nHashes % bands == 0, "nHashes must divide into bands")
+    val rows = nHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val key = concat((0 until rows).map(r => col(s"h${b * rows + r}")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val bandRows = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    val candIds = cands.select(col("d1").as("graft_cand_id"))
+      .union(cands.select(col("d2").as("graft_cand_id"))).distinct()
+    val ex = shingles(
+      docs.join(broadcast(candIds), id === col("graft_cand_id"), "left_semi"), id, text)
+    val sizes = sig.select(col("doc_id"), col("n"))
+    val common = cands
+      .join(ex.select(col("doc_id").as("d1"), col("s").as("s1")), "d1")
+      .join(ex.select(col("doc_id").as("d2"), col("s").as("s1")), Seq("d2", "s1"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    jaccardOf(common, sizes, minJ)
+  }
 
   /** 64-bit SimHash per document (token-hash bit majority, one nested
     * aggregate — no row blow-up).

@@ -33,6 +33,32 @@ object LlmOracle {
        |  JOIN sizes s1 ON d1 = s1.doc_id
        |  JOIN sizes s2 ON d2 = s2.doc_id)""".stripMargin
 
+  /** Shared by llm_dedup_minhash and llm_dedup_minhash_idx: serving from
+    * the persisted signature artifact is DEFINED to be bit-identical to
+    * the end-to-end run, so both check against one oracle text.
+    */
+  private val minhashSql: String =
+    s"""WITH $jaccardPairs,
+       |mh AS (
+       |  SELECT doc_id,
+       |    min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
+       |    min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3,
+       |    min(md5('4' || s)) AS h4, min(md5('5' || s)) AS h5,
+       |    min(md5('6' || s)) AS h6, min(md5('7' || s)) AS h7
+       |  FROM ex GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, band,
+       |    CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+       |              WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS key
+       |  FROM mh, (VALUES (0), (1), (2), (3)) b(band)),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT jac.d1, jac.d2, floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard
+       |FROM jac JOIN cands ON jac.d1 = cands.d1 AND jac.d2 = cands.d2
+       |WHERE j >= 0.5 ORDER BY jac.d1, jac.d2""".stripMargin
+
   val sql: Map[String, String] = Map(
     // ===== function batteries =====
     "fn_string" ->
@@ -189,27 +215,11 @@ object LlmOracle {
         |SELECT source, doc_id, n_tokens, start_off // 256 AS chunk, start_off
         |FROM o ORDER BY source, doc_id""".stripMargin,
 
-    "llm_dedup_minhash" ->
-      s"""WITH $jaccardPairs,
-         |mh AS (
-         |  SELECT doc_id,
-         |    min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
-         |    min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3,
-         |    min(md5('4' || s)) AS h4, min(md5('5' || s)) AS h5,
-         |    min(md5('6' || s)) AS h6, min(md5('7' || s)) AS h7
-         |  FROM ex GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, band,
-         |    CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
-         |              WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS key
-         |  FROM mh, (VALUES (0), (1), (2), (3)) b(band)),
-         |cands AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-         |SELECT jac.d1, jac.d2, floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard
-         |FROM jac JOIN cands ON jac.d1 = cands.d1 AND jac.d2 = cands.d2
-         |WHERE j >= 0.5 ORDER BY jac.d1, jac.d2""".stripMargin,
+    "llm_dedup_minhash" -> minhashSql,
+
+    // serving from the persisted signature artifact is defined to be
+    // bit-identical to the end-to-end run — same oracle text
+    "llm_dedup_minhash_idx" -> minhashSql,
 
     // ===== similarity =====
     "llm_sim_search" ->

@@ -140,6 +140,20 @@ class ApiSpec extends SparkSpec {
     assert(res.map(_.getLong(0)).toSet === Set(0L, 3L)) // own cluster only
   }
 
+  test("TextPipeline signature index: build -> save -> load serves identically to end-to-end") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val sig = TextPipeline.minhashSignatures(docs, $"doc_id", $"text")
+    val path = Scratch.dir("apispec_minhash_sig")
+    TextPipeline.saveSignatures(sig, path)
+    val served = TextPipeline.nearDupFromSignatures(
+        TextPipeline.loadSignatures(spark, path), docs, $"doc_id", $"text", minJ = 0.5)
+      .orderBy($"d1", $"d2").collect().map(_.toSeq).toSeq
+    val endToEnd = TextPipeline.minhashLsh(docs, $"doc_id", $"text", minJ = 0.5)
+      .orderBy($"d1", $"d2").collect().map(_.toSeq).toSeq
+    assert(served === endToEnd)
+  }
+
   test("VectorIndex codebook: train -> save -> load round-trips and serves identically") {
     import spark.implicits._
     val idx = VectorIndex.index(Tables.embeddings(spark, sf), $"vec_id", $"embedding")

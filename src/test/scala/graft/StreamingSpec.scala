@@ -67,6 +67,24 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(sunk) === sortedRows(batch))
   }
 
+  test("RocksDB state store: windowed agg runs on the production provider, same rows") {
+    // at 100 TB/day the in-memory HDFS-backed state store OOMs; RocksDB
+    // spills state to local disk and is the provider a real deployment
+    // sets. Prove the engine's streaming ops run unmodified on it.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = SparkEntry.queries("stream_tumbling")(spark, sf)
+      val stream = runStream(StreamingOps.tumblingStream(spark, sf), OutputMode.Complete)
+      assert(sortedRows(stream) === sortedRows(batch))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream_enrich: stream-static broadcast enrichment equals batch twin") {
     val batch = SparkEntry.queries("stream_enrich")(spark, sf)
     val stream = runStream(StreamingOps.enrichStream(spark, sf), OutputMode.Complete)

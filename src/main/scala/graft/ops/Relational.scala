@@ -364,6 +364,38 @@ object Relational {
       .orderBy($"purchase_id")
   }
 
+  /** FORWARD as-of join — each purchase attaches the FIRST click at or
+    * after it (the "next action" direction; [[joinAsof]] is the backward
+    * twin). Same linear union+window shape: clicks carry side=1 so they
+    * sort AFTER purchases at equal ts (inclusive-at-tie, matching the
+    * oracle's `ASOF LEFT JOIN ... c.ts_ms >= p.ts_ms`), and a
+    * currentRow→following frame takes the first non-null click. One
+    * shuffle+sort on user_id; no per-key nested loop.
+    */
+  val joinAsofFwd: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_id", $"user_id", tsMs($"ts").as("ts_ms"), $"event_type")
+    val clicks = e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts_ms").agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"ts_ms", $"click_id", $"ts_ms".as("c_ts"),
+        lit(1).as("side"), lit(null).cast("long").as("purchase_id"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_ms", lit(null).cast("long").as("click_id"),
+        lit(null).cast("long").as("c_ts"), lit(0).as("side"),
+        $"event_id".as("purchase_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"side")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("n_click", first($"click_id", ignoreNulls = true).over(w))
+      .withColumn("n_ts", first($"c_ts", ignoreNulls = true).over(w))
+      .filter($"side" === 0)
+      .select($"purchase_id", $"user_id", $"ts_ms".as("purchase_ts_ms"),
+        $"n_click".as("click_id"), $"n_ts".as("click_ts_ms"),
+        ($"n_ts" - $"ts_ms").as("gap_ms"))
+      .orderBy($"purchase_id")
+  }
+
   /** The same as-of semantics through the CUSTOM PHYSICAL OPERATOR
     * (plans.AsOfJoinExec — logical node + planner strategy + co-partitioned
     * single-pass merge with O(1) state). Same oracle as join_asof: the
@@ -943,6 +975,7 @@ object Relational {
     "join_theta_rule" -> joinThetaRule,
     "join_skew_salted" -> joinSkewSalted,
     "join_asof" -> joinAsof,
+    "join_asof_fwd" -> joinAsofFwd,
     "join_asof_exec" -> joinAsofExec,
     "join_cross" -> joinCross,
     "agg_topk_group" -> aggTopkGroup,

@@ -308,6 +308,20 @@ object OracleSql {
         |  ON p.user_id = c.user_id AND c.ts_ms <= p.ts_ms
         |ORDER BY purchase_id""".stripMargin,
 
+    "join_asof_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |clicks AS (
+        |  SELECT user_id, ts_ms, max(event_id) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ts_ms
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.ts_ms AS purchase_ts_ms,
+        |  c.click_id, c.ts_ms AS click_ts_ms, c.ts_ms - p.ts_ms AS gap_ms
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts_ms >= p.ts_ms
+        |ORDER BY purchase_id""".stripMargin,
+
     // identical semantics through the custom physical operator — same oracle
     "join_asof_exec" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),

@@ -312,6 +312,36 @@ object LlmOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** Benchmark DECONTAMINATION — the train/eval overlap check every
+    * training-data pipeline runs before a model sees the data: training
+    * documents (source ≠ src0) that near-duplicate an eval document
+    * (source = src0) at 3-shingle Jaccard ≥ 0.5. The pair space is
+    * eval × train, never train × train — the tiny eval shingle set is
+    * BROADCAST, so at 100 TB this is one map-side pass over the training
+    * corpus (the same reason real decontamination uses n-gram bloom
+    * filters built from the benchmark side).
+    */
+  val llmDecontaminate: Q = (s, dir) => {
+    import s.implicits._
+    // eval/train/sizes all derive from the shingle pass — checkpoint once
+    val ex = shingleRows(s, dir).localCheckpoint()
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    val exs = ex.join(src, "doc_id")
+    val evalSide = exs.filter($"source" === "src0")
+      .select($"doc_id".as("eval_id"), $"s")
+    val trainSide = exs.filter($"source" =!= "src0")
+      .select($"doc_id".as("train_id"), $"s")
+    val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    trainSide.join(broadcast(evalSide), "s")
+      .groupBy($"train_id", $"eval_id").agg(count(lit(1)).as("common"))
+      .join(sizes.select($"doc_id".as("train_id"), $"n".as("n1")), "train_id")
+      .join(sizes.select($"doc_id".as("eval_id"), $"n".as("n2")), "eval_id")
+      .withColumn("j", $"common" / ($"n1" + $"n2" - $"common"))
+      .filter($"j" >= 0.5)
+      .select($"train_id", $"eval_id", pround4($"j").as("jaccard"))
+      .orderBy($"train_id", $"eval_id")
+  }
+
   /** Near-dup pairs served from the PERSISTED MinHash signature index —
     * the offline/online split of [[llmDedupMinhash]] (VERDICT r2 "missing
     * #2": a reusable index artifact). The signature build (full-corpus
@@ -822,6 +852,7 @@ object LlmOps {
     "llm_pack_chunks" -> llmPackChunks,
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_dedup_minhash_idx" -> llmDedupMinhashIdx,
+    "llm_decontaminate" -> llmDecontaminate,
     "llm_dedup_simhash" -> llmDedupSimhash,
     "llm_sim_search" -> llmSimSearch,
     "llm_sim_join" -> llmSimJoin,

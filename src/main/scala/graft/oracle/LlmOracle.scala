@@ -375,6 +375,20 @@ object LlmOracle {
         |    / count(*) * 10000.0 + 0.5) / 10000.0 AS kept_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "llm_decontaminate" ->
+      s"""WITH $jaccardPairs,
+         |src AS (SELECT doc_id, source FROM documents),
+         |x AS (
+         |  SELECT CASE WHEN s1.source = 'src0' THEN jac.d2 ELSE jac.d1 END AS train_id,
+         |         CASE WHEN s1.source = 'src0' THEN jac.d1 ELSE jac.d2 END AS eval_id,
+         |         j
+         |  FROM jac
+         |  JOIN src s1 ON jac.d1 = s1.doc_id
+         |  JOIN src s2 ON jac.d2 = s2.doc_id
+         |  WHERE j >= 0.5 AND (s1.source = 'src0') <> (s2.source = 'src0'))
+         |SELECT train_id, eval_id, floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard
+         |FROM x ORDER BY train_id, eval_id""".stripMargin,
+
     "llm_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents),

@@ -312,6 +312,25 @@ object LlmOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** Per-label mean-pooled embedding centroids, one row per (label,
+    * dimension) — the offline class-centroid computation behind IVF
+    * codebooks and label-prototype classifiers, as a declared query.
+    * posexplode + (label, pos) hash agg: partial averages merge at the
+    * exchange, so the shuffle carries |labels|·dims rows, not vectors.
+    * Scalar output rows (never a list column — the parquet list encoding
+    * differs between engines); round(…,4) is safe on these many-term
+    * float averages (not small-integer ratios).
+    */
+  val llmEmbedCentroids: Q = (s, dir) => {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label".cast("long").as("label"),
+        posexplode($"embedding").as(Seq("p", "v")))
+      .groupBy($"label", ($"p" + 1).cast("long").as("pos"))
+      .agg(round(avg($"v"), 4).as("c"))
+      .orderBy($"label", $"pos")
+  }
+
   /** Benchmark DECONTAMINATION — the train/eval overlap check every
     * training-data pipeline runs before a model sees the data: training
     * documents (source ≠ src0) that near-duplicate an eval document
@@ -853,6 +872,7 @@ object LlmOps {
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_dedup_minhash_idx" -> llmDedupMinhashIdx,
     "llm_decontaminate" -> llmDecontaminate,
+    "llm_embed_centroids" -> llmEmbedCentroids,
     "llm_dedup_simhash" -> llmDedupSimhash,
     "llm_sim_search" -> llmSimSearch,
     "llm_sim_join" -> llmSimJoin,

@@ -375,6 +375,13 @@ object LlmOracle {
         |    / count(*) * 10000.0 + 0.5) / 10000.0 AS kept_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "llm_embed_centroids" ->
+      """WITH x AS (
+        |  SELECT CAST(label AS BIGINT) AS label, i AS pos, embedding[i] AS v
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i))
+        |SELECT label, pos, round(avg(v), 4) AS c
+        |FROM x GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+
     "llm_decontaminate" ->
       s"""WITH $jaccardPairs,
          |src AS (SELECT doc_id, source FROM documents),

@@ -312,6 +312,28 @@ object LlmOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** Sliding-window chunking with overlap (64-token windows, stride 32) —
+    * the RAG/retrieval counterpart of [[llmPackChunks]]'s disjoint packing:
+    * every chunk start is a pure function of the token count (starts =
+    * 0, 32, … ≤ n−1), so the explode is per-row integer arithmetic with no
+    * shuffle at all until the output sort. Emits (doc_id, chunk_idx,
+    * start_tok, chunk_tokens) with the short tail window included.
+    */
+  val llmChunkSliding: Q = (s, dir) => {
+    import s.implicits._
+    val stride = 32
+    val win = 64
+    Tables.documents(s, dir)
+      .select($"doc_id", size(split(trim($"text"), " ")).cast("long").as("n"))
+      .filter($"n" >= 1)
+      .select($"doc_id", $"n",
+        explode(sequence(lit(0L), floor(($"n" - 1) / stride).cast("long"))).as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx",
+        ($"chunk_idx" * stride).as("start_tok"),
+        least(lit(win.toLong), $"n" - $"chunk_idx" * stride).as("chunk_tokens"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** Per-label mean-pooled embedding centroids, one row per (label,
     * dimension) — the offline class-centroid computation behind IVF
     * codebooks and label-prototype classifiers, as a declared query.
@@ -873,6 +895,7 @@ object LlmOps {
     "llm_dedup_minhash_idx" -> llmDedupMinhashIdx,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_embed_centroids" -> llmEmbedCentroids,
+    "llm_chunk_sliding" -> llmChunkSliding,
     "llm_dedup_simhash" -> llmDedupSimhash,
     "llm_sim_search" -> llmSimSearch,
     "llm_sim_join" -> llmSimJoin,

@@ -375,6 +375,18 @@ object LlmOracle {
         |    / count(*) * 10000.0 + 0.5) / 10000.0 AS kept_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "llm_chunk_sliding" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, i AS chunk_idx
+        |  FROM d, UNNEST(range(0, (n - 1) // 32 + 1)) AS t(i)
+        |  WHERE n >= 1)
+        |SELECT doc_id, chunk_idx, chunk_idx * 32 AS start_tok,
+        |  least(64, n - chunk_idx * 32) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "llm_embed_centroids" ->
       """WITH x AS (
         |  SELECT CAST(label AS BIGINT) AS label, i AS pos, embedding[i] AS v

@@ -312,16 +312,16 @@ object GraphOps {
     for (_ <- 1 to 6) {
       val relax = ed.join(broadcast(frontier), $"a" === $"id")
         .select($"b".as("id"), ($"d" + $"w").as("d"))
-        .groupBy($"id").agg(min($"d").as("d"))
-        .localCheckpoint() // feeds both the new dist and the frontier diff
       val next = dist.unionAll(relax)
         .groupBy($"id").agg(min($"d").as("d"))
         .localCheckpoint()
-      // improved = candidates strictly better than (or absent from) the old map
-      frontier = relax.as("r")
-        .join(dist.as("o"), $"r.id" === $"o.id", "left")
-        .filter($"o.d".isNull || $"r.d" < $"o.d")
-        .select($"r.id".as("id"), $"r.d".as("d"))
+      // improved = rows whose distance dropped (or are new) vs the old map;
+      // one shuffle per round (the min-agg) — the diff join is id-keyed on
+      // two already-aggregated maps
+      frontier = next.as("n")
+        .join(dist.as("o"), $"n.id" === $"o.id", "left")
+        .filter($"o.d".isNull || $"n.d" < $"o.d")
+        .select($"n.id".as("id"), $"n.d".as("d"))
       dist = next
     }
     dist.select($"id".as("part"), $"d".as("wdist")).orderBy($"part")

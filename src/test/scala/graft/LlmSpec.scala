@@ -151,6 +151,23 @@ class LlmSpec extends SparkSpec {
     assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("llm_dedup_simhash_pairs: banded candidates recover exactly the brute-force pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val banded = q("llm_dedup_simhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sig = q("llm_dedup_simhash")
+    val brute = sig.as("x").join(sig.as("y"), $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id", $"y.doc_id",
+        bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast("long").as("h"))
+      .filter($"h" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // pigeonhole: hamming <= 3 over 4 disjoint 16-bit bands forces >= 1
+    // exact band match, so the banded set must EQUAL brute force
+    assert(banded === brute)
+    assert(banded.nonEmpty, "fixture should contain at least one near-identical pair")
+  }
+
   test("llm_ann_lsh: bucket-local results with exact cosines") {
     val rows = q("llm_ann_lsh").collect()
     assert(rows.length === 5)

@@ -463,6 +463,25 @@ object GraphOps {
       .orderBy($"d")
   }
 
+  /** Degree assortativity of the co-purchase graph — Pearson correlation of
+    * endpoint degrees over directed edges (do hubs connect to hubs?). The
+    * per-part degree frame is dimension-sized, so both endpoint joins are
+    * broadcast; corr() is a single mergeable moment aggregate (round4-safe:
+    * irrational value, not a small-integer ratio).
+    */
+  val graphAssortativity: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).select($"a", $"b")
+    val bdir = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
+      .localCheckpoint() // feeds the degree agg AND the edge join
+    val deg = bdir.groupBy($"a").agg(count(lit(1)).as("d"))
+    bdir
+      .join(broadcast(deg.select($"a", $"d".as("d1"))), "a")
+      .join(broadcast(deg.select($"a".as("b2"), $"d".as("d2"))), $"b" === $"b2")
+      .agg(round(corr($"d1", $"d2"), 4).as("assortativity"),
+        count(lit(1)).as("n_dir_edges"))
+  }
+
   /** Personalized PageRank from part 1 over the undirected co-purchase
     * graph (the reference's "recommendations for this node" ranking) — the
     * same exact scaled-integer iteration as [[graphPagerank]] with all reset
@@ -577,6 +596,7 @@ object GraphOps {
     "graph_jaccard_approx" -> graphJaccardApprox,
     "graph_common_neighbors_approx" -> graphCommonNeighborsApprox,
     "graph_degree_dist" -> graphDegreeDist,
+    "graph_assortativity" -> graphAssortativity,
     "graph_ppr" -> graphPpr,
     "graph_tag_similarity" -> graphTagSimilarity,
     "graph_cc" -> graphCc,

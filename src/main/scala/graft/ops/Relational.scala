@@ -770,6 +770,31 @@ object Relational {
     s.sql(graft.oracle.OracleSql.Q10)
   }
 
+  /** Year-over-year rank movement: parts ranked by revenue within 1996 and
+    * 1997, joined on part, ordered by absolute movement — the "biggest
+    * movers" report. Revenue accumulates as scaled longs (order-independent
+    * exact sums), ranks are per-year row_number windows, and the self-join
+    * is on the part key. One shuffle for the agg, one per-year window, one
+    * key join.
+    */
+  val winRankChange: Q = (s, dir) => {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        $"o_orderdate" < to_timestamp(lit("1998-01-01 00:00:00")))
+      .groupBy($"l_partkey".as("p"), year($"o_orderdate").cast("long").as("yr"))
+      .agg(sum(scaled($"l_extendedprice" * (lit(1) - $"l_discount"))).as("r"))
+    val w = Window.partitionBy($"yr").orderBy($"r".desc, $"p")
+    val rk = rev.withColumn("rnk", row_number().over(w).cast("long"))
+      .localCheckpoint() // both join sides re-run the window otherwise
+    rk.as("x").filter($"x.yr" === 1996)
+      .join(rk.as("y").filter($"y.yr" === 1997), $"x.p" === $"y.p")
+      .select($"x.p".as("p"), $"x.rnk".as("rank_1996"), $"y.rnk".as("rank_1997"),
+        ($"x.rnk" - $"y.rnk").as("moved"))
+      .orderBy(abs($"moved").desc, $"p")
+  }
+
   /** Fixed-width numeric histogram over order totals (50k-wide buckets):
     * the one-pass distribution profile used for spill sizing and skew
     * detection. Bucket = floor(price/width) — identical IEEE double
@@ -1004,6 +1029,7 @@ object Relational {
     "sql_q10" -> sqlQ10,
     "agg_funnel" -> aggFunnel,
     "agg_histogram" -> aggHistogram,
+    "win_rank_change" -> winRankChange,
     "win_rank" -> winRank,
     "win_lag_lead" -> winLagLead,
     "win_frame_rows" -> winFrameRows,

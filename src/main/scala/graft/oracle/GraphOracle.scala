@@ -177,6 +177,16 @@ object GraphOracle {
          |JOIN deg d2 ON pairs.p2 = d2.p
          |ORDER BY jac DESC, pairs.p1, pairs.p2 LIMIT 20""".stripMargin,
 
+    "graph_assortativity" ->
+      s"""WITH $copurchaseCte,
+         |bdir AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |deg AS (SELECT a, count(*) AS d FROM bdir GROUP BY a)
+         |SELECT round(corr(d1.d, d2.d), 4) AS assortativity,
+         |  count(*) AS n_dir_edges
+         |FROM bdir e
+         |JOIN deg d1 ON e.a = d1.a
+         |JOIN deg d2 ON e.b = d2.a""".stripMargin,
+
     "graph_degree_dist" ->
       s"""WITH $copurchaseCte,
          |bdir AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),

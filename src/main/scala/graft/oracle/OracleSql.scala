@@ -99,6 +99,21 @@ object OracleSql {
     "sql_q5" -> Q5,
     "sql_q7" -> Q7,
     "sql_q10" -> Q10,
+    "win_rank_change" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS p, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT p, yr, row_number() OVER (PARTITION BY yr ORDER BY r DESC, p) AS rnk
+        |  FROM rev)
+        |SELECT a.p, a.rnk AS rank_1996, b.rnk AS rank_1997, a.rnk - b.rnk AS moved
+        |FROM rk a JOIN rk b ON a.p = b.p AND a.yr = 1996 AND b.yr = 1997
+        |ORDER BY abs(a.rnk - b.rnk) DESC, a.p""".stripMargin,
+
     "agg_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS min_price,

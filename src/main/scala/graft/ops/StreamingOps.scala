@@ -243,6 +243,29 @@ object StreamingOps {
         $"c_mktsegment".as("segment"), $"event_type", $"n", $"sum_value")
   }
 
+  /** Windowed approximate distinct users (HLL++ sketch, rsd 2%) — the
+    * mergeable-sketch shape of streaming cardinality at 100 TB: per-window
+    * HLL state is O(KB) and merges across partitions/micro-batches, where
+    * exact distinct would hold every user id in state. Sketch internals
+    * have no DuckDB twin ⇒ no oracle; StreamingSpec asserts the streaming
+    * run ≡ this batch twin and both within 5% of exact.
+    */
+  private def distinctApproxCore(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.groupBy(window($"ts", "1 hour").as("w"))
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(unix_millis($"w.start").as("ws_ms"), $"approx_users", $"n_events")
+  }
+
+  val streamDistinctApprox: Q = (s, dir) => {
+    import s.implicits._
+    distinctApproxCore(Tables.events(s, dir)).orderBy($"ws_ms")
+  }
+
+  def distinctApproxStream(s: SparkSession, dir: String): DataFrame =
+    distinctApproxCore(eventsStream(s, dir))
+
   private def customerDim(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
@@ -430,6 +453,7 @@ object StreamingOps {
     "stream_edge_upsert" -> streamEdgeUpsert,
     "stream_join" -> streamJoin,
     "stream_enrich" -> streamEnrich,
+    "stream_distinct_approx" -> streamDistinctApprox,
     "stream_late_data" -> streamLateData
   )
 }

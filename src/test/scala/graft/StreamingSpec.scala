@@ -85,6 +85,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_distinct_approx: sketch equals batch twin and is within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val batch = SparkEntry.queries("stream_distinct_approx")(spark, sf)
+    val stream = runStream(StreamingOps.distinctApproxStream(spark, sf), OutputMode.Complete)
+    assert(sortedRows(stream) === sortedRows(batch))
+    val exact = Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 hour")).agg(countDistinct($"user_id").as("n"))
+      .select(unix_millis($"window.start").as("ws_ms"), $"n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    batch.collect().foreach { r =>
+      val (ws, approx) = (r.getLong(0), r.getLong(1))
+      val ex = exact(ws).toDouble
+      assert(math.abs(approx - ex) / ex <= 0.05, s"window $ws: approx=$approx exact=$ex")
+    }
+  }
+
   test("stream_enrich: stream-static broadcast enrichment equals batch twin") {
     val batch = SparkEntry.queries("stream_enrich")(spark, sf)
     val stream = runStream(StreamingOps.enrichStream(spark, sf), OutputMode.Complete)

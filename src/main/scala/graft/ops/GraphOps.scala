@@ -463,6 +463,31 @@ object GraphOps {
       .orderBy($"d")
   }
 
+  /** Global clustering coefficient: 3·triangles / wedges, with wedges =
+    * Σ d(d−1)/2 over distinct-partner degrees — the closure metric that
+    * pairs with [[graphTriangles]]' node-iterator count (same
+    * array-intersect shape, no wedge materialization). pround4 on the
+    * coefficient: a small-integer ratio can land on a round(…,4) half
+    * boundary.
+    */
+  val graphClusteringCoeff: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).select($"a", $"b").localCheckpoint() // tri + deg
+    val adj = cp.groupBy($"a".as("v")).agg(sort_array(collect_list($"b")).as("nbrs"))
+    val tri = cp
+      .join(adj.select($"v", $"nbrs".as("na")), $"a" === $"v")
+      .join(adj.select($"v".as("v2"), $"nbrs".as("nb")), $"b" === $"v2")
+      .select(size(array_intersect($"na", $"nb")).cast("long").as("t"))
+      .agg(coalesce(sum($"t"), lit(0L)).as("n_triangles"))
+    val wedges = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
+      .groupBy($"a").agg(count(lit(1)).as("d"))
+      // d(d−1) is even, so the half-sum is exact in double and casts clean
+      .agg((sum($"d" * ($"d" - 1)) / 2).cast("long").as("n_wedges"))
+    tri.crossJoin(wedges)
+      .select($"n_triangles", $"n_wedges",
+        LlmOps.pround4(lit(3) * $"n_triangles" / $"n_wedges").as("global_cc"))
+  }
+
   /** Degree assortativity of the co-purchase graph — Pearson correlation of
     * endpoint degrees over directed edges (do hubs connect to hubs?). The
     * per-part degree frame is dimension-sized, so both endpoint joins are
@@ -597,6 +622,7 @@ object GraphOps {
     "graph_common_neighbors_approx" -> graphCommonNeighborsApprox,
     "graph_degree_dist" -> graphDegreeDist,
     "graph_assortativity" -> graphAssortativity,
+    "graph_clustering_coeff" -> graphClusteringCoeff,
     "graph_ppr" -> graphPpr,
     "graph_tag_similarity" -> graphTagSimilarity,
     "graph_cc" -> graphCc,

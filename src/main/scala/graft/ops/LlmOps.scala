@@ -431,6 +431,25 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Dedup CLUSTER assignment — near-duplication is transitive in practice
+    * (A≈B, B≈C ⇒ drop all but one of {A,B,C}), so production dedup is
+    * connected components over the near-dup pair graph, not pairwise
+    * drops. Every document gets keep_id = min doc_id of its similarity
+    * component (singletons keep themselves) via the pure-DataFrame
+    * pointer-jumping CC ([[graft.api.GraphAlgebra.connectedComponentsDf]]).
+    * Pairs here are the exact ≥0.6 Jaccard edges (oracle-checkable with a
+    * recursive min-label CTE); at 100 TB the SAME cluster step consumes
+    * llm_dedup_minhash's banded candidates instead.
+    */
+  val llmDedupCluster: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = jaccardPairs(s, dir, 0.6).select($"d1".as("a"), $"d2".as("b"))
+    val vertices = Tables.documents(s, dir).select($"doc_id".as("part"))
+    graft.api.GraphAlgebra.connectedComponentsDf(vertices, pairs)
+      .select($"id".as("doc_id"), $"comp".as("keep_id"))
+      .orderBy($"doc_id")
+  }
+
   /** SimHash near-dup PAIRS — the banded Hamming search that makes
     * [[llmDedupSimhash]]'s per-doc signature actionable: the 64-bit
     * signature splits into 4 disjoint 16-bit bands; any pair within
@@ -919,6 +938,7 @@ object LlmOps {
     "llm_pack_chunks" -> llmPackChunks,
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_dedup_minhash_idx" -> llmDedupMinhashIdx,
+    "llm_dedup_cluster" -> llmDedupCluster,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_embed_centroids" -> llmEmbedCentroids,
     "llm_chunk_sliding" -> llmChunkSliding,

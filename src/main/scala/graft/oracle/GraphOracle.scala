@@ -177,6 +177,19 @@ object GraphOracle {
          |JOIN deg d2 ON pairs.p2 = d2.p
          |ORDER BY jac DESC, pairs.p1, pairs.p2 LIMIT 20""".stripMargin,
 
+    "graph_clustering_coeff" ->
+      s"""WITH $copurchaseCte,
+         |bdir AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |deg AS (SELECT a, count(*) AS d FROM bdir GROUP BY a),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles FROM cp e1
+         |    JOIN cp e2 ON e2.a = e1.b
+         |    JOIN cp e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |wed AS (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg)
+         |SELECT n_triangles, n_wedges,
+         |  floor(3 * n_triangles / n_wedges * 10000.0 + 0.5) / 10000.0 AS global_cc
+         |FROM tri, wed""".stripMargin,
+
     "graph_assortativity" ->
       s"""WITH $copurchaseCte,
          |bdir AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),

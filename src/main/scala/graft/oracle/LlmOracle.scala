@@ -394,6 +394,18 @@ object LlmOracle {
         |SELECT label, pos, round(avg(v), 4) AS c
         |FROM x GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
 
+    "llm_dedup_cluster" ->
+      s"""WITH RECURSIVE $jaccardPairs,
+         |e2 AS (
+         |  SELECT d1 AS a, d2 AS b FROM jac WHERE j >= 0.6
+         |  UNION ALL SELECT d2, d1 FROM jac WHERE j >= 0.6),
+         |reach(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e2.b, reach.label FROM reach JOIN e2 ON e2.a = reach.node)
+         |SELECT node AS doc_id, min(label) AS keep_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
     "llm_decontaminate" ->
       s"""WITH $jaccardPairs,
          |src AS (SELECT doc_id, source FROM documents),

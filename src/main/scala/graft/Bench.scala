@@ -28,7 +28,18 @@ object Bench {
       // persisted/memoized codebook; training it is not query serving
       // (at 100 TB the codebook is a pre-built parquet artifact)
       graft.ops.LlmOps.kmeansCodebook(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+      // offline step of the minhash signature index: llm_dedup_minhash_idx
+      // serves from a persisted signature artifact; building it is not
+      // query serving either (r3 driver run paid the 18 s build inside the
+      // first timed invocation)
+      graft.ops.LlmOps.minhashSigPath(spark, sfDir)
+    } catch {
+      // A failed warmup means the first timed query silently re-pays the
+      // offline build — flag it so runs stay comparable (ADVICE r3).
+      case t: Throwable =>
+        System.err.println(s"[bench] WARMUP FAILED (${t.getClass.getName}: " +
+          s"${t.getMessage}) - timed numbers may include offline build cost")
+    }
     // deterministic (sorted) execution order — Map iteration order is
     // arbitrary, which made run-to-run per-query comparisons noisy
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -29,4 +29,16 @@ object Scratch {
     Files.createDirectories(d)
     d.toString
   }
+
+  /** Cheap content fingerprint of dataset files — (size, mtime) per file,
+    * directories walked one level. Folded into JVM-wide memo keys (trained
+    * codebooks, persisted signature artifacts) so regenerating the data
+    * under a path invalidates the cache instead of serving stale results
+    * (ADVICE r3).
+    */
+  def fingerprint(paths: String*): String = paths.map { p =>
+    val f = new java.io.File(p)
+    val fs = if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
+    fs.map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString(",")
+  }.mkString("|")
 }

@@ -115,6 +115,19 @@ object GraphAlgebra {
   /** Rank mass carried as a scaled BIGINT (1e12 = total mass 1.0). */
   val PrScale: Long = 1000000000000L
 
+  /** Row ceiling under which iterative-state frames (ranks, labels,
+    * frontiers — two bigint columns, ~16 B/row + hash-relation overhead)
+    * still broadcast comfortably: 2e7 rows ≈ 320 MB payload. Above it the
+    * hint would OOM executors long before 100× scale, so the gated joins
+    * below fall back to a plain (AQE-planned, usually sort-merge) join.
+    * The gate costs nothing extra: |V| is invariant across iterations and
+    * is already materialized for the reset term / convergence check.
+    */
+  val BroadcastMaxRows: Long = 20000000L
+
+  private def hinted(df: DataFrame, rows: Long, maxRows: Long): DataFrame =
+    if (rows <= maxRows) broadcast(df) else df
+
   /** EXACT PageRank / personalized PageRank by integer power iteration —
     * every step is truncating-integer arithmetic on scaled BIGINT mass, so
     * the fixed-point chain is bit-identical across engines, partitionings
@@ -134,18 +147,23 @@ object GraphAlgebra {
     * dominates). Iteration covers ACTIVE (deg ≥ 1) vertices only — the
     * symmetric graph guarantees each receives a contribution row — and
     * isolated vertices rejoin at the end with the constant reset rank.
-    * |V| ≪ |E| justifies the broadcast hint; a billion-vertex graph would
-    * drop the hint (SMJ) or take the GraphX Pregel path.
+    * |V| ≪ |E| justifies the broadcast hint at moderate scale, and the
+    * hint is GATED on |V| ≤ `broadcastMaxRows` (|V| is already paid for by
+    * the reset term): a billion-vertex graph automatically takes the
+    * plain-join path instead of OOMing on an unconditional broadcast.
     */
   def pageRankExact(vertices: DataFrame, edgesBoth: DataFrame, iters: Int,
-                    personalized: Option[Long]): DataFrame = {
+                    personalized: Option[Long],
+                    broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     val both = edgesBoth.select(col("a"), col("b")).localCheckpoint()
     val deg = both.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
-    val ed = both.join(broadcast(deg), col("a") === col("v"))
-      .select(col("a").as("esrc"), col("b").as("edst"), col("deg"))
-      .localCheckpoint()
     val parts = vertices.select(col("part"))
     val nDf = parts.agg(count(lit(1)).as("n")).localCheckpoint()
+    // |V| gates every broadcast below; rank/degree frames never exceed it
+    val nV = nDf.first().getLong(0)
+    val ed = both.join(hinted(deg, nV, broadcastMaxRows), col("a") === col("v"))
+      .select(col("a").as("esrc"), col("b").as("edst"), col("deg"))
+      .localCheckpoint()
     val resetOf: Column => Column = personalized match {
       case Some(src) => v => when(v === src, lit(PrScale * 15 / 100)).otherwise(lit(0L))
       case None => _ => expr(s"${PrScale * 15} div (n * 100)")
@@ -157,7 +175,7 @@ object GraphAlgebra {
         .select(col("v").as("part"), expr(s"$PrScale div n").as("r"))
     }
     for (_ <- 1 to iters) {
-      val csums = ed.join(broadcast(ranks), col("esrc") === col("part"))
+      val csums = ed.join(hinted(ranks, nV, broadcastMaxRows), col("esrc") === col("part"))
         .groupBy(col("edst")).agg(sum(expr("r div deg")).as("csum"))
       val withN = if (personalized.isEmpty) csums.crossJoin(broadcast(nDf)) else csums
       ranks = withN.select(col("edst").as("part"),
@@ -175,15 +193,21 @@ object GraphAlgebra {
     * convergence = zero changed labels). Labels = min vertex id per
     * component — identical to GraphX ConnectedComponents and to the
     * recursive min-label oracle. O(graph diameter) rounds.
+    *
+    * The label-frame broadcast is GATED on |V| ≤ `broadcastMaxRows` (|V|
+    * is one count on the checkpointed initial labels, invariant across
+    * rounds): past the ceiling both per-round joins run un-hinted.
     */
-  def connectedComponentsDf(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+  def connectedComponentsDf(vertices: DataFrame, pairs: DataFrame,
+                            broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     val cp = pairs.select(col("a"), col("b"))
     val both = cp.unionAll(cp.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
     var labels = vertices.select(col("part").as("id"), col("part").as("lbl"))
       .localCheckpoint()
+    val nV = labels.count() // label frame stays exactly |V| rows every round
     var changed = 1L
     while (changed > 0) {
-      val nbrMin = both.join(broadcast(labels), col("a") === col("id"))
+      val nbrMin = both.join(hinted(labels, nV, broadcastMaxRows), col("a") === col("id"))
         .groupBy(col("b").as("nid")).agg(min(col("lbl")).as("nmin"))
       // checkpointed BEFORE the self-join below — both join sides read it,
       // and an unmaterialized cand would re-execute the |E| propagation
@@ -195,7 +219,7 @@ object GraphAlgebra {
       // round count from O(diameter) to O(log diameter); the invariant
       // (label = id of a same-component vertex, monotonically decreasing)
       // is preserved, so the fixpoint is the same min-id labeling
-      val next = cand.as("x").join(broadcast(cand.as("y")),
+      val next = cand.as("x").join(hinted(cand.as("y"), nV, broadcastMaxRows),
           col("x.lbl") === col("y.id"), "left")
         .select(col("x.id").as("id"),
           least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"))
@@ -214,25 +238,30 @@ object GraphAlgebra {
     * dist = minimum hop count (identical to GraphX ShortestPaths and the
     * recursive BFS oracle).
     *
-    * Scale caveat: the frontier is broadcast, which assumes it stays far
-    * below |V| (true for bounded-hop point queries). A whole-graph BFS
-    * whose frontier approaches |V| should drop the hint (shuffle join) or
-    * take the GraphX Pregel path.
+    * Scale shape: the frontier broadcast is GATED per hop on the frontier
+    * row count — which is free, because the loop already counts the
+    * checkpointed frontier to detect termination. A small-world frontier
+    * that balloons toward |V| automatically degrades to a shuffle join
+    * instead of OOMing on the hint.
     */
-  def bfsHops(edgesBoth: DataFrame, src: Long, maxHops: Int): DataFrame = {
+  def bfsHops(edgesBoth: DataFrame, src: Long, maxHops: Int,
+              broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     val s = edgesBoth.sparkSession
     import s.implicits._
     val adj = edgesBoth.select(col("a"), col("b")).localCheckpoint()
     var dist = Seq((src, 0L)).toDF("id", "dist").localCheckpoint()
     var frontier = dist.select(col("id"))
+    var frontierRows = 1L
     var h = 1L
     var done = false
     while (h <= maxHops && !done) {
-      val next = adj.join(broadcast(frontier), col("a") === col("id"))
+      val next = adj.join(hinted(frontier, frontierRows, broadcastMaxRows),
+          col("a") === col("id"))
         .select(col("b").as("id")).distinct()
         .join(dist.select(col("id")), Seq("id"), "left_anti")
         .localCheckpoint()
-      if (next.isEmpty) done = true
+      frontierRows = next.count() // doubles as the termination check
+      if (frontierRows == 0) done = true
       else {
         dist = dist.unionAll(next.select(col("id"), lit(h).as("dist"))).localCheckpoint()
         frontier = next

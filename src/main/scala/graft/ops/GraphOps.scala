@@ -481,8 +481,9 @@ object GraphOps {
       .agg(coalesce(sum($"t"), lit(0L)).as("n_triangles"))
     val wedges = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
       .groupBy($"a").agg(count(lit(1)).as("d"))
-      // d(d−1) is even, so the half-sum is exact in double and casts clean
-      .agg((sum($"d" * ($"d" - 1)) / 2).cast("long").as("n_wedges"))
+      // integral div, not double `/`: exact past 2^53 where the double
+      // path could drift from the BIGINT oracle (ADVICE r3)
+      .agg(expr("sum(d * (d - 1)) div 2").as("n_wedges"))
     tri.crossJoin(wedges)
       .select($"n_triangles", $"n_wedges",
         LlmOps.pround4(lit(3) * $"n_triangles" / $"n_wedges").as("global_cc"))

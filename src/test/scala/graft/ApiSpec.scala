@@ -189,6 +189,26 @@ class ApiSpec extends SparkSpec {
     assert(ranks.map(_.getLong(1)).sum <= GraphAlgebra.PrScale)
   }
 
+  test("GraphAlgebra iterative ops: gated-off broadcast path is bit-identical") {
+    import spark.implicits._
+    // broadcastMaxRows = 0 forces the plain-join (100 TB) path; results
+    // must match the broadcast-hinted default exactly for all three ops
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (1L, 6L)).toDF("a", "b")
+    val both = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+    val vertices = (1L to 7L).toDF("part")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(
+      rows(GraphAlgebra.pageRankExact(vertices, both, 10, None, broadcastMaxRows = 0)) ===
+      rows(GraphAlgebra.pageRankExact(vertices, both, 10, None)))
+    assert(
+      rows(GraphAlgebra.connectedComponentsDf(vertices, pairs, broadcastMaxRows = 0)) ===
+      rows(GraphAlgebra.connectedComponentsDf(vertices, pairs)))
+    assert(
+      rows(GraphAlgebra.bfsHops(both, src = 1L, maxHops = 3, broadcastMaxRows = 0)) ===
+      rows(GraphAlgebra.bfsHops(both, src = 1L, maxHops = 3)))
+  }
+
   test("GraphAlgebra.connectedComponentsDf equals GraphX on the co-purchase graph") {
     import spark.implicits._
     val batch = SparkEntry.queries("graph_cc")(spark, sf)

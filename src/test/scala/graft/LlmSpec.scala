@@ -45,6 +45,22 @@ class LlmSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-sim pairs: $missed")
   }
 
+  test("llm_dedup_cluster from banded candidates equals clustering the exact edges") {
+    import spark.implicits._
+    // the op consumes banded-minhash candidate edges (the 100 TB shape);
+    // pin it to the clustering of the brute-force exact >= 0.6 edge set —
+    // a band-miss on any real near-dup pair would split a component here
+    val exactEdges = q("llm_dedup_near")
+      .select($"d1".as("a"), $"d2".as("b"))
+    val vertices = Tables.documents(spark, sf).select($"doc_id".as("part"))
+    val expected = api.GraphAlgebra.connectedComponentsDf(vertices, exactEdges)
+      .select($"id", $"comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = q("llm_dedup_cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === expected)
+  }
+
   test("llm_dedup_simhash: near-identical docs have small hamming distance") {
     import spark.implicits._
     val sim = q("llm_dedup_simhash").collect()

@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.GraphBridge
@@ -186,6 +187,87 @@ object GraphAlgebra {
     val isoRanks = (if (personalized.isEmpty) isolated.crossJoin(broadcast(nDf)) else isolated)
       .select(col("part"), resetOf(col("part")).as("r"))
     ranks.unionAll(isoRanks)
+  }
+
+  /** BATCH personalized PageRank — ALL sources at once: the reference's
+    * per-user recommendation serving (one PPR per user) expressed as ONE
+    * dataflow keyed by an extra source column, instead of |S| driver-looped
+    * jobs. Arithmetic is the same exact scaled-BIGINT iteration as
+    * [[pageRankExact]], so per source the nonzero ranks are bit-identical
+    * to the single-source op (ApiSpec pins this) and the whole batch is
+    * DuckDB-oracle hash-checkable.
+    *
+    * The rank state is SUPPORT-SPARSE: a (s, part) row exists only once
+    * mass has reached `part` from `s` (rank-0 vertices are represented by
+    * absence — `unionAll` of the per-source reset row re-injects the
+    * teleport term each iteration), so state grows with the personalized
+    * mass spread, not |S|·|V|. Each iteration shuffles on the (s, part)
+    * key; the rank-side broadcast is gated on the |S|·|V| upper bound.
+    */
+  def pageRankBatch(vertices: DataFrame, edgesBoth: DataFrame,
+                    sources: Seq[Long], iters: Int,
+                    broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
+    val sess = edgesBoth.sparkSession
+    import sess.implicits._
+    val both = edgesBoth.select(col("a"), col("b")).localCheckpoint()
+    val deg = both.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    val nV = vertices.select(col("part")).count()
+    val ed = both.join(hinted(deg, nV, broadcastMaxRows), col("a") === col("v"))
+      .select(col("a").as("esrc"), col("b").as("edst"), col("deg"))
+      .localCheckpoint()
+    val srcDf = sources.toDF("s").localCheckpoint()
+    val reset = srcDf
+      .select(col("s"), col("s").as("part"), lit(PrScale * 15 / 100).as("rc"))
+    var ranks = srcDf
+      .select(col("s"), col("s").as("part"), lit(PrScale).as("r"))
+      .localCheckpoint()
+    val rankCap = nV * sources.size // static upper bound on the rank frame
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(hinted(ranks, rankCap, broadcastMaxRows),
+          col("esrc") === col("part"))
+        .groupBy(col("s"), col("edst"))
+        .agg(sum(expr("r div deg")).as("csum"))
+        .select(col("s"), col("edst").as("part"),
+          expr("csum * 85 div 100").as("rc"))
+      ranks = contrib.unionAll(reset)
+        .groupBy(col("s"), col("part")).agg(sum(col("rc")).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Synchronous label-propagation community detection, deterministic
+    * variant: each round EVERY vertex simultaneously adopts the most
+    * frequent label among its neighbors, ties broken by the SMALLEST
+    * label; isolated vertices keep their own. The fixed round count makes
+    * the whole computation a finite deterministic dataflow — oracle-
+    * checkable as an unrolled CTE chain (the graph_wsssp trick) — where
+    * the classic asynchronous/randomized LPA is not.
+    *
+    * Per round: one join of the label frame into the |E| adjacency, a
+    * (vertex, label) count aggregation, and a row_number tie-break — all
+    * shuffled on the vertex key, no all-pairs stage anywhere. The label
+    * broadcast is gated on |V| ≤ broadcastMaxRows like
+    * [[connectedComponentsDf]]'s.
+    */
+  def labelPropagation(vertices: DataFrame, pairs: DataFrame, rounds: Int,
+                       broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
+    val cp = pairs.select(col("a"), col("b"))
+    val both = cp.unionAll(cp.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+    var labels = vertices.select(col("part").as("id"), col("part").as("lbl"))
+      .localCheckpoint()
+    val nV = labels.count() // label frame stays exactly |V| rows every round
+    val tieBreak = Window.partitionBy(col("v")).orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to rounds) {
+      val top = both.join(hinted(labels, nV, broadcastMaxRows), col("a") === col("id"))
+        .groupBy(col("b").as("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(tieBreak)).filter(col("rn") === 1)
+        .select(col("v"), col("lbl").as("nlbl"))
+      labels = labels.join(top, col("id") === col("v"), "left")
+        .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("id"), col("lbl").as("community"))
   }
 
   /** Connected components WITHOUT GraphX: min-label propagation iterated to

@@ -167,6 +167,32 @@ object StreamingOps {
     Iterator((key._1, key._2, folded.n, folded.sumScaled / 10000.0, folded.maxTs))
   }
 
+  /** Point-in-time state reconstruction — the event-sourced store's
+    * signature capability: rebuild the (user → item) edge state AS OF a
+    * cutoff T by replaying only journal entries with ts ≤ T through the
+    * SAME fold core as [[streamEdgeUpsert]] (edgeEvents → edgeFold). Here
+    * T = max event time − 1 hour, computed in-plan as a broadcast scalar
+    * (never collected), so the query stays one declarative plan: the ts
+    * filter pushes into the scan and the replay cost is proportional to
+    * the journal prefix, not to the number of reconstruction points. At
+    * 100 TB the journal is partitioned by event date, so the ts ≤ T
+    * predicate prunes whole partitions before any fold work runs.
+    */
+  val stateAsof: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    val mx = e.agg(max(unix_millis($"ts")).as("mx_ms"))
+    val asOf = e.crossJoin(broadcast(mx))
+      .filter(unix_millis($"ts") <= $"mx_ms" - 3600000L)
+      .drop("mx_ms")
+    edgeEvents(asOf)
+      .groupByKey(ev => (ev.user_id, ev.item))
+      .flatMapGroupsWithState[EdgeState, (Long, Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(edgeFold)
+      .toDF("user_id", "item", "n_events", "weight", "last_ts_ms")
+      .orderBy($"user_id", $"item")
+  }
+
   /** Attribution pairs — the stream-stream twin of `join_asof`'s domain:
     * every (purchase, click) pair of the same user with the click in the
     * 30 minutes at-or-before the purchase. Timestamps are ms-truncated
@@ -451,6 +477,7 @@ object StreamingOps {
     "stream_dedup" -> streamDedup,
     "stream_stateful_fold" -> streamStatefulFold,
     "stream_edge_upsert" -> streamEdgeUpsert,
+    "state_asof" -> stateAsof,
     "stream_join" -> streamJoin,
     "stream_enrich" -> streamEnrich,
     "stream_distinct_approx" -> streamDistinctApprox,

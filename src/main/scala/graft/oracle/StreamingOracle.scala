@@ -54,6 +54,16 @@ object StreamingOracle {
          |  max(epoch_ms(ts)) AS last_ts_ms
          |FROM events GROUP BY 1, 2 ORDER BY user_id, item""".stripMargin,
 
+    // journal replay as-of T = max(ts) - 1 h: same fold, prefix-filtered
+    "state_asof" ->
+      s"""WITH m AS (SELECT max(epoch_ms(ts)) AS mx FROM events)
+         |SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+         |  count(*) AS n_events, ${msum("value")} AS weight,
+         |  max(epoch_ms(ts)) AS last_ts_ms
+         |FROM events, m
+         |WHERE epoch_ms(ts) <= m.mx - 3600000
+         |GROUP BY 1, 2 ORDER BY user_id, item""".stripMargin,
+
     "stream_enrich" ->
       s"""SELECT (epoch_ms(e.ts) // 3600000) * 3600000 AS ws_ms,
          |  c.c_mktsegment AS segment, e.event_type,

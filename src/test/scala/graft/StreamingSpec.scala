@@ -59,6 +59,31 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("state_asof: prefix replay equals a declarative prefix aggregation") {
+    import spark.implicits._
+    val asof = SparkEntry.queries("state_asof")(spark, sf)
+    // independent twin: no stateful fold, plain groupBy over the ts ≤ T prefix
+    val e = Tables.events(spark, sf)
+    val mxMs = e.agg(max(unix_millis($"ts"))).first().getLong(0)
+    val twin = e.filter(unix_millis($"ts") <= mxMs - 3600000L)
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("item"),
+        unix_millis($"ts").as("ts_ms"),
+        expr("cast(round(value * 10000) as bigint)").as("vs"))
+      .groupBy($"user_id", $"item")
+      .agg(count(lit(1)).as("n_events"),
+        (sum($"vs") / 10000.0).as("weight"),
+        max($"ts_ms").as("last_ts_ms"))
+    assert(sortedRows(asof) === sortedRows(twin))
+    // the cutoff must actually truncate the journal: strictly fewer events
+    // fold into the as-of state than into the full replay (groups may
+    // survive the cutoff intact at tiny sf, so compare folded-event totals)
+    val full = SparkEntry.queries("stream_edge_upsert")(spark, sf)
+    def totalEvents(df: DataFrame): Long =
+      df.agg(sum($"n_events")).first().getLong(0)
+    assert(totalEvents(asof) < totalEvents(full))
+  }
+
   test("foreachBatch parquet materialized view equals the batch twin") {
     val out = StreamingOps.tumblingToParquet(spark, sf)
     val batch = SparkEntry.queries("stream_tumbling")(spark, sf)

@@ -213,6 +213,49 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Approximate weighted-tag similarity — the 100× path for
+    * [[graphTagSimilarity]], whose all-pairs cohort cross-join is the last
+    * pair op without a bounded twin. Candidates come from PREFIX FILTERING:
+    * per tag only the top-48 customers BY TAG WEIGHT pair up (row_number
+    * over (w desc, cust) — deterministic and oracle-expressible), so a tag
+    * carried by K customers contributes min(K,48)² candidate pairs instead
+    * of K². Candidates are then verified EXACTLY with the same sorted-map
+    * dot product as the exact op — reported dots are true values, the only
+    * loss is candidate recall, which the weight-ordered sample protects (a
+    * high dot needs high weight on ≥1 shared tag): measured 1.0 vs the
+    * exact top-20 at sf0.1, pinned ≥0.9 in ScaleSpec.
+    */
+  val graphTagSimilarityApprox: Q = (s, dir) => {
+    import s.implicits._
+    val cohort = Tables.customer(s, dir)
+      .filter($"c_nationkey" === 1).select($"c_custkey")
+    val tags = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(cohort, $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"o_custkey".as("cust"), $"p_brand".as("tag"))
+      .agg(sum($"l_quantity").cast("long").as("w"))
+      // feeds the sample AND both verify map sides — one materialization
+      .localCheckpoint()
+    val byWeight = Window.partitionBy($"tag").orderBy($"w".desc, $"cust")
+    val samp = tags.withColumn("rn", row_number().over(byWeight))
+      .filter($"rn" <= 48).select($"tag", $"cust")
+      .localCheckpoint() // both candidate self-join sides
+    val cands = samp.as("t1")
+      .join(samp.as("t2"), $"t1.tag" === $"t2.tag" && $"t1.cust" < $"t2.cust")
+      .select($"t1.cust".as("c1"), $"t2.cust".as("c2")).distinct()
+    val maps = tags.groupBy($"cust")
+      .agg(sort_array(collect_list(struct($"tag", $"w"))).as("m"))
+      .localCheckpoint()
+    cands
+      .join(maps.select($"cust".as("c1"), $"m".as("m1")), "c1")
+      .join(maps.select($"cust".as("c2"), $"m".as("m2")), "c2")
+      .select($"c1", $"c2", graft.expr.MapDot.sortedMapDot($"m1", $"m2").as("dot"))
+      .orderBy($"dot".desc, $"c1", $"c2")
+      .limit(20)
+  }
+
   /** Recommendation candidates for one node — the reference's
     * "related-but-not-yet-connected" query: parts co-purchased with part
     * 1's co-purchase partners (2 hops) that are NOT directly co-purchased
@@ -523,6 +566,42 @@ object GraphOps {
       .limit(20)
   }
 
+  /** BATCH personalized PageRank — the all-users-at-once serving shape:
+    * PPR from a cohort of source vertices (parts 1–5) in ONE dataflow keyed
+    * by source, top-5 recommendations per source. Same exact scaled-integer
+    * iteration as [[graphPpr]] per source (ApiSpec pins nonzero-rank
+    * equality for source 1); at 100 TB the cohort is the whole user base
+    * riding one job instead of |users| driver-looped ones. Oracle is a
+    * generated 10-iteration unrolled CTE with the source key carried
+    * through ([[graft.oracle.GraphOracle]]).
+    */
+  val graphPprBatch: Q = (s, dir) => {
+    import s.implicits._
+    val ranks = graft.api.GraphAlgebra.pageRankBatch(
+      partVertices(s, dir).toDF("part"), copurchaseBoth(s, dir),
+      sources = Seq(1L, 2L, 3L, 4L, 5L), iters = 10)
+    val topPer = Window.partitionBy($"s").orderBy($"r".desc, $"part")
+    ranks.withColumn("rn", row_number().over(topPer)).filter($"rn" <= 5)
+      .select($"s".as("src"), $"part", $"r".as("rank_scaled"))
+      .orderBy($"src", $"rank_scaled".desc, $"part")
+  }
+
+  /** Label-propagation communities over the co-purchase graph — community
+    * detection beyond connected components (a connected graph still splits
+    * into label basins). Deterministic synchronous LPA, 4 fixed rounds:
+    * each round every part adopts the most frequent label among its
+    * co-purchase neighbors, ties to the smallest label (the same
+    * tie-break GraphX's LPA documents, made total here so the unrolled-CTE
+    * oracle hash-matches). Per-vertex labels, ordered by part.
+    */
+  val graphLpa: Q = (s, dir) => {
+    import s.implicits._
+    graft.api.GraphAlgebra.labelPropagation(
+      partVertices(s, dir).toDF("part"), copurchase(s, dir), rounds = 4)
+      .select($"id".as("part"), $"community")
+      .orderBy($"part")
+  }
+
   /** 3-hop bounded traversal with min-hop labeling — one hop deeper than
     * [[graphKhop2]], proving the iterated-join shape extends (each level is
     * one equi-join + distinct; the visited-set dedup is the coalesce
@@ -625,7 +704,10 @@ object GraphOps {
     "graph_assortativity" -> graphAssortativity,
     "graph_clustering_coeff" -> graphClusteringCoeff,
     "graph_ppr" -> graphPpr,
+    "graph_ppr_batch" -> graphPprBatch,
+    "graph_lpa" -> graphLpa,
     "graph_tag_similarity" -> graphTagSimilarity,
+    "graph_tag_similarity_approx" -> graphTagSimilarityApprox,
     "graph_cc" -> graphCc,
     "graph_cc_df" -> graphCcDf,
     "graph_sssp" -> graphSssp,

@@ -72,8 +72,65 @@ object GraphOracle {
     s"$base,\n$rounds\nSELECT id AS part, d AS wdist FROM d6 ORDER BY part"
   }
 
+  /** Unrolled 10-iteration BATCH personalized PageRank: the source key `s`
+    * rides every CTE; the per-iteration reset row is re-injected by a
+    * UNION ALL (support-sparse state, matching the Spark side's absence-
+    * means-zero representation). Same generation trick as [[pagerankSql]].
+    */
+  private val pprBatchSql: String = {
+    val srcVals = (1 to 5).map(i => s"($i)").mkString(", ")
+    val base =
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e0 AS (SELECT x.p AS a, y.p AS b FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+         |  GROUP BY 1, 2),
+         |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg ON e.src = deg.src),
+         |srcs AS (SELECT CAST(s AS BIGINT) AS s FROM (VALUES $srcVals) AS t(s)),
+         |r0 AS (SELECT s, s AS part, CAST(1000000000000 AS BIGINT) AS r FROM srcs)""".stripMargin
+    val iters = (1 to 10).map { i =>
+      s"""c$i AS (SELECT r.s, ed.dst AS part, CAST(SUM(r.r // ed.deg) AS BIGINT) AS csum
+         |  FROM ed JOIN r${i - 1} r ON ed.src = r.part GROUP BY 1, 2),
+         |r$i AS (SELECT s, part, CAST(SUM(rc) AS BIGINT) AS r FROM (
+         |  SELECT s, part, csum * 85 // 100 AS rc FROM c$i
+         |  UNION ALL SELECT s, s AS part, CAST(150000000000 AS BIGINT) AS rc FROM srcs) u
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT s AS src, part, r AS rank_scaled FROM (
+       |  SELECT s, part, r,
+       |    row_number() OVER (PARTITION BY s ORDER BY r DESC, part) AS rn
+       |  FROM r10) t
+       |WHERE rn <= 5
+       |ORDER BY src, rank_scaled DESC, part""".stripMargin
+  }
+
+  /** Unrolled 4-round synchronous min-tie-break label propagation — per
+    * round: neighbor-label histogram, row_number argmax (count desc, label
+    * asc), isolated vertices keep their label via LEFT JOIN + COALESCE.
+    */
+  private val lpaSql: String = {
+    val base =
+      s"""WITH $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |l0 AS (SELECT p_partkey AS id, p_partkey AS lbl FROM part)""".stripMargin
+    val rounds = (1 to 4).map { i =>
+      s"""h$i AS (SELECT e2.b AS v, l.lbl AS lbl, count(*) AS c
+         |  FROM e2 JOIN l${i - 1} l ON e2.a = l.id GROUP BY 1, 2),
+         |t$i AS (SELECT v, lbl FROM (
+         |  SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+         |  FROM h$i) x WHERE rn = 1),
+         |l$i AS (SELECT l.id, COALESCE(t$i.lbl, l.lbl) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN t$i ON l.id = t$i.v)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$rounds\nSELECT id AS part, lbl AS community FROM l4 ORDER BY part"
+  }
+
   val sql: Map[String, String] = Map(
     "graph_wsssp" -> wssspSql,
+    "graph_ppr_batch" -> pprBatchSql,
+    "graph_lpa" -> lpaSql,
     "graph_pagerank" -> pagerankSql(
       reset = "15000000000000 // (n.n * 100)",
       r0 = "SELECT part, CAST(1000000000000 // n.n AS BIGINT) AS r FROM parts, n"),
@@ -279,6 +336,29 @@ object GraphOracle {
         |SELECT t1.cust AS c1, t2.cust AS c2,
         |  CAST(sum(t1.w * t2.w) AS BIGINT) AS dot
         |FROM tags t1 JOIN tags t2 ON t1.tag = t2.tag AND t1.cust < t2.cust
+        |GROUP BY 1, 2
+        |ORDER BY dot DESC, c1, c2 LIMIT 20""".stripMargin,
+
+    "graph_tag_similarity_approx" ->
+      """WITH cohort AS (SELECT c_custkey FROM customer WHERE c_nationkey = 1),
+        |tags AS (
+        |  SELECT o_custkey AS cust, p_brand AS tag,
+        |    CAST(sum(l_quantity) AS BIGINT) AS w
+        |  FROM orders
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN cohort ON o_custkey = c_custkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2),
+        |samp AS (SELECT tag, cust FROM (
+        |  SELECT tag, cust,
+        |    row_number() OVER (PARTITION BY tag ORDER BY w DESC, cust) AS rn
+        |  FROM tags) t WHERE rn <= 48),
+        |cands AS (SELECT DISTINCT t1.cust AS c1, t2.cust AS c2
+        |  FROM samp t1 JOIN samp t2 ON t1.tag = t2.tag AND t1.cust < t2.cust)
+        |SELECT c.c1, c.c2, CAST(sum(x.w * y.w) AS BIGINT) AS dot
+        |FROM cands c
+        |JOIN tags x ON x.cust = c.c1
+        |JOIN tags y ON y.cust = c.c2 AND y.tag = x.tag
         |GROUP BY 1, 2
         |ORDER BY dot DESC, c1, c2 LIMIT 20""".stripMargin,
 

@@ -209,6 +209,36 @@ class ApiSpec extends SparkSpec {
       rows(GraphAlgebra.bfsHops(both, src = 1L, maxHops = 3)))
   }
 
+  test("GraphAlgebra.pageRankBatch: per-source slice is bit-identical to single-source PPR") {
+    import spark.implicits._
+    val cp = ops.GraphOps.copurchase(spark, sf).select($"a", $"b")
+    val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
+    val vertices = Tables.part(spark, sf).select($"p_partkey".as("part"))
+    // support-sparse batch state: absence = rank 0, so compare nonzero sets
+    val batch = GraphAlgebra.pageRankBatch(vertices, both, Seq(1L, 2L), iters = 10)
+      .filter($"s" === 1L && $"r" > 0)
+      .collect().map(r => (r.getLong(r.fieldIndex("part")), r.getLong(r.fieldIndex("r")))).toSet
+    val single = GraphAlgebra.pageRankExact(vertices, both, 10, personalized = Some(1L))
+      .filter($"r" > 0)
+      .collect().map(r => (r.getLong(r.fieldIndex("part")), r.getLong(r.fieldIndex("r")))).toSet
+    assert(batch === single)
+  }
+
+  test("GraphAlgebra.labelPropagation/pageRankBatch: gated-off broadcast is bit-identical") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (1L, 6L)).toDF("a", "b")
+    val both = pairs.unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+    val vertices = (1L to 7L).toDF("part")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(
+      rows(GraphAlgebra.labelPropagation(vertices, pairs, 4, broadcastMaxRows = 0)) ===
+      rows(GraphAlgebra.labelPropagation(vertices, pairs, 4)))
+    assert(
+      rows(GraphAlgebra.pageRankBatch(vertices, both, Seq(1L, 4L), 10, broadcastMaxRows = 0)) ===
+      rows(GraphAlgebra.pageRankBatch(vertices, both, Seq(1L, 4L), 10)))
+  }
+
   test("GraphAlgebra.connectedComponentsDf equals GraphX on the co-purchase graph") {
     import spark.implicits._
     val batch = SparkEntry.queries("graph_cc")(spark, sf)

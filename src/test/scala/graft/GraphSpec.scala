@@ -105,6 +105,39 @@ class GraphSpec extends SparkSpec {
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
   }
 
+  test("GraphAlgebra.labelPropagation: hand-computed 4-round labels on the fixture") {
+    import spark.implicits._
+    val v = fixtureV.toDF("part")
+    val labels = graft.api.GraphAlgebra
+      .labelPropagation(v, df(fixtureE, ("a", "b")), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // synchronous LPA oscillates with period 2 on bipartite structures; at
+    // the even round the path 1-2-3 sits at {1:1, 2:2, 3:1} (endpoints took
+    // the middle's label and gave it theirs twice over), the pair and the
+    // singleton hold their own labels
+    assert(labels === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 5L -> 5L, 6L -> 6L, 9L -> 9L))
+  }
+
+  test("graph_lpa: every community label is an existing part id") {
+    import spark.implicits._
+    val rows = q("graph_lpa")
+    assert(rows.count() > 0)
+    val orphans = rows.join(
+      graft.Tables.part(spark, sf).select($"p_partkey".as("community")),
+      Seq("community"), "left_anti").count()
+    assert(orphans === 0L, s"$orphans labels are not vertex ids")
+  }
+
+  test("graph_ppr_batch: each source tops its own ranking, 5 rows per source") {
+    val rows = q("graph_ppr_batch").collect()
+    val bySrc = rows.groupBy(_.getLong(0))
+    assert(bySrc.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length === 5, s"source $src: ${rs.length} rows")
+      assert(rs.head.getLong(1) === src, s"source $src should top its own ranking")
+    }
+  }
+
   test("graph_jaccard_nodes: jaccard bounded by 1 and consistent with counts") {
     q("graph_jaccard_nodes").collect().foreach { r =>
       val j = r.getDouble(r.fieldIndex("jac"))

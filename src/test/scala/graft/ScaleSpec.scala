@@ -110,6 +110,16 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall of exact top-20")
   }
 
+  test("graph_tag_similarity_approx recalls >= 0.9 of the exact top-20 at sf0.1") {
+    val sfBig = "/root/testdata/sf0.1"
+    val exact = ops.GraphOps.graphTagSimilarity(spark, sfBig).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ops.GraphOps.graphTagSimilarityApprox(spark, sfBig).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size / exact.size.toDouble
+    assert(recall >= 0.9, s"recall $recall of exact top-20")
+  }
+
   test("shuffle partition count follows the session config (no hardcoded 200)") {
     import spark.implicits._
     val df = Tables.lineitem(spark, sf).groupBy($"l_suppkey").count()

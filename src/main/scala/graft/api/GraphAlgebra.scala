@@ -65,6 +65,33 @@ object GraphAlgebra {
       .select(col("dst").as("part"), coalesce(col("h1"), lit(2L)).as("hop"))
   }
 
+  /** Hop-budget traversal with min-hop labels and k a RUNTIME parameter —
+    * the reference's k-hop message semantics ([[khop2]] and the registry's
+    * khop_2/khop_3 are the fixed-k SQL-expressible instances; this loops in
+    * Scala like [[bfsHops]]). Bipartite: each hop is context→item, then the
+    * NEWLY-reached items' contexts seed the next hop — true frontier
+    * expansion, so per-hop work is proportional to the frontier, while the
+    * min-hop labeling is provably identical to the full re-expansion the
+    * fixed-k ops do (a context adjacent to a hop-h item is explored at
+    * round h+1 either way). ApiSpec pins khopK(2)/khopK(3) row-identical to
+    * the registry ops.
+    */
+  def khopK(edges: DataFrame, cohort: DataFrame, k: Int): DataFrame = {
+    val adj = edges.select(col("src"), col("dst")).localCheckpoint()
+    var custs = cohort.toDF("src").distinct()
+    var seen: DataFrame = null // (dst, hop = first round reached)
+    for (h <- 1 to k) {
+      val items = adj.join(custs, "src").select(col("dst")).distinct()
+      val fresh = (if (seen == null) items
+        else items.join(seen.select(col("dst")), Seq("dst"), "left_anti"))
+        .localCheckpoint()
+      val labeled = fresh.select(col("dst"), lit(h.toLong).as("hop"))
+      seen = (if (seen == null) labeled else seen.unionAll(labeled)).localCheckpoint()
+      if (h < k) custs = adj.join(fresh, "dst").select(col("src")).distinct()
+    }
+    seen.select(col("dst").as("part"), col("hop"))
+  }
+
   /** Triangle count of a canonical pair graph, node-iterator formulation
     * (sum of |N⁺(a) ∩ N⁺(b)| over edges, sorted adjacency lists +
     * codegen'd array_intersect — no Σdeg² wedge shuffle).

@@ -566,6 +566,21 @@ object GraphOps {
       .limit(20)
   }
 
+  /** 4-hop traversal through the PARAMETERIZED k-hop core
+    * ([[graft.api.GraphAlgebra.khopK]]) — the reference's hop-budget
+    * message semantics with k as a runtime argument rather than an
+    * unrolled join chain ([[graphKhop2]]/[[graphKhop3]] are the fixed-k
+    * SQL-expressible instances; ApiSpec pins khopK(2)/khopK(3) ≡ them).
+    * Frontier expansion: per-hop work ∝ newly-reached items only.
+    */
+  val graphKhop4: Q = (s, dir) => {
+    import s.implicits._
+    val cohort = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+    graft.api.GraphAlgebra.khopK(edges(s, dir), cohort, k = 4)
+      .orderBy($"part")
+  }
+
   /** BATCH personalized PageRank — the all-users-at-once serving shape:
     * PPR from a cohort of source vertices (parts 1–5) in ONE dataflow keyed
     * by source, top-5 recommendations per source. Same exact scaled-integer
@@ -694,6 +709,7 @@ object GraphOps {
     "graph_topk_per_node" -> graphTopkPerNode,
     "graph_khop_2" -> graphKhop2,
     "graph_khop_3" -> graphKhop3,
+    "graph_khop_4" -> graphKhop4,
     "graph_triangles" -> graphTriangles,
     "graph_common_neighbors" -> graphCommonNeighbors,
     "graph_recommend" -> graphRecommend,

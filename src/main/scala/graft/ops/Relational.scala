@@ -587,6 +587,24 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** JSON-lines source — the engine's third file format as a DECLARED
+    * query (SourceSpec has proven the round-trip since r1; this puts it on
+    * the graded surface): supplier round-tripped through JSON scratch with
+    * an EXPLICIT schema on read (schema inference is a second full pass
+    * over the data at 100 TB) and joined to nation. The oracle reads the
+    * original parquet — the JSON round-trip must be lossless for these
+    * types (Spark writes shortest-round-trip doubles).
+    */
+  val srcJson: Q = (s, dir) => {
+    import s.implicits._
+    val out = s"${graft.Scratch.dir("src_json")}/supplier"
+    Tables.supplier(s, dir).write.mode("overwrite").json(out)
+    val sup = s.read.schema(Tables.supplier(s, dir).schema).json(out)
+    sup.join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name", $"s_acctbal")
+      .orderBy($"s_suppkey")
+  }
+
   /** Running DISTINCT count per partition — a window Spark (and standard
     * SQL) cannot express as `count(DISTINCT) OVER`: flag each (supplier,
     * part)'s first occurrence with an inner row_number, then running-sum
@@ -1014,6 +1032,7 @@ object Relational {
     "agg_stats" -> aggStats,
     "agg_median_mode" -> aggMedianMode,
     "src_csv" -> srcCsv,
+    "src_json" -> srcJson,
     "win_running_distinct" -> winRunningDistinct,
     "agg_pivot" -> aggPivot,
     "agg_corr" -> aggCorr,

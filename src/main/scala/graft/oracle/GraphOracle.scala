@@ -127,10 +127,35 @@ object GraphOracle {
     s"$base,\n$rounds\nSELECT id AS part, lbl AS community FROM l4 ORDER BY part"
   }
 
+  /** Generated k-level traversal oracle — the khop_2/khop_3 shape with the
+    * level chain unrolled to any k (matches the frontier-expansion
+    * `GraphAlgebra.khopK`, whose min-hop labeling is identical to this
+    * full re-expansion).
+    */
+  private def khopSql(k: Int, cohortPred: String): String = {
+    val levels = new StringBuilder(
+      "p1 AS (SELECT DISTINCT dst FROM e JOIN cohort USING (src))")
+    for (i <- 2 to k) {
+      levels.append(s",\nc$i AS (SELECT DISTINCT src FROM e JOIN p${i - 1} USING (dst))")
+      levels.append(s",\np$i AS (SELECT DISTINCT dst FROM e JOIN c$i USING (src))")
+    }
+    val joins = (1 until k).map(i =>
+      s"LEFT JOIN (SELECT dst, $i AS h FROM p$i) h$i ON p$k.dst = h$i.dst").mkString("\n")
+    val coal = ((1 until k).map(i => s"h$i.h") :+ s"$k").mkString(", ")
+    s"""WITH $edgesCte,
+       |cohort AS (SELECT c_custkey AS src FROM customer WHERE $cohortPred),
+       |$levels
+       |SELECT p$k.dst AS part, CAST(coalesce($coal) AS BIGINT) AS hop
+       |FROM p$k
+       |$joins
+       |ORDER BY part""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "graph_wsssp" -> wssspSql,
     "graph_ppr_batch" -> pprBatchSql,
     "graph_lpa" -> lpaSql,
+    "graph_khop_4" -> khopSql(4, "c_mktsegment = 'AUTOMOBILE'"),
     "graph_pagerank" -> pagerankSql(
       reset = "15000000000000 // (n.n * 100)",
       r0 = "SELECT part, CAST(1000000000000 // n.n AS BIGINT) AS r FROM parts, n"),

@@ -298,6 +298,13 @@ object OracleSql {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY c_custkey""".stripMargin,
 
+    // the Spark side round-trips supplier through JSON scratch first; a
+    // lossless round-trip must hash-match the original parquet
+    "src_json" ->
+      """SELECT s_suppkey, s_name, n_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
+
     "join_theta_rule" ->
       """WITH e AS (SELECT event_id, epoch_ms(ts) AS t FROM events)
         |SELECT a.t // 3600000 AS hour, count(*) AS n_pairs,

@@ -209,6 +209,22 @@ class ApiSpec extends SparkSpec {
       rows(GraphAlgebra.bfsHops(both, src = 1L, maxHops = 3)))
   }
 
+  test("GraphAlgebra.khopK: parameterized traversal equals the fixed-k registry ops") {
+    import spark.implicits._
+    val adj = ops.GraphOps.edges(spark, sf)
+    def viaK(segment: String, k: Int): Seq[(Long, Long)] = {
+      val cohort = Tables.customer(spark, sf)
+        .filter($"c_mktsegment" === segment).select($"c_custkey")
+      GraphAlgebra.khopK(adj, cohort, k)
+        .orderBy($"part").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    def viaRegistry(key: String): Seq[(Long, Long)] =
+      SparkEntry.queries(key)(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaK("BUILDING", 2) === viaRegistry("graph_khop_2"))
+    assert(viaK("MACHINERY", 3) === viaRegistry("graph_khop_3"))
+  }
+
   test("GraphAlgebra.pageRankBatch: per-source slice is bit-identical to single-source PPR") {
     import spark.implicits._
     val cp = ops.GraphOps.copurchase(spark, sf).select($"a", $"b")

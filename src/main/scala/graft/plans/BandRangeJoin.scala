@@ -26,10 +26,21 @@ import org.apache.spark.unsafe.types.CalendarInterval
   *     residual filter — exactness is the residual's job, the band only
   *     prunes pairs.
   *
-  * Fires only when no equi conjunct exists (with one, hash partitioning
-  * already bounds the pair space) and both time sides are bare/offset
-  * bigint attributes. The rewritten join contains a band equality, so the
-  * rule cannot re-fire on its own output.
+  * By default fires only when no equi conjunct exists (with one, hash
+  * partitioning usually bounds the pair space already) and both time sides
+  * are bare/offset bigint attributes. When the session conf
+  * `spark.graft.bandRangeJoin.withEquiKeys` is true the rule ALSO fires on
+  * equi+range joins, adding the band to the equi keys: the shape that
+  * needs this is a LOW-CARDINALITY equi key (few tags/types/segments),
+  * where each key group is huge and the per-group range scan is quadratic —
+  * banding subdivides every group by time at the cost of the ≤7× right-side
+  * band explosion. That trade is wrong for high-cardinality keys (the
+  * common case), so it is opt-in per pipeline rather than a default; the
+  * logical plan alone cannot see key cardinality without CBO stats.
+  * An explicit guard on the generated `graft_band_*` attributes stops the
+  * rule re-firing on its own output (the residual range conjuncts it keeps
+  * would otherwise re-trigger it every fixed-point pass when the flag is
+  * on).
   */
 object BandRangeJoinRule extends Rule[LogicalPlan] {
 
@@ -105,10 +116,17 @@ object BandRangeJoinRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** Opt-in: band equi+range joins too (low-cardinality equi keys). */
+  val WithEquiKeysConf = "spark.graft.bandRangeJoin.withEquiKeys"
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case j @ Join(l, r, Inner, Some(cond), hint) =>
       val conjs = splitConj(cond)
-      if (hasEquiConjunct(conjs, l, r)) j
+      val alreadyBanded =
+        conjs.exists(_.references.exists(_.name.startsWith("graft_band")))
+      val bandWithEqui =
+        conf.getConfString(WithEquiKeysConf, "false").toBoolean
+      if (alreadyBanded || (hasEquiConjunct(conjs, l, r) && !bandWithEqui)) j
       else {
         // tightest (lo, hi) per (la, ra) attribute pair
         val bounds = conjs.flatMap(asBound(_, l, r))

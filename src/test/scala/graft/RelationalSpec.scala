@@ -184,6 +184,31 @@ class RelationalSpec extends SparkSpec {
     assert(df.head().getLong(0) === brute)
   }
 
+  test("BandRangeJoinRule (opt-in flag) bands range joins that ALSO carry an equi key") {
+    import spark.implicits._
+    graft.plans.BandRangeJoin.install(spark)
+    // the shape the flag exists for: a LOW-CARDINALITY equi key (2 groups
+    // here; tags/segments/types in practice) whose per-group range scan is
+    // quadratic — banding subdivides each group by time
+    val l = Seq.tabulate(200)(i => (i % 2L, i.toLong * 10)).toDF("k1", "t1")
+    val r = Seq.tabulate(200)(i => (i % 2L, i.toLong * 10 + 5)).toDF("k2", "t2")
+    def run() = l.join(r,
+      $"k1" === $"k2" && $"t2" >= $"t1" - 100L && $"t2" <= $"t1" + 100L)
+    val off = run()
+    assert(!off.queryExecution.executedPlan.toString.contains("graft_band"),
+      "rule must NOT fire on an equi+range join by default")
+    val expected = off.collect().map(_.toSeq).toSeq
+      .sortBy(_.mkString("|"))
+    spark.conf.set(graft.plans.BandRangeJoinRule.WithEquiKeysConf, "true")
+    try {
+      val on = run()
+      val p = on.queryExecution.executedPlan.toString
+      assert(p.contains("graft_band"), s"flag-on equi+range join was not banded:\n$p")
+      val got = on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      assert(got === expected, "banded equi+range join changed the result")
+    } finally spark.conf.unset(graft.plans.BandRangeJoinRule.WithEquiKeysConf)
+  }
+
   test("BandRangeJoinRule is exact for negative and extreme time values") {
     import spark.implicits._
     graft.plans.BandRangeJoin.install(spark)

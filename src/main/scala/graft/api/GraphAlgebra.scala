@@ -77,6 +77,7 @@ object GraphAlgebra {
     * the registry ops.
     */
   def khopK(edges: DataFrame, cohort: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"khopK needs k >= 1 (got $k): hop 0 is the cohort itself")
     val adj = edges.select(col("src"), col("dst")).localCheckpoint()
     var custs = cohort.toDF("src").distinct()
     var seen: DataFrame = null // (dst, hop = first round reached)
@@ -229,7 +230,12 @@ object GraphAlgebra {
     * absence — `unionAll` of the per-source reset row re-injects the
     * teleport term each iteration), so state grows with the personalized
     * mass spread, not |S|·|V|. Each iteration shuffles on the (s, part)
-    * key; the rank-side broadcast is gated on the |S|·|V| upper bound.
+    * key; the rank-side broadcast is gated on the frame's ACTUAL row
+    * count, re-measured per iteration — a count on the eagerly
+    * checkpointed frame is noise next to the iteration's |E| shuffle. The
+    * static |S|·|V| worst case would disable the hint exactly when
+    * batching many sources over a support-sparse state, the case this
+    * method exists for.
     */
   def pageRankBatch(vertices: DataFrame, edgesBoth: DataFrame,
                     sources: Seq[Long], iters: Int,
@@ -248,9 +254,10 @@ object GraphAlgebra {
     var ranks = srcDf
       .select(col("s"), col("s").as("part"), lit(PrScale).as("r"))
       .localCheckpoint()
-    val rankCap = nV * sources.size // static upper bound on the rank frame
     for (_ <- 1 to iters) {
-      val contrib = ed.join(hinted(ranks, rankCap, broadcastMaxRows),
+      // actual support size of the checkpointed state, not the |S|·|V| cap
+      val rankRows = ranks.count()
+      val contrib = ed.join(hinted(ranks, rankRows, broadcastMaxRows),
           col("esrc") === col("part"))
         .groupBy(col("s"), col("edst"))
         .agg(sum(expr("r div deg")).as("csum"))

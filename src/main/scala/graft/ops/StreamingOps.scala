@@ -170,27 +170,77 @@ object StreamingOps {
   /** Point-in-time state reconstruction — the event-sourced store's
     * signature capability: rebuild the (user → item) edge state AS OF a
     * cutoff T by replaying only journal entries with ts ≤ T through the
-    * SAME fold core as [[streamEdgeUpsert]] (edgeEvents → edgeFold). Here
-    * T = max event time − 1 hour, computed in-plan as a broadcast scalar
-    * (never collected), so the query stays one declarative plan: the ts
-    * filter pushes into the scan and the replay cost is proportional to
-    * the journal prefix, not to the number of reconstruction points. At
-    * 100 TB the journal is partitioned by event date, so the ts ≤ T
-    * predicate prunes whole partitions before any fold work runs.
+    * SAME fold core as [[streamEdgeUpsert]] (edgeEvents → edgeFold).
+    *
+    * T is a PUBLIC runtime parameter ([[edgeStateAsOf]]); the registry
+    * entry instantiates it at max event time − 1 hour. T is resolved with
+    * a metadata-cheap one-row collect (an agg over the single ts column)
+    * and injected as a LITERAL: a literal bound on the scan column is the
+    * only form Catalyst can push into the parquet reader (the previous
+    * broadcast-scalar formulation kept the semantics but scanned the full
+    * journal — a runtime scalar can't prune at planning time). With the
+    * 100 TB date-partitioned journal layout ([[writeJournal]] /
+    * [[replayJournalAsOf]]) the same literal also becomes a
+    * PartitionFilter, so whole date directories are skipped before any
+    * fold work runs — both pushdowns are pinned by StreamingSpec.
     */
   val stateAsof: Q = (s, dir) => {
     import s.implicits._
-    val e = Tables.events(s, dir)
-    val mx = e.agg(max(unix_millis($"ts")).as("mx_ms"))
-    val asOf = e.crossJoin(broadcast(mx))
-      .filter(unix_millis($"ts") <= $"mx_ms" - 3600000L)
-      .drop("mx_ms")
-    edgeEvents(asOf)
+    val tMs = Tables.events(s, dir)
+      .agg(max(unix_millis($"ts"))).first().getLong(0) - 3600000L
+    edgeStateAsOf(s, dir, tMs).orderBy($"user_id", $"item")
+  }
+
+  /** Public as-of API over the flat parquet journal: edge state at ANY
+    * epoch-ms cutoff `tMs`. The bound is applied to the RAW nanosecond
+    * column (`unix_millis(ts) <= tMs  ⟺  raw_ns <= (tMs+1)·10⁶ − 1` for the
+    * non-negative event-time domain), so it reaches the scan as a
+    * PushedFilter instead of dying on the derived timestamp projection.
+    */
+  def edgeStateAsOf(s: SparkSession, dir: String, tMs: Long): DataFrame = {
+    require(tMs >= 0, s"edgeStateAsOf needs a non-negative epoch-ms cutoff (got $tMs)")
+    val raw = s.read.schema(Tables.eventsRawSchema).parquet(s"$dir/events.parquet")
+      .filter(col("ts") <= lit(tMs * 1000000L + 999999L))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    foldEdgeState(raw)
+  }
+
+  /** The shared journal→state fold ([[streamEdgeUpsert]]'s core). */
+  private def foldEdgeState(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    edgeEvents(e)
       .groupByKey(ev => (ev.user_id, ev.item))
       .flatMapGroupsWithState[EdgeState, (Long, Long, Long, Double, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(edgeFold)
       .toDF("user_id", "item", "n_events", "weight", "last_ts_ms")
-      .orderBy($"user_id", $"item")
+  }
+
+  /** Write the events journal in the 100 TB layout: parquet partitioned by
+    * event DATE (UTC), raw ns timestamps preserved. One directory per day
+    * means an as-of replay reads only the prefix of directories ≤ the
+    * cutoff date — O(journal prefix), not O(journal).
+    */
+  def writeJournal(s: SparkSession, dir: String, path: String): Unit =
+    s.read.schema(Tables.eventsRawSchema).parquet(s"$dir/events.parquet")
+      .withColumn("event_date", to_date(expr("timestamp_micros(ts DIV 1000)")))
+      .write.partitionBy("event_date").mode("overwrite").parquet(path)
+
+  /** Replay a [[writeJournal]] journal as of `tMs`: the literal date bound
+    * prunes whole day partitions at planning time (PartitionFilters) and
+    * the raw-ns bound prunes row groups within the boundary day
+    * (PushedFilters). Identical state to [[edgeStateAsOf]] by
+    * construction — StreamingSpec pins both the equality and the pruning.
+    */
+  def replayJournalAsOf(s: SparkSession, path: String, tMs: Long): DataFrame = {
+    require(tMs >= 0, s"replayJournalAsOf needs a non-negative epoch-ms cutoff (got $tMs)")
+    val cutDate = java.time.Instant.ofEpochMilli(tMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val schema = Tables.eventsRawSchema.add("event_date", "date")
+    val raw = s.read.schema(schema).parquet(path)
+      .filter(col("event_date") <= lit(java.sql.Date.valueOf(cutDate)) &&
+        col("ts") <= lit(tMs * 1000000L + 999999L))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    foldEdgeState(raw)
   }
 
   /** Attribution pairs — the stream-stream twin of `join_asof`'s domain:

@@ -223,6 +223,9 @@ class ApiSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaK("BUILDING", 2) === viaRegistry("graph_khop_2"))
     assert(viaK("MACHINERY", 3) === viaRegistry("graph_khop_3"))
+    // hop 0 is the cohort itself, not a traversal — reject, don't NPE
+    val cohort = Tables.customer(spark, sf).select($"c_custkey")
+    intercept[IllegalArgumentException](GraphAlgebra.khopK(adj, cohort, 0))
   }
 
   test("GraphAlgebra.pageRankBatch: per-source slice is bit-identical to single-source PPR") {

@@ -75,13 +75,55 @@ class StreamingSpec extends SparkSpec {
         (sum($"vs") / 10000.0).as("weight"),
         max($"ts_ms").as("last_ts_ms"))
     assert(sortedRows(asof) === sortedRows(twin))
+    // the literal cutoff must reach the parquet reader: the bound is
+    // applied to the RAW ns column, so it shows up as a PushedFilter
+    // (the old broadcast-scalar T scanned the full journal)
+    val p = asof.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(ts"),
+      s"as-of cutoff not pushed into the journal scan:\n$p")
     // the cutoff must actually truncate the journal: strictly fewer events
     // fold into the as-of state than into the full replay (groups may
     // survive the cutoff intact at tiny sf, so compare folded-event totals)
     val full = SparkEntry.queries("stream_edge_upsert")(spark, sf)
     def totalEvents(df: DataFrame): Long =
-      df.agg(sum($"n_events")).first().getLong(0)
+      // coalesce: an empty as-of frame must fail the < assertion below with
+      // a readable message, not NPE on a null sum
+      df.agg(coalesce(sum($"n_events"), lit(0L))).first().getLong(0)
     assert(totalEvents(asof) < totalEvents(full))
+  }
+
+  test("asOf(T) API: date-partitioned journal replay prunes partitions and pushes the ts bound") {
+    import spark.implicits._
+    // the 100 TB journal layout: one parquet directory per event date
+    val dir = java.nio.file.Files.createTempDirectory("graft_journal_").toString + "/journal"
+    StreamingOps.writeJournal(spark, sf, dir)
+    val mxMs = Tables.events(spark, sf).agg(max(unix_millis($"ts"))).first().getLong(0)
+    val tMs = mxMs - 7L * 24 * 3600000L // a week back: whole day directories must drop
+    val pruned = StreamingOps.replayJournalAsOf(spark, dir, tMs)
+    // T is a real runtime parameter: journal replay ≡ the flat-file as-of
+    // API at the same cutoff
+    val flat = StreamingOps.edgeStateAsOf(spark, sf, tMs)
+    assert(sortedRows(pruned) === sortedRows(flat))
+    assert(pruned.count() > 0)
+    // planning-time proof (the sink_partitioned treatment): the literal
+    // date bound is a PartitionFilter, the literal raw-ns bound a
+    // PushedFilter — neither was possible with the old in-plan scalar T
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("event_date"),
+      s"journal replay does not prune date partitions:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(ts"),
+      s"raw ts bound not pushed to the journal scan:\n$p")
+    // behavioral proof: planning-time file listing under the partition
+    // filters selects strictly fewer journal files than a full replay
+    val full = StreamingOps.replayJournalAsOf(spark, dir, mxMs)
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .map(_.files.size.toLong).sum
+      }.sum
+    assert(filesPlanned(pruned) < filesPlanned(full),
+      s"pruned replay plans ${filesPlanned(pruned)} files vs full ${filesPlanned(full)}")
   }
 
   test("foreachBatch parquet materialized view equals the batch twin") {

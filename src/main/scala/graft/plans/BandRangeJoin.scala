@@ -1,10 +1,12 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.functions.{approx_count_distinct, col}
 import org.apache.spark.sql.types.{LongType, TimestampType}
 import org.apache.spark.unsafe.types.CalendarInterval
 
@@ -26,21 +28,40 @@ import org.apache.spark.unsafe.types.CalendarInterval
   *     residual filter — exactness is the residual's job, the band only
   *     prunes pairs.
   *
-  * By default fires only when no equi conjunct exists (with one, hash
-  * partitioning usually bounds the pair space already) and both time sides
-  * are bare/offset bigint attributes. When the session conf
-  * `spark.graft.bandRangeJoin.withEquiKeys` is true the rule ALSO fires on
-  * equi+range joins, adding the band to the equi keys: the shape that
-  * needs this is a LOW-CARDINALITY equi key (few tags/types/segments),
-  * where each key group is huge and the per-group range scan is quadratic —
-  * banding subdivides every group by time at the cost of the ≤7× right-side
-  * band explosion. That trade is wrong for high-cardinality keys (the
-  * common case), so it is opt-in per pipeline rather than a default; the
-  * logical plan alone cannot see key cardinality without CBO stats.
-  * An explicit guard on the generated `graft_band_*` attributes stops the
-  * rule re-firing on its own output (the residual range conjuncts it keeps
-  * would otherwise re-trigger it every fixed-point pass when the flag is
-  * on).
+  * Pure range joins (no equi conjunct) always fire. For equi+range joins
+  * the decision is STATS-DRIVEN: the shape that needs banding is a
+  * LOW-CARDINALITY equi key (few tags/types/segments), where each key
+  * group is huge and the per-group range scan is quadratic — banding
+  * subdivides every group by time at the cost of the ≤7× right-side band
+  * explosion, a trade that is wrong for high-cardinality keys (the common
+  * case). The session conf `spark.graft.bandRangeJoin.withEquiKeys`
+  * selects the policy:
+  *
+  *   - `"auto"` (default): estimate the equi key's distinct count — from
+  *     CBO/catalog column stats when ANALYZE has populated them, else via
+  *     a one-shot sampled `approx_count_distinct` over the first
+  *     `SampleRows` rows of the smaller side (cached per canonicalized
+  *     plan + attribute, so the probe runs once per shape per session;
+  *     LIMIT short-circuits the scan, so the probe reads a file fragment,
+  *     not the table) — and band iff it is ≤
+  *     `spark.graft.bandRangeJoin.autoMaxDistinct` (default 256). A
+  *     LIMIT sample can under-count a clustered layout; the failure mode
+  *     is firing on a high-cardinality key, which costs the bounded ≤7×
+  *     explosion but never correctness (the residual keeps exactness).
+  *     Streaming children skip the probe (no batch job mid-plan) and
+  *     don't fire.
+  *   - `"true"`: always band equi+range joins. SESSION-WIDE blast
+  *     radius: EVERY equi+range inner join in the session pays the band
+  *     explosion, including high-cardinality keys — scope it to the one
+  *     pipeline that needs it, or use `"auto"`.
+  *   - `"false"`: never band equi+range joins.
+  *
+  * A [[BandRangeJoinRule.BandedTag]] on the rewritten Join stops the rule
+  * re-firing on its own output (the residual range conjuncts it keeps
+  * would otherwise re-trigger it every fixed-point pass); an exact-name
+  * match on the generated band-equality conjunct is kept as a secondary
+  * net for joins other rules reconstruct from scratch (tags don't survive
+  * node reconstruction).
   */
 object BandRangeJoinRule extends Rule[LogicalPlan] {
 
@@ -116,17 +137,106 @@ object BandRangeJoinRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** Opt-in: band equi+range joins too (low-cardinality equi keys). */
+  /** Bare-attribute equi pairs as (leftAttr, rightAttr) — the pairs the
+    * auto-mode cardinality probe can estimate directly.
+    */
+  private def equiAttrPairs(conjs: Seq[Expression], l: LogicalPlan, r: LogicalPlan)
+      : Seq[(Attribute, Attribute)] =
+    conjs.collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if l.outputSet.contains(a) && r.outputSet.contains(b) => (a, b)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if l.outputSet.contains(b) && r.outputSet.contains(a) => (b, a)
+    }
+
+  /** Policy for equi+range joins: "auto" | "true" | "false" (see class doc). */
   val WithEquiKeysConf = "spark.graft.bandRangeJoin.withEquiKeys"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case j @ Join(l, r, Inner, Some(cond), hint) =>
+  /** Auto mode bands equi+range joins iff est. key distinct ≤ this. */
+  val AutoMaxDistinctConf = "spark.graft.bandRangeJoin.autoMaxDistinct"
+
+  /** Marks a Join this rule produced — the re-fire guard. */
+  val BandedTag: TreeNodeTag[Boolean] = new TreeNodeTag[Boolean]("graft.bandRangeJoin.banded")
+
+  private val SampleRows = 100000
+
+  /** Re-entrancy latch: the cardinality probe executes a Spark job whose
+    * own optimization runs this rule on the same thread — skip entirely.
+    */
+  private val estimating = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+
+  /** Probe results keyed by (canonicalized child, attribute): one probe
+    * per plan shape per session, −1 = probe failed (treated as unknown).
+    */
+  private val cardCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Estimated distinct count of `attr` in `side`: catalog/CBO column
+    * stats when present (free, exact-ish), else a sampled
+    * approx_count_distinct over the first [[SampleRows]] rows. None =
+    * unknown (probe failed or streaming child) → auto mode stays off.
+    */
+  private def estimatedKeyDistinct(side: LogicalPlan, attr: Attribute): Option[Long] = {
+    val fromStats = side.stats.attributeStats.get(attr).flatMap(_.distinctCount)
+    fromStats.map(_.toLong).orElse {
+      if (side.isStreaming) None
+      else {
+        val key = s"${side.canonicalized.semanticHash()}#${attr.exprId.id}#${attr.name}"
+        val est: java.lang.Long = cardCache.computeIfAbsent(key, _ => {
+          estimating.set(true)
+          try {
+            val probe = GraftSqlBridge.ofRows(SparkSession.active,
+              Project(Seq(Alias(attr, "graft_card_probe")()), side))
+            probe.limit(SampleRows)
+              .agg(approx_count_distinct(col("graft_card_probe")))
+              .head().getLong(0)
+          } catch {
+            case scala.util.control.NonFatal(_) => -1L
+          } finally estimating.set(false)
+        })
+        Option(est).map(_.longValue).filter(_ >= 0L)
+      }
+    }
+  }
+
+  /** Auto-mode gate: probe the smaller side's equi key. */
+  private def equiKeyIsLowCardinality(l: LogicalPlan, r: LogicalPlan,
+      pairs: Seq[(Attribute, Attribute)]): Boolean =
+    pairs.headOption.exists { case (la, ra) =>
+      val (side, attr) =
+        if (l.stats.sizeInBytes <= r.stats.sizeInBytes) (l, la) else (r, ra)
+      val cap = conf.getConfString(AutoMaxDistinctConf, "256").toLong
+      estimatedKeyDistinct(side, attr).exists(_ <= cap)
+    }
+
+  /** Secondary re-fire net: the band-equality conjunct this rule emits
+    * (exact generated names on both sides — a user column merely named
+    * `graft_band_…` in a range condition no longer disables banding).
+    */
+  private def hasOwnBandConjunct(conjs: Seq[Expression]): Boolean =
+    conjs.exists {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (a.name == "graft_band_l" && b.name == "graft_band_r") ||
+          (a.name == "graft_band_r" && b.name == "graft_band_l")
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (estimating.get()) plan else plan transform {
+    case j @ Join(l, r, Inner, Some(cond), hint)
+        if j.getTagValue(BandedTag).isEmpty =>
       val conjs = splitConj(cond)
-      val alreadyBanded =
-        conjs.exists(_.references.exists(_.name.startsWith("graft_band")))
-      val bandWithEqui =
-        conf.getConfString(WithEquiKeysConf, "false").toBoolean
-      if (alreadyBanded || (hasEquiConjunct(conjs, l, r) && !bandWithEqui)) j
+      // the policy gate (which may run the sampling probe) is consulted
+      // ONLY after a bandable bound is found — a plain equi join must
+      // never pay a probe
+      def equiOk: Boolean =
+        conf.getConfString(WithEquiKeysConf, "auto").toLowerCase match {
+          case "true" => true
+          case "false" => false
+          case _ => equiKeyIsLowCardinality(l, r, equiAttrPairs(conjs, l, r))
+        }
+      if (hasOwnBandConjunct(conjs)) j
       else {
         // tightest (lo, hi) per (la, ra) attribute pair
         val bounds = conjs.flatMap(asBound(_, l, r))
@@ -147,6 +257,7 @@ object BandRangeJoinRule extends Rule[LogicalPlan] {
               hi - lo >= 2 => (la, ra, lo, hi)
         } match {
           case None => j
+          case Some(_) if hasEquiConjunct(conjs, l, r) && !equiOk => j
           case Some((la, ra, lo, hi)) =>
             val width = hi - lo
             val w = Literal(width, LongType)
@@ -167,6 +278,7 @@ object BandRangeJoinRule extends Rule[LogicalPlan] {
               outer = false, qualifier = None, generatorOutput = Seq(bandR), r)
             val banded = Join(leftP, rightG, Inner,
               Some(And(EqualTo(bandL.toAttribute, bandR), cond)), hint)
+            banded.setTagValue(BandedTag, true)
             Project(j.output, banded)
         }
       }

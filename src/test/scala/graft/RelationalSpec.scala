@@ -184,29 +184,55 @@ class RelationalSpec extends SparkSpec {
     assert(df.head().getLong(0) === brute)
   }
 
-  test("BandRangeJoinRule (opt-in flag) bands range joins that ALSO carry an equi key") {
+  test("BandRangeJoinRule: stats-driven auto mode bands equi+range joins by key cardinality") {
     import spark.implicits._
     graft.plans.BandRangeJoin.install(spark)
-    // the shape the flag exists for: a LOW-CARDINALITY equi key (2 groups
+    val confKey = graft.plans.BandRangeJoinRule.WithEquiKeysConf
+    // the shape auto mode exists for: a LOW-CARDINALITY equi key (2 groups
     // here; tags/segments/types in practice) whose per-group range scan is
     // quadratic — banding subdivides each group by time
     val l = Seq.tabulate(200)(i => (i % 2L, i.toLong * 10)).toDF("k1", "t1")
     val r = Seq.tabulate(200)(i => (i % 2L, i.toLong * 10 + 5)).toDF("k2", "t2")
     def run() = l.join(r,
       $"k1" === $"k2" && $"t2" >= $"t1" - 100L && $"t2" <= $"t1" + 100L)
-    val off = run()
-    assert(!off.queryExecution.executedPlan.toString.contains("graft_band"),
-      "rule must NOT fire on an equi+range join by default")
-    val expected = off.collect().map(_.toSeq).toSeq
-      .sortBy(_.mkString("|"))
-    spark.conf.set(graft.plans.BandRangeJoinRule.WithEquiKeysConf, "true")
+    // "false" = never: the reference plan and result
+    spark.conf.set(confKey, "false")
+    val expected = try {
+      val off = run()
+      assert(!off.queryExecution.executedPlan.toString.contains("graft_band"),
+        "rule must NOT fire on an equi+range join with the policy off")
+      off.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    } finally spark.conf.unset(confKey) // back to the "auto" default
+    // default auto: the 2-distinct-key probe fires the rewrite, same rows
+    val auto = run()
+    val pAuto = auto.queryExecution.executedPlan.toString
+    assert(pAuto.contains("graft_band"),
+      s"auto mode did not band the low-cardinality equi+range join:\n$pAuto")
+    val got = auto.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(got === expected, "banded equi+range join changed the result")
+    // high-cardinality key (every row its own group): auto must NOT fire —
+    // per-group range scans are already tiny and banding would only pay
+    // the ≤7x band explosion
+    val lh = Seq.tabulate(5000)(i => (i.toLong, i.toLong * 10)).toDF("k1", "t1")
+    val rh = Seq.tabulate(5000)(i => (i.toLong, i.toLong * 10 + 5)).toDF("k2", "t2")
+    def runHigh() = lh.join(rh,
+      $"k1" === $"k2" && $"t2" >= $"t1" - 100L && $"t2" <= $"t1" + 100L)
+    val pHigh = runHigh().queryExecution.executedPlan.toString
+    assert(!pHigh.contains("graft_band"),
+      s"auto mode banded a high-cardinality (5000-key) equi+range join:\n$pHigh")
+    // "true" = always: overrides the cardinality gate even on the
+    // high-cardinality fixture, still exact
+    spark.conf.set(confKey, "true")
     try {
-      val on = run()
-      val p = on.queryExecution.executedPlan.toString
-      assert(p.contains("graft_band"), s"flag-on equi+range join was not banded:\n$p")
-      val got = on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
-      assert(got === expected, "banded equi+range join changed the result")
-    } finally spark.conf.unset(graft.plans.BandRangeJoinRule.WithEquiKeysConf)
+      val forced = runHigh()
+      val pForced = forced.queryExecution.executedPlan.toString
+      assert(pForced.contains("graft_band"),
+        s"withEquiKeys=true did not force banding:\n$pForced")
+      val nBanded = forced.count()
+      spark.conf.set(confKey, "false")
+      assert(nBanded === runHigh().count(),
+        "forced banding changed the high-cardinality join result")
+    } finally spark.conf.unset(confKey)
   }
 
   test("BandRangeJoinRule is exact for negative and extreme time values") {

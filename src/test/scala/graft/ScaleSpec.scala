@@ -88,6 +88,47 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  /** Largest join-node output across the FINAL adaptive plan — the
+    * materialized pair stream of a pair op, read from the real SQL metrics
+    * after execution (not re-derived, so plan drift is what it measures).
+    */
+  private def maxJoinRows(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+    }.max
+  }
+
+  test("exact all-pairs twins: materialized pair stream holds its recorded sf0.1 ceiling") {
+    // The five DECLARED exact oracle twins are quadratic in hub degree by
+    // design; what this pins is that they stay at their RECORDED cost — a
+    // plan regression (lost dedup half, dropped blocking filter, eliminated
+    // distinct) would explode the pair join's output silently while rows
+    // still hash-match. Ceilings = measured sf0.1 values + ~30% headroom.
+    val sfBig = "/root/testdata/sf0.1"
+    val ceilings = Map(
+      "graph_jaccard_nodes" -> 17000000L, // measured 13,140,857
+      "graph_common_neighbors" -> 17000000L, // measured 13,140,857
+      "graph_tag_similarity" -> 240000L, // measured 177,305
+      "llm_dedup_near" -> 3000000L, // measured 2,261,072
+      "llm_ngram_jaccard" -> 2400000L) // measured 1,817,835
+    for ((key, cap) <- ceilings) {
+      val n = maxJoinRows(SparkEntry.queries(key)(spark, sfBig))
+      info(s"$key pair-join rows at sf0.1: $n")
+      assert(n > 0, s"$key: no join metric found — pair stage disappeared?")
+      assert(n <= cap,
+        s"$key materializes $n pair rows at sf0.1 (ceiling $cap): quadratic plan drift")
+    }
+  }
+
   test("graph_jaccard_approx recalls >= 0.9 of the exact top-20 at sf0.1") {
     // the approximate op exists for hub-bounded candidate generation at
     // cluster scale; this pins its quality contract at the largest local SF

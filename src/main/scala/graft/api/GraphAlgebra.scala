@@ -304,6 +304,50 @@ object GraphAlgebra {
     labels.select(col("id"), col("lbl").as("community"))
   }
 
+  /** [[labelPropagation]] iterated to CONVERGENCE: stops the round loop
+    * when a sweep changes ZERO labels (the [[connectedComponentsDf]]
+    * stopping rule) instead of after a fixed round count — the variant a
+    * user runs when they want the fixpoint, not a bounded dataflow. Each
+    * round pays one extra count on the already-checkpointed label frame
+    * to detect the fixpoint — noise next to the round's |E| join.
+    *
+    * Synchronous LPA is not guaranteed to reach a fixpoint (labels can
+    * 2-cycle on bipartite-ish structures), so `maxRounds` caps the loop;
+    * on graphs that do converge the result is identical to
+    * [[labelPropagation]] run for any round count ≥ the convergence round
+    * (ApiSpec pins this). The registry op stays the fixed-round form —
+    * that one is a finite deterministic dataflow and hence
+    * oracle-checkable as an unrolled CTE; this one's round count is
+    * data-dependent.
+    */
+  def labelPropagationConverged(vertices: DataFrame, pairs: DataFrame,
+                                maxRounds: Int = 50,
+                                broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
+    require(maxRounds >= 1, s"labelPropagationConverged needs maxRounds >= 1 (got $maxRounds)")
+    val cp = pairs.select(col("a"), col("b"))
+    val both = cp.unionAll(cp.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+    var labels = vertices.select(col("part").as("id"), col("part").as("lbl"))
+      .localCheckpoint()
+    val nV = labels.count() // label frame stays exactly |V| rows every round
+    val tieBreak = Window.partitionBy(col("v")).orderBy(col("c").desc, col("lbl"))
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      val top = both.join(hinted(labels, nV, broadcastMaxRows), col("a") === col("id"))
+        .groupBy(col("b").as("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(tieBreak)).filter(col("rn") === 1)
+        .select(col("v"), col("lbl").as("nlbl"))
+      val upd = labels.join(top, col("id") === col("v"), "left")
+        .select(col("id"), col("lbl").as("prev"),
+          coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = upd.filter(col("lbl") =!= col("prev")).count()
+      labels = upd.select(col("id"), col("lbl"))
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Connected components WITHOUT GraphX: min-label propagation iterated to
     * the fixpoint in pure DataFrames (labels lineage-truncated per round,
     * convergence = zero changed labels). Labels = min vertex id per

@@ -258,6 +258,29 @@ class ApiSpec extends SparkSpec {
       rows(GraphAlgebra.pageRankBatch(vertices, both, Seq(1L, 4L), 10)))
   }
 
+  test("GraphAlgebra.labelPropagationConverged: fixpoint equals any long-enough fixed-round run") {
+    import spark.implicits._
+    // two disjoint triangles + an isolated vertex: synchronous LPA
+    // converges here in 3 sweeps (triangle labels collapse to the min id)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a", "b")
+    val vertices = (Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L)).toDF("part")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"id").collect().map(_.toSeq).toSeq
+    val converged = rows(GraphAlgebra.labelPropagationConverged(vertices, pairs))
+    // converged ≡ fixed-round for EVERY round count at/past convergence —
+    // the stopping rule found the true fixpoint, not an arbitrary cut
+    assert(converged === rows(GraphAlgebra.labelPropagation(vertices, pairs, 4)))
+    assert(converged === rows(GraphAlgebra.labelPropagation(vertices, pairs, 10)))
+    // communities collapse to the triangle minima; the isolate keeps itself
+    val labels = converged.map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+    assert(labels(1L) === labels(2L) && labels(2L) === labels(3L))
+    assert(labels(10L) === labels(11L) && labels(11L) === labels(12L))
+    assert(labels(99L) === 99L)
+    intercept[IllegalArgumentException](
+      GraphAlgebra.labelPropagationConverged(vertices, pairs, maxRounds = 0))
+  }
+
   test("GraphAlgebra.connectedComponentsDf equals GraphX on the co-purchase graph") {
     import spark.implicits._
     val batch = SparkEntry.queries("graph_cc")(spark, sf)

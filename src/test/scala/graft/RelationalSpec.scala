@@ -235,6 +235,28 @@ class RelationalSpec extends SparkSpec {
     } finally spark.conf.unset(confKey)
   }
 
+  test("BandRangeJoinRule: policy off, no registry plan bands except the pure-range rule op") {
+    // the rule pattern-matches every inner join in the session once
+    // installed — this pins its blast radius across the ENTIRE registry:
+    // with the equi+range policy off, the only plan allowed to carry the
+    // generated band attributes is join_theta_rule, whose pure range join
+    // is exactly what the rule exists for
+    graft.plans.BandRangeJoin.install(spark)
+    val confKey = graft.plans.BandRangeJoinRule.WithEquiKeysConf
+    spark.conf.set(confKey, "false")
+    try {
+      for ((key, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        val p = q(spark, sf).queryExecution.optimizedPlan.toString
+        if (key == "join_theta_rule")
+          assert(p.contains("graft_band"),
+            s"$key lost its optimizer banding:\n$p")
+        else
+          assert(!p.contains("graft_band"),
+            s"$key unexpectedly banded with the equi+range policy off:\n$p")
+      }
+    } finally spark.conf.unset(confKey)
+  }
+
   test("BandRangeJoinRule is exact for negative and extreme time values") {
     import spark.implicits._
     graft.plans.BandRangeJoin.install(spark)

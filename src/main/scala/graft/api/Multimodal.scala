@@ -1,16 +1,18 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (builder north star): image/audio/video
   * treated as opaque payloads with typed metadata, processed in batched
   * `mapPartitions` passes with per-partition state — the Scala/JVM
-  * equivalent of Python's mapInPandas batches. The container ships no codec
-  * libraries, so every *decode* body is a clearly-marked deterministic stub
-  * (`// STUB:`); the Spark-side shape — schemas, typed Datasets, batch
-  * iteration, generator-style frame explosion — is real and tested, and
-  * swapping a stub for a JNI/codec call changes nothing else.
+  * equivalent of Python's mapInPandas batches. Every decode/feature kernel
+  * goes through the pluggable [[Codec]] seam, resolved executor-side once
+  * per JVM: the container ships no codec libraries, so the default
+  * [[StubCodec]] provides clearly-marked deterministic fakes, and a
+  * codec-equipped deployment swaps real kernels in via
+  * `-Dgraft.codec.class=…` without touching any operator here. The
+  * Spark-side shape — schemas, typed Datasets, batch iteration,
+  * generator-style frame explosion — is real and tested either way.
   */
 object Multimodal {
 
@@ -18,26 +20,26 @@ object Multimodal {
   case class Decoded(id: Long, n_bytes: Long, width: Int, height: Int)
   case class Frame(id: Long, frame_idx: Long, frame: Array[Byte])
 
-  /** "Decode" each payload to (dimensions, size) metadata.
-    * STUB: a real build calls the image codec here; the fake derives
-    * deterministic dims from the byte length so tests are stable.
+  /** Decode each payload to (dimensions, size) metadata via
+    * [[Codec.imageDims]] (stub: deterministic dims from byte length).
     */
   def decode(payloads: Dataset[Payload]): Dataset[Decoded] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
-      // per-partition "codec handle" (the expensive init a real decoder has)
+      // per-partition codec resolution = the expensive per-executor init a
+      // real decoder has; never serialized from the driver
+      val codec = Codec.active
       it.map { p =>
-        val n = p.payload.length
-        // STUB: fake dims — w = n mod 64 + 1, h = n / (w) bounded
-        val w = n % 64 + 1
-        Decoded(p.id, n.toLong, w, math.max(1, n / math.max(w, 1)))
+        val (w, h) = codec.imageDims(p.payload)
+        Decoded(p.id, p.payload.length.toLong, w, h)
       }
     }
   }
 
-  /** "Resize": rescale the stub dims, preserving aspect. STUB for a real
-    * resampling kernel; the arithmetic contract (never exceed maxSide,
-    * preserve ratio within integer rounding) is what the spec checks.
+  /** Resize: rescale the decoded dims, preserving aspect. Pure integer
+    * arithmetic over [[Decoded]] metadata — no codec involvement; the
+    * contract (never exceed maxSide, preserve ratio within integer
+    * rounding) is what the spec checks.
     */
   def resize(decoded: Dataset[Decoded], maxSide: Int): Dataset[Decoded] = {
     import decoded.sparkSession.implicits._
@@ -52,19 +54,18 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: split each payload into fixed-size frames, keep every
+  /** Frame sampling: decode each payload's frame sequence via
+    * [[Codec.frameIter]] (stub: fixed-size byte slicing), keep every
     * `stride`-th. Real generator-shaped explosion (one input row → many
-    * frame rows) in a single partition-local pass — a video pipeline's
-    * sampling stage with the codec stubbed to byte-slicing.
+    * frame rows) in a single partition-local pass.
     */
   def sampleFrames(payloads: Dataset[Payload], frameBytes: Int, stride: Int): Dataset[Frame] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
+      val codec = Codec.active
       it.flatMap { p =>
-        val n = p.payload.length / frameBytes
-        (0 until n by stride).iterator.map { i =>
-          Frame(p.id, i.toLong,
-            java.util.Arrays.copyOfRange(p.payload, i * frameBytes, (i + 1) * frameBytes))
+        codec.frameIter(p.payload, frameBytes).zipWithIndex.collect {
+          case (frame, i) if i % stride == 0 => Frame(p.id, i.toLong, frame)
         }
       }
     }
@@ -74,39 +75,37 @@ object Multimodal {
 
   /** Audio-style OVERLAPPING windowing: fixed `windowBytes` windows every
     * `stride` bytes (stride < window ⇒ overlap), full windows only, with a
-    * per-window energy proxy (byte sum — STUB for a real RMS/spectral
-    * feature). Same single partition-local generator pass as
-    * [[sampleFrames]]; a real audio pipeline swaps the energy body for the
-    * DSP kernel and nothing else moves.
+    * per-window feature from [[Codec.windowFeature]] (stub: byte-sum
+    * energy; a real audio pipeline swaps in the DSP kernel and nothing
+    * else moves). Same single partition-local generator pass as
+    * [[sampleFrames]].
     */
   def windowEnergy(payloads: Dataset[Payload], windowBytes: Int, stride: Int): Dataset[AudioWindow] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
+      val codec = Codec.active
       it.flatMap { p =>
         val n = if (p.payload.length < windowBytes) 0
                 else (p.payload.length - windowBytes) / stride + 1
         (0 until n).iterator.map { i =>
-          var s = 0L
-          var j = i * stride
-          val end = i * stride + windowBytes
-          while (j < end) { s += (p.payload(j) & 0xff); j += 1 }
-          AudioWindow(p.id, i.toLong, s)
+          AudioWindow(p.id, i.toLong,
+            codec.windowFeature(p.payload, i * stride, windowBytes))
         }
       }
     }
   }
 
-  /** Stub feature extraction: per-frame digest + energy (sum of bytes) —
-    * the aggregation shape of a real embedding pass.
+  /** Feature extraction: per-frame (digest, energy) via
+    * [[Codec.frameFeature]] — the aggregation shape of a real embedding
+    * pass.
     */
   def frameFeatures(frames: Dataset[Frame]): DataFrame = {
     import frames.sparkSession.implicits._
     frames.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val codec = Codec.active
       it.map { f =>
-        // STUB: a real build runs the vision encoder here
-        val energy = f.frame.foldLeft(0L)((a, b) => a + (b & 0xff))
-        (f.id, f.frame_idx, md.digest(f.frame).map("%02x".format(_)).mkString, energy)
+        val (digest, energy) = codec.frameFeature(f.frame)
+        (f.id, f.frame_idx, digest, energy)
       }
     }.toDF("doc_id", "frame_idx", "frame_md5", "energy")
   }

@@ -122,6 +122,32 @@ class ApiSpec extends SparkSpec {
     assert(feats.filter(col("energy") < 0).count() === 0)
   }
 
+  test("Codec seam: stub default bit-identical, -Dgraft.codec.class swaps kernels in") {
+    import spark.implicits._
+    import graft.api.{Codec, Multimodal, StubCodec}
+    // nothing configured -> the deterministic stub, with the PRE-SEAM
+    // arithmetic pinned by value (w = n mod 64 + 1, h = n div w)
+    assert(Codec.active eq StubCodec)
+    val bytes = Array.tabulate(200)(_.toByte)
+    val payloads = Seq(Multimodal.Payload(1L, bytes)).toDS()
+    val d = Multimodal.decode(payloads).collect().head
+    assert((d.width, d.height) === StubCodec.imageDims(bytes))
+    assert((d.width, d.height) === (9, 22))
+    assert(Multimodal.windowEnergy(payloads, 32, 16).collect()
+      .forall(w => w.energy === StubCodec.windowFeature(bytes, (w.win_idx * 16).toInt, 32)))
+    // the documented swap-in: a class name on the property, no operator edits
+    System.setProperty(Codec.ClassProp, classOf[FixedDimsTestCodec].getName)
+    try {
+      assert(Codec.active.isInstanceOf[FixedDimsTestCodec])
+      val swapped = Multimodal.decode(payloads).collect().head
+      assert((swapped.width, swapped.height) === (7, 7))
+      assert(Multimodal.windowEnergy(payloads, 32, 16).collect().forall(_.energy === 42L))
+    } finally System.clearProperty(Codec.ClassProp)
+    // and back: the cache keys on the configured name
+    assert(Codec.active eq StubCodec)
+    assert((Multimodal.decode(payloads).collect().head.width) === 9)
+  }
+
   test("VectorIndex IVF on caller vectors finds the planted neighbor") {
     import spark.implicits._
     // 2-d toy vectors: two tight clusters around (1,0) and (0,1)
@@ -304,4 +330,16 @@ class ApiSpec extends SparkSpec {
         }
       }
   }
+}
+
+/** A swap-in codec for the seam spec: fixed 7×7 dims, constant features —
+  * obviously distinguishable from [[graft.api.StubCodec]]'s arithmetic.
+  * Top-level with a no-arg constructor, as the reflection contract requires.
+  */
+class FixedDimsTestCodec extends graft.api.Codec {
+  override def imageDims(payload: Array[Byte]): (Int, Int) = (7, 7)
+  override def frameIter(payload: Array[Byte], frameBytes: Int): Iterator[Array[Byte]] =
+    Iterator.empty
+  override def windowFeature(payload: Array[Byte], off: Int, len: Int): Long = 42L
+  override def frameFeature(frame: Array[Byte]): (String, Long) = ("test", 42L)
 }

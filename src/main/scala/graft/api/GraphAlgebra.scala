@@ -157,6 +157,13 @@ object GraphAlgebra {
   private def hinted(df: DataFrame, rows: Long, maxRows: Long): DataFrame =
     if (rows <= maxRows) broadcast(df) else df
 
+  /** [[hinted]] with the shared default ceiling, for iterative callers
+    * outside this object (e.g. the k-core peel) whose loop already pays
+    * for the row count.
+    */
+  def hintedFrame(df: DataFrame, rows: Long): DataFrame =
+    hinted(df, rows, BroadcastMaxRows)
+
   /** EXACT PageRank / personalized PageRank by integer power iteration —
     * every step is truncating-integer arithmetic on scaled BIGINT mass, so
     * the fixed-point chain is bit-identical across engines, partitionings

@@ -701,6 +701,71 @@ object GraphOps {
       .orderBy($"cust", $"tag")
   }
 
+  /** Fixed-round k-core peeling (k = 68, 6 rounds) over the undirected
+    * co-purchase graph — the standard "dense cohesive subgraph" query a
+    * graph store serves for community mining. Each round is two left-semi
+    * joins of the checkpointed edge list against the survivor set (edges
+    * with BOTH endpoints alive) plus one count agg — work ∝ |E_live|,
+    * survivors shrink monotonically, and the survivor frame (one bigint
+    * column, ≤|V| rows) broadcasts under the shared
+    * [[graft.api.GraphAlgebra.BroadcastMaxRows]] gate using the count the
+    * loop already pays for. The ROUND COUNT is fixed (not a convergence
+    * loop) so the op is deterministic and oracle-checkable via an unrolled
+    * CTE regardless of data — GraphSpec pins that 6 rounds HAS converged on
+    * the test data (survivors(5) == survivors(6)), so the fixed-round
+    * answer is the true k-core there. Output: core members with their
+    * final induced degree.
+    */
+  val graphKcore: Q = (s, dir) => kcoreFixed(s, dir, k = 68, rounds = 6)
+
+  private[graft] def kcoreFixed(s: SparkSession, dir: String, k: Int, rounds: Int): DataFrame = {
+    import s.implicits._
+    val both = copurchaseBoth(s, dir).localCheckpoint()
+    var surv = both.select($"a".as("id")).distinct().localCheckpoint()
+    var nSurv = surv.count()
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val alive = graft.api.GraphAlgebra.hintedFrame(surv, nSurv)
+      deg = both
+        .join(alive.select($"id".as("a")), Seq("a"), "left_semi")
+        .join(alive.select($"id".as("b")), Seq("b"), "left_semi")
+        .groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      surv = deg.filter($"deg" >= k).select($"id").localCheckpoint()
+      nSurv = surv.count()
+    }
+    deg.filter($"deg" >= k)
+      .select($"id".as("part"), $"deg")
+      .orderBy($"part")
+  }
+
+  /** Ego-network extraction — the induced subgraph on a seed node and its
+    * 1-hop neighborhood, the graph store's "show me this node's world"
+    * query. The neighbor set of one node is degree-bounded (≤ max degree,
+    * hundreds here), so it broadcasts unconditionally and the induced-edge
+    * lookup is two broadcast left-semi joins over the canonical pair list:
+    * one co-purchase pass, no shuffle keyed on anything bigger than the
+    * edge list itself. Seed edges are included (a = seed or b = seed rows
+    * survive because the seed is in the vertex set).
+    */
+  val graphEgoNet: Q = (s, dir) => {
+    import s.implicits._
+    // NO checkpoint of the pair frame: the seed filter on the two
+    // neighbor branches pushes INTO the co-purchase self-join (x.p = 1 /
+    // y.p = 1 reaches the lineitem scan), so those branches are near-free
+    // and only the final induced-edge pass pays the full pair build —
+    // cheaper than eagerly materializing all pairs three times over
+    val cp = copurchase(s, dir)
+    val seed = 1L
+    val nbrs = cp.filter($"a" === seed).select($"b".as("id"))
+      .unionAll(cp.filter($"b" === seed).select($"a".as("id")))
+    val v = nbrs.unionAll(Seq(seed).toDF("id")).distinct()
+    cp.join(broadcast(v.select($"id".as("a"))), Seq("a"), "left_semi")
+      .join(broadcast(v.select($"id".as("b"))), Seq("b"), "left_semi")
+      .select($"a", $"b", $"w")
+      .orderBy($"a", $"b")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_build_edges" -> graphBuildEdges,
     "graph_tag_profile" -> graphTagProfile,
@@ -731,6 +796,8 @@ object GraphOps {
     "graph_wsssp" -> graphWsssp,
     "graph_pagerank" -> graphPagerank,
     "graph_edge_filter" -> graphEdgeFilter,
-    "graph_trending" -> graphTrending
+    "graph_trending" -> graphTrending,
+    "graph_kcore" -> graphKcore,
+    "graph_ego_net" -> graphEgoNet
   )
 }

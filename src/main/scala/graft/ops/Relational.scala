@@ -998,6 +998,76 @@ object Relational {
     a.except(b).orderBy($"c_custkey")
   }
 
+  /** TPC-H-Q14-shaped promo revenue share by ship month — the conditional-
+    * aggregate-over-a-join report. One broadcast join (part is the dim
+    * side), one hash agg keyed on the derived month; the promo/total split
+    * is a CASE inside the same agg, never a second scan. Shared-dialect
+    * single-source-of-truth like sql_q3 (OracleSql.Q14 runs verbatim on
+    * both engines). The share divides two exact scaled-BIGINT sums as
+    * doubles — IEEE division of identical operands, so it hash-matches
+    * without any rounding fudge.
+    */
+  val sqlQ14: Q = (s, dir) => {
+    Seq("lineitem", "part").foreach(t =>
+      Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(graft.oracle.OracleSql.Q14)
+  }
+
+  /** TPC-H-Q18-shaped large-volume-customer report: orders whose total
+    * quantity exceeds the threshold, top-100 by order value. The HAVING
+    * prunes on the lineitem agg BEFORE the customer join fans in, and the
+    * final top-100 plans as TakeOrderedAndProject (per-partition heaps) —
+    * no global sort at 100 TB. Quantities are integral doubles (1..50), so
+    * the double sum is exact in any accumulation order.
+    */
+  val sqlQ18: Q = (s, dir) => {
+    Seq("customer", "orders", "lineitem").foreach(t =>
+      Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(graft.oracle.OracleSql.Q18)
+  }
+
+  /** TPC-H-Q19-shaped disjunctive-predicate revenue (brand × size ×
+    * quantity OR-arms, adapted to this schema — lineitem has no
+    * shipmode/container columns). The OR stays a single post-join filter
+    * over one broadcast part join: each arm references both sides, so no
+    * engine can split it into unions without re-scanning — the test is
+    * that Catalyst keeps it ONE scan and pushes the brand IN-list derived
+    * from the disjunction down to the part side.
+    */
+  val sqlQ19: Q = (s, dir) => {
+    Seq("lineitem", "part").foreach(t =>
+      Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(graft.oracle.OracleSql.Q19)
+  }
+
+  /** Batch sessionization — the window-function twin of the streaming
+    * `stream_session` op (same 30-minute gap rule, same session count —
+    * RelationalSpec pins the cross-op equality): a lag-gap break flag and
+    * its running sum assign each event a per-user session ordinal in TWO
+    * window passes over one user-partitioned shuffle, then one hash agg
+    * rolls sessions up. At 100 TB this is the standard "sessionize a
+    * clickstream" shape: everything is keyed on user_id, so AQE handles
+    * skewed power users and no state store is needed. Timestamps reduce
+    * through epoch-ms (tsMs) before ANY arithmetic — the gap comparison
+    * must evaluate on the same integers in both engines.
+    */
+  val winSessionize: Q = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"tms", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", tsMs($"ts").as("tms"), $"event_id")
+      .withColumn("brk",
+        when(lag($"tms", 1).over(byUser).isNull ||
+          $"tms" - lag($"tms", 1).over(byUser) > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min($"tms").as("start_ms"),
+        (max($"tms") - min($"tms")).as("dur_ms"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_project" -> scanProject,
     "scan_pruned" -> scanPruned,
@@ -1046,6 +1116,10 @@ object Relational {
     "sql_q5" -> sqlQ5,
     "sql_q7" -> sqlQ7,
     "sql_q10" -> sqlQ10,
+    "sql_q14" -> sqlQ14,
+    "sql_q18" -> sqlQ18,
+    "sql_q19" -> sqlQ19,
+    "win_sessionize" -> winSessionize,
     "agg_funnel" -> aggFunnel,
     "agg_histogram" -> aggHistogram,
     "win_rank_change" -> winRankChange,

@@ -410,21 +410,16 @@ object StreamingOps {
 
   // ===== readStream builders (library surface; driven by StreamingSpec) =====
 
-  /** The events table as a replayable stream, with the same ns→µs timestamp
-    * normalization as the batch loader.
+  /** The events journal as a replayable stream, with the same ns→µs
+    * timestamp normalization as the batch loader. Ingestion goes through
+    * the pluggable [[graft.sources.EventBus]] seam — the default replays
+    * the parquet journal; a broker-equipped deployment swaps a Kafka bus
+    * in via `-Dgraft.eventbus.class` and every downstream operator is
+    * unchanged (they only ever see the normalized frame this returns).
     */
-  def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(s, dir).schema // ts already TimestampType here
-    // The file-stream source monitors a DIRECTORY; the sf dir holds one
-    // parquet file per table, so glob-filter to the events file. (In
-    // production the source would be a partitioned directory or Kafka.)
-    val raw = s.readStream
-      .schema(schema.copy(fields = schema.fields.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
+  def eventsStream(s: SparkSession, dir: String): DataFrame =
+    graft.sources.EventBus.active.events(s, dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
 
   def tumblingStream(s: SparkSession, dir: String): DataFrame =
     tumblingCore(eventsStream(s, dir).withWatermark("ts", "10 minutes"))
@@ -520,7 +515,54 @@ object StreamingOps {
       .toDF("user_id", "n_events", "sum_value", "last_ts_ms")
   }
 
+  /** Top-k event types per tumbling window — the streaming "trending now"
+    * serving query. The WINDOWED COUNT is the incremental (streaming)
+    * stage — StreamingSpec runs it live and pins equality — and the per-
+    * window rank is a batch finish over the sink table (ranking is not
+    * incrementally maintainable in append mode; the standard split is
+    * stream-aggregate → rank-at-read). Batch twin: one shuffle for the
+    * count agg, one window sort over the tiny (window × 5 types) frame.
+    */
+  private def topkCore(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
+    val byWin = org.apache.spark.sql.expressions.Window
+      .partitionBy($"ws_ms").orderBy($"n".desc, $"event_type")
+    counts
+      .withColumn("rnk", row_number().over(byWin).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"ws_ms", $"rnk", $"event_type", $"n")
+  }
+
+  /** The incremental stage of [[streamTopk]] as a live stream (windowed
+    * counts; the rank is a batch finish — see [[topkFinish]]).
+    */
+  def topkCountsStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    eventsStream(s, dir).withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"w.start").as("ws_ms"), $"event_type", $"n")
+  }
+
+  val streamTopk: Q = (s, dir) => {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"w.start").as("ws_ms"), $"event_type", $"n")
+    topkCore(counts).orderBy($"ws_ms", $"rnk")
+  }
+
+  /** The streaming stage of [[streamTopk]] exposed for the live spec: the
+    * rank finish over an already-materialized windowed-count table.
+    */
+  private[graft] def topkFinish(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
+    topkCore(counts).orderBy($"ws_ms", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_topk" -> streamTopk,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,

@@ -151,7 +151,41 @@ object GraphOracle {
        |ORDER BY part""".stripMargin
   }
 
+  /** Unrolled fixed-round k-core peel. Each round references the previous
+    * survivor set twice (both edge endpoints), so every per-round CTE is
+    * MATERIALIZED — without it DuckDB inlines the chain and the plan
+    * doubles per round (2^R blowup; verified: the naive spelling never
+    * finishes at 8 rounds, the materialized one runs in under a second).
+    */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val base =
+      s"""WITH $copurchaseCte,
+         |e2 AS MATERIALIZED (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |v0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM e2)""".stripMargin
+    val its = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT e2.a AS id, count(*) AS deg
+         |  FROM e2 JOIN v${i - 1} x ON e2.a = x.id JOIN v${i - 1} y ON e2.b = y.id
+         |  GROUP BY 1),
+         |v$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$its
+       |SELECT id AS part, deg FROM d$rounds WHERE deg >= $k ORDER BY part""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "graph_kcore" -> kcoreSql(68, 6),
+
+    "graph_ego_net" ->
+      s"""WITH $copurchaseCte,
+         |nb AS (SELECT b AS id FROM cp WHERE a = 1
+         |       UNION SELECT a FROM cp WHERE b = 1),
+         |v AS (SELECT id FROM nb UNION SELECT 1)
+         |SELECT cp.a, cp.b, cp.w FROM cp
+         |JOIN v x ON cp.a = x.id
+         |JOIN v y ON cp.b = y.id
+         |ORDER BY cp.a, cp.b""".stripMargin,
+
     "graph_wsssp" -> wssspSql,
     "graph_ppr_batch" -> pprBatchSql,
     "graph_lpa" -> lpaSql,

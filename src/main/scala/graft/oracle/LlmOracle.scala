@@ -420,6 +420,21 @@ object LlmOracle {
          |SELECT train_id, eval_id, floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM x ORDER BY train_id, eval_id""".stripMargin,
 
+    // Exact containment intersection — the Bloom prefilter is transparent
+    // (false positives die in the exact-verify join), so the banded op
+    // checks against the plain intersection.
+    "llm_decontaminate_bloom" ->
+      s"""WITH $shingleDocs,
+         |src AS (SELECT doc_id, source FROM documents),
+         |ev AS (SELECT ex.doc_id AS eval_id, s FROM ex
+         |       JOIN src ON ex.doc_id = src.doc_id WHERE source = 'src0'),
+         |tr AS (SELECT ex.doc_id AS train_id, s FROM ex
+         |       JOIN src ON ex.doc_id = src.doc_id WHERE source <> 'src0')
+         |SELECT train_id, eval_id, count(*) AS common
+         |FROM tr JOIN ev USING (s)
+         |GROUP BY 1, 2 HAVING count(*) >= 8
+         |ORDER BY train_id, eval_id""".stripMargin,
+
     "llm_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents),

@@ -94,11 +94,72 @@ object OracleSql {
        |GROUP BY c_custkey, c_name, c_acctbal, n_name
        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Q14-shaped promo revenue share by ship month (shared dialect: runs
+    * verbatim on Spark AND DuckDB). The share is a DOUBLE/DOUBLE division
+    * of two exact scaled-BIGINT sums — identical IEEE operands on both
+    * engines, so no rounding is needed for the hash match.
+    */
+  val Q14: String =
+    """WITH pr AS (
+      |  SELECT CAST(extract(year FROM l_shipdate) * 100
+      |           + extract(month FROM l_shipdate) AS BIGINT) AS ym,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS sr,
+      |    CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |SELECT ym,
+      |  CAST(sum(sr * is_promo) AS DOUBLE) / 10000.0 AS promo_revenue,
+      |  CAST(sum(sr) AS DOUBLE) / 10000.0 AS total_revenue,
+      |  CAST(sum(sr * is_promo) AS DOUBLE) / CAST(sum(sr) AS DOUBLE) AS promo_share
+      |FROM pr GROUP BY ym ORDER BY ym""".stripMargin
+
+  /** Q18-shaped large-volume customers (shared dialect). l_quantity is an
+    * integral double (1..50), so sum() is exact in any order; the BIGINT
+    * cast is portable on exactly-integral values.
+    */
+  val Q18: String =
+    """SELECT c_name, o_orderkey, o_totalprice,
+      |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      |FROM orders
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_name, o_orderkey, o_totalprice
+      |HAVING sum(l_quantity) > 120
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** Q19-shaped disjunctive brand/size/quantity revenue (shared dialect,
+    * adapted: this lineitem has no shipmode/container). Single aggregate
+    * row — order-stable by construction.
+    */
+  val Q19: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       |  ${msum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+       |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       |   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 45)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "sql_q3" -> Q3,
     "sql_q5" -> Q5,
     "sql_q7" -> Q7,
     "sql_q10" -> Q10,
+    "sql_q14" -> Q14,
+    "sql_q18" -> Q18,
+    "sql_q19" -> Q19,
+    "win_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS tms, event_id FROM events),
+        |g AS (SELECT user_id, tms, event_id,
+        |  CASE WHEN lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL
+        |         OR tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 1800000
+        |       THEN 1 ELSE 0 END AS brk FROM ev),
+        |s AS (SELECT user_id, tms,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events, min(tms) AS start_ms,
+        |  max(tms) - min(tms) AS dur_ms
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "win_rank_change" ->
       """WITH rev AS (
         |  SELECT l_partkey AS p, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,

@@ -15,6 +15,18 @@ object StreamingOracle {
     s"CAST(sum(CAST(round(($expr) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0"
 
   val sql: Map[String, String] = Map(
+    "stream_topk" ->
+      """WITH w AS (
+        |  SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT ws_ms, event_type, n,
+        |    row_number() OVER (PARTITION BY ws_ms ORDER BY n DESC, event_type) AS rnk
+        |  FROM w)
+        |SELECT ws_ms, CAST(rnk AS BIGINT) AS rnk, event_type, n
+        |FROM r WHERE rnk <= 3 ORDER BY ws_ms, rnk""".stripMargin,
+
     "stream_tumbling" ->
       s"""SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, event_type,
          |  count(*) AS n, ${msum("value")} AS sum_value

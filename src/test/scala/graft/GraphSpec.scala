@@ -172,4 +172,43 @@ class GraphSpec extends SparkSpec {
     assert(scores.nonEmpty)
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
+
+  test("graph_kcore: fixed-round peel is converged, members verified by induced degree") {
+    // registry k=68: at sf0.001 the peel cascades 188→183→178→177→176 and
+    // membership is stable from round 5 on (verified against DuckDB); the
+    // DEGREE column stabilizes one round later (round-6 degrees are
+    // computed over the round-5 survivor set), so the (id, deg) fixpoint
+    // pin is rounds=6 ≡ rounds=7
+    val r7 = GraphOps.kcoreFixed(spark, sf, k = 68, rounds = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r6 = q("graph_kcore").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r6 === r7, "peel must reach its fixpoint within the fixed rounds")
+    assert(r6.nonEmpty)
+    // independent verification: recompute each member's degree within the
+    // member set from the raw pair list
+    val members = r6.map(_._1)
+    val cp = GraphOps.copurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val induced = cp.filter(e => members(e._1) && members(e._2))
+    val deg = induced.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, xs) => (v, xs.length.toLong) }
+    assert(r6.forall { case (v, d) => deg.getOrElse(v, 0L) == d && d >= 68L })
+  }
+
+  test("graph_ego_net: exactly the induced edges of the seed's 1-hop ball") {
+    val rows = q("graph_ego_net").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.nonEmpty)
+    val cp = GraphOps.copurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ball = cp.collect {
+      case (a, b, _) if a == 1L => b
+      case (a, b, _) if b == 1L => a
+    }.toSet + 1L
+    val induced = cp.filter(e => ball(e._1) && ball(e._2)).toSet
+    assert(rows === induced)
+    // the seed's own edges are a subset (seed is in the ball)
+    assert(cp.filter(e => e._1 == 1L || e._2 == 1L).toSet.subsetOf(rows))
+  }
 }

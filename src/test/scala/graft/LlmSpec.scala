@@ -194,4 +194,27 @@ class LlmSpec extends SparkSpec {
       assert(brute(r.getLong(0)) === r.getDouble(r.fieldIndex("cos")))
     }
   }
+
+  test("llm_decontaminate_bloom equals the exact containment join (no prefilter)") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    val got = q("llm_decontaminate_bloom").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force twin: exact shingle intersection with NO bloom stage —
+    // any bucket-prefilter false NEGATIVE (impossible by construction:
+    // equal strings hash equal) or surviving false positive would differ
+    val ex = Tables.documents(spark, sf)
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", $"source", GraftSqlBridge.column(
+        graft.expr.ShingleGen(GraftSqlBridge.expression($"text"), 3)).as("s"))
+      .distinct()
+    val ev = ex.filter($"source" === "src0").select($"doc_id".as("eval_id"), $"s")
+    val tr = ex.filter($"source" =!= "src0").select($"doc_id".as("train_id"), $"s")
+    val exact = tr.join(ev, "s")
+      .groupBy($"train_id", $"eval_id").agg(count(lit(1)).as("common"))
+      .filter($"common" >= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === exact)
+    assert(got.nonEmpty, "fixture should contain at least one contaminated pair")
+  }
 }

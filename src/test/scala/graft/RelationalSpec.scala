@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 144, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 136, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 152, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 144, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: every query returns rows at sf0.001") {
@@ -302,5 +302,40 @@ class RelationalSpec extends SparkSpec {
       .orderBy($"hour")
       .collect().map(_.toSeq).toSeq
     assert(df.collect().map(_.toSeq).toSeq === brute)
+  }
+
+  test("win_sessionize: sessions partition the event log, dense per-user ordinals") {
+    val rows = q("win_sessionize").collect()
+    // every event lands in exactly one session
+    val total = rows.map(r => r.getLong(r.fieldIndex("n_events"))).sum
+    assert(total === Tables.events(spark, sf).count())
+    // ordinals are 1..n per user, durations non-negative
+    rows.groupBy(_.getLong(0)).foreach { case (_, sess) =>
+      assert(sess.map(_.getLong(1)).sorted.toSeq === (1L to sess.length).toSeq)
+    }
+    assert(rows.forall(r => r.getLong(r.fieldIndex("dur_ms")) >= 0L))
+    // cross-op pin: same 30-minute gap rule as the streaming session op
+    assert(rows.length.toLong ===
+      SparkEntry.queries("stream_session")(spark, sf).count())
+  }
+
+  test("sql_q18: top-100 by order value, threshold respected") {
+    val rows = q("sql_q18").collect()
+    assert(rows.length <= 100)
+    assert(rows.forall(r => r.getLong(r.fieldIndex("total_qty")) > 120L))
+    val prices = rows.map(r => r.getDouble(r.fieldIndex("o_totalprice")))
+    assert(prices.zip(prices.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("sql_q14: promo share is promo/total on every month row") {
+    val rows = q("sql_q14").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val promo = r.getDouble(r.fieldIndex("promo_revenue"))
+      val tot = r.getDouble(r.fieldIndex("total_revenue"))
+      val share = r.getDouble(r.fieldIndex("promo_share"))
+      assert(promo >= 0 && promo <= tot)
+      assert(math.abs(share - promo / tot) < 1e-12)
+    }
   }
 }

@@ -219,4 +219,41 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("stream_topk: incremental counts + rank finish equal the batch twin") {
+    val batch = SparkEntry.queries("stream_topk")(spark, sf)
+    val live = runStream(StreamingOps.topkCountsStream(spark, sf), OutputMode.Complete)
+    assert(sortedRows(StreamingOps.topkFinish(live)) === sortedRows(batch))
+  }
+
+  test("EventBus seam: default is the parquet replay; property swaps the source in") {
+    import graft.sources.EventBus
+    assert(EventBus.active.isInstanceOf[graft.sources.ParquetReplayBus])
+    val before = runStream(StreamingOps.tumblingStream(spark, sf), OutputMode.Complete)
+    System.setProperty(EventBus.ClassProp, classOf[CountingTestBus].getName)
+    try {
+      assert(EventBus.active.isInstanceOf[CountingTestBus])
+      CountingTestBus.calls.set(0)
+      // the same §2.8 operator, untouched, now ingests via the swapped bus
+      val after = runStream(StreamingOps.tumblingStream(spark, sf), OutputMode.Complete)
+      assert(CountingTestBus.calls.get() > 0, "swapped bus was never consulted")
+      assert(sortedRows(after) === sortedRows(before))
+    } finally System.clearProperty(EventBus.ClassProp)
+  }
+}
+
+/** A swap-in bus for the seam spec: delegates to the replay source but
+  * counts resolutions — proves operators reach the configured bus without
+  * changing rows. Top-level with a no-arg constructor, as the reflection
+  * contract requires.
+  */
+class CountingTestBus extends graft.sources.EventBus {
+  override def events(s: org.apache.spark.sql.SparkSession, locator: String): DataFrame = {
+    CountingTestBus.calls.incrementAndGet()
+    new graft.sources.ParquetReplayBus().events(s, locator)
+  }
+}
+
+object CountingTestBus {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -718,9 +718,17 @@ object GraphOps {
     */
   val graphKcore: Q = (s, dir) => kcoreFixed(s, dir, k = 68, rounds = 6)
 
-  private[graft] def kcoreFixed(s: SparkSession, dir: String, k: Int, rounds: Int): DataFrame = {
+  private[graft] def kcoreFixed(s: SparkSession, dir: String, k: Int, rounds: Int): DataFrame =
+    kcorePeel(copurchase(s, dir).select(col("a"), col("b")), k, rounds)
+
+  /** The peel core over any canonical (a < b) pair list — shared by the
+    * registry op and the randomized-fixture cross-check in GraphSpec.
+    */
+  private[graft] def kcorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val s = pairs.sparkSession
     import s.implicits._
-    val both = copurchaseBoth(s, dir).localCheckpoint()
+    val cp = pairs.select($"a", $"b")
+    val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b"))).localCheckpoint()
     var surv = both.select($"a".as("id")).distinct().localCheckpoint()
     var nSurv = surv.count()
     var deg: DataFrame = null

@@ -383,6 +383,43 @@ object LlmOps {
       .orderBy($"train_id", $"eval_id")
   }
 
+  /** Bigram collocation mining (PMI) — the corpus-statistics pass that
+    * finds multi-word expressions ("new york") for tokenizer/vocab
+    * curation. Bigrams stream straight from [[graft.expr.ShingleGen]]
+    * (n = 2, duplicates kept — these are OCCURRENCE counts), unigrams from
+    * one token explode; PMI = ln(p(ab) / (p(a)·p(b))) evaluated as a
+    * single left-associated double expression over exact BIGINT counts so
+    * both engines produce the identical IEEE value. The unigram frequency
+    * table is broadcast (same Heaps'-law caveat as [[llmUnigramLogprob]]:
+    * at many-GB vocabulary switch to a shuffle join on the token). One
+    * shuffle per count table; the ≥ 20 support floor prunes before any
+    * join.
+    */
+  val llmCollocations: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(explode(split($"text", " ")).as("t"))
+    val uni = toks.groupBy($"t").agg(count(lit(1)).as("c")).localCheckpoint()
+    val nt = uni.agg(sum($"c").as("nt"))
+    val bi = docs.filter(size(split($"text", " ")) >= 2)
+      .select(GraftSqlBridge.column(
+        graft.expr.ShingleGen(GraftSqlBridge.expression($"text"), 2)).as("bg"))
+      .select(split($"bg", " ").getItem(0).as("a"),
+        split($"bg", " ").getItem(1).as("b"))
+      .localCheckpoint()
+    val nb = bi.agg(count(lit(1)).as("nb"))
+    bi.groupBy($"a", $"b").agg(count(lit(1)).as("n_pair"))
+      .filter($"n_pair" >= 20)
+      .join(broadcast(uni.select($"t".as("a"), $"c".as("ca"))), "a")
+      .join(broadcast(uni.select($"t".as("b"), $"c".as("cb"))), "b")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      .select($"a", $"b", $"n_pair",
+        round(log($"n_pair".cast("double") * $"nt" * $"nt" /
+          ($"nb".cast("double") * $"ca" * $"cb")), 4).as("pmi"))
+      .orderBy($"a", $"b")
+  }
+
   /** Bloom-style decontamination — the shape real pipelines (n-gram bloom
     * filters built from the benchmark side) run at 100 TB: a fixed-width
     * FINGERPRINT of the eval shingle set is broadcast instead of the
@@ -997,6 +1034,7 @@ object LlmOps {
     "llm_dedup_cluster" -> llmDedupCluster,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_decontaminate_bloom" -> llmDecontaminateBloom,
+    "llm_collocations" -> llmCollocations,
     "llm_embed_centroids" -> llmEmbedCentroids,
     "llm_chunk_sliding" -> llmChunkSliding,
     "llm_dedup_simhash" -> llmDedupSimhash,

@@ -1053,10 +1053,18 @@ object Relational {
     */
   val winSessionize: Q = (s, dir) => {
     import s.implicits._
+    sessionizeCore(
+        Tables.events(s, dir).select($"user_id", tsMs($"ts").as("tms"), $"event_id"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  /** The gaps-and-islands core over any (user_id, tms, event_id) frame —
+    * shared by the registry op and the PropertySpec fold cross-check.
+    */
+  private[graft] def sessionizeCore(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"tms", $"event_id")
-    Tables.events(s, dir)
-      .select($"user_id", tsMs($"ts").as("tms"), $"event_id")
-      .withColumn("brk",
+    ev.withColumn("brk",
         when(lag($"tms", 1).over(byUser).isNull ||
           $"tms" - lag($"tms", 1).over(byUser) > 1800000L, 1L).otherwise(0L))
       .withColumn("session_seq", sum($"brk").over(
@@ -1065,10 +1073,56 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         min($"tms").as("start_ms"),
         (max($"tms") - min($"tms")).as("dur_ms"))
-      .orderBy($"user_id", $"session_seq")
+  }
+
+  /** Pareto / cumulative-share report ("which parts carry 80% of
+    * revenue") — the concentration profile every catalog team runs.
+    * Revenue accumulates as exact scaled longs; the 80% cut is the
+    * INTEGER comparison `cum·5 ≤ total·4` (no float threshold can drift
+    * between engines); the share column is display-only rounding. The
+    * global window runs over the PER-PART aggregate, not the fact table —
+    * |parts| rows (20k at sf0.1, ~10⁶ at 100 TB), so the single-partition
+    * window sort is bounded by the dimension size, never the 100 TB scan;
+    * the heavy lifting (fact-table agg) shuffles on l_partkey as usual.
+    */
+  val winPareto: Q = (s, dir) => {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey".as("p"))
+      .agg(sum(scaled($"l_extendedprice" * (lit(1) - $"l_discount"))).as("r"))
+    val tot = rev.agg(sum($"r").as("t"))
+    val ord = Window.orderBy($"r".desc, $"p")
+    rev.withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum($"r").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .filter($"cum" * 5 <= $"t" * 4)
+      .select($"p", ($"r".cast("double") / 10000.0).as("revenue"), $"rn",
+        round($"cum".cast("double") / $"t".cast("double"), 4).as("cum_share"))
+      .orderBy($"rn")
+  }
+
+  /** Cohort retention — the DAU-style activity triangle over the event
+    * log: users cohorted by first-activity day, each cell = distinct users
+    * from cohort d0 active on day d0+offset. Two shuffles (per-user min,
+    * then the cell agg with a distinct-user count keyed on the cell) —
+    * both on bounded keys; the distinct is inside the agg, never a global
+    * dedup. Day arithmetic is epoch-ms integer division on both engines.
+    */
+  val aggRetention: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+    val cohort = ev.groupBy($"user_id").agg(min($"d").as("d0"))
+    ev.join(cohort, "user_id")
+      .groupBy($"d0".as("cohort_day"), ($"d" - $"d0").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
   }
 
   val queries: Map[String, Q] = Map(
+    "win_pareto" -> winPareto,
+    "agg_retention" -> aggRetention,
     "scan_project" -> scanProject,
     "scan_pruned" -> scanPruned,
     "src_json_props" -> srcJsonProps,

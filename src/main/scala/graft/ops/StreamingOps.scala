@@ -205,6 +205,35 @@ object StreamingOps {
     foldEdgeState(raw)
   }
 
+  /** Snapshot DIFF — "what changed between T1 and T2": the CDC question an
+    * event-sourced store answers for incremental rebuild planning. Both
+    * snapshots replay through the SAME fold core as [[stateAsof]]
+    * (T1 = max − 2 h, T2 = max − 1 h, both literal-pushed into the scan),
+    * then a key join emits only edges whose state moved (new edges report
+    * n_t1 = 0). Exactness note: the registry op rebuilds both snapshots so
+    * every output double is the fold of its full prefix — bit-identical to
+    * the oracle's two GROUP BYs; at 100 TB, where the sink stores the
+    * SCALED-LONG accumulator instead of the divided double, the fold's
+    * monoid structure lets the same diff come from scanning only the
+    * (T1, T2] window of the date-partitioned journal (changed keys = keys
+    * in the window; new state = old ⊕ window).
+    */
+  val stateDiff: Q = (s, dir) => {
+    import s.implicits._
+    val mx = Tables.events(s, dir)
+      .agg(max(unix_millis($"ts"))).first().getLong(0)
+    val a = edgeStateAsOf(s, dir, mx - 7200000L)
+      .select($"user_id", $"item", $"n_events".as("n_t1"), $"weight".as("w_t1"))
+    val b = edgeStateAsOf(s, dir, mx - 3600000L)
+      .select($"user_id", $"item", $"n_events".as("n_t2"), $"weight".as("w_t2"))
+    b.join(a, Seq("user_id", "item"), "left")
+      .filter($"n_t1".isNull || $"n_t2" =!= $"n_t1")
+      .select($"user_id", $"item",
+        coalesce($"n_t1", lit(0L)).as("n_t1"), $"n_t2",
+        coalesce($"w_t1", lit(0.0)).as("w_t1"), $"w_t2")
+      .orderBy($"user_id", $"item")
+  }
+
   /** The shared journal→state fold ([[streamEdgeUpsert]]'s core). */
   private def foldEdgeState(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
@@ -570,6 +599,7 @@ object StreamingOps {
     "stream_stateful_fold" -> streamStatefulFold,
     "stream_edge_upsert" -> streamEdgeUpsert,
     "state_asof" -> stateAsof,
+    "state_diff" -> stateDiff,
     "stream_join" -> streamJoin,
     "stream_enrich" -> streamEnrich,
     "stream_distinct_approx" -> streamDistinctApprox,

@@ -420,6 +420,28 @@ object LlmOracle {
          |SELECT train_id, eval_id, floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM x ORDER BY train_id, eval_id""".stripMargin,
 
+    // PMI evaluated as one left-associated double expression over exact
+    // BIGINT counts — identical IEEE value on both engines (see the op's
+    // docstring); bigrams are 2-shingles WITH duplicates (occurrences).
+    "llm_collocations" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |uni AS (SELECT t, count(*) AS c FROM (SELECT unnest(ts) AS t FROM tok) u GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uni),
+        |bg AS (SELECT unnest(list_transform(range(1, len(ts)),
+        |    i -> concat_ws(' ', ts[i], ts[i+1]))) AS bg
+        |  FROM tok WHERE len(ts) >= 2),
+        |bi AS (SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b FROM bg),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bi),
+        |bc AS (SELECT a, b, count(*) AS n_pair FROM bi GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT bc.a, bc.b, bc.n_pair,
+        |  round(ln(CAST(bc.n_pair AS DOUBLE) * nt.nt * nt.nt /
+        |    (CAST(nb.nb AS DOUBLE) * ua.c * ub.c)), 4) AS pmi
+        |FROM bc
+        |JOIN uni ua ON bc.a = ua.t
+        |JOIN uni ub ON bc.b = ub.t
+        |CROSS JOIN nt CROSS JOIN nb
+        |ORDER BY bc.a, bc.b""".stripMargin,
+
     // Exact containment intersection — the Bloom prefilter is transparent
     // (false positives die in the exact-verify join), so the banded op
     // checks against the plain intersection.

@@ -146,6 +146,30 @@ object OracleSql {
     "sql_q14" -> Q14,
     "sql_q18" -> Q18,
     "sql_q19" -> Q19,
+    "win_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS p,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM rev),
+        |rk AS (SELECT p, r,
+        |  CAST(row_number() OVER (ORDER BY r DESC, p) AS BIGINT) AS rn,
+        |  CAST(sum(r) OVER (ORDER BY r DESC, p ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM rev)
+        |SELECT p, CAST(r AS DOUBLE) / 10000.0 AS revenue, rn,
+        |  round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 4) AS cum_share
+        |FROM rk, tot WHERE cum * 5 <= t * 4
+        |ORDER BY rn""".stripMargin,
+
+    "agg_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d FROM events),
+        |su AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY 1)
+        |SELECT su.d0 AS cohort_day, ev.d - su.d0 AS day_offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN su USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
     "win_sessionize" ->
       """WITH ev AS (SELECT user_id, epoch_ms(ts) AS tms, event_id FROM events),
         |g AS (SELECT user_id, tms, event_id,

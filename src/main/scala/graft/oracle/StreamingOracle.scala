@@ -76,6 +76,21 @@ object StreamingOracle {
          |WHERE epoch_ms(ts) <= m.mx - 3600000
          |GROUP BY 1, 2 ORDER BY user_id, item""".stripMargin,
 
+    "state_diff" ->
+      s"""WITH m AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
+         |a AS (SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+         |    count(*) AS n, ${msum("value")} AS w
+         |  FROM events, m WHERE epoch_ms(ts) <= m.mx - 7200000 GROUP BY 1, 2),
+         |b AS (SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+         |    count(*) AS n, ${msum("value")} AS w
+         |  FROM events, m WHERE epoch_ms(ts) <= m.mx - 3600000 GROUP BY 1, 2)
+         |SELECT b.user_id, b.item,
+         |  COALESCE(a.n, 0) AS n_t1, b.n AS n_t2,
+         |  COALESCE(a.w, 0.0) AS w_t1, b.w AS w_t2
+         |FROM b LEFT JOIN a ON b.user_id = a.user_id AND b.item = a.item
+         |WHERE a.n IS NULL OR b.n <> a.n
+         |ORDER BY b.user_id, b.item""".stripMargin,
+
     "stream_enrich" ->
       s"""SELECT (epoch_ms(e.ts) // 3600000) * 3600000 AS ws_ms,
          |  c.c_mktsegment AS segment, e.event_type,

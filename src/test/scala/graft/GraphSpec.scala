@@ -196,6 +196,36 @@ class GraphSpec extends SparkSpec {
     assert(r6.forall { case (v, d) => deg.getOrElse(v, 0L) == d && d >= 68L })
   }
 
+  test("kcorePeel equals a JVM brute-force peel on random graphs (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(7L, 42L, 1234L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10 + rnd.nextInt(5)
+      val pairs = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)).distinct
+      val k = 2 + rnd.nextInt(2)
+      // JVM reference: peel to the true fixpoint
+      var alive = pairs.flatMap(e => Seq(e._1, e._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = pairs.filter(e => alive(e._1) && alive(e._2))
+          .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .map { case (v, xs) => (v, xs.length) }
+        val next = alive.filter(v => deg.getOrElse(v, 0) >= k)
+        changed = next != alive
+        alive = next
+      }
+      val expect = pairs.filter(e => alive(e._1) && alive(e._2))
+        .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (v, xs) => (v, xs.length.toLong) }.toSet
+      // n rounds always suffice: each non-converged round removes >= 1 vertex
+      val got = GraphOps.kcorePeel(pairs.toDF("a", "b"), k, rounds = n).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expect, s"seed=$seed n=$n k=$k")
+    }
+  }
+
   test("graph_ego_net: exactly the induced edges of the seed's 1-hop ball") {
     val rows = q("graph_ego_net").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

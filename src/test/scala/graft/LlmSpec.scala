@@ -195,6 +195,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("llm_collocations: PMI recomputes from raw counts on every row") {
+    import spark.implicits._
+    val rows = q("llm_collocations").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(rows.head.fieldIndex("n_pair")) >= 20L))
+    // independent recomputation: token/bigram counts from plain scala
+    val texts = Tables.documents(spark, sf).select($"text").collect().map(_.getString(0))
+    val uni = texts.flatMap(_.split(" ", -1)).groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    val bis = texts.flatMap { t =>
+      val ts = t.split(" ", -1)
+      if (ts.length < 2) Nil else ts.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val nb = bis.length.toLong
+    val nt = uni.values.sum
+    val bc = bis.groupBy(identity).map { case (p, xs) => (p, xs.length.toLong) }
+    rows.foreach { r =>
+      val (a, b, c, pmi) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(bc((a, b)) === c)
+      val expect = math.log(c.toDouble * nt * nt / (nb.toDouble * uni(a) * uni(b)))
+      assert(math.abs(pmi - BigDecimal(expect).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("llm_decontaminate_bloom equals the exact containment join (no prefilter)") {
     import spark.implicits._
     import org.apache.spark.sql.GraftSqlBridge

@@ -225,4 +225,31 @@ object PropertySpec extends Properties("graft") {
         }
       }
     }
+
+  property("sessionizeCore equals a sequential fold over each user's timeline") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 4L * 3600000L)))) {
+      events =>
+        events.nonEmpty ==> {
+          // unique event ids make the (tms, event_id) order total on both sides
+          val rows = events.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+          val got = graft.ops.Relational
+            .sessionizeCore(rows.toDF("user_id", "tms", "event_id"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+            .toSet
+          // reference: plain fold over the sorted timeline per user
+          val expect = rows.groupBy(_._1).flatMap { case (u, es) =>
+            val sorted = es.sortBy(e => (e._2, e._3))
+            val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+              if (e._2 - acc.head.head._2 > 1800000L) List(e) :: acc
+              else (e :: acc.head) :: acc.tail
+            }.reverse
+            sessions.zipWithIndex.map { case (s, i) =>
+              val ts = s.map(_._2)
+              (u, i + 1L, s.length.toLong, ts.min, ts.max - ts.min)
+            }
+          }.toSet
+          got == expect
+        }
+    }
 }

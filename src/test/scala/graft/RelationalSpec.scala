@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 152, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 144, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 156, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 148, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: every query returns rows at sf0.001") {
@@ -325,6 +325,26 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(r.fieldIndex("total_qty")) > 120L))
     val prices = rows.map(r => r.getDouble(r.fieldIndex("o_totalprice")))
     assert(prices.zip(prices.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("win_pareto: dense ranks, monotone cumulative share capped at 80%") {
+    val rows = q("win_pareto").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("rn"))).toSeq ===
+      (1L to rows.length).toSeq)
+    val shares = rows.map(_.getDouble(rows.head.fieldIndex("cum_share")))
+    assert(shares.zip(shares.tail).forall { case (x, y) => x <= y })
+    assert(shares.last <= 0.8 + 1e-9)
+  }
+
+  test("agg_retention: every cohort has its day-0 cell; offsets non-negative") {
+    val rows = q("agg_retention").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(r.fieldIndex("day_offset")) >= 0L))
+    val cohorts = rows.map(_.getLong(0)).distinct
+    val day0 = rows.filter(r => r.getLong(r.fieldIndex("day_offset")) == 0L)
+      .map(_.getLong(0)).toSet
+    assert(cohorts.forall(day0), "a cohort without a day-0 cell is impossible")
   }
 
   test("sql_q14: promo share is promo/total on every month row") {

@@ -220,6 +220,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state_diff: changed keys are exactly the keys in the (T1, T2] window") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("state_diff")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // events only accumulate: every emitted edge strictly grew
+    assert(rows.forall(r =>
+      r.getLong(r.fieldIndex("n_t2")) > r.getLong(r.fieldIndex("n_t1"))))
+    // the monoid claim in the docstring: the changed-key set IS the set of
+    // keys with at least one event inside the window
+    val e = Tables.events(spark, sf)
+      .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"),
+        unix_millis($"ts").as("t"))
+    val mx = e.agg(max($"t")).first().getLong(0)
+    val windowKeys = e.filter($"t" > mx - 7200000L && $"t" <= mx - 3600000L)
+      .select($"user_id", $"item").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === windowKeys)
+  }
+
   test("stream_topk: incremental counts + rank finish equal the batch twin") {
     val batch = SparkEntry.queries("stream_topk")(spark, sf)
     val live = runStream(StreamingOps.topkCountsStream(spark, sf), OutputMode.Complete)

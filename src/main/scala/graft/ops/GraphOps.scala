@@ -747,6 +747,35 @@ object GraphOps {
       .orderBy($"part")
   }
 
+  /** Adamic–Adar link prediction — the classic "which unlinked pairs will
+    * connect" score a graph store serves for recommendations: for part
+    * pairs, Σ over common customers c of 1/ln(deg(c)) — rare customers
+    * (low degree) count more than promiscuous hubs. Float-sum portability:
+    * each term is scaled to an integer FIRST (round(1e9/ln(deg)) — ln of
+    * the same integer degree is the same IEEE double on both engines), so
+    * the aggregation is an exact BIGINT sum in any order; the divide-back
+    * is display-only. Same deg²-per-customer pair stream as
+    * [[graphCommonNeighbors]] — the declared exact-twin posture and the
+    * same ScaleSpec pair ceiling apply; the bounded 100× path is the
+    * capped-sample candidate core.
+    */
+  val graphAdamicAdar: Q = (s, dir) => {
+    import s.implicits._
+    val adj = edges(s, dir).select($"src", $"dst")
+    val deg = adj.groupBy($"src").agg(count(lit(1)).as("deg"))
+    adj.as("e1")
+      .join(adj.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
+      .select($"e1.src".as("src"), $"e1.dst".as("p1"), $"e2.dst".as("p2"))
+      .join(deg, "src")
+      .select($"p1", $"p2",
+        round(lit(1.0e9) / log($"deg".cast("double"))).cast("long").as("t"))
+      .groupBy($"p1", $"p2")
+      .agg(sum($"t").as("aa_scaled"), count(lit(1)).as("common"))
+      .orderBy($"aa_scaled".desc, $"p1", $"p2").limit(20)
+      .select($"p1", $"p2", $"common",
+        ($"aa_scaled".cast("double") / 1.0e9).as("aa"))
+  }
+
   /** Ego-network extraction — the induced subgraph on a seed node and its
     * 1-hop neighborhood, the graph store's "show me this node's world"
     * query. The neighbor set of one node is degree-bounded (≤ max degree,
@@ -806,6 +835,7 @@ object GraphOps {
     "graph_edge_filter" -> graphEdgeFilter,
     "graph_trending" -> graphTrending,
     "graph_kcore" -> graphKcore,
-    "graph_ego_net" -> graphEgoNet
+    "graph_ego_net" -> graphEgoNet,
+    "graph_adamic_adar" -> graphAdamicAdar
   )
 }

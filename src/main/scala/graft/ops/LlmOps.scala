@@ -383,6 +383,24 @@ object LlmOps {
       .orderBy($"train_id", $"eval_id")
   }
 
+  /** JSON scalar-function surface over the event property bag: the typed
+    * `from_json` parse (schema declared — NO inference pass) next to the
+    * path-extraction `get_json_object` and the structural
+    * `json_object_keys` probe. Both extraction forms are codegen'd
+    * projections over one scan; the declared-schema parse is the 100 TB
+    * posture (schema inference re-reads the corpus).
+    */
+  val fnJson: Q = (s, dir) => {
+    import s.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")
+    Tables.events(s, dir)
+      .select($"event_id",
+        from_json($"props", schema).getField("k").as("k_typed"),
+        get_json_object($"props", "$.k").cast("long").as("k_path"),
+        size(json_object_keys($"props")).cast("long").as("n_keys"))
+      .orderBy($"event_id")
+  }
+
   /** Bigram collocation mining (PMI) — the corpus-statistics pass that
     * finds multi-word expressions ("new york") for tokenizer/vocab
     * curation. Bigrams stream straight from [[graft.expr.ShingleGen]]
@@ -1035,6 +1053,7 @@ object LlmOps {
     "llm_decontaminate" -> llmDecontaminate,
     "llm_decontaminate_bloom" -> llmDecontaminateBloom,
     "llm_collocations" -> llmCollocations,
+    "fn_json" -> fnJson,
     "llm_embed_centroids" -> llmEmbedCentroids,
     "llm_chunk_sliding" -> llmChunkSliding,
     "llm_dedup_simhash" -> llmDedupSimhash,

@@ -1075,6 +1075,27 @@ object Relational {
         (max($"tms") - min($"tms")).as("dur_ms"))
   }
 
+  /** Declared PARTITIONED source: read the date-partitioned journal layout
+    * ([[StreamingOps.writeJournal]] — the 100 TB events shape) back with a
+    * literal date bound, so whole day directories are skipped at planning
+    * time (PartitionFilters — the read-side twin of `sink_partitioned`'s
+    * write-side proof). The day key is epoch-day arithmetic on both
+    * engines (`event_date ≤ 2024-01-15` ⟺ `ts < 2024-01-16 00:00 UTC` on
+    * this non-negative event-time domain).
+    */
+  val srcPartitioned: Q = (s, dir) => {
+    import s.implicits._
+    val out = s"${graft.Scratch.dir("src_partitioned")}/journal"
+    StreamingOps.writeJournal(s, dir, out)
+    val schema = Tables.eventsRawSchema.add("event_date", "date")
+    s.read.schema(schema).parquet(out)
+      .filter($"event_date" <= lit(java.sql.Date.valueOf("2024-01-15")))
+      .groupBy(unix_date($"event_date").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        msum(($"value")).as("sum_value"))
+      .orderBy($"day")
+  }
+
   /** Pareto / cumulative-share report ("which parts carry 80% of
     * revenue") — the concentration profile every catalog team runs.
     * Revenue accumulates as exact scaled longs; the 80% cut is the
@@ -1123,6 +1144,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "win_pareto" -> winPareto,
     "agg_retention" -> aggRetention,
+    "src_partitioned" -> srcPartitioned,
     "scan_project" -> scanProject,
     "scan_pruned" -> scanPruned,
     "src_json_props" -> srcJsonProps,

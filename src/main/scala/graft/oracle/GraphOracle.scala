@@ -186,6 +186,21 @@ object GraphOracle {
          |JOIN v y ON cp.b = y.id
          |ORDER BY cp.a, cp.b""".stripMargin,
 
+    // per-term integer scaling makes the float AA sum order-independent;
+    // ln(integer deg) is the identical IEEE double on both engines
+    "graph_adamic_adar" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |t AS (SELECT e1.dst AS p1, e2.dst AS p2,
+         |    CAST(round(1000000000.0 / ln(deg.deg)) AS BIGINT) AS tt
+         |  FROM e e1
+         |  JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  JOIN deg ON deg.src = e1.src),
+         |a AS (SELECT p1, p2, CAST(sum(tt) AS BIGINT) AS aa_scaled,
+         |    count(*) AS common FROM t GROUP BY 1, 2)
+         |SELECT p1, p2, common, CAST(aa_scaled AS DOUBLE) / 1000000000.0 AS aa
+         |FROM a ORDER BY aa_scaled DESC, p1, p2 LIMIT 20""".stripMargin,
+
     "graph_wsssp" -> wssspSql,
     "graph_ppr_batch" -> pprBatchSql,
     "graph_lpa" -> lpaSql,

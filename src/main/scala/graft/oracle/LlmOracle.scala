@@ -420,6 +420,13 @@ object LlmOracle {
          |SELECT train_id, eval_id, floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM x ORDER BY train_id, eval_id""".stripMargin,
 
+    "fn_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin,
+
     // PMI evaluated as one left-associated double expression over exact
     // BIGINT counts — identical IEEE value on both engines (see the op's
     // docstring); bigrams are 2-shingles WITH duplicates (occurrences).

@@ -146,6 +146,15 @@ object OracleSql {
     "sql_q14" -> Q14,
     "sql_q18" -> Q18,
     "sql_q19" -> Q19,
+    // event_date <= 2024-01-15 on the partitioned journal is exactly
+    // ts < 2024-01-16 00:00 UTC on the raw table
+    "src_partitioned" ->
+      s"""SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n,
+         |  ${msum("value")} AS sum_value
+         |FROM events
+         |WHERE epoch_ms(ts) < epoch_ms(TIMESTAMP '2024-01-16 00:00:00')
+         |GROUP BY 1 ORDER BY day""".stripMargin,
+
     "win_pareto" ->
       """WITH rev AS (
         |  SELECT l_partkey AS p,

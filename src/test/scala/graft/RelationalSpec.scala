@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 156, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 148, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 159, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 151, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: every query returns rows at sf0.001") {
@@ -283,6 +283,40 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("1-URGENT"),
       s"partition pruning missing:\n$p")
     assert(df.count() > 0)
+  }
+
+  test("src_partitioned: the journal re-read prunes day directories at plan time") {
+    val df = SparkEntry.queries("src_partitioned")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") && p.contains("event_date"),
+      s"partition pruning missing:\n$p")
+    assert(df.count() > 0)
+  }
+
+  test("graph_adamic_adar: scores recompute from common-neighbor degrees") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
+    assert(rows.length === 20)
+    // independent recompute from the raw adjacency, scalar JVM arithmetic
+    val adj = ops.GraphOps.edges(spark, sf).select($"src", $"dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = adj.groupBy(_._1).map { case (s0, xs) => (s0, xs.length) }
+    val byCust = adj.groupBy(_._1)
+    val aa = new scala.collection.mutable.HashMap[(Long, Long), (Long, Long)]()
+    byCust.foreach { case (c, es) =>
+      val parts = es.map(_._2).sorted
+      val t = math.round(1.0e9 / math.log(deg(c).toDouble))
+      for (i <- parts.indices; j <- (i + 1) until parts.length) {
+        val k = (parts(i), parts(j))
+        val (s0, n0) = aa.getOrElse(k, (0L, 0L))
+        aa(k) = (s0 + t, n0 + 1)
+      }
+    }
+    rows.foreach { r =>
+      val (exp, n) = aa((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(r.fieldIndex("common")) === n)
+      assert(math.abs(r.getDouble(r.fieldIndex("aa")) - exp / 1.0e9) < 1e-12)
+    }
   }
 
   test("join_theta_rule: optimizer bands the range join away from nested-loop") {

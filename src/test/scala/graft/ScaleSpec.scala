@@ -119,7 +119,8 @@ class ScaleSpec extends SparkSpec {
       "graph_common_neighbors" -> 17000000L, // measured 13,140,857
       "graph_tag_similarity" -> 240000L, // measured 177,305
       "llm_dedup_near" -> 3000000L, // measured 2,261,072
-      "llm_ngram_jaccard" -> 2400000L) // measured 1,817,835
+      "llm_ngram_jaccard" -> 2400000L, // measured 1,817,835
+      "graph_adamic_adar" -> 17000000L) // same pair stream as common_neighbors
     for ((key, cap) <- ceilings) {
       val n = maxJoinRows(SparkEntry.queries(key)(spark, sfBig))
       info(s"$key pair-join rows at sf0.1: $n")

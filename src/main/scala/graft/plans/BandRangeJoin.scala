@@ -172,6 +172,11 @@ object BandRangeJoinRule extends Rule[LogicalPlan] {
     */
   private val cardCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Number of sampling probes actually EXECUTED (cache misses) — the spec
+    * asserts re-instantiating the same plan shape does not re-probe.
+    */
+  private[graft] val probeCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Estimated distinct count of `attr` in `side`: catalog/CBO column
     * stats when present (free, exact-ish), else a sampled
     * approx_count_distinct over the first [[SampleRows]] rows. None =
@@ -182,8 +187,14 @@ object BandRangeJoinRule extends Rule[LogicalPlan] {
     fromStats.map(_.toLong).orElse {
       if (side.isStreaming) None
       else {
-        val key = s"${side.canonicalized.semanticHash()}#${attr.exprId.id}#${attr.name}"
+        // cache key: canonicalized plan hash + the attribute's POSITION in
+        // the output (exprIds are fresh per query instantiation — keying on
+        // them would re-probe the same plan shape on every call; position
+        // in the canonicalized output is instantiation-stable)
+        val pos = side.output.indexWhere(_.exprId == attr.exprId)
+        val key = s"${side.canonicalized.semanticHash()}#$pos#${attr.name}"
         val est: java.lang.Long = cardCache.computeIfAbsent(key, _ => {
+          probeCount.incrementAndGet() // observability: specs pin cache reuse
           estimating.set(true)
           try {
             val probe = GraftSqlBridge.ofRows(SparkSession.active,

@@ -210,6 +210,15 @@ class RelationalSpec extends SparkSpec {
       s"auto mode did not band the low-cardinality equi+range join:\n$pAuto")
     val got = auto.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
     assert(got === expected, "banded equi+range join changed the result")
+    // probe-cache reuse: a FRESH instantiation of the same plan shape must
+    // not execute another sampling job (exprIds differ per instantiation —
+    // the cache keys on the canonicalized shape + attribute position)
+    val probesAfterFirst = graft.plans.BandRangeJoinRule.probeCount.get()
+    val again = l.join(r,
+      $"k1" === $"k2" && $"t2" >= $"t1" - 100L && $"t2" <= $"t1" + 100L)
+    assert(again.queryExecution.executedPlan.toString.contains("graft_band"))
+    assert(graft.plans.BandRangeJoinRule.probeCount.get() === probesAfterFirst,
+      "re-instantiating the same join shape re-ran the cardinality probe")
     // high-cardinality key (every row its own group): auto must NOT fire —
     // per-group range scans are already tiny and banding would only pay
     // the ≤7x band explosion

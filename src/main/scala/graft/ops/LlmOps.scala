@@ -938,6 +938,34 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** CCNet-style perplexity-quantile filter — the standard LM-quality
+    * gate: score every document with the unigram-LM surprise
+    * ([[llmUnigramLogprob]]'s scorer), split the corpus into surprise
+    * quartiles, and keep the MIDDLE two (the head is boilerplate/dup-heavy,
+    * the tail is noise — the CCNet recipe). The quantile split orders by
+    * the ROUNDED score + doc_id so both engines rank the identical total
+    * order (raw float averages could ulp-swap neighbors). The global ntile
+    * runs over the per-doc aggregate (|docs| rows, dim-sized); the token
+    * work is the same two-shuffle pass as the scorer.
+    */
+  val llmPerplexityFilter: Q = (s, dir) => {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("t"))
+      .localCheckpoint()
+    val freq = tok.groupBy($"t").agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    val scored = tok.join(broadcast(freq), "t").crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log($"c" / $"n")), 4).as("avg_surprise"))
+    val byScore = Window.orderBy($"avg_surprise", $"doc_id")
+    scored.withColumn("q", ntile(4).over(byScore).cast("long"))
+      .filter($"q" === 2L || $"q" === 3L)
+      .select($"doc_id", $"n_tokens", $"avg_surprise", $"q")
+      .orderBy($"doc_id")
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
     * token stream, h = (h·31 + md5₃₂(tok)) mod 1000003 — same left fold on
     * both engines (Spark `aggregate` seeded with the first token ≡ DuckDB
@@ -1054,6 +1082,7 @@ object LlmOps {
     "llm_decontaminate_bloom" -> llmDecontaminateBloom,
     "llm_collocations" -> llmCollocations,
     "fn_json" -> fnJson,
+    "llm_perplexity_filter" -> llmPerplexityFilter,
     "llm_embed_centroids" -> llmEmbedCentroids,
     "llm_chunk_sliding" -> llmChunkSliding,
     "llm_dedup_simhash" -> llmDedupSimhash,

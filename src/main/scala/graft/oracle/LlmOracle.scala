@@ -420,6 +420,25 @@ object LlmOracle {
          |SELECT train_id, eval_id, floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM x ORDER BY train_id, eval_id""".stripMargin,
 
+    // quartile split orders by the ROUNDED score + doc_id — both engines
+    // rank the identical total order (raw float averages could ulp-swap)
+    "llm_perplexity_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents),
+        |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    round(avg(-ln(c / n)), 4) AS avg_surprise
+        |  FROM tok JOIN freq USING (t) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT doc_id, n_tokens, avg_surprise,
+        |    CAST(ntile(4) OVER (ORDER BY avg_surprise, doc_id) AS BIGINT) AS q
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, avg_surprise, q
+        |FROM ranked WHERE q IN (2, 3) ORDER BY doc_id""".stripMargin,
+
     "fn_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,

@@ -218,6 +218,21 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("llm_perplexity_filter keeps exactly the middle surprise quartiles") {
+    import spark.implicits._
+    val kept = q("llm_perplexity_filter").collect()
+    val total = Tables.documents(spark, sf).count()
+    // ntile(4) sizes differ by at most 1; middle-two keep is half ±1
+    assert(math.abs(kept.length - total / 2.0) <= 1.0)
+    assert(kept.forall(r => Set(2L, 3L).contains(r.getLong(r.fieldIndex("q")))))
+    // cross-op pin: scores must equal the unigram-logprob scorer's output
+    val scores = q("llm_unigram_logprob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("avg_surprise"))).toMap
+    kept.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("avg_surprise")) === scores(r.getLong(0)))
+    }
+  }
+
   test("llm_decontaminate_bloom equals the exact containment join (no prefilter)") {
     import spark.implicits._
     import org.apache.spark.sql.GraftSqlBridge

@@ -762,15 +762,20 @@ object GraphOps {
   val graphAdamicAdar: Q = (s, dir) => {
     import s.implicits._
     val adj = edges(s, dir).select($"src", $"dst")
-    val deg = adj.groupBy($"src").agg(count(lit(1)).as("deg"))
-    adj.as("e1")
-      .join(adj.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
-      .select($"e1.src".as("src"), $"e1.dst".as("p1"), $"e2.dst".as("p2"))
-      .join(deg, "src")
-      .select($"p1", $"p2",
+    // the per-customer term attaches to the |E|-row adjacency BEFORE the
+    // deg² pair explosion — joining deg after pairing would run the join
+    // against the (13M at sf0.1) pair stream instead of 60k edges
+    val withT = adj
+      .join(adj.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+      // deg-1 customers generate no pairs — and ln(1) = 0 would be an ANSI
+      // divide-by-zero when the term is computed pre-pairing
+      .filter($"deg" >= 2)
+      .select($"src", $"dst",
         round(lit(1.0e9) / log($"deg".cast("double"))).cast("long").as("t"))
-      .groupBy($"p1", $"p2")
-      .agg(sum($"t").as("aa_scaled"), count(lit(1)).as("common"))
+    withT.as("e1")
+      .join(adj.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
+      .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
+      .agg(sum($"e1.t").as("aa_scaled"), count(lit(1)).as("common"))
       .orderBy($"aa_scaled".desc, $"p1", $"p2").limit(20)
       .select($"p1", $"p2", $"common",
         ($"aa_scaled".cast("double") / 1.0e9).as("aa"))

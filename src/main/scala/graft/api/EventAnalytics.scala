@@ -1,0 +1,82 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Public event-analytics surface over CALLER frames — the library form of
+  * the fixture-bound registry ops (`win_sessionize`, `agg_retention`,
+  * `win_pareto`), so a user of the reference can run the same analytics on
+  * their own tables without adopting this harness's schemas. Each method is
+  * a thin column-mapping shim over the registry op's exact core, and
+  * ApiSpec pins the equivalences on the fixture tables.
+  */
+object EventAnalytics {
+
+  /** Gaps-and-islands sessionization: one session row per (entity, run of
+    * activity with inter-event gaps ≤ gapMs). `ts` must be an epoch-ms
+    * LONG column (reduce timestamps yourself — this library's portability
+    * rule); `eventId` breaks timestamp ties so the session order is total.
+    * Output: (user_id, session_seq, n_events, start_ms, dur_ms), one
+    * user-keyed shuffle + two window passes (see the registry op's plan
+    * audit in PLANS.md).
+    */
+  def sessionize(df: DataFrame, user: Column, tsMs: Column, eventId: Column,
+                 gapMs: Long = 1800000L): DataFrame = {
+    require(gapMs > 0, s"sessionize needs a positive gap (got $gapMs)")
+    val ev = df.select(user.as("user_id"), tsMs.as("tms"), eventId.as("event_id"))
+    if (gapMs == 1800000L) graft.ops.Relational.sessionizeCore(ev)
+    else {
+      // custom gap: same core expressions, parameterized break rule
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+      ev.withColumn("brk",
+          when(lag(col("tms"), 1).over(byUser).isNull ||
+            col("tms") - lag(col("tms"), 1).over(byUser) > gapMs, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tms")).as("start_ms"),
+          (max(col("tms")) - min(col("tms"))).as("dur_ms"))
+    }
+  }
+
+  /** Cohort retention triangle: entities cohorted by first-activity
+    * period, each cell = distinct entities of cohort p0 active at
+    * p0+offset. `period` is any integer period column (epoch-day,
+    * epoch-week — the caller picks the grain). Output:
+    * (cohort_day, day_offset, n_users).
+    */
+  def retention(df: DataFrame, user: Column, period: Column): DataFrame = {
+    val ev = df.select(user.as("user_id"), period.cast("long").as("d"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("d0").as("cohort_day"), (col("d") - col("d0")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Pareto / cumulative-share: members of `key` carrying the top
+    * `num/den` share of Σ value, with dense rank and cumulative share.
+    * The cut is exact integer arithmetic (`cum·den ≤ total·num`) over
+    * scaled-long sums — no float threshold; `value` is scaled by 1e4
+    * (money-style) before accumulation. The global window runs over the
+    * per-key aggregate (dim-sized), never the input.
+    */
+  def paretoShare(df: DataFrame, key: Column, value: Column,
+                  num: Int = 4, den: Int = 5): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"paretoShare needs a share in (0, 1]: got $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    val rev = df.groupBy(key.as("p"))
+      .agg(sum(round(value * lit(10000)).cast("long")).as("r"))
+    val tot = rev.agg(sum(col("r")).as("t"))
+    val ord = Window.orderBy(col("r").desc, col("p"))
+    rev.withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("r")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * den <= col("t") * num)
+      .select(col("p"), (col("r").cast("double") / 10000.0).as("revenue"), col("rn"),
+        round(col("cum").cast("double") / col("t").cast("double"), 4).as("cum_share"))
+  }
+}

@@ -164,6 +164,19 @@ object GraphAlgebra {
   def hintedFrame(df: DataFrame, rows: Long): DataFrame =
     hinted(df, rows, BroadcastMaxRows)
 
+  /** Public k-core over a caller-supplied canonical (a < b) pair list:
+    * fixed-round peel (see `graph_kcore`'s docstring for why fixed rounds
+    * — determinism), returning members with their final induced degree.
+    * `rounds ≥ |V|` always reaches the true fixpoint (each non-converged
+    * round removes ≥ 1 vertex); the fixture op uses 6 with convergence
+    * spec-pinned.
+    */
+  def kcore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"kcore needs k >= 1 (got $k)")
+    require(rounds >= 1, s"kcore needs rounds >= 1 (got $rounds)")
+    graft.ops.GraphOps.kcorePeel(pairs, k, rounds)
+  }
+
   /** EXACT PageRank / personalized PageRank by integer power iteration —
     * every step is truncating-integer arithmetic on scaled BIGINT mass, so
     * the fixed-point chain is bit-identical across engines, partitionings

@@ -330,6 +330,45 @@ class ApiSpec extends SparkSpec {
         }
       }
   }
+  test("EventAnalytics: caller-frame sessionize/retention/pareto equal the registry ops") {
+    import spark.implicits._
+    import graft.api.EventAnalytics
+    // sessionize over the events fixture ≡ win_sessionize
+    val ev = Tables.events(spark, sf)
+    val viaApi = EventAnalytics.sessionize(ev,
+        $"user_id", unix_millis($"ts"), $"event_id")
+      .orderBy($"user_id", $"session_seq")
+      .collect().map(_.toSeq).toSeq
+    val reg = SparkEntry.queries("win_sessionize")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === reg)
+    // a custom gap changes the session count (tighter gap ⇒ more sessions)
+    val tight = EventAnalytics.sessionize(ev,
+      $"user_id", unix_millis($"ts"), $"event_id", gapMs = 300000L).count()
+    assert(tight >= viaApi.length.toLong)
+    // retention ≡ agg_retention at day grain
+    val ret = EventAnalytics.retention(ev, $"user_id",
+        (unix_millis($"ts") / lit(86400000L)).cast("long"))
+      .orderBy($"cohort_day", $"day_offset").collect().map(_.toSeq).toSeq
+    assert(ret === SparkEntry.queries("agg_retention")(spark, sf)
+      .collect().map(_.toSeq).toSeq)
+    // pareto ≡ win_pareto at the 80% default
+    val par = EventAnalytics.paretoShare(Tables.lineitem(spark, sf),
+        $"l_partkey", $"l_extendedprice" * (lit(1) - $"l_discount"))
+      .orderBy($"rn").collect().map(_.toSeq).toSeq
+    assert(par === SparkEntry.queries("win_pareto")(spark, sf)
+      .collect().map(_.toSeq).toSeq)
+  }
+
+  test("GraphAlgebra.kcore on a caller pair list: known 2-core of a tadpole graph") {
+    import spark.implicits._
+    // triangle 1-2-3 with a pendant path 3-4-5: the 2-core is the triangle
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val core = api.GraphAlgebra.kcore(pairs, k = 2, rounds = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core === Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    intercept[IllegalArgumentException](api.GraphAlgebra.kcore(pairs, 0, 5))
+  }
 }
 
 /** A swap-in codec for the seam spec: fixed 7×7 dims, constant features —

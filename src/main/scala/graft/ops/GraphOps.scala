@@ -747,6 +747,46 @@ object GraphOps {
       .orderBy($"part")
   }
 
+  /** HITS hubs & authorities — the mutually-recursive importance ranking
+    * that fits this BIPARTITE purchase graph natively: authority(part) =
+    * Σ hub(customer) over buyers, hub(customer) = Σ authority(part) over
+    * purchases. EXACT integer power iteration (the pagerank trick): scores
+    * are scaled BIGINTs, each half-step max-normalizes by a truncating
+    * division (`x div greatest(1, max div 1e12)` — identical floor on both
+    * engines for these positive values), so all 6 iterations are
+    * bit-identical and the op is oracle-checkable via an unrolled
+    * MATERIALIZED-CTE chain. Per half-step: one |E| join + one agg + a
+    * 1-row broadcast scalar — the same shuffle budget as a PageRank
+    * iteration. Overflow-safe by construction: scores ≤ ~2e12 after
+    * normalization, edge fan-in ≤ max degree, so Σ < 2e12·d_max ≪ 2⁶³.
+    */
+  val graphHits: Q = (s, dir) => {
+    import s.implicits._
+    val S = 1000000000000L
+    val e = edges(s, dir).select($"src", $"dst").localCheckpoint()
+    def halfStep(scores: DataFrame, key: String, out: String): DataFrame = {
+      // scores: (id, x) on the `key` side; returns normalized (id, x) on `out`
+      val raw = e.join(scores.withColumnRenamed("id", key), key)
+        .groupBy(col(out).as("id")).agg(sum($"x").as("xr"))
+      val q = raw.agg(expr(s"greatest(CAST(1 AS BIGINT), max(xr) div $S)").as("q"))
+      raw.crossJoin(broadcast(q))
+        .select($"id", expr("xr div q").as("x"))
+        .localCheckpoint()
+    }
+    var h = e.select($"src".as("id")).distinct()
+      .withColumn("x", lit(S)).localCheckpoint()
+    var a: DataFrame = null
+    for (_ <- 1 to 6) {
+      a = halfStep(h, "src", "dst") // authorities from hubs
+      h = halfStep(a, "dst", "src") // hubs from authorities
+    }
+    val topA = a.orderBy($"x".desc, $"id").limit(20)
+      .select(lit("p").as("side"), $"id", $"x".as("score_scaled"))
+    val topH = h.orderBy($"x".desc, $"id").limit(20)
+      .select(lit("c").as("side"), $"id", $"x".as("score_scaled"))
+    topA.unionAll(topH).orderBy($"side", $"score_scaled".desc, $"id")
+  }
+
   /** Adamic–Adar link prediction — the classic "which unlinked pairs will
     * connect" score a graph store serves for recommendations: for part
     * pairs, Σ over common customers c of 1/ln(deg(c)) — rare customers
@@ -841,6 +881,7 @@ object GraphOps {
     "graph_trending" -> graphTrending,
     "graph_kcore" -> graphKcore,
     "graph_ego_net" -> graphEgoNet,
-    "graph_adamic_adar" -> graphAdamicAdar
+    "graph_adamic_adar" -> graphAdamicAdar,
+    "graph_hits" -> graphHits
   )
 }

@@ -173,7 +173,44 @@ object GraphOracle {
        |SELECT id AS part, deg FROM d$rounds WHERE deg >= $k ORDER BY part""".stripMargin
   }
 
+  /** Unrolled 6-iteration integer HITS (hubs & authorities on the
+    * bipartite purchase graph): each half-step max-normalizes by a
+    * truncating division — identical floor semantics on both engines, so
+    * the chain is bit-identical. Every per-round CTE is referenced twice
+    * (the raw scores by the max probe AND the normalize) → MATERIALIZED,
+    * same as [[kcoreSql]].
+    */
+  private val hitsSql: String = {
+    val S = "1000000000000"
+    val base =
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT o_custkey AS src, l_partkey AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |h0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST($S AS BIGINT) AS x FROM e)""".stripMargin
+    val its = (1 to 6).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS id, CAST(sum(h.x) AS BIGINT) AS xr
+         |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY 1),
+         |qa$i AS (SELECT greatest(CAST(1 AS BIGINT), CAST(max(xr) // $S AS BIGINT)) AS q FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT id, CAST(xr // q AS BIGINT) AS x FROM ar$i, qa$i),
+         |hr$i AS MATERIALIZED (SELECT e.src AS id, CAST(sum(a.x) AS BIGINT) AS xr
+         |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY 1),
+         |qh$i AS (SELECT greatest(CAST(1 AS BIGINT), CAST(max(xr) // $S AS BIGINT)) AS q FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT id, CAST(xr // q AS BIGINT) AS x FROM hr$i, qh$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$its,
+       |ta AS (SELECT 'p' AS side, id, x AS score_scaled FROM a6
+       |       ORDER BY x DESC, id LIMIT 20),
+       |th AS (SELECT 'c' AS side, id, x AS score_scaled FROM h6
+       |       ORDER BY x DESC, id LIMIT 20)
+       |SELECT side, id, score_scaled FROM (
+       |  SELECT * FROM ta UNION ALL SELECT * FROM th)
+       |ORDER BY side, score_scaled DESC, id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "graph_hits" -> hitsSql,
     "graph_kcore" -> kcoreSql(68, 6),
 
     "graph_ego_net" ->

@@ -226,6 +226,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("graph_hits: fixture scores recompute exactly via JVM integer arithmetic") {
+    val S = 1000000000000L
+    val rows = q("graph_hits").collect()
+    assert(rows.length === 40)
+    // pure-JVM mirror of the 6-iteration integer recurrence
+    val e = GraphOps.edges(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    var h = e.map(_._1).distinct.map(c => c -> S).toMap
+    var a = Map.empty[Long, Long]
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val qd = math.max(1L, m.values.max / S)
+      m.map { case (k, v) => k -> v / qd }
+    }
+    for (_ <- 1 to 6) {
+      a = norm(e.groupBy(_._2).map { case (p, es) => p -> es.map(x => h(x._1)).sum })
+      h = norm(e.groupBy(_._1).map { case (c, es) => c -> es.map(x => a(x._2)).sum })
+    }
+    rows.foreach { r =>
+      val ref = if (r.getString(0) == "p") a else h
+      assert(ref(r.getLong(1)) === r.getLong(2),
+        s"${r.getString(0)}/${r.getLong(1)}")
+    }
+    // and the top-20 cut is the true ordering of the reference scores
+    val topP = a.toSeq.sortBy { case (id, x) => (-x, id) }.take(20).map(_._1)
+    assert(rows.filter(_.getString(0) == "p").map(_.getLong(1)).toSeq === topP
+      .sortBy(id => (-a(id), id)))
+  }
+
   test("graph_ego_net: exactly the induced edges of the seed's 1-hop ball") {
     val rows = q("graph_ego_net").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -787,6 +787,32 @@ object GraphOps {
     topA.unionAll(topH).orderBy($"side", $"score_scaled".desc, $"id")
   }
 
+  /** Eigenvector centrality on the undirected co-purchase graph — the
+    * "important because its neighbors are important" ranking (PageRank's
+    * undamped sibling; the reference genre's influence query). Same exact
+    * integer power-iteration machinery as [[graphHits]]: 6 iterations of
+    * x' = A·x over scaled BIGINTs, each max-normalized by a truncating
+    * division — bit-identical across engines, unrolled MATERIALIZED-CTE
+    * oracle. Per iteration one |E| join + agg + a 1-row broadcast scalar.
+    */
+  val graphEigencentrality: Q = (s, dir) => {
+    import s.implicits._
+    val S = 1000000000000L
+    val both = copurchaseBoth(s, dir).localCheckpoint()
+    var x = both.select($"a".as("id")).distinct()
+      .withColumn("x", lit(S)).localCheckpoint()
+    for (_ <- 1 to 6) {
+      val raw = both.join(x.withColumnRenamed("id", "b"), "b")
+        .groupBy($"a".as("id")).agg(sum($"x").as("xr"))
+      val q = raw.agg(expr(s"greatest(CAST(1 AS BIGINT), max(xr) div $S)").as("q"))
+      x = raw.crossJoin(broadcast(q))
+        .select($"id", expr("xr div q").as("x"))
+        .localCheckpoint()
+    }
+    x.orderBy($"x".desc, $"id").limit(20)
+      .select($"id".as("part"), $"x".as("score_scaled"))
+  }
+
   /** Adamic–Adar link prediction — the classic "which unlinked pairs will
     * connect" score a graph store serves for recommendations: for part
     * pairs, Σ over common customers c of 1/ln(deg(c)) — rare customers
@@ -882,6 +908,7 @@ object GraphOps {
     "graph_kcore" -> graphKcore,
     "graph_ego_net" -> graphEgoNet,
     "graph_adamic_adar" -> graphAdamicAdar,
-    "graph_hits" -> graphHits
+    "graph_hits" -> graphHits,
+    "graph_eigencentrality" -> graphEigencentrality
   )
 }

@@ -209,8 +209,30 @@ object GraphOracle {
        |ORDER BY side, score_scaled DESC, id""".stripMargin
   }
 
+  /** Unrolled 6-iteration integer eigenvector centrality on the undirected
+    * co-purchase graph — the [[hitsSql]] machinery with one frame.
+    */
+  private val eigenSql: String = {
+    val S = "1000000000000"
+    val base =
+      s"""WITH $copurchaseCte,
+         |e2 AS MATERIALIZED (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |x0 AS MATERIALIZED (SELECT DISTINCT a AS id, CAST($S AS BIGINT) AS x FROM e2)""".stripMargin
+    val its = (1 to 6).map { i =>
+      s"""xr$i AS MATERIALIZED (SELECT e2.a AS id, CAST(sum(x.x) AS BIGINT) AS xr
+         |  FROM e2 JOIN x${i - 1} x ON e2.b = x.id GROUP BY 1),
+         |q$i AS (SELECT greatest(CAST(1 AS BIGINT), CAST(max(xr) // $S AS BIGINT)) AS q FROM xr$i),
+         |x$i AS MATERIALIZED (SELECT id, CAST(xr // q AS BIGINT) AS x FROM xr$i, q$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$its
+       |SELECT id AS part, x AS score_scaled FROM x6
+       |ORDER BY score_scaled DESC, part LIMIT 20""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "graph_hits" -> hitsSql,
+    "graph_eigencentrality" -> eigenSql,
     "graph_kcore" -> kcoreSql(68, 6),
 
     "graph_ego_net" ->

@@ -253,6 +253,24 @@ class GraphSpec extends SparkSpec {
       .sortBy(id => (-a(id), id)))
   }
 
+  test("graph_eigencentrality: fixture scores recompute via JVM integer arithmetic") {
+    val S = 1000000000000L
+    val rows = q("graph_eigencentrality").collect()
+    assert(rows.length === 20)
+    val cp = GraphOps.copurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val e2 = cp ++ cp.map(e => (e._2, e._1))
+    var x = e2.map(_._1).distinct.map(_ -> S).toMap
+    for (_ <- 1 to 6) {
+      val raw = e2.groupBy(_._1).map { case (a, es) => a -> es.map(e => x(e._2)).sum }
+      val qd = math.max(1L, raw.values.max / S)
+      x = raw.map { case (k, v) => k -> v / qd }
+    }
+    rows.foreach { r => assert(x(r.getLong(0)) === r.getLong(1)) }
+    val top = x.toSeq.sortBy { case (id, v) => (-v, id) }.take(20).map(_._1)
+    assert(rows.map(_.getLong(0)).toSeq === top)
+  }
+
   test("graph_ego_net: exactly the induced edges of the seed's 1-hop ball") {
     val rows = q("graph_ego_net").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

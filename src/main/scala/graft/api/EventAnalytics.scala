@@ -24,21 +24,7 @@ object EventAnalytics {
                  gapMs: Long = 1800000L): DataFrame = {
     require(gapMs > 0, s"sessionize needs a positive gap (got $gapMs)")
     val ev = df.select(user.as("user_id"), tsMs.as("tms"), eventId.as("event_id"))
-    if (gapMs == 1800000L) graft.ops.Relational.sessionizeCore(ev)
-    else {
-      // custom gap: same core expressions, parameterized break rule
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
-      ev.withColumn("brk",
-          when(lag(col("tms"), 1).over(byUser).isNull ||
-            col("tms") - lag(col("tms"), 1).over(byUser) > gapMs, 1L).otherwise(0L))
-        .withColumn("session_seq", sum(col("brk")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("tms")).as("start_ms"),
-          (max(col("tms")) - min(col("tms"))).as("dur_ms"))
-    }
+    graft.ops.Relational.sessionizeCore(ev, gapMs)
   }
 
   /** Cohort retention triangle: entities cohorted by first-activity

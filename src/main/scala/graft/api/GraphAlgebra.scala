@@ -166,10 +166,12 @@ object GraphAlgebra {
 
   /** Public k-core over a caller-supplied canonical (a < b) pair list:
     * fixed-round peel (see `graph_kcore`'s docstring for why fixed rounds
-    * — determinism), returning members with their final induced degree.
-    * `rounds ≥ |V|` always reaches the true fixpoint (each non-converged
-    * round removes ≥ 1 vertex); the fixture op uses 6 with convergence
-    * spec-pinned.
+    * — determinism), returning members with their TRUE induced degree
+    * within the final survivor set (a dedicated post-loop degree pass —
+    * so the degree column is exact even when `rounds` stops short of the
+    * fixpoint). `rounds ≥ |V|` always reaches the true fixpoint (each
+    * non-converged round removes ≥ 1 vertex); the fixture op uses 6 with
+    * convergence spec-pinned.
     */
   def kcore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"kcore needs k >= 1 (got $k)")
@@ -453,6 +455,11 @@ object GraphAlgebra {
 
   /** Time-decayed popularity: score = Σ value · exp((day − max_day)/τ days),
     * top-k items. The max-day scalar is broadcast, never collected.
+    * Per-event contributions are summed as exact BIGINTs — centi-quantized
+    * value × per-day quantized exp decay (same determinism contract as
+    * the registry op: integer aggregation, no FP reduction-order drift,
+    * the transcendental never meets a decimal round()). Assumes `value`
+    * carries ≤2 meaningful decimals (centi-unit quantization).
     */
   def trending(events: DataFrame, item: Column, tsMs: Column, value: Column,
                decayDays: Double, k: Int): DataFrame = {
@@ -460,9 +467,11 @@ object GraphAlgebra {
       floor(tsMs.cast("long") / lit(86400000L)).cast("long").as("day"), value.as("value"))
     val maxDay = e.agg(max(col("day")).as("max_day"))
     e.crossJoin(broadcast(maxDay))
+      .withColumn("vc", floor(col("value") * 100.0 + 0.5).cast("long"))
+      .withColumn("qexp",
+        floor(exp((col("day") - col("max_day")) / lit(decayDays)) * 1.0e8 + 0.5).cast("long"))
       .groupBy(col("item"))
-      .agg(round(sum(col("value") * exp((col("day") - col("max_day")) / lit(decayDays))), 4)
-        .as("score"), count(lit(1)).as("n"))
+      .agg(round(sum(col("vc") * col("qexp")) / 1.0e10, 4).as("score"), count(lit(1)).as("n"))
       .orderBy(col("score").desc, col("item"))
       .limit(k)
   }

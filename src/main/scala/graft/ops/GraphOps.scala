@@ -660,6 +660,18 @@ object GraphOps {
   /** Trending query: per-item (events.props.k) time-decayed popularity,
     * half-life-style exp decay over whole days back from the newest event,
     * top-20. The max-day scalar is a broadcast, not a collect.
+    * Determinism contract (cross-libm): the decayed contribution is the
+    * product of two BIGINT quantizations — `vc = floor(value·100 + 0.5)`
+    * (exact: value is 2-decimal currency and ·100 is a correctly-rounded
+    * basic op, so BOTH engines floor the identical double — zero
+    * cross-engine risk) and `qexp = floor(exp(Δ/7)·1e8 + 0.5)` (the one
+    * transcendental; Δ takes only ~30 distinct whole-day values and each
+    * lands ≥3e-2 from a boundary vs ≤5e-8 libm drift — GraphSpec pins
+    * the margin). The per-item sum is exact integer arithmetic (no FP
+    * reduction-order drift) and the score is one correctly-rounded
+    * division — bit-identical on both engines. At corpus scales where
+    * the summed centi×1e8 units near 2^53, narrow the qexp unit — the
+    * margin analysis only improves.
     */
   val graphTrending: Q = (s, dir) => {
     import s.implicits._
@@ -669,9 +681,12 @@ object GraphOps {
       $"value")
     val maxDay = e.agg(max($"day").as("max_day"))
     e.crossJoin(broadcast(maxDay))
+      .withColumn("vc", floor($"value" * 100.0 + 0.5).cast("long"))
+      .withColumn("qexp",
+        floor(exp(($"day" - $"max_day") / lit(7.0)) * 1.0e8 + 0.5).cast("long"))
       .groupBy($"item")
       .agg(
-        round(sum($"value" * exp(($"day" - $"max_day") / lit(7.0))), 4).as("score"),
+        round(sum($"vc" * $"qexp") / 1.0e10, 4).as("score"),
         count(lit(1)).as("n"))
       .orderBy($"score".desc, $"item")
       .limit(20)
@@ -731,10 +746,9 @@ object GraphOps {
     val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b"))).localCheckpoint()
     var surv = both.select($"a".as("id")).distinct().localCheckpoint()
     var nSurv = surv.count()
-    var deg: DataFrame = null
     for (_ <- 1 to rounds) {
       val alive = graft.api.GraphAlgebra.hintedFrame(surv, nSurv)
-      deg = both
+      val deg = both
         .join(alive.select($"id".as("a")), Seq("a"), "left_semi")
         .join(alive.select($"id".as("b")), Seq("b"), "left_semi")
         .groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
@@ -742,8 +756,19 @@ object GraphOps {
       surv = deg.filter($"deg" >= k).select($"id").localCheckpoint()
       nSurv = surv.count()
     }
-    deg.filter($"deg" >= k)
-      .select($"id".as("part"), $"deg")
+    // one extra degree pass over the FINAL survivor set: the loop's last
+    // deg frame measures degrees in the previous round's survivors, which
+    // overcounts edges to just-peeled vertices when the caller's rounds
+    // stop short of the fixpoint (r6 ADVICE). Membership is unchanged;
+    // the emitted degree is now the true induced degree at any rounds.
+    // Cost: one more |E_live| pass on the (shrunken) final frontier.
+    val alive = graft.api.GraphAlgebra.hintedFrame(surv, nSurv)
+    val degF = both
+      .join(alive.select($"id".as("a")), Seq("a"), "left_semi")
+      .join(alive.select($"id".as("b")), Seq("b"), "left_semi")
+      .groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+    surv.join(degF, Seq("id"), "left")
+      .select($"id".as("part"), coalesce($"deg", lit(0L)).as("deg"))
       .orderBy($"part")
   }
 

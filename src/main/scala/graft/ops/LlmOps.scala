@@ -171,6 +171,16 @@ object LlmOps {
       .orderBy($"o_orderkey")
   }
 
+  /** Scalar math surface. Hashed-projection discipline: `sqrt`, `abs`,
+    * `±`, `×`, `÷` are IEEE-correctly-rounded, so identical operands give
+    * bit-identical results on both engines and may be decimal-rounded
+    * freely; `ln` is transcendental (JVM Math.log and DuckDB's libm are
+    * each ≤1 ulp but DIFFERENT), so it is emitted only as a coarse
+    * integer quantization `floor(ln(x)·1e3 + 0.5)` — boundary spacing
+    * 5e-4 in ln units vs ≤1.2e-15 cross-libm drift, margin pinned by
+    * LlmSpec — never as `round(ln(x), n)`. The former `pow(y, 2)` column
+    * is spelled `y*y` (exact multiply) for the same reason.
+    */
   val fnMath: Q = (s, dir) => {
     import s.implicits._
     Tables.orders(s, dir).select(
@@ -178,8 +188,8 @@ object LlmOps {
       round($"o_totalprice", 2).as("r2"),
       abs($"o_totalprice" - 200000).as("ad"),
       round(sqrt($"o_totalprice"), 6).as("sq"),
-      round(log($"o_totalprice"), 6).as("lg"),
-      round(pow($"o_totalprice" / 1000.0, 2), 6).as("pw"),
+      floor(log($"o_totalprice") * 1000.0 + 0.5).cast("long").as("lg_milli"),
+      round(($"o_totalprice" / 1000.0) * ($"o_totalprice" / 1000.0), 6).as("pw"),
       pmod($"o_orderkey", lit(7L)).as("pm"),
       signum($"o_totalprice" - 200000).cast("long").as("sg"))
       .orderBy($"o_orderkey")
@@ -401,17 +411,21 @@ object LlmOps {
       .orderBy($"event_id")
   }
 
-  /** Bigram collocation mining (PMI) — the corpus-statistics pass that
-    * finds multi-word expressions ("new york") for tokenizer/vocab
-    * curation. Bigrams stream straight from [[graft.expr.ShingleGen]]
-    * (n = 2, duplicates kept — these are OCCURRENCE counts), unigrams from
-    * one token explode; PMI = ln(p(ab) / (p(a)·p(b))) evaluated as a
-    * single left-associated double expression over exact BIGINT counts so
-    * both engines produce the identical IEEE value. The unigram frequency
-    * table is broadcast (same Heaps'-law caveat as [[llmUnigramLogprob]]:
-    * at many-GB vocabulary switch to a shuffle join on the token). One
-    * shuffle per count table; the ≥ 20 support floor prunes before any
-    * join.
+  /** Bigram collocation mining — the corpus-statistics pass that finds
+    * multi-word expressions ("new york") for tokenizer/vocab curation.
+    * Bigrams stream straight from [[graft.expr.ShingleGen]] (n = 2,
+    * duplicates kept — these are OCCURRENCE counts), unigrams from one
+    * token explode. The oracle-hashed output carries ONLY the exact
+    * BIGINT count columns (n_pair, ca, cb, nt, nb) — everything a caller
+    * needs to evaluate PMI = ln(n_pair·nt² / (nb·ca·cb)); the
+    * transcendental itself stays OUT of the hashed projection because
+    * JVM `Math.log` and DuckDB's libm may differ in the last ulp, which
+    * flips `round(·,4)` on a half boundary (the round-6 red row). The
+    * PMI value is pinned in LlmSpec by a JVM-side recompute from these
+    * counts. The unigram frequency table is broadcast (same Heaps'-law
+    * caveat as [[llmUnigramLogprob]]: at many-GB vocabulary switch to a
+    * shuffle join on the token). One shuffle per count table; the ≥ 20
+    * support floor prunes before any join.
     */
   val llmCollocations: Q = (s, dir) => {
     import s.implicits._
@@ -432,9 +446,7 @@ object LlmOps {
       .join(broadcast(uni.select($"t".as("a"), $"c".as("ca"))), "a")
       .join(broadcast(uni.select($"t".as("b"), $"c".as("cb"))), "b")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
-      .select($"a", $"b", $"n_pair",
-        round(log($"n_pair".cast("double") * $"nt" * $"nt" /
-          ($"nb".cast("double") * $"ca" * $"cb")), 4).as("pmi"))
+      .select($"a", $"b", $"n_pair", $"ca", $"cb", $"nt", $"nb")
       .orderBy($"a", $"b")
   }
 
@@ -713,7 +725,13 @@ object LlmOps {
   }
 
   /** tf-idf top-3 terms per source: tf = term share within source,
-    * idf = ln(n_sources / doc-frequency across sources).
+    * idf = ln(n_sources / doc-frequency across sources). The idf
+    * transcendental is quantized once per term to a BIGINT nano-unit
+    * `floor(ln(ns/dfc)·1e9 + 0.5)` (cross-libm ln drift ≤1.2e-15 vs the
+    * 5e-10 boundary spacing in ln units — margin pinned by LlmSpec); the
+    * score is then tf × idf_scaled/1e9, a chain of correctly-rounded
+    * basic IEEE ops with identical association on both engines, so the
+    * ranking AND the rounded output are bit-identical.
     */
   val llmTfidfTopk: Q = (s, dir) => {
     import s.implicits._
@@ -725,7 +743,8 @@ object LlmOps {
     val ns = Tables.documents(s, dir).agg(countDistinct($"source").as("ns"))
     val w = Window.partitionBy($"source").orderBy($"score".desc, $"term")
     perSrc.join(tot, "source").join(dfc, "term").crossJoin(broadcast(ns))
-      .withColumn("score", ($"cnt" / $"total") * log($"ns" / $"dfc"))
+      .withColumn("isc", floor(log($"ns" / $"dfc") * 1.0e9 + 0.5).cast("long"))
+      .withColumn("score", ($"cnt" / $"total") * ($"isc" / 1.0e9))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= 3)
       .select($"source", $"term", round($"score", 6).as("score"), $"rnk")
@@ -919,8 +938,14 @@ object LlmOps {
     * templated text, high = rare-token soup; both tails get cut in
     * practice. The vocabulary joins BROADCAST (Heaps' law: |vocab| ≪
     * corpus tokens; at 100 TB a many-GB vocabulary would switch this to a
-    * shuffle join on token, same plan otherwise). round(…,4) is safe on
-    * the irrational ln values (unlike small-integer ratios).
+    * shuffle join on token, same plan otherwise). Each token's surprise
+    * is quantized to a BIGINT nano-unit `floor(−ln(c/n)·1e9 + 0.5)`
+    * BEFORE aggregation: the per-term transcendental lands ≥5 orders of
+    * magnitude from a quantization boundary (LlmSpec pins the margin),
+    * the sum is then exact integer arithmetic (no FP reduction-order
+    * drift), and the final avg is one correctly-rounded division —
+    * bit-identical on both engines. `round(avg(-ln ...), 4)` — the old
+    * spelling — is the cross-libm bet that red-rowed llm_collocations.
     */
   val llmUnigramLogprob: Q = (s, dir) => {
     import s.implicits._
@@ -932,9 +957,10 @@ object LlmOps {
     val freq = tok.groupBy($"t").agg(count(lit(1)).as("c"))
     val tot = tok.agg(count(lit(1)).as("n"))
     tok.join(broadcast(freq), "t").crossJoin(broadcast(tot))
+      .withColumn("sc", floor(-log($"c" / $"n") * 1.0e9 + 0.5).cast("long"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(-log($"c" / $"n")), 4).as("avg_surprise"))
+        round(sum($"sc") / (count(lit(1)) * 1.0e9), 4).as("avg_surprise"))
       .orderBy($"doc_id")
   }
 
@@ -956,9 +982,10 @@ object LlmOps {
     val freq = tok.groupBy($"t").agg(count(lit(1)).as("c"))
     val tot = tok.agg(count(lit(1)).as("n"))
     val scored = tok.join(broadcast(freq), "t").crossJoin(broadcast(tot))
+      .withColumn("sc", floor(-log($"c" / $"n") * 1.0e9 + 0.5).cast("long"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(-log($"c" / $"n")), 4).as("avg_surprise"))
+        round(sum($"sc") / (count(lit(1)) * 1.0e9), 4).as("avg_surprise"))
     val byScore = Window.orderBy($"avg_surprise", $"doc_id")
     scored.withColumn("q", ntile(4).over(byScore).cast("long"))
       .filter($"q" === 2L || $"q" === 3L)

@@ -1059,14 +1059,19 @@ object Relational {
   }
 
   /** The gaps-and-islands core over any (user_id, tms, event_id) frame —
-    * shared by the registry op and the PropertySpec fold cross-check.
+    * shared by the registry op (default 30-minute gap), the public
+    * [[graft.api.EventAnalytics.sessionize]] (caller gap), and the
+    * PropertySpec fold cross-check. One implementation, parameterized on
+    * the gap, so the registry and API paths cannot silently diverge
+    * (r6 ADVICE: the API used to inline a duplicate of these expressions
+    * for non-default gaps).
     */
-  private[graft] def sessionizeCore(ev: DataFrame): DataFrame = {
+  private[graft] def sessionizeCore(ev: DataFrame, gapMs: Long = 1800000L): DataFrame = {
     import ev.sparkSession.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"tms", $"event_id")
     ev.withColumn("brk",
         when(lag($"tms", 1).over(byUser).isNull ||
-          $"tms" - lag($"tms", 1).over(byUser) > 1800000L, 1L).otherwise(0L))
+          $"tms" - lag($"tms", 1).over(byUser) > gapMs, 1L).otherwise(0L))
       .withColumn("session_seq", sum($"brk").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"session_seq")

@@ -168,9 +168,15 @@ object GraphOracle {
          |  GROUP BY 1),
          |v$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= $k)""".stripMargin
     }.mkString(",\n")
+    // final pass mirrors the op: true induced degree over the LAST
+    // survivor set (the loop's d$rounds measures against v${rounds-1})
     s"""$base,
-       |$its
-       |SELECT id AS part, deg FROM d$rounds WHERE deg >= $k ORDER BY part""".stripMargin
+       |$its,
+       |df AS (SELECT e2.a AS id, count(*) AS deg
+       |  FROM e2 JOIN v$rounds x ON e2.a = x.id JOIN v$rounds y ON e2.b = y.id
+       |  GROUP BY 1)
+       |SELECT v.id AS part, coalesce(df.deg, 0) AS deg
+       |FROM v$rounds v LEFT JOIN df ON v.id = df.id ORDER BY part""".stripMargin
   }
 
   /** Unrolled 6-iteration integer HITS (hubs & authorities on the
@@ -549,6 +555,9 @@ object GraphOracle {
          |SELECT node AS part, CAST(min(d) AS BIGINT) AS dist
          |FROM bfs GROUP BY node ORDER BY part""".stripMargin,
 
+    // decayed weight = exact cent quantization × per-day exp quantization,
+    // summed as exact BIGINTs — one correctly-rounded division at the end;
+    // the exp never meets a decimal round() (see the op docstring).
     "graph_trending" ->
       """WITH e AS (
         |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
@@ -556,7 +565,8 @@ object GraphOracle {
         |  FROM events),
         |m AS (SELECT max(day) AS max_day FROM e)
         |SELECT item,
-        |  round(sum(value * exp((day - max_day) / 7.0)), 4) AS score,
+        |  round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT) *
+        |            CAST(floor(exp((day - max_day) / 7.0) * 1.0e8 + 0.5) AS BIGINT)) / 1.0e10, 4) AS score,
         |  count(*) AS n
         |FROM e, m GROUP BY item
         |ORDER BY score DESC, item LIMIT 20""".stripMargin

@@ -83,13 +83,16 @@ object LlmOracle {
         |  last_day(CAST(o_orderdate AS DATE)) AS eom
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // ln is hashed only as the coarse integer quantization (cross-libm
+    // ulp drift vs the huge 5e-4 boundary margin — LlmSpec pins it);
+    // pow(y,2) is spelled y*y (exact IEEE multiply).
     "fn_math" ->
       """SELECT o_orderkey,
         |  round(o_totalprice, 2) AS r2,
         |  abs(o_totalprice - 200000) AS ad,
         |  round(sqrt(o_totalprice), 6) AS sq,
-        |  round(ln(o_totalprice), 6) AS lg,
-        |  round(pow(o_totalprice / 1000.0, 2), 6) AS pw,
+        |  CAST(floor(ln(o_totalprice) * 1000.0 + 0.5) AS BIGINT) AS lg_milli,
+        |  round((o_totalprice / 1000.0) * (o_totalprice / 1000.0), 6) AS pw,
         |  (o_orderkey % 7 + 7) % 7 AS pm,
         |  CAST(sign(o_totalprice - 200000) AS BIGINT) AS sg
         |FROM orders ORDER BY o_orderkey""".stripMargin,
@@ -275,6 +278,9 @@ object LlmOracle {
         |FROM stats JOIN top ON stats.lang = top.lang
         |ORDER BY stats.lang""".stripMargin,
 
+    // idf quantized per term to BIGINT nano-units; score = tf × isc/1e9 —
+    // basic IEEE ops only after the single quantized transcendental, so
+    // ranking and rounded output are bit-identical (see the op docstring).
     "llm_tfidf_topk" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -284,7 +290,7 @@ object LlmOracle {
         |ns AS (SELECT count(DISTINCT source) AS ns FROM documents),
         |scored AS (
         |  SELECT p.source, p.term,
-        |    (cnt / total) * ln(ns / dfc) AS score
+        |    (cnt / total) * (CAST(floor(ln(ns / dfc) * 1.0e9 + 0.5) AS BIGINT) / 1.0e9) AS score
         |  FROM per_src p JOIN tot ON p.source = tot.source
         |  JOIN dfc ON p.term = dfc.term
         |  CROSS JOIN ns)
@@ -429,7 +435,7 @@ object LlmOracle {
         |tot AS (SELECT count(*) AS n FROM tok),
         |scored AS (
         |  SELECT doc_id, count(*) AS n_tokens,
-        |    round(avg(-ln(c / n)), 4) AS avg_surprise
+        |    round(sum(CAST(floor(-ln(c / n) * 1.0e9 + 0.5) AS BIGINT)) / (count(*) * 1.0e9), 4) AS avg_surprise
         |  FROM tok JOIN freq USING (t) CROSS JOIN tot
         |  GROUP BY doc_id),
         |ranked AS (
@@ -446,9 +452,10 @@ object LlmOracle {
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys
         |FROM events ORDER BY event_id""".stripMargin,
 
-    // PMI evaluated as one left-associated double expression over exact
-    // BIGINT counts — identical IEEE value on both engines (see the op's
-    // docstring); bigrams are 2-shingles WITH duplicates (occurrences).
+    // Hashed output is the exact BIGINT count vector only — the PMI
+    // transcendental is deliberately absent (cross-libm ln ulp drift
+    // flips round(·,4); LlmSpec pins the JVM recompute instead).
+    // Bigrams are 2-shingles WITH duplicates (occurrences).
     "llm_collocations" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
         |uni AS (SELECT t, count(*) AS c FROM (SELECT unnest(ts) AS t FROM tok) u GROUP BY 1),
@@ -459,9 +466,7 @@ object LlmOracle {
         |bi AS (SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b FROM bg),
         |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bi),
         |bc AS (SELECT a, b, count(*) AS n_pair FROM bi GROUP BY 1, 2 HAVING count(*) >= 20)
-        |SELECT bc.a, bc.b, bc.n_pair,
-        |  round(ln(CAST(bc.n_pair AS DOUBLE) * nt.nt * nt.nt /
-        |    (CAST(nb.nb AS DOUBLE) * ua.c * ub.c)), 4) AS pmi
+        |SELECT bc.a, bc.b, bc.n_pair, ua.c AS ca, ub.c AS cb, nt.nt, nb.nb
         |FROM bc
         |JOIN uni ua ON bc.a = ua.t
         |JOIN uni ub ON bc.b = ub.t
@@ -483,13 +488,16 @@ object LlmOracle {
          |GROUP BY 1, 2 HAVING count(*) >= 8
          |ORDER BY train_id, eval_id""".stripMargin,
 
+    // per-token surprise quantized to BIGINT nano-units BEFORE the avg —
+    // exact integer sum, one correctly-rounded division; the ln never
+    // meets a decimal round() (see the op docstring).
     "llm_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents),
         |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
         |tot AS (SELECT count(*) AS n FROM tok)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(avg(-ln(c / n)), 4) AS avg_surprise
+        |  round(sum(CAST(floor(-ln(c / n) * 1.0e9 + 0.5) AS BIGINT)) / (count(*) * 1.0e9), 4) AS avg_surprise
         |FROM tok JOIN freq USING (t) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -190,9 +190,14 @@ object BandRangeJoinRule extends Rule[LogicalPlan] {
         // cache key: canonicalized plan hash + the attribute's POSITION in
         // the output (exprIds are fresh per query instantiation — keying on
         // them would re-probe the same plan shape on every call; position
-        // in the canonicalized output is instantiation-stable)
+        // in the canonicalized output is instantiation-stable). If the
+        // attribute is NOT in side.output (pos -1), fall back to the
+        // exprId so two same-named unknown attributes on semantically
+        // equal plans never share a cache entry (they'd collide on
+        // "hash#-1#name" and return each other's estimate).
         val pos = side.output.indexWhere(_.exprId == attr.exprId)
-        val key = s"${side.canonicalized.semanticHash()}#$pos#${attr.name}"
+        val posKey = if (pos >= 0) pos.toString else s"eid${attr.exprId.id}"
+        val key = s"${side.canonicalized.semanticHash()}#$posKey#${attr.name}"
         val est: java.lang.Long = cardCache.computeIfAbsent(key, _ => {
           probeCount.incrementAndGet() // observability: specs pin cache reuse
           estimating.set(true)

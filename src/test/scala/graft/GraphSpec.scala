@@ -173,12 +173,33 @@ class GraphSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
 
+  test("graph_trending: exp quantization sits far from its floor boundary (cross-libm margin pin)") {
+    import spark.implicits._
+    // qexp = floor(exp(Δ/7)·1e8 + 0.5): deterministic across libms only
+    // if each distinct Δ's scaled value is far from an integer boundary
+    // (drift ≤ ~5e-8 scaled). Measured at the driver gate's sf0.01.
+    def margin(x: Double): Double = { val f = x - math.floor(x); math.min(f, 1.0 - f) }
+    val gate = "/root/testdata/sf0.01"
+    val days = Tables.events(spark, gate)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+    val maxDay = days.agg(max($"day")).collect()(0).getLong(0)
+    val deltas = days.select(($"day" - maxDay).as("d")).distinct().collect().map(_.getLong(0))
+    val m = deltas.map(d => margin(math.exp(d / 7.0) * 1e8 + 0.5)).min
+    assert(m > 1e-4, s"qexp margin $m")
+    // the value centi-quantization is a basic-op floor (zero cross-libm
+    // risk) — assert the data really is 2-decimal so it stays EXACT
+    val vals = Tables.events(spark, gate).select($"value").distinct().collect().map(_.getDouble(0))
+    val mv = vals.map(v => margin(v * 100.0 + 0.5)).min
+    assert(mv > 0.49, s"value not 2-decimal currency: margin $mv")
+  }
+
   test("graph_kcore: fixed-round peel is converged, members verified by induced degree") {
     // registry k=68: at sf0.001 the peel cascades 188→183→178→177→176 and
-    // membership is stable from round 5 on (verified against DuckDB); the
-    // DEGREE column stabilizes one round later (round-6 degrees are
-    // computed over the round-5 survivor set), so the (id, deg) fixpoint
-    // pin is rounds=6 ≡ rounds=7
+    // membership is stable from round 5 on (verified against DuckDB). The
+    // emitted degree is recomputed over the FINAL survivor set (r7: the
+    // post-loop pass added per r6 ADVICE), so (id, deg) is exact at any
+    // converged rounds — the fixpoint pin rounds=6 ≡ rounds=7 covers both
+    // membership and degree.
     val r7 = GraphOps.kcoreFixed(spark, sf, k = 68, rounds = 7).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val r6 = q("graph_kcore").collect()

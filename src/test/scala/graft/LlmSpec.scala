@@ -195,7 +195,7 @@ class LlmSpec extends SparkSpec {
     }
   }
 
-  test("llm_collocations: PMI recomputes from raw counts on every row") {
+  test("llm_collocations: counts recompute exactly; JVM PMI pinned from the count vector") {
     import spark.implicits._
     val rows = q("llm_collocations").collect()
     assert(rows.nonEmpty)
@@ -207,15 +207,55 @@ class LlmSpec extends SparkSpec {
       val ts = t.split(" ", -1)
       if (ts.length < 2) Nil else ts.sliding(2).map(p => (p(0), p(1))).toSeq
     }
-    val nb = bis.length.toLong
-    val nt = uni.values.sum
+    val nbExp = bis.length.toLong
+    val ntExp = uni.values.sum
     val bc = bis.groupBy(identity).map { case (p, xs) => (p, xs.length.toLong) }
     rows.foreach { r =>
-      val (a, b, c, pmi) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (c, ca, cb, nt, nb) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
       assert(bc((a, b)) === c)
-      val expect = math.log(c.toDouble * nt * nt / (nb.toDouble * uni(a) * uni(b)))
-      assert(math.abs(pmi - BigDecimal(expect).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(ca === uni(a) && cb === uni(b) && nt === ntExp && nb === nbExp)
+      // PMI is pinned HERE (JVM recompute), deliberately not in the
+      // oracle-hashed projection: cross-libm ln ulp drift flips round(·,4).
+      val pmi = math.log(c.toDouble * nt * nt / (nb.toDouble * ca * cb))
+      val expect = math.log(c.toDouble * ntExp * ntExp / (nbExp.toDouble * uni(a) * uni(b)))
+      assert(java.lang.Double.doubleToLongBits(pmi) === java.lang.Double.doubleToLongBits(expect))
+      assert(!pmi.isNaN && !pmi.isInfinite)
     }
+  }
+
+  test("transcendental quantizations sit far from their floor boundaries (cross-libm margin pin)") {
+    import spark.implicits._
+    // floor(f(x)·scale + 0.5) is deterministic across libms only if the
+    // scaled value is farther from an integer boundary than the possible
+    // ulp drift (≤ ~1e-11 scaled for every op below). Pin the actual
+    // margins on this data so a silent data/scale change that erodes the
+    // margin fails loudly instead of red-rowing the driver gate.
+    def margin(x: Double): Double = { val f = x - math.floor(x); math.min(f, 1.0 - f) }
+    // measure at the DRIVER GATE's scale factor (sf0.01), not the spec sf
+    val sf = "/root/testdata/sf0.01"
+    // fn_math lg_milli: ln(price)·1e3 + 0.5
+    val prices = Tables.orders(spark, sf).select($"o_totalprice").distinct()
+      .collect().map(_.getDouble(0))
+    val mLg = prices.map(p => margin(math.log(p) * 1e3 + 0.5)).min
+    assert(mLg > 1e-9, s"fn_math lg_milli margin $mLg")
+    // llm_unigram_logprob sc: -ln(c/n)·1e9 + 0.5 over the distinct counts
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(trim($"text"), " ")).as("t"))
+    val n = tok.count()
+    val cs = tok.groupBy($"t").count().select($"count").distinct()
+      .collect().map(_.getLong(0))
+    val mUni = cs.map(c => margin(-math.log(c.toDouble / n) * 1e9 + 0.5)).min
+    assert(mUni > 1e-5, s"unigram sc margin $mUni")
+    // llm_tfidf_topk isc: ln(ns/dfc)·1e9 + 0.5 over the distinct doc-frequencies
+    val src = Tables.documents(spark, sf)
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .groupBy($"source", $"term").count()
+    val ns = Tables.documents(spark, sf).select($"source").distinct().count()
+    val dfcs = src.groupBy($"term").count().select($"count").distinct()
+      .collect().map(_.getLong(0))
+    val mIdf = dfcs.map(d => margin(math.log(ns.toDouble / d) * 1e9 + 0.5)).min
+    assert(mIdf > 1e-5, s"tfidf isc margin $mIdf")
   }
 
   test("llm_perplexity_filter keeps exactly the middle surprise quartiles") {

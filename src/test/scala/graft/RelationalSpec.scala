@@ -21,6 +21,53 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.size === 154, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
+  test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
+    // The round-6 red row (llm_collocations) was round(ln(...), 4): JVM
+    // Math.log and DuckDB's libm are each ≤1 ulp but DIFFERENT, so a
+    // DECIMAL rounding of a transcendental can flip on a half boundary.
+    // Transcendentals may appear only under integer quantization —
+    // floor(f(x)·scale + 0.5) or argless round(f(x)) — whose 0.5-unit
+    // boundary margin is pinned in LlmSpec/GraphSpec; never under
+    // round(expr, n).
+    def stripSpans(s: String, prefix: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.startsWith(prefix, i)) {
+          var depth = 1; var j = i + prefix.length
+          while (j < s.length && depth > 0) {
+            if (s(j) == '(') depth += 1 else if (s(j) == ')') depth -= 1
+            j += 1
+          }
+          i = j
+        } else { sb.append(s(i)); i += 1 }
+      }
+      sb.toString
+    }
+    val transcendentals = Seq("ln(", "log(", "exp(", "pow(")
+    SparkEntry.oracleSql.foreach { case (key, sql) =>
+      val s = stripSpans(sql.toLowerCase, "floor(")
+      var i = s.indexOf("round(")
+      while (i >= 0) {
+        var depth = 1; var j = i + 6
+        var topComma = false
+        while (j < s.length && depth > 0) {
+          if (s(j) == '(') depth += 1
+          else if (s(j) == ')') depth -= 1
+          else if (s(j) == ',' && depth == 1) topComma = true
+          j += 1
+        }
+        val arg = s.substring(i + 6, j - 1)
+        if (topComma) // decimal rounding — the dangerous form
+          transcendentals.foreach { t =>
+            assert(!arg.contains(t),
+              s"$key: round(·, n) wraps transcendental '$t' — use integer quantization instead")
+          }
+        i = s.indexOf("round(", j)
+      }
+    }
+  }
+
   test("registry: every query returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")

@@ -1,0 +1,63 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Lineage truncation for the iterative family (PageRank/HITS/eigen/CC/
+  * k-core/SSSP loops and the multi-consumer frames of the pair ops).
+  *
+  * Default is `localCheckpoint()`: eager, no configuration, and the right
+  * cost model on the local harness — but it pins RDD blocks to the
+  * executors that computed them, so a lost executor loses the lineage-
+  * truncated state with no way to recompute it. That is the wrong
+  * durability story for a multi-hour 100 TB cluster run. Setting
+  * `-Dgraft.checkpoint.dir=<hdfs-or-dfs-path>` switches every call site to
+  * RELIABLE `checkpoint()` into that directory (the SparkContext checkpoint
+  * dir is initialized lazily from the property on first use): executor loss
+  * then costs a re-read from the DFS, not a job failure. Results are
+  * bit-identical on either path — both truncate lineage; only the storage
+  * contract changes (ApiSpec pins one iterative op across the two paths).
+  */
+object Ckpt {
+
+  /** Reliable-checkpoint directory, if the deployment set one. */
+  def dir: Option[String] = sys.props.get("graft.checkpoint.dir")
+
+  /** Checkpoint `df` hash-partitioned on `cols`, PRESERVING the
+    * partitioning in the checkpointed plan — the iterative family's
+    * pre-partitioning primitive (each loop step's aggregation then
+    * inherits the clustering through a broadcast join and runs
+    * exchange-free; ScaleSpec pins the mechanism).
+    *
+    * Why AQE is scoped off for the materialization: a checkpointed
+    * Dataset captures `executedPlan.outputPartitioning`, and under AQE
+    * that node is the adaptive wrapper, whose partitioning is UNKNOWN at
+    * capture time — the checkpoint then silently forgets the layout and
+    * every iteration re-inserts the exchange this call exists to hoist
+    * (verified empirically: the ScaleSpec mechanism test fails with a
+    * re-inserted `Exchange hashpartitioning` if the frame materializes
+    * adaptively). With AQE off for just this eager materialization the
+    * physical plan is a plain shuffle whose HashPartitioning survives the
+    * capture; the loop's state frames still plan adaptively.
+    */
+  def cpByKey(df: DataFrame, cols: Column*): DataFrame = {
+    val conf = df.sparkSession.conf
+    val old = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try new CkptOps(df.repartition(cols: _*)).cp()
+    finally conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  implicit class CkptOps(private val df: DataFrame) extends AnyVal {
+
+    /** Eager lineage truncation: `localCheckpoint()` by default, reliable
+      * `checkpoint()` under `-Dgraft.checkpoint.dir` (see [[Ckpt]]).
+      */
+    def cp(): DataFrame = Ckpt.dir match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+}

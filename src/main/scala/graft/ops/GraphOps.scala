@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.api.Ckpt._
 import graft.graph.GraphBridge
 
 /** Graph operator surface (SURVEY.md §2.6) — the reference's core queries
@@ -166,7 +167,10 @@ object GraphOps {
   val graphCommonNeighbors: Q = (s, dir) => {
     import s.implicits._
     val adj = edges(s, dir).select($"src", $"dst")
-    adj.as("e1")
+    // gate ONE side: the guard fires identically, the histogram runs once
+    val g1 = graft.api.PairBudget.gate(adj, Seq($"src"),
+      "graph_common_neighbors", "graph_common_neighbors_approx")
+    g1.as("e1")
       .join(adj.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
       .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
       .agg(count(lit(1)).as("common"))
@@ -204,8 +208,10 @@ object GraphOps {
       .agg(sort_array(collect_list(struct($"tag", $"w"))).as("m"))
       // |cohort| rows; materialized once — otherwise the whole
       // orders⋈lineitem tag pipeline executes twice, once per join side
-      .localCheckpoint()
-    maps.as("t1").join(broadcast(maps.as("t2")), $"t1.cust" < $"t2.cust")
+      .cp()
+    val t1 = graft.api.PairBudget.gate(maps, Seq.empty,
+      "graph_tag_similarity", "graph_tag_similarity_approx")
+    t1.as("t1").join(broadcast(maps.as("t2")), $"t1.cust" < $"t2.cust")
       .select($"t1.cust".as("c1"), $"t2.cust".as("c2"),
         graft.expr.MapDot.sortedMapDot($"t1.m", $"t2.m").as("dot"))
       .filter($"dot" > 0) // = the tag-join's "shares >= 1 tag" (weights positive)
@@ -237,17 +243,17 @@ object GraphOps {
       .groupBy($"o_custkey".as("cust"), $"p_brand".as("tag"))
       .agg(sum($"l_quantity").cast("long").as("w"))
       // feeds the sample AND both verify map sides — one materialization
-      .localCheckpoint()
+      .cp()
     val byWeight = Window.partitionBy($"tag").orderBy($"w".desc, $"cust")
     val samp = tags.withColumn("rn", row_number().over(byWeight))
       .filter($"rn" <= 48).select($"tag", $"cust")
-      .localCheckpoint() // both candidate self-join sides
+      .cp() // both candidate self-join sides
     val cands = samp.as("t1")
       .join(samp.as("t2"), $"t1.tag" === $"t2.tag" && $"t1.cust" < $"t2.cust")
       .select($"t1.cust".as("c1"), $"t2.cust".as("c2")).distinct()
     val maps = tags.groupBy($"cust")
       .agg(sort_array(collect_list(struct($"tag", $"w"))).as("m"))
-      .localCheckpoint()
+      .cp()
     cands
       .join(maps.select($"cust".as("c1"), $"m".as("m1")), "c1")
       .join(maps.select($"cust".as("c2"), $"m".as("m2")), "c2")
@@ -266,7 +272,7 @@ object GraphOps {
     import s.implicits._
     // one checkpoint: the frontier filter, the 2-hop join AND the direct
     // anti-join all re-derive the co-purchase projection otherwise
-    val cp = copurchaseBoth(s, dir).localCheckpoint()
+    val cp = copurchaseBoth(s, dir).cp()
     val direct = cp.filter($"a" === 1).select($"b".as("part"))
     val twoHop = cp.select($"a".as("mid"), $"b".as("part"))
       .join(broadcast(cp.filter($"a" === 1).select($"b".as("mid"))), "mid")
@@ -349,15 +355,15 @@ object GraphOps {
     val cp = copurchase(s, dir)
     val ed = cp.select($"a", $"b", $"w")
       .unionAll(cp.select($"b".as("a"), $"a".as("b"), $"w"))
-      .localCheckpoint()
-    var dist = Seq((1L, 0L)).toDF("id", "d").localCheckpoint()
+      .cp()
+    var dist = Seq((1L, 0L)).toDF("id", "d").cp()
     var frontier = dist
     for (_ <- 1 to 6) {
       val relax = ed.join(broadcast(frontier), $"a" === $"id")
         .select($"b".as("id"), ($"d" + $"w").as("d"))
       val next = dist.unionAll(relax)
         .groupBy($"id").agg(min($"d").as("d"))
-        .localCheckpoint()
+        .cp()
       // improved = rows whose distance dropped (or are new) vs the old map;
       // one shuffle per round (the min-agg) — the diff join is id-keyed on
       // two already-aggregated maps
@@ -415,7 +421,10 @@ object GraphOps {
     // (≫ |E|) aggregate twice against deg, two extra shuffles of the
     // biggest intermediate in the query
     val adjd = adj.join(broadcast(deg), $"dst" === $"p").select($"src", $"dst", $"d")
-    adjd.as("e1")
+    // gate ONE side: the guard fires identically, the histogram runs once
+    val g1 = graft.api.PairBudget.gate(adjd, Seq($"src"),
+      "graph_jaccard_nodes", "graph_jaccard_approx")
+    g1.as("e1")
       .join(adjd.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
       .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
       .agg(count(lit(1)).as("common"), max($"e1.d").as("d1"), max($"e2.d").as("d2"))
@@ -448,12 +457,12 @@ object GraphOps {
     import s.implicits._
     val cap = 48
     // adj feeds the sample AND the verification arrays — checkpoint once
-    val adj = edges(s, dir).select($"src", $"dst").localCheckpoint()
+    val adj = edges(s, dir).select($"src", $"dst").cp()
     val w = Window.partitionBy($"src").orderBy(
       md5(concat($"src".cast("string"), lit("#"), $"dst".cast("string"))), $"dst")
     val samp = adj.withColumn("rn", row_number().over(w)).filter($"rn" <= cap)
       .select($"src", $"dst")
-      .localCheckpoint() // both self-join sides re-run the window otherwise
+      .cp() // both self-join sides re-run the window otherwise
     val cands = samp.as("e1")
       .join(samp.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
       .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
@@ -515,7 +524,7 @@ object GraphOps {
     */
   val graphClusteringCoeff: Q = (s, dir) => {
     import s.implicits._
-    val cp = copurchase(s, dir).select($"a", $"b").localCheckpoint() // tri + deg
+    val cp = copurchase(s, dir).select($"a", $"b").cp() // tri + deg
     val adj = cp.groupBy($"a".as("v")).agg(sort_array(collect_list($"b")).as("nbrs"))
     val tri = cp
       .join(adj.select($"v", $"nbrs".as("na")), $"a" === $"v")
@@ -542,7 +551,7 @@ object GraphOps {
     import s.implicits._
     val cp = copurchase(s, dir).select($"a", $"b")
     val bdir = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
-      .localCheckpoint() // feeds the degree agg AND the edge join
+      .cp() // feeds the degree agg AND the edge join
     val deg = bdir.groupBy($"a").agg(count(lit(1)).as("d"))
     bdir
       .join(broadcast(deg.select($"a", $"d".as("d1"))), "a")
@@ -743,8 +752,12 @@ object GraphOps {
     val s = pairs.sparkSession
     import s.implicits._
     val cp = pairs.select($"a", $"b")
-    val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b"))).localCheckpoint()
-    var surv = both.select($"a".as("id")).distinct().localCheckpoint()
+    // pre-partitioned on the degree-count GROUP key `a`: the broadcast
+    // semi-joins preserve the clustering, so each round's degree agg runs
+    // exchange-free (r6 VERDICT item #6)
+    val both = graft.api.Ckpt.cpByKey(
+      cp.unionAll(cp.select($"b".as("a"), $"a".as("b"))), $"a")
+    var surv = both.select($"a".as("id")).distinct().cp()
     var nSurv = surv.count()
     for (_ <- 1 to rounds) {
       val alive = graft.api.GraphAlgebra.hintedFrame(surv, nSurv)
@@ -752,8 +765,8 @@ object GraphOps {
         .join(alive.select($"id".as("a")), Seq("a"), "left_semi")
         .join(alive.select($"id".as("b")), Seq("b"), "left_semi")
         .groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
-      surv = deg.filter($"deg" >= k).select($"id").localCheckpoint()
+        .cp()
+      surv = deg.filter($"deg" >= k).select($"id").cp()
       nSurv = surv.count()
     }
     // one extra degree pass over the FINAL survivor set: the loop's last
@@ -788,22 +801,36 @@ object GraphOps {
   val graphHits: Q = (s, dir) => {
     import s.implicits._
     val S = 1000000000000L
-    val e = edges(s, dir).select($"src", $"dst").localCheckpoint()
-    def halfStep(scores: DataFrame, key: String, out: String): DataFrame = {
+    val e0 = edges(s, dir).select($"src", $"dst")
+    // TWO pre-partitioned edge copies, one per half-step direction: each is
+    // hash-clustered on that half-step's GROUP key, so once the (gated)
+    // broadcast attaches the scores, the |E|-stream aggregation inherits
+    // the clustering and needs NO exchange — the 12 per-half-step |E|
+    // shuffles of the naive loop collapse into these 2 upfront ones
+    // (r6 VERDICT item #6).
+    val eByDst = graft.api.Ckpt.cpByKey(e0, $"dst")
+    val eBySrc = graft.api.Ckpt.cpByKey(e0, $"src")
+    var h = eBySrc.select($"src".as("id")).distinct()
+      .withColumn("x", lit(S)).cp()
+    // score frames stay within the vertex sets; one count each gates the
+    // 12 broadcast hints (the GraphAlgebra posture: no unconditional hint)
+    val nHub = h.count()
+    val nAuth = eByDst.select($"dst").distinct().count()
+    def halfStep(scores: DataFrame, nScores: Long, key: String, out: String,
+                 eBy: DataFrame): DataFrame = {
       // scores: (id, x) on the `key` side; returns normalized (id, x) on `out`
-      val raw = e.join(scores.withColumnRenamed("id", key), key)
+      val raw = eBy.join(graft.api.GraphAlgebra.hintedFrame(
+          scores.withColumnRenamed("id", key), nScores), key)
         .groupBy(col(out).as("id")).agg(sum($"x").as("xr"))
       val q = raw.agg(expr(s"greatest(CAST(1 AS BIGINT), max(xr) div $S)").as("q"))
       raw.crossJoin(broadcast(q))
         .select($"id", expr("xr div q").as("x"))
-        .localCheckpoint()
+        .cp()
     }
-    var h = e.select($"src".as("id")).distinct()
-      .withColumn("x", lit(S)).localCheckpoint()
     var a: DataFrame = null
     for (_ <- 1 to 6) {
-      a = halfStep(h, "src", "dst") // authorities from hubs
-      h = halfStep(a, "dst", "src") // hubs from authorities
+      a = halfStep(h, nHub, "src", "dst", eByDst) // authorities from hubs
+      h = halfStep(a, nAuth, "dst", "src", eBySrc) // hubs from authorities
     }
     val topA = a.orderBy($"x".desc, $"id").limit(20)
       .select(lit("p").as("side"), $"id", $"x".as("score_scaled"))
@@ -823,16 +850,22 @@ object GraphOps {
   val graphEigencentrality: Q = (s, dir) => {
     import s.implicits._
     val S = 1000000000000L
-    val both = copurchaseBoth(s, dir).localCheckpoint()
+    // pre-partitioned on the GROUP key `a`: the per-iteration aggregation
+    // inherits the clustering through the broadcast-joined score frame and
+    // runs exchange-free — 6 |E|-stream shuffles become this 1 (r6 VERDICT
+    // item #6)
+    val both = graft.api.Ckpt.cpByKey(copurchaseBoth(s, dir), $"a")
     var x = both.select($"a".as("id")).distinct()
-      .withColumn("x", lit(S)).localCheckpoint()
+      .withColumn("x", lit(S)).cp()
+    val nV = x.count() // gates the 6 score-side broadcast hints
     for (_ <- 1 to 6) {
-      val raw = both.join(x.withColumnRenamed("id", "b"), "b")
+      val raw = both.join(graft.api.GraphAlgebra.hintedFrame(
+          x.withColumnRenamed("id", "b"), nV), "b")
         .groupBy($"a".as("id")).agg(sum($"x").as("xr"))
       val q = raw.agg(expr(s"greatest(CAST(1 AS BIGINT), max(xr) div $S)").as("q"))
       x = raw.crossJoin(broadcast(q))
         .select($"id", expr("xr div q").as("x"))
-        .localCheckpoint()
+        .cp()
     }
     x.orderBy($"x".desc, $"id").limit(20)
       .select($"id".as("part"), $"x".as("score_scaled"))
@@ -852,7 +885,11 @@ object GraphOps {
     */
   val graphAdamicAdar: Q = (s, dir) => {
     import s.implicits._
-    val adj = edges(s, dir).select($"src", $"dst")
+    // gated on the FULL per-customer C(deg,2) stream — an upper bound on
+    // the e1(deg>=2-filtered) × e2 pair count below, same Σdeg² shape
+    val adj = graft.api.PairBudget.gate(
+      edges(s, dir).select($"src", $"dst"), Seq($"src"),
+      "graph_adamic_adar", "graph_common_neighbors_approx")
     // the per-customer term attaches to the |E|-row adjacency BEFORE the
     // deg² pair explosion — joining deg after pairing would run the join
     // against the (13M at sf0.1) pair stream instead of 60k edges

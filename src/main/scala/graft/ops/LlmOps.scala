@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.api.Ckpt._
 import graft.expr.FloatVec
 
 /** Payload record for the multimodal decode path (binary column + key). */
@@ -61,7 +62,10 @@ object LlmOps {
     import s.implicits._
     val ex = shingleRows(s, dir)
     val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    ex.as("a").join(ex.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+    // gate ONE side: the guard fires identically, the histogram runs once
+    val ga = graft.api.PairBudget.gate(ex, Seq($"s"),
+      "llm_dedup_near", "llm_dedup_minhash")
+    ga.as("a").join(ex.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("common"))
       .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
@@ -88,7 +92,9 @@ object LlmOps {
         graft.expr.ShingleGen(GraftSqlBridge.expression($"text"), 2)).as("s"))
       .distinct()
     val sizes = bi.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    bi.as("a").join(bi.as("b"),
+    val ga = graft.api.PairBudget.gate(bi, Seq($"s", $"source"),
+      "llm_ngram_jaccard", "llm_dedup_minhash")
+    ga.as("a").join(bi.as("b"),
         $"a.s" === $"b.s" && $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("common"))
@@ -375,7 +381,7 @@ object LlmOps {
   val llmDecontaminate: Q = (s, dir) => {
     import s.implicits._
     // eval/train/sizes all derive from the shingle pass — checkpoint once
-    val ex = shingleRows(s, dir).localCheckpoint()
+    val ex = shingleRows(s, dir).cp()
     val src = Tables.documents(s, dir).select($"doc_id", $"source")
     val exs = ex.join(src, "doc_id")
     val evalSide = exs.filter($"source" === "src0")
@@ -432,14 +438,14 @@ object LlmOps {
     import org.apache.spark.sql.GraftSqlBridge
     val docs = Tables.documents(s, dir)
     val toks = docs.select(explode(split($"text", " ")).as("t"))
-    val uni = toks.groupBy($"t").agg(count(lit(1)).as("c")).localCheckpoint()
+    val uni = toks.groupBy($"t").agg(count(lit(1)).as("c")).cp()
     val nt = uni.agg(sum($"c").as("nt"))
     val bi = docs.filter(size(split($"text", " ")) >= 2)
       .select(GraftSqlBridge.column(
         graft.expr.ShingleGen(GraftSqlBridge.expression($"text"), 2)).as("bg"))
       .select(split($"bg", " ").getItem(0).as("a"),
         split($"bg", " ").getItem(1).as("b"))
-      .localCheckpoint()
+      .cp()
     val nb = bi.agg(count(lit(1)).as("nb"))
     bi.groupBy($"a", $"b").agg(count(lit(1)).as("n_pair"))
       .filter($"n_pair" >= 20)
@@ -467,7 +473,7 @@ object LlmOps {
     */
   val llmDecontaminateBloom: Q = (s, dir) => {
     import s.implicits._
-    val ex = shingleRows(s, dir).localCheckpoint()
+    val ex = shingleRows(s, dir).cp()
     val src = Tables.documents(s, dir).select($"doc_id", $"source")
     val exs = ex.join(src, "doc_id")
     val evalSide = exs.filter($"source" === "src0")
@@ -582,7 +588,7 @@ object LlmOps {
     */
   val llmDedupSimhashPairs: Q = (s, dir) => {
     import s.implicits._
-    val sig = llmDedupSimhash(s, dir).localCheckpoint() // reused by 4 band joins + verify
+    val sig = llmDedupSimhash(s, dir).cp() // reused by 4 band joins + verify
     val bands = sig.select($"doc_id", $"simhash", explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         shiftright($"simhash", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
@@ -953,7 +959,7 @@ object LlmOps {
     // tokenize pass runs once, not once per join side
     val tok = Tables.documents(s, dir)
       .select($"doc_id", explode(split(trim($"text"), " ")).as("t"))
-      .localCheckpoint()
+      .cp()
     val freq = tok.groupBy($"t").agg(count(lit(1)).as("c"))
     val tot = tok.agg(count(lit(1)).as("n"))
     tok.join(broadcast(freq), "t").crossJoin(broadcast(tot))
@@ -978,7 +984,7 @@ object LlmOps {
     import s.implicits._
     val tok = Tables.documents(s, dir)
       .select($"doc_id", explode(split(trim($"text"), " ")).as("t"))
-      .localCheckpoint()
+      .cp()
     val freq = tok.groupBy($"t").agg(count(lit(1)).as("c"))
     val tot = tok.agg(count(lit(1)).as("n"))
     val scored = tok.join(broadcast(freq), "t").crossJoin(broadcast(tot))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.api.Ckpt._
 
 /** Relational operator surface (SURVEY.md §2.1–§2.5).
   *
@@ -633,7 +634,12 @@ object Relational {
       .filter($"l_suppkey" <= 20) // bounded output, full window math upstream
       .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
         $"l_partkey", $"distinct_parts_so_far")
-      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey")
+      // the cumulative column is the load-bearing LAST sort key: the 4 id
+      // columns are a total order at sf0.01/sf0.1 but NOT at sf0.001 (one
+      // duplicate (suppkey, orderkey, linenumber, partkey) with two ship
+      // dates — found r7), and a non-total ORDER BY hashes flakily
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey",
+        $"distinct_parts_so_far")
   }
 
   val aggStats: Q = (s, dir) => {
@@ -805,7 +811,7 @@ object Relational {
       .agg(sum(scaled($"l_extendedprice" * (lit(1) - $"l_discount"))).as("r"))
     val w = Window.partitionBy($"yr").orderBy($"r".desc, $"p")
     val rk = rev.withColumn("rnk", row_number().over(w).cast("long"))
-      .localCheckpoint() // both join sides re-run the window otherwise
+      .cp() // both join sides re-run the window otherwise
     rk.as("x").filter($"x.yr" === 1996)
       .join(rk.as("y").filter($"y.yr" === 1997), $"x.p" === $"y.p")
       .select($"x.p".as("p"), $"x.rnk".as("rank_1996"), $"y.rnk".as("rank_1997"),
@@ -1040,6 +1046,50 @@ object Relational {
     s.sql(graft.oracle.OracleSql.Q19)
   }
 
+  /** The rest of the TPC-H-shaped suite (q2/q4/q6/q8/q9/q12/q13/q15/q16/
+    * q17/q20/q21/q22, adapted to this schema's columns — adaptations
+    * documented per query in [[graft.oracle.OracleSql]]). All follow the
+    * sql_q3 single-source-of-truth pattern: ONE shared-dialect SQL text
+    * runs verbatim on Spark AND DuckDB, so engine and oracle cannot drift.
+    * Together with q1 (agg_pricing), q3, q5, q7, q10, q11 (scalar_subquery
+    * is its shape), q14, q18, q19 this completes a 22-query TPC-H-shaped
+    * decision-support suite over the star schema — correlated scalar
+    * subqueries (q2, q17), correlated EXISTS/NOT EXISTS with non-equality
+    * outer references (q4, q21, q22), CTE reuse with a max threshold (q15),
+    * COUNT(DISTINCT) (q16), CASE-pivots over exact scaled sums (q8, q12),
+    * and an 8-way star join (q8).
+    */
+  private def sharedSql(q: String, tables: String*): Q = (s, dir) => {
+    tables.foreach(t => Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(q)
+  }
+  val sqlQ2: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q2,
+    "part", "supplier", "nation", "region", "lineitem")(s, dir)
+  val sqlQ4: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q4,
+    "orders", "lineitem")(s, dir)
+  val sqlQ6: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q6,
+    "lineitem")(s, dir)
+  val sqlQ8: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q8,
+    "lineitem", "orders", "customer", "nation", "region", "supplier", "part")(s, dir)
+  val sqlQ9: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q9,
+    "lineitem", "part", "supplier", "orders", "nation")(s, dir)
+  val sqlQ12: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q12,
+    "orders", "lineitem")(s, dir)
+  val sqlQ13: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q13,
+    "customer", "orders")(s, dir)
+  val sqlQ15: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q15,
+    "supplier", "lineitem")(s, dir)
+  val sqlQ16: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q16,
+    "lineitem", "part")(s, dir)
+  val sqlQ17: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q17,
+    "lineitem", "part")(s, dir)
+  val sqlQ20: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q20,
+    "supplier", "nation", "region", "lineitem", "part")(s, dir)
+  val sqlQ21: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q21,
+    "supplier", "lineitem", "orders")(s, dir)
+  val sqlQ22: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q22,
+    "customer", "orders")(s, dir)
+
   /** Batch sessionization — the window-function twin of the streaming
     * `stream_session` op (same 30-minute gap rule, same session count —
     * RelationalSpec pins the cross-op equality): a lag-gap break flag and
@@ -1200,6 +1250,19 @@ object Relational {
     "sql_q14" -> sqlQ14,
     "sql_q18" -> sqlQ18,
     "sql_q19" -> sqlQ19,
+    "sql_q2" -> sqlQ2,
+    "sql_q4" -> sqlQ4,
+    "sql_q6" -> sqlQ6,
+    "sql_q8" -> sqlQ8,
+    "sql_q9" -> sqlQ9,
+    "sql_q12" -> sqlQ12,
+    "sql_q13" -> sqlQ13,
+    "sql_q15" -> sqlQ15,
+    "sql_q16" -> sqlQ16,
+    "sql_q17" -> sqlQ17,
+    "sql_q20" -> sqlQ20,
+    "sql_q21" -> sqlQ21,
+    "sql_q22" -> sqlQ22,
     "win_sessionize" -> winSessionize,
     "agg_funnel" -> aggFunnel,
     "agg_histogram" -> aggHistogram,

@@ -138,14 +138,265 @@ object OracleSql {
        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
        |   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 45)""".stripMargin
 
+  /** Q2-shaped min/max-cost supplier per part. Adapted: no partsupp table
+    * in this schema, so the part–supplier relation is the DISTINCT
+    * lineitem link and "cost" is the supplier's account balance (the
+    * correlated-aggregate-subquery shape — pick per part the ASIA supplier
+    * with the maximum balance — is what Q2 exercises; both engines
+    * decorrelate it to an aggregated join). s_acctbal equality compares
+    * the same parquet doubles on both engines.
+    */
+  val Q2: String =
+    """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem)
+      |SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+      |FROM part
+      |JOIN sp ON pk = p_partkey
+      |JOIN supplier ON s_suppkey = sk
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND p_size = 15
+      |  AND s_acctbal = (SELECT max(s2.s_acctbal)
+      |    FROM sp sp2
+      |    JOIN supplier s2 ON s2.s_suppkey = sp2.sk
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE sp2.pk = p_partkey AND r2.r_name = 'ASIA')
+      |ORDER BY s_acctbal DESC, p_partkey, s_suppkey""".stripMargin
+
+  /** Q4-shaped order-priority check. Adapted: no commit/receipt dates, so
+    * "late" is a lineitem shipped after the order date — the correlated
+    * EXISTS with a non-equality outer reference is the shape under test
+    * (plans as a left-semi join on both engines).
+    */
+  val Q4: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Q6-shaped forecasting revenue change: the pure scan-filter-aggregate
+    * (no join) — predicate pushdown does all the work. The discount band
+    * compares the same IEEE doubles on both engines.
+    */
+  val Q6: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       |  ${msum("l_extendedprice * l_discount")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  /** Q8-shaped national market share: NATION_12's share of ASIA PROMO
+    * volume by order year. The share divides two exact scaled-BIGINT sums
+    * as doubles — identical IEEE operands on both engines, no rounding
+    * fudge needed (the Q14 discipline).
+    */
+  val Q8: String =
+    """WITH vol AS (
+      |  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v,
+      |    n2.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  JOIN part ON p_partkey = l_partkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+      |SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_12' THEN v ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(v) AS DOUBLE) AS mkt_share
+      |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** Q9-shaped product-type profit by nation and year. Adapted: no
+    * partsupp supply cost, so cost is 60% of the part's retail price. The
+    * per-row profit expression is one shared parse tree of IEEE products
+    * and a subtraction, scaled to BIGINT before the sum (exact in any
+    * order).
+    */
+  val Q9: String =
+    """SELECT n_name AS nation,
+      |  CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+      |      - p_retailprice * 0.6 * l_quantity) * 10000) AS BIGINT)) AS DOUBLE)
+      |    / 10000.0 AS profit
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Q12-shaped priority-class line counts by ship year (the CASE-pivot
+    * conditional aggregation Q12 exercises; adapted: no ship mode or
+    * commit/receipt dates in this schema).
+    */
+  val Q12: String =
+    """SELECT CAST(extract(year FROM l_shipdate) AS BIGINT) AS ship_year,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY ship_year""".stripMargin
+
+  /** Q13-shaped customer order-count distribution: outer join with an
+    * ON-clause filter, then a histogram of the per-customer counts.
+    */
+  val Q13: String =
+    """WITH c_orders AS (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer
+      |  LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q15-shaped top supplier: revenue CTE consumed twice (per-supplier
+    * rows + the max threshold) — the view-reuse shape of Q15. Equality on
+    * total_revenue compares exact-scaled sums, identical on both engines.
+    */
+  val Q15: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+      |      / 10000.0 AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q16-shaped parts/supplier relationship count. Adapted: the
+    * part–supplier relation is the DISTINCT lineitem link (no partsupp);
+    * the COUNT(DISTINCT) over a filtered dimension is the shape.
+    */
+  val Q16: String =
+    """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem)
+      |SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT sk) AS BIGINT) AS supplier_cnt
+      |FROM sp JOIN part ON pk = p_partkey
+      |WHERE p_brand <> 'Brand#4' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q17-shaped small-quantity-order revenue: correlated average-quantity
+    * threshold per part. avg() here is an exact sum of integral doubles
+    * over an exact count — bit-identical threshold on both engines; the
+    * 0.2 multiple and the comparison are then identical IEEE ops.
+    */
+  val Q17: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
+      |    / 10000.0 / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#4'
+      |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** Q20-shaped excess-shipment suppliers. Adapted: no partsupp availqty,
+    * so the inner threshold is shipped quantity per (supplier, part) in
+    * 1996 — the nested IN-subquery-over-aggregate shape survives.
+    */
+  val Q20: String =
+    """WITH sq AS (
+      |  SELECT l_suppkey AS sk, l_partkey AS pk,
+      |    CAST(sum(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY 1, 2)
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND s_suppkey IN (SELECT sk FROM sq JOIN part ON pk = p_partkey
+      |                    WHERE p_type = 'PROMO' AND qty > 40)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q21-shaped waiting-supplier ranking: the EXISTS + NOT EXISTS double
+    * correlation (another supplier on the order; nobody shipped later than
+    * me) — one semi and one anti join after decorrelation. Adapted to
+    * l_shipdate (no commit/receipt dates).
+    */
+  val Q21: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
+  /** Q22-shaped global sales opportunity: rich inactive customers.
+    * Adapted: no phone column, so country code is the nation key and
+    * "inactive" means no URGENT order (this generator gives every customer
+    * at least one order). Scalar-subquery threshold + anti join, the Q22
+    * shape.
+    */
+  val Q22: String =
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+       |  CAST(count(*) AS BIGINT) AS numcust,
+       |  ${msum("c_acctbal")} AS totacctbal
+       |FROM customer
+       |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23)
+       |  AND c_acctbal > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 10000) AS BIGINT)) AS DOUBLE)
+       |                     / 10000.0 / count(*)
+       |                   FROM customer c2 WHERE c2.c_acctbal > 0.0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderpriority = '1-URGENT')
+       |GROUP BY c_nationkey
+       |ORDER BY cntrycode""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "sql_q2" -> Q2,
     "sql_q3" -> Q3,
+    "sql_q4" -> Q4,
     "sql_q5" -> Q5,
+    "sql_q6" -> Q6,
     "sql_q7" -> Q7,
+    "sql_q8" -> Q8,
+    "sql_q9" -> Q9,
     "sql_q10" -> Q10,
+    "sql_q12" -> Q12,
+    "sql_q13" -> Q13,
     "sql_q14" -> Q14,
+    "sql_q15" -> Q15,
+    "sql_q16" -> Q16,
+    "sql_q17" -> Q17,
     "sql_q18" -> Q18,
     "sql_q19" -> Q19,
+    "sql_q20" -> Q20,
+    "sql_q21" -> Q21,
+    "sql_q22" -> Q22,
     // event_date <= 2024-01-15 on the partitioned journal is exactly
     // ts < 2024-01-16 00:00 UTC on the raw table
     "src_partitioned" ->
@@ -368,7 +619,8 @@ object OracleSql {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) AS BIGINT)
         |    AS distinct_parts_so_far
         |FROM li WHERE l_suppkey <= 20
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey,
+        |  distinct_parts_so_far""".stripMargin,
 
     "agg_median_mode" ->
       """WITH med AS (

@@ -360,6 +360,30 @@ class ApiSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq)
   }
 
+  test("reliable checkpoint path (-Dgraft.checkpoint.dir) is bit-identical to localCheckpoint") {
+    import spark.implicits._
+    // graph_pagerank exercises pageRankExact's full iterative loop — every
+    // lineage truncation in it routes through Ckpt.cp()
+    val viaLocal = SparkEntry.queries("graph_pagerank")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    System.setProperty("graft.checkpoint.dir", dir)
+    try {
+      val viaReliable = SparkEntry.queries("graph_pagerank")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(viaReliable === viaLocal)
+      // the reliable path actually wrote checkpoint data into the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no reliable checkpoint files under $dir")
+    } finally {
+      System.clearProperty("graft.checkpoint.dir")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("GraphAlgebra.kcore on a caller pair list: known 2-core of a tadpole graph") {
     import spark.implicits._
     // triangle 1-2-3 with a pendant path 3-4-5: the 2-core is the triangle

@@ -130,6 +130,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("pair budget guard: raises on an over-budget hot block, row-preserving under budget") {
+    import spark.implicits._
+    // one hot block: 2000 rows share key 1 -> C(2000,2) = 1,999,000 pairs
+    val hot = (1 to 2000).map(i => (1L, i.toLong)).toDF("k", "v")
+    val over = api.PairBudget.gate(hot, Seq(col("k")), "test_op", "test_approx", 1000L)
+    val ex = intercept[Exception] { over.count() }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("test_op") && msg.contains("test_approx"),
+      s"guard error should name the op and its bounded sibling: $msg")
+    // under budget: data, schema and row count flow through untouched
+    val under = api.PairBudget.gate(hot, Seq(col("k")), "test_op", "test_approx", 2000000L)
+    assert(under.columns.toSeq == Seq("k", "v"))
+    assert(under.count() == 2000L)
+    // empty-block-key spelling = one global C(n,2) block
+    val global = api.PairBudget.gate(hot, Seq.empty, "test_op", "test_approx", 2000000L)
+    assert(global.count() == 2000L)
+    intercept[Exception] {
+      api.PairBudget.gate(hot, Seq.empty, "test_op", "test_approx", 1000L).count()
+    }
+  }
+
+  test("exact pair twins run under the default budget at sf0.01 (guard stays silent)") {
+    // the five declared exact twins + adamic_adar each carry the fail-fast
+    // guard; this pins that the default 1e9 budget never fires on the
+    // harness SFs (the sf0.1 ceiling test above exercises the big SF)
+    for (key <- Seq("graph_common_neighbors", "graph_jaccard_nodes",
+        "graph_tag_similarity", "graph_adamic_adar", "llm_dedup_near",
+        "llm_ngram_jaccard")) {
+      val n = SparkEntry.queries(key)(spark, "/root/testdata/sf0.01").count()
+      assert(n > 0, s"$key returned no rows at sf0.01")
+    }
+  }
+
   test("graph_jaccard_approx recalls >= 0.9 of the exact top-20 at sf0.1") {
     // the approximate op exists for hub-bounded candidate generation at
     // cluster scale; this pins its quality contract at the largest local SF
@@ -160,6 +194,25 @@ class ScaleSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size / exact.size.toDouble
     assert(recall >= 0.9, s"recall $recall of exact top-20")
+  }
+
+  test("iterative-family mechanism: pre-partitioned checkpointed edges make the per-step agg exchange-free") {
+    import spark.implicits._
+    // the graph_hits / eigencentrality / pageRankExact shape: the edge frame
+    // is hash-partitioned on the GROUP key and lineage-truncated; the score
+    // side broadcasts; the aggregation must then inherit the clustering —
+    // zero hash exchanges in the whole step (this is what turns 12
+    // per-iteration |E| shuffles into 2 upfront ones)
+    val e = api.Ckpt.cpByKey(
+      (1 to 1000).map(i => (i.toLong % 50, i.toLong % 97)).toDF("src", "dst"),
+      $"dst")
+    val scores = (0 to 49).map(i => (i.toLong, 1L)).toDF("src", "x")
+    val step = e.join(broadcast(scores), "src") // join key != group key, as in HITS
+      .groupBy($"dst").agg(sum($"x").as("xr"))
+    step.collect()
+    val plan = step.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-step agg re-shuffled the pre-partitioned edge frame:\n$plan")
   }
 
   test("shuffle partition count follows the session config (no hardcoded 200)") {

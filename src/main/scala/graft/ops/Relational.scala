@@ -1073,6 +1073,8 @@ object Relational {
     "lineitem", "orders", "customer", "nation", "region", "supplier", "part")(s, dir)
   val sqlQ9: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q9,
     "lineitem", "part", "supplier", "orders", "nation")(s, dir)
+  val sqlQ11: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q11,
+    "lineitem", "supplier", "nation")(s, dir)
   val sqlQ12: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q12,
     "orders", "lineitem")(s, dir)
   val sqlQ13: Q = (s, dir) => sharedSql(graft.oracle.OracleSql.Q13,
@@ -1255,6 +1257,7 @@ object Relational {
     "sql_q6" -> sqlQ6,
     "sql_q8" -> sqlQ8,
     "sql_q9" -> sqlQ9,
+    "sql_q11" -> sqlQ11,
     "sql_q12" -> sqlQ12,
     "sql_q13" -> sqlQ13,
     "sql_q15" -> sqlQ15,

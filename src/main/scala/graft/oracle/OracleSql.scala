@@ -237,6 +237,31 @@ object OracleSql {
       |GROUP BY 1, 2
       |ORDER BY nation, o_year DESC""".stripMargin
 
+  /** Q11-shaped important-stock identification. Adapted: no partsupp
+    * table, so a part's "stock value" held by one nation's suppliers is
+    * the shipped value (price × (1−discount)) of that nation's lineitems
+    * for the part; Q11's shape — a grouped aggregate filtered by a HAVING
+    * against a scalar subquery over the SAME aggregate — is preserved.
+    * The share threshold compares scaled BIGINTs (v·20000 > Σv), so the
+    * filter is exact integer arithmetic on both engines; only the final
+    * display value divides to DOUBLE (identical IEEE operands). The
+    * 1/20000 fraction keeps the result non-empty at every harness SF
+    * (TPC-H scales its Q11 fraction by 1/SF for the same reason).
+    */
+  val Q11: String =
+    """WITH pv AS (
+      |  SELECT l_partkey AS pk,
+      |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS v
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_3'
+      |  GROUP BY l_partkey)
+      |SELECT pk AS p_partkey, CAST(v AS DOUBLE) / 10000.0 AS part_value
+      |FROM pv
+      |WHERE v * 20000 > (SELECT sum(v) FROM pv)
+      |ORDER BY part_value DESC, p_partkey""".stripMargin
+
   /** Q12-shaped priority-class line counts by ship year (the CASE-pivot
     * conditional aggregation Q12 exercises; adapted: no ship mode or
     * commit/receipt dates in this schema).
@@ -386,6 +411,7 @@ object OracleSql {
     "sql_q8" -> Q8,
     "sql_q9" -> Q9,
     "sql_q10" -> Q10,
+    "sql_q11" -> Q11,
     "sql_q12" -> Q12,
     "sql_q13" -> Q13,
     "sql_q14" -> Q14,

@@ -1005,6 +1005,70 @@ object LlmOps {
     * `reduce`). Complements llm_fingerprint (set-based min-hash): the
     * rolling hash changes when token ORDER changes.
     */
+  /** Gopher-style repetition quality signals per document: duplicate
+    * bigram/trigram fractions and most-frequent-word dominance, plus the
+    * repetitive-document flag (dup-2gram fraction > 0.2 OR top-word
+    * fraction > 0.3 — compared in exact integer arithmetic, never on the
+    * rounded doubles). Everything is per-row ARRAY computation inside
+    * whole-stage codegen — zero shuffles, embarrassingly parallel at any
+    * scale. The per-doc top-word scan is O(distinct·n): right for
+    * bounded-length documents (this corpus); an unbounded-doc corpus
+    * would use the explode+agg twin (the [[llmNgramFreq]] shape) instead.
+    * Ratios are small-int/small-int divisions — identical IEEE operands on
+    * both engines — quantized by [[pround4]].
+    */
+  val llmRepetitionFilter: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id",
+        size($"ts").cast("long").as("nt"),
+        expr("transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))")
+          .as("b2"),
+        expr("transform(sequence(0, size(ts) - 3), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))")
+          .as("b3"),
+        expr("array_max(transform(array_distinct(ts), w -> size(filter(ts, x -> x = w))))")
+          .cast("long").as("topw"))
+      .select($"doc_id", $"nt", $"topw",
+        (size($"b2") - size(array_distinct($"b2"))).cast("long").as("dup2"),
+        (size($"b3") - size(array_distinct($"b3"))).cast("long").as("dup3"))
+      .select($"doc_id", $"nt", $"dup2", $"dup3", $"topw",
+        pround4($"dup2" / ($"nt" - 1)).as("dup2_frac"),
+        pround4($"dup3" / ($"nt" - 2)).as("dup3_frac"),
+        pround4($"topw" / $"nt").as("topw_frac"),
+        when($"dup2" * 5 > ($"nt" - 1) || $"topw" * 10 > $"nt" * 3, 1L)
+          .otherwise(0L).as("repetitive"))
+      .orderBy($"doc_id")
+  }
+
+  /** Source×source contamination matrix: for every pair of corpus sources,
+    * the number of distinct 3-token shingles they share and the
+    * shingle-set Jaccard — the corpus-level overlap report a pipeline runs
+    * BEFORE committing to a source mix (llm_decontaminate is the per-doc
+    * drill-down). The shingle equi-join is blocked by the shingle value and
+    * each block holds at most one row per source, so the pair stream is
+    * ≤ C(|sources|,2) per shingle — LINEAR in corpus size, unlike the
+    * per-document pair ops; output is C(|sources|,2) rows. Exact BIGINT
+    * counts; the Jaccard is one small-int ratio under [[pround4]].
+    */
+  val llmOverlapMatrix: Q = (s, dir) => {
+    import s.implicits._
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    // (source, shingle) distinct pairs feed the totals AND both join sides
+    val ss = shingleRows(s, dir).join(src, "doc_id")
+      .select($"source", $"s").distinct().cp()
+    val tot = ss.groupBy($"source").agg(count(lit(1)).as("n"))
+    ss.as("x").join(ss.as("y"), $"x.s" === $"y.s" && $"x.source" < $"y.source")
+      .groupBy($"x.source".as("src1"), $"y.source".as("src2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(tot.select($"source".as("src1"), $"n".as("n1"))), "src1")
+      .join(broadcast(tot.select($"source".as("src2"), $"n".as("n2"))), "src2")
+      .select($"src1", $"src2", $"shared", $"n1", $"n2",
+        pround4($"shared" / ($"n1" + $"n2" - $"shared")).as("jaccard"))
+      .orderBy($"src1", $"src2")
+  }
+
   val llmRollingHash: Q = (s, dir) => {
     import s.implicits._
     Tables.documents(s, dir)
@@ -1132,6 +1196,8 @@ object LlmOps {
     "llm_lang_id" -> llmLangId,
     "llm_fingerprint" -> llmFingerprint,
     "llm_rolling_hash" -> llmRollingHash,
+    "llm_repetition_filter" -> llmRepetitionFilter,
+    "llm_overlap_matrix" -> llmOverlapMatrix,
     "llm_ngram_freq" -> llmNgramFreq,
     "llm_sample_stratified" -> llmSampleStratified,
     "llm_unigram_logprob" -> llmUnigramLogprob,

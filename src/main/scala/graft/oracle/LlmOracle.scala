@@ -359,6 +359,46 @@ object LlmOracle {
         |    (a, b) -> (a * 31 + b) % 1000003) AS rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "llm_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS nt,
+        |    list_transform(range(1, len(ts)), i -> concat_ws(' ', ts[i], ts[i+1])) AS b2,
+        |    list_transform(range(1, len(ts) - 1), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) AS b3,
+        |    CAST(list_max(list_transform(list_distinct(ts),
+        |      w -> len(list_filter(ts, x -> x = w)))) AS BIGINT) AS topw
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, nt, topw,
+        |    CAST(len(b2) - len(list_distinct(b2)) AS BIGINT) AS dup2,
+        |    CAST(len(b3) - len(list_distinct(b3)) AS BIGINT) AS dup3
+        |  FROM g)
+        |SELECT doc_id, nt, dup2, dup3, topw,
+        |  floor(dup2 / (nt - 1) * 10000.0 + 0.5) / 10000.0 AS dup2_frac,
+        |  floor(dup3 / (nt - 2) * 10000.0 + 0.5) / 10000.0 AS dup3_frac,
+        |  floor(topw / nt * 10000.0 + 0.5) / 10000.0 AS topw_frac,
+        |  CAST(CASE WHEN dup2 * 5 > (nt - 1) OR topw * 10 > nt * 3
+        |    THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "llm_overlap_matrix" ->
+      s"""WITH $shingleDocs,
+         |ss AS (SELECT DISTINCT d.source, e.s
+         |  FROM ex e JOIN documents d ON e.doc_id = d.doc_id),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY source),
+         |p AS (
+         |  SELECT x.source AS src1, y.source AS src2, CAST(count(*) AS BIGINT) AS shared
+         |  FROM ss x JOIN ss y ON x.s = y.s AND x.source < y.source
+         |  GROUP BY 1, 2)
+         |SELECT src1, src2, shared, t1.n AS n1, t2.n AS n2,
+         |  floor(shared / (t1.n + t2.n - shared) * 10000.0 + 0.5) / 10000.0 AS jaccard
+         |FROM p
+         |JOIN tot t1 ON src1 = t1.source
+         |JOIN tot t2 ON src2 = t2.source
+         |ORDER BY src1, src2""".stripMargin,
+
     "llm_ngram_freq" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split(trim(text), ' ') AS l FROM documents),

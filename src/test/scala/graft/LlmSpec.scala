@@ -114,6 +114,51 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("llm_repetition_filter: signals recompute exactly in the JVM per document") {
+    import spark.implicits._
+    val byId = q("llm_repetition_filter").collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.split(" ", -1).length >= 3)
+    assert(byId.size === docs.length)
+    for ((id, text) <- docs.take(60)) {
+      val ts = text.split(" ", -1).toSeq
+      val nt = ts.length.toLong
+      val b2 = ts.sliding(2).map(_.mkString(" ")).toSeq
+      val b3 = ts.sliding(3).map(_.mkString(" ")).toSeq
+      val dup2 = (b2.length - b2.distinct.length).toLong
+      val dup3 = (b3.length - b3.distinct.length).toLong
+      val topw = ts.groupBy(identity).values.map(_.length).max.toLong
+      val r = byId(id)
+      assert(r.getLong(r.fieldIndex("nt")) === nt)
+      assert(r.getLong(r.fieldIndex("dup2")) === dup2, s"doc $id")
+      assert(r.getLong(r.fieldIndex("dup3")) === dup3, s"doc $id")
+      assert(r.getLong(r.fieldIndex("topw")) === topw, s"doc $id")
+      val expectFlag = if (dup2 * 5 > nt - 1 || topw * 10 > nt * 3) 1L else 0L
+      assert(r.getLong(r.fieldIndex("repetitive")) === expectFlag, s"doc $id")
+      assert(r.getDouble(r.fieldIndex("dup2_frac")) ===
+        math.floor(dup2.toDouble / (nt - 1) * 10000.0 + 0.5) / 10000.0)
+    }
+  }
+
+  test("llm_overlap_matrix: full source-pair matrix with consistent bounds") {
+    import spark.implicits._
+    val rows = q("llm_overlap_matrix").collect()
+    val nSources = Tables.documents(spark, sf).select($"source").distinct().count()
+    // every source pair shares at least one shingle in this corpus → full matrix
+    assert(rows.length === (nSources * (nSources - 1) / 2).toInt)
+    rows.foreach { r =>
+      val shared = r.getLong(r.fieldIndex("shared"))
+      val n1 = r.getLong(r.fieldIndex("n1"))
+      val n2 = r.getLong(r.fieldIndex("n2"))
+      assert(r.getString(r.fieldIndex("src1")) < r.getString(r.fieldIndex("src2")))
+      assert(shared >= 0 && shared <= math.min(n1, n2))
+      assert(r.getDouble(r.fieldIndex("jaccard")) ===
+        math.floor(shared.toDouble / (n1 + n2 - shared) * 10000.0 + 0.5) / 10000.0)
+    }
+  }
+
   test("mm_decode_stub: sha matches Spark's native sha2 over the same bytes") {
     import spark.implicits._
     val ours = q("mm_decode_stub").select($"doc_id", $"sha")

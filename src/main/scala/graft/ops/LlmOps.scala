@@ -1069,6 +1069,33 @@ object LlmOps {
       .orderBy($"src1", $"src2")
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every 3-token shingle (portable md5₃₂ — the
+    * [[llmRollingHash]] token-hash spelling), slide a window of 4
+    * consecutive shingle hashes over the document, keep the minimum of
+    * each window, emit the distinct selected hashes as the document's
+    * fingerprint set. Guarantees every shared substring of ≥ 6 tokens
+    * contributes at least one common fingerprint while sampling only
+    * ~2/(w+1) of the hashes — the standard near-dup/plagiarism sketch at
+    * corpus scale. Per-row ARRAY computation (bounded docs, zero shuffles
+    * before the final explode+distinct); docs need ≥ 6 tokens for one
+    * full window.
+    */
+  val llmWinnowing: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(size(split($"text", " ")) >= 6)
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id", expr(
+        """transform(sequence(0, size(ts) - 3),
+          |  i -> CAST(conv(substring(md5(concat(ts[i], ' ', ts[i+1], ' ', ts[i+2])), 1, 8), 16, 10) AS BIGINT))"""
+          .stripMargin).as("hs"))
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))")))
+        .as("fp"))
+      .orderBy($"doc_id", $"fp")
+  }
+
   val llmRollingHash: Q = (s, dir) => {
     import s.implicits._
     Tables.documents(s, dir)
@@ -1197,6 +1224,7 @@ object LlmOps {
     "llm_fingerprint" -> llmFingerprint,
     "llm_rolling_hash" -> llmRollingHash,
     "llm_repetition_filter" -> llmRepetitionFilter,
+    "llm_winnowing" -> llmWinnowing,
     "llm_overlap_matrix" -> llmOverlapMatrix,
     "llm_ngram_freq" -> llmNgramFreq,
     "llm_sample_stratified" -> llmSampleStratified,

@@ -383,6 +383,22 @@ object LlmOracle {
         |    THEN 1 ELSE 0 END AS BIGINT) AS repetitive
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "llm_winnowing" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 6),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(ts) - 1),
+        |      i -> CAST(concat('0x', substr(md5(concat_ws(' ', ts[i], ts[i+1], ts[i+2])), 1, 8)) AS BIGINT)) AS hs
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(hs) - 2),
+        |      i -> list_min(hs[i:i+3]))) AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""".stripMargin,
+
     "llm_overlap_matrix" ->
       s"""WITH $shingleDocs,
          |ss AS (SELECT DISTINCT d.source, e.s

@@ -142,6 +142,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("llm_winnowing: fingerprints recompute exactly in the JVM (window-min selection)") {
+    import spark.implicits._
+    val got = q("llm_winnowing").collect()
+      .groupBy(r => r.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.split(" ", -1).length >= 6)
+    assert(got.size === docs.length)
+    for ((id, text) <- docs.take(60)) {
+      val ts = text.split(" ", -1).toSeq
+      val hs = ts.sliding(3).map { kg =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(kg.mkString(" ").getBytes("UTF-8"))
+        java.lang.Long.parseLong(md5.take(4).map(b => f"$b%02x").mkString, 16)
+      }.toSeq
+      val expect = hs.sliding(4).map(_.min).toSet
+      assert(got(id) === expect, s"doc $id")
+    }
+  }
+
   test("llm_overlap_matrix: full source-pair matrix with consistent bounds") {
     import spark.implicits._
     val rows = q("llm_overlap_matrix").collect()

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.ShingleGen
+import Ckpt._
 
 /** Public text-pipeline API over any (id, text) corpus — the LLM
   * training-data operators as composable functions. The registry ops in
@@ -84,6 +85,85 @@ object TextPipeline {
       .join(ex.select(col("doc_id").as("d2"), col("s").as("s1")), Seq("d2", "s1"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
     jaccardOf(common, sizes, minJ)
+  }
+
+  /** Gopher-style repetition quality signals per document: duplicate
+    * bigram/trigram counts+fractions, top-word dominance, and the
+    * repetitive flag (dup-2gram fraction > 0.2 OR top-word fraction > 0.3,
+    * compared in exact integer arithmetic). Per-row ARRAY computation in
+    * whole-stage codegen — zero shuffles; right for bounded-length docs
+    * (an unbounded corpus should use the explode+agg shape instead).
+    * Docs need ≥ 3 tokens. The registry op `llm_repetition_filter` is this
+    * over the `documents` fixture (oracle-checked).
+    */
+  def repetitionSignals(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    import graft.ops.LlmOps.pround4
+    docs.filter(size(split(text, " ")) >= 3)
+      .select(id.as("doc_id"), split(text, " ").as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("nt"),
+        expr("transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))")
+          .as("b2"),
+        expr("transform(sequence(0, size(ts) - 3), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))")
+          .as("b3"),
+        expr("array_max(transform(array_distinct(ts), w -> size(filter(ts, x -> x = w))))")
+          .cast("long").as("topw"))
+      .select(col("doc_id"), col("nt"), col("topw"),
+        (size(col("b2")) - size(array_distinct(col("b2")))).cast("long").as("dup2"),
+        (size(col("b3")) - size(array_distinct(col("b3")))).cast("long").as("dup3"))
+      .select(col("doc_id"), col("nt"), col("dup2"), col("dup3"), col("topw"),
+        pround4(col("dup2") / (col("nt") - 1)).as("dup2_frac"),
+        pround4(col("dup3") / (col("nt") - 2)).as("dup3_frac"),
+        pround4(col("topw") / col("nt")).as("topw_frac"),
+        when(col("dup2") * 5 > (col("nt") - 1) ||
+             col("topw") * 10 > col("nt") * 3, 1L).otherwise(0L).as("repetitive"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken — MOSS): md5₃₂
+    * hashes of k-token shingles, minimum of each window of `w` consecutive
+    * hashes, distinct selected hashes per document as (doc_id, fp) rows.
+    * Any substring of ≥ k+w−1 shared tokens contributes a common
+    * fingerprint; ~2/(w+1) of hashes are kept. Per-row arrays until the
+    * final explode. Docs need ≥ k+w−1 tokens. The registry op
+    * `llm_winnowing` is this at (k=3, w=4) over `documents`.
+    */
+  def winnowing(docs: DataFrame, id: Column, text: Column,
+                k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing needs k,w >= 1 (got k=$k, w=$w)")
+    val kgram = (0 until k).map(j => s"ts[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    docs.filter(size(split(text, " ")) >= k + w - 1)
+      .select(id.as("doc_id"), split(text, " ").as("ts"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, size(ts) - $k),
+           |  i -> CAST(conv(substring(md5($kgram), 1, 8), 16, 10) AS BIGINT))"""
+          .stripMargin).as("hs"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(hs) - $w), i -> array_min(slice(hs, i + 1, $w)))")))
+        .as("fp"))
+  }
+
+  /** Source×source contamination matrix over any labeled corpus: distinct
+    * shared k-shingles and shingle-set Jaccard per label pair. The shingle
+    * equi-join holds ≤ 1 row per label per block — pair stream LINEAR in
+    * corpus size, output C(|labels|,2) rows. The registry op
+    * `llm_overlap_matrix` is this over `documents.source`.
+    */
+  def overlapMatrix(docs: DataFrame, id: Column, text: Column,
+                    label: Column, k: Int = 3): DataFrame = {
+    import graft.ops.LlmOps.pround4
+    val ss = shingles(docs, id, text, k)
+      .join(docs.select(id.as("doc_id"), label.as("source")), "doc_id")
+      .select(col("source"), col("s")).distinct()
+      .cp() // totals AND both join sides
+    val tot = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ss.as("x").join(ss.as("y"),
+        col("x.s") === col("y.s") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src1"), col("y.source").as("src2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(tot.select(col("source").as("src1"), col("n").as("n1"))), "src1")
+      .join(broadcast(tot.select(col("source").as("src2"), col("n").as("n2"))), "src2")
+      .select(col("src1"), col("src2"), col("shared"), col("n1"), col("n2"),
+        pround4(col("shared") / (col("n1") + col("n2") - col("shared"))).as("jaccard"))
   }
 
   private def jaccardOf(common: DataFrame, sizes: DataFrame, minJ: Double): DataFrame =

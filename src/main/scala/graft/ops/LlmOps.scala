@@ -1019,26 +1019,8 @@ object LlmOps {
     */
   val llmRepetitionFilter: Q = (s, dir) => {
     import s.implicits._
-    Tables.documents(s, dir)
-      .filter(size(split($"text", " ")) >= 3)
-      .select($"doc_id", split($"text", " ").as("ts"))
-      .select($"doc_id",
-        size($"ts").cast("long").as("nt"),
-        expr("transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))")
-          .as("b2"),
-        expr("transform(sequence(0, size(ts) - 3), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))")
-          .as("b3"),
-        expr("array_max(transform(array_distinct(ts), w -> size(filter(ts, x -> x = w))))")
-          .cast("long").as("topw"))
-      .select($"doc_id", $"nt", $"topw",
-        (size($"b2") - size(array_distinct($"b2"))).cast("long").as("dup2"),
-        (size($"b3") - size(array_distinct($"b3"))).cast("long").as("dup3"))
-      .select($"doc_id", $"nt", $"dup2", $"dup3", $"topw",
-        pround4($"dup2" / ($"nt" - 1)).as("dup2_frac"),
-        pround4($"dup3" / ($"nt" - 2)).as("dup3_frac"),
-        pround4($"topw" / $"nt").as("topw_frac"),
-        when($"dup2" * 5 > ($"nt" - 1) || $"topw" * 10 > $"nt" * 3, 1L)
-          .otherwise(0L).as("repetitive"))
+    graft.api.TextPipeline
+      .repetitionSignals(Tables.documents(s, dir), $"doc_id", $"text")
       .orderBy($"doc_id")
   }
 
@@ -1054,18 +1036,8 @@ object LlmOps {
     */
   val llmOverlapMatrix: Q = (s, dir) => {
     import s.implicits._
-    val src = Tables.documents(s, dir).select($"doc_id", $"source")
-    // (source, shingle) distinct pairs feed the totals AND both join sides
-    val ss = shingleRows(s, dir).join(src, "doc_id")
-      .select($"source", $"s").distinct().cp()
-    val tot = ss.groupBy($"source").agg(count(lit(1)).as("n"))
-    ss.as("x").join(ss.as("y"), $"x.s" === $"y.s" && $"x.source" < $"y.source")
-      .groupBy($"x.source".as("src1"), $"y.source".as("src2"))
-      .agg(count(lit(1)).as("shared"))
-      .join(broadcast(tot.select($"source".as("src1"), $"n".as("n1"))), "src1")
-      .join(broadcast(tot.select($"source".as("src2"), $"n".as("n2"))), "src2")
-      .select($"src1", $"src2", $"shared", $"n1", $"n2",
-        pround4($"shared" / ($"n1" + $"n2" - $"shared")).as("jaccard"))
+    graft.api.TextPipeline
+      .overlapMatrix(Tables.documents(s, dir), $"doc_id", $"text", $"source")
       .orderBy($"src1", $"src2")
   }
 
@@ -1083,16 +1055,8 @@ object LlmOps {
     */
   val llmWinnowing: Q = (s, dir) => {
     import s.implicits._
-    Tables.documents(s, dir)
-      .filter(size(split($"text", " ")) >= 6)
-      .select($"doc_id", split($"text", " ").as("ts"))
-      .select($"doc_id", expr(
-        """transform(sequence(0, size(ts) - 3),
-          |  i -> CAST(conv(substring(md5(concat(ts[i], ' ', ts[i+1], ' ', ts[i+2])), 1, 8), 16, 10) AS BIGINT))"""
-          .stripMargin).as("hs"))
-      .select($"doc_id", explode(array_distinct(expr(
-        "transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))")))
-        .as("fp"))
+    graft.api.TextPipeline
+      .winnowing(Tables.documents(s, dir), $"doc_id", $"text", k = 3, w = 4)
       .orderBy($"doc_id", $"fp")
   }
 

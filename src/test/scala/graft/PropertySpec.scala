@@ -226,6 +226,23 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("winnowing guarantee: docs sharing a >= k+w-1-token substring share a fingerprint") =
+    forAll(
+      Gen.choose(0, 8).flatMap(Gen.listOfN(_, token)),
+      Gen.choose(6, 10).flatMap(Gen.listOfN(_, token)), // >= k+w-1 = 6 shared tokens
+      Gen.choose(0, 8).flatMap(Gen.listOfN(_, token)),
+      Gen.choose(0, 8).flatMap(Gen.listOfN(_, token)),
+      Gen.choose(0, 8).flatMap(Gen.listOfN(_, token))) { (pa, shared, sa, pb, sb) =>
+      val docs = Seq(
+        (1L, (pa ++ shared ++ sa).mkString(" ")),
+        (2L, (pb ++ shared ++ sb).mkString(" "))).toDF("id", "text")
+      val fps = graft.api.TextPipeline.winnowing(docs, $"id", $"text").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      // a window of w consecutive k-gram hashes lies entirely inside the
+      // shared run in BOTH docs; its min is selected in both
+      fps.getOrElse(1L, Set.empty).intersect(fps.getOrElse(2L, Set.empty)).nonEmpty
+    }
+
   property("sessionizeCore equals a sequential fold over each user's timeline") =
     forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 4L * 3600000L)))) {
       events =>

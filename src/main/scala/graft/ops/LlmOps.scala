@@ -1060,6 +1060,39 @@ object LlmOps {
       .orderBy($"doc_id", $"fp")
   }
 
+  /** Deterministic temperature-weighted source resampling — the
+    * training-mix operator: per-source budgets ∝ size^α (α = 0.5, the
+    * standard multi-corpus temperature flattening) for a total budget of
+    * half the corpus, then per-document keep/drop decided by an md5₃₂
+    * threshold test on doc_id — reproducible on any engine, no RNG state.
+    * Cross-engine determinism: per-source weights are sqrt-quantized to
+    * BIGINT BEFORE the global sum (a raw DOUBLE weight sum would be
+    * reduction-order-dependent); every remaining double op (sqrt, ·, ÷,
+    * least, floor) is a correctly-rounded IEEE basic op on identical
+    * operands. One tiny (|sources|-row) broadcast joins the thresholds to
+    * the corpus scan — the selection itself is a codegen'd filter, zero
+    * extra shuffles at any scale.
+    */
+  val llmImportanceResample: Q = (s, dir) => {
+    import s.implicits._
+    val st = Tables.documents(s, dir).groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sz"))
+    val wt = st.select($"source", $"n_docs",
+      floor(sqrt($"sz".cast("double")) * 1000.0 + 0.5).cast("long").as("wq"))
+    val tw = wt.agg(sum($"wq").as("swq"), sum($"n_docs").as("nd"))
+    val rt = wt.crossJoin(broadcast(tw))
+      .select($"source",
+        floor(least(lit(1.0), ($"nd" / 2.0) * ($"wq".cast("double") / $"swq") / $"n_docs")
+          * 1000000.0).cast("long").as("thr"))
+    Tables.documents(s, dir).select($"doc_id", $"source")
+      .join(broadcast(rt), "source")
+      .filter(expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000000")
+        < $"thr")
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   val llmRollingHash: Q = (s, dir) => {
     import s.implicits._
     Tables.documents(s, dir)
@@ -1189,6 +1222,7 @@ object LlmOps {
     "llm_rolling_hash" -> llmRollingHash,
     "llm_repetition_filter" -> llmRepetitionFilter,
     "llm_winnowing" -> llmWinnowing,
+    "llm_importance_resample" -> llmImportanceResample,
     "llm_overlap_matrix" -> llmOverlapMatrix,
     "llm_ngram_freq" -> llmNgramFreq,
     "llm_sample_stratified" -> llmSampleStratified,

@@ -234,6 +234,31 @@ object StreamingOps {
       .orderBy($"user_id", $"item")
   }
 
+  /** SCD-2 dimension build from the event journal — "track each user's
+    * event-type history as validity intervals": change detection (an event
+    * opens a new version only when its type differs from the previous
+    * event's) followed by interval assembly (valid_from = change ts,
+    * valid_to = next change ts, −1 marks the open current version),
+    * version = per-user change ordinal. The standard warehouse SCD-2
+    * materialization, here as two window passes over ONE user-keyed
+    * shuffle — no state store needed in batch; (tms, event_id) makes the
+    * order total so both engines see identical intervals.
+    */
+  val stateScd2: Q = (s, dir) => {
+    import s.implicits._
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"tms", $"event_id")
+    val chg = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("tms"), $"event_id")
+      .withColumn("prev", lag($"event_type", 1).over(byUser))
+      .filter($"prev".isNull || $"event_type" =!= $"prev")
+    chg.select($"user_id", $"event_type",
+        $"tms".as("valid_from"),
+        coalesce(lead($"tms", 1).over(byUser), lit(-1L)).as("valid_to"),
+        row_number().over(byUser).cast("long").as("version"))
+      .orderBy($"user_id", $"version")
+  }
+
   /** The shared journal→state fold ([[streamEdgeUpsert]]'s core). */
   private def foldEdgeState(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
@@ -600,6 +625,7 @@ object StreamingOps {
     "stream_edge_upsert" -> streamEdgeUpsert,
     "state_asof" -> stateAsof,
     "state_diff" -> stateDiff,
+    "state_scd2" -> stateScd2,
     "stream_join" -> streamJoin,
     "stream_enrich" -> streamEnrich,
     "stream_distinct_approx" -> streamDistinctApprox,

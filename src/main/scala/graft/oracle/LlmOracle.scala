@@ -383,6 +383,22 @@ object LlmOracle {
         |    THEN 1 ELSE 0 END AS BIGINT) AS repetitive
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "llm_importance_resample" ->
+      """WITH st AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sz FROM documents GROUP BY source),
+        |wt AS (SELECT source, n_docs,
+        |  CAST(floor(sqrt(CAST(sz AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS wq FROM st),
+        |tw AS (SELECT CAST(sum(wq) AS BIGINT) AS swq, CAST(sum(n_docs) AS BIGINT) AS nd FROM wt),
+        |rt AS (
+        |  SELECT source,
+        |    CAST(floor(least(1.0, (nd / 2.0) * (CAST(wq AS DOUBLE) / swq) / n_docs) * 1000000.0) AS BIGINT) AS thr
+        |  FROM wt CROSS JOIN tw)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN rt ON d.source = rt.source
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < thr
+        |ORDER BY d.doc_id""".stripMargin,
+
     "llm_winnowing" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents

@@ -91,6 +91,21 @@ object StreamingOracle {
          |WHERE a.n IS NULL OR b.n <> a.n
          |ORDER BY b.user_id, b.item""".stripMargin,
 
+    "state_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, tms, event_id FROM e
+        |  WHERE prev IS NULL OR event_type <> prev)
+        |SELECT user_id, event_type,
+        |  CAST(tms AS BIGINT) AS valid_from,
+        |  CAST(coalesce(lead(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id), -1) AS BIGINT) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY tms, event_id) AS BIGINT) AS version
+        |FROM chg
+        |ORDER BY user_id, version""".stripMargin,
+
     "stream_enrich" ->
       s"""SELECT (epoch_ms(e.ts) // 3600000) * 3600000 AS ws_ms,
          |  c.c_mktsegment AS segment, e.event_type,

@@ -162,6 +162,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("llm_importance_resample: selection matches the JVM threshold recompute") {
+    import spark.implicits._
+    val kept = q("llm_importance_resample").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"source", $"n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._2)
+    val wq = bySrc.view.mapValues(ds =>
+      math.floor(math.sqrt(ds.map(_._3).sum.toDouble) * 1000.0 + 0.5).toLong).toMap
+    val swq = wq.values.sum
+    val nd = docs.length.toLong
+    val thr = bySrc.view.mapValues { ds =>
+      val r = math.min(1.0,
+        (nd / 2.0) * (wq(ds.head._2).toDouble / swq) / ds.length)
+      math.floor(r * 1000000.0).toLong
+    }.toMap
+    val expect = docs.filter { case (id, src, _) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md5.take(4).map(b => f"$b%02x").mkString, 16) %
+        1000000L < thr(src)
+    }.map(t => (t._1, t._2)).toSet
+    assert(kept === expect)
+    // the α = 0.5 budget lands near half the corpus
+    assert(kept.size > docs.length / 3 && kept.size < docs.length * 2 / 3)
+  }
+
   test("llm_overlap_matrix: full source-pair matrix with consistent bounds") {
     import spark.implicits._
     val rows = q("llm_overlap_matrix").collect()

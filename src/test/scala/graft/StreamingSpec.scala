@@ -239,6 +239,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === windowKeys)
   }
 
+  test("state_scd2: per-user intervals tile the timeline and versions mark real changes") {
+    import spark.implicits._
+    val byUser = SparkEntry.queries("state_scd2")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val events = Tables.events(spark, sf)
+      .select($"user_id", unix_millis($"ts").as("t"), $"event_id", $"event_type")
+      .collect().groupBy(_.getLong(0))
+    assert(byUser.keySet === events.keySet)
+    for ((u, rows) <- byUser) {
+      val sorted = rows.sortBy(_.getLong(rows.head.fieldIndex("version")))
+      // versions are 1..n, intervals are gapless, and the LAST one is open
+      assert(sorted.map(_.getLong(sorted.head.fieldIndex("version"))).toSeq ===
+        (1L to sorted.length))
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a.getLong(a.fieldIndex("valid_to")) === b.getLong(b.fieldIndex("valid_from")))
+        // a new version exists ONLY on an actual type change
+        assert(a.getString(a.fieldIndex("event_type")) !=
+          b.getString(b.fieldIndex("event_type")))
+      }
+      assert(sorted.last.getLong(sorted.last.fieldIndex("valid_to")) === -1L)
+      // the first interval opens at the user's first event
+      val firstEvent = events(u).map(r => (r.getLong(1), r.getLong(2))).min
+      assert(sorted.head.getLong(sorted.head.fieldIndex("valid_from")) === firstEvent._1)
+    }
+  }
+
   test("stream_topk: incremental counts + rank finish equal the batch twin") {
     val batch = SparkEntry.queries("stream_topk")(spark, sf)
     val live = runStream(StreamingOps.topkCountsStream(spark, sf), OutputMode.Complete)

@@ -1093,6 +1093,31 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Near-dup candidate pairs from shared winnowing fingerprints — the
+    * fingerprint-index alternative to MinHash banding: documents sharing
+    * ≥ 2 selected fingerprints are candidates (any shared ≥ 6-token run
+    * guarantees ≥ 1 shared fingerprint, so 2 is "more than one shared
+    * region or one long run"). The fingerprint value is the blocking key;
+    * blocks are as small as the fingerprint is rare, and the exact
+    * pair stream is budget-gated like the other exact pair twins
+    * ([[graft.api.PairBudget]]). Emits (d1, d2, n_shared_fp), the
+    * candidate list a verifier (exact Jaccard, [[llmDedupNear]]'s core)
+    * would consume.
+    */
+  val llmDedupWinnow: Q = (s, dir) => {
+    import s.implicits._
+    val fps = graft.api.TextPipeline
+      .winnowing(Tables.documents(s, dir), $"doc_id", $"text", k = 3, w = 4)
+    val ga = graft.api.PairBudget.gate(fps, Seq($"fp"),
+      "llm_dedup_winnow", "llm_dedup_minhash")
+    ga.as("a").join(fps.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter($"n_shared_fp" >= 2)
+      .orderBy($"d1", $"d2")
+  }
+
   val llmRollingHash: Q = (s, dir) => {
     import s.implicits._
     Tables.documents(s, dir)
@@ -1223,6 +1248,7 @@ object LlmOps {
     "llm_repetition_filter" -> llmRepetitionFilter,
     "llm_winnowing" -> llmWinnowing,
     "llm_importance_resample" -> llmImportanceResample,
+    "llm_dedup_winnow" -> llmDedupWinnow,
     "llm_overlap_matrix" -> llmOverlapMatrix,
     "llm_ngram_freq" -> llmNgramFreq,
     "llm_sample_stratified" -> llmSampleStratified,

@@ -383,6 +383,27 @@ object LlmOracle {
         |    THEN 1 ELSE 0 END AS BIGINT) AS repetitive
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "llm_dedup_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 6),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(ts) - 1),
+        |      i -> CAST(concat('0x', substr(md5(concat_ws(' ', ts[i], ts[i+1], ts[i+2])), 1, 8)) AS BIGINT)) AS hs
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(hs) - 2),
+        |      i -> list_min(hs[i:i+3]))) AS fps
+        |  FROM h),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared_fp
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2
+        |ORDER BY d1, d2""".stripMargin,
+
     "llm_importance_resample" ->
       """WITH st AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -189,6 +189,23 @@ class LlmSpec extends SparkSpec {
     assert(kept.size > docs.length / 3 && kept.size < docs.length * 2 / 3)
   }
 
+  test("TextPipeline.winnowing generic (k, w): denser windows select a superset") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(40)
+    val std = graft.api.TextPipeline.winnowing(docs, $"doc_id", $"text", k = 3, w = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // w = 1 selects EVERY k-gram hash — a superset of any larger window's picks
+    val all = graft.api.TextPipeline.winnowing(docs, $"doc_id", $"text", k = 3, w = 1)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(std.nonEmpty)
+    std.foreach { case (id, fps) => assert(fps.subsetOf(all(id)), s"doc $id") }
+    // k = 2 hashes different shingles: fingerprints exist and docs with >= 2
+    // tokens qualify (k + w - 1 = 3)
+    val k2 = graft.api.TextPipeline.winnowing(docs, $"doc_id", $"text", k = 2, w = 2)
+    assert(k2.select($"doc_id").distinct().count() >=
+      std.size.toLong)
+  }
+
   test("llm_overlap_matrix: full source-pair matrix with consistent bounds") {
     import spark.implicits._
     val rows = q("llm_overlap_matrix").collect()

@@ -180,6 +180,33 @@ object GraphAlgebra {
     graft.ops.GraphOps.kcorePeel(pairs, k, rounds)
   }
 
+  /** k-TRUSS peel over a caller (a, b) pair list (canonical a < b, one row
+    * per undirected edge): `rounds` rounds of "keep edges with triangle
+    * support ≥ k−2 over the current survivor set", then a final support
+    * report (support-0 survivors kept). Support is adjacency arrays +
+    * `array_intersect` — work ∝ Σdeg per edge, never the Σdeg² wedge
+    * shuffle. Output (a, b, support). Registry op `graph_ktruss` is this
+    * at (k = 12, rounds = 3) on the co-purchase graph, oracle-checked
+    * against unrolled wedge-join CTE rounds.
+    */
+  def ktruss(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"ktruss needs k >= 3 (got $k)")
+    require(rounds >= 1, s"ktruss needs rounds >= 1 (got $rounds)")
+    def supports(e: DataFrame): DataFrame = {
+      val both = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val adj = both.groupBy(col("a").as("v"))
+        .agg(sort_array(collect_list(col("b"))).as("ns"))
+      e.join(adj.select(col("v").as("a"), col("ns").as("na")), "a")
+        .join(adj.select(col("v").as("b"), col("ns").as("nb")), "b")
+        .select(col("a"), col("b"),
+          size(array_intersect(col("na"), col("nb"))).cast("long").as("sup"))
+    }
+    var e = pairs.select(col("a"), col("b")).cp()
+    for (_ <- 1 to rounds)
+      e = supports(e).filter(col("sup") >= k - 2).select(col("a"), col("b")).cp()
+    supports(e).select(col("a"), col("b"), col("sup").as("support"))
+  }
+
   /** EXACT PageRank / personalized PageRank by integer power iteration —
     * every step is truncating-integer arithmetic on scaled BIGINT mass, so
     * the fixed-point chain is bit-identical across engines, partitionings

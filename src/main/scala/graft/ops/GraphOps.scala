@@ -146,6 +146,26 @@ object GraphOps {
     * 36M at sf0.1, 60s; this runs in ~2s and scales as Σ|N⁺| per edge).
     * Cross-checked against GraphX TriangleCount in GraphSpec.
     */
+  /** k-TRUSS of the co-purchase graph (k = 12, 3 peel rounds + final
+    * support report): each round keeps edges with triangle support
+    * ≥ k−2 = 10, where support = |common neighbors| over the CURRENT
+    * survivor set — the cohesive-subgraph mining primitive one notch
+    * stronger than k-core (every surviving edge sits in ≥ 10 surviving
+    * triangles). Support is computed the [[graphTriangles]] way — adjacency
+    * arrays + `array_intersect`, work ∝ Σdeg per edge — never the Σdeg²
+    * wedge shuffle (the oracle's wedge join is the semantic spec, not the
+    * plan). The round count is fixed so the whole computation is a finite
+    * dataflow, oracle-checked as unrolled CTE rounds (the
+    * [[graft.oracle.GraphOracle]] kcore pattern); each round's survivor
+    * frame is lineage-truncated.
+    */
+  val graphKtruss: Q = (s, dir) => {
+    import s.implicits._
+    graft.api.GraphAlgebra
+      .ktruss(copurchase(s, dir).select($"a", $"b"), k = 12, rounds = 3)
+      .orderBy($"a", $"b")
+  }
+
   val graphTriangles: Q = (s, dir) => {
     import s.implicits._
     val cp = copurchase(s, dir).select($"a", $"b")
@@ -946,6 +966,7 @@ object GraphOps {
     "graph_khop_3" -> graphKhop3,
     "graph_khop_4" -> graphKhop4,
     "graph_triangles" -> graphTriangles,
+    "graph_ktruss" -> graphKtruss,
     "graph_common_neighbors" -> graphCommonNeighbors,
     "graph_recommend" -> graphRecommend,
     "graph_jaccard_nodes" -> graphJaccardNodes,

@@ -157,6 +157,37 @@ object GraphOracle {
     * doubles per round (2^R blowup; verified: the naive spelling never
     * finishes at 8 rounds, the materialized one runs in under a second).
     */
+  /** Unrolled fixed-round k-truss peel: per round, per-edge triangle
+    * support over the CURRENT survivor set via the wedge join (the
+    * semantic spec; the Spark plan uses adjacency arrays +
+    * `array_intersect` — identical counts since neighbor sets are
+    * distinct), keep edges with support ≥ k−2. Final pass reports the true
+    * support over the last survivor set, support-0 edges kept via LEFT
+    * JOIN (the Spark side's array_intersect yields 0 for them naturally).
+    */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val base =
+      s"""WITH $copurchaseCte,
+         |e0 AS MATERIALIZED (SELECT a, b FROM cp)""".stripMargin
+    val its = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""b$p AS MATERIALIZED (SELECT a, b FROM e$p UNION ALL SELECT b, a FROM e$p),
+         |s$i AS (SELECT e.a, e.b, count(*) AS sup
+         |  FROM e$p e JOIN b$p x ON x.a = e.a JOIN b$p y ON y.a = e.b AND y.b = x.b
+         |  GROUP BY e.a, e.b),
+         |e$i AS MATERIALIZED (SELECT a, b FROM s$i WHERE sup >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$its,
+       |bf AS (SELECT a, b FROM e$rounds UNION ALL SELECT b, a FROM e$rounds),
+       |sf AS (SELECT e.a, e.b, count(*) AS sup
+       |  FROM e$rounds e JOIN bf x ON x.a = e.a JOIN bf y ON y.a = e.b AND y.b = x.b
+       |  GROUP BY e.a, e.b)
+       |SELECT e.a, e.b, CAST(coalesce(sf.sup, 0) AS BIGINT) AS support
+       |FROM e$rounds e LEFT JOIN sf ON e.a = sf.a AND e.b = sf.b
+       |ORDER BY e.a, e.b""".stripMargin
+  }
+
   private def kcoreSql(k: Int, rounds: Int): String = {
     val base =
       s"""WITH $copurchaseCte,
@@ -240,6 +271,7 @@ object GraphOracle {
     "graph_hits" -> hitsSql,
     "graph_eigencentrality" -> eigenSql,
     "graph_kcore" -> kcoreSql(68, 6),
+    "graph_ktruss" -> ktrussSql(12, 3),
 
     "graph_ego_net" ->
       s"""WITH $copurchaseCte,

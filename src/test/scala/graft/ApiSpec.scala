@@ -384,6 +384,19 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("GraphAlgebra.ktruss on a caller pair list: pendant triangle peels, clique survives") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} (each edge in 2 triangles) + pendant triangle
+    // {4,5,6} (each edge in 1): the 4-truss (support >= 2) is the clique
+    val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toDF("a", "b")
+    val rows = graft.api.GraphAlgebra.ktruss(edges, k = 4, rounds = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.keySet === clique.toSet)
+    // the final report re-measures support over the survivor set
+    assert(rows.values.forall(_ === 2L))
+  }
+
   test("GraphAlgebra.kcore on a caller pair list: known 2-core of a tadpole graph") {
     import spark.implicits._
     // triangle 1-2-3 with a pendant path 3-4-5: the 2-core is the triangle

@@ -65,6 +65,12 @@ object Bench {
     // dev-loop filter: SPARK_GRAFT_ONLY=k1,k2 times just those keys (the
     // driver never sets it, so graded runs still cover every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // the filter must be impossible to mistake for a full run: mark stderr
+    // AND the JSON lines (ADVICE r7 — a leaked env var would otherwise
+    // produce a silently-partial graded artifact)
+    only.foreach(ks => System.err.println(
+      s"[bench] PARTIAL RUN: SPARK_GRAFT_ONLY filters to ${ks.size} keys"))
+    val partial = only.map(ks => s""","partial_only":${ks.size}""").getOrElse("")
     // deterministic (sorted) execution order — Map iteration order is
     // arbitrary, which made run-to-run per-query comparisons noisy
     val results = SparkEntry.queries.toSeq
@@ -82,7 +88,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","rerun":$reruns,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","rerun":$reruns$partial,"queries":$qs,"sf":"$sfDir"}""")
     // The harness keeps only the last ~2KB of output; the full per-query line
     // above (~4KB at 116 queries) gets truncated mid-JSON there. Emit a second,
     // compact summary line (total + 10 slowest queries, well under 1KB) LAST so
@@ -91,7 +97,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val fTotal = f"$total%.2f"
-    println(s"""{"metric":"total","value":$fTotal,"unit":"sec","n":${results.size},"rerun":$reruns,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$fTotal,"unit":"sec","n":${results.size},"rerun":$reruns$partial,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,8 +19,23 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Ckpt {
 
-  /** Reliable-checkpoint directory, if the deployment set one. */
+  /** Reliable-checkpoint directory, if the deployment set one.
+    *
+    * Cleanup contract: `SparkContext.setCheckpointDir` creates a fresh
+    * UUID subdirectory under this path per JVM, and checkpointed data
+    * accumulates there for the life of the application. A long-running
+    * deployment should either enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (best-effort
+    * GC-driven deletion) or sweep the directory between runs.
+    */
   def dir: Option[String] = sys.props.get("graft.checkpoint.dir")
+
+  /** The `graft.checkpoint.dir` value this object last applied to the
+    * SparkContext — lets [[CkptOps.cp]] notice when the context's dir was
+    * set by someone else (a test, the deployment) or when the property
+    * changed, instead of silently deferring to a stale dir.
+    */
+  @volatile private var appliedDir: Option[String] = None
 
   /** Checkpoint `df` hash-partitioned on `cols`, PRESERVING the
     * partitioning in the checkpointed plan — the iterative family's
@@ -39,13 +54,21 @@ object Ckpt {
     * physical plan is a plain shuffle whose HashPartitioning survives the
     * capture; the loop's state frames still plan adaptively.
     */
-  def cpByKey(df: DataFrame, cols: Column*): DataFrame = {
-    val conf = df.sparkSession.conf
-    val old = conf.get("spark.sql.adaptive.enabled")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try new CkptOps(df.repartition(cols: _*)).cp()
-    finally conf.set("spark.sql.adaptive.enabled", old)
-  }
+  def cpByKey(df: DataFrame, cols: Column*): DataFrame =
+    // serialized on this object: the AQE toggle is session-global, so two
+    // concurrent cpByKey calls could otherwise clobber each other's
+    // restore value. Queries planned concurrently on the same session by
+    // OTHER threads still see AQE off for the duration of this eager
+    // materialization — callers sharing a session across threads should
+    // not plan during cpByKey (the registry's ops are single-threaded per
+    // query, so the harness never hits this).
+    Ckpt.synchronized {
+      val conf = df.sparkSession.conf
+      val old = conf.get("spark.sql.adaptive.enabled")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      try new CkptOps(df.repartition(cols: _*)).cp()
+      finally conf.set("spark.sql.adaptive.enabled", old)
+    }
 
   implicit class CkptOps(private val df: DataFrame) extends AnyVal {
 
@@ -55,7 +78,17 @@ object Ckpt {
     def cp(): DataFrame = Ckpt.dir match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        // (re-)apply whenever the configured dir is not the one THIS
+        // object applied — a dir pre-set by a test or the deployment must
+        // not silently override -Dgraft.checkpoint.dir. getCheckpointDir
+        // can't be compared directly (setCheckpointDir appends a UUID
+        // subdir), hence the appliedDir bookkeeping.
+        Ckpt.synchronized {
+          if (!Ckpt.appliedDir.contains(d) || sc.getCheckpointDir.isEmpty) {
+            sc.setCheckpointDir(d)
+            Ckpt.appliedDir = Some(d)
+          }
+        }
         df.checkpoint()
       case None => df.localCheckpoint()
     }

@@ -339,10 +339,10 @@ object GraphAlgebra {
     * the classic asynchronous/randomized LPA is not.
     *
     * Per round: one join of the label frame into the |E| adjacency, a
-    * (vertex, label) count aggregation, and a row_number tie-break — all
-    * shuffled on the vertex key, no all-pairs stage anywhere. The label
-    * broadcast is gated on |V| ≤ broadcastMaxRows like
-    * [[connectedComponentsDf]]'s.
+    * (vertex, label) count aggregation, and a max(struct) tie-break agg —
+    * all clustered on the vertex key (one hoisted shuffle, no sort-window,
+    * no all-pairs stage anywhere). The label broadcast is gated on
+    * |V| ≤ broadcastMaxRows like [[connectedComponentsDf]]'s.
     */
   def labelPropagation(vertices: DataFrame, pairs: DataFrame, rounds: Int,
                        broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
@@ -355,12 +355,17 @@ object GraphAlgebra {
     var labels = vertices.select(col("part").as("id"), col("part").as("lbl"))
       .cp()
     val nV = labels.count() // label frame stays exactly |V| rows every round
-    val tieBreak = Window.partitionBy(col("v")).orderBy(col("c").desc, col("lbl"))
     for (_ <- 1 to rounds) {
+      // tie-break (most frequent label, ties to the SMALLEST) as a hash
+      // aggregation — max(struct(c, −lbl)) ≡ the row_number(c desc, lbl
+      // asc) = 1 pick, but it stays in the HashPartitioning(b) chain the
+      // cpByKey hoisted (both groupBys cluster on v = b) instead of
+      // paying a per-round sort-window over the |E|-sized vote frame
       val top = both.join(hinted(labels, nV, broadcastMaxRows), col("a") === col("id"))
         .groupBy(col("b").as("v"), col("lbl")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(tieBreak)).filter(col("rn") === 1)
-        .select(col("v"), col("lbl").as("nlbl"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("v"), (-col("m.neg")).as("nlbl"))
       labels = labels.join(top, col("id") === col("v"), "left")
         .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
         .cp()
@@ -394,15 +399,17 @@ object GraphAlgebra {
     var labels = vertices.select(col("part").as("id"), col("part").as("lbl"))
       .cp()
     val nV = labels.count() // label frame stays exactly |V| rows every round
-    val tieBreak = Window.partitionBy(col("v")).orderBy(col("c").desc, col("lbl"))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
       round += 1
+      // same hash-agg tie-break as [[labelPropagation]] (max(struct) ≡
+      // row_number pick, no per-round sort-window)
       val top = both.join(hinted(labels, nV, broadcastMaxRows), col("a") === col("id"))
         .groupBy(col("b").as("v"), col("lbl")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(tieBreak)).filter(col("rn") === 1)
-        .select(col("v"), col("lbl").as("nlbl"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("v"), (-col("m.neg")).as("nlbl"))
       val upd = labels.join(top, col("id") === col("v"), "left")
         .select(col("id"), col("lbl").as("prev"),
           coalesce(col("nlbl"), col("lbl")).as("lbl"))

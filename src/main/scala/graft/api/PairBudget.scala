@@ -58,11 +58,17 @@ object PairBudget {
     val hist =
       if (blockKeys.isEmpty) preJoin.agg(count(lit(1)).as("c"))
       else preJoin.groupBy(blockKeys: _*).agg(count(lit(1)).as("c"))
-    val np = hist.agg(
-      coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("graft_np"))
+    // DOUBLE, not BIGINT: c·(c−1)/2 wraps negative past c ≈ 3.04e9 and a
+    // wrapped Σ would make the guard fail OPEN at exactly the scale it
+    // exists for; double loses integer precision past 2^53 but the
+    // comparison only needs magnitude, and it cannot overflow
+    val np = hist.agg(coalesce(
+      sum(col("c").cast("double") * (col("c").cast("double") - 1d) / 2d),
+      lit(0d)).as("graft_np"))
     preJoin.crossJoin(broadcast(np))
-      .filter(assert_true(col("graft_np") <= budget,
-        concat(lit(s"$opKey: exact pair stream of "), col("graft_np"),
+      .filter(assert_true(col("graft_np") <= lit(budget.toDouble),
+        concat(lit(s"$opKey: exact pair stream of "),
+          col("graft_np").cast("decimal(38,0)").cast("string"),
           lit(s" candidate pairs exceeds budget $budget - use $alternative" +
             s" or raise -Dgraft.pairs.max"))).isNull)
       .drop("graft_np")

@@ -138,14 +138,6 @@ object GraphOps {
       .orderBy($"part")
   }
 
-  /** Triangle count on the co-purchase graph, node-iterator formulation:
-    * with edges oriented a<b, each triangle a<b<c is |N⁺(a) ∩ N⁺(b)| summed
-    * over edges (a,b). Two equi-joins attach the sorted out-adjacency lists
-    * and a codegen'd array_intersect does the per-edge intersection — no
-    * wedge materialization (the naive 3-way self-join shuffles Σdeg² rows:
-    * 36M at sf0.1, 60s; this runs in ~2s and scales as Σ|N⁺| per edge).
-    * Cross-checked against GraphX TriangleCount in GraphSpec.
-    */
   /** k-TRUSS of the co-purchase graph (k = 12, 3 peel rounds + final
     * support report): each round keeps edges with triangle support
     * ≥ k−2 = 10, where support = |common neighbors| over the CURRENT
@@ -166,6 +158,14 @@ object GraphOps {
       .orderBy($"a", $"b")
   }
 
+  /** Triangle count on the co-purchase graph, node-iterator formulation:
+    * with edges oriented a<b, each triangle a<b<c is |N⁺(a) ∩ N⁺(b)| summed
+    * over edges (a,b). Two equi-joins attach the sorted out-adjacency lists
+    * and a codegen'd array_intersect does the per-edge intersection — no
+    * wedge materialization (the naive 3-way self-join shuffles Σdeg² rows:
+    * 36M at sf0.1, 60s; this runs in ~2s and scales as Σ|N⁺| per edge).
+    * Cross-checked against GraphX TriangleCount in GraphSpec.
+    */
   val graphTriangles: Q = (s, dir) => {
     import s.implicits._
     val cp = copurchase(s, dir).select($"a", $"b")
@@ -905,15 +905,19 @@ object GraphOps {
     */
   val graphAdamicAdar: Q = (s, dir) => {
     import s.implicits._
-    // gated on the FULL per-customer C(deg,2) stream — an upper bound on
-    // the e1(deg>=2-filtered) × e2 pair count below, same Σdeg² shape
-    val adj = graft.api.PairBudget.gate(
-      edges(s, dir).select($"src", $"dst"), Seq($"src"),
+    // the adjacency feeds THREE consumers (degree agg, e1, e2) — cp() it
+    // once so the orders⋈lineitem edge build runs once, not per consumer
+    val adj = edges(s, dir).select($"src", $"dst").cp()
+    // gate ONE side: the guard fires identically, the budget histogram
+    // runs once over the cheap checkpointed frame (full per-customer
+    // C(deg,2) stream — an upper bound on the deg>=2-filtered e1 × e2
+    // pair count below, same Σdeg² shape)
+    val g1 = graft.api.PairBudget.gate(adj, Seq($"src"),
       "graph_adamic_adar", "graph_common_neighbors_approx")
     // the per-customer term attaches to the |E|-row adjacency BEFORE the
     // deg² pair explosion — joining deg after pairing would run the join
     // against the (13M at sf0.1) pair stream instead of 60k edges
-    val withT = adj
+    val withT = g1
       .join(adj.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
       // deg-1 customers generate no pairs — and ln(1) = 0 would be an ANSI
       // divide-by-zero when the term is computed pre-pairing

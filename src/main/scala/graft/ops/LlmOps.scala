@@ -999,12 +999,6 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
-  /** Order-sensitive document fingerprint: polynomial rolling hash over the
-    * token stream, h = (h·31 + md5₃₂(tok)) mod 1000003 — same left fold on
-    * both engines (Spark `aggregate` seeded with the first token ≡ DuckDB
-    * `reduce`). Complements llm_fingerprint (set-based min-hash): the
-    * rolling hash changes when token ORDER changes.
-    */
   /** Gopher-style repetition quality signals per document: duplicate
     * bigram/trigram fractions and most-frequent-word dominance, plus the
     * repetitive-document flag (dup-2gram fraction > 0.2 OR top-word
@@ -1118,6 +1112,12 @@ object LlmOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** Order-sensitive document fingerprint: polynomial rolling hash over the
+    * token stream, h = (h·31 + md5₃₂(tok)) mod 1000003 — same left fold on
+    * both engines (Spark `aggregate` seeded with the first token ≡ DuckDB
+    * `reduce`). Complements llm_fingerprint (set-based min-hash): the
+    * rolling hash changes when token ORDER changes.
+    */
   val llmRollingHash: Q = (s, dir) => {
     import s.implicits._
     Tables.documents(s, dir)

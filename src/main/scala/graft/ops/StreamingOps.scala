@@ -436,7 +436,10 @@ object StreamingOps {
     val e = Tables.events(s, dir).select($"event_id", $"ts", $"user_id", $"value")
     val cut = e.agg(expr("percentile(unix_millis(ts), 0.5D)")).head().getDouble(0).toLong
     val inDir = s"${graft.Scratch.dir("stream_late_data")}/in"
-    e.filter(unix_millis($"ts") >= cut).write.parquet(inDir)
+    // 4 staging files, not one per core: the streaming source re-lists and
+    // re-plans the directory every micro-batch, and 32 shards of a ~MB
+    // batch are pure task/file overhead at any scale
+    e.filter(unix_millis($"ts") >= cut).coalesce(4).write.parquet(inDir)
 
     val stream = s.readStream.schema(e.schema).parquet(inDir)
       .withWatermark("ts", "10 minutes")
@@ -456,7 +459,8 @@ object StreamingOps {
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       query.processAllAvailable() // batch 1: watermark -> maxTs - 10 min
-      e.filter(unix_millis($"ts") < cut - 3600000L).write.mode("append").parquet(inDir)
+      e.filter(unix_millis($"ts") < cut - 3600000L).coalesce(4)
+        .write.mode("append").parquet(inDir)
       query.processAllAvailable() // batch 2: everything late, dropped
     } finally query.stop()
     s.table(name).orderBy($"ws_ms")

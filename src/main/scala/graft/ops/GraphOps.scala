@@ -186,7 +186,9 @@ object GraphOps {
     */
   val graphCommonNeighbors: Q = (s, dir) => {
     import s.implicits._
-    val adj = edges(s, dir).select($"src", $"dst")
+    // three consumers (budget histogram, e1, e2) — cp() so the
+    // orders⋈lineitem edge build runs once, not per consumer
+    val adj = edges(s, dir).select($"src", $"dst").cp()
     // gate ONE side: the guard fires identically, the histogram runs once
     val g1 = graft.api.PairBudget.gate(adj, Seq($"src"),
       "graph_common_neighbors", "graph_common_neighbors_approx")
@@ -433,7 +435,9 @@ object GraphOps {
     */
   val graphJaccardNodes: Q = (s, dir) => {
     import s.implicits._
-    val adj = edges(s, dir).select($"src", $"dst")
+    // four consumers (degree agg, budget histogram, e1, e2) — cp() so the
+    // orders⋈lineitem edge build runs once, not per consumer
+    val adj = edges(s, dir).select($"src", $"dst").cp()
     val deg = adj.groupBy($"dst".as("p")).agg(count(lit(1)).as("d"))
     // annotate each edge with its part's degree BEFORE pairing (one
     // broadcast join over |E| rows) so the pair stream carries (d1, d2)

@@ -60,7 +60,9 @@ object LlmOps {
     */
   private def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
     import s.implicits._
-    val ex = shingleRows(s, dir)
+    // four consumers (sizes agg, budget histogram, a, b) — cp() so the
+    // shingle explode+distinct runs once, not per consumer
+    val ex = shingleRows(s, dir).cp()
     val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // gate ONE side: the guard fires identically, the histogram runs once
     val ga = graft.api.PairBudget.gate(ex, Seq($"s"),
@@ -91,6 +93,8 @@ object LlmOps {
       .select($"doc_id", $"source", GraftSqlBridge.column(
         graft.expr.ShingleGen(GraftSqlBridge.expression($"text"), 2)).as("s"))
       .distinct()
+      // four consumers (sizes agg, budget histogram, a, b) — one build
+      .cp()
     val sizes = bi.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val ga = graft.api.PairBudget.gate(bi, Seq($"s", $"source"),
       "llm_ngram_jaccard", "llm_dedup_minhash")
@@ -1100,8 +1104,10 @@ object LlmOps {
     */
   val llmDedupWinnow: Q = (s, dir) => {
     import s.implicits._
+    // three consumers (budget histogram, a, b) — one fingerprint build
     val fps = graft.api.TextPipeline
       .winnowing(Tables.documents(s, dir), $"doc_id", $"text", k = 3, w = 4)
+      .cp()
     val ga = graft.api.PairBudget.gate(fps, Seq($"fp"),
       "llm_dedup_winnow", "llm_dedup_minhash")
     ga.as("a").join(fps.as("b"),

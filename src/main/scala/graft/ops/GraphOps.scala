@@ -458,19 +458,6 @@ object GraphOps {
       .limit(20)
   }
 
-  /** Approximate top-20 Jaccard pairs — the 100× path for the
-    * pair-similarity family ([[graphJaccardNodes]] / [[graphCommonNeighbors]]
-    * are the exact twins). Candidates are generated from a DETERMINISTIC
-    * per-customer neighbor sample (row_number over md5, cap 48), bounding
-    * the per-customer pair blow-up at cap² regardless of hub degree — the
-    * exact ops shuffle deg² pairs per customer, so one 100×-degree hub costs
-    * 10,000× its share. Pairs sharing ≥2 sampled customers (2.2% of the full
-    * pair space at sf0.1) are then verified EXACTLY by sorted-adjacency-array
-    * intersection (the [[graphTriangles]] shape): reported common/jac are
-    * true values, the only loss is candidate recall — measured 1.0 at
-    * sf0.01 and sf0.1 (ScaleSpec asserts ≥0.9 at sf0.1). md5 sampling and
-    * integer arithmetic keep it DuckDB-oracle hash-checked.
-    */
   /** Shared candidate+verify machinery of the `_approx` pair family:
     * deterministic md5 cap-48 neighbor sample → pairs sharing ≥2 sampled
     * customers → EXACT (common, d1, d2) via sorted-adjacency
@@ -504,6 +491,19 @@ object GraphOps {
         size($"cs1").as("d1"), size($"cs2").as("d2"))
   }
 
+  /** Approximate top-20 Jaccard pairs — the 100× path for the
+    * pair-similarity family ([[graphJaccardNodes]] / [[graphCommonNeighbors]]
+    * are the exact twins). Candidates are generated from a DETERMINISTIC
+    * per-customer neighbor sample (row_number over md5, cap 48), bounding
+    * the per-customer pair blow-up at cap² regardless of hub degree — the
+    * exact ops shuffle deg² pairs per customer, so one 100×-degree hub costs
+    * 10,000× its share. Pairs sharing ≥2 sampled customers (2.2% of the full
+    * pair space at sf0.1) are then verified EXACTLY by sorted-adjacency-array
+    * intersection (the [[graphTriangles]] shape): reported common/jac are
+    * true values, the only loss is candidate recall — measured 1.0 at
+    * sf0.01 and sf0.1 (ScaleSpec asserts ≥0.9 at sf0.1). md5 sampling and
+    * integer arithmetic keep it DuckDB-oracle hash-checked.
+    */
   val graphJaccardApprox: Q = (s, dir) => {
     import s.implicits._
     cappedPairsVerified(s, dir)

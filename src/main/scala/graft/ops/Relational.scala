@@ -552,9 +552,6 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
-  /** Ordered statistics per group; interpolated median + sample stddev are
-    * rounded (both engines accumulate doubles in different orders).
-    */
   /** Exact median (interpolated, like DuckDB quantile_cont) plus MODE with
     * an explicit deterministic tie-break (count desc, value asc) — never
     * lean on an engine's unspecified mode() tie rule in an oracle-checked
@@ -642,6 +639,9 @@ object Relational {
         $"distinct_parts_so_far")
   }
 
+  /** Ordered statistics per group; interpolated median + sample stddev are
+    * rounded (both engines accumulate doubles in different orders).
+    */
   val aggStats: Q = (s, dir) => {
     import s.implicits._
     Tables.orders(s, dir)

@@ -151,12 +151,6 @@ object GraphOracle {
        |ORDER BY part""".stripMargin
   }
 
-  /** Unrolled fixed-round k-core peel. Each round references the previous
-    * survivor set twice (both edge endpoints), so every per-round CTE is
-    * MATERIALIZED — without it DuckDB inlines the chain and the plan
-    * doubles per round (2^R blowup; verified: the naive spelling never
-    * finishes at 8 rounds, the materialized one runs in under a second).
-    */
   /** Unrolled fixed-round k-truss peel: per round, per-edge triangle
     * support over the CURRENT survivor set via the wedge join (the
     * semantic spec; the Spark plan uses adjacency arrays +
@@ -188,6 +182,12 @@ object GraphOracle {
        |ORDER BY e.a, e.b""".stripMargin
   }
 
+  /** Unrolled fixed-round k-core peel. Each round references the previous
+    * survivor set twice (both edge endpoints), so every per-round CTE is
+    * MATERIALIZED — without it DuckDB inlines the chain and the plan
+    * doubles per round (2^R blowup; verified: the naive spelling never
+    * finishes at 8 rounds, the materialized one runs in under a second).
+    */
   private def kcoreSql(k: Int, rounds: Int): String = {
     val base =
       s"""WITH $copurchaseCte,

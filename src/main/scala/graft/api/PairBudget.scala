@@ -73,4 +73,61 @@ object PairBudget {
             s" or raise -Dgraft.pairs.max"))).isNull)
       .drop("graft_np")
   }
+
+  /** Gate `left` behind the BANDED-join pair budget (the r8 incident this
+    * exists for: a collapsed/degenerate time distribution put every event
+    * in one band and the `join_theta_*` family silently materialized a
+    * quadratic candidate stream — 333,624 rows and 186 s where the healthy
+    * domain yields 884 rows in under a second; [[gate]] never covered band
+    * blocks). The candidate-pair stream of a band join is
+    * Σ over matching blocks of cl(keys, b) · cr(keys, b′) for |b − b′| ≤
+    * `spread` — two tiny histogram aggregations plus a histogram-sized
+    * join, computed BEFORE the quadratic join runs, gating the plan with
+    * the same broadcast + `assert_true` contract as [[gate]] (lazy, no
+    * driver action, works unchanged on a 1000-executor cluster).
+    *
+    * `keys` are the extra equi (blocking) column NAMES, present under the
+    * same names on both inputs; `leftBand`/`rightBand` are the band
+    * expressions over each input; `spread` covers the band-explosion width
+    * of the rewrite being guarded (1 for the ±1 explode of
+    * `join_theta_range`, 2 for [[graft.plans.BandRangeJoinRule]]'s ±2
+    * widening).
+    */
+  def gateBanded(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftBand: Column, rightBand: Column, spread: Int,
+      opKey: String, alternative: String, budget: Long = maxPairs): DataFrame = {
+    val lh = left.groupBy(keys.map(col) :+ leftBand.as("graft_bl"): _*)
+      .agg(count(lit(1)).cast("double").as("graft_cl"))
+    // |band − band′| ≤ spread spelled as an EQUI join (explode the right
+    // histogram into its 2·spread+1 candidate bands): the gated ops pin
+    // "no nested-loop join in the plan", and the guard must not be the one
+    // node that violates it
+    val rh = right.groupBy(keys.map(col) :+ rightBand.as("graft_br"): _*)
+      .agg(count(lit(1)).cast("double").as("graft_cr"))
+      .select(keys.map(k => col(k).as(s"graft_rk_$k")) ++
+        Seq(col("graft_br"), col("graft_cr")): _*)
+      .withColumn("graft_bcand",
+        explode(array((-spread to spread).map(d => col("graft_br") + lit(d.toLong)): _*)))
+    val joinCond = keys
+      .map(k => lh(k) === rh(s"graft_rk_$k"))
+      .foldLeft(col("graft_bl") === rh("graft_bcand"))(_ && _)
+    // constant-key broadcast hash join (not crossJoin → BNLJ) for the same
+    // reason as above. A literal key would constant-fold to `true` and
+    // degrade right back to a nested-loop join, so the zero is built from a
+    // non-foldable expression (spark_partition_id is non-foldable; ·0 makes
+    // it the constant 0 on every row of both sides)
+    val zero = spark_partition_id().cast("long") * lit(0L)
+    val np = lh.join(rh, joinCond)
+      .agg(coalesce(sum(col("graft_cl") * col("graft_cr")), lit(0d)).as("graft_np"))
+      .withColumn("graft_one", zero)
+    left.withColumn("graft_one", zero)
+      .join(broadcast(np), "graft_one")
+      .filter(assert_true(col("graft_np") <= lit(budget.toDouble),
+        concat(lit(s"$opKey: banded pair stream of "),
+          col("graft_np").cast("decimal(38,0)").cast("string"),
+          lit(s" candidate pairs exceeds budget $budget - the band/time " +
+            s"distribution is degenerate for this window; use $alternative" +
+            s" or raise -Dgraft.pairs.max"))).isNull)
+      .drop("graft_np", "graft_one")
+  }
 }

@@ -272,7 +272,16 @@ object Relational {
     import s.implicits._
     val winMs = 3600L * 1000
     val e = Tables.events(s, dir).select($"event_id", $"user_id", tsMs($"ts").as("ts_ms"))
-    val left = e.select($"event_id".as("id1"), $"user_id", $"ts_ms".as("t1"))
+    // band-density budget: a degenerate time distribution (every event in
+    // one (user, hour) block) makes the banded join quadratic despite the
+    // banding — fail fast with a diagnosable error instead (PairBudget,
+    // round-9 "What's wrong #4")
+    val gated = graft.api.PairBudget.gateBanded(
+      e, e, Seq("user_id"),
+      floor($"ts_ms" / winMs), floor($"ts_ms" / winMs), spread = 1,
+      opKey = "join_theta_range",
+      alternative = "a smaller window over the dense span")
+    val left = gated.select($"event_id".as("id1"), $"user_id", $"ts_ms".as("t1"))
       .withColumn("band", explode(array(floor($"t1" / winMs), floor($"t1" / winMs) + 1)))
     val right = e.select($"event_id".as("id2"), $"user_id".as("u2"),
       floor($"ts_ms" / winMs).as("band2"), $"ts_ms".as("t2"))
@@ -303,7 +312,16 @@ object Relational {
     import s.implicits._
     graft.plans.BandRangeJoin.install(s)
     val e = Tables.events(s, dir).select($"event_id", tsMs($"ts").as("t"))
-    val l = e.select($"event_id".as("id1"), $"t".as("t1"))
+    // same band-density budget as join_theta_range, sized to the rule's
+    // 10-min band and ±2 widening — the optimizer rewrite bounds the pair
+    // stream by band density, so a collapsed domain must fail fast, not
+    // burn 186 s materializing a 377× candidate explosion (r8 incident)
+    val gated = graft.api.PairBudget.gateBanded(
+      e, e, Nil,
+      floor($"t" / 600000L), floor($"t" / 600000L), spread = 2,
+      opKey = "join_theta_rule",
+      alternative = "a smaller window over the dense span")
+    val l = gated.select($"event_id".as("id1"), $"t".as("t1"))
     val r = e.select($"event_id".as("id2"), $"t".as("t2"))
     l.join(r, $"t2" > $"t1" && $"t2" <= $"t1" + 600000L)
       .groupBy(expr("t1 div 3600000").as("hour"))
@@ -1144,8 +1162,7 @@ object Relational {
     import s.implicits._
     val out = s"${graft.Scratch.dir("src_partitioned")}/journal"
     StreamingOps.writeJournal(s, dir, out)
-    val schema = Tables.eventsRawSchema.add("event_date", "date")
-    s.read.schema(schema).parquet(out)
+    Tables.journal(s, out, withDate = true)
       .filter($"event_date" <= lit(java.sql.Date.valueOf("2024-01-15")))
       .groupBy(unix_date($"event_date").cast("long").as("day"))
       .agg(count(lit(1)).as("n"),

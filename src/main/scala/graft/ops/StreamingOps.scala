@@ -192,18 +192,13 @@ object StreamingOps {
   }
 
   /** Public as-of API over the flat parquet journal: edge state at ANY
-    * epoch-ms cutoff `tMs`. The bound is applied to the RAW nanosecond
-    * column (`unix_millis(ts) <= tMs  ⟺  raw_ns <= (tMs+1)·10⁶ − 1` for the
-    * non-negative event-time domain), so it reaches the scan as a
-    * PushedFilter instead of dying on the derived timestamp projection.
+    * epoch-ms cutoff `tMs`. The bound is applied by [[Tables.journal]] in
+    * the file's OWN unit (`unix_millis(ts) <= tMs` semantics, keeping every
+    * sub-ms tail of the boundary ms), so it reaches the scan as a
+    * PushedFilter instead of dying on a derived projection.
     */
-  def edgeStateAsOf(s: SparkSession, dir: String, tMs: Long): DataFrame = {
-    require(tMs >= 0, s"edgeStateAsOf needs a non-negative epoch-ms cutoff (got $tMs)")
-    val raw = s.read.schema(Tables.eventsRawSchema).parquet(s"$dir/events.parquet")
-      .filter(col("ts") <= lit(tMs * 1000000L + 999999L))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    foldEdgeState(raw)
-  }
+  def edgeStateAsOf(s: SparkSession, dir: String, tMs: Long): DataFrame =
+    foldEdgeState(Tables.journal(s, s"$dir/events.parquet", upToMs = Some(tMs)))
 
   /** Snapshot DIFF — "what changed between T1 and T2": the CDC question an
     * event-sourced store answers for incremental rebuild planning. Both
@@ -270,18 +265,18 @@ object StreamingOps {
   }
 
   /** Write the events journal in the 100 TB layout: parquet partitioned by
-    * event DATE (UTC), raw ns timestamps preserved. One directory per day
+    * event DATE (UTC), µs timestamps preserved. One directory per day
     * means an as-of replay reads only the prefix of directories ≤ the
     * cutoff date — O(journal prefix), not O(journal).
     */
   def writeJournal(s: SparkSession, dir: String, path: String): Unit =
-    s.read.schema(Tables.eventsRawSchema).parquet(s"$dir/events.parquet")
-      .withColumn("event_date", to_date(expr("timestamp_micros(ts DIV 1000)")))
+    Tables.journal(s, s"$dir/events.parquet")
+      .withColumn("event_date", to_date(col("ts")))
       .write.partitionBy("event_date").mode("overwrite").parquet(path)
 
   /** Replay a [[writeJournal]] journal as of `tMs`: the literal date bound
     * prunes whole day partitions at planning time (PartitionFilters) and
-    * the raw-ns bound prunes row groups within the boundary day
+    * the literal ts bound prunes row groups within the boundary day
     * (PushedFilters). Identical state to [[edgeStateAsOf]] by
     * construction — StreamingSpec pins both the equality and the pruning.
     */
@@ -289,12 +284,9 @@ object StreamingOps {
     require(tMs >= 0, s"replayJournalAsOf needs a non-negative epoch-ms cutoff (got $tMs)")
     val cutDate = java.time.Instant.ofEpochMilli(tMs)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate
-    val schema = Tables.eventsRawSchema.add("event_date", "date")
-    val raw = s.read.schema(schema).parquet(path)
-      .filter(col("event_date") <= lit(java.sql.Date.valueOf(cutDate)) &&
-        col("ts") <= lit(tMs * 1000000L + 999999L))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    foldEdgeState(raw)
+    foldEdgeState(
+      Tables.journal(s, path, withDate = true, upToMs = Some(tMs))
+        .filter(col("event_date") <= lit(java.sql.Date.valueOf(cutDate))))
   }
 
   /** Attribution pairs — the stream-stream twin of `join_asof`'s domain:
@@ -468,16 +460,15 @@ object StreamingOps {
 
   // ===== readStream builders (library surface; driven by StreamingSpec) =====
 
-  /** The events journal as a replayable stream, with the same ns→µs
-    * timestamp normalization as the batch loader. Ingestion goes through
-    * the pluggable [[graft.sources.EventBus]] seam — the default replays
-    * the parquet journal; a broker-equipped deployment swaps a Kafka bus
-    * in via `-Dgraft.eventbus.class` and every downstream operator is
-    * unchanged (they only ever see the normalized frame this returns).
+  /** The events journal as a replayable stream, already in the normalized
+    * shape (`ts` a µs TimestampType — the [[graft.sources.EventBus]]
+    * contract). Ingestion goes through the pluggable bus seam — the default
+    * replays the parquet journal unit-aware; a broker-equipped deployment
+    * swaps a Kafka bus in via `-Dgraft.eventbus.class` and every downstream
+    * operator is unchanged (they only ever see the normalized frame).
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame =
     graft.sources.EventBus.active.events(s, dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
 
   def tumblingStream(s: SparkSession, dir: String): DataFrame =
     tumblingCore(eventsStream(s, dir).withWatermark("ts", "10 minutes"))

@@ -18,13 +18,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * no-arg constructor implementing this trait. A Kafka implementation is
   * one expression — `spark.readStream.format("kafka")
   * .option("subscribe", locator)... ` plus `from_json` into
-  * [[graft.Tables.eventsRawSchema]] — and every §2.8 streaming operator
+  * [[graft.Tables.eventsMicrosSchema]] — and every §2.8 streaming operator
   * picks it up unchanged, because they consume the bus only through
   * [[EventBus.events]].
   *
-  * The contract is the RAW journal row shape (`eventsRawSchema`: ts is
-  * the int64 nanosecond column); timestamp normalization stays in the
-  * operators so every source implementation ships the same wire shape.
+  * The contract is the NORMALIZED journal row shape
+  * ([[graft.Tables.eventsMicrosSchema]]: `ts` a µs TimestampType, UTC).
+  * Timestamp normalization lives in the SOURCE, because only the source
+  * knows its wire encoding — the parquet replay bus sniffs the footer unit
+  * ([[graft.Tables.eventsTsUnit]]) and adapts; a broker bus decodes its
+  * payload format. Operators never see a raw encoding.
   */
 trait EventBus {
   /** An unbounded stream of raw journal rows for `locator` (a directory
@@ -40,13 +43,24 @@ trait EventBus {
   * transport).
   */
 class ParquetReplayBus extends EventBus {
-  override def events(s: SparkSession, locator: String): DataFrame =
+  override def events(s: SparkSession, locator: String): DataFrame = {
     // The file-stream source monitors a DIRECTORY; the sf dir holds one
-    // parquet file per table, so glob-filter to the events file.
-    s.readStream
-      .schema(graft.Tables.eventsRawSchema)
+    // parquet file per table, so glob-filter to the events file. The ts
+    // unit is sniffed from the footer (NANOS-era journals need the raw
+    // int64 read + DIV 1000 normalization; MICROS-era reads natively).
+    val nanos =
+      graft.Tables.eventsTsUnit(s, s"$locator/events.parquet") == "NANOS"
+    val schema =
+      if (nanos) graft.Tables.eventsRawSchema else graft.Tables.eventsMicrosSchema
+    val raw = s.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(locator)
+    if (nanos)
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
 }
 
 object EventBus {

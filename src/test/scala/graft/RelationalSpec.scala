@@ -203,12 +203,38 @@ class RelationalSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"timestamp range join was not banded:\n$plan")
-    // exactness vs the ms-domain brute force
+    // exactness vs a brute force in the SAME µs domain the TimestampType
+    // comparison evaluates in (an ms-truncated twin miscounts any pair whose
+    // gap straddles the 10-min boundary inside a millisecond — the r8
+    // 207032 ≠ 207031 off-by-one)
     val got = joined.count()
-    val ms = Tables.events(spark, sf).select(unix_millis($"ts").as("t"))
-    val brute = ms.as("a").crossJoin(ms.select($"t".as("t2")).as("b"))
-      .filter($"t2" > $"t" && $"t2" <= $"t" + 600000L).count()
+    val us = Tables.events(spark, sf).select(unix_micros($"ts").as("t"))
+    val brute = us.as("a").crossJoin(us.select($"t".as("t2")).as("b"))
+      .filter($"t2" > $"t" && $"t2" <= $"t" + 600000000L).count()
     assert(got === brute)
+  }
+
+  test("BandRangeJoin TIMESTAMP boundary inclusivity is exact at µs resolution") {
+    import spark.implicits._
+    graft.plans.BandRangeJoin.install(spark)
+    // three instants: t0, t0 + 10 min EXACTLY, t0 + 10 min + 1 µs — the
+    // banded rewrite must keep `<=` inclusive and `>` strict at the finest
+    // unit TimestampType carries, independent of band width arithmetic
+    val df = Seq(0L, 600000000L, 600000001L).toDF("us")
+      .select($"us", expr("timestamp_micros(us)").as("ts"))
+    val l = df.select($"us".as("id1"), $"ts".as("t1"))
+    val r = df.select($"us".as("id2"), $"ts".as("t2"))
+    val joined = l.join(r,
+      $"t2" > $"t1" && $"t2" <= $"t1" + expr("INTERVAL 10 MINUTES"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"µs boundary probe was not banded:\n$plan")
+    val pairs = joined.select($"id1", $"id2").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(pairs((0L, 600000000L)), "pair at exactly +10min must be INCLUDED (<=)")
+    assert(!pairs((0L, 600000001L)), "pair at +10min+1µs must be EXCLUDED")
+    assert(pairs((600000000L, 600000001L)), "1µs gap satisfies the strict >")
+    assert(!pairs.exists { case (a, b) => a == b }, "strict > excludes self-pairs")
   }
 
   test("BandRangeJoinRule bands the SQL-text BETWEEN spelling too") {

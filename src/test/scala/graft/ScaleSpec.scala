@@ -152,6 +152,57 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("band pair budget: collapsed-ts frame fail-fasts; healthy spread and theta ops flow through") {
+    import spark.implicits._
+    // the r8 incident in miniature: 2000 events collapsed into ONE 10-min
+    // band (a degenerate time distribution) -> ~4M candidate pairs; the
+    // band guard must raise BEFORE the quadratic join, naming the op
+    val collapsed = (1 to 2000).map(i => (i.toLong, 100L + i % 3)).toDF("id", "t")
+    val over = api.PairBudget.gateBanded(collapsed, collapsed, Nil,
+      floor($"t" / 600000L), floor($"t" / 600000L), spread = 2,
+      "test_band_op", "test_alternative", budget = 1000L)
+    val ex = intercept[Exception] { over.count() }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("test_band_op") && msg.contains("test_alternative"),
+      s"band guard error should name the op and the way out: $msg")
+    // healthy spread (one event per band) passes row-preserving
+    val spread = (1 to 2000).map(i => (i.toLong, i * 600000L)).toDF("id", "t")
+    val under = api.PairBudget.gateBanded(spread, spread, Nil,
+      floor($"t" / 600000L), floor($"t" / 600000L), spread = 2,
+      "test_band_op", "test_alternative", budget = 10000L)
+    assert(under.columns.toSeq == Seq("id", "t"))
+    assert(under.count() == 2000L)
+    // keyed blocks: same collapsed band but 40 distinct keys -> per-block
+    // pair stream drops 40x; a budget between the two separates them
+    val keyed = (1 to 2000).map(i => (i.toLong % 40, i.toLong, 100L)).toDF("user_id", "id", "t")
+    assert(api.PairBudget.gateBanded(keyed, keyed, Seq("user_id"),
+      floor($"t" / 600000L), floor($"t" / 600000L), spread = 1,
+      "test_band_op", "test_alternative", budget = 200000L).count() == 2000L)
+    intercept[Exception] {
+      api.PairBudget.gateBanded(keyed, keyed, Nil,
+        floor($"t" / 600000L), floor($"t" / 600000L), spread = 1,
+        "test_band_op", "test_alternative", budget = 200000L).count()
+    }
+    // the wired ops: a tiny -Dgraft.pairs.max trips BOTH theta ops on real
+    // data (proving the guard sits in the registry path), and the default
+    // budget lets them run
+    val prev = sys.props.get("graft.pairs.max")
+    sys.props("graft.pairs.max") = "10"
+    try {
+      for (key <- Seq("join_theta_range", "join_theta_rule")) {
+        val e2 = intercept[Exception] { SparkEntry.queries(key)(spark, sf).count() }
+        val m2 = Option(e2.getMessage).getOrElse("") +
+          Option(e2.getCause).map(_.getMessage).getOrElse("")
+        assert(m2.contains(key), s"$key should fail-fast under a 10-pair budget: $m2")
+      }
+    } finally prev match {
+      case Some(v) => sys.props("graft.pairs.max") = v
+      case None => sys.props.remove("graft.pairs.max")
+    }
+    assert(SparkEntry.queries("join_theta_range")(spark, sf).count() > 0)
+  }
+
   test("exact pair twins run under the default budget at sf0.01 (guard stays silent)") {
     // the five declared exact twins + adamic_adar each carry the fail-fast
     // guard; this pins that the default 1e9 budget never fires on the

@@ -22,6 +22,31 @@ class SourceSpec extends SparkSpec {
       orig.orderBy($"n_nationkey").collect().toSeq)
   }
 
+  test("schema drift guard: events.parquet ts unit is one the loader handles, values in the documented domain") {
+    import spark.implicits._
+    // The driver regenerated events.parquet between rounds 8 and 9 and the
+    // physical ts encoding CHANGED (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)),
+    // silently breaking 22 oracle rows. This guard makes the next regen fail
+    // ONE spec loudly, naming the found unit, instead of failing the oracle
+    // silently: (a) the footer annotation must be a unit Tables.journal
+    // adapts to; (b) the normalized values must land in FIXTURES.md's
+    // documented 2024 event-time domain (catches a wrong-unit divide, which
+    // collapses 30 days into minutes of 1970, regardless of the annotation).
+    val unit = Tables.eventsTsUnit(spark, s"$sf/events.parquet")
+    assert(Set("NANOS", "MICROS", "MILLIS").contains(unit),
+      s"events.parquet ts carries parquet annotation unit '$unit' — " +
+        "Tables.journal only adapts to NANOS/MICROS/MILLIS; the driver " +
+        "regenerated testdata with a new encoding, update Tables.scala")
+    val r = Tables.events(spark, sf)
+      .agg(min(year($"ts")).as("y0"), max(year($"ts")).as("y1"),
+        count(lit(1)).as("n")).first()
+    assert(r.getLong(2) > 0L)
+    assert(r.getInt(0) >= 2020 && r.getInt(1) <= 2030,
+      s"normalized events.ts spans years ${r.getInt(0)}..${r.getInt(1)} — " +
+        s"outside the documented 2024 domain; the loader is decoding the " +
+        s"'$unit'-annotated column with the wrong unit (FIXTURES.md events)")
+  }
+
   test("json round-trip: nested struct survives with explicit schema") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_json_").toString + "/out"

@@ -75,9 +75,9 @@ class StreamingSpec extends SparkSpec {
         (sum($"vs") / 10000.0).as("weight"),
         max($"ts_ms").as("last_ts_ms"))
     assert(sortedRows(asof) === sortedRows(twin))
-    // the literal cutoff must reach the parquet reader: the bound is
-    // applied to the RAW ns column, so it shows up as a PushedFilter
-    // (the old broadcast-scalar T scanned the full journal)
+    // the literal cutoff must reach the parquet reader: Tables.journal
+    // applies the bound in the file's own unit, so it shows up as a
+    // PushedFilter (the old broadcast-scalar T scanned the full journal)
     val p = asof.queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(ts"),
       s"as-of cutoff not pushed into the journal scan:\n$p")
@@ -106,8 +106,9 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(pruned) === sortedRows(flat))
     assert(pruned.count() > 0)
     // planning-time proof (the sink_partitioned treatment): the literal
-    // date bound is a PartitionFilter, the literal raw-ns bound a
-    // PushedFilter — neither was possible with the old in-plan scalar T
+    // date bound is a PartitionFilter, the literal ts bound (in the
+    // journal's own unit) a PushedFilter — neither was possible with the
+    // old in-plan scalar T
     val p = pruned.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters") && p.contains("event_date"),
       s"journal replay does not prune date partitions:\n$p")

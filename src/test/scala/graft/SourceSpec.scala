@@ -47,6 +47,48 @@ class SourceSpec extends SparkSpec {
         s"'$unit'-annotated column with the wrong unit (FIXTURES.md events)")
   }
 
+  test("schema drift guard: every table reads with the documented column names and types") {
+    import org.apache.spark.sql.types._
+    // the events-unit guard above catches the encoding drift that actually
+    // happened; this one catches the rest of the space — a regen that
+    // renames, retypes, reorders or adds columns on ANY table fails here
+    // naming the exact diff, instead of failing oracle rows downstream.
+    // Timestamp flavors (TIMESTAMP vs TIMESTAMP_NTZ — the driver writes
+    // unadjusted-to-UTC, inference may pick either) normalize to one token:
+    // operators only ever see them through the UTC-pinned session.
+    def norm(dt: DataType): String = dt match {
+      case TimestampType | TimestampNTZType => "timestamp"
+      case ArrayType(e, _)                  => s"array<${norm(e)}>"
+      case other                            => other.typeName
+    }
+    val expected = Map(
+      "region" -> "r_regionkey:integer, r_name:string",
+      "nation" -> "n_nationkey:integer, n_name:string, n_regionkey:integer",
+      "customer" -> ("c_custkey:long, c_name:string, c_nationkey:integer, " +
+        "c_acctbal:double, c_mktsegment:string"),
+      "supplier" -> "s_suppkey:long, s_name:string, s_nationkey:integer, s_acctbal:double",
+      "part" -> ("p_partkey:long, p_name:string, p_brand:string, p_type:string, " +
+        "p_size:integer, p_retailprice:double"),
+      "orders" -> ("o_orderkey:long, o_custkey:long, o_orderstatus:string, " +
+        "o_totalprice:double, o_orderdate:timestamp, o_orderpriority:string"),
+      "lineitem" -> ("l_orderkey:long, l_partkey:long, l_suppkey:long, " +
+        "l_linenumber:integer, l_quantity:double, l_extendedprice:double, " +
+        "l_discount:double, l_tax:double, l_returnflag:string, " +
+        "l_linestatus:string, l_shipdate:timestamp"),
+      "events" -> ("event_id:long, ts:timestamp, user_id:long, " +
+        "event_type:string, value:double, props:string"),
+      "documents" -> "doc_id:long, text:string, lang:string, source:string, n_chars:long",
+      "embeddings" -> "vec_id:long, embedding:array<float>, label:integer")
+    for ((name, want) <- expected) {
+      val df =
+        if (name == "events") Tables.events(spark, sf) else Tables.t(spark, sf, name)
+      val got = df.schema.map(f => s"${f.name}:${norm(f.dataType)}").mkString(", ")
+      assert(got == want,
+        s"table '$name' schema drifted under a testdata regen:\n  found    $got\n" +
+          s"  expected $want\nupdate FIXTURES.md + the affected loaders/ops together")
+    }
+  }
+
   test("json round-trip: nested struct survives with explicit schema") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_json_").toString + "/out"

@@ -47,6 +47,60 @@ class SourceSpec extends SparkSpec {
         s"'$unit'-annotated column with the wrong unit (FIXTURES.md events)")
   }
 
+  test("NANOS-era journal branch: synthetic timestamp[ns] parquet sniffs, normalizes and bounds correctly") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import spark.implicits._
+    // the live testdata is µs-era, so the rounds-1-8 NANOS fallback in
+    // Tables.journal would otherwise be dead code until the driver flips
+    // the encoding back — synthesize a real TIMESTAMP(NANOS) file (Spark
+    // cannot write one; parquet-java can) and drive the branch end to end
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val dir = Files.createTempDirectory("graft_ns_era_").toString
+    val file = s"$dir/events.parquet"
+    val conf = spark.sessionState.newHadoopConf()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new Path(file), conf))
+      .withConf(conf).withType(schema).build()
+    // ns values with sub-µs tails: 2024-01-01T00:00:00Z is 1704067200 s
+    val baseNs = 1704067200L * 1000000000L
+    val rowsNs = Seq(baseNs, baseNs + 1500L, baseNs + 60L * 1000000000L + 999999999L)
+    val f = new SimpleGroupFactory(schema)
+    try rowsNs.zipWithIndex.foreach { case (ns, i) =>
+      val g = f.newGroup()
+      g.add("event_id", i.toLong); g.add("ts", ns); g.add("user_id", 7L)
+      g.add("event_type", "click"); g.add("value", 1.5); g.add("props", """{"k":1}""")
+      writer.write(g)
+    } finally writer.close()
+    assert(Tables.eventsTsUnit(spark, file) === "NANOS")
+    // normalization: ts = floor(ns/1000) µs (the DuckDB-matching truncation)
+    val got = Tables.journal(spark, file)
+      .select(unix_micros($"ts")).as[Long].collect().sorted
+    assert(got === rowsNs.map(_ / 1000L).sorted.toArray)
+    // the epoch-ms upper bound prunes in the ns domain and keeps the
+    // boundary millisecond's sub-ms tail (rows 0 and 1 share the cutoff ms)
+    val bounded = Tables.journal(spark, file, upToMs = Some(baseNs / 1000000L))
+    assert(bounded.count() === 2L)
+    // the replay bus normalizes the same era to the µs TimestampType shape
+    val busTs = new graft.sources.ParquetReplayBus().events(spark, dir)
+      .schema("ts").dataType
+    assert(busTs === org.apache.spark.sql.types.TimestampType)
+  }
+
   test("schema drift guard: every table reads with the documented column names and types") {
     import org.apache.spark.sql.types._
     // the events-unit guard above catches the encoding drift that actually

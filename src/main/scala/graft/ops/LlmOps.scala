@@ -942,6 +942,39 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** Deterministic weighted source INTERLEAVE — the data-loader mixing step
+    * that turns per-source corpora + mixing weights into one training ORDER
+    * (the consumption-side twin of [[llmImportanceResample]], which decides
+    * how MUCH of each source to keep): source s with integer weight w
+    * emits its rn-th document at virtual time (rn−1)·L/w (L = lcm of the
+    * weight domain, so vt is exact integer arithmetic — no float schedule
+    * drift between engines), and the global order by (vt, source, doc_id)
+    * interleaves sources proportionally to their weights — the standard
+    * deterministic round-robin schedule. Weights derive from the source id
+    * (1 + idx mod 4) so the op is a pure function of the data.
+    *
+    * Scale shape: the per-source ordinal is ONE shuffle partitioned by
+    * source (a skewed giant source makes this a range-partitioned rank —
+    * same plan family as `llm_pack_chunks`); the 200-position prefix is
+    * TakeOrderedAndProject (no global sort materializes), and the position
+    * ordinal windows over those 200 rows only. The full-corpus variant at
+    * 100 TB drops the position column and WRITES sorted by (vt, source,
+    * doc_id) — a range shuffle, which IS the training order.
+    */
+  val llmInterleaveMix: Q = (s, dir) => {
+    import s.implicits._
+    val byS = Window.partitionBy($"source").orderBy($"doc_id")
+    val r = Tables.documents(s, dir).select($"source", $"doc_id")
+      .withColumn("rn", row_number().over(byS).cast("long"))
+      .withColumn("w", lit(1L) + expr("cast(substring(source, 4) as bigint) % 4"))
+      .withColumn("vt", expr("((rn - 1) * 12) div w"))
+    val top = r.orderBy($"vt", $"source", $"doc_id").limit(200)
+    top.withColumn("position",
+        row_number().over(Window.orderBy($"vt", $"source", $"doc_id")).cast("long"))
+      .select($"position", $"source", $"doc_id", $"vt")
+      .orderBy($"position")
+  }
+
   /** Unigram-LM quality proxy — the cheap "perplexity-style" document
     * scorer of a training-data pipeline: corpus unigram frequencies feed a
     * per-document average surprise avg(−ln p(token)). Low = repetitive/
@@ -1258,6 +1291,7 @@ object LlmOps {
     "llm_overlap_matrix" -> llmOverlapMatrix,
     "llm_ngram_freq" -> llmNgramFreq,
     "llm_sample_stratified" -> llmSampleStratified,
+    "llm_interleave_mix" -> llmInterleaveMix,
     "llm_unigram_logprob" -> llmUnigramLogprob,
     "llm_multimodal_join" -> llmMultimodalJoin,
     "llm_pipeline_e2e" -> llmPipelineE2e,

@@ -474,6 +474,22 @@ object LlmOracle {
         |    / count(*) * 10000.0 + 0.5) / 10000.0 AS kept_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "llm_interleave_mix" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |    1 + (CAST(substr(source, 4) AS INT) % 4) AS w
+        |  FROM documents),
+        |v AS (
+        |  SELECT source, doc_id, ((rn - 1) * 12) // w AS vt FROM r),
+        |p AS (
+        |  SELECT source, doc_id, vt,
+        |    row_number() OVER (ORDER BY vt, source, doc_id) AS position
+        |  FROM v)
+        |SELECT CAST(position AS BIGINT) AS position, source, doc_id,
+        |  CAST(vt AS BIGINT) AS vt
+        |FROM p WHERE position <= 200 ORDER BY position""".stripMargin,
+
     "llm_chunk_sliding" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n

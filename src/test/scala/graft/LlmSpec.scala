@@ -404,4 +404,27 @@ class LlmSpec extends SparkSpec {
     assert(got === exact)
     assert(got.nonEmpty, "fixture should contain at least one contaminated pair")
   }
+
+  test("llm_interleave_mix: dense positions, per-source doc order, weight-proportional prefix") {
+    import spark.implicits._
+    val rows = q("llm_interleave_mix").collect()
+    // dense 1..200 position ordinals in output order
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 200L))
+    // within every source the emitted docs are a doc_id-ascending
+    // subsequence (the schedule never reorders a source's own stream)
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val ids = rs.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+      assert(ids === ids.sorted, s"$src emitted out of doc_id order: $ids")
+    }
+    // proportionality: weight-4 sources (idx mod 4 == 3) must dominate
+    // weight-1 sources (idx mod 4 == 0) in the prefix by well over 2x
+    // (exact schedule ratio is 4x; the prefix boundary blurs the tail)
+    def weightOf(src: String): Long = 1L + src.drop(3).toLong % 4
+    val byW = rows.groupBy(r => weightOf(r.getString(1))).view.mapValues(_.length)
+    assert(byW(4L) > 2.5 * byW(1L),
+      s"weight-4 sources got ${byW(4L)} of 200 vs weight-1 ${byW(1L)} — schedule not proportional")
+    // virtual time is non-decreasing along the schedule
+    val vts = rows.map(_.getLong(3)).toSeq
+    assert(vts === vts.sorted, "vt must be non-decreasing in position order")
+  }
 }

@@ -120,7 +120,13 @@ class ScaleSpec extends SparkSpec {
       "graph_tag_similarity" -> 240000L, // measured 177,305
       "llm_dedup_near" -> 3000000L, // measured 2,261,072
       "llm_ngram_jaccard" -> 2400000L, // measured 1,817,835
-      "graph_adamic_adar" -> 17000000L) // same pair stream as common_neighbors
+      "graph_adamic_adar" -> 17000000L, // same pair stream as common_neighbors
+      // the banded theta family (µs-domain, post-regen): the ceiling pins
+      // BAND density — the r8 ts collapse blew the candidate stream 377×
+      // while output rows still looked plausible; the runtime PairBudget
+      // catches catastrophe, this catches drift
+      "join_theta_range" -> 270000L, // measured 200,000 (µs domain)
+      "join_theta_rule" -> 3100000L) // measured 2,314,860 (µs domain)
     for ((key, cap) <- ceilings) {
       val n = maxJoinRows(SparkEntry.queries(key)(spark, sfBig))
       info(s"$key pair-join rows at sf0.1: $n")

@@ -415,6 +415,53 @@ object Relational {
       .orderBy($"purchase_id")
   }
 
+  /** NEAREST as-of join — each purchase attaches the click of the same
+    * user CLOSEST in time in EITHER direction (the kdb/QuestDB "nearest"
+    * variant; [[joinAsof]]/[[joinAsofFwd]] are the directional twins). Both
+    * directional candidates come from ONE union + ONE user-keyed sort:
+    * the backward running `last(ignoreNulls)` and the forward running
+    * `first(ignoreNulls)` are two window FRAMES over the same
+    * (user_id; ts_ms, side) ordering, so Catalyst plans one shuffle + one
+    * sort and both WindowExecs reuse it — still linear, never a per-key
+    * nested loop. Equal-gap ties (including a click at the exact purchase
+    * ms) resolve BACKWARD — a defined rule both engines evaluate with the
+    * same integer comparison.
+    */
+  val joinAsofNear: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_id", $"user_id", tsMs($"ts").as("ts_ms"), $"event_type")
+    val clicks = e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts_ms").agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"ts_ms", $"click_id", $"ts_ms".as("c_ts"),
+        lit(0).as("side"), lit(null).cast("long").as("purchase_id"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_ms", lit(null).cast("long").as("click_id"),
+        lit(null).cast("long").as("c_ts"), lit(1).as("side"),
+        $"event_id".as("purchase_id"))
+    val ord = Window.partitionBy($"user_id").orderBy($"ts_ms", $"side")
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // clicks sort BEFORE purchases at equal ts (side 0 < 1): the backward
+    // frame sees an equal-ts click at gap 0, which wins every tie — so the
+    // forward frame's exclusive-at-tie view never changes the answer
+    val pickB = $"m_ts".isNotNull &&
+      ($"n_ts".isNull || ($"ts_ms" - $"m_ts") <= ($"n_ts" - $"ts_ms"))
+    clicks.unionByName(purchases)
+      .withColumn("m_click", last($"click_id", ignoreNulls = true).over(back))
+      .withColumn("m_ts", last($"c_ts", ignoreNulls = true).over(back))
+      .withColumn("n_click", first($"click_id", ignoreNulls = true).over(fwd))
+      .withColumn("n_ts", first($"c_ts", ignoreNulls = true).over(fwd))
+      .filter($"side" === 1)
+      .select($"purchase_id", $"user_id", $"ts_ms".as("purchase_ts_ms"),
+        when(pickB, $"m_click").otherwise($"n_click").as("click_id"),
+        when(pickB, $"m_ts").otherwise($"n_ts").as("click_ts_ms"),
+        when(pickB, $"ts_ms" - $"m_ts").otherwise($"n_ts" - $"ts_ms").as("gap_ms"),
+        when(pickB, lit("b")).when($"n_ts".isNotNull, lit("f"))
+          .otherwise(lit(null).cast("string")).as("dir"))
+      .orderBy($"purchase_id")
+  }
+
   /** The same as-of semantics through the CUSTOM PHYSICAL OPERATOR
     * (plans.AsOfJoinExec — logical node + planner strategy + co-partitioned
     * single-pass merge with O(1) state). Same oracle as join_asof: the
@@ -1240,6 +1287,7 @@ object Relational {
     "join_asof" -> joinAsof,
     "join_asof_fwd" -> joinAsofFwd,
     "join_asof_exec" -> joinAsofExec,
+    "join_asof_near" -> joinAsofNear,
     "join_cross" -> joinCross,
     "agg_topk_group" -> aggTopkGroup,
     "agg_pricing" -> aggPricing,

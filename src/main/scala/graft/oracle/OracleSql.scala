@@ -702,6 +702,35 @@ object OracleSql {
         |  ON p.user_id = c.user_id AND c.ts_ms <= p.ts_ms
         |ORDER BY purchase_id""".stripMargin,
 
+    "join_asof_near" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |clicks AS (
+        |  SELECT user_id, ts_ms, max(event_id) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ts_ms
+        |  FROM e WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT p.purchase_id, p.user_id, p.ts_ms,
+        |    c.click_id AS b_id, c.ts_ms AS b_ts
+        |  FROM purchases p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND c.ts_ms <= p.ts_ms),
+        |f AS (
+        |  SELECT p.purchase_id, c.click_id AS f_id, c.ts_ms AS f_ts
+        |  FROM purchases p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND c.ts_ms >= p.ts_ms)
+        |SELECT b.purchase_id, b.user_id, b.ts_ms AS purchase_ts_ms,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR b.ts_ms - b_ts <= f_ts - b.ts_ms)
+        |       THEN b_id ELSE f_id END AS click_id,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR b.ts_ms - b_ts <= f_ts - b.ts_ms)
+        |       THEN b_ts ELSE f_ts END AS click_ts_ms,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR b.ts_ms - b_ts <= f_ts - b.ts_ms)
+        |       THEN b.ts_ms - b_ts ELSE f_ts - b.ts_ms END AS gap_ms,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR b.ts_ms - b_ts <= f_ts - b.ts_ms)
+        |       THEN 'b' WHEN f_ts IS NOT NULL THEN 'f' END AS dir
+        |FROM b JOIN f USING (purchase_id)
+        |ORDER BY purchase_id""".stripMargin,
+
     "join_asof_fwd" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
         |clicks AS (

@@ -100,4 +100,47 @@ class AsOfSpec extends SparkSpec {
     // null-keyed rows on either side are outer/no-ops, never "key 0"
     assert(got === Set((0L, 7L), (1L, -1L), (2L, -1L)))
   }
+
+  test("join_asof_near is the argmin merge of the backward and forward twins") {
+    import spark.implicits._
+    def byId(key: String): Map[Long, (Option[Long], Option[Long])] =
+      SparkEntry.queries(key)(spark, sf).collect().map { r =>
+        r.getLong(0) -> (
+          (if (r.isNullAt(3)) None else Some(r.getLong(3))),
+          (if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      }.toMap
+    val b = byId("join_asof")
+    val f = byId("join_asof_fwd")
+    val near = SparkEntry.queries("join_asof_near")(spark, sf).collect().map { r =>
+      r.getLong(0) -> (
+        (if (r.isNullAt(3)) None else Some(r.getLong(3))),
+        (if (r.isNullAt(5)) None else Some(r.getLong(5))),
+        (if (r.isNullAt(6)) None else Some(r.getString(6))))
+    }.toMap
+    assert(near.keySet === b.keySet && near.keySet === f.keySet)
+    near.foreach { case (pid, (nId, nGap, nDir)) =>
+      val (bId, bGap) = b(pid)
+      val (fId, fGap) = f(pid)
+      // defined tie rule: backward wins on equal gaps (gap 0 included)
+      val expect = (bGap, fGap) match {
+        case (Some(bg), Some(fg)) =>
+          if (bg <= fg) (bId, bGap, Some("b")) else (fId, fGap, Some("f"))
+        case (Some(_), None) => (bId, bGap, Some("b"))
+        case (None, Some(_)) => (fId, fGap, Some("f"))
+        case (None, None)    => (None, None, None)
+      }
+      assert((nId, nGap, nDir) === expect,
+        s"purchase $pid: near=($nId,$nGap,$nDir) expected $expect (b=$b, f=$f)")
+    }
+    assert(near.values.exists(_._3.contains("b")) &&
+      near.values.exists(_._3.contains("f")),
+      "fixture should exercise both directions")
+    // plan shape: the two directional window frames share one user-keyed
+    // sort — adding the forward candidate must not add a shuffle beyond
+    // the click-dedup agg and the window partitioning
+    val p = SparkEntry.queries("join_asof_near")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges (agg + window), got $exchanges:\n$p")
+  }
 }

@@ -429,6 +429,20 @@ object GraphAlgebra {
     * The label-frame broadcast is GATED on |V| ≤ `broadcastMaxRows` (|V|
     * is one count on the checkpointed initial labels, invariant across
     * rounds): past the ceiling both per-round joins run un-hinted.
+    *
+    * Rounds after the first propagate ONLY from the frontier — the rows
+    * whose label improved last round — not from the full label frame:
+    * labels are monotone, so a neighbor whose label did NOT change last
+    * round already had its current label min-folded into every adjacent
+    * vertex in the round it last improved (the same Bellman-Ford queue
+    * argument as [[graft.ops.GraphOps.graphWsssp]]'s relaxation). The
+    * convergence tail (changed = tens of rows for several rounds on a
+    * chain-heavy graph — the r9 sf0.1 probe measured rounds 4–7 changing
+    * 20/10/2/0 labels) then joins a frontier-sized broadcast against |E|
+    * instead of re-shuffling the full label frame: at 100 TB that turns
+    * the tail rounds from full-|E| exchanges into near-free map-side
+    * probes, and the frontier hint self-gates because its row count IS
+    * the convergence counter the loop already computes.
     */
   def connectedComponentsDf(vertices: DataFrame, pairs: DataFrame,
                             broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
@@ -440,13 +454,16 @@ object GraphAlgebra {
     var labels = vertices.select(col("part").as("id"), col("part").as("lbl"))
       .cp()
     val nV = labels.count() // label frame stays exactly |V| rows every round
+    var frontier = labels // round 1 relaxes from everyone
+    var frontierRows = nV
     var changed = 1L
     while (changed > 0) {
-      val nbrMin = both.join(hinted(labels, nV, broadcastMaxRows), col("a") === col("id"))
+      val nbrMin = both.join(hinted(frontier, frontierRows, broadcastMaxRows),
+          col("a") === col("id"))
         .groupBy(col("b").as("nid")).agg(min(col("lbl")).as("nmin"))
       // checkpointed BEFORE the self-join below — both join sides read it,
-      // and an unmaterialized cand would re-execute the |E| propagation
-      // join twice per round
+      // and an unmaterialized cand would re-execute the propagation join
+      // twice per round
       val cand = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .cp()
@@ -459,8 +476,16 @@ object GraphAlgebra {
         .select(col("x.id").as("id"),
           least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"))
         .cp()
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      // the diff IS the next frontier (vertices whose label improved this
+      // round — via the edge join or via pointer jumping; either way their
+      // neighbors must observe the new label next round)
+      val diff = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .select(col("n.id").as("id"), col("n.lbl").as("lbl"))
+        .cp()
+      changed = diff.count()
+      frontier = diff
+      frontierRows = changed
       labels = next
     }
     labels.select(col("id"), col("lbl").as("comp"))

@@ -1245,7 +1245,128 @@ object LlmOps {
       .orderBy($"doc_id", $"win_idx")
   }
 
+  /** Regex scalar surface — the extract / global-replace / match-count /
+    * boolean-match quartet every text pipeline leans on, spelled in the
+    * POSIX-class subset where Java regex (Spark) and RE2 (DuckDB) agree
+    * (no backrefs, no lookaround — those diverge across engines and
+    * forfeit codegen). All four stay inside whole-stage codegen; the scan
+    * reads exactly (p_partkey, p_name).
+    */
+  val fnRegex: Q = (s, dir) => {
+    import s.implicits._
+    Tables.part(s, dir).select(
+      $"p_partkey",
+      regexp_extract($"p_name", "^([a-z]+)", 1).as("head_word"),
+      regexp_replace($"p_name", "[aeiou]", "").as("devoweled"),
+      size(regexp_extract_all($"p_name", lit("[a-z]+"), lit(0))).cast("long")
+        .as("n_words"),
+      $"p_name".rlike("red|blue|green").as("has_color"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Cross-document duplicated-span coverage — the detection half of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": spans of ≥ k tokens appearing verbatim
+    * in more than one document are memorization fuel and get cut). The
+    * suffix-array formulation is inherently single-machine; the
+    * relational equivalent fingerprints every k-token window (k = 8) and
+    * marks windows whose exact text occurs in ≥ 2 distinct documents —
+    * per document: how many of its windows are cross-doc duplicates.
+    * Downstream, `dup_ratio` ≈ 1 flags boilerplate mirrors; mid-range
+    * flags quote-heavy docs for span-level cutting.
+    *
+    * Scale shape: the window stream is generated in-place (explode over a
+    * sequence — no per-doc array shuffle), and the one heavy exchange
+    * groups it by gram to count distinct docs; the dup-gram set then joins
+    * back on the SAME gram key, so the grouped partitioning is reused
+    * (co-partitioned join, no second full shuffle of the stream). At
+    * 100 TB the gram key would be xxhash64(gram) — 8 bytes shuffled
+    * instead of a 50-byte string, collision-safe for counting "≥ 2 docs"
+    * — kept as the raw text here so the DuckDB oracle replays bit-for-bit.
+    */
+  val llmDupNgramSpans: Q = (s, dir) => {
+    import s.implicits._
+    val k = 8
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), " ").as("toks"))
+      .withColumn("n", size($"toks").cast("long"))
+      .filter($"n" >= k)
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(1L), $"n" - (k - 1))).as("i"))
+      .select($"doc_id",
+        concat_ws(" ", slice($"toks", $"i".cast("int"), lit(k))).as("gram"))
+      .cp() // feeds the dup-gram agg AND the coverage join below
+    val dup = grams.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"gram", lit(true).as("is_dup"))
+    grams.join(dup, Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("total_spans"),
+        count(when($"is_dup", 1)).as("dup_spans"))
+      .withColumn("dup_ratio", pround4($"dup_spans" / $"total_spans"))
+      .orderBy($"doc_id")
+  }
+
+  /** BM25 retrieval scoring (Robertson/Spärck Jones, k1 = 1.2, b = 0.75)
+    * of every document against a corpus-derived probe query — the ranking
+    * half of a training-data curation loop (find documents most "about"
+    * the dominant corpus topic; the same plan serves decontamination
+    * probes and topic-targeted sampling). The query is a pure function of
+    * the data: the 3 highest-df tokens (ties by token) — no out-of-band
+    * query literal the oracle couldn't reconstruct.
+    *
+    * Hash discipline: BM25's tf saturation is a RATIONAL in the integers
+    * (tf, doc len L, corpus totals N, T): with k1 = 6/5, b = 3/4,
+    * tf·(k1+1) / (tf + k1(1−b+b·L·N/T)) = 44·tf·T / (20·tf·T + 6·T +
+    * 18·L·N) exactly. The implementation evaluates it as one BIGINT
+    * integer division scaled to micro-units; the sole transcendental
+    * (idf's ln) is nano-quantized per TERM — 3 values corpus-wide —
+    * before entering the integer pipeline. Score = Σ idf_nano·ratio_micro
+    * in exact BIGINT (bounded by ~2.4e16·|q| ≪ 2^63 at any SF whose
+    * corpus token count T keeps 44·tf·T·1e6 under 2^63 — ~2e11 tokens;
+    * past that this column widens to DECIMAL(38,0), same plan), rounded
+    * once for display.
+    *
+    * Scale shape: one tokenize pass is checkpointed and reused for doc
+    * lengths, df, and tf (three aggs, no re-scan); the 3-term query and
+    * the two corpus scalars broadcast into the tf stream, so the only
+    * big exchange is the (doc, term) tf agg — partial map-side. Top-20 is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  val llmBm25Topk: Q = (s, dir) => {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("t"))
+      .cp()
+    val lens = tok.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+    val tots = lens.agg(count(lit(1)).as("nd"), sum($"len").as("tt"))
+    val dfq = tok.select($"doc_id", $"t").distinct()
+      .groupBy($"t").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"t").limit(3)
+    val q = dfq.crossJoin(tots)
+      // (2N−2df+1)/(2df+1) is an exact-rational double division; ln is the
+      // one libm call, quantized immediately (3 values corpus-wide)
+      .withColumn("idf_nano",
+        floor(log((lit(2) * $"nd" - lit(2) * $"df" + lit(1)) /
+          (lit(2) * $"df" + lit(1)) + lit(1)) * 1.0e9 + 0.5).cast("long"))
+      .select($"t", $"idf_nano", $"nd", $"tt")
+    tok.groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+      .join(broadcast(q), "t")
+      .join(lens, "doc_id")
+      .withColumn("ratio_micro", expr(
+        "(44 * tf * tt * 1000000L) DIV (20 * tf * tt + 6 * tt + 18 * len * nd)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum($"idf_nano" * $"ratio_micro") / 1.0e15, 4).as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_regex" -> fnRegex,
+    "llm_dup_ngram_spans" -> llmDupNgramSpans,
+    "llm_bm25_topk" -> llmBm25Topk,
     "mm_frame_sample" -> mmFrameSample,
     "mm_audio_window" -> mmAudioWindow,
     "fn_string" -> fnString,

@@ -1262,7 +1262,74 @@ object Relational {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** Gaps-and-islands streak detection — the classic "longest run of
+    * consecutive active days per user" engagement query (the batch twin of
+    * sessionization one granularity up: sessions chain events by a time
+    * gap, streaks chain DAYS by calendar adjacency). The island key is the
+    * textbook `day − row_number()` trick: within a user's sorted distinct
+    * active days, consecutive days share `d − rn`, so one window pass and
+    * two hash aggs produce per-streak extents without any self-join.
+    *
+    * Scale shape: the DISTINCT collapses the raw clickstream to ≤ users ×
+    * days rows BEFORE the window sort (partial agg map-side), and every
+    * later stage is keyed on user_id — one user-partitioned shuffle
+    * carries the window and both rollups (AQE handles power-user skew).
+    * Day arithmetic stays in epoch-day integers end to end — no timestamp
+    * arithmetic after the one epoch-ms division, so the two engines
+    * compare exact BIGINTs.
+    */
+  val winStreaks: Q = (s, dir) => {
+    import s.implicits._
+    val days = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+      .distinct()
+    val byUser = Window.partitionBy($"user_id").orderBy($"d")
+    val streaks = days
+      .withColumn("isl", $"d" - row_number().over(byUser))
+      .groupBy($"user_id", $"isl")
+      .agg(count(lit(1)).as("len"), min($"d").as("start_day"))
+    streaks
+      .withColumn("mx", max($"len").over(Window.partitionBy($"user_id")))
+      .groupBy($"user_id")
+      .agg(sum($"len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max($"len").as("max_streak"),
+        min(when($"len" === $"mx", $"start_day")).as("best_start_day"))
+      .orderBy($"user_id")
+  }
+
+  /** Per-group Shannon entropy (nats) of each user's event-type mix — the
+    * behavioral-diversity score (a uniform clicker scores ln(k), a
+    * single-action bot scores 0; downstream pipelines threshold both
+    * tails). Two-level aggregation: exact counts at (user, type), then a
+    * user-keyed rollup — the (user, type) partial agg combines map-side so
+    * the one real shuffle carries pre-reduced rows.
+    *
+    * Hash discipline (SURVEY §2.9): each type's surprise −ln(c/n) is
+    * quantized to a BIGINT nano-unit BEFORE the Σ c·t accumulation — the
+    * sum is exact integer arithmetic in any reduction order, and the final
+    * entropy = Σc·t / (n·1e9) is one correctly-rounded division. Summing
+    * doubles and rounding last — the obvious spelling — is reduction-order
+    * dependent and red-rowed llm_collocations in r6.
+    */
+  val aggEntropy: Q = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id")
+    Tables.events(s, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum($"c").over(byUser))
+      .withColumn("t", floor(-log($"c" / $"n") * 1.0e9 + 0.5).cast("long"))
+      .groupBy($"user_id")
+      .agg(max($"n").as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(sum($"c" * $"t") / (max($"n") * 1.0e9), 4).as("entropy_nats"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_streaks" -> winStreaks,
+    "agg_entropy" -> aggEntropy,
     "win_pareto" -> winPareto,
     "agg_retention" -> aggRetention,
     "src_partitioned" -> srcPartitioned,

@@ -60,6 +60,54 @@ object LlmOracle {
        |WHERE j >= 0.5 ORDER BY jac.d1, jac.d2""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "fn_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS head_word,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        |  CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+        |  regexp_matches(p_name, 'red|blue|green') AS has_color
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "llm_dup_ngram_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM d, UNNEST(range(1, n - 7 + 1)) AS t(i)
+        |  WHERE n >= 8),
+        |dup AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT g.doc_id, count(*) AS total_spans, count(dup.gram) AS dup_spans,
+        |  floor(count(dup.gram) / count(*) * 10000.0 + 0.5) / 10000.0 AS dup_ratio
+        |FROM g LEFT JOIN dup ON g.gram = dup.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "llm_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS t FROM documents),
+        |lens AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+        |tots AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(len) AS BIGINT) AS tt
+        |  FROM lens),
+        |dfq AS (
+        |  SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t
+        |  ORDER BY df DESC, t LIMIT 3),
+        |q AS (
+        |  SELECT t,
+        |    CAST(floor(ln((2 * nd - 2 * df + 1) / (2 * df + 1) + 1) * 1e9 + 0.5)
+        |      AS BIGINT) AS idf_nano,
+        |    nd, tt
+        |  FROM dfq, tots),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2)
+        |SELECT tf.doc_id, count(*) AS n_terms,
+        |  round(CAST(sum(idf_nano *
+        |      ((44 * tf * tt * 1000000) // (20 * tf * tt + 6 * tt + 18 * len * nd)))
+        |    AS DOUBLE) / 1e15, 4) AS score
+        |FROM tf JOIN q USING (t) JOIN lens USING (doc_id)
+        |GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin,
+
     // ===== function batteries =====
     "fn_string" ->
       """SELECT doc_id,

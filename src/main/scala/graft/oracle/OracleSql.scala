@@ -402,6 +402,39 @@ object OracleSql {
        |ORDER BY cntrycode""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "win_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d FROM events),
+        |isl AS (
+        |  SELECT user_id, d,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS g
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, g, count(*) AS len, min(d) AS start_day
+        |  FROM isl GROUP BY 1, 2),
+        |mx AS (
+        |  SELECT user_id, len, start_day,
+        |    max(len) OVER (PARTITION BY user_id) AS m
+        |  FROM st)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak,
+        |  min(CASE WHEN len = m THEN start_day END) AS best_start_day
+        |FROM mx GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, c, CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM c),
+        |t AS (
+        |  SELECT user_id, c, n,
+        |    CAST(floor(-ln(c / n) * 1e9 + 0.5) AS BIGINT) AS t
+        |  FROM w)
+        |SELECT user_id, max(n) AS n_events, count(*) AS n_types,
+        |  round(CAST(sum(c * t) AS DOUBLE) / (max(n) * 1e9), 4) AS entropy_nats
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "sql_q2" -> Q2,
     "sql_q3" -> Q3,
     "sql_q4" -> Q4,

@@ -427,4 +427,70 @@ class LlmSpec extends SparkSpec {
     val vts = rows.map(_.getLong(3)).toSeq
     assert(vts === vts.sorted, "vt must be non-decreasing in position order")
   }
+
+  test("fn_regex: devoweling, word counting, and color matching agree with the source") {
+    val rows = q("fn_regex").collect()
+    assert(rows.nonEmpty)
+    val names = Tables.part(spark, sf).select("p_partkey", "p_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val name = names(r.getLong(0))
+      assert(!r.getString(r.fieldIndex("devoweled")).exists("aeiou".contains(_)))
+      assert(name.startsWith(r.getString(r.fieldIndex("head_word"))))
+      assert(r.getLong(r.fieldIndex("n_words")) ===
+        "[a-z]+".r.findAllIn(name).length)
+      assert(r.getBoolean(r.fieldIndex("has_color")) ===
+        "red|blue|green".r.findFirstIn(name).isDefined)
+    }
+  }
+
+  test("llm_dup_ngram_spans: matches a JVM sliding-window brute force") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split(" ", -1).toSeq))
+    val grams = docs.flatMap { case (id, ts) =>
+      if (ts.length >= 8) ts.sliding(8).map(w => (id, w.mkString(" "))) else Iterator.empty
+    }
+    val dup = grams.groupBy(_._2).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val exp = grams.groupBy(_._1).map { case (id, gs) =>
+      val total = gs.size.toLong
+      val d = gs.count(g => dup(g._2)).toLong
+      id -> (total, d, math.floor(d.toDouble / total * 10000.0 + 0.5) / 10000.0)
+    }
+    val got = q("llm_dup_ngram_spans").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === exp)
+    assert(dup.nonEmpty, "fixture should contain at least one cross-doc duplicated 8-gram")
+  }
+
+  test("llm_bm25_topk: matches a JVM integer-rational BM25 recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split(" ", -1).toSeq))
+    val lens = docs.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val nd = docs.length.toLong
+    val tt = lens.values.sum
+    val df = docs.flatMap { case (id, ts) => ts.distinct.map(t => (t, id)) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.size.toLong }
+    val terms = df.toSeq.sortBy { case (t, d) => (-d, t) }.take(3)
+    val idf = terms.map { case (t, d) =>
+      t -> math.floor(math.log((2.0 * nd - 2 * d + 1) / (2 * d + 1) + 1) * 1e9 + 0.5).toLong
+    }.toMap
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = docs.flatMap { case (id, ts) =>
+      val tfs = idf.keySet.toSeq.map(t => t -> ts.count(_ == t).toLong)
+        .filter(_._2 > 0)
+      if (tfs.isEmpty) None
+      else {
+        val s = tfs.map { case (t, tf) =>
+          idf(t) * ((44L * tf * tt * 1000000L) / (20L * tf * tt + 6L * tt + 18L * lens(id) * nd))
+        }.sum
+        Some((id, tfs.size.toLong, r4(s / 1e15)))
+      }
+    }.sortBy { case (id, _, sc) => (-sc, id) }.take(20).toSeq
+    val got = q("llm_bm25_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === exp)
+    assert(got.size === 20)
+  }
 }

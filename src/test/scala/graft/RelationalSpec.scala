@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 185, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 177, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 190, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 182, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -472,6 +472,54 @@ class RelationalSpec extends SparkSpec {
       val share = r.getDouble(r.fieldIndex("promo_share"))
       assert(promo >= 0 && promo <= tot)
       assert(math.abs(share - promo / tot) < 1e-12)
+    }
+  }
+
+  test("win_streaks: matches a sequential consecutive-day fold per user") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = q("win_streaks").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val days = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = days.groupBy(_._1).map { case (u, rows) =>
+      val ds = rows.map(_._2).sorted
+      val streaks = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var start = ds.head
+      var len = 1L
+      for (i <- 1 until ds.length) {
+        if (ds(i) == ds(i - 1) + 1) len += 1
+        else { streaks += ((start, len)); start = ds(i); len = 1 }
+      }
+      streaks += ((start, len))
+      val mx = streaks.map(_._2).max
+      u -> (ds.length.toLong, streaks.length.toLong, mx,
+        streaks.filter(_._2 == mx).map(_._1).min)
+    }
+    assert(got === exp)
+    assert(got.nonEmpty)
+  }
+
+  test("agg_entropy: nano-quantized recompute; single-type users score zero") {
+    val got = q("agg_entropy").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val ev = Tables.events(spark, sf).select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def r4(x: Double): Double = // Spark round(x, 4): HALF_UP on the double's exact decimal
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = ev.groupBy(_._1).map { case (u, rows) =>
+      val counts = rows.groupBy(_._2).map(_._2.length.toLong)
+      val n = counts.sum
+      val s = counts.map(c =>
+        c * math.floor(-math.log(c.toDouble / n) * 1e9 + 0.5).toLong).sum
+      u -> (n, counts.size.toLong, r4(s / (n * 1e9)))
+    }
+    assert(got === exp)
+    got.foreach { case (u, (_, nTypes, h)) =>
+      if (nTypes == 1L) assert(h === 0.0, s"user $u has one type but entropy $h")
     }
   }
 }

@@ -1363,7 +1363,112 @@ object LlmOps {
       .limit(20)
   }
 
+  /** Edit-distance fuzzy self-join — the catalog-normalization primitive
+    * (near-identical product/entity names differing by a typo are one
+    * entity; the string-side sibling of the shingle/minhash document
+    * dedups, which never see sub-token edits). Pairs within Levenshtein ≤ 2
+    * over the distinct name set, found by LENGTH-BAND blocking: edit
+    * distance ≥ |len(a) − len(b)|, so the ±2 band is a LOSSLESS candidate
+    * set — no all-pairs join ever forms. The band is spelled as an
+    * equi-join (explode each name to its 5 admissible peer lengths), so the
+    * plan is a hash/sort-merge join, never BNLJ, and the candidate stream
+    * sits under the same [[graft.api.PairBudget]] contract as every other
+    * pair op. At 100 TB the block key tightens to (length, first char) or a
+    * deletion-neighborhood hash — same plan, smaller blocks; `levenshtein`
+    * is codegen'd on both engines.
+    */
+  val llmFuzzyJoin: Q = (s, dir) => {
+    import s.implicits._
+    val names = Tables.part(s, dir).select($"p_name").distinct()
+      .withColumn("len", length($"p_name"))
+      .cp() // vocab-sized; feeds the gate histogram AND both join sides
+    val probes = names.select($"p_name".as("n1"),
+      explode(sequence($"len" - 2, $"len" + 2)).as("lb"))
+    val gated = graft.api.PairBudget.gate(probes, Seq($"lb"),
+      "llm_fuzzy_join", "a (length, prefix) block key")
+    gated.join(names.select($"p_name".as("n2"), $"len".as("lb")), Seq("lb"))
+      .filter($"n1" < $"n2")
+      .withColumn("dist", levenshtein($"n1", $"n2").cast("long"))
+      .filter($"dist" <= 2)
+      .select($"n1", $"n2", $"dist")
+      .orderBy($"n1", $"n2")
+  }
+
+  /** Zipf rank-frequency fit — the corpus-health diagnostic (natural text
+    * tracks slope ≈ −1 in log-log rank/frequency; generated or templated
+    * text bends the line, so curation monitors the fitted slope per shard).
+    * Token frequencies are exact counts; ranks are assigned by a
+    * deterministic (freq DESC, token) order; the least-squares fit runs
+    * over MICRO-QUANTIZED ln(rank)/ln(freq) (floor(ln·1e6 + 0.5), the §2.9
+    * transcendental discipline — margins pinned in LlmSpec) so Sx/Sy/Sxx/
+    * Sxy are exact BIGINT sums in any reduction order, and slope/intercept
+    * are single fixed expression trees over five exact scalars.
+    *
+    * Scale shape: everything after the (token) count agg is vocab-sized —
+    * the rank window is a single-partition sort of the VOCABULARY (≈ 10⁶
+    * rows for a 100 TB corpus — Heaps' law, fine on one executor), never of
+    * the corpus; sums fit BIGINT to vocab ≈ 4e8 (Σx² ≤ v·(ln v·1e6)²),
+    * past which they widen to DECIMAL(38,0).
+    */
+  val llmZipfSlope: Q = (s, dir) => {
+    import s.implicits._
+    val byFreq = Window.orderBy($"f".desc, $"t")
+    val pts = Tables.documents(s, dir)
+      .select(explode(split(trim($"text"), " ")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("f"))
+      .withColumn("r", row_number().over(byFreq))
+      .select(
+        floor(log($"r".cast("double")) * 1.0e6 + 0.5).cast("long").as("x"),
+        floor(log($"f".cast("double")) * 1.0e6 + 0.5).cast("long").as("y"))
+    pts
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .select($"n".as("n_terms"),
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("slope"),
+        (($"sy".cast("double") -
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+            $"sx".cast("double")) / $"n".cast("double") / lit(1.0e6))
+          .as("intercept"))
+  }
+
+  /** N-gram novelty curve — per document (in doc_id ingestion order): what
+    * fraction of its 5-token windows has never appeared in any EARLIER
+    * document? The curation signal behind "is this shard still adding new
+    * content or re-serving what we have" (the marginal-value twin of
+    * [[llmDupNgramSpans]]'s symmetric duplicate coverage). Relationally:
+    * first-occurrence doc per gram = one min() agg, a gram is novel in
+    * exactly the doc that minted it; the join back rides the gram-agg
+    * partitioning (same co-partitioned shape as the dup-span op). At
+    * 100 TB: gram → xxhash64 for an 8-byte shuffle key, and doc_id order
+    * generalizes to any monotone ingestion stamp.
+    */
+  val llmNgramNovelty: Q = (s, dir) => {
+    import s.implicits._
+    val k = 5
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), " ").as("toks"))
+      .withColumn("n", size($"toks").cast("long"))
+      .filter($"n" >= k)
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(1L), $"n" - (k - 1))).as("i"))
+      .select($"doc_id",
+        concat_ws(" ", slice($"toks", $"i".cast("int"), lit(k))).as("gram"))
+      .cp() // feeds the first-occurrence agg AND the novelty join
+    val first = grams.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
+    grams.join(first, Seq("gram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("total_grams"),
+        count(when($"doc_id" === $"first_doc", 1)).as("novel_grams"))
+      .withColumn("novelty", pround4($"novel_grams" / $"total_grams"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_ngram_novelty" -> llmNgramNovelty,
+    "llm_fuzzy_join" -> llmFuzzyJoin,
+    "llm_zipf_slope" -> llmZipfSlope,
     "fn_regex" -> fnRegex,
     "llm_dup_ngram_spans" -> llmDupNgramSpans,
     "llm_bm25_topk" -> llmBm25Topk,

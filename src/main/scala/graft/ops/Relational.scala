@@ -1327,7 +1327,275 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Higher-moment distribution shape per group — population skewness and
+    * excess kurtosis of `l_quantity` by return flag (the data-quality probe
+    * a curation pipeline runs before trusting a mean: heavy tails and
+    * asymmetry are invisible to avg/stddev). NOT spelled with the builtin
+    * `skewness`/`kurtosis` aggregates: Spark's are population moments,
+    * DuckDB's are bias-corrected sample moments, and both accumulate
+    * doubles reduction-order-dependently. Instead the integral quantities
+    * (1..50) are raised to exact BIGINT power sums s1..s4 — order-proof
+    * integer aggregation, map-side partial — and every derived double
+    * (mean, central moments, skew, kurtosis) is ONE fixed expression tree
+    * over those five exact scalars, mirrored token-for-token in the oracle:
+    * identical IEEE inputs + identical op sequence = bit-identical output,
+    * no rounding needed (the msum argument, §2.9). s4 ≤ n·50⁴ stays under
+    * 2^53 (double-exactness) to ~3.6e11 rows per group; past that the power
+    * sums widen to DECIMAL(38,0), same plan shape.
+    */
+  val aggSkewKurt: Q = (s, dir) => {
+    import s.implicits._
+    val q = $"l_quantity".cast("long")
+    def d(c: Column): Column = c.cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(q).as("s1"), sum(q * q).as("s2"),
+        sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+      .withColumn("m", d($"s1") / d($"n"))
+      .withColumn("e2", d($"s2") / d($"n"))
+      .withColumn("e3", d($"s3") / d($"n"))
+      .withColumn("e4", d($"s4") / d($"n"))
+      .withColumn("m2", $"e2" - $"m" * $"m")
+      .withColumn("m3",
+        $"e3" - lit(3.0) * $"m" * $"e2" + lit(2.0) * $"m" * $"m" * $"m")
+      .withColumn("m4",
+        $"e4" - lit(4.0) * $"m" * $"e3" + lit(6.0) * $"m" * $"m" * $"e2" -
+          lit(3.0) * $"m" * $"m" * $"m" * $"m")
+      .select($"l_returnflag", $"n", $"m".as("mean"), $"m2".as("var_pop"),
+        ($"m3" / ($"m2" * sqrt($"m2"))).as("skew_pop"),
+        ($"m4" / ($"m2" * $"m2") - lit(3.0)).as("kurt_excess"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Rolling per-key median over a row frame — the robust-trend smoother
+    * (outlier-proof where a rolling mean is not) over each user's last 11
+    * events. Spark has no order-statistic window aggregate that's portable
+    * bit-for-bit, and "average the two middles" is a float op whose
+    * spelling differs across engines — so the frame's values are collected,
+    * sorted, and the lower/upper middles emitted as PICKED ELEMENTS (exact
+    * input doubles, no arithmetic): hash-stable by construction, and the
+    * caller gets the true median as (med_lo+med_hi)/2 in whatever float
+    * semantics it wants. Frame contents are uniquely determined by the
+    * (ts_ms, event_id) total order.
+    *
+    * Scale shape: one user-partitioned shuffle carries the window; the
+    * frame is O(11) per row (bounded memory, no whole-partition buffering —
+    * Spark's sliding-frame window keeps only the frame). At 100 TB the same
+    * plan holds: rolling medians never need more than the frame.
+    */
+  val winRollingMedian: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      .rowsBetween(-10, 0)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", tsMs($"ts").as("ts_ms"), $"value")
+      .withColumn("arr", sort_array(collect_list($"value").over(w)))
+      .withColumn("k", size($"arr"))
+      .select($"user_id", $"event_id", $"ts_ms", $"k".cast("long").as("n_frame"),
+        element_at($"arr", expr("CAST((k + 1) DIV 2 AS INT)")).as("med_lo"),
+        element_at($"arr", expr("CAST(k DIV 2 + 1 AS INT)")).as("med_hi"))
+      .orderBy($"user_id", $"ts_ms", $"event_id")
+  }
+
+  /** Dense time-grid materialization with forward fill — the gap-filling
+    * resample every time-series feature pipeline runs before a model sees
+    * the data (missing days must be explicit rows, carrying the last
+    * observation forward). Per user: daily value sums on active days, a
+    * generated contiguous day grid spanning [first, last] active day
+    * (`sequence` + explode — generated in place, never shuffled as arrays),
+    * and `last(_, ignoreNulls)` over an unbounded-preceding row frame for
+    * the carry-forward. Day sums are msum-quantized (exact BIGINT
+    * accumulation); the grid never starts on a gap, so `filled` is total.
+    *
+    * Scale shape: the raw stream collapses to ≤ users × days rows at the
+    * first agg (map-side partial); grid generation and the fill ride the
+    * SAME user_id partitioning (one shuffle end to end). Grid width is
+    * bounded by the observed span — a 10-year 100 TB stream adds ~3.6k rows
+    * per user, not a cross join against a calendar table.
+    */
+  val winGapFill: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"value")
+      .groupBy($"user_id", $"d")
+      .agg(msum($"value").as("day_value"))
+    val grid = daily.groupBy($"user_id")
+      .agg(min($"d").as("mn"), max($"d").as("mx"))
+      .select($"user_id", explode(sequence($"mn", $"mx")).as("d"))
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .select($"user_id", $"d", $"day_value",
+        $"day_value".isNull.as("is_gap"),
+        last($"day_value", ignoreNulls = true).over(w).as("filled"))
+      .orderBy($"user_id", $"d")
+  }
+
+  /** Bucketed co-located join — the shuffle-elimination contract that makes
+    * repeated fact-to-fact joins viable at 100 TB: both sides are written
+    * bucketed (8 buckets, hash(join key)) through the table sink, and the
+    * re-read join consumes the on-disk bucketing as its distribution — the
+    * sort-merge join runs with ZERO shuffle exchange on either side
+    * (RelationalSpec pins it; the only exchanges left in the plan belong to
+    * the rollup and final sort). The `merge` hint keeps the demonstration
+    * honest at small SF where the dim side would otherwise broadcast. At
+    * cluster scale this is the "bucket both fact tables once, join nightly
+    * for free" pattern; bucket count scales with data (8 here, thousands
+    * there), and Spark prunes buckets on point predicates.
+    */
+  val joinBucketed: Q = (s, dir) => {
+    import s.implicits._
+    val wh = graft.Scratch.dir("join_bucketed")
+    s.sql("DROP TABLE IF EXISTS graft_b_orders")
+    s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders").mode("overwrite")
+      .saveAsTable("graft_b_orders")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem").mode("overwrite")
+      .saveAsTable("graft_b_lineitem")
+    s.table("graft_b_lineitem").hint("merge")
+      .join(s.table("graft_b_orders").hint("merge"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        msum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Weighted median — "the quantity at which half the REVENUE sits below"
+    * (a fairness/robustness statistic the unweighted median can't answer;
+    * every row votes with its price weight). Exact spelling: weights are
+    * scaled to BIGINT cents, collapsed per (group, value) FIRST (so the
+    * cumulative window runs over ≤ |distinct values| rows, not the fact
+    * table), then the crossing point is the integer predicate 2·cum ≥ tot
+    * — no float threshold, no interpolation ambiguity, deterministic on
+    * ties by construction (the crossing VALUE is unique even when the sort
+    * order within equal values is not).
+    */
+  val aggWeightedMedian: Q = (s, dir) => {
+    import s.implicits._
+    val byVal = Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_quantity".cast("long").as("v"),
+        round($"l_extendedprice" * 100).cast("long").as("w"))
+      .groupBy($"l_returnflag", $"v").agg(sum($"w").as("wv"))
+    val cumw = Window.partitionBy($"l_returnflag").orderBy($"v")
+    val totw = Window.partitionBy($"l_returnflag")
+    byVal
+      .withColumn("cum", sum($"wv").over(cumw))
+      .withColumn("t", sum($"wv").over(totw))
+      .filter($"cum" * 2 >= $"t")
+      .groupBy($"l_returnflag")
+      .agg(min($"v").as("w_median"), max($"t").as("total_weight_cents"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Gini coefficient of per-customer spend within each nation — the
+    * concentration/inequality metric dashboards put next to totals (0 =
+    * everyone spends alike, →1 = one whale). Spelled exactly: spend in
+    * BIGINT cents, ranks from a deterministic (spend, custkey) order, and
+    * the closed form G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) accumulated
+    * ENTIRELY in exact integers — one double expression tree at the end,
+    * mirrored token-for-token in the oracle. Σi·x fits BIGINT to ~1e18
+    * cent-rank mass (≫ any per-nation group here); past that it widens to
+    * DECIMAL(38,0). The rank window partitions by nation — bounded groups,
+    * no global sort.
+    */
+  val aggGini: Q = (s, dir) => {
+    import s.implicits._
+    val spend = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+    val ranked = spend
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"c_nationkey").orderBy($"x", $"o_custkey")))
+    ranked.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum($"x").as("sx"),
+        sum($"i" * $"x").as("six"))
+      .select($"c_nationkey", $"n_cust",
+        ((lit(2.0) * $"six".cast("double") -
+          ($"n_cust" + 1).cast("double") * $"sx".cast("double")) /
+          ($"n_cust".cast("double") * $"sx".cast("double"))).as("gini"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** Rolling z-score anomaly detection — the streaming-adjacent outlier
+    * flag ("is this event extreme vs this user's recent behavior?") that
+    * pairs with [[winRollingMedian]]'s robust trend. The frame statistics
+    * are EXACT: values quantized to BIGINT ten-thousandths, frame sum and
+    * sum-of-squares accumulated as integers over the 11-row window, and
+    * mean/variance/z derived in one fixed double tree per row — identical
+    * IEEE inputs and ops on both engines, no rounding needed. Frames
+    * shorter than 5 rows are suppressed (a 2-row "z-score" is noise);
+    * zero-variance frames yield NULL z (flag coalesces false).
+    */
+  val winZscore: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      .rowsBetween(-10, 0)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", tsMs($"ts").as("ts_ms"),
+        round($"value" * 10000).cast("long").as("q"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum($"q").over(w))
+      .withColumn("s2", sum($"q" * $"q").over(w))
+      .filter($"n" >= 5)
+      .withColumn("m", $"s1".cast("double") / $"n".cast("double"))
+      .withColumn("v",
+        $"s2".cast("double") / $"n".cast("double") - $"m" * $"m")
+      .withColumn("z",
+        when($"v" > 0, ($"q".cast("double") - $"m") / sqrt($"v")))
+      .select($"user_id", $"event_id", $"ts_ms", $"n".as("n_frame"), $"z",
+        coalesce($"z" > 2.0 || $"z" < -2.0, lit(false)).as("is_anomaly"))
+      .orderBy($"user_id", $"ts_ms", $"event_id")
+  }
+
+  /** Exponentially-weighted moving average (α = ½) per user — the
+    * recency-biased smoother every engagement/load dashboard runs. EWMA is
+    * a sequential recurrence, which is exactly what makes it hash-unstable
+    * if spelled as a float window SUM: instead the frame (last 8 events)
+    * is collected as (ts_ms, event_id, value) structs, canonically sorted
+    * (total order, engine-independent), and folded LEFT-TO-RIGHT with a
+    * Horner step `acc·0.5 + x·0.5` — an EXPLICIT evaluation order, and ×½
+    * is exact in IEEE — so both engines run the identical float sequence
+    * (Spark `aggregate` with the first element as init ≡ DuckDB
+    * `list_reduce`). Bounded 8-row frame: O(1) memory per row, one
+    * user-keyed shuffle, no whole-history recurrence (at 100 TB a true
+    * infinite-horizon EWMA becomes a mapGroupsWithState fold — the
+    * windowed form is the batch-replayable contract).
+    */
+  val winEwma: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      .rowsBetween(-7, 0)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", tsMs($"ts").as("ts_ms"), $"value")
+      .withColumn("fr", sort_array(
+        collect_list(struct($"ts_ms", $"event_id", $"value")).over(w)))
+      .withColumn("vs", expr("transform(fr, x -> x.value)"))
+      .withColumn("ewma", expr(
+        "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1)," +
+          " (acc, x) -> acc * 0.5 + x * 0.5)"))
+      .select($"user_id", $"event_id", $"ts_ms",
+        size($"vs").cast("long").as("n_frame"), $"ewma")
+      .orderBy($"user_id", $"ts_ms", $"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_weighted_median" -> aggWeightedMedian,
+    "agg_gini" -> aggGini,
+    "win_zscore" -> winZscore,
+    "win_ewma" -> winEwma,
+    "agg_skew_kurt" -> aggSkewKurt,
+    "win_rolling_median" -> winRollingMedian,
+    "win_gap_fill" -> winGapFill,
+    "join_bucketed" -> joinBucketed,
     "win_streaks" -> winStreaks,
     "agg_entropy" -> aggEntropy,
     "win_pareto" -> winPareto,

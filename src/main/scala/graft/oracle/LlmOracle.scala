@@ -60,6 +60,56 @@ object LlmOracle {
        |WHERE j >= 0.5 ORDER BY jac.d1, jac.d2""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS ts
+        |  FROM documents WHERE len(string_split(trim(text), ' ')) >= 5),
+        |grams AS (
+        |  SELECT doc_id, concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3],
+        |    ts[i+4]) AS gram
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(generate_series(1, len(ts) - 4)) AS i FROM toks)),
+        |first AS (
+        |  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS total_grams,
+        |  count(CASE WHEN g.doc_id = f.first_doc THEN 1 END) AS novel_grams,
+        |  floor(CAST(count(CASE WHEN g.doc_id = f.first_doc THEN 1 END)
+        |      AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty
+        |FROM grams g JOIN first f USING (gram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS n1, b.p_name AS n2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "llm_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT t, count(*) AS f FROM (
+        |    SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents)
+        |  GROUP BY 1),
+        |rk AS (
+        |  SELECT
+        |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY f DESC, t)
+        |      AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+        |  FROM tf),
+        |s AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM rk)
+        |SELECT n AS n_terms,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |    AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6 AS intercept
+        |FROM s""".stripMargin,
+
     "fn_regex" ->
       """SELECT p_partkey,
         |  regexp_extract(p_name, '^([a-z]+)', 1) AS head_word,

@@ -402,6 +402,153 @@ object OracleSql {
        |ORDER BY cntrycode""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "agg_weighted_median" ->
+      """WITH bv AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS wv
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v, wv,
+        |    CAST(sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(wv) OVER (PARTITION BY l_returnflag) AS BIGINT) AS t
+        |  FROM bv)
+        |SELECT l_returnflag, min(v) AS w_median,
+        |  max(t) AS total_weight_cents
+        |FROM c WHERE cum * 2 >= t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT c_nationkey, x,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY x, o_custkey) AS i
+        |  FROM spend JOIN customer ON o_custkey = c_custkey),
+        |s AS (
+        |  SELECT c_nationkey, count(*) AS n_cust,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(i * x) AS BIGINT) AS six
+        |  FROM rk GROUP BY 1)
+        |SELECT c_nationkey, n_cust,
+        |  (2.0 * CAST(six AS DOUBLE)
+        |    - CAST(n_cust + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n_cust AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+        |FROM s ORDER BY c_nationkey""".stripMargin,
+
+    "win_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    CAST(round(value * 10000) AS BIGINT) AS q
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, ts_ms, q,
+        |    count(*) OVER fr AS n,
+        |    CAST(sum(q) OVER fr AS BIGINT) AS s1,
+        |    CAST(sum(q * q) OVER fr AS BIGINT) AS s2
+        |  FROM e
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT user_id, event_id, ts_ms, q, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS v
+        |  FROM w WHERE n >= 5),
+        |z AS (
+        |  SELECT user_id, event_id, ts_ms, n,
+        |    CASE WHEN v > 0 THEN (CAST(q AS DOUBLE) - m) / sqrt(v) END AS z
+        |  FROM d)
+        |SELECT user_id, event_id, ts_ms, n AS n_frame, z,
+        |  coalesce(z > 2.0 OR z < -2.0, false) AS is_anomaly
+        |FROM z ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
+    "win_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    list_transform(list_sort(list(
+        |      {'ts_ms': ts_ms, 'event_id': event_id, 'value': value})
+        |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+        |      x -> x.value) AS vs
+        |  FROM e)
+        |SELECT user_id, event_id, ts_ms, CAST(len(vs) AS BIGINT) AS n_frame,
+        |  list_reduce(vs, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+        |FROM w ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
+    "agg_skew_kurt" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q*q) AS BIGINT) AS s2,
+        |    CAST(sum(q*q*q) AS BIGINT) AS s3,
+        |    CAST(sum(q*q*q*q) AS BIGINT) AS s4
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+        |        FROM lineitem)
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+        |  FROM s),
+        |c AS (
+        |  SELECT l_returnflag, n, m, e2 - m*m AS m2,
+        |    e3 - 3.0*m*e2 + 2.0*m*m*m AS m3,
+        |    e4 - 4.0*m*e3 + 6.0*m*m*e2 - 3.0*m*m*m*m AS m4
+        |  FROM m)
+        |SELECT l_returnflag, n, m AS mean, m2 AS var_pop,
+        |  m3 / (m2 * sqrt(m2)) AS skew_pop,
+        |  m4 / (m2 * m2) - 3.0 AS kurt_excess
+        |FROM c ORDER BY l_returnflag""".stripMargin,
+
+    "win_rolling_median" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM e)
+        |SELECT user_id, event_id, ts_ms, CAST(len(arr) AS BIGINT) AS n_frame,
+        |  arr[CAST((len(arr) + 1) // 2 AS INT)] AS med_lo,
+        |  arr[CAST(len(arr) // 2 + 1 AS INT)] AS med_hi
+        |FROM w ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
+    "win_gap_fill" ->
+      ("""WITH daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    """ + msum("value") + """ AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(d) AS mn, max(d) AS mx
+        |          FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS d
+        |         FROM spans)
+        |SELECT g.user_id, g.d, daily.day_value,
+        |  daily.day_value IS NULL AS is_gap,
+        |  last_value(daily.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM grid g LEFT JOIN daily
+        |  ON g.user_id = daily.user_id AND g.d = daily.d
+        |ORDER BY 1, 2""").stripMargin,
+
+    "join_bucketed" ->
+      ("""SELECT o_orderpriority, count(*) AS n_items,
+        |  """ + msum("l_extendedprice * (1 - l_discount)") + """ AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""").stripMargin,
+
     "win_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d FROM events),

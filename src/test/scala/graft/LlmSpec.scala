@@ -493,4 +493,83 @@ class LlmSpec extends SparkSpec {
     assert(got === exp)
     assert(got.size === 20)
   }
+
+  test("llm_fuzzy_join: length-band blocking loses no pair vs all-pairs JVM edit distance") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sf).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val exp = (for {
+      a <- names; b <- names
+      if a < b && lev(a, b) <= 2 // NO length band: every admissible pair
+    } yield (a, b, lev(a, b).toLong)).toSet
+    val got = q("llm_fuzzy_join").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === exp)
+    assert(got.nonEmpty, "fixture should contain at least one lev<=2 name pair")
+  }
+
+  test("llm_ngram_novelty: first-occurrence accounting matches a JVM scan") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split(" ", -1).toSeq))
+    val grams = docs.flatMap { case (id, ts) =>
+      if (ts.length >= 5) ts.sliding(5).map(w => (id, w.mkString(" ")))
+      else Iterator.empty
+    }
+    val firstDoc = grams.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val exp = grams.groupBy(_._1).map { case (id, gs) =>
+      val total = gs.size.toLong
+      val novel = gs.count(g => firstDoc(g._2) == id).toLong
+      id -> (total, novel,
+        math.floor(novel.toDouble / total * 10000.0 + 0.5) / 10000.0)
+    }
+    val got = q("llm_ngram_novelty").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === exp)
+    // the earliest doc with any grams mints everything it contains
+    val firstId = exp.keys.min
+    assert(got(firstId)._3 === 1.0, "earliest doc must be fully novel")
+  }
+
+  test("llm_zipf_slope: quantized least squares matches a JVM recompute; margins pinned") {
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).trim.split(" ", -1))
+    val ranked = toks.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      .toSeq.sortBy { case (t, f) => (-f, t) }
+    def quant(v: Double): Long = math.floor(math.log(v) * 1e6 + 0.5).toLong
+    val pts = ranked.zipWithIndex.map { case ((_, f), i) =>
+      (quant(i + 1.0), quant(f.toDouble))
+    }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble / 1e6
+    val r = q("llm_zipf_slope").collect()
+    assert(r.length === 1)
+    def bits(x: Double) = java.lang.Double.doubleToLongBits(x)
+    assert(r(0).getLong(0) === n)
+    assert(bits(r(0).getDouble(1)) === bits(slope))
+    assert(bits(r(0).getDouble(2)) === bits(intercept))
+    assert(slope < 0.0, "rank-frequency slope must be negative")
+    // cross-libm margin pin at the DRIVER GATE's sf (sf0.01): both ln
+    // quantizations must sit far from their floor boundaries
+    def margin(x: Double): Double = { val f = x - math.floor(x); math.min(f, 1.0 - f) }
+    val gateToks = Tables.documents(spark, "/root/testdata/sf0.01").select("text")
+      .collect().flatMap(_.getString(0).trim.split(" ", -1))
+    val gateFreqs = gateToks.groupBy(identity).map(_._2.length.toLong).toSeq
+    val mF = gateFreqs.map(f => margin(math.log(f.toDouble) * 1e6 + 0.5)).min
+    assert(mF > 1e-6, s"zipf ln(freq) margin $mF")
+    val mR = (1 to gateFreqs.size).map(r => margin(math.log(r.toDouble) * 1e6 + 0.5)).min
+    assert(mR > 1e-6, s"zipf ln(rank) margin $mR")
+  }
 }

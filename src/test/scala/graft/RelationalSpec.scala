@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 190, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 182, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 201, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 193, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -521,5 +521,226 @@ class RelationalSpec extends SparkSpec {
     got.foreach { case (u, (_, nTypes, h)) =>
       if (nTypes == 1L) assert(h === 0.0, s"user $u has one type but entropy $h")
     }
+  }
+
+  test("agg_skew_kurt: bit-identical to an exact-moment JVM recompute") {
+    val rows = q("agg_skew_kurt").collect()
+    assert(rows.nonEmpty)
+    val qs = Tables.lineitem(spark, sf).select("l_returnflag", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getDouble(1).toLong))
+    rows.foreach { r =>
+      val vs = qs.filter(_._1 == r.getString(0)).map(_._2)
+      val n = vs.length.toLong
+      val s1 = vs.sum; val s2 = vs.map(v => v * v).sum
+      val s3 = vs.map(v => v * v * v).sum; val s4 = vs.map(v => v * v * v * v).sum
+      val m = s1.toDouble / n.toDouble
+      val e2 = s2.toDouble / n.toDouble
+      val e3 = s3.toDouble / n.toDouble
+      val e4 = s4.toDouble / n.toDouble
+      val m2 = e2 - m * m
+      val m3 = e3 - 3.0 * m * e2 + 2.0 * m * m * m
+      val m4 = e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m
+      def bits(x: Double) = java.lang.Double.doubleToLongBits(x)
+      assert(r.getLong(1) === n)
+      assert(bits(r.getDouble(2)) === bits(m), "mean")
+      assert(bits(r.getDouble(3)) === bits(m2), "var_pop")
+      assert(bits(r.getDouble(4)) === bits(m3 / (m2 * math.sqrt(m2))), "skew")
+      assert(bits(r.getDouble(5)) === bits(m4 / (m2 * m2) - 3.0), "kurt")
+    }
+  }
+
+  test("win_rolling_median: frame picks match a JVM sliding-window sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = q("win_rolling_median").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val exp = ev.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 10), i + 1).map(_._4).sorted
+        val k = frame.length
+        (sorted(i)._1, sorted(i)._2) ->
+          (k.toLong, frame((k + 1) / 2 - 1), frame(k / 2))
+      }
+    }
+    assert(got === exp)
+    assert(got.nonEmpty)
+  }
+
+  test("win_gap_fill: grid is contiguous per user and fill carries the last day") {
+    val rows = q("win_gap_fill").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getBoolean(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // contiguous day grid
+      assert(sorted.map(_._2).toSeq ===
+        (sorted.head._2 to sorted.last._2).toSeq, s"user $u grid has holes")
+      // first row is an observation; fill is the last non-gap day_value
+      assert(!sorted.head._4, s"user $u grid starts on a gap")
+      var lastVal = Double.NaN
+      sorted.foreach { case (_, d, dv, isGap, filled) =>
+        assert(isGap === dv.isEmpty, s"user $u day $d gap flag")
+        dv.foreach(v => lastVal = v)
+        assert(filled === lastVal, s"user $u day $d fill")
+      }
+    }
+    // msum-quantized day sums equal a JVM recompute on one user
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val u0 = rows.head._1
+    val ev = Tables.events(spark, sf)
+      .filter($"user_id" === u0)
+      .select((unix_millis($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expDaily = ev.groupBy(_._1).map { case (d, vs) =>
+      d -> vs.map(v => BigDecimal(v._2 * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum.toDouble / 10000.0
+    }
+    rows.filter(r => r._1 == u0 && r._3.isDefined).foreach { r =>
+      assert(r._3.get === expDaily(r._2), s"day ${r._2} sum")
+    }
+  }
+
+  test("agg_weighted_median: integer crossing point matches a JVM weighted scan") {
+    val rows = q("agg_weighted_median").collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong,
+        BigDecimal(r.getDouble(2) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    rows.foreach { r =>
+      val g = li.filter(_._1 == r.getString(0))
+      val tot = g.map(_._3).sum
+      val byV = g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      var cum = 0L
+      val med = byV.collectFirst {
+        case (v, wv) if { cum += wv; cum * 2 >= tot } => v
+      }.get
+      assert(r.getLong(1) === med, s"flag ${r.getString(0)} median")
+      assert(r.getLong(2) === tot, s"flag ${r.getString(0)} total weight")
+    }
+  }
+
+  test("agg_gini: closed form matches a JVM exact-integer recompute") {
+    import spark.implicits._
+    val rows = q("agg_gini").collect()
+    assert(rows.nonEmpty)
+    val spend = Tables.orders(spark, sf).select("o_custkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nat = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    def bits(x: Double) = java.lang.Double.doubleToLongBits(x)
+    rows.foreach { r =>
+      val nk = r.getAs[Number](0).longValue()
+      val xs = spend.toSeq.filter(kv => nat(kv._1) == nk)
+        .sortBy { case (ck, x) => (x, ck) }.map(_._2)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val gini = (2.0 * six.toDouble - (n + 1).toDouble * sx.toDouble) /
+        (n.toDouble * sx.toDouble)
+      assert(r.getLong(1) === n)
+      assert(bits(r.getDouble(2)) === bits(gini), s"nation $nk gini")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+    }
+  }
+
+  test("win_zscore: exact frame moments match a JVM recompute bitwise") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = q("win_zscore").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def bits(x: Double) = java.lang.Double.doubleToLongBits(x)
+    var checked = 0
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val qs = sorted.map(r => BigDecimal(r._4 * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      sorted.indices.foreach { i =>
+        val frame = qs.slice(math.max(0, i - 10), i + 1)
+        val n = frame.length.toLong
+        val key = (sorted(i)._1, sorted(i)._2)
+        if (n < 5) assert(!got.contains(key), s"short frame emitted: $key")
+        else {
+          val (nf, z, anom) = got(key)
+          assert(nf === n)
+          val m = frame.sum.toDouble / n.toDouble
+          val v = frame.map(x => x * x).sum.toDouble / n.toDouble - m * m
+          if (v > 0) {
+            val ez = (qs(i).toDouble - m) / math.sqrt(v)
+            assert(bits(z.get) === bits(ez), s"$key z")
+            assert(anom === (ez > 2.0 || ez < -2.0))
+          } else { assert(z.isEmpty); assert(!anom) }
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 0)
+  }
+
+  test("win_ewma: Horner fold over the canonical frame order, bitwise") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = q("win_ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def bits(x: Double) = java.lang.Double.doubleToLongBits(x)
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - 7), i + 1).map(_._4)
+        val exp = frame.tail.foldLeft(frame.head)((acc, x) => acc * 0.5 + x * 0.5)
+        val (nf, ew) = got((sorted(i)._1, sorted(i)._2))
+        assert(nf === frame.length.toLong)
+        assert(bits(ew) === bits(exp), s"row ${sorted(i)._2} ewma")
+      }
+    }
+  }
+
+  test("join_bucketed: bucketed scans feed the merge join with zero shuffle") {
+    import spark.implicits._
+    val df = q("join_bucketed")
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    assert(!p.contains("BroadcastExchange"), s"merge hint ignored:\n$p")
+    // the only exchanges belong to the rollup + final sort — the join
+    // consumes the on-disk bucketing (scan shows Bucketed: true)
+    val nEx = p.linesIterator.count(_.contains("Exchange "))
+    assert(nEx <= 2, s"bucketed join should not shuffle its inputs ($nEx):\n$p")
+    assert(p.contains("Bucketed: true"), s"scan did not use bucketing:\n$p")
+    // result equals the unbucketed join-aggregate
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        graft.ops.Relational.msum($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .as("revenue"))
+      .orderBy($"o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === plain)
+    assert(got.nonEmpty)
   }
 }

@@ -1465,7 +1465,36 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Directed shingle containment — |A ∩ B| / |A| ≥ 0.8 over distinct
+    * 3-shingle sets: "document A is substantially CONTAINED in B" (quote
+    * farms, wrapper pages, subset mirrors). Asymmetric on purpose — the
+    * symmetric Jaccard dedups miss a short doc swallowed by a long one
+    * (union-normalized similarity stays low), which is exactly the case
+    * span-level curation cares about. Same blocked-pair posture as
+    * [[jaccardPairs]]: the shingle equi-join IS the blocking (a pair with
+    * zero shared shingles never forms), the stream sits under PairBudget,
+    * and at 100 TB the candidate stage swaps to the banded-MinHash front
+    * end (containment-calibrated: band on the SHORTER doc's signature).
+    */
+  val llmContainmentJoin: Q = (s, dir) => {
+    import s.implicits._
+    val ex = shingleRows(s, dir).cp() // sizes agg, budget histogram, a, b
+    val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val ga = graft.api.PairBudget.gate(ex, Seq($"s"),
+      "llm_containment_join", "llm_dedup_minhash")
+    ga.as("a").join(ex.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
+      .groupBy($"a.doc_id".as("d_sub"), $"b.doc_id".as("d_super"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select($"doc_id".as("d_sub"), $"n".as("n_sub")), "d_sub")
+      .withColumn("containment", pround4($"common" / $"n_sub"))
+      .filter($"containment" >= 0.8)
+      .select($"d_sub", $"d_super", $"common", $"n_sub", $"containment")
+      .orderBy($"d_sub", $"d_super")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_containment_join" -> llmContainmentJoin,
     "llm_ngram_novelty" -> llmNgramNovelty,
     "llm_fuzzy_join" -> llmFuzzyJoin,
     "llm_zipf_slope" -> llmZipfSlope,

@@ -1587,7 +1587,143 @@ object Relational {
       .orderBy($"user_id", $"ts_ms", $"event_id")
   }
 
+  /** Correlated LATERAL join — "top-2 orders per customer" as one SQL
+    * statement, the per-row-subquery shape ORMs and analysts reach for
+    * constantly. Single source of truth: `OracleSql.Lateral` is BOTH the
+    * Spark SQL text and the DuckDB oracle (the sql_q3 shared-dialect
+    * pattern), proving the engine's ANSI LATERAL end to end. Catalyst
+    * decorrelates the LATERAL + ORDER BY + LIMIT into a ranked window over
+    * the orders side (DomainJoin rewrite) — no per-customer re-execution,
+    * one orders-keyed shuffle; RelationalSpec pins the no-loop plan.
+    */
+  val joinLateral: Q = (s, dir) => {
+    Seq("customer", "orders").foreach(t =>
+      Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(graft.oracle.OracleSql.Lateral)
+  }
+
+  /** Interval-overlap self-join over DERIVED intervals — "which sessions
+    * of different users were on the system at the same time" (capacity
+    * attribution, co-presence analytics, contention forensics). Sessions
+    * come from the 30-min-gap rule (the win_sessionize frame); the overlap
+    * join is banded losslessly on HOUR buckets: two intervals overlap ⟹
+    * they share the bucket containing the overlap's start, so exploding
+    * each session over its spanned hours (bounded by session length) and
+    * equi-joining on the bucket finds every pair — never an unbounded
+    * range theta-join — with `distinct` collapsing pairs that co-occupy
+    * several buckets. The candidate stream sits under [[graft.api.PairBudget]]
+    * keyed by bucket (a thundering-herd hour fail-fasts instead of
+    * exploding quadratically).
+    */
+  val joinIntervalOverlap: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lagw = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val sess = Tables.events(s, dir)
+      .select($"user_id", $"event_id", tsMs($"ts").as("ms"))
+      .withColumn("p", lag($"ms", 1).over(lagw))
+      .withColumn("b",
+        when($"p".isNull || $"ms" - $"p" > 1800000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"b").over(w))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ms").as("st"), max($"ms").as("en"))
+    val bucketed = sess.select($"user_id", $"sid", $"st", $"en",
+      explode(sequence(($"st" / lit(3600000L)).cast("long"),
+        ($"en" / lit(3600000L)).cast("long")))
+        .as("h")).cp() // both sides of the pair join + the budget histogram
+    val ga = graft.api.PairBudget.gate(bucketed, Seq($"h"),
+      "join_interval_overlap", "a finer (sub-hour) bucket key")
+    ga.as("a").join(bucketed.as("b"),
+        $"a.h" === $"b.h" && $"a.user_id" < $"b.user_id")
+      .filter($"a.st" < $"b.en" && $"b.st" < $"a.en")
+      .select($"a.user_id".as("u1"), $"a.sid".as("s1"),
+        $"b.user_id".as("u2"), $"b.sid".as("s2"),
+        greatest($"a.st", $"b.st").as("ov_start"),
+        least($"a.en", $"b.en").as("ov_end"))
+      .distinct()
+      .withColumn("overlap_ms", $"ov_end" - $"ov_start")
+      .orderBy($"u1", $"s1", $"u2", $"s2")
+  }
+
+  /** Welch's two-sample t-test between every pair of event types — the
+    * A/B-test significance readout ("do clicks and purchases carry
+    * different value distributions?"). Group moments are EXACT: values
+    * quantized to BIGINT ten-thousandths, n/Σq/Σq² integer-accumulated
+    * (map-side partial, order-proof), and t / Welch–Satterthwaite df are
+    * fixed double expression trees over six exact scalars per pair —
+    * mirrored token-for-token in the oracle, bit-identical cross-engine
+    * (t is scale-invariant, so the quantized units cancel). The pair join
+    * is a crossJoin of the K-row moment table (K = event types), not of
+    * data.
+    */
+  val aggTtest: Q = (s, dir) => {
+    import s.implicits._
+    val mom = Tables.events(s, dir)
+      .select($"event_type", round($"value" * 10000).cast("long").as("q"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"q").as("s1"), sum($"q" * $"q").as("s2"))
+      .cp() // tiny (K rows); both sides of the pair cross
+    def v(n: Column, s1: Column, s2: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") /
+        n.cast("double")) / (n.cast("double") - lit(1.0))
+    val a = mom.select($"event_type".as("type_a"), $"n".as("na"),
+      $"s1".as("s1a"), $"s2".as("s2a"))
+    val b = mom.select($"event_type".as("type_b"), $"n".as("nb"),
+      $"s1".as("s1b"), $"s2".as("s2b"))
+    a.crossJoin(b).filter($"type_a" < $"type_b")
+      .withColumn("ma", $"s1a".cast("double") / $"na".cast("double"))
+      .withColumn("mb", $"s1b".cast("double") / $"nb".cast("double"))
+      .withColumn("va", v($"na", $"s1a", $"s2a"))
+      .withColumn("vb", v($"nb", $"s1b", $"s2b"))
+      .withColumn("sea", $"va" / $"na".cast("double"))
+      .withColumn("seb", $"vb" / $"nb".cast("double"))
+      .select($"type_a", $"type_b", $"na".as("n_a"), $"nb".as("n_b"),
+        (($"ma" - $"mb") / sqrt($"sea" + $"seb")).as("t_stat"),
+        ((($"sea" + $"seb") * ($"sea" + $"seb")) /
+          ($"sea" * $"sea" / ($"na".cast("double") - lit(1.0)) +
+            $"seb" * $"seb" / ($"nb".cast("double") - lit(1.0))))
+          .as("df_welch"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  /** One-sided CUSUM drift score (reference K = 100, bounded 16-row frame)
+    * — the change-point screen ("has this user's value level drifted above
+    * baseline recently?") that complements [[winZscore]]'s point outliers.
+    * CUSUM is a max-reset recurrence — unexpressible as any algebraic
+    * window aggregate — so it rides the same canonical machinery as
+    * [[winEwma]]: frame collected as structs, sorted into the engine-
+    * independent total order, folded LEFT-TO-RIGHT with an explicit
+    * `acc' = max(0, acc + (x − K))` step from a zero init (Spark
+    * `aggregate` ≡ DuckDB `list_reduce` over a 0-prepended list) —
+    * identical float sequence on both engines. Bounded frame keeps it
+    * batch-replayable; the infinite-horizon variant is the
+    * mapGroupsWithState fold at 100 TB.
+    */
+  val winCusum: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      .rowsBetween(-15, 0)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", tsMs($"ts").as("ts_ms"), $"value")
+      .withColumn("fr", sort_array(
+        collect_list(struct($"ts_ms", $"event_id", $"value")).over(w)))
+      .withColumn("vs", expr("transform(fr, x -> x.value)"))
+      .withColumn("cusum", expr(
+        "aggregate(vs, CAST(0.0 AS DOUBLE), (acc, x) -> " +
+          "CASE WHEN acc + (x - 100.0) > 0.0 THEN acc + (x - 100.0) " +
+          "ELSE 0.0 END)"))
+      .select($"user_id", $"event_id", $"ts_ms",
+        size($"vs").cast("long").as("n_frame"), $"cusum",
+        ($"cusum" > 500.0).as("is_drifted"))
+      .orderBy($"user_id", $"ts_ms", $"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_lateral" -> joinLateral,
+    "join_interval_overlap" -> joinIntervalOverlap,
+    "agg_ttest" -> aggTtest,
+    "win_cusum" -> winCusum,
     "agg_weighted_median" -> aggWeightedMedian,
     "agg_gini" -> aggGini,
     "win_zscore" -> winZscore,

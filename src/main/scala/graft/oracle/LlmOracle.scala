@@ -60,6 +60,21 @@ object LlmOracle {
        |WHERE j >= 0.5 ORDER BY jac.d1, jac.d2""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_containment_join" ->
+      s"""WITH $shingleDocs,
+         |pairs AS (
+         |  SELECT a.doc_id AS d_sub, b.doc_id AS d_super, count(*) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT d_sub, d_super, common, CAST(n AS BIGINT) AS n_sub,
+         |    floor(CAST(common AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0
+         |      AS containment
+         |  FROM pairs JOIN sizes ON d_sub = doc_id)
+         |SELECT d_sub, d_super, common, n_sub, containment
+         |FROM c WHERE containment >= 0.8
+         |ORDER BY d_sub, d_super""".stripMargin,
+
     "llm_ngram_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS ts

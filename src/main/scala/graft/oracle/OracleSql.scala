@@ -401,7 +401,104 @@ object OracleSql {
        |GROUP BY c_nationkey
        |ORDER BY cntrycode""".stripMargin
 
+  /** Shared-dialect correlated LATERAL (top-2 orders per customer): the
+    * same text runs on Spark (`ops.Relational.joinLateral`) and DuckDB —
+    * one source of truth, zero drift (the sql_q3 pattern).
+    */
+  val Lateral: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "join_lateral" -> Lateral,
+
+    "join_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, ms,
+        |    lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS p
+        |  FROM e),
+        |brk AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN p IS NULL OR ms - p > 1800000 THEN 1 ELSE 0 END AS b
+        |  FROM l),
+        |sid AS (
+        |  SELECT user_id, ms,
+        |    CAST(sum(b) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sid
+        |  FROM brk),
+        |sess AS (
+        |  SELECT user_id, sid, min(ms) AS st, max(ms) AS en
+        |  FROM sid GROUP BY 1, 2)
+        |SELECT DISTINCT a.user_id AS u1, a.sid AS s1,
+        |  b.user_id AS u2, b.sid AS s2,
+        |  greatest(a.st, b.st) AS ov_start, least(a.en, b.en) AS ov_end,
+        |  least(a.en, b.en) - greatest(a.st, b.st) AS overlap_ms
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.st < b.en AND b.st < a.en
+        |ORDER BY u1, s1, u2, s2""".stripMargin,
+
+    "agg_ttest" ->
+      """WITH mom AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q * q) AS BIGINT) AS s2
+        |  FROM (SELECT event_type,
+        |          CAST(round(value * 10000) AS BIGINT) AS q FROM events)
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.n AS na, a.s1 AS s1a, a.s2 AS s2a,
+        |    b.n AS nb, b.s1 AS s1b, b.s2 AS s2b
+        |  FROM mom a JOIN mom b ON a.event_type < b.event_type),
+        |d AS (
+        |  SELECT type_a, type_b, na, nb,
+        |    CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va,
+        |    (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb
+        |  FROM p),
+        |se AS (
+        |  SELECT type_a, type_b, na, nb, ma, mb,
+        |    va / CAST(na AS DOUBLE) AS sea, vb / CAST(nb AS DOUBLE) AS seb
+        |  FROM d)
+        |SELECT type_a, type_b, na AS n_a, nb AS n_b,
+        |  (ma - mb) / sqrt(sea + seb) AS t_stat,
+        |  ((sea + seb) * (sea + seb)) /
+        |    (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+        |      + seb * seb / (CAST(nb AS DOUBLE) - 1.0)) AS df_welch
+        |FROM se ORDER BY type_a, type_b""".stripMargin,
+
+    "win_cusum" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    list_transform(list_sort(list(
+        |      {'ts_ms': ts_ms, 'event_id': event_id, 'value': value})
+        |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)),
+        |      x -> x.value) AS vs
+        |  FROM e),
+        |c AS (
+        |  SELECT user_id, event_id, ts_ms, CAST(len(vs) AS BIGINT)
+        |      AS n_frame,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+        |      (acc, x) -> CASE WHEN acc + (x - 100.0) > 0.0
+        |        THEN acc + (x - 100.0) ELSE 0.0 END) AS cusum
+        |  FROM w)
+        |SELECT user_id, event_id, ts_ms, n_frame, cusum,
+        |  cusum > 500.0 AS is_drifted
+        |FROM c ORDER BY user_id, ts_ms, event_id""".stripMargin,
+
     "agg_weighted_median" ->
       """WITH bv AS (
         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,

@@ -516,6 +516,35 @@ class LlmSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain at least one lev<=2 name pair")
   }
 
+  test("llm_containment_join: directed pairs match a JVM shingle-set scan") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+      .filter(_._2.length >= 3)
+      .map { case (id, ts) => id -> ts.sliding(3).map(_.mkString(" ")).toSet }
+    val exp = (for {
+      (da, sa) <- docs; (db, sb) <- docs
+      if da != db
+      common = (sa & sb).size
+      if common > 0
+      c = math.floor(common.toDouble / sa.size * 10000.0 + 0.5) / 10000.0
+      if c >= 0.8
+    } yield (da, db, common.toLong, sa.size.toLong, c)).toSet
+    val got = q("llm_containment_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got === exp)
+    assert(got.nonEmpty, "fixture should contain a >=0.8 containment pair")
+    // directed semantics: the denominator is the SUB side's set size (the
+    // JVM-scan equality above proves it bitwise); mirror rows, when both
+    // directions pass the threshold, must carry EACH side's own n_sub
+    got.foreach { case (a, b, common, nSub, c) =>
+      assert(common <= nSub && c >= 0.8 && c <= 1.0)
+      got.find(p => p._1 == b && p._2 == a).foreach { m =>
+        assert(m._3 === common, "mirror pair must share the intersection")
+      }
+    }
+  }
+
   test("llm_ngram_novelty: first-occurrence accounting matches a JVM scan") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).trim.split(" ", -1).toSeq))

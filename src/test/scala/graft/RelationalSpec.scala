@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 201, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 193, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 206, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 198, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -606,6 +606,111 @@ class RelationalSpec extends SparkSpec {
     rows.filter(r => r._1 == u0 && r._3.isDefined).foreach { r =>
       assert(r._3.get === expDaily(r._2), s"day ${r._2} sum")
     }
+  }
+
+  test("join_lateral: decorrelated plan, exactly the per-customer top-2") {
+    import spark.implicits._
+    val df = q("join_lateral")
+    // Catalyst must decorrelate: no nested-loop / cartesian re-execution
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"LATERAL was not decorrelated:\n$p")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exp = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      os.sortBy(o => (-o._3, o._2)).take(2).map(o => (ck, o._2, o._3))
+    }.sortBy { case (ck, ok, tp) => (ck, -tp, ok) }
+    assert(got.toSeq === exp)
+  }
+
+  test("join_interval_overlap: banding recovers exactly the all-pairs interval scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = q("join_interval_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sess = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val sids = sorted.indices.map { i =>
+        if (i == 0 || sorted(i) - sorted(i - 1) > 1800000L) 1L else 0L
+      }.scanLeft(0L)(_ + _).tail
+      sorted.zip(sids).groupBy(_._2).map { case (sid, ms) =>
+        (u, sid, ms.map(_._1).min, ms.map(_._1).max)
+      }
+    }
+    val exp = (for {
+      a <- sess; b <- sess
+      if a._1 < b._1 && a._3 < b._4 && b._3 < a._4 // NO banding: every pair
+    } yield (a._1, a._2, b._1, b._2, math.max(a._3, b._3),
+      math.min(a._4, b._4), math.min(a._4, b._4) - math.max(a._3, b._3))).toSet
+    assert(got === exp)
+    assert(got.nonEmpty, "fixture should contain overlapping cross-user sessions")
+  }
+
+  test("agg_ttest: Welch statistic matches a JVM exact-moment recompute bitwise") {
+    val rows = q("agg_ttest").collect()
+    assert(rows.length > 1)
+    val ev = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val mom = ev.groupBy(_._1).view.mapValues { xs =>
+      val q = xs.map(_._2)
+      (q.length.toLong, q.sum, q.map(x => x * x).sum)
+    }.toMap
+    def bits(x: Double) = java.lang.Double.doubleToLongBits(x)
+    rows.foreach { r =>
+      val (na, s1a, s2a) = mom(r.getString(0))
+      val (nb, s1b, s2b) = mom(r.getString(1))
+      val ma = s1a.toDouble / na.toDouble; val mb = s1b.toDouble / nb.toDouble
+      val va = (s2a.toDouble - s1a.toDouble * s1a.toDouble / na.toDouble) /
+        (na.toDouble - 1.0)
+      val vb = (s2b.toDouble - s1b.toDouble * s1b.toDouble / nb.toDouble) /
+        (nb.toDouble - 1.0)
+      val sea = va / na.toDouble; val seb = vb / nb.toDouble
+      val t = (ma - mb) / math.sqrt(sea + seb)
+      val df = ((sea + seb) * (sea + seb)) /
+        (sea * sea / (na.toDouble - 1.0) + seb * seb / (nb.toDouble - 1.0))
+      assert(r.getLong(2) === na); assert(r.getLong(3) === nb)
+      assert(bits(r.getDouble(4)) === bits(t), s"${r.getString(0)} t")
+      assert(bits(r.getDouble(5)) === bits(df), s"${r.getString(0)} df")
+      // Welch df is bounded by the pooled df and at least min(n)-1
+      assert(df > math.min(na, nb) - 1.0 && df < (na + nb).toDouble)
+    }
+  }
+
+  test("win_cusum: max-reset fold matches a JVM recompute; resets to zero") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = q("win_cusum").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def bits(x: Double) = java.lang.Double.doubleToLongBits(x)
+    var sawZero = false
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - 15), i + 1).map(_._4)
+        val exp = frame.foldLeft(0.0) { (acc, x) =>
+          val c = acc + (x - 100.0); if (c > 0.0) c else 0.0
+        }
+        val (nf, cu, drift) = got((sorted(i)._1, sorted(i)._2))
+        assert(nf === frame.length.toLong)
+        assert(bits(cu) === bits(exp), s"row ${sorted(i)._2} cusum")
+        assert(drift === (exp > 500.0))
+        if (exp == 0.0) sawZero = true
+      }
+    }
+    assert(sawZero, "fixture should exercise the reset-to-zero branch")
   }
 
   test("agg_weighted_median: integer crossing point matches a JVM weighted scan") {

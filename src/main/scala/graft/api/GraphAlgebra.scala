@@ -504,6 +504,43 @@ object GraphAlgebra {
     * that balloons toward |V| automatically degrades to a shuffle join
     * instead of OOMing on the hint.
     */
+  /** MULTI-source BFS hop distances: [[bfsHops]] generalized to a frame of
+    * source vertices — one frontier loop computes distances from EVERY
+    * source simultaneously (the landmark pattern: k-source BFS costs one
+    * traversal, not k). State is keyed (src, id); the per-hop expansion,
+    * first-visit anti-join and broadcast gating are bfsHops' unchanged —
+    * the frontier row budget now counts (src, id) pairs, which is exactly
+    * what the broadcast would ship. `sources` must expose a `src` column.
+    */
+  def multiBfsHops(edgesBoth: DataFrame, sources: DataFrame, maxHops: Int,
+                   broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
+    val adj = edgesBoth.select(col("a"), col("b")).cp()
+    var dist = sources.select(col("src"), col("src").as("id"),
+      lit(0L).as("dist")).cp()
+    var frontier = dist.select(col("src"), col("id"))
+    var frontierRows = frontier.count()
+    var h = 1L
+    var done = frontierRows == 0
+    while (h <= maxHops && !done) {
+      val next = adj.join(hinted(frontier, frontierRows, broadcastMaxRows),
+          col("a") === col("id"))
+        .select(col("src"), col("b").as("id")).distinct()
+        .join(dist.select(col("src"), col("id")), Seq("src", "id"),
+          "left_anti")
+        .cp()
+      frontierRows = next.count()
+      if (frontierRows == 0) done = true
+      else {
+        dist = dist
+          .unionAll(next.select(col("src"), col("id"), lit(h).as("dist")))
+          .cp()
+        frontier = next.select(col("src"), col("id"))
+        h += 1
+      }
+    }
+    dist
+  }
+
   def bfsHops(edgesBoth: DataFrame, src: Long, maxHops: Int,
               broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     val s = edgesBoth.sparkSession

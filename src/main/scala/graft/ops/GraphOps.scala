@@ -964,7 +964,54 @@ object GraphOps {
       .orderBy($"a", $"b")
   }
 
+  /** Landmark (harmonic) closeness centrality — "how near is every part to
+    * the core of the catalog": hop distances from the 8 smallest part ids
+    * over the undirected co-purchase graph (6-hop cap, the sssp contract),
+    * folded per node as Σ 1/d over the landmarks that reach it. ONE
+    * multi-source frontier traversal ([[graft.api.GraphAlgebra.multiBfsHops]])
+    * computes all 8 BFS trees — the landmark trick that makes closeness
+    * affordable at scale (exact closeness is all-pairs). Hash discipline:
+    * 1/d is a small rational, so the fold is the EXACT integer
+    * nano-quantization (2·10⁹ + d) DIV (2d) — floor(10⁹/d + ½) with no
+    * float in sight — summed in BIGINT; no transcendental, no rounding.
+    */
+  val graphCloseness: Q = (s, dir) => {
+    import s.implicits._
+    val lm = partVertices(s, dir)
+      .orderBy($"p_partkey").limit(8).select($"p_partkey".as("src"))
+    graft.api.GraphAlgebra
+      .multiBfsHops(copurchaseBoth(s, dir), lm, maxHops = 6)
+      .filter($"dist" > 0)
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("(2000000000 + dist) DIV (2 * dist)")).as("harmonic_nano"))
+      .select($"id".as("part"), $"n_reached", $"harmonic_nano")
+      .orderBy($"part")
+  }
+
+  /** Landmark eccentricity lower bound — max hop distance from any of the
+    * 8 landmark sources (the standard diameter/eccentricity estimator:
+    * ecc(v) ≥ max over landmarks d(l,v), tight when landmarks are spread).
+    * Shares the ONE multi-source traversal shape with [[graphCloseness]]
+    * (same landmarks, same 6-hop cap, same recursive oracle frame) but
+    * folds max instead of the harmonic sum — pure integer aggregation, no
+    * quantization needed at all.
+    */
+  val graphEccentricity: Q = (s, dir) => {
+    import s.implicits._
+    val lm = partVertices(s, dir)
+      .orderBy($"p_partkey").limit(8).select($"p_partkey".as("src"))
+    graft.api.GraphAlgebra
+      .multiBfsHops(copurchaseBoth(s, dir), lm, maxHops = 6)
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_sources"), max($"dist").as("ecc_lb"))
+      .select($"id".as("part"), $"n_sources", $"ecc_lb")
+      .orderBy($"part")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_eccentricity" -> graphEccentricity,
+    "graph_closeness" -> graphCloseness,
     "graph_build_edges" -> graphBuildEdges,
     "graph_tag_profile" -> graphTagProfile,
     "graph_degree" -> graphDegree,

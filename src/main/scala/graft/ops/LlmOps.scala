@@ -1493,7 +1493,84 @@ object LlmOps {
       .orderBy($"d_sub", $"d_super")
   }
 
+  /** Struct battery — create / field-access / compute-through / array-of-
+    * struct indexing, the nested-data surface every log-schema pipeline
+    * exercises (events arrive as structs; columns are carved out of them).
+    * All accesses are Catalyst `GetStructField`/`ElementAt` — codegen'd
+    * column carving, NO serialization round-trip — and the parquet scan
+    * still prunes to exactly the consumed leaf columns. Output is
+    * flattened to scalars so the oracle hash stays engine-neutral (struct
+    * CELL serialization is the one place the two engines' dump formats
+    * could drift).
+    */
+  val fnStruct: Q = (s, dir) => {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select($"p_partkey",
+        struct($"p_brand".as("brand"), $"p_size".as("sz"),
+          $"p_retailprice".as("price")).as("st"),
+        array(struct(lit(1).as("k"), $"p_name".as("v")),
+          struct(lit(2).as("k"), $"p_type".as("v"))).as("arr"))
+      .select($"p_partkey",
+        $"st.brand".as("brand"),
+        ($"st.sz" + 1).cast("long").as("size_next"),
+        ($"st.price" > 1500.0).as("pricey"),
+        element_at($"arr", 2).getField("v").as("second_v"))
+      .orderBy($"p_partkey")
+  }
+
+  /** MinHash estimator calibration — for every banded candidate pair:
+    * the 8-component signature agreement (est = matches/8) NEXT TO the
+    * exact verified Jaccard, plus the absolute estimation error. This is
+    * the measurement a production dedup runs before trusting an LSH
+    * threshold at a new scale (band/row parameters are chosen from
+    * exactly this curve); it shares every artifact with
+    * [[llmDedupMinhash]] — signatures, bands, candidates, verification
+    * join — so the calibration costs one extra broadcast-sized join over
+    * the signature table. est is an exact ÷8 rational (power of two —
+    * exact in IEEE); err subtracts the raw small-rational Jaccard before
+    * one final quantization, deterministic cross-engine.
+    */
+  val llmMinhashCalibration: Q = (s, dir) => {
+    import s.implicits._
+    val ex = shingleRows(s, dir).cp()
+    val hashAggs = (0 to 7).map(i =>
+      min(md5(concat(lit(i.toString), $"s"))).as(s"h$i"))
+    val mh = ex.groupBy($"doc_id").agg(hashAggs.head, hashAggs.tail: _*).cp()
+    val bands = mh.select($"doc_id", explode(array(
+      struct(lit(0).as("band"), concat($"h0", $"h1").as("key")),
+      struct(lit(1).as("band"), concat($"h2", $"h3").as("key")),
+      struct(lit(2).as("band"), concat($"h4", $"h5").as("key")),
+      struct(lit(3).as("band"), concat($"h6", $"h7").as("key")))).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val cands = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2")).distinct()
+    val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val exact = cands
+      .join(ex.select($"doc_id".as("d1"), $"s".as("s1")), "d1")
+      .join(ex.select($"doc_id".as("d2"), $"s".as("s1")), Seq("d2", "s1"))
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("common"))
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .withColumn("j", $"common" / ($"n1" + $"n2" - $"common"))
+    val sigMatch = (0 to 7).map(i =>
+      ($"a.h$i" === $"b.h$i").cast("long")).reduce(_ + _)
+    exact
+      .join(mh.as("a"), $"d1" === $"a.doc_id")
+      .join(mh.as("b"), $"d2" === $"b.doc_id")
+      .withColumn("n_match", sigMatch)
+      .select($"d1", $"d2", $"n_match",
+        pround4($"n_match" / lit(8)).as("est"),
+        pround4($"j").as("jaccard"),
+        pround4(abs($"n_match" / lit(8) - $"j")).as("err"))
+      .orderBy($"d1", $"d2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_struct" -> fnStruct,
+    "llm_minhash_calibration" -> llmMinhashCalibration,
     "llm_containment_join" -> llmContainmentJoin,
     "llm_ngram_novelty" -> llmNgramNovelty,
     "llm_fuzzy_join" -> llmFuzzyJoin,

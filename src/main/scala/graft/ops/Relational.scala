@@ -1719,7 +1719,159 @@ object Relational {
       .orderBy($"user_id", $"ts_ms", $"event_id")
   }
 
+  /** Schema-evolution read — the "old shards lack the new column" reality
+    * of every long-lived 100 TB table: two parquet batches written with
+    * DIFFERENT schemas (pre-1997 orders without `o_orderpriority`, 1997+
+    * with it), re-read as ONE table via `mergeSchema` — missing columns
+    * surface as NULLs, never as failures or silent drops. The oracle
+    * derives the same frame from the pristine table (priority nulled for
+    * the old slice), proving the merged read loses nothing. At scale
+    * `mergeSchema` is the migration contract: schema-on-read unions the
+    * footer schemas instead of rewriting history.
+    */
+  val srcSchemaEvolution: Q = (s, dir) => {
+    import s.implicits._
+    val out = graft.Scratch.dir("src_schema_evolution")
+    val cutoff = to_timestamp(lit("1997-01-01 00:00:00"))
+    val o = Tables.orders(s, dir)
+    o.filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/v1")
+    o.filter($"o_orderdate" >= cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .orderBy($"o_orderkey")
+  }
+
+  /** 2-D histogram (hour-of-day × value decade) — the heat-map binning
+    * behind every "when and how big" dashboard, and the cheapest whole-
+    * distribution fingerprint two pipeline versions can diff. Pure
+    * integer bucketing (epoch-hour modulo, floor-decade), one map-side-
+    * combined agg; output is |hours|×|decades| cells regardless of input
+    * scale.
+    */
+  val aggHistogram2d: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(((tsMs($"ts") / lit(3600000L)).cast("long") % 24).as("hour"),
+        floor($"value" / 10).cast("long").as("vbin"))
+      .groupBy($"hour", $"vbin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"hour", $"vbin")
+  }
+
+  /** OHLC resample — per (user, hour): open / high / low / close / volume,
+    * the canonical time-bucket downsample of every metrics and market
+    * pipeline. Open and close are PICKED ELEMENTS via min/max over
+    * (ts, event_id, value) structs — the struct's lexicographic order is
+    * the engine-independent total order (event_id breaks ts ties), so
+    * first/last need no window at all: ONE hash aggregation, map-side
+    * partial, carries the whole op. Volume is the msum-quantized sum;
+    * high/low are plain min/max — every output is either a picked input
+    * double or an exact integer fold.
+    */
+  val aggOhlc: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id", tsMs($"ts").as("ms"), $"event_id", $"value")
+      .withColumn("h", ($"ms" / lit(3600000L)).cast("long"))
+      .groupBy($"user_id", $"h")
+      .agg(count(lit(1)).as("n_events"),
+        min(struct($"ms", $"event_id", $"value")).getField("value")
+          .as("open"),
+        max(struct($"ms", $"event_id", $"value")).getField("value")
+          .as("close"),
+        min($"value").as("low"), max($"value").as("high"),
+        msum($"value").as("volume"))
+      .orderBy($"user_id", $"h")
+  }
+
+  /** As-of join WITH TOLERANCE — the staleness-bounded variant every
+    * feature-serving join actually ships (a click older than 1 h must NOT
+    * feed the purchase's features; an unbounded as-of silently serves
+    * arbitrarily stale state). Same linear union+window machinery as
+    * [[joinAsof]]; the tolerance is applied to the matched pair, reverting
+    * the row to the no-match (NULL) shape when the gap exceeds the bound —
+    * left-join semantics, rows are never dropped.
+    */
+  val joinAsofTolerance: Q = (s, dir) => {
+    import s.implicits._
+    val tol = 3600000L // 1 h staleness bound
+    val e = Tables.events(s, dir)
+      .select($"event_id", $"user_id", tsMs($"ts").as("ts_ms"), $"event_type")
+    val clicks = e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts_ms").agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"ts_ms", $"click_id", $"ts_ms".as("c_ts"),
+        lit(0).as("side"), lit(null).cast("long").as("purchase_id"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_ms", lit(null).cast("long").as("click_id"),
+        lit(null).cast("long").as("c_ts"), lit(1).as("side"),
+        $"event_id".as("purchase_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("m_click", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("m_ts", last($"c_ts", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .withColumn("fresh",
+        $"m_ts".isNotNull && $"ts_ms" - $"m_ts" <= tol)
+      .select($"purchase_id", $"user_id", $"ts_ms".as("purchase_ts_ms"),
+        when($"fresh", $"m_click").as("click_id"),
+        when($"fresh", $"m_ts").as("click_ts_ms"),
+        when($"fresh", $"ts_ms" - $"m_ts").as("gap_ms"))
+      .orderBy($"purchase_id")
+  }
+
+  /** Mann–Whitney U (rank-sum) test, click vs purchase values — the
+    * DISTRIBUTION-FREE twin of [[aggTtest]] (no normality assumption; the
+    * robust default for skewed engagement metrics). Everything up to the
+    * final z is EXACT integer arithmetic: quantized values collapse to a
+    * (value → count, count₁) table, tie-averaged ranks live in HALF-UNITS
+    * (2·rank is always integral: r2 = 2·(cum−c)+c+1), the rank-sum and
+    * the tie-correction Σ(c³−c) fold as BIGINTs, and U itself is an exact
+    * half-integer. One double expression tree (normal approximation with
+    * tie-corrected variance) at the end, mirrored token-for-token. The
+    * rank window runs over DISTINCT VALUES (bounded by the value domain),
+    * never the event stream.
+    */
+  val aggMannwhitney: Q = (s, dir) => {
+    import s.implicits._
+    val byQ = Tables.events(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type".as("g"), round($"value" * 10000).cast("long").as("q"))
+      .groupBy($"q")
+      .agg(count(lit(1)).as("c"), count(when($"g" === "click", 1)).as("c1"))
+    val cum = byQ
+      .withColumn("cum", sum($"c").over(
+        Window.orderBy($"q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("r2", lit(2L) * ($"cum" - $"c") + $"c" + 1)
+    cum
+      .agg(sum($"c1").as("n1"), sum($"c").as("n"),
+        sum($"c1" * $"r2").as("r1_2"),
+        sum($"c" * $"c" * $"c" - $"c").as("tsum"))
+      .withColumn("n2", $"n" - $"n1")
+      .withColumn("u2",
+        lit(2L) * $"n1" * $"n2" + $"n1" * ($"n1" + 1) - $"r1_2")
+      .select($"n1", $"n2",
+        ($"u2".cast("double") / lit(2.0)).as("u"),
+        (($"u2".cast("double") / lit(2.0) -
+          $"n1".cast("double") * $"n2".cast("double") / lit(2.0)) /
+          sqrt($"n1".cast("double") * $"n2".cast("double") / lit(12.0) *
+            (($"n".cast("double") + lit(1.0)) -
+              $"tsum".cast("double") /
+                ($"n".cast("double") * ($"n".cast("double") - lit(1.0))))))
+          .as("z_stat"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_ohlc" -> aggOhlc,
+    "join_asof_tolerance" -> joinAsofTolerance,
+    "agg_mannwhitney" -> aggMannwhitney,
+    "src_schema_evolution" -> srcSchemaEvolution,
+    "agg_histogram2d" -> aggHistogram2d,
     "join_lateral" -> joinLateral,
     "join_interval_overlap" -> joinIntervalOverlap,
     "agg_ttest" -> aggTtest,

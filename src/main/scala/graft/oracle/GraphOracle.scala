@@ -268,6 +268,34 @@ object GraphOracle {
   }
 
   val sql: Map[String, String] = Map(
+    "graph_eccentricity" ->
+      s"""WITH RECURSIVE $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |lm AS (SELECT p_partkey AS src FROM part ORDER BY 1 LIMIT 8),
+         |bfs(src, node, d) AS (
+         |  SELECT src, src, 0 FROM lm
+         |  UNION
+         |  SELECT bfs.src, e2.b, bfs.d + 1 FROM bfs JOIN e2 ON e2.a = bfs.node
+         |  WHERE bfs.d < 6),
+         |md AS (SELECT src, node, min(d) AS d FROM bfs GROUP BY 1, 2)
+         |SELECT node AS part, count(*) AS n_sources,
+         |  CAST(max(d) AS BIGINT) AS ecc_lb
+         |FROM md GROUP BY 1 ORDER BY part""".stripMargin,
+
+    "graph_closeness" ->
+      s"""WITH RECURSIVE $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |lm AS (SELECT p_partkey AS src FROM part ORDER BY 1 LIMIT 8),
+         |bfs(src, node, d) AS (
+         |  SELECT src, src, 0 FROM lm
+         |  UNION
+         |  SELECT bfs.src, e2.b, bfs.d + 1 FROM bfs JOIN e2 ON e2.a = bfs.node
+         |  WHERE bfs.d < 6),
+         |md AS (SELECT src, node, min(d) AS d FROM bfs GROUP BY 1, 2)
+         |SELECT node AS part, count(*) AS n_reached,
+         |  CAST(sum((2000000000 + d) // (2 * d)) AS BIGINT) AS harmonic_nano
+         |FROM md WHERE d > 0 GROUP BY 1 ORDER BY part""".stripMargin,
+
     "graph_hits" -> hitsSql,
     "graph_eigencentrality" -> eigenSql,
     "graph_kcore" -> kcoreSql(68, 6),

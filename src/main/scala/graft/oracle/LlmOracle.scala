@@ -60,6 +60,52 @@ object LlmOracle {
        |WHERE j >= 0.5 ORDER BY jac.d1, jac.d2""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "fn_struct" ->
+      """WITH t AS (
+        |  SELECT p_partkey,
+        |    {'brand': p_brand, 'sz': p_size, 'price': p_retailprice} AS st,
+        |    [{'k': 1, 'v': p_name}, {'k': 2, 'v': p_type}] AS arr
+        |  FROM part)
+        |SELECT p_partkey, st.brand AS brand,
+        |  CAST(st.sz + 1 AS BIGINT) AS size_next,
+        |  st.price > 1500.0 AS pricey,
+        |  arr[2].v AS second_v
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "llm_minhash_calibration" ->
+      s"""WITH $jaccardPairs,
+         |mh AS (
+         |  SELECT doc_id,
+         |    min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
+         |    min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3,
+         |    min(md5('4' || s)) AS h4, min(md5('5' || s)) AS h5,
+         |    min(md5('6' || s)) AS h6, min(md5('7' || s)) AS h7
+         |  FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, band,
+         |    CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+         |              WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS key
+         |  FROM mh, (VALUES (0), (1), (2), (3)) b(band)),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |m AS (
+         |  SELECT c.d1, c.d2,
+         |    CAST((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT
+         |      + (a.h2 = b.h2)::INT + (a.h3 = b.h3)::INT
+         |      + (a.h4 = b.h4)::INT + (a.h5 = b.h5)::INT
+         |      + (a.h6 = b.h6)::INT + (a.h7 = b.h7)::INT AS BIGINT)
+         |      AS n_match
+         |  FROM cands c JOIN mh a ON c.d1 = a.doc_id
+         |               JOIN mh b ON c.d2 = b.doc_id)
+         |SELECT m.d1, m.d2, n_match,
+         |  floor(n_match / 8 * 10000.0 + 0.5) / 10000.0 AS est,
+         |  floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard,
+         |  floor(abs(n_match / 8 - j) * 10000.0 + 0.5) / 10000.0 AS err
+         |FROM m JOIN jac ON m.d1 = jac.d1 AND m.d2 = jac.d2
+         |ORDER BY m.d1, m.d2""".stripMargin,
+
     "llm_containment_join" ->
       s"""WITH $shingleDocs,
          |pairs AS (

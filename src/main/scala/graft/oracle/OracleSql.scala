@@ -414,6 +414,84 @@ object OracleSql {
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "agg_ohlc" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_id, value,
+        |    epoch_ms(ts) // 3600000 AS h
+        |  FROM events)
+        |SELECT user_id, h, count(*) AS n_events,
+        |  min({'ms': ms, 'event_id': event_id, 'value': value}).value
+        |    AS open,
+        |  max({'ms': ms, 'event_id': event_id, 'value': value}).value
+        |    AS close,
+        |  min(value) AS low, max(value) AS high,
+        |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0 AS volume
+        |FROM e GROUP BY 1, 2 ORDER BY user_id, h""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |  event_type FROM events),
+        |clicks AS (
+        |  SELECT user_id, ts_ms, max(event_id) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ts_ms
+        |  FROM e WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT p.purchase_id, p.user_id, p.ts_ms,
+        |    c.click_id, c.ts_ms AS c_ts
+        |  FROM purchases p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND c.ts_ms <= p.ts_ms)
+        |SELECT purchase_id, user_id, ts_ms AS purchase_ts_ms,
+        |  CASE WHEN ts_ms - c_ts <= 3600000 THEN click_id END AS click_id,
+        |  CASE WHEN ts_ms - c_ts <= 3600000 THEN c_ts END AS click_ts_ms,
+        |  CASE WHEN ts_ms - c_ts <= 3600000 THEN ts_ms - c_ts END AS gap_ms
+        |FROM m ORDER BY purchase_id""".stripMargin,
+
+    "agg_mannwhitney" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(round(value * 10000) AS BIGINT) AS q
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |bq AS (
+        |  SELECT q, count(*) AS c,
+        |    count(CASE WHEN g = 'click' THEN 1 END) AS c1
+        |  FROM e GROUP BY 1),
+        |cu AS (
+        |  SELECT q, c, c1,
+        |    CAST(sum(c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM bq),
+        |r AS (SELECT c, c1, 2 * (cum - c) + c + 1 AS r2 FROM cu),
+        |s AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c1 * r2) AS BIGINT) AS r1_2,
+        |    CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+        |  FROM r),
+        |d AS (
+        |  SELECT n1, n - n1 AS n2, n, r1_2, tsum,
+        |    2 * n1 * (n - n1) + n1 * (n1 + 1) - r1_2 AS u2
+        |  FROM s)
+        |SELECT n1, n2, CAST(u2 AS DOUBLE) / 2.0 AS u,
+        |  (CAST(u2 AS DOUBLE) / 2.0
+        |    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+        |  sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |    ((CAST(n AS DOUBLE) + 1.0)
+        |      - CAST(tsum AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) AS z_stat
+        |FROM d""".stripMargin,
+
+    "src_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |       THEN o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_histogram2d" ->
+      """SELECT (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |  CAST(floor(value / 10) AS BIGINT) AS vbin, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour, vbin""".stripMargin,
+
     "join_lateral" -> Lateral,
 
     "join_interval_overlap" ->

@@ -307,4 +307,49 @@ class GraphSpec extends SparkSpec {
     // the seed's own edges are a subset (seed is in the ball)
     assert(cp.filter(e => e._1 == 1L || e._2 == 1L).toSet.subsetOf(rows))
   }
+
+  test("graph_eccentricity: max-fold over the same landmark distances as closeness") {
+    import spark.implicits._
+    val ecc = q("graph_eccentricity").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ecc.nonEmpty)
+    val lm = Tables.part(spark, sf).select("p_partkey").collect()
+      .map(_.getLong(0)).sorted.take(8)
+    val cpDf = graft.ops.GraphOps.copurchase(spark, sf).select($"a", $"b")
+    val both = cpDf.unionAll(cpDf.select($"b".as("a"), $"a".as("b")))
+    val perSource = lm.flatMap { src =>
+      graft.api.GraphAlgebra.bfsHops(both, src, 6).collect()
+        .map(r => (src, r.getLong(0), r.getLong(1)))
+    }
+    val exp = perSource.groupBy(_._2).map { case (id, xs) =>
+      id -> (xs.length.toLong, xs.map(_._3).max)
+    }
+    assert(ecc === exp)
+    // landmarks themselves appear with their self-distance 0 counted
+    lm.foreach(l => assert(ecc.contains(l)))
+  }
+
+  test("graph_closeness: one multi-source pass equals 8 single-source BFS runs") {
+    import spark.implicits._
+    val got = q("graph_closeness").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    // landmark set = 8 smallest part ids
+    val lm = Tables.part(spark, sf).select("p_partkey").collect()
+      .map(_.getLong(0)).sorted.take(8)
+    // per-landmark single-source BFS through the already-proven bfsHops
+    val cpDf = graft.ops.GraphOps.copurchase(spark, sf).select($"a", $"b")
+    val both = cpDf.unionAll(cpDf.select($"b".as("a"), $"a".as("b")))
+    val perSource = lm.flatMap { src =>
+      graft.api.GraphAlgebra.bfsHops(both, src, 6).collect()
+        .map(r => (src, r.getLong(0), r.getLong(1)))
+    }
+    val exp = perSource.filter(_._3 > 0).groupBy(_._2).map { case (id, xs) =>
+      id -> (xs.length.toLong,
+        xs.map(x => (2000000000L + x._3) / (2L * x._3)).sum)
+    }
+    assert(got === exp)
+    // a landmark's own row (if present) counts only OTHER landmarks
+    got.foreach { case (_, (n, _)) => assert(n >= 1L && n <= 8L) }
+  }
 }

@@ -516,6 +516,59 @@ class LlmSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain at least one lev<=2 name pair")
   }
 
+  test("fn_struct: field carving agrees with the flat source columns") {
+    val rows = q("fn_struct").collect()
+    assert(rows.nonEmpty)
+    val src = Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice", "p_type")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getAs[Number](2).longValue(), r.getDouble(3),
+          r.getString(4))).toMap
+    rows.foreach { r =>
+      val (brand, sz, price, ptype) = src(r.getLong(0))
+      assert(r.getString(1) === brand)
+      assert(r.getLong(2) === sz + 1)
+      assert(r.getBoolean(3) === (price > 1500.0))
+      assert(r.getString(4) === ptype)
+    }
+  }
+
+  test("llm_minhash_calibration: est/exact/err recompute in the JVM; candidates = banded set") {
+    val got = q("llm_minhash_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.nonEmpty)
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+      .filter(_._2.length >= 3)
+      .map { case (id, ts) => id -> ts.sliding(3).map(_.mkString(" ")).toSet }
+    val sig = docs.map { case (id, sh) =>
+      id -> (0 to 7).map(i => sh.map(s => md5hex(i.toString + s)).min)
+    }.toMap
+    val bandsOf = (h: IndexedSeq[String]) =>
+      Seq(h(0) + h(1), h(2) + h(3), h(4) + h(5), h(6) + h(7))
+    val exp = (for {
+      (d1, s1) <- docs; (d2, s2) <- docs
+      if d1 < d2
+      if bandsOf(sig(d1).toIndexedSeq).zip(bandsOf(sig(d2).toIndexedSeq))
+        .exists(p => p._1 == p._2)
+      common = (s1 & s2).size
+      if common > 0
+    } yield {
+      val nm = sig(d1).zip(sig(d2)).count(p => p._1 == p._2).toLong
+      val j = common.toDouble / (s1.size + s2.size - common)
+      def p4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+      (d1, d2) -> (nm, p4(nm.toDouble / 8), p4(j), p4(math.abs(nm.toDouble / 8 - j)))
+    }).toMap
+    assert(got === exp)
+    // the estimator must be well calibrated somewhere: at least one
+    // candidate with full signature agreement and high exact Jaccard
+    assert(got.values.exists(v => v._1 == 8L && v._3 >= 0.5))
+  }
+
   test("llm_containment_join: directed pairs match a JVM shingle-set scan") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))

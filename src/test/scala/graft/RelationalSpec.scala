@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 206, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 198, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 215, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 207, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -606,6 +606,119 @@ class RelationalSpec extends SparkSpec {
     rows.filter(r => r._1 == u0 && r._3.isDefined).foreach { r =>
       assert(r._3.get === expDaily(r._2), s"day ${r._2} sum")
     }
+  }
+
+  test("agg_ohlc: open/close are the chronological first/last picks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = q("agg_ohlc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_id", $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val exp = ev.groupBy(e => (e._1, e._2 / 3600000L)).map { case (k, rows) =>
+      val chron = rows.sortBy(r => (r._2, r._3))
+      k -> (rows.length.toLong, chron.head._4, chron.last._4,
+        rows.map(_._4).min, rows.map(_._4).max)
+    }
+    assert(got === exp)
+    got.values.foreach { case (_, o, c, lo, hi) =>
+      assert(lo <= o && o <= hi && lo <= c && c <= hi)
+    }
+  }
+
+  test("join_asof_tolerance: stale matches null out; fresh rows equal join_asof") {
+    val base = q("join_asof").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getLong(5)))))
+      .toMap
+    val rows = q("join_asof_tolerance").collect()
+    assert(rows.nonEmpty)
+    var stale = 0
+    rows.foreach { r =>
+      val m = base(r.getLong(0))
+      if (r.isNullAt(3)) {
+        // either no click at all, or the backward match was too old
+        assert(m.isEmpty || m.get._3 > 3600000L)
+        if (m.exists(_._3 > 3600000L)) stale += 1
+      } else {
+        val (cid, cts, gap) = (r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(gap <= 3600000L)
+        assert(m.contains((cid, cts, gap)), "fresh rows must equal join_asof")
+      }
+    }
+    assert(stale > 0, "fixture should contain at least one stale match")
+  }
+
+  test("agg_mannwhitney: exact half-unit ranks match a JVM recompute bitwise") {
+    val r = q("agg_mannwhitney").collect()
+    assert(r.length === 1)
+    val ev = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(x => (x.getString(0), BigDecimal(x.getDouble(1) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .filter(x => x._1 == "click" || x._1 == "purchase")
+    val byQ = ev.groupBy(_._2).toSeq.sortBy(_._1).map { case (q, xs) =>
+      (q, xs.length.toLong, xs.count(_._1 == "click").toLong)
+    }
+    var cum = 0L
+    var n1 = 0L; var n = 0L; var r12 = 0L; var tsum = 0L
+    byQ.foreach { case (_, c, c1) =>
+      cum += c
+      val r2 = 2L * (cum - c) + c + 1
+      n1 += c1; n += c; r12 += c1 * r2; tsum += c * c * c - c
+    }
+    val n2 = n - n1
+    val u2 = 2L * n1 * n2 + n1 * (n1 + 1) - r12
+    val u = u2.toDouble / 2.0
+    val z = (u2.toDouble / 2.0 - n1.toDouble * n2.toDouble / 2.0) /
+      math.sqrt(n1.toDouble * n2.toDouble / 12.0 *
+        ((n.toDouble + 1.0) - tsum.toDouble / (n.toDouble * (n.toDouble - 1.0))))
+    def bits(x: Double) = java.lang.Double.doubleToLongBits(x)
+    assert(r(0).getLong(0) === n1); assert(r(0).getLong(1) === n2)
+    assert(bits(r(0).getDouble(2)) === bits(u))
+    assert(bits(r(0).getDouble(3)) === bits(z))
+    // sanity: U within its range, tie correction engaged on this data
+    assert(u >= 0.0 && u <= (n1 * n2).toDouble)
+    assert(tsum > 0, "quantized fixture should contain ties")
+  }
+
+  test("src_schema_evolution: merged read = pristine frame with nulled old column") {
+    import spark.implicits._
+    val got = q("src_schema_evolution").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getString(3))))
+    assert(got.nonEmpty)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val exp = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        ($"o_orderdate" < to_timestamp(lit("1997-01-01 00:00:00")))
+          .as("old"), $"o_orderpriority")
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2),
+          if (r.getBoolean(3)) None else Some(r.getString(4)))
+      }.sortBy(_._1)
+    assert(got.toSeq === exp.toSeq)
+    assert(exp.exists(_._4.isEmpty) && exp.exists(_._4.isDefined),
+      "fixture must exercise both schema generations")
+  }
+
+  test("agg_histogram2d: cells partition the table and match a JVM binning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = q("agg_histogram2d").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, sf)
+      .select(unix_millis($"ts").as("ms"), $"value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val exp = ev.groupBy { case (ms, v) =>
+      (ms / 3600000L % 24L, math.floor(v / 10).toLong)
+    }.view.mapValues(_.length.toLong).toMap
+    assert(got === exp)
+    assert(got.values.sum === ev.length.toLong, "cells must partition the rows")
   }
 
   test("join_lateral: decorrelated plan, exactly the per-customer top-2") {

@@ -1568,7 +1568,71 @@ object LlmOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** Chunk-hash dedup with keep-first semantics (the CCNet move, at chunk
+    * granularity): documents split into DISJOINT 20-token chunks, each
+    * chunk hashed, and a chunk survives only in the document that MINTED
+    * its hash (min doc_id) — the cutting half of exact-substring dedup
+    * ([[llmDupNgramSpans]] is the overlapping-window detection half;
+    * [[llmNgramNovelty]] is the same accounting as a marginal-value
+    * curve). Per doc: chunk/token totals, kept counts, kept ratio — the
+    * numbers a curation run reports as its dedup yield. Chunking is
+    * per-row integer arithmetic (explode over sequence, no array
+    * shuffle); the hash table is one min() agg; the keep join rides the
+    * hash-agg partitioning. At 100 TB the md5 carries the whole op —
+    * chunks never shuffle as text (the hash is the key), and the min
+    * fold's partial agg combines map-side.
+    */
+  val llmDedupParagraph: Q = (s, dir) => {
+    import s.implicits._
+    val k = 20
+    val chunks = Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), " ").as("toks"))
+      .withColumn("n", size($"toks").cast("long"))
+      .filter($"n" >= 1)
+      .select($"doc_id", $"toks", $"n",
+        explode(sequence(lit(0L), floor(($"n" - 1) / k).cast("long")))
+          .as("ci"))
+      .select($"doc_id",
+        md5(concat_ws(" ",
+          slice($"toks", ($"ci" * k + 1).cast("int"), lit(k)))).as("h"),
+        least(lit(k.toLong), $"n" - $"ci" * k).as("ctoks"))
+      .cp() // feeds the mint-table agg AND the keep join
+    val minted = chunks.groupBy($"h").agg(min($"doc_id").as("fd"))
+    chunks.join(minted, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when($"doc_id" === $"fd", 1)).as("kept_chunks"),
+        sum(when($"doc_id" === $"fd", $"ctoks")).as("kept_tokens"),
+        sum($"ctoks").as("total_tokens"))
+      .withColumn("kept_ratio", pround4($"kept_chunks" / $"n_chunks"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic train/val/test split — the hash-bucket assignment every
+    * dataset release ships (stable across runs, machines, and engine
+    * versions; NEVER a random() split, which is unreproducible and
+    * leaks across reshuffles): first hex nibble of md5(doc_id) buckets
+    * 13/2/1 into train/val/test (~81/12/6%). Reported per source so
+    * stratification skew is visible — a source whose hash slice deviates
+    * far from 13:2:1 is the flag to widen the bucket key. Pure per-row
+    * arithmetic + one agg; the assignment column is the thing a real
+    * pipeline writes back, the rollup is the auditable summary.
+    */
+  val llmTrainValSplit: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("h1", substring(md5($"doc_id".cast("string")), 1, 1))
+      .withColumn("split",
+        when($"h1" < "d", "train").when($"h1" < "f", "val")
+          .otherwise("test"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"source", $"split")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_dedup_paragraph" -> llmDedupParagraph,
+    "llm_train_val_split" -> llmTrainValSplit,
     "fn_struct" -> fnStruct,
     "llm_minhash_calibration" -> llmMinhashCalibration,
     "llm_containment_join" -> llmContainmentJoin,

@@ -1866,7 +1866,30 @@ object Relational {
           .as("z_stat"))
   }
 
+  /** CSV dialect round-trip — non-default separator + quote character,
+    * explicit schema on read (inference is a second full pass at 100 TB):
+    * the "your vendor ships pipe-delimited files" reality check on top of
+    * [[srcCsv]]'s default dialect. Doubles survive because Spark writes
+    * shortest-round-trip representations; the oracle reads the pristine
+    * parquet, so the whole text round-trip must be lossless.
+    */
+  val srcCsvDialect: Q = (s, dir) => {
+    import s.implicits._
+    val out = s"${graft.Scratch.dir("src_csv_dialect")}/orders"
+    val cols = Seq($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+      $"o_orderpriority")
+    Tables.orders(s, dir).select(cols: _*)
+      .write.option("sep", "|").option("quote", "'")
+      .option("header", "true").mode("overwrite").csv(out)
+    s.read.option("sep", "|").option("quote", "'").option("header", "true")
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE," +
+        " o_orderpriority STRING")
+      .csv(out)
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "src_csv_dialect" -> srcCsvDialect,
     "agg_ohlc" -> aggOhlc,
     "join_asof_tolerance" -> joinAsofTolerance,
     "agg_mannwhitney" -> aggMannwhitney,

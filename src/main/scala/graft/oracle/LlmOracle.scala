@@ -60,6 +60,40 @@ object LlmOracle {
        |WHERE j >= 0.5 ORDER BY jac.d1, jac.d2""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_dedup_paragraph" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS ts
+        |  FROM documents WHERE len(string_split(trim(text), ' ')) >= 1),
+        |ch AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(
+        |      ts[(ci*20+1):least(ci*20+20, len(ts))], ' ')) AS h,
+        |    least(20, len(ts) - ci*20) AS ctoks
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(generate_series(0, (len(ts)-1)//20)) AS ci
+        |        FROM toks)),
+        |fd AS (SELECT h, min(doc_id) AS fd FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        |  count(CASE WHEN ch.doc_id = fd.fd THEN 1 END) AS kept_chunks,
+        |  CAST(sum(CASE WHEN ch.doc_id = fd.fd THEN ctoks END) AS BIGINT)
+        |    AS kept_tokens,
+        |  CAST(sum(ctoks) AS BIGINT) AS total_tokens,
+        |  floor(CAST(count(CASE WHEN ch.doc_id = fd.fd THEN 1 END)
+        |      AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS kept_ratio
+        |FROM ch JOIN fd USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_train_val_split" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'd' THEN 'train'
+        |         WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'f' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM d GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
     "fn_struct" ->
       """WITH t AS (
         |  SELECT p_partkey,

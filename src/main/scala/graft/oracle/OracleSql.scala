@@ -414,6 +414,10 @@ object OracleSql {
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "src_csv_dialect" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "agg_ohlc" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) AS ms, event_id, value,

@@ -516,6 +516,57 @@ class LlmSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain at least one lev<=2 name pair")
   }
 
+  test("llm_dedup_paragraph: keep-first chunk accounting matches a JVM scan") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split(" ", -1).toSeq))
+      .filter(_._2.nonEmpty)
+    val chunks = docs.flatMap { case (id, ts) =>
+      ts.grouped(20).map(c => (id, md5hex(c.mkString(" ")), c.length.toLong))
+    }
+    val minted = chunks.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val exp = chunks.groupBy(_._1).map { case (id, cs) =>
+      val kept = cs.filter(c => minted(c._2) == id)
+      val keptTok = if (kept.isEmpty) None else Some(kept.map(_._3).sum)
+      id -> (cs.size.toLong, kept.size.toLong, keptTok, cs.map(_._3).sum,
+        math.floor(kept.size.toDouble / cs.size * 10000.0 + 0.5) / 10000.0)
+    }
+    val got = q("llm_dedup_paragraph").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
+        r.getDouble(5))).toMap
+    assert(got === exp)
+    assert(exp.values.exists(v => v._2 < v._1),
+      "fixture should contain at least one cut (duplicated) chunk")
+  }
+
+  test("llm_train_val_split: buckets are deterministic, exhaustive, and ~13:2:1") {
+    val rows = q("llm_train_val_split").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.nonEmpty)
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = docs.groupBy { case (id, src, _) =>
+      val h = md5hex(id.toString).charAt(0)
+      (src, if (h < 'd') "train" else if (h < 'f') "val" else "test")
+    }.map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._3).sum) }
+    assert(rows === exp)
+    // every doc lands in exactly one bucket
+    assert(rows.values.map(_._1).sum === docs.length.toLong)
+    // train dominates globally (the 13/16 slice)
+    val bySplit = rows.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2._1).sum).toMap
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L) &&
+      bySplit("train") > bySplit.getOrElse("test", 0L))
+  }
+
   test("fn_struct: field carving agrees with the flat source columns") {
     val rows = q("fn_struct").collect()
     assert(rows.nonEmpty)

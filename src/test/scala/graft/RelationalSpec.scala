@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 215, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 207, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 218, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 210, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -606,6 +606,20 @@ class RelationalSpec extends SparkSpec {
     rows.filter(r => r._1 == u0 && r._3.isDefined).foreach { r =>
       assert(r._3.get === expDaily(r._2), s"day ${r._2} sum")
     }
+  }
+
+  test("src_csv_dialect: pipe-delimited round-trip is lossless") {
+    import spark.implicits._
+    val got = q("src_csv_dialect").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    val exp = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderpriority")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === exp.toSeq)
+    assert(got.nonEmpty)
   }
 
   test("agg_ohlc: open/close are the chronological first/last picks") {

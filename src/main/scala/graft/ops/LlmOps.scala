@@ -1630,7 +1630,44 @@ object LlmOps {
       .orderBy($"source", $"split")
   }
 
+  /** Bigram-LM (add-one smoothed) per-document surprise — one conditioning
+    * order deeper than [[llmUnigramLogprob]]: p(w₂|w₁) = (c(w₁w₂)+1) /
+    * (c(w₁)+V), the simplest model that penalizes IMPLAUSIBLE SEQUENCES
+    * instead of just rare words (word-salad scores high here while
+    * sailing through the unigram gate). Surprise −ln p is nano-quantized
+    * per DISTINCT bigram (vocab² values at most — a broadcast-sized
+    * table), per-doc sums fold as exact BIGINTs. The doc-bigram stream
+    * joins the scored table BROADCAST (Heaps-law bigram vocab ≪ corpus);
+    * one doc-keyed agg carries the rollup.
+    */
+  val llmBigramLogprob: Q = (s, dir) => {
+    import s.implicits._
+    val bi = Tables.documents(s, dir)
+      .filter(size(split(trim($"text"), " ")) >= 2)
+      .select($"doc_id", split(trim($"text"), " ").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(1), size($"toks") - 1)).as("i"))
+      .select($"doc_id",
+        element_at($"toks", $"i").as("w1"),
+        element_at($"toks", $"i" + 1).as("w2"))
+      .cp() // counts AND the per-doc scoring join share the tokenize pass
+    val cBi = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val cUni = bi.groupBy($"w1").agg(count(lit(1)).as("cu"))
+    val vocab = bi.select($"w2").union(bi.select($"w1".as("w2")))
+      .distinct().agg(count(lit(1)).as("v"))
+    val scored = cBi.join(cUni, "w1").crossJoin(broadcast(vocab))
+      .withColumn("sc", floor(-log(($"cb" + 1) / ($"cu" + $"v")) * 1.0e9 +
+        0.5).cast("long"))
+      .select($"w1", $"w2", $"sc")
+    bi.join(broadcast(scored), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum($"sc") / (count(lit(1)) * 1.0e9), 4).as("avg_surprise"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_bigram_logprob" -> llmBigramLogprob,
     "llm_dedup_paragraph" -> llmDedupParagraph,
     "llm_train_val_split" -> llmTrainValSplit,
     "fn_struct" -> fnStruct,

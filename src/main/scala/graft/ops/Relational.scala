@@ -1888,7 +1888,73 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Per-group OLS regression (price ~ quantity by return flag) — the
+    * one-pass closed-form fit behind every "is this trend real" readout.
+    * Same determinism contract as [[aggSkewKurt]]: x (integral quantity)
+    * and y (BIGINT cents) raise to exact integer sums n/Σx/Σy/Σx²/Σxy
+    * (map-side partial, order-proof, every sum < 2^53 so its double image
+    * is exact), then slope/intercept are single fixed expression trees —
+    * the cross products may round in the last bits, but both engines
+    * perform the IDENTICAL IEEE ops on IDENTICAL inputs, so the outputs
+    * are bit-equal. Cents→dollars is one final exact-by-1e2 division.
+    */
+  val aggLinreg: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val x = $"l_quantity".cast("long")
+    val y = round($"l_extendedprice" * 100).cast("long")
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .withColumn("slope_c",
+        (d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+          (d($"n") * d($"sxx") - d($"sx") * d($"sx")))
+      .select($"l_returnflag", $"n",
+        ($"slope_c" / lit(100.0)).as("slope"),
+        ((d($"sy") - $"slope_c" * d($"sx")) / d($"n") / lit(100.0))
+          .as("intercept"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Chi-squared independence test over the (event_type × hour-of-day)
+    * contingency table — "does behavior depend on time of day", the
+    * categorical sibling of [[aggTtest]]/[[aggMannwhitney]]. Observed
+    * counts and margins are exact integers (margins via window sums over
+    * the CELL frame — ≤ types×24 rows, never the stream); each cell's
+    * (o−e)²/e is a deterministic double from exact inputs, NANO-QUANTIZED
+    * before the final sum (§2.9: a 120-term double sum would be
+    * reduction-order-dependent; the BIGINT sum is not), one rounding at
+    * the end. Dof from exact distinct counts.
+    */
+  val aggChisq: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val cells = Tables.events(s, dir)
+      .select($"event_type",
+        ((tsMs($"ts") / lit(3600000L)).cast("long") % 24).as("hour"))
+      .groupBy($"event_type", $"hour").agg(count(lit(1)).as("o"))
+    val withMargins = cells
+      .withColumn("rt", sum($"o").over(Window.partitionBy($"event_type")))
+      .withColumn("ct", sum($"o").over(Window.partitionBy($"hour")))
+      .withColumn("n", sum($"o").over(Window.partitionBy()))
+      .withColumn("e", d($"rt") * d($"ct") / d($"n"))
+      .withColumn("q", floor((d($"o") - $"e") * (d($"o") - $"e") / $"e" *
+        lit(1.0e9) + lit(0.5)).cast("long"))
+    withMargins
+      .agg(countDistinct($"event_type").as("r"),
+        countDistinct($"hour").as("c"),
+        count(lit(1)).as("n_cells"), sum($"q").as("sq"))
+      .select($"n_cells", (($"r" - 1) * ($"c" - 1)).as("dof"),
+        // pround4 shape (not round): sq/1e9 can land exactly on a
+        // 4-decimal half boundary when sq ≡ 50000 (mod 1e5)
+        (floor($"sq" / lit(1.0e9) * lit(10000.0) + lit(0.5)).cast("double") /
+          lit(10000.0)).as("chi2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_linreg" -> aggLinreg,
+    "agg_chisq" -> aggChisq,
     "src_csv_dialect" -> srcCsvDialect,
     "agg_ohlc" -> aggOhlc,
     "join_asof_tolerance" -> joinAsofTolerance,

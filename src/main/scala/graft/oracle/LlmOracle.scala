@@ -60,6 +60,30 @@ object LlmOracle {
        |WHERE j >= 0.5 ORDER BY jac.d1, jac.d2""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS ts
+        |  FROM documents WHERE len(string_split(trim(text), ' ')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1),
+        |vv AS (SELECT count(*) AS v FROM (
+        |  SELECT DISTINCT w2 FROM (
+        |    SELECT w2 FROM bi UNION ALL SELECT w1 FROM bi))),
+        |sc AS (
+        |  SELECT cb.w1, cb.w2,
+        |    CAST(floor(-ln((cb + 1) / (cu + v)) * 1e9 + 0.5) AS BIGINT)
+        |      AS sc
+        |  FROM cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vv)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(sc) AS DOUBLE) / (count(*) * 1e9), 4)
+        |    AS avg_surprise
+        |FROM bi JOIN sc ON bi.w1 = sc.w1 AND bi.w2 = sc.w2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "llm_dedup_paragraph" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS ts

@@ -414,6 +414,54 @@ object OracleSql {
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "agg_linreg" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |        FROM lineitem)
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_c
+        |  FROM s)
+        |SELECT l_returnflag, n, slope_c / 100.0 AS slope,
+        |  (CAST(sy AS DOUBLE) - slope_c * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 100.0 AS intercept
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    "agg_chisq" ->
+      """WITH cells AS (
+        |  SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, hour, o,
+        |    CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+        |    CAST(sum(o) OVER (PARTITION BY hour) AS BIGINT) AS ct,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |e AS (
+        |  SELECT event_type, hour, o,
+        |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
+        |  FROM m),
+        |qv AS (
+        |  SELECT event_type, hour,
+        |    CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+        |      / e * 1e9 + 0.5) AS BIGINT) AS q
+        |  FROM e)
+        |SELECT count(*) AS n_cells,
+        |  CAST((count(DISTINCT event_type) - 1)
+        |    * (count(DISTINCT hour) - 1) AS BIGINT) AS dof,
+        |  floor(CAST(sum(q) AS DOUBLE) / 1e9 * 10000.0 + 0.5) / 10000.0
+        |    AS chi2
+        |FROM qv""".stripMargin,
+
     "src_csv_dialect" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,

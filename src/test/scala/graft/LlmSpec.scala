@@ -516,6 +516,34 @@ class LlmSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain at least one lev<=2 name pair")
   }
 
+  test("llm_bigram_logprob: smoothed conditional surprise matches a JVM recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split(" ", -1).toSeq))
+      .filter(_._2.length >= 2)
+    val bi = docs.flatMap { case (id, ts) =>
+      ts.sliding(2).map(p => (id, p(0), p(1)))
+    }
+    val cb = bi.groupBy(p => (p._2, p._3)).view.mapValues(_.length.toLong).toMap
+    val cu = bi.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val v = (bi.map(_._2) ++ bi.map(_._3)).distinct.length.toLong
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = bi.groupBy(_._1).map { case (id, xs) =>
+      val s = xs.map { case (_, w1, w2) =>
+        math.floor(-math.log((cb((w1, w2)) + 1).toDouble /
+          (cu(w1) + v)) * 1e9 + 0.5).toLong
+      }.sum
+      id -> (xs.length.toLong, r4(s.toDouble / (xs.length * 1e9)))
+    }
+    val got = q("llm_bigram_logprob").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === exp)
+    assert(got.nonEmpty)
+    // a repeated bigram is CHEAPER than a novel one under the same history
+    val pRepeated = (2.0 + 1) / (10 + v) // sanity of the smoothing direction
+    assert(-math.log(pRepeated) < -math.log(1.0 / (10 + v)))
+  }
+
   test("llm_dedup_paragraph: keep-first chunk accounting matches a JVM scan") {
     def md5hex(x: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(x.getBytes("UTF-8"))

@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 218, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 210, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 221, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 213, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -606,6 +606,69 @@ class RelationalSpec extends SparkSpec {
     rows.filter(r => r._1 == u0 && r._3.isDefined).foreach { r =>
       assert(r._3.get === expDaily(r._2), s"day ${r._2} sum")
     }
+  }
+
+  test("agg_linreg: closed form matches a JVM exact-sum recompute bitwise") {
+    val rows = q("agg_linreg").collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong,
+        BigDecimal(r.getDouble(2) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    def bits(x: Double) = java.lang.Double.doubleToLongBits(x)
+    rows.foreach { r =>
+      val g = li.filter(_._1 == r.getString(0))
+      val n = g.length.toLong
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxx = g.map(v => v._2 * v._2).sum
+      val sxy = g.map(v => v._2 * v._3).sum
+      val slopeC = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+      assert(r.getLong(1) === n)
+      assert(bits(r.getDouble(2)) === bits(slopeC / 100.0), "slope")
+      assert(bits(r.getDouble(3)) ===
+        bits((sy.toDouble - slopeC * sx.toDouble) / n.toDouble / 100.0),
+        "intercept")
+    }
+  }
+
+  test("agg_chisq: quantized cell fold matches a JVM contingency recompute") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val r = q("agg_chisq").collect()
+    assert(r.length === 1)
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", (unix_millis($"ts") / lit(3600000L))
+        .cast("long").as("h"))
+      .collect().map(x => (x.getString(0), x.getLong(1) % 24))
+    val cells = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = ev.length.toLong
+    val sq = cells.map { case ((t, h), o) =>
+      val e = rt(t).toDouble * ct(h).toDouble / n.toDouble
+      math.floor((o.toDouble - e) * (o.toDouble - e) / e * 1e9 + 0.5).toLong
+    }.sum
+    val chi2 = math.floor(sq.toDouble / 1e9 * 10000.0 + 0.5) / 10000.0
+    assert(r(0).getLong(0) === cells.size.toLong)
+    assert(r(0).getLong(1) === (rt.size - 1).toLong * (ct.size - 1))
+    assert(r(0).getDouble(2) === chi2)
+    // margin pin at the driver gate's sf for the nano quantization
+    def margin(x: Double): Double = { val f = x - math.floor(x); math.min(f, 1.0 - f) }
+    val gev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"event_type", (unix_millis($"ts") / lit(3600000L))
+        .cast("long").as("h"))
+      .collect().map(x => (x.getString(0), x.getLong(1) % 24))
+    val gc = gev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val grt = gev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val gct = gev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val gn = gev.length.toLong
+    val mMin = gc.map { case ((t, h), o) =>
+      val e = grt(t).toDouble * gct(h).toDouble / gn.toDouble
+      margin((o.toDouble - e) * (o.toDouble - e) / e * 1e9 + 0.5)
+    }.min
+    assert(mMin > 1e-5, s"chisq cell quantization margin $mMin")
   }
 
   test("src_csv_dialect: pipe-delimited round-trip is lossless") {

@@ -1666,7 +1666,38 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Corpus bigram entropy rate — H = −Σ p(w₁w₂)·ln p(w₂|w₁) in nats, the
+    * one-number compressibility/repetitiveness fingerprint (templated or
+    * looping corpora sit far below natural text; the corpus-level sibling
+    * of [[llmBigramLogprob]]'s per-doc score). MLE conditionals from the
+    * same exact counts; each DISTINCT bigram's surprise is nano-quantized
+    * (§2.9) and folded as Σ c·s in exact BIGINT — reduction-order-proof —
+    * with ONE division at the end. No perplexity column on purpose: exp()
+    * of a derived value would put a transcendental AFTER the quantization,
+    * which the cross-libm guard bans.
+    */
+  val llmEntropyRate: Q = (s, dir) => {
+    import s.implicits._
+    val bi = Tables.documents(s, dir)
+      .filter(size(split(trim($"text"), " ")) >= 2)
+      .select($"doc_id", split(trim($"text"), " ").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(1), size($"toks") - 1)).as("i"))
+      .select(element_at($"toks", $"i").as("w1"),
+        element_at($"toks", $"i" + 1).as("w2"))
+      .cp() // bigram counts AND unigram-history counts share the pass
+    val cBi = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val cUni = bi.groupBy($"w1").agg(count(lit(1)).as("cu"))
+    cBi.join(cUni, "w1")
+      .withColumn("s", floor(-log($"cb" / $"cu") * 1.0e9 + 0.5).cast("long"))
+      .agg(sum($"cb").as("n_bigrams"),
+        count(lit(1)).as("n_bigram_types"),
+        round(sum($"cb" * $"s") / (sum($"cb") * 1.0e9), 4)
+          .as("entropy_rate_nats"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_entropy_rate" -> llmEntropyRate,
     "llm_bigram_logprob" -> llmBigramLogprob,
     "llm_dedup_paragraph" -> llmDedupParagraph,
     "llm_train_val_split" -> llmTrainValSplit,

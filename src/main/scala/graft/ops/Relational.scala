@@ -1952,7 +1952,33 @@ object Relational {
           lit(10000.0)).as("chi2"))
   }
 
+  /** Day-over-day percent change per user — the growth-rate column every
+    * metrics dashboard derives first. Daily sums are msum-quantized
+    * (exact, so `cur` and `prev` are bit-identical doubles on both
+    * engines); the ratio is one deterministic double tree, floor-quantized
+    * (the pround4 shape works for NEGATIVE changes too: floor of identical
+    * doubles is engine-portable regardless of sign — it is `round()`'s
+    * half-rule that is not). Zero-baseline days yield NULL, never ±inf.
+    */
+  val winPctChange: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"value")
+      .groupBy($"user_id", $"d")
+      .agg(msum($"value").as("v"))
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    daily
+      .withColumn("prev", lag($"v", 1).over(w))
+      .withColumn("pct_change",
+        when($"prev".isNotNull && $"prev" =!= 0.0,
+          floor(($"v" - $"prev") / $"prev" * lit(10000.0) + lit(0.5))
+            .cast("double") / lit(10000.0)))
+      .orderBy($"user_id", $"d")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_pct_change" -> winPctChange,
     "agg_linreg" -> aggLinreg,
     "agg_chisq" -> aggChisq,
     "src_csv_dialect" -> srcCsvDialect,

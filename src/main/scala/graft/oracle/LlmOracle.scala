@@ -60,6 +60,26 @@ object LlmOracle {
        |WHERE j >= 0.5 ORDER BY jac.d1, jac.d2""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_entropy_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS ts
+        |  FROM documents WHERE len(string_split(trim(text), ' ')) >= 2),
+        |bi AS (
+        |  SELECT ts[i] AS w1, ts[i+1] AS w2
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1),
+        |sc AS (
+        |  SELECT cb,
+        |    CAST(floor(-ln(cb / cu) * 1e9 + 0.5) AS BIGINT) AS s
+        |  FROM cb JOIN cu ON cb.w1 = cu.w1)
+        |SELECT CAST(sum(cb) AS BIGINT) AS n_bigrams,
+        |  count(*) AS n_bigram_types,
+        |  round(CAST(sum(cb * s) AS DOUBLE)
+        |    / (CAST(sum(cb) AS BIGINT) * 1e9), 4) AS entropy_rate_nats
+        |FROM sc""".stripMargin,
+
     "llm_bigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS ts

@@ -414,6 +414,21 @@ object OracleSql {
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "win_pct_change" ->
+      ("""WITH daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    """ + msum("value") + """ AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, d, v,
+        |    lag(v) OVER (PARTITION BY user_id ORDER BY d) AS prev
+        |  FROM daily)
+        |SELECT user_id, d, v, prev,
+        |  CASE WHEN prev IS NOT NULL AND prev != 0.0
+        |    THEN floor((v - prev) / prev * 10000.0 + 0.5) / 10000.0 END
+        |    AS pct_change
+        |FROM l ORDER BY user_id, d""").stripMargin,
+
     "agg_linreg" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,

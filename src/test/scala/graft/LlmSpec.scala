@@ -516,6 +516,28 @@ class LlmSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain at least one lev<=2 name pair")
   }
 
+  test("llm_entropy_rate: quantized MLE fold matches a JVM recompute; bounded by ln(V)") {
+    val r = q("llm_entropy_rate").collect()
+    assert(r.length === 1)
+    val bi = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).trim.split(" ", -1).toSeq).filter(_.length >= 2)
+      .flatMap(ts => ts.sliding(2).map(p => (p(0), p(1))))
+    val cb = bi.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cu = bi.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = bi.length.toLong
+    val sum = cb.map { case ((w1, _), c) =>
+      c * math.floor(-math.log(c.toDouble / cu(w1)) * 1e9 + 0.5).toLong
+    }.sum
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0).getLong(0) === n)
+    assert(r(0).getLong(1) === cb.size.toLong)
+    assert(r(0).getDouble(2) === r4(sum.toDouble / (n * 1e9)))
+    // entropy rate is bounded by the history-conditional support
+    val vocab = (bi.map(_._1) ++ bi.map(_._2)).distinct.size
+    assert(r(0).getDouble(2) >= 0.0 && r(0).getDouble(2) <= math.log(vocab.toDouble))
+  }
+
   test("llm_bigram_logprob: smoothed conditional surprise matches a JVM recompute") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).trim.split(" ", -1).toSeq))

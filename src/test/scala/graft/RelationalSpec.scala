@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 221, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 213, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 223, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 215, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -606,6 +606,38 @@ class RelationalSpec extends SparkSpec {
     rows.filter(r => r._1 == u0 && r._3.isDefined).foreach { r =>
       assert(r._3.get === expDaily(r._2), s"day ${r._2} sum")
     }
+  }
+
+  test("win_pct_change: ratio recomputes from the exact daily sums; zero-baseline is NULL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = q("win_pct_change").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long")
+        .as("d"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val daily = ev.groupBy(e => (e._1, e._2)).view.mapValues(xs =>
+      xs.map(v => BigDecimal(v._3 * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        .sum.toDouble / 10000.0).toMap
+    var checked = 0
+    daily.keys.groupBy(_._1).foreach { case (u, ks) =>
+      val ds = ks.map(_._2).toSeq.sorted
+      ds.zipWithIndex.foreach { case (d, i) =>
+        val v = daily((u, d))
+        val prev = if (i == 0) None else Some(daily((u, ds(i - 1))))
+        val pct = prev.filter(_ != 0.0).map(p =>
+          math.floor((v - p) / p * 10000.0 + 0.5) / 10000.0)
+        assert(got((u, d)) === ((v, prev, pct)), s"user $u day $d")
+        checked += 1
+      }
+    }
+    assert(checked === got.size)
   }
 
   test("agg_linreg: closed form matches a JVM exact-sum recompute bitwise") {

@@ -1009,7 +1009,46 @@ object GraphOps {
       .orderBy($"part")
   }
 
+  /** Newman modularity of the LPA partition over the co-purchase graph —
+    * the "was that community detection any good" score, decomposed per
+    * community: Q = Σ_c [in_c/m − (D_c/2m)²]. Every input is an exact
+    * integer (edge weights are order counts; in/deg sums are BIGINTs) and
+    * each community's contribution is one deterministic double tree
+    * nano-quantized before the (order-independent) final sum — the spec
+    * recomputes Q from the rows. The label frame is checkpointed once and
+    * consumed by both endpoint joins; edges shuffle once per endpoint on
+    * the part key.
+    */
+  val graphModularity: Q = (s, dir) => {
+    import s.implicits._
+    val lbl = graft.api.GraphAlgebra.labelPropagation(
+        partVertices(s, dir).toDF("part"), copurchase(s, dir), rounds = 4)
+      .select($"id", $"community").cp()
+    val cp = copurchase(s, dir).cp()
+    val m2 = cp.agg((sum($"w") * 2).as("m2"))
+    val deg = cp.select($"a".as("v"), $"w")
+      .unionAll(cp.select($"b".as("v"), $"w"))
+      .groupBy($"v").agg(sum($"w").as("d"))
+    val degC = deg.join(lbl, $"v" === $"id")
+      .groupBy($"community").agg(sum($"d").as("dc"), count(lit(1)).as("n_nodes"))
+    val inC = cp
+      .join(lbl.select($"id".as("a"), $"community".as("ca")), "a")
+      .join(lbl.select($"id".as("b"), $"community".as("cb")), "b")
+      .filter($"ca" === $"cb")
+      .groupBy($"ca".as("community")).agg(sum($"w").as("iw"))
+    degC.join(inC, Seq("community"), "left")
+      .withColumn("iw", coalesce($"iw", lit(0L)))
+      .crossJoin(broadcast(m2))
+      .select($"community", $"n_nodes", $"iw".as("in_w"), $"dc".as("deg_w"),
+        (floor((($"iw" * 2).cast("double") / $"m2".cast("double") -
+          ($"dc".cast("double") / $"m2".cast("double")) *
+            ($"dc".cast("double") / $"m2".cast("double"))) * lit(1.0e9) +
+          lit(0.5)).cast("long").cast("double") / lit(1.0e9)).as("q_contrib"))
+      .orderBy($"community")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_modularity" -> graphModularity,
     "graph_eccentricity" -> graphEccentricity,
     "graph_closeness" -> graphCloseness,
     "graph_build_edges" -> graphBuildEdges,

@@ -1696,7 +1696,196 @@ object LlmOps {
           .as("entropy_rate_nats"))
   }
 
+  /** Per-source document cap — the "no single crawl dominates the mix"
+    * guard every corpus assembly applies before sampling weights. Keeps
+    * the top-K documents per source by (length desc, doc_id): one
+    * source-partitioned window, and at 100 TB the rank-K cutoff makes
+    * this a two-phase top-K (partial per-partition head, then the final
+    * per-source window over ≤ K·partitions survivors via AQE).
+    */
+  val llmSourceCap: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 10)
+      .orderBy($"source", $"rk")
+  }
+
+  /** Hapax-legomena profile per language — the vocabulary-tail health
+    * check (a corpus whose hapax share collapses is template spam; one
+    * whose share explodes is OCR noise). Pure integer counting: corpus
+    * term frequencies, then one 5-group rollup; the ratio is the only
+    * double and it is floor-quantized.
+    */
+  val llmHapaxRatio: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when($"cnt" === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select($"lang", $"n_types", $"n_hapax",
+        (floor($"n_hapax".cast("double") / $"n_types".cast("double") *
+          lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
+          .as("hapax_ratio"))
+      .orderBy($"lang")
+  }
+
+  /** Heaps-law vocabulary growth curve: stream the corpus in doc_id order,
+    * split into 10 equal-width doc_id buckets, and report tokens seen vs
+    * NEW types first encountered per bucket. First-occurrence accounting
+    * is one `min(doc_id)` per term (the llm_ngram_novelty move) — no
+    * cumulative-distinct scan, so the heavy lifting is two hash aggs that
+    * partial-combine map-side; the 10-row cumulative windows are driver-
+    * trivial at any scale. All columns are exact BIGINTs.
+    */
+  val llmVocabGrowth: Q = (s, dir) => {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val lim = Tables.documents(s, dir)
+      .agg((max($"doc_id") + 1).as("lim"))
+    val newTypes = tok.groupBy($"tok").agg(min($"doc_id").as("fd"))
+      .crossJoin(broadcast(lim))
+      .groupBy(($"fd" * 10 / $"lim").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val toks = tok.crossJoin(broadcast(lim))
+      .groupBy(($"doc_id" * 10 / $"lim").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce($"new_types", lit(0L)))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("cum_types", sum($"new_types").over(w))
+      .select($"bucket", $"n_tokens", $"cum_tokens", $"new_types", $"cum_types")
+      .orderBy($"bucket")
+  }
+
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the domain-shift matrix a mixture designer reads
+    * before setting sampling weights. Blocked like every pair op: the
+    * 190 source pairs broadcast against per-source term counts, terms
+    * meet in a (pair, term) full outer join. Each term's JSD contribution
+    * is one deterministic double tree ending in a single quantized `ln`
+    * (the tfidf margin argument), so the per-pair sum is an exact BIGINT
+    * fold — order-independent, bit-identical cross-engine.
+    */
+  val llmJsDivergence: Q = (s, dir) => {
+    import s.implicits._
+    val cnt = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+      .cp() // consumed by both sides of the pair join
+    val tot = cnt.groupBy($"source").agg(sum($"cnt").as("tot"))
+    val pairs = tot.as("a").crossJoin(tot.as("b"))
+      .filter($"a.source" < $"b.source")
+      .select($"a.source".as("sa"), $"a.tot".as("ta"),
+        $"b.source".as("sb"), $"b.tot".as("tb"))
+    val ca = cnt.join(broadcast(pairs), $"source" === $"sa")
+      .select($"sa", $"sb", $"ta", $"tb", $"tok", $"cnt".as("cnta"))
+    val cb = cnt.join(broadcast(pairs), $"source" === $"sb")
+      .select($"sa".as("sa2"), $"sb".as("sb2"), $"tok".as("tok2"),
+        $"cnt".as("cntb"))
+    ca.join(cb,
+        $"sa" === $"sa2" && $"sb" === $"sb2" && $"tok" === $"tok2",
+        "full_outer")
+      .select(coalesce($"sa", $"sa2").as("src_a"),
+        coalesce($"sb", $"sb2").as("src_b"),
+        $"ta", $"tb", $"cnta", $"cntb")
+      .join(broadcast(pairs.select($"sa".as("src_a"), $"sb".as("src_b"),
+        $"ta".as("tja"), $"tb".as("tjb"))), Seq("src_a", "src_b"))
+      .withColumn("p", coalesce($"cnta", lit(0L)).cast("double") /
+        $"tja".cast("double"))
+      .withColumn("q", coalesce($"cntb", lit(0L)).cast("double") /
+        $"tjb".cast("double"))
+      .withColumn("m", ($"p" + $"q") / lit(2.0))
+      .withColumn("t",
+        when($"p" > 0, $"p" * log($"p" / $"m")).otherwise(lit(0.0)) +
+          when($"q" > 0, $"q" * log($"q" / $"m")).otherwise(lit(0.0)))
+      .withColumn("qt", floor($"t" * lit(0.5) * lit(1.0e9) + lit(0.5))
+        .cast("long"))
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_terms"),
+        (sum($"qt").cast("double") / lit(1.0e9)).as("jsd"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  /** Robust length-outlier flags per source: exact lower-median and
+    * median-absolute-deviation over n_chars (both via the 2·rank vs n+1
+    * integer crossing — no float percentile), flagging docs with
+    * deviation > 1.5×MAD. The comparison stays in integers
+    * (`2·dev > 3·mad`), so the flag set is bit-stable on both engines.
+    * Two source-partitioned windows, one broadcast-back of the 20-row
+    * (med, mad) table.
+    */
+  val llmMadOutliers: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars").cp()
+    def lowerMedian(df: DataFrame, col: String, out: String): DataFrame = {
+      val w = Window.partitionBy($"source").orderBy(expr(col), $"doc_id")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+        .filter($"rn" === (($"n" + 1) / 2).cast("long")) // lower median rank
+        .select($"source", expr(col).as(out))
+    }
+    val med = lowerMedian(docs, "n_chars", "med")
+    val dev = docs.join(broadcast(med), "source")
+      .withColumn("dev", abs($"n_chars" - $"med"))
+    val mad = lowerMedian(dev.select($"source", $"doc_id", $"dev"), "dev", "mad")
+    dev.join(broadcast(mad), "source")
+      .filter($"dev" * 2 > $"mad" * 3)
+      .select($"doc_id", $"source", $"n_chars", $"med", $"mad")
+      .orderBy($"doc_id")
+  }
+
+  /** Embedding-space outliers: the 5 vectors farthest from their label's
+    * centroid — the mislabeled/poisoned-example screen run before a
+    * similarity index is trusted. Engine-portable by construction: the
+    * centroid is an exact scaled-BIGINT mean (float·1e4 is always exact —
+    * 38 < 53 mantissa bits — and (2k+1)/20000 is never a float, so the
+    * half-round never fires), each squared-deviation term is one double
+    * tree nano-quantized per position, and the per-vector distance is the
+    * exact BIGINT sum of those terms. Top-5 per label is a label-
+    * partitioned window over ≤ |vectors| rows.
+    */
+  val llmEmbedOutliers: Q = (s, dir) => {
+    import s.implicits._
+    val pos = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        posexplode($"embedding").as(Seq("p", "v")))
+      .select($"vec_id", $"label", ($"p" + 1).cast("long").as("pos"),
+        $"v".cast("double").as("v"))
+      .cp() // centroid pass and deviation pass share the explode
+    val cent = pos.groupBy($"label", $"pos")
+      .agg(sum(round($"v" * lit(10000)).cast("long")).as("cs"),
+        count(lit(1)).as("n"))
+      .select($"label", $"pos",
+        ($"cs".cast("double") / ($"n".cast("double") * lit(10000.0))).as("c"))
+    val d2 = pos.join(cent, Seq("label", "pos"))
+      .withColumn("t", $"v" - $"c")
+      .withColumn("q", floor($"t" * $"t" * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy($"vec_id", $"label").agg(sum($"q").as("d2q"))
+    val w = Window.partitionBy($"label").orderBy($"d2q".desc, $"vec_id")
+    d2.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"label", $"rk", $"vec_id",
+        ($"d2q".cast("double") / lit(1.0e9)).as("dist2"))
+      .orderBy($"label", $"rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_embed_outliers" -> llmEmbedOutliers,
+    "llm_source_cap" -> llmSourceCap,
+    "llm_hapax_ratio" -> llmHapaxRatio,
+    "llm_vocab_growth" -> llmVocabGrowth,
+    "llm_js_divergence" -> llmJsDivergence,
+    "llm_mad_outliers" -> llmMadOutliers,
     "llm_entropy_rate" -> llmEntropyRate,
     "llm_bigram_logprob" -> llmBigramLogprob,
     "llm_dedup_paragraph" -> llmDedupParagraph,

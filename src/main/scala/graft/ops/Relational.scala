@@ -1977,7 +1977,242 @@ object Relational {
       .orderBy($"user_id", $"d")
   }
 
+  /** Benford first-digit audit over line-item prices — the standard
+    * anomaly screen a data-quality gate runs on any money column. The
+    * digit is extracted from the exact cents BIGINT via string head (no
+    * log10 on the data path, so no transcendental touches a row); the
+    * expected Benford share log10(1+1/d) IS transcendental but evaluated
+    * on nine small integer constants and floor-quantized to 1e-4 (cross-
+    * libm drift ≤1 ulp vs ≥0.03 boundary distance — the tfidf margin
+    * argument). One scan, one 9-group hash agg: partial map-side combine
+    * means the shuffle carries 9 rows per task at any scale.
+    */
+  val aggBenford: Q = (s, dir) => {
+    import s.implicits._
+    val digits = Tables.lineitem(s, dir)
+      .select(round($"l_extendedprice" * lit(100)).cast("long").as("cents"))
+      .filter($"cents" > 0)
+      .select(substring($"cents".cast("string"), 1, 1).cast("long").as("digit"))
+    digits.groupBy($"digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+      .select($"digit", $"n",
+        (floor($"n".cast("double") / $"total".cast("double") * lit(10000.0) +
+          lit(0.5)).cast("double") / lit(10000.0)).as("obs_share"),
+        (floor(log10(lit(1.0) + lit(1.0) / $"digit".cast("double")) *
+          lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)).as("exp_share"))
+      .orderBy($"digit")
+  }
+
+  /** Herfindahl–Hirschman revenue concentration per nation — the market-
+    * structure metric (and, in a training-data pipeline, the source-
+    * concentration audit run before sampling weights are chosen). Revenue
+    * is exact cents; each supplier's share² is one deterministic double
+    * product nano-quantized to a BIGINT, so the per-nation sum is order-
+    * independent and bit-identical cross-engine. Shape: lineitem shuffles
+    * once on l_suppkey (partial agg first), supplier+nation broadcast.
+    */
+  val aggHhi: Q = (s, dir) => {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .select($"l_suppkey",
+        round($"l_extendedprice" * (lit(1) - $"l_discount") * lit(100))
+          .cast("long").as("cents"))
+      .groupBy($"l_suppkey").agg(sum($"cents").as("r"))
+    val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+    val nat = Tables.nation(s, dir).select($"n_nationkey", $"n_name")
+    rev.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .withColumn("tot", sum($"r").over(Window.partitionBy($"s_nationkey")))
+      .withColumn("share", $"r".cast("double") / $"tot".cast("double"))
+      .withColumn("q",
+        floor($"share" * $"share" * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"), sum($"q").as("sq"),
+        max($"share").as("ms"))
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"n_name", $"n_suppliers",
+        ($"sq".cast("double") / lit(1.0e9)).as("hhi"),
+        (floor($"ms" * lit(10000.0) + lit(0.5)).cast("double") /
+          lit(10000.0)).as("top_share"))
+      .orderBy($"n_name")
+  }
+
+  /** Lag-1 autocorrelation of the daily event count — the "is today like
+    * yesterday" seasonality probe. All moments are exact BIGINT sums over
+    * (count, lagged count) pairs; the Pearson closed form is a single
+    * double tree mirrored token-for-token in the oracle, so the output is
+    * bit-identical without quantization (the agg_linreg discipline). The
+    * lag window runs over the ALREADY-aggregated daily frame (≤ one row
+    * per day — single-partition by construction, not by accident).
+    */
+  val aggAutocorr: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("c"))
+    val pairs = daily
+      .withColumn("prev", lag($"c", 1).over(Window.orderBy($"d")))
+      .filter($"prev".isNotNull)
+    pairs
+      .agg(count(lit(1)).as("n"), sum($"prev").as("sx"), sum($"c").as("sy"),
+        sum($"prev" * $"prev").as("sxx"), sum($"c" * $"c").as("syy"),
+        sum($"prev" * $"c").as("sxy"))
+      .select($"n",
+        ((($"n" * $"sxy" - $"sx" * $"sy").cast("double")) /
+          sqrt((($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+            (($"n" * $"syy" - $"sy" * $"sy").cast("double")))).as("r"))
+  }
+
+  /** Running-max drawdown per user over the cumulative daily value curve —
+    * the risk metric every portfolio/engagement dashboard wants. The
+    * cumulative sum and running peak stay in exact scaled BIGINTs through
+    * BOTH window passes (one user-partitioned sort carries both frames);
+    * only the final ratio is a double, floor-quantized. Non-positive
+    * peaks yield NULL (leading zero-value days), never ±inf.
+    */
+  val winDrawdown: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        round($"value" * lit(10000)).cast("long").as("v"))
+      .groupBy($"user_id", $"d").agg(sum($"v").as("v"))
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    daily
+      .withColumn("cum", sum($"v").over(w))
+      .withColumn("peak", max($"cum").over(w))
+      .withColumn("drawdown", when($"peak" > 0,
+        floor(($"cum" - $"peak").cast("double") / $"peak".cast("double") *
+          lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)))
+      .select($"user_id", $"d",
+        ($"cum".cast("double") / lit(10000.0)).as("cum_value"),
+        ($"peak".cast("double") / lit(10000.0)).as("peak_value"),
+        $"drawdown")
+      .orderBy($"user_id", $"d")
+  }
+
+  /** 2-D skyline (Pareto frontier) over orders: maximize price, minimize
+    * order date — "the earliest order at every undominated price level".
+    * The classic sort-sweep, spelled as two windows with the scale-critical
+    * reduction FIRST: group to distinct (price, day) points, then keep only
+    * the per-price min-day candidate (a window partitioned by price — fully
+    * parallel), so the final global sweep sorts one row per DISTINCT price,
+    * not one per order. Ties: equal (price, day) duplicates share skyline
+    * fate (n_orders counts them); an equal-price later day is dominated
+    * strictly on the date axis and drops in the candidate step.
+    */
+  val winSkyline: Q = (s, dir) => {
+    import s.implicits._
+    val pts = Tables.orders(s, dir)
+      .select($"o_totalprice".as("price"),
+        // o_orderdate is TIMESTAMP_NTZ; the UTC-session cast makes
+        // unix_millis lawful and matches DuckDB's tz-less epoch_ms
+        (tsMs($"o_orderdate".cast("timestamp")) / lit(86400000L))
+          .cast("long").as("day"))
+      .groupBy($"price", $"day").agg(count(lit(1)).as("n_orders"))
+    val cand = pts
+      .withColumn("mind", min($"day").over(Window.partitionBy($"price")))
+      .filter($"day" === $"mind").drop("mind")
+    val sweep = Window.orderBy($"price".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand
+      .withColumn("minPrev", min($"day").over(sweep))
+      .filter($"minPrev".isNull || $"day" < $"minPrev")
+      .select($"price", $"day", $"n_orders")
+      .orderBy($"price".desc)
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation over the
+    * event stream — the classic marketing-analytics rollup. Each metric is
+    * exact (epoch-day recency, BIGINT frequency, scaled-long monetary) and
+    * the quintile scores are ntile(5) under a TOTAL order (metric +
+    * user_id tie-break), so bucket assignment is deterministic on both
+    * engines (SQL-standard ntile: first `n mod 5` buckets take the extra
+    * row). The three global ntiles sort the per-user rollup (≤ one row
+    * per user) — at cluster scale these become range-partitioned sorts,
+    * not a data explosion.
+    */
+  val aggRfm: Q = (s, dir) => {
+    import s.implicits._
+    val byUser = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        round($"value" * lit(10000)).cast("long").as("v"))
+      .groupBy($"user_id")
+      .agg(max($"d").as("last_day"), count(lit(1)).as("frequency"),
+        sum($"v").as("ms"))
+    val maxDay = byUser.agg(max($"last_day").as("maxd"))
+    byUser.crossJoin(broadcast(maxDay))
+      .withColumn("recency", $"maxd" - $"last_day")
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy($"recency".desc, $"user_id")).cast("long"))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy($"frequency", $"user_id")).cast("long"))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy($"ms", $"user_id")).cast("long"))
+      .select($"user_id", $"recency", $"frequency",
+        ($"ms".cast("double") / lit(10000.0)).as("monetary"),
+        $"r_score", $"f_score", $"m_score",
+        concat($"r_score".cast("string"), $"f_score".cast("string"),
+          $"m_score".cast("string")).as("segment"))
+      .orderBy($"user_id")
+  }
+
+  /** Exact discrete percentiles (p25/p50/p75/p90) of document length per
+    * language — the length-distribution audit, spelled without float
+    * percentile machinery: the pN value is the element at 1-indexed rank
+    * ceil(p·n/100) in the (n_chars, doc_id)-sorted frame, all in integer
+    * arithmetic (`(p·n + 99) DIV 100`), so both engines pick the
+    * identical element. One lang-partitioned window; the explode is 4
+    * constant rows per input row, filtered immediately.
+    */
+  val aggPercentiles: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"lang", $"doc_id", $"n_chars")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+      .select($"lang", $"n_chars", $"rn", $"n",
+        explode(array(lit(25L), lit(50L), lit(75L), lit(90L))).as("p"))
+      .filter($"rn" === expr("(p * n + 99) DIV 100"))
+      .select($"lang", $"p", $"n_chars".as("value"))
+      .orderBy($"lang", $"p")
+  }
+
+  /** Last-touch attribution: every purchase is credited to the most recent
+    * PRIOR click/view by the same user — the marketing join the reference
+    * family of event stores answers from per-user timelines. One
+    * user-partitioned window ordered by (ts, event_id) carries the last
+    * non-null touch id/type/time over an end-exclusive frame
+    * (UNBOUNDED..1 PRECEDING), so a purchase can never attribute to
+    * itself or a later event; µs timestamps are reduced to exact epoch-ms
+    * BIGINTs before any arithmetic.
+    */
+  val winAttribution: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", tsMs($"ts").as("ms"))
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when($"event_type".isin("click", "view"), $"event_id")
+    val touchTy = when($"event_type".isin("click", "view"), $"event_type")
+    val touchMs = when($"event_type".isin("click", "view"), $"ms")
+    ev.withColumn("touch_id", last(touch, ignoreNulls = true).over(w))
+      .withColumn("touch_type", last(touchTy, ignoreNulls = true).over(w))
+      .withColumn("touch_ms", last(touchMs, ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ms", $"touch_id", $"touch_type",
+        ($"ms" - $"touch_ms").as("gap_ms"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_rfm" -> aggRfm,
+    "agg_percentiles" -> aggPercentiles,
+    "win_attribution" -> winAttribution,
+    "agg_benford" -> aggBenford,
+    "agg_hhi" -> aggHhi,
+    "agg_autocorr" -> aggAutocorr,
+    "win_drawdown" -> winDrawdown,
+    "win_skyline" -> winSkyline,
     "win_pct_change" -> winPctChange,
     "agg_linreg" -> aggLinreg,
     "agg_chisq" -> aggChisq,

@@ -110,7 +110,11 @@ object GraphOracle {
     * round: neighbor-label histogram, row_number argmax (count desc, label
     * asc), isolated vertices keep their label via LEFT JOIN + COALESCE.
     */
-  private val lpaSql: String = {
+  /** The LPA label chain (4 rounds) as reusable CTEs ending at `l4` —
+    * shared by graph_lpa and graph_modularity so both oracles derive the
+    * identical partition.
+    */
+  private val lpaCtes: String = {
     val base =
       s"""WITH $copurchaseCte,
          |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
@@ -124,8 +128,34 @@ object GraphOracle {
          |l$i AS (SELECT l.id, COALESCE(t$i.lbl, l.lbl) AS lbl
          |  FROM l${i - 1} l LEFT JOIN t$i ON l.id = t$i.v)""".stripMargin
     }.mkString(",\n")
-    s"$base,\n$rounds\nSELECT id AS part, lbl AS community FROM l4 ORDER BY part"
+    s"$base,\n$rounds"
   }
+
+  private val lpaSql: String =
+    s"$lpaCtes\nSELECT id AS part, lbl AS community FROM l4 ORDER BY part"
+
+  private val modularitySql: String =
+    s"""$lpaCtes,
+       |lbl AS (SELECT id, lbl AS community FROM l4),
+       |m2t AS (SELECT CAST(sum(w) * 2 AS BIGINT) AS m2 FROM cp),
+       |deg AS (SELECT v, CAST(sum(w) AS BIGINT) AS d FROM (
+       |  SELECT a AS v, w FROM cp UNION ALL SELECT b, w FROM cp) u
+       |  GROUP BY 1),
+       |degc AS (SELECT community, CAST(sum(d) AS BIGINT) AS dc,
+       |    count(*) AS n_nodes
+       |  FROM deg JOIN lbl ON v = id GROUP BY 1),
+       |inc AS (SELECT la.community AS community, CAST(sum(w) AS BIGINT) AS iw
+       |  FROM cp JOIN lbl la ON cp.a = la.id JOIN lbl lb ON cp.b = lb.id
+       |  WHERE la.community = lb.community GROUP BY 1),
+       |fin AS (SELECT degc.community AS community, n_nodes,
+       |    coalesce(iw, 0) AS iw, dc, m2
+       |  FROM degc LEFT JOIN inc ON degc.community = inc.community, m2t)
+       |SELECT community, n_nodes, iw AS in_w, dc AS deg_w,
+       |  CAST(CAST(floor((CAST(iw * 2 AS DOUBLE) / CAST(m2 AS DOUBLE)
+       |    - (CAST(dc AS DOUBLE) / CAST(m2 AS DOUBLE)) *
+       |      (CAST(dc AS DOUBLE) / CAST(m2 AS DOUBLE))) * 1.0e9 + 0.5)
+       |    AS BIGINT) AS DOUBLE) / 1.0e9 AS q_contrib
+       |FROM fin ORDER BY community""".stripMargin
 
   /** Generated k-level traversal oracle — the khop_2/khop_3 shape with the
     * level chain unrolled to any k (matches the frontier-expansion
@@ -329,6 +359,7 @@ object GraphOracle {
     "graph_wsssp" -> wssspSql,
     "graph_ppr_batch" -> pprBatchSql,
     "graph_lpa" -> lpaSql,
+    "graph_modularity" -> modularitySql,
     "graph_khop_4" -> khopSql(4, "c_mktsegment = 'AUTOMOBILE'"),
     "graph_pagerank" -> pagerankSql(
       reset = "15000000000000 // (n.n * 100)",

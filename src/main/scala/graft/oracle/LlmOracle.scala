@@ -60,6 +60,142 @@ object LlmOracle {
        |WHERE j >= 0.5 ORDER BY jac.d1, jac.d2""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_embed_outliers" ->
+      """WITH px AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, i AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(CAST(sum(CAST(round(v * 10000) AS BIGINT)) AS BIGINT)
+        |      AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0) AS c
+        |  FROM px GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT vec_id, px.label AS label,
+        |    CAST(sum(CAST(floor((v - c) * (v - c) * 1.0e9 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS d2q
+        |  FROM px JOIN cent ON px.label = cent.label AND px.pos = cent.pos
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT label, vec_id, d2q,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY d2q DESC, vec_id) AS rk
+        |  FROM d2)
+        |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id,
+        |  CAST(d2q AS DOUBLE) / 1.0e9 AS dist2
+        |FROM rk WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
+
+    "llm_source_cap" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    "llm_hapax_ratio" ->
+      """WITH tf AS (
+        |  SELECT lang, tok, count(*) AS cnt FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, count(*) AS n_types,
+        |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM tf GROUP BY 1)
+        |SELECT lang, n_types, n_hapax,
+        |  floor(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) * 10000.0
+        |    + 0.5) / 10000.0 AS hapax_ratio
+        |FROM r ORDER BY lang""".stripMargin,
+
+    "llm_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |lim AS (SELECT max(doc_id) + 1 AS lim FROM documents),
+        |nt AS (
+        |  SELECT (fd * 10) // lim AS bucket, count(*) AS new_types
+        |  FROM (SELECT tok, min(doc_id) AS fd FROM tok GROUP BY 1), lim
+        |  GROUP BY 1),
+        |tk AS (
+        |  SELECT (doc_id * 10) // lim AS bucket, count(*) AS n_tokens
+        |  FROM tok, lim GROUP BY 1)
+        |SELECT tk.bucket, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY tk.bucket) AS BIGINT)
+        |    AS cum_tokens,
+        |  coalesce(new_types, 0) AS new_types,
+        |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY tk.bucket)
+        |    AS BIGINT) AS cum_types
+        |FROM tk LEFT JOIN nt ON tk.bucket = nt.bucket
+        |ORDER BY tk.bucket""".stripMargin,
+
+    "llm_js_divergence" ->
+      """WITH cnt AS (
+        |  SELECT source, tok, count(*) AS cnt FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+        |  FROM cnt GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS sa, a.tot AS ta, b.source AS sb, b.tot AS tb
+        |  FROM tot a, tot b WHERE a.source < b.source),
+        |ca AS (
+        |  SELECT sa, sb, tok, cnt AS cnta
+        |  FROM cnt JOIN pairs ON source = sa),
+        |cb AS (
+        |  SELECT sa AS sa2, sb AS sb2, tok AS tok2, cnt AS cntb
+        |  FROM cnt JOIN pairs ON source = sb),
+        |u AS (
+        |  SELECT coalesce(sa, sa2) AS src_a, coalesce(sb, sb2) AS src_b,
+        |    coalesce(tok, tok2) AS tok, cnta, cntb
+        |  FROM ca FULL OUTER JOIN cb
+        |    ON sa = sa2 AND sb = sb2 AND tok = tok2),
+        |terms AS (
+        |  SELECT src_a, src_b,
+        |    CAST(coalesce(cnta, 0) AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+        |    CAST(coalesce(cntb, 0) AS DOUBLE) / CAST(tb AS DOUBLE) AS q
+        |  FROM u JOIN pairs ON src_a = sa AND src_b = sb),
+        |qt AS (
+        |  SELECT src_a, src_b,
+        |    CAST(floor(
+        |      ((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+        |        ELSE 0.0 END) +
+        |       (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
+        |        ELSE 0.0 END)) * 0.5 * 1.0e9 + 0.5) AS BIGINT) AS qt
+        |  FROM terms)
+        |SELECT src_a, src_b, count(*) AS n_terms,
+        |  CAST(CAST(sum(qt) AS BIGINT) AS DOUBLE) / 1.0e9 AS jsd
+        |FROM qt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "llm_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT source, n_chars AS med FROM (
+        |    SELECT source, n_chars,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY n_chars, doc_id) AS rn,
+        |      count(*) OVER (PARTITION BY source) AS n
+        |    FROM documents) t
+        |  WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT doc_id, documents.source AS source, n_chars, med,
+        |    abs(n_chars - med) AS dev
+        |  FROM documents JOIN med ON documents.source = med.source),
+        |mad AS (
+        |  SELECT source, dev AS mad FROM (
+        |    SELECT source, dev,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY dev, doc_id) AS rn,
+        |      count(*) OVER (PARTITION BY source) AS n
+        |    FROM dev) t
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT doc_id, dev.source AS source, n_chars, med, mad
+        |FROM dev JOIN mad ON dev.source = mad.source
+        |WHERE dev * 2 > mad * 3
+        |ORDER BY doc_id""".stripMargin,
+
     "llm_entropy_rate" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS ts

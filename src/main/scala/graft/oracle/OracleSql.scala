@@ -414,6 +414,159 @@ object OracleSql {
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "agg_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_ms(ts) // 86400000) AS last_day,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS ms
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS maxd FROM u),
+        |sc AS (
+        |  SELECT user_id, maxd - last_day AS recency, frequency, ms,
+        |    ntile(5) OVER (ORDER BY maxd - last_day DESC, user_id)
+        |      AS r_score,
+        |    ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+        |    ntile(5) OVER (ORDER BY ms, user_id) AS m_score
+        |  FROM u, mx)
+        |SELECT user_id, recency, frequency,
+        |  CAST(ms AS DOUBLE) / 10000.0 AS monetary,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |    CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
+
+    "agg_percentiles" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |x AS (SELECT lang, n_chars, rn, n,
+        |  unnest([25, 50, 75, 90]) AS p FROM r)
+        |SELECT lang, CAST(p AS BIGINT) AS p, n_chars AS value
+        |FROM x WHERE rn = (p * n + 99) // 100
+        |ORDER BY lang, p""".stripMargin,
+
+    "win_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |t AS (
+        |  SELECT event_id, user_id, event_type, ms,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_id END IGNORE NULLS) OVER w AS touch_id,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN ms END IGNORE NULLS) OVER w AS touch_ms
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ms, touch_id, touch_type,
+        |  ms - touch_ms AS gap_ms
+        |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "agg_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |        FROM lineitem)
+        |  WHERE cents > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+        |SELECT digit, n,
+        |  floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) * 10000.0
+        |    + 0.5) / 10000.0 AS obs_share,
+        |  floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 10000.0 + 0.5)
+        |    / 10000.0 AS exp_share
+        |FROM c ORDER BY digit""".stripMargin,
+
+    "agg_hhi" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |bn AS (
+        |  SELECT s_nationkey, r,
+        |    CAST(sum(r) OVER (PARTITION BY s_nationkey) AS BIGINT) AS tot
+        |  FROM rev JOIN supplier ON l_suppkey = s_suppkey),
+        |qq AS (
+        |  SELECT s_nationkey,
+        |    CAST(r AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |    CAST(floor((CAST(r AS DOUBLE) / CAST(tot AS DOUBLE)) *
+        |      (CAST(r AS DOUBLE) / CAST(tot AS DOUBLE)) * 1.0e9 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM bn)
+        |SELECT n_name, count(*) AS n_suppliers,
+        |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / 1.0e9 AS hhi,
+        |  floor(max(share) * 10000.0 + 0.5) / 10000.0 AS top_share
+        |FROM qq JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "agg_autocorr" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT c, lag(c) OVER (ORDER BY d) AS prev FROM daily),
+        |m AS (
+        |  SELECT count(*) AS n, CAST(sum(prev) AS BIGINT) AS sx,
+        |    CAST(sum(c) AS BIGINT) AS sy,
+        |    CAST(sum(prev * prev) AS BIGINT) AS sxx,
+        |    CAST(sum(c * c) AS BIGINT) AS syy,
+        |    CAST(sum(prev * c) AS BIGINT) AS sxy
+        |  FROM p WHERE prev IS NOT NULL)
+        |SELECT n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |      CAST(n * syy - sy * sy AS DOUBLE)) AS r
+        |FROM m""".stripMargin,
+
+    "win_drawdown" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, d,
+        |    CAST(sum(v) OVER (PARTITION BY user_id ORDER BY d) AS BIGINT)
+        |      AS cum
+        |  FROM daily),
+        |pk AS (
+        |  SELECT user_id, d, cum,
+        |    CAST(max(cum) OVER (PARTITION BY user_id ORDER BY d) AS BIGINT)
+        |      AS peak
+        |  FROM w)
+        |SELECT user_id, d,
+        |  CAST(cum AS DOUBLE) / 10000.0 AS cum_value,
+        |  CAST(peak AS DOUBLE) / 10000.0 AS peak_value,
+        |  CASE WHEN peak > 0
+        |    THEN floor(CAST(cum - peak AS DOUBLE) / CAST(peak AS DOUBLE)
+        |      * 10000.0 + 0.5) / 10000.0 END AS drawdown
+        |FROM pk ORDER BY user_id, d""".stripMargin,
+
+    "win_skyline" ->
+      """WITH pts AS (
+        |  SELECT o_totalprice AS price, epoch_ms(o_orderdate) // 86400000
+        |      AS day, count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT price, day, n_orders FROM (
+        |    SELECT price, day, n_orders,
+        |      min(day) OVER (PARTITION BY price) AS mind
+        |    FROM pts) WHERE day = mind),
+        |sw AS (
+        |  SELECT price, day, n_orders,
+        |    min(day) OVER (ORDER BY price DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS minprev
+        |  FROM cand)
+        |SELECT price, day, n_orders FROM sw
+        |WHERE minprev IS NULL OR day < minprev
+        |ORDER BY price DESC""".stripMargin,
+
     "win_pct_change" ->
       ("""WITH daily AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,

@@ -755,4 +755,128 @@ class LlmSpec extends SparkSpec {
     val mR = (1 to gateFreqs.size).map(r => margin(math.log(r.toDouble) * 1e6 + 0.5)).min
     assert(mR > 1e-6, s"zipf ln(rank) margin $mR")
   }
+
+  test("llm_source_cap: at most 10 per source, ranks contiguous, equals a JVM top-K") {
+    import spark.implicits._
+    val got = q("llm_source_cap").collect()
+      .map(r => (r.getString(1), r.getLong(3).toInt, r.getLong(0), r.getLong(2)))
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(d => (-d._3, d._1)).take(10).zipWithIndex
+        .map { case (d, i) => (src, i + 1, d._1, d._3) }.toSeq
+    }.toSet
+    assert(got.toSet === exp)
+    got.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.length <= 10)
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length).toSeq, src)
+    }
+  }
+
+  test("llm_hapax_ratio: per-lang type/hapax counts match a JVM recompute") {
+    import spark.implicits._
+    val got = q("llm_hapax_ratio").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val freqs = Tables.documents(spark, sf).select($"lang", $"text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+      .groupBy(identity).view.mapValues(_.length).toSeq
+      .groupBy(_._1._1)
+    freqs.foreach { case (lang, tf) =>
+      val types = tf.length.toLong
+      val hapax = tf.count(_._2 == 1).toLong
+      val (gt, gh, gr) = got(lang)
+      assert(gt === types, s"$lang types")
+      assert(gh === hapax, s"$lang hapax")
+      assert(gr === math.floor(hapax.toDouble / types * 10000.0 + 0.5) / 10000.0)
+    }
+    assert(got.keySet === freqs.keySet)
+  }
+
+  test("llm_vocab_growth: bucket curve reconciles with corpus totals and first occurrences") {
+    import spark.implicits._
+    val got = q("llm_vocab_growth").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.nonEmpty && got.length <= 10)
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val lim = docs.map(_._1).max + 1
+    val toksByBucket = docs.groupBy(d => d._1 * 10 / lim).view
+      .mapValues(_.map(_._2.length.toLong).sum).toMap
+    val firstDoc = docs.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val newByBucket = firstDoc.values.groupBy(fd => fd * 10 / lim).view
+      .mapValues(_.size.toLong).toMap
+    got.foreach { case (b, nt, _, nw, _) =>
+      assert(nt === toksByBucket(b), s"bucket $b tokens")
+      assert(nw === newByBucket.getOrElse(b, 0L), s"bucket $b new types")
+    }
+    // cumulative columns reconcile: final row equals corpus totals
+    assert(got.last._3 === docs.map(_._2.length.toLong).sum)
+    assert(got.last._5 === firstDoc.size.toLong)
+    assert(got.map(_._2).sum === got.last._3)
+    assert(got.map(_._4).sum === got.last._5)
+  }
+
+  test("llm_js_divergence: per-pair fold matches a bitwise JVM recompute; bounded by ln 2") {
+    import spark.implicits._
+    val got = q("llm_js_divergence").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val cnt = Tables.documents(spark, sf).select($"source", $"text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((src, tok), c) => (src, tok, c) }
+    val bySrc = cnt.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val sources = bySrc.keys.toSeq.sorted
+    var checked = 0
+    for (a <- sources; b <- sources if a < b) {
+      val (ca, cb) = (bySrc(a), bySrc(b))
+      val (ta, tb) = (ca.values.sum.toDouble, cb.values.sum.toDouble)
+      val union = ca.keySet ++ cb.keySet
+      val sq = union.toSeq.map { t =>
+        val p = ca.getOrElse(t, 0L).toDouble / ta
+        val qq = cb.getOrElse(t, 0L).toDouble / tb
+        val m = (p + qq) / 2.0
+        val term = (if (p > 0) p * math.log(p / m) else 0.0) +
+          (if (qq > 0) qq * math.log(qq / m) else 0.0)
+        math.floor(term * 0.5 * 1.0e9 + 0.5).toLong
+      }.sum
+      val (gn, gj) = got((a, b))
+      assert(gn === union.size.toLong, s"($a,$b) n_terms")
+      def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+      assert(bits(gj) === bits(sq.toDouble / 1.0e9), s"($a,$b) jsd")
+      assert(gj >= -1e-6 && gj <= math.log(2.0) + 1e-6, s"($a,$b) bound")
+      checked += 1
+    }
+    assert(checked === got.size)
+  }
+
+  test("llm_mad_outliers: lower-median/MAD flags match a JVM recompute") {
+    import spark.implicits._
+    val got = q("llm_mad_outliers").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def lowerMedian(xs: Seq[(Long, Long)]): Long = {
+      // (sortKey, docId) pairs sorted by (value, doc_id); rank (n+1)/2
+      val sorted = xs.sortBy(identity)
+      sorted((xs.length + 1) / 2 - 1)._1
+    }
+    val exp = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val med = lowerMedian(ds.map(d => (d._3, d._1)).toSeq)
+      val devs = ds.map(d => (d._1, d._3, math.abs(d._3 - med)))
+      val mad = lowerMedian(devs.map(d => (d._3, d._1)).toSeq)
+      devs.filter(d => d._3 * 2 > mad * 3)
+        .map(d => (d._1, src, d._2, med, mad)).toSeq
+    }.toSet
+    assert(got.toSet === exp)
+    assert(exp.nonEmpty, "threshold should flag some docs at spec sf")
+  }
 }

@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 223, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 215, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 238, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 230, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1069,5 +1069,130 @@ class RelationalSpec extends SparkSpec {
     val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got === plain)
     assert(got.nonEmpty)
+  }
+
+  test("agg_benford: digit counts match a JVM recompute; shares quantized; Benford constants exact") {
+    import spark.implicits._
+    val rows = q("agg_benford").collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    val cents = Tables.lineitem(spark, sf).select($"l_extendedprice").collect()
+      .map(r => BigDecimal(r.getDouble(0) * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      .filter(_ > 0)
+    val exp = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tot = cents.length.toLong
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(1) === exp(d), s"digit $d count")
+      assert(r.getDouble(2) ===
+        math.floor(exp(d).toDouble / tot * 10000.0 + 0.5) / 10000.0)
+      assert(r.getDouble(3) ===
+        math.floor(math.log10(1.0 + 1.0 / d) * 10000.0 + 0.5) / 10000.0)
+    }
+    assert(rows.map(_.getLong(1)).sum === tot)
+  }
+
+  test("agg_hhi: concentration recomputes exactly from cents-scaled supplier revenue") {
+    import spark.implicits._
+    val rows = q("agg_hhi").collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_suppkey", $"l_extendedprice", $"l_discount").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1) * (1 - r.getDouble(2)) * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val rev = li.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val supNat = Tables.supplier(spark, sf).select($"s_suppkey", $"s_nationkey")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val natName = Tables.nation(spark, sf).select($"n_nationkey", $"n_name")
+      .collect().map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+    val byNat = rev.toSeq.map { case (sk, r) => supNat(sk) -> r }.groupBy(_._1)
+    rows.foreach { r =>
+      val name = r.getString(0)
+      val nk = natName.find(_._2 == name).get._1
+      val rs = byNat(nk).map(_._2)
+      assert(r.getLong(1) === rs.length.toLong, s"$name n_suppliers")
+      val totR = rs.sum
+      val sq = rs.map { x =>
+        val sh = x.toDouble / totR.toDouble
+        math.floor(sh * sh * 1.0e9 + 0.5).toLong
+      }.sum
+      assert(r.getDouble(2) === sq.toDouble / 1.0e9, s"$name hhi")
+      val ms = rs.map(x => x.toDouble / totR.toDouble).max
+      assert(r.getDouble(3) === math.floor(ms * 10000.0 + 0.5) / 10000.0)
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("agg_autocorr: Pearson closed form over daily counts matches a bitwise JVM recompute") {
+    import spark.implicits._
+    val r0 = q("agg_autocorr").collect()
+    assert(r0.length === 1)
+    val daily = Tables.events(spark, sf)
+      .select((unix_millis($"ts") / lit(86400000L)).cast("long").as("d"))
+      .groupBy($"d").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val pairs = daily.sliding(2).collect {
+      case Array((d1, c1), (d2, c2)) if d2 == d1 + 1 || d2 > d1 => (c1, c2)
+    }.toSeq
+    val n = pairs.length.toLong
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val expR = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    assert(r0.head.getLong(0) === n)
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    assert(bits(r0.head.getDouble(1)) === bits(expR))
+    assert(math.abs(r0.head.getDouble(1)) <= 1.0)
+  }
+
+  test("win_drawdown: cumulative/peak stay exact; drawdown recomputes; peak monotone") {
+    import spark.implicits._
+    val rows = q("win_drawdown").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val daily = ev.groupBy(e => (e._1, e._2)).view.mapValues(_.map(v =>
+      BigDecimal(v._3 * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum).toMap
+    val expRows = daily.keys.groupBy(_._1).flatMap { case (u, ks) =>
+      var cum = 0L; var peak = Long.MinValue
+      ks.map(_._2).toSeq.sorted.map { d =>
+        cum += daily((u, d)); peak = math.max(peak, cum)
+        val dd = if (peak > 0)
+          Some(math.floor((cum - peak).toDouble / peak.toDouble * 10000.0 + 0.5) / 10000.0)
+        else None
+        (u, d, cum.toDouble / 10000.0, peak.toDouble / 10000.0, dd)
+      }
+    }.toSet
+    assert(rows.toSet === expRows)
+    rows.foreach { case (_, _, cum, peak, dd) =>
+      assert(peak >= cum - 1e-12)
+      dd.foreach(x => assert(x <= 0.0))
+    }
+  }
+
+  test("win_skyline: output is exactly the undominated (price, day) point set") {
+    import spark.implicits._
+    val got = q("win_skyline").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val pts = Tables.orders(spark, sf)
+      .select($"o_totalprice",
+        (unix_millis($"o_orderdate".cast("timestamp")) / lit(86400000L)).cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val grouped = pts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def dominated(p: (Double, Long)) = grouped.keys.exists(o =>
+      o._1 >= p._1 && o._2 <= p._2 && (o._1 > p._1 || o._2 < p._2))
+    val expSky = grouped.filter { case (p, _) => !dominated(p) }
+    assert(got.map(t => (t._1, t._2) -> t._3).toMap === expSky)
+    // ordered by price desc; each survivor is strictly earlier than all
+    // higher-priced survivors, so days strictly DECREASE down the list
+    assert(got.map(_._1).toSeq === got.map(_._1).sortBy(-_).toSeq)
+    assert(got.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) > w(1)))
   }
 }

@@ -352,4 +352,37 @@ class GraphSpec extends SparkSpec {
     // a landmark's own row (if present) counts only OTHER landmarks
     got.foreach { case (_, (n, _)) => assert(n >= 1L && n <= 8L) }
   }
+
+  test("graph_modularity: per-community contributions recompute from LPA labels and edges") {
+    import spark.implicits._
+    val rows = q("graph_modularity").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(rows.nonEmpty)
+    val lbl = q("graph_lpa").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.ops.GraphOps.copurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m2 = edges.map(_._3).sum * 2
+    val deg = (edges.map(e => e._1 -> e._3) ++ edges.map(e => e._2 -> e._3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val degC = deg.toSeq.map { case (v, d) => lbl(v) -> d }.groupBy(_._1)
+      .view.mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val inC = edges.filter(e => lbl(e._1) == lbl(e._2))
+      .groupBy(e => lbl(e._1)).view.mapValues(_.map(_._3).sum).toMap
+    assert(rows.keySet === degC.keySet)
+    rows.foreach { case (c, (nNodes, inW, degW, qc)) =>
+      val (en, ed) = degC(c)
+      assert(nNodes === en, s"community $c n_nodes")
+      assert(degW === ed, s"community $c deg_w")
+      assert(inW === inC.getOrElse(c, 0L), s"community $c in_w")
+      val tree = ((inW * 2).toDouble / m2.toDouble -
+        (degW.toDouble / m2.toDouble) * (degW.toDouble / m2.toDouble))
+      assert(qc === math.floor(tree * 1.0e9 + 0.5) / 1.0e9, s"community $c q")
+    }
+    // degrees across communities account for every edge end; Q is sane
+    assert(rows.values.map(_._3).sum === m2)
+    val q0 = rows.values.map(_._4).sum
+    assert(q0 >= -0.5 && q0 <= 1.0, s"modularity $q0")
+  }
 }

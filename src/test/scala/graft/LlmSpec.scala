@@ -857,6 +857,40 @@ class LlmSpec extends SparkSpec {
     assert(checked === got.size)
   }
 
+  test("llm_embed_outliers: centroid distances recompute bitwise; top-5 per label") {
+    import spark.implicits._
+    val got = q("llm_embed_outliers").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label".cast("long"), $"embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val expTop = byLabel.toSeq.flatMap { case (label, vs) =>
+      val dim = vs.head._3.length
+      val cent = (0 until dim).map { i =>
+        val cs = vs.map(v => BigDecimal(v._3(i).toDouble * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+        cs.toDouble / (vs.length.toDouble * 10000.0)
+      }
+      val d2 = vs.map { case (id, _, arr) =>
+        val q = (0 until dim).map { i =>
+          val t = arr(i).toDouble - cent(i)
+          math.floor(t * t * 1.0e9 + 0.5).toLong
+        }.sum
+        (id, q)
+      }
+      d2.sortBy(x => (-x._2, x._1)).take(5).zipWithIndex.map {
+        case ((id, q), i) => (label, (i + 1).toLong, id, q.toDouble / 1.0e9)
+      }.toSeq
+    }.toSet
+    assert(got.toSet === expTop)
+    got.groupBy(_._1).foreach { case (l, rs) =>
+      assert(rs.length === 5, s"label $l rows")
+      assert(rs.map(_._2).sorted.toSeq === (1L to 5L), s"label $l ranks")
+    }
+  }
+
   test("llm_mad_outliers: lower-median/MAD flags match a JVM recompute") {
     import spark.implicits._
     val got = q("llm_mad_outliers").collect()

@@ -1195,4 +1195,94 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === got.map(_._1).sortBy(-_).toSeq)
     assert(got.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) > w(1)))
   }
+
+  test("agg_rfm: metrics recompute exactly; quintiles follow SQL-standard ntile sizing") {
+    import spark.implicits._
+    val rows = q("agg_rfm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byUser = ev.groupBy(_._1).view.mapValues { xs =>
+      val ms = xs.map(v => BigDecimal(v._3 * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      (xs.map(_._2).max, xs.length.toLong, ms)
+    }.toMap
+    val maxd = byUser.values.map(_._1).max
+    def ntile5(order: Seq[Long]): Map[Long, Long] = {
+      val n = order.length; val base = n / 5; val extra = n % 5
+      order.zipWithIndex.map { case (u, i) =>
+        // bucket of 1-indexed row i+1 with first `extra` buckets one larger
+        var (acc, b) = (0, 0)
+        while (acc <= i) { b += 1; acc += base + (if (b <= extra) 1 else 0) }
+        u -> b.toLong
+      }.toMap
+    }
+    val users = byUser.keys.toSeq
+    val rS = ntile5(users.sortBy(u => (-(maxd - byUser(u)._1), u)))
+    val fS = ntile5(users.sortBy(u => (byUser(u)._2, u)))
+    val mS = ntile5(users.sortBy(u => (byUser(u)._3, u)))
+    rows.foreach { case (u, rec, freq, mon, r5, f5, m5, seg) =>
+      val (ld, f, ms) = byUser(u)
+      assert(rec === maxd - ld, s"user $u recency")
+      assert(freq === f)
+      assert(mon === ms.toDouble / 10000.0)
+      assert(r5 === rS(u), s"user $u r_score")
+      assert(f5 === fS(u), s"user $u f_score")
+      assert(m5 === mS(u), s"user $u m_score")
+      assert(seg === s"$r5$f5$m5")
+    }
+    assert(rows.length === byUser.size)
+  }
+
+  test("agg_percentiles: each pN is the element at rank ceil(p*n/100) exactly") {
+    import spark.implicits._
+    val got = q("agg_percentiles").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"doc_id", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._2)).map(_._3)
+      val n = sorted.length.toLong
+      Seq(25L, 50L, 75L, 90L).foreach { p =>
+        val rank = (p * n + 99) / 100
+        assert(got((lang, p)) === sorted(rank.toInt - 1), s"$lang p$p")
+      }
+    }
+    assert(got.size === docs.map(_._1).distinct.length * 4)
+  }
+
+  test("win_attribution: every purchase credits its latest prior click/view") {
+    import spark.implicits._
+    val got = q("win_attribution").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", unix_millis($"ts").as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    var purchases = 0
+    ev.groupBy(_._2).foreach { case (u, xs) =>
+      val timeline = xs.sortBy(e => (e._4, e._1))
+      timeline.zipWithIndex.foreach { case ((id, _, ty, ms), i) =>
+        if (ty == "purchase") {
+          purchases += 1
+          val touch = timeline.take(i).filter(e => e._3 == "click" || e._3 == "view")
+            .lastOption
+          val (gu, gms, gid, gty, ggap) = got(id)
+          assert(gu === u && gms === ms)
+          assert(gid === touch.map(_._1), s"purchase $id touch id")
+          assert(gty === touch.map(_._3))
+          assert(ggap === touch.map(t => ms - t._4))
+        }
+      }
+    }
+    assert(purchases === got.size)
+  }
 }

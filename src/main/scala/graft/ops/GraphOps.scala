@@ -1047,7 +1047,48 @@ object GraphOps {
       .orderBy($"community")
   }
 
+  /** Rich-club coefficient curve φ(k) for k ∈ {2,4,8,16} over the
+    * co-purchase graph: among nodes of degree ≥ k, how dense are the
+    * edges between them vs the complete graph. Degrees and club-edge
+    * counts stay exact integers; φ is one quantized double per k. The
+    * degree frame is computed once and joined to both edge endpoints
+    * (broadcast — it only shrinks as k grows); the 4-way k expansion is
+    * a constant-size explode, not a data blow-up.
+    */
+  val graphRichClub: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).cp()
+    val deg = cp.select($"a".as("v"), $"w")
+      .unionAll(cp.select($"b".as("v"), $"w"))
+      .groupBy($"v").agg(count(lit(1)).as("deg")).cp()
+    val ks = Seq(2L, 4L, 8L, 16L)
+    val ksDf = { import s.implicits._; ks.toDF("k") }
+    val nodes = deg
+      .select($"deg", explode(array(ks.map(lit): _*)).as("k"))
+      .filter($"deg" >= $"k")
+      .groupBy($"k").agg(count(lit(1)).as("n_club"))
+    val edgesK = cp
+      .join(deg.select($"v".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"v".as("b"), $"deg".as("db")), "b")
+      .select(explode(array(ks.map(lit): _*)).as("k"), $"da", $"db")
+      .filter($"da" >= $"k" && $"db" >= $"k")
+      .groupBy($"k").agg(count(lit(1)).as("e_club"))
+    ksDf // total curve: a k with an empty club still gets its row
+      .join(nodes, Seq("k"), "left")
+      .join(edgesK, Seq("k"), "left")
+      .withColumn("n_club", coalesce($"n_club", lit(0L)))
+      .withColumn("e_club", coalesce($"e_club", lit(0L)))
+      .select($"k", $"n_club", $"e_club",
+        when($"n_club" >= 2,
+          floor(($"e_club" * 2).cast("double") /
+            ($"n_club".cast("double") * ($"n_club" - 1).cast("double")) *
+            lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
+          .as("phi"))
+      .orderBy($"k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_rich_club" -> graphRichClub,
     "graph_modularity" -> graphModularity,
     "graph_eccentricity" -> graphEccentricity,
     "graph_closeness" -> graphCloseness,

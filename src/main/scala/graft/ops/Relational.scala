@@ -2204,7 +2204,115 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Wide→long unpivot (melt) of the four lineitem measures, rolled up per
+    * metric — the reshape every metrics store performs before generic
+    * per-metric processing. Uses the native `Dataset.unpivot` (Expand
+    * node: one scan, rows×4 emitted map-side, partial agg immediately
+    * after), not a 4-way self-union of scans.
+    */
+  val projectUnpivot: Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_discount", $"l_tax")
+      .unpivot(Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "metric", "value")
+      .groupBy($"metric")
+      .agg(count(lit(1)).as("n"), msum($"value").as("total"))
+      .orderBy($"metric")
+  }
+
+  /** Primary-key uniqueness audit across every table of the catalog — the
+    * first data-quality gate any ingest pipeline runs. One tiny count +
+    * count-distinct agg per table (composite key for lineitem), unioned
+    * into a 10-row report; every agg partial-combines map-side so the
+    * audit costs one scan per table regardless of scale.
+    */
+  val srcPkAudit: Q = (s, dir) => {
+    import s.implicits._
+    def audit(name: String, keys: Seq[String]): DataFrame =
+      Tables.t(s, dir, name).agg(count(lit(1)).as("n_rows"),
+          countDistinct(keys.head, keys.tail: _*).as("n_keys"))
+        .select(lit(name).as("table_name"), $"n_rows", $"n_keys",
+          ($"n_rows" - $"n_keys").as("dup_rows"))
+    Seq(
+      audit("region", Seq("r_regionkey")),
+      audit("nation", Seq("n_nationkey")),
+      audit("customer", Seq("c_custkey")),
+      audit("supplier", Seq("s_suppkey")),
+      audit("part", Seq("p_partkey")),
+      audit("orders", Seq("o_orderkey")),
+      audit("lineitem", Seq("l_orderkey", "l_linenumber")),
+      audit("events", Seq("event_id")),
+      audit("documents", Seq("doc_id")),
+      audit("embeddings", Seq("vec_id"))
+    ).reduce(_ unionAll _).orderBy($"table_name")
+  }
+
+  /** Day-of-week seasonality profile of the event stream — the weekday
+    * index every ops dashboard draws. Weekday is pure integer arithmetic
+    * on the epoch day ((d+3) mod 7 anchors Monday=0; no engine calendar
+    * functions, whose numbering conventions differ), counts are exact,
+    * and the two ratios are floor-quantized doubles.
+    */
+  val aggSeasonality: Q = (s, dir) => {
+    import s.implicits._
+    val days = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("c"))
+    val tot = days.agg(sum($"c").as("te"), count(lit(1)).as("td"))
+    days
+      .groupBy((($"d" + 3) % 7).as("weekday"))
+      .agg(count(lit(1)).as("n_days"), sum($"c").as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select($"weekday", $"n_days", $"n_events",
+        (floor($"n_events".cast("double") / $"n_days".cast("double") *
+          lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
+          .as("avg_events"),
+        (floor(($"n_events".cast("double") / $"n_days".cast("double")) /
+          ($"te".cast("double") / $"td".cast("double")) * lit(10000.0) +
+          lit(0.5)).cast("double") / lit(10000.0)).as("idx"))
+      .orderBy($"weekday")
+  }
+
+  /** Holt linear (double-exponential) smoothing of each user's daily value
+    * series — level + trend state folded left-to-right over the
+    * canonically sorted day list (α = β = 0.5). The recurrence is exactly
+    * the family window aggregates can't express (win_ewma's single-state
+    * cousin): Spark `aggregate` with a struct accumulator ≡ DuckDB
+    * `list_reduce` over structs, the repeated level-subtree spelled
+    * token-identically in both lambdas, so the fold is bit-identical
+    * without quantization. Daily inputs are msum-exact; one user-keyed
+    * shuffle carries the whole op.
+    */
+  val winHolt: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"value")
+      .groupBy($"user_id", $"d").agg(msum($"value").as("v"))
+    daily.groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"d", $"v"))).as("fr"),
+        count(lit(1)).as("n_days"))
+      .withColumn("vs", expr("transform(fr, x -> x.v)"))
+      .withColumn("st", expr(
+        "aggregate(slice(vs, 2, size(vs) - 1)," +
+          " named_struct('l', element_at(vs, 1), 't', cast(0.0 as double))," +
+          " (acc, e) -> named_struct(" +
+          "'l', 0.5 * e + 0.5 * (acc.l + acc.t)," +
+          "'t', 0.5 * ((0.5 * e + 0.5 * (acc.l + acc.t)) - acc.l)" +
+          " + 0.5 * acc.t))"))
+      .select($"user_id", $"n_days", $"st.l".as("level"),
+        $"st.t".as("trend"), ($"st.l" + $"st.t").as("forecast"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "project_unpivot" -> projectUnpivot,
+    "src_pk_audit" -> srcPkAudit,
+    "agg_seasonality" -> aggSeasonality,
+    "win_holt" -> winHolt,
     "agg_rfm" -> aggRfm,
     "agg_percentiles" -> aggPercentiles,
     "win_attribution" -> winAttribution,

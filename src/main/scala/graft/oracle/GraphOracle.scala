@@ -360,6 +360,25 @@ object GraphOracle {
     "graph_ppr_batch" -> pprBatchSql,
     "graph_lpa" -> lpaSql,
     "graph_modularity" -> modularitySql,
+
+    "graph_rich_club" ->
+      s"""WITH $copurchaseCte,
+         |deg AS (SELECT v, count(*) AS deg FROM (
+         |  SELECT a AS v FROM cp UNION ALL SELECT b FROM cp) u GROUP BY 1),
+         |ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+         |nodes AS (SELECT k, count(*) AS n_club FROM deg, ks
+         |  WHERE deg >= k GROUP BY 1),
+         |ec AS (SELECT k, count(*) AS e_club
+         |  FROM cp JOIN deg da ON cp.a = da.v JOIN deg db ON cp.b = db.v, ks
+         |  WHERE da.deg >= k AND db.deg >= k GROUP BY 1)
+         |SELECT CAST(ks.k AS BIGINT) AS k, coalesce(n_club, 0) AS n_club,
+         |  coalesce(e_club, 0) AS e_club,
+         |  CASE WHEN coalesce(n_club, 0) >= 2 THEN
+         |    floor(CAST(coalesce(e_club, 0) * 2 AS DOUBLE) /
+         |      (CAST(n_club AS DOUBLE) * CAST(n_club - 1 AS DOUBLE))
+         |      * 10000.0 + 0.5) / 10000.0 END AS phi
+         |FROM ks LEFT JOIN nodes ON ks.k = nodes.k
+         |  LEFT JOIN ec ON ks.k = ec.k ORDER BY k""".stripMargin,
     "graph_khop_4" -> khopSql(4, "c_mktsegment = 'AUTOMOBILE'"),
     "graph_pagerank" -> pagerankSql(
       reset = "15000000000000 // (n.n * 100)",

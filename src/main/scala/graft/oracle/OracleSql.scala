@@ -414,6 +414,82 @@ object OracleSql {
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "project_unpivot" ->
+      ("""WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, count(*) AS n, """ + msum("value") + """ AS total
+        |FROM u GROUP BY 1 ORDER BY 1""").stripMargin,
+
+    "src_pk_audit" -> {
+      def one(t: String, key: String) =
+        s"""SELECT '$t' AS table_name, count(*) AS n_rows,
+           |  count(DISTINCT $key) AS n_keys,
+           |  count(*) - count(DISTINCT $key) AS dup_rows FROM $t""".stripMargin
+      Seq(
+        one("region", "r_regionkey"), one("nation", "n_nationkey"),
+        one("customer", "c_custkey"), one("supplier", "s_suppkey"),
+        one("part", "p_partkey"), one("orders", "o_orderkey"),
+        one("lineitem", "(l_orderkey, l_linenumber)"),
+        one("events", "event_id"), one("documents", "doc_id"),
+        one("embeddings", "vec_id")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
+
+    "agg_seasonality" ->
+      """WITH days AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS te, count(*) AS td
+        |  FROM days),
+        |wd AS (
+        |  SELECT (d + 3) % 7 AS weekday, count(*) AS n_days,
+        |    CAST(sum(c) AS BIGINT) AS n_events
+        |  FROM days GROUP BY 1)
+        |SELECT weekday, n_days, n_events,
+        |  floor(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE) * 10000.0
+        |    + 0.5) / 10000.0 AS avg_events,
+        |  floor((CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+        |    (CAST(te AS DOUBLE) / CAST(td AS DOUBLE)) * 10000.0 + 0.5)
+        |    / 10000.0 AS idx
+        |FROM wd, tot ORDER BY weekday""".stripMargin,
+
+    // NOTE: a list_reduce with a STRUCT accumulator is NOT portable —
+    // DuckDB 1.0 evaluates later struct fields against partially-updated
+    // accumulator state (verified empirically), so the two-state fold is
+    // spelled as a step-indexed recursive CTE whose per-step double trees
+    // are token-identical to the Spark lambda.
+    "win_holt" ->
+      ("""WITH RECURSIVE daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    """ + msum("value") + """ AS v
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT user_id, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS i,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM daily),
+        |rec(user_id, i, l, t) AS (
+        |  SELECT user_id, i, v, CAST(0.0 AS DOUBLE)
+        |  FROM ranked WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.user_id, d.i,
+        |    0.5 * d.v + 0.5 * (r.l + r.t),
+        |    0.5 * ((0.5 * d.v + 0.5 * (r.l + r.t)) - r.l) + 0.5 * r.t
+        |  FROM rec r JOIN ranked d
+        |    ON d.user_id = r.user_id AND d.i = r.i + 1)
+        |SELECT rec.user_id, n AS n_days, l AS level, t AS trend,
+        |  l + t AS forecast
+        |FROM rec JOIN ranked ON rec.user_id = ranked.user_id
+        |  AND rec.i = ranked.i
+        |WHERE rec.i = n
+        |ORDER BY rec.user_id""").stripMargin,
+
     "agg_rfm" ->
       """WITH u AS (
         |  SELECT user_id, max(epoch_ms(ts) // 86400000) AS last_day,

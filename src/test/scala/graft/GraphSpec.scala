@@ -353,6 +353,33 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (_, (n, _)) => assert(n >= 1L && n <= 8L) }
   }
 
+  test("graph_rich_club: phi(k) recomputes from degrees; curve covers all four k") {
+    import spark.implicits._
+    val rows = q("graph_rich_club").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows.keySet === Set(2L, 4L, 8L, 16L))
+    val edges = graft.ops.GraphOps.copurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    Seq(2L, 4L, 8L, 16L).foreach { k =>
+      val club = deg.filter(_._2 >= k).keySet
+      val e = edges.count(p => club(p._1) && club(p._2)).toLong
+      val (gn, ge, gp) = rows(k)
+      assert(gn === club.size.toLong, s"k=$k n_club")
+      assert(ge === e, s"k=$k e_club")
+      val expPhi = if (club.size >= 2)
+        Some(math.floor((e * 2).toDouble /
+          (club.size.toDouble * (club.size - 1).toDouble) * 10000.0 + 0.5) / 10000.0)
+      else None
+      assert(gp === expPhi, s"k=$k phi")
+    }
+    // a rich club is at least as dense as the graph at large (weak check:
+    // phi is a valid density)
+    rows.values.flatMap(_._3).foreach(p => assert(p >= 0.0 && p <= 1.0))
+  }
+
   test("graph_modularity: per-community contributions recompute from LPA labels and edges") {
     import spark.implicits._
     val rows = q("graph_modularity").collect()

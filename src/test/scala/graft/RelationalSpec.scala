@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 238, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 230, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 243, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 235, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1254,6 +1254,101 @@ class RelationalSpec extends SparkSpec {
       }
     }
     assert(got.size === docs.map(_._1).distinct.length * 4)
+  }
+
+  test("project_unpivot: per-metric rollup equals column-wise aggregates; plan uses Expand") {
+    import spark.implicits._
+    val df = q("project_unpivot")
+    val got = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax").collect()
+    def ms(xs: Seq[Double]): Double = xs.map(x => BigDecimal(x * 10000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum.toDouble / 10000.0
+    val n = li.length.toLong
+    Seq(("l_quantity", 0), ("l_extendedprice", 1), ("l_discount", 2), ("l_tax", 3))
+      .foreach { case (m, i) =>
+        assert(got(m)._1 === n, m)
+        assert(got(m)._2 === ms(li.map(_.getDouble(i)).toSeq), m)
+      }
+    // single-scan reshape: the melt plans as Expand, not a union of scans
+    assert(plan(df).contains("Expand"), plan(df))
+    assert(!plan(df).toLowerCase.contains("union"), plan(df))
+  }
+
+  test("src_pk_audit: one row per table, keys unique in the synthetic catalog") {
+    val rows = q("src_pk_audit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq("customer", "documents", "embeddings",
+      "events", "lineitem", "nation", "orders", "part", "region", "supplier"))
+    rows.foreach { case (t, (n, k, d)) =>
+      assert(n > 0, t)
+      assert(d === n - k, t)
+      assert(d >= 0L, t)
+    }
+    // the single-column surrogate keys ARE unique in the synthetic catalog;
+    // lineitem's composite key genuinely collides (generator artifact) —
+    // recompute its dup count instead of assuming zero
+    val m = rows.toMap
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "events", "documents", "embeddings").foreach(t =>
+      assert(m(t)._3 === 0L, s"$t has duplicate keys"))
+    assert(m("events")._1 === Tables.events(spark, sf).count())
+    val li = Tables.lineitem(spark, sf)
+    assert(m("lineitem")._1 === li.count())
+    assert(m("lineitem")._2 ===
+      li.select("l_orderkey", "l_linenumber").distinct().count())
+  }
+
+  test("agg_seasonality: weekday rollup recomputes; indices average to ~1 over days") {
+    import spark.implicits._
+    val rows = q("agg_seasonality").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0 && r._1 <= 6))
+    val days = Tables.events(spark, sf)
+      .select((unix_millis($"ts") / lit(86400000L)).cast("long").as("d"))
+      .collect().map(_.getLong(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val te = days.values.sum; val td = days.size.toLong
+    val byWd = days.toSeq.groupBy { case (d, _) => (d + 3) % 7 }
+    assert(rows.map(_._1).toSet === byWd.keySet)
+    rows.foreach { case (wd, (nd, ne, avg, idx)) =>
+      val ds = byWd(wd)
+      assert(nd === ds.length.toLong, s"wd $wd n_days")
+      assert(ne === ds.map(_._2).sum, s"wd $wd n_events")
+      assert(avg === math.floor(ne.toDouble / nd * 10000.0 + 0.5) / 10000.0)
+      assert(idx === math.floor((ne.toDouble / nd) / (te.toDouble / td) * 10000.0 + 0.5) / 10000.0)
+      assert(idx > 0.0)
+    }
+  }
+
+  test("win_holt: two-state fold matches a bitwise JVM recurrence") {
+    import spark.implicits._
+    val got = q("win_holt").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val daily = ev.groupBy(e => (e._1, e._2)).view.mapValues(xs =>
+      xs.map(v => BigDecimal(v._3 * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum.toDouble / 10000.0).toMap
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    daily.keys.groupBy(_._1).foreach { case (u, ks) =>
+      val vs = ks.map(_._2).toSeq.sorted.map(d => daily((u, d)))
+      var l = vs.head; var t = 0.0
+      vs.tail.foreach { e =>
+        val lNew = 0.5 * e + 0.5 * (l + t)
+        t = 0.5 * ((0.5 * e + 0.5 * (l + t)) - l) + 0.5 * t
+        l = lNew
+      }
+      val (nd, gl, gt, gf) = got(u)
+      assert(nd === vs.length.toLong, s"user $u n_days")
+      assert(bits(gl) === bits(l), s"user $u level")
+      assert(bits(gt) === bits(t), s"user $u trend")
+      assert(bits(gf) === bits(l + t), s"user $u forecast")
+    }
+    assert(got.size === daily.keys.map(_._1).toSeq.distinct.length)
   }
 
   test("win_attribution: every purchase credits its latest prior click/view") {

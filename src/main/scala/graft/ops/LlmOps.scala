@@ -1879,7 +1879,25 @@ object LlmOps {
       .orderBy($"label", $"rk")
   }
 
+  /** Language-ID confusion matrix: the n-gram classifier's predictions
+    * (llm_lang_id, reused verbatim) against the labeled lang, with
+    * per-true-language recall shares — the eval every routing gate needs
+    * before trusting the classifier. Pure composition: one 25-cell agg
+    * over the existing scorer.
+    */
+  val llmLangConfusion: Q = (s, dir) => {
+    import s.implicits._
+    llmLangId(s, dir)
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+      .withColumn("rt", sum($"n").over(Window.partitionBy($"lang")))
+      .select($"lang", $"lang_pred", $"n",
+        (floor($"n".cast("double") / $"rt".cast("double") * lit(10000.0) +
+          lit(0.5)).cast("double") / lit(10000.0)).as("recall"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_lang_confusion" -> llmLangConfusion,
     "llm_embed_outliers" -> llmEmbedOutliers,
     "llm_source_cap" -> llmSourceCap,
     "llm_hapax_ratio" -> llmHapaxRatio,

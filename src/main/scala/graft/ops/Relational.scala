@@ -2308,7 +2308,132 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** SAX symbolization of each user's daily value series — z-normalize
+    * against the user's own exact moments, bucket into 4 symbols at the
+    * Gaussian quartile breakpoints (±0.6745, 0), concatenate in day
+    * order. The z numerator/denominator derive from scaled-BIGINT sums,
+    * so both engines compare the identical doubles against identical
+    * constants — symbol strings are bit-stable. The discretized string is
+    * the time-series fingerprint that downstream motif/anomaly search
+    * indexes.
+    */
+  val winSax: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"value")
+      .groupBy($"user_id", $"d")
+      .agg(sum(round($"value" * lit(10000)).cast("long")).as("vs"))
+    val mom = daily.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"vs").as("s1"),
+        sum($"vs" * $"vs").as("s2"))
+    daily.join(mom, "user_id")
+      .withColumn("varn", $"n" * $"s2" - $"s1" * $"s1") // exact integer
+      .withColumn("z",
+        ($"vs".cast("double") - $"s1".cast("double") / $"n".cast("double")) /
+          sqrt($"varn".cast("double")) * $"n".cast("double"))
+      .withColumn("sym", // varn=0 ⟹ flat series: NaN z would compare
+        // differently across engines, so pin the symbol explicitly
+        when($"varn" === 0, "c")
+          .when($"z" < -0.6745, "a").when($"z" < 0.0, "b")
+          .when($"z" < 0.6745, "c").otherwise("d"))
+      .groupBy($"user_id")
+      .agg(max($"n").as("n_days"),
+        array_join(expr("transform(sort_array(collect_list(struct(d, sym)))," +
+          " x -> x.sym)"), "").as("sax"))
+      .orderBy($"user_id")
+  }
+
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence — the user-journey model (what follows what). One
+    * user-partitioned lead() window, then a 25-cell hash agg; the row
+    * probability is count/row-total, floor-quantized. Exactly the state
+    * model a funnel generalizes to.
+    */
+  val aggMarkov: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val tr = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", tsMs($"ts").as("ms"))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    tr.withColumn("rt", sum($"n").over(Window.partitionBy($"from_type")))
+      .select($"from_type", $"to_type", $"n",
+        (floor($"n".cast("double") / $"rt".cast("double") * lit(10000.0) +
+          lit(0.5)).cast("double") / lit(10000.0)).as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** Lorenz curve of supplier revenue in deciles — the inequality curve
+    * agg_gini summarizes to a scalar, kept as plottable points. Suppliers
+    * rank ascending by exact cents revenue (suppkey tie-break), ntile(10)
+    * deciles, then one cumulative window over 10 rows; every sum is a
+    * BIGINT and only the cumulative share is a (quantized) double.
+    */
+  val aggLorenz: Q = (s, dir) => {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .select($"l_suppkey",
+        round($"l_extendedprice" * (lit(1) - $"l_discount") * lit(100))
+          .cast("long").as("cents"))
+      .groupBy($"l_suppkey").agg(sum($"cents").as("r"))
+    val dec = rev
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy($"r", $"l_suppkey")).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_suppliers"), sum($"r").as("rc"))
+    dec
+      .withColumn("cum", sum($"rc").over(Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum($"rc").over(Window.partitionBy()))
+      .select($"decile", $"n_suppliers",
+        ($"rc".cast("double") / lit(100.0)).as("revenue"),
+        (floor($"cum".cast("double") / $"tot".cast("double") * lit(10000.0) +
+          lit(0.5)).cast("double") / lit(10000.0)).as("cum_share"))
+      .orderBy($"decile")
+  }
+
+  /** Bollinger bands over each user's daily value curve: trailing-7-day
+    * mean ± 2σ, plus a band-breach flag. Frame moments are exact scaled
+    * BIGINT window sums (the win_zscore discipline), the bands one double
+    * tree each, and the breach comparison runs on identical doubles —
+    * flag bits are engine-stable. One user-partitioned sort carries all
+    * three window columns.
+    */
+  val winBollinger: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"value")
+      .groupBy($"user_id", $"d")
+      .agg(sum(round($"value" * lit(10000)).cast("long")).as("vs"))
+    val w = Window.partitionBy($"user_id").orderBy($"d").rowsBetween(-6, 0)
+    daily
+      .withColumn("nf", count(lit(1)).over(w))
+      .withColumn("s1", sum($"vs").over(w))
+      .withColumn("s2", sum($"vs" * $"vs").over(w))
+      .withColumn("mid",
+        $"s1".cast("double") / ($"nf".cast("double") * lit(10000.0)))
+      .withColumn("sd",
+        sqrt(($"nf".cast("double") * $"s2".cast("double") -
+          $"s1".cast("double") * $"s1".cast("double"))) /
+          ($"nf".cast("double") * lit(10000.0)))
+      .withColumn("upper", $"mid" + lit(2.0) * $"sd")
+      .withColumn("lower", $"mid" - lit(2.0) * $"sd")
+      .withColumn("v", $"vs".cast("double") / lit(10000.0))
+      .select($"user_id", $"d", $"v", $"mid", $"lower", $"upper",
+        (when($"v" > $"upper" || $"v" < $"lower", 1L).otherwise(0L))
+          .as("breach"))
+      .orderBy($"user_id", $"d")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_sax" -> winSax,
+    "agg_markov" -> aggMarkov,
+    "agg_lorenz" -> aggLorenz,
+    "win_bollinger" -> winBollinger,
     "project_unpivot" -> projectUnpivot,
     "src_pk_audit" -> srcPkAudit,
     "agg_seasonality" -> aggSeasonality,

@@ -59,6 +59,27 @@ object LlmOracle {
        |FROM jac JOIN cands ON jac.d1 = cands.d1 AND jac.d2 = cands.d2
        |WHERE j >= 0.5 ORDER BY jac.d1, jac.d2""".stripMargin
 
+  /** Stopword table + per-doc best-language CTEs — shared by llm_lang_id
+    * and llm_lang_confusion so both oracles score identically.
+    */
+  private val langIdCtes: String =
+    """sw(cand, w) AS (VALUES
+      |  ('en','the'),('en','and'),('en','of'),('en','is'),
+      |  ('de','der'),('de','und'),('de','das'),('de','ist'),
+      |  ('es','el'),('es','que'),('es','los'),('es','la'),
+      |  ('fr','le'),('fr','et'),('fr','les'),('fr','des'),
+      |  ('zh','de'),('zh','shi'),('zh','bu'),('zh','le')),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |best AS (
+      |  SELECT doc_id, cand, score FROM (
+      |    SELECT tok.doc_id, sw.cand, count(*) AS score,
+      |      row_number() OVER (PARTITION BY tok.doc_id
+      |        ORDER BY count(*) DESC, sw.cand) AS rn
+      |    FROM tok JOIN sw ON tok.w = sw.w
+      |    GROUP BY 1, 2) t
+      |  WHERE rn = 1)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "llm_embed_outliers" ->
       """WITH px AS (
@@ -697,26 +718,24 @@ object LlmOracle {
         |FROM q ORDER BY doc_id""".stripMargin,
 
     "llm_lang_id" ->
-      """WITH sw(cand, w) AS (VALUES
-        |  ('en','the'),('en','and'),('en','of'),('en','is'),
-        |  ('de','der'),('de','und'),('de','das'),('de','ist'),
-        |  ('es','el'),('es','que'),('es','los'),('es','la'),
-        |  ('fr','le'),('fr','et'),('fr','les'),('fr','des'),
-        |  ('zh','de'),('zh','shi'),('zh','bu'),('zh','le')),
-        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |best AS (
-        |  SELECT doc_id, cand, score FROM (
-        |    SELECT tok.doc_id, sw.cand, count(*) AS score,
-        |      row_number() OVER (PARTITION BY tok.doc_id
-        |        ORDER BY count(*) DESC, sw.cand) AS rn
-        |    FROM tok JOIN sw ON tok.w = sw.w
-        |    GROUP BY 1, 2) t
-        |  WHERE rn = 1)
-        |SELECT d.doc_id, d.lang,
-        |  coalesce(best.cand, 'und') AS lang_pred,
-        |  coalesce(best.score, 0) AS score
-        |FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $langIdCtes
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(best.cand, 'und') AS lang_pred,
+         |  coalesce(best.score, 0) AS score
+         |FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "llm_lang_confusion" ->
+      s"""WITH $langIdCtes,
+         |pred AS (
+         |  SELECT d.lang, coalesce(best.cand, 'und') AS lang_pred
+         |  FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id),
+         |c AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         |  floor(CAST(n AS DOUBLE) /
+         |    CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) * 10000.0
+         |    + 0.5) / 10000.0 AS recall
+         |FROM c ORDER BY lang, lang_pred""".stripMargin,
 
     "llm_fingerprint" ->
       s"""WITH $shingleDocs

@@ -414,6 +414,102 @@ object OracleSql {
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "win_sax" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS vs
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (
+        |  SELECT user_id, count(*) AS n, CAST(sum(vs) AS BIGINT) AS s1,
+        |    CAST(sum(vs * vs) AS BIGINT) AS s2
+        |  FROM daily GROUP BY 1),
+        |j AS (
+        |  SELECT daily.user_id AS user_id, d, vs, n, s1, s2,
+        |    n * s2 - s1 * s1 AS varn
+        |  FROM daily JOIN mom ON daily.user_id = mom.user_id),
+        |z AS (
+        |  SELECT user_id, d, n, varn,
+        |    (CAST(vs AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      sqrt(CAST(varn AS DOUBLE)) * CAST(n AS DOUBLE) AS z
+        |  FROM j),
+        |sym AS (
+        |  SELECT user_id, d, n,
+        |    CASE WHEN varn = 0 THEN 'c'
+        |      WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+        |      WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym
+        |  FROM z)
+        |SELECT user_id, max(n) AS n_days,
+        |  string_agg(sym, '' ORDER BY d) AS sax
+        |FROM sym GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "agg_markov" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id) AS to_type
+        |  FROM ev),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  floor(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) * 10000.0
+        |    + 0.5) / 10000.0 AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "agg_lorenz" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |dec AS (
+        |  SELECT CAST(ntile(10) OVER (ORDER BY r, l_suppkey) AS BIGINT)
+        |    AS decile, r
+        |  FROM rev),
+        |g AS (SELECT decile, count(*) AS n_suppliers,
+        |  CAST(sum(r) AS BIGINT) AS rc FROM dec GROUP BY 1),
+        |cm AS (
+        |  SELECT decile, n_suppliers, rc,
+        |    CAST(sum(rc) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(rc) OVER () AS BIGINT) AS tot
+        |  FROM g)
+        |SELECT decile, n_suppliers, CAST(rc AS DOUBLE) / 100.0 AS revenue,
+        |  floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS cum_share
+        |FROM cm ORDER BY decile""".stripMargin,
+
+    "win_bollinger" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS vs
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, d, vs,
+        |    CAST(count(*) OVER fr AS BIGINT) AS nf,
+        |    CAST(sum(vs) OVER fr AS BIGINT) AS s1,
+        |    CAST(sum(vs * vs) OVER fr AS BIGINT) AS s2
+        |  FROM daily
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT user_id, d, vs,
+        |    CAST(s1 AS DOUBLE) / (CAST(nf AS DOUBLE) * 10000.0) AS mid,
+        |    sqrt(CAST(nf AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |      (CAST(nf AS DOUBLE) * 10000.0) AS sd
+        |  FROM w)
+        |SELECT user_id, d, CAST(vs AS DOUBLE) / 10000.0 AS v, mid,
+        |  mid - 2.0 * sd AS lower, mid + 2.0 * sd AS upper,
+        |  CAST(CASE WHEN CAST(vs AS DOUBLE) / 10000.0 > mid + 2.0 * sd
+        |    OR CAST(vs AS DOUBLE) / 10000.0 < mid - 2.0 * sd
+        |    THEN 1 ELSE 0 END AS BIGINT) AS breach
+        |FROM b ORDER BY user_id, d""".stripMargin,
+
     "project_unpivot" ->
       ("""WITH u AS (
         |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem

@@ -891,6 +891,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("llm_lang_confusion: matrix reconciles with llm_lang_id cell-for-cell") {
+    import spark.implicits._
+    val got = q("llm_lang_confusion").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val pred = q("llm_lang_id").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val cells = pred.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowTot = cells.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(got.keySet === cells.keySet)
+    cells.foreach { case (k, n) =>
+      assert(got(k)._1 === n, k)
+      assert(got(k)._2 ===
+        math.floor(n.toDouble / rowTot(k._1) * 10000.0 + 0.5) / 10000.0, k)
+    }
+    // diagonal dominance sanity: overall accuracy is above chance (1/5)
+    val correct = cells.collect { case ((a, p), n) if a == p => n }.sum
+    assert(correct.toDouble / pred.length > 0.2, "classifier below chance")
+  }
+
   test("llm_mad_outliers: lower-median/MAD flags match a JVM recompute") {
     import spark.implicits._
     val got = q("llm_mad_outliers").collect()

@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 243, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 235, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 248, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 240, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1349,6 +1349,128 @@ class RelationalSpec extends SparkSpec {
       assert(bits(gf) === bits(l + t), s"user $u forecast")
     }
     assert(got.size === daily.keys.map(_._1).toSeq.distinct.length)
+  }
+
+  test("win_sax: symbol strings recompute from exact per-user moments") {
+    import spark.implicits._
+    val got = q("win_sax").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val daily = ev.groupBy(e => (e._1, e._2)).view.mapValues(_.map(v =>
+      BigDecimal(v._3 * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum).toMap
+    daily.keys.groupBy(_._1).foreach { case (u, ks) =>
+      val ds = ks.map(_._2).toSeq.sorted
+      val vs = ds.map(d => daily((u, d)))
+      val n = vs.length.toLong; val s1 = vs.sum; val s2 = vs.map(v => v * v).sum
+      val varn = n * s2 - s1 * s1
+      val sax = ds.map { d =>
+        val v = daily((u, d))
+        if (varn == 0) "c"
+        else {
+          val z = (v.toDouble - s1.toDouble / n.toDouble) /
+            math.sqrt(varn.toDouble) * n.toDouble
+          if (z < -0.6745) "a" else if (z < 0.0) "b"
+          else if (z < 0.6745) "c" else "d"
+        }
+      }.mkString
+      assert(got(u) === ((n, sax)), s"user $u")
+    }
+    assert(got.size === daily.keys.map(_._1).toSeq.distinct.length)
+    // the alphabet is closed and strings non-trivial
+    assert(got.values.forall(_._2.forall("abcd".contains(_))))
+  }
+
+  test("agg_markov: transition counts and row-stochastic shares recompute") {
+    import spark.implicits._
+    val got = q("agg_markov").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type", unix_millis($"ts").as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val tl = xs.sortBy(e => (e._4, e._2)).map(_._3)
+      tl.zip(tl.tail)
+    }
+    val counts = trans.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowTot = counts.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(got.keySet === counts.keySet)
+    counts.foreach { case (k, n) =>
+      val (gn, gp) = got(k)
+      assert(gn === n, k)
+      assert(gp === math.floor(n.toDouble / rowTot(k._1) * 10000.0 + 0.5) / 10000.0, k)
+    }
+    // each from-state's shares account for its full row mass (quantized)
+    got.toSeq.groupBy(_._1._1).foreach { case (ft, cells) =>
+      val s = cells.map(_._2._2).sum
+      assert(math.abs(s - 1.0) < 0.001, s"$ft row sum $s")
+    }
+  }
+
+  test("agg_lorenz: decile curve recomputes; cum_share monotone to 1.0") {
+    import spark.implicits._
+    val rows = q("agg_lorenz").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1) === (1L to 10L).toArray)
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_suppkey", $"l_extendedprice", $"l_discount").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1) * (1 - r.getDouble(2)) * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val rev = li.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (sk, r) => (r, sk) }
+    val n = rev.length; val base = n / 10; val extra = n % 10
+    val sizes = (1 to 10).map(b => base + (if (b <= extra) 1 else 0))
+    val cuts = sizes.scanLeft(0)(_ + _)
+    val tot = rev.map(_._2).sum
+    var cum = 0L
+    rows.zipWithIndex.foreach { case ((dec, ns, revenue, share), i) =>
+      val slice = rev.slice(cuts(i), cuts(i + 1))
+      cum += slice.map(_._2).sum
+      assert(ns === slice.length.toLong, s"decile $dec size")
+      assert(revenue === slice.map(_._2).sum.toDouble / 100.0, s"decile $dec revenue")
+      assert(share === math.floor(cum.toDouble / tot * 10000.0 + 0.5) / 10000.0)
+    }
+    assert(rows.last._4 === 1.0)
+    assert(rows.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+
+  test("win_bollinger: bands recompute from exact frame moments; breach flags consistent") {
+    import spark.implicits._
+    val rows = q("win_bollinger").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val daily = ev.groupBy(e => (e._1, e._2)).view.mapValues(_.map(v =>
+      BigDecimal(v._3 * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum).toMap
+    val gotKey = rows.map(r => (r._1, r._2) -> r).toMap
+    var checked = 0
+    daily.keys.groupBy(_._1).foreach { case (u, ks) =>
+      val ds = ks.map(_._2).toSeq.sorted
+      ds.zipWithIndex.foreach { case (d, i) =>
+        val frame = ds.slice(math.max(0, i - 6), i + 1).map(x => daily((u, x)))
+        val nf = frame.length.toLong
+        val s1 = frame.sum; val s2 = frame.map(v => v * v).sum
+        val mid = s1.toDouble / (nf.toDouble * 10000.0)
+        val sd = math.sqrt(nf.toDouble * s2.toDouble - s1.toDouble * s1.toDouble) /
+          (nf.toDouble * 10000.0)
+        val (upper, lower) = (mid + 2.0 * sd, mid - 2.0 * sd)
+        val v = daily((u, d)).toDouble / 10000.0
+        val r = gotKey((u, d))
+        assert(bits(r._3) === bits(v)); assert(bits(r._4) === bits(mid))
+        assert(bits(r._5) === bits(lower)); assert(bits(r._6) === bits(upper))
+        assert(r._7 === (if (v > upper || v < lower) 1L else 0L))
+        checked += 1
+      }
+    }
+    assert(checked === rows.length)
   }
 
   test("win_attribution: every purchase credits its latest prior click/view") {

@@ -1087,7 +1087,33 @@ object GraphOps {
       .orderBy($"k")
   }
 
+  /** Average-nearest-neighbor-degree curve k_nn(k) — the degree-
+    * correlation profile graph_assortativity reduces to one scalar
+    * ("do hubs attach to hubs", kept as plottable points). Exact integer
+    * degree sums over both edge directions; one quantized mean per degree
+    * class. The degree frame broadcasts to both endpoints (it only has
+    * |V| rows).
+    */
+  val graphKnnDegree: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).cp()
+    val both = cp.select($"a".as("u"), $"b".as("v"))
+      .unionAll(cp.select($"b".as("u"), $"a".as("v")))
+    val deg = both.groupBy($"u").agg(count(lit(1)).as("deg")).cp()
+    val perNode = both
+      .join(deg.select($"u".as("v"), $"deg".as("dv")), "v")
+      .groupBy($"u").agg(sum($"dv").as("snd"))
+      .join(deg, "u")
+    perNode.groupBy($"deg".as("k"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"snd").as("snd"))
+      .select($"k", $"n_nodes",
+        (floor($"snd".cast("double") / ($"k" * $"n_nodes").cast("double") *
+          lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)).as("knn"))
+      .orderBy($"k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_knn_degree" -> graphKnnDegree,
     "graph_rich_club" -> graphRichClub,
     "graph_modularity" -> graphModularity,
     "graph_eccentricity" -> graphEccentricity,

@@ -1896,7 +1896,38 @@ object LlmOps {
       .orderBy($"lang", $"lang_pred")
   }
 
+  /** Deterministic BERT-style token masking schedule (~15%): a token at
+    * (doc, pos) is masked iff the first two md5 hex chars of "doc_id:pos"
+    * sort below '27' (39/256 ≈ 15.2%) — the llm_train_val_split hashing
+    * move applied per position, so the schedule is reproducible on any
+    * engine/cluster and in the oracle. Emits the per-doc mask audit
+    * (counts, quantized rate, the ordered position list) — the artifact a
+    * masking data-gen job is checked against.
+    */
+  val llmSpanMask: Q = (s, dir) => {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "tok")))
+      .select($"doc_id", ($"p" + 1).cast("long").as("pos"))
+    val marked = tok.withColumn("masked",
+      substring(md5(concat($"doc_id".cast("string"), lit(":"),
+        $"pos".cast("string"))), 1, 2) < "27")
+    marked.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"masked", 1L).otherwise(0L)).as("n_masked"),
+        array_join(expr(
+          "transform(sort_array(collect_list(CASE WHEN masked THEN pos END))," +
+            " x -> cast(x as string))"), ",").as("mask_positions"))
+      .select($"doc_id", $"n_tokens", $"n_masked",
+        (floor($"n_masked".cast("double") / $"n_tokens".cast("double") *
+          lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
+          .as("mask_rate"),
+        $"mask_positions")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_span_mask" -> llmSpanMask,
     "llm_lang_confusion" -> llmLangConfusion,
     "llm_embed_outliers" -> llmEmbedOutliers,
     "llm_source_cap" -> llmSourceCap,

@@ -2429,7 +2429,116 @@ object Relational {
       .orderBy($"user_id", $"d")
   }
 
+  /** DAU growth accounting — every daily-active chart decomposed into
+    * new / retained / resurrected (and churned, attributed to the day the
+    * user went missing): per-user lag/lead over distinct active days (ONE
+    * user-keyed sort carries both), then two daily rollups full-outer
+    * merged. Pure integer day arithmetic; the churn row for maxday+1 is
+    * emitted by construction (users active on the last day haven't
+    * churned yet and are not counted).
+    */
+  val aggGrowthAccounting: Q = (s, dir) => {
+    import s.implicits._
+    val active = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val flagged = active
+      .withColumn("prev", lag($"d", 1).over(w))
+      .withColumn("next", lead($"d", 1).over(w))
+    val statusRoll = flagged
+      .groupBy($"d")
+      .agg(
+        sum(when($"prev".isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when($"prev" === $"d" - 1, 1L).otherwise(0L)).as("n_retained"),
+        sum(when($"prev".isNotNull && $"prev" < $"d" - 1, 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churnRoll = flagged
+      .filter($"next".isNull || $"next" > $"d" + 1)
+      .groupBy(($"d" + 1).as("d")).agg(count(lit(1)).as("n_churned"))
+    statusRoll.join(churnRoll, Seq("d"), "full_outer")
+      .select($"d",
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        coalesce($"n_retained", lit(0L)).as("n_retained"),
+        coalesce($"n_resurrected", lit(0L)).as("n_resurrected"),
+        coalesce($"n_churned", lit(0L)).as("n_churned"))
+      .orderBy($"d")
+  }
+
+  /** Global interval union over the per-user session intervals — "how much
+    * wall-clock time had ≥1 live session" (SLA coverage). Sessions come
+    * from the 30-min-gap rule (the win_sessionize frame), then the
+    * classic sweep: order ALL sessions by (start, user), flag a new
+    * island when start exceeds the running max end over preceding rows,
+    * island id = running flag sum, roll islands up to extents. Every
+    * value is epoch-ms integral; the global sweep sorts the SESSION
+    * frame (≪ events), not the stream.
+    */
+  val winIntervalUnion: Q = (s, dir) => {
+    import s.implicits._
+    val wUser = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val sessions = Tables.events(s, dir)
+      .select($"user_id", $"event_id", tsMs($"ts").as("ms"))
+      .withColumn("gap",
+        when(lag($"ms", 1).over(wUser).isNull, 1L)
+          .when($"ms" - lag($"ms", 1).over(wUser) > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum($"gap").over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ms").as("start_ms"), max($"ms").as("end_ms"))
+    val sweep = Window.orderBy($"start_ms", $"user_id", $"sid")
+    val flagged = sessions
+      .withColumn("maxPrev", max($"end_ms").over(
+        sweep.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when($"maxPrev".isNull || $"start_ms" > $"maxPrev", 1L).otherwise(0L))
+      .withColumn("island", sum($"brk").over(
+        sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy($"island")
+      .agg(min($"start_ms").as("start_ms"), max($"end_ms").as("end_ms"),
+        count(lit(1)).as("n_sessions"))
+      .select($"island", $"start_ms", $"end_ms",
+        ($"end_ms" - $"start_ms").as("len_ms"), $"n_sessions")
+      .orderBy($"island")
+  }
+
+  /** Day-over-day behavioral-set similarity: Jaccard between the set of
+    * event types a user emitted today vs yesterday (habit stability).
+    * Spelled set-free — distinct (user, day, type) rows self-joined on
+    * (user, type) at day = day−1 give |A∩B| without array columns; sizes
+    * join back, J = exact integer ratio floor-quantized. Days with no
+    * yesterday row yield NULL jaccard, never 0 (absence ≠ dissimilarity).
+    */
+  val winSetJaccard: Q = (s, dir) => {
+    import s.implicits._
+    val types = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"event_type").distinct().cp()
+    val sizes = types.groupBy($"user_id", $"d").agg(count(lit(1)).as("na"))
+    val inter = types.as("a")
+      .join(types.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.d" === $"b.d" + 1 &&
+          $"a.event_type" === $"b.event_type")
+      .groupBy($"a.user_id".as("user_id"), $"a.d".as("d"))
+      .agg(count(lit(1)).as("ni"))
+    sizes.as("s")
+      .join(sizes.select($"user_id", ($"d" + 1).as("d"), $"na".as("nb")),
+        Seq("user_id", "d"), "left")
+      .join(inter, Seq("user_id", "d"), "left")
+      .withColumn("ni", coalesce($"ni", lit(0L)))
+      .select($"user_id", $"d", $"na", $"nb",
+        when($"nb".isNotNull,
+          floor($"ni".cast("double") /
+            ($"na" + $"nb" - $"ni").cast("double") * lit(10000.0) +
+            lit(0.5)).cast("double") / lit(10000.0)).as("jaccard"))
+      .orderBy($"user_id", $"d")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_growth_accounting" -> aggGrowthAccounting,
+    "win_interval_union" -> winIntervalUnion,
+    "win_set_jaccard" -> winSetJaccard,
     "win_sax" -> winSax,
     "agg_markov" -> aggMarkov,
     "agg_lorenz" -> aggLorenz,

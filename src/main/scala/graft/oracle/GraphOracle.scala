@@ -361,6 +361,22 @@ object GraphOracle {
     "graph_lpa" -> lpaSql,
     "graph_modularity" -> modularitySql,
 
+    "graph_knn_degree" ->
+      s"""WITH $copurchaseCte,
+         |bd AS (SELECT a AS u, b AS v FROM cp
+         |  UNION ALL SELECT b, a FROM cp),
+         |deg AS (SELECT u, count(*) AS deg FROM bd GROUP BY 1),
+         |pn AS (
+         |  SELECT bd.u AS u, CAST(sum(dv.deg) AS BIGINT) AS snd
+         |  FROM bd JOIN deg dv ON bd.v = dv.u
+         |  GROUP BY 1)
+         |SELECT deg.deg AS k, count(*) AS n_nodes,
+         |  floor(CAST(sum(snd) AS DOUBLE) /
+         |    CAST(deg.deg * count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |    AS knn
+         |FROM pn JOIN deg ON pn.u = deg.u
+         |GROUP BY deg.deg ORDER BY k""".stripMargin,
+
     "graph_rich_club" ->
       s"""WITH $copurchaseCte,
          |deg AS (SELECT v, count(*) AS deg FROM (

@@ -81,6 +81,26 @@ object LlmOracle {
       |  WHERE rn = 1)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_span_mask" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+        |        FROM documents) t,
+        |    UNNEST(range(1, len(ts) + 1)) AS u(i)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR), 1, 2) < '27'
+        |      AS masked
+        |  FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_masked,
+        |  floor(CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS mask_rate,
+        |  coalesce(string_agg(CASE WHEN masked THEN pos END, ','
+        |    ORDER BY pos), '') AS mask_positions
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "llm_embed_outliers" ->
       """WITH px AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS label, i AS pos,

@@ -414,6 +414,96 @@ object OracleSql {
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "agg_growth_accounting" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, d,
+        |    lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev,
+        |    lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next
+        |  FROM active),
+        |sr AS (
+        |  SELECT d,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN prev = d - 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_retained,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev < d - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM f GROUP BY 1),
+        |cr AS (
+        |  SELECT d + 1 AS d, count(*) AS n_churned
+        |  FROM f WHERE next IS NULL OR next > d + 1 GROUP BY 1)
+        |SELECT coalesce(sr.d, cr.d) AS d,
+        |  coalesce(n_new, 0) AS n_new,
+        |  coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned
+        |FROM sr FULL OUTER JOIN cr ON sr.d = cr.d
+        |ORDER BY d""".stripMargin,
+
+    "win_interval_union" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL THEN 1
+        |      WHEN ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS gap
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sid AS (
+        |  SELECT user_id, ms,
+        |    CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms
+        |  FROM sid GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT user_id, sid, start_ms, end_ms,
+        |    CASE WHEN max(end_ms) OVER (ORDER BY start_ms, user_id, sid
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR start_ms > max(end_ms) OVER (ORDER BY start_ms, user_id, sid
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM sess),
+        |isl AS (
+        |  SELECT start_ms, end_ms,
+        |    CAST(sum(brk) OVER (ORDER BY start_ms, user_id, sid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM fl)
+        |SELECT island, min(start_ms) AS start_ms, max(end_ms) AS end_ms,
+        |  max(end_ms) - min(start_ms) AS len_ms, count(*) AS n_sessions
+        |FROM isl GROUP BY 1 ORDER BY island""".stripMargin,
+
+    "win_set_jaccard" ->
+      """WITH types AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    event_type
+        |  FROM events),
+        |sizes AS (
+        |  SELECT user_id, d, count(*) AS na FROM types GROUP BY 1, 2),
+        |inter AS (
+        |  SELECT a.user_id AS user_id, a.d AS d, count(*) AS ni
+        |  FROM types a JOIN types b
+        |    ON a.user_id = b.user_id AND a.d = b.d + 1
+        |    AND a.event_type = b.event_type
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT s.user_id AS user_id, s.d AS d, s.na AS na, p.na AS nb,
+        |    coalesce(ni, 0) AS ni
+        |  FROM sizes s
+        |  LEFT JOIN sizes p ON s.user_id = p.user_id AND s.d = p.d + 1
+        |  LEFT JOIN inter i ON s.user_id = i.user_id AND s.d = i.d)
+        |SELECT user_id, d, na, nb,
+        |  CASE WHEN nb IS NOT NULL THEN
+        |    floor(CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE)
+        |      * 10000.0 + 0.5) / 10000.0 END AS jaccard
+        |FROM j ORDER BY user_id, d""".stripMargin,
+
     "win_sax" ->
       """WITH daily AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,

@@ -353,6 +353,29 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (_, (n, _)) => assert(n >= 1L && n <= 8L) }
   }
 
+  test("graph_knn_degree: average neighbor degree per class recomputes exactly") {
+    import spark.implicits._
+    val rows = q("graph_knn_degree").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.nonEmpty)
+    val edges = graft.ops.GraphOps.copurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq).toMap
+    val deg = adj.view.mapValues(_.length.toLong).toMap
+    val byK = adj.toSeq.map { case (u, nbrs) =>
+      (deg(u), nbrs.map(deg).sum)
+    }.groupBy(_._1)
+    assert(rows.keySet === byK.keySet)
+    byK.foreach { case (k, xs) =>
+      val (gn, gknn) = rows(k)
+      assert(gn === xs.length.toLong, s"k=$k n_nodes")
+      val snd = xs.map(_._2).sum
+      assert(gknn === math.floor(snd.toDouble / (k * xs.length).toDouble
+        * 10000.0 + 0.5) / 10000.0, s"k=$k knn")
+    }
+  }
+
   test("graph_rich_club: phi(k) recomputes from degrees; curve covers all four k") {
     import spark.implicits._
     val rows = q("graph_rich_club").collect()

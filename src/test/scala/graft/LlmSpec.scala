@@ -911,6 +911,32 @@ class LlmSpec extends SparkSpec {
     assert(correct.toDouble / pred.length > 0.2, "classifier below chance")
   }
 
+  test("llm_span_mask: md5 schedule recomputes; rate near 15%; positions consistent") {
+    import spark.implicits._
+    val got = q("llm_span_mask").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var totTok = 0L; var totMask = 0L
+    docs.foreach { case (id, nTok) =>
+      val masked = (1 to nTok).filter(p => md5hex(s"$id:$p").substring(0, 2) < "27")
+      val (gn, gm, gr, gp) = got(id)
+      assert(gn === nTok.toLong, s"doc $id tokens")
+      assert(gm === masked.length.toLong, s"doc $id masked")
+      assert(gr === math.floor(masked.length.toDouble / nTok * 10000.0 + 0.5) / 10000.0)
+      assert(gp === masked.mkString(","), s"doc $id positions")
+      totTok += nTok; totMask += masked.length
+    }
+    assert(got.size === docs.length)
+    // the 39/256 schedule lands near 15% over the corpus
+    val rate = totMask.toDouble / totTok
+    assert(rate > 0.10 && rate < 0.20, s"corpus mask rate $rate")
+  }
+
   test("llm_mad_outliers: lower-median/MAD flags match a JVM recompute") {
     import spark.implicits._
     val got = q("llm_mad_outliers").collect()

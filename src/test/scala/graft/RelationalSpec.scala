@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 248, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 240, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 253, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 245, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1471,6 +1471,112 @@ class RelationalSpec extends SparkSpec {
       }
     }
     assert(checked === rows.length)
+  }
+
+  test("agg_growth_accounting: daily decomposition reconciles with the active-user ledger") {
+    import spark.implicits._
+    val rows = q("agg_growth_accounting").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.nonEmpty)
+    val active = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = active.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val expNew = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val expRet = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val expRes = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val expChu = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    byUser.values.foreach { ds =>
+      ds.zipWithIndex.foreach { case (d, i) =>
+        if (i == 0) expNew(d) += 1
+        else if (ds(i - 1) == d - 1) expRet(d) += 1
+        else expRes(d) += 1
+        if (i == ds.length - 1 || ds(i + 1) > d + 1) expChu(d + 1) += 1
+      }
+    }
+    val allDays = (expNew.keySet ++ expRet.keySet ++ expRes.keySet ++ expChu.keySet)
+    assert(rows.keySet === allDays)
+    allDays.foreach { d =>
+      assert(rows(d) === ((expNew(d), expRet(d), expRes(d), expChu(d))), s"day $d")
+    }
+    // every day's active count = new + retained + resurrected
+    val activePerDay = active.groupBy(_._2).view.mapValues(_.length.toLong)
+    activePerDay.foreach { case (d, n) =>
+      val (nw, rt, rs, _) = rows(d)
+      assert(nw + rt + rs === n, s"day $d ledger")
+    }
+  }
+
+  test("win_interval_union: islands cover all sessions, are disjoint and ordered") {
+    import spark.implicits._
+    val rows = q("win_interval_union").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // islands strictly ordered and disjoint: next start > previous end
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(1)._2 > w(0)._3,
+        s"islands ${w(0)._1}/${w(1)._1} overlap")
+    }
+    rows.foreach { case (_, s0, e0, len, n) =>
+      assert(len === e0 - s0); assert(n >= 1L)
+    }
+    // recompute islands from a JVM sweep over the same session frame
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      val sorted = xs.sortBy(e => (e._3, e._2))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var start = sorted.head._3; var end = sorted.head._3
+      sorted.tail.foreach { e =>
+        if (e._3 - end > 1800000L) { out += ((u, start, end)); start = e._3 }
+        end = e._3
+      }
+      out += ((u, start, end))
+      out.toSeq
+    }
+    val swept = sessions.sortBy(s => (s._2, s._1)) // (start, user) order
+    var islands = List[(Long, Long, Long)]() // (start, end, n)
+    swept.foreach { case (_, s0, e0) =>
+      islands match {
+        case (is, ie, n) :: rest if s0 <= ie =>
+          islands = (is, math.max(ie, e0), n + 1) :: rest
+        case _ => islands = (s0, e0, 1L) :: islands
+      }
+    }
+    val expIslands = islands.reverse
+    assert(rows.length === expIslands.length)
+    rows.zip(expIslands).foreach { case ((_, s0, e0, _, n), (es, ee, en)) =>
+      assert(s0 === es); assert(e0 === ee); assert(n === en)
+    }
+  }
+
+  test("win_set_jaccard: day-over-day type-set similarity recomputes; no-yesterday is NULL") {
+    import spark.implicits._
+    val rows = q("win_set_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(rows.nonEmpty)
+    val types = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"event_type")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val sets = types.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).toSet).toMap
+    assert(rows.keySet === sets.keySet)
+    sets.foreach { case ((u, d), today) =>
+      val yesterday = sets.get((u, d - 1))
+      val (na, nb, j) = rows((u, d))
+      assert(na === today.size.toLong)
+      assert(nb === yesterday.map(_.size.toLong))
+      val expJ = yesterday.map { y =>
+        val ni = (today & y).size
+        math.floor(ni.toDouble / (today.size + y.size - ni).toDouble * 10000.0 + 0.5) / 10000.0
+      }
+      assert(j === expJ, s"($u,$d)")
+    }
   }
 
   test("win_attribution: every purchase credits its latest prior click/view") {

@@ -1112,7 +1112,35 @@ object GraphOps {
       .orderBy($"k")
   }
 
+  /** Global transitivity (closed-wedge ratio) = 3·triangles / wedges —
+    * the one-number cousin of the per-node clustering coefficient.
+    * Triangles via the graph_triangles adjacency-intersect shape; wedges
+    * = Σ deg(deg−1)/2 in exact integers (the sum of deg(deg−1) is always
+    * even, so the halving is exact); the ratio is the only double,
+    * floor-quantized.
+    */
+  val graphTransitivity: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).select($"a", $"b").cp()
+    val adj = cp.groupBy($"a".as("v")).agg(sort_array(collect_list($"b")).as("nbrs"))
+    val tri = cp
+      .join(adj.select($"v", $"nbrs".as("na")), $"a" === $"v")
+      .join(adj.select($"v".as("v2"), $"nbrs".as("nb")), $"b" === $"v2")
+      .select(size(array_intersect($"na", $"nb")).cast("long").as("t"))
+      .agg(coalesce(sum($"t"), lit(0L)).as("n_triangles"))
+    val wed = cp.select($"a".as("v")).unionAll(cp.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+      .agg((sum($"deg" * ($"deg" - 1)) / 2).cast("long").as("n_wedges"))
+    wed.crossJoin(tri)
+      .select($"n_wedges", $"n_triangles",
+        when($"n_wedges" > 0,
+          floor(($"n_triangles" * 3).cast("double") /
+            $"n_wedges".cast("double") * lit(10000.0) + lit(0.5))
+            .cast("double") / lit(10000.0)).as("transitivity"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_transitivity" -> graphTransitivity,
     "graph_knn_degree" -> graphKnnDegree,
     "graph_rich_club" -> graphRichClub,
     "graph_modularity" -> graphModularity,

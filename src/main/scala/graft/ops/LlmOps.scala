@@ -1926,7 +1926,50 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Out-of-vocabulary screen: each document's rarest token by corpus
+    * frequency (argmin as a struct-min — the agg_ohlc picked-element
+    * move, lexicographic tie on the token), plus its distinct-token
+    * count. A doc whose min frequency is 1 hinges on a hapax — the
+    * screen catches OCR noise and code dumps. Frequency table broadcast
+    * (Heaps-law vocab ≪ corpus).
+    */
+  val llmMinTokenFreq: Q = (s, dir) => {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .cp() // frequency table and doc stream share the pass
+    val freq = tok.groupBy($"tok").agg(count(lit(1)).as("f"))
+    tok.distinct().join(broadcast(freq), "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+        min(struct($"f", $"tok")).as("m"))
+      .select($"doc_id", $"n_distinct", $"m.f".as("min_freq"),
+        $"m.tok".as("rarest"))
+      .orderBy($"doc_id")
+  }
+
+  /** Keyword-in-context (KWIC) concordance for the token 'dup': every
+    * occurrence with ±3 tokens of context — the corpus-inspection view a
+    * curator reads before writing a cleaning rule. Positions and slices
+    * are pure integer arithmetic on the split array; both engines clamp
+    * the window at document edges identically.
+    */
+  val llmKwic: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id", $"ts", posexplode($"ts").as(Seq("p", "tok")))
+      .filter($"tok" === "dup")
+      .select($"doc_id", ($"p" + 1).cast("long").as("pos"),
+        array_join(slice($"ts", greatest(lit(1), $"p" + 1 - 3),
+          ($"p" + 1 + 3) - greatest(lit(1), $"p" + 1 - 3) + 1), " ")
+          .as("context"))
+      .orderBy($"doc_id", $"pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_min_token_freq" -> llmMinTokenFreq,
+    "llm_kwic" -> llmKwic,
     "llm_span_mask" -> llmSpanMask,
     "llm_lang_confusion" -> llmLangConfusion,
     "llm_embed_outliers" -> llmEmbedOutliers,

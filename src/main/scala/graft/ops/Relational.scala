@@ -2535,7 +2535,87 @@ object Relational {
       .orderBy($"user_id", $"d")
   }
 
+  /** ClickHouse-style windowFunnel: per user, the deepest
+    * view→click→purchase chain where each step follows the previous
+    * at-or-after within 24 h, reported as a depth distribution. Spelled
+    * with the join_asof_fwd union+window machinery TWICE (first click
+    * at-or-after each view; first purchase at-or-after each click) — two
+    * user-keyed sorts and one equi join, never a per-user theta join.
+    * The at-tie-inclusive convention matches join_asof_fwd and is
+    * mirrored exactly in the oracle.
+    */
+  val aggWindowFunnel: Q = (s, dir) => {
+    import s.implicits._
+    val T = 86400000L
+    val e = Tables.events(s, dir)
+      .select($"event_id", $"user_id", tsMs($"ts").as("ms"), $"event_type")
+      .cp() // three type slices share the scan
+    def firstAfter(anchor: DataFrame, cand: DataFrame): DataFrame = {
+      // anchor: (user_id, a_ts); cand: (user_id, c_ts) distinct
+      val a = anchor.select($"user_id", $"a_ts", $"a_ts".as("ms"),
+        lit(0).as("side"), lit(null).cast("long").as("cand_ts"))
+      val c = cand.select($"user_id", lit(null).cast("long").as("a_ts"),
+        $"c_ts".as("ms"), lit(1).as("side"), $"c_ts".as("cand_ts"))
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      a.unionByName(c)
+        .withColumn("nxt", first($"cand_ts", ignoreNulls = true).over(w))
+        .filter($"side" === 0)
+        .select($"user_id", $"a_ts", $"nxt")
+    }
+    val views = e.filter($"event_type" === "view")
+      .select($"user_id", $"ms".as("a_ts")).distinct()
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ms".as("c_ts")).distinct()
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ms".as("c_ts")).distinct()
+    val vc = firstAfter(views, clicks)
+      .select($"user_id", $"a_ts".as("v_ts"), $"nxt".as("c_ts"))
+    val cpn = firstAfter(clicks.select($"user_id", $"c_ts".as("a_ts")), purchases)
+      .select($"user_id", $"a_ts".as("c_ts"), $"nxt".as("p_ts"))
+    val depth = vc.join(cpn, Seq("user_id", "c_ts"), "left")
+      .withColumn("s2", $"c_ts".isNotNull && $"c_ts" - $"v_ts" <= T)
+      .withColumn("s3", $"s2" && $"p_ts".isNotNull && $"p_ts" - $"c_ts" <= T)
+      .select($"user_id",
+        (lit(1L) + when($"s2", 1L).otherwise(0L) +
+          when($"s3", 1L).otherwise(0L)).as("depth"))
+      .groupBy($"user_id").agg(max($"depth").as("depth"))
+    depth.groupBy($"depth").agg(count(lit(1)).as("n_users"))
+      .orderBy($"depth")
+  }
+
+  /** Exponentially time-decayed engagement score per user (half-life =
+    * 1 day), computed EXACTLY: the decay weight 2^(30−age) is an integer
+    * from a 31-row broadcast table (ages beyond 30 days contribute
+    * < 2^-30 and are cut off — documented), the per-user fold is one
+    * BIGINT sum, and the final normalization divides by powers of two
+    * (exact in IEEE). No pow()/exp() ever runs — the cross-libm guard
+    * never engages.
+    */
+  val aggDecaySum: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        round($"value" * lit(10000)).cast("long").as("v"))
+      .groupBy($"user_id", $"d").agg(sum($"v").as("vs"))
+    val maxd = daily.agg(max($"d").as("maxd"))
+    val wt = { import s.implicits._
+      Seq.tabulate(31)(a => (a.toLong, 1L << (30 - a))).toDF("age", "wt") }
+    daily.crossJoin(broadcast(maxd))
+      .withColumn("age", $"maxd" - $"d")
+      .join(broadcast(wt), Seq("age"), "inner") // age > 30 cut off
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"), max($"d").as("last_day"),
+        sum($"vs" * $"wt").as("sw"))
+      .select($"user_id", $"n_days", $"last_day",
+        ($"sw".cast("double") / lit(1073741824.0) / lit(10000.0))
+          .as("decayed"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_window_funnel" -> aggWindowFunnel,
+    "agg_decay_sum" -> aggDecaySum,
     "agg_growth_accounting" -> aggGrowthAccounting,
     "win_interval_union" -> winIntervalUnion,
     "win_set_jaccard" -> winSetJaccard,

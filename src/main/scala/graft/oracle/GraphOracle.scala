@@ -361,6 +361,22 @@ object GraphOracle {
     "graph_lpa" -> lpaSql,
     "graph_modularity" -> modularitySql,
 
+    "graph_transitivity" ->
+      s"""WITH $copurchaseCte,
+         |deg AS (SELECT v, count(*) AS deg FROM (
+         |  SELECT a AS v FROM cp UNION ALL SELECT b FROM cp) u GROUP BY 1),
+         |wed AS (SELECT CAST(CAST(sum(deg * (deg - 1)) AS DOUBLE) / 2
+         |  AS BIGINT) AS n_wedges FROM deg),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM cp e1 JOIN cp e2 ON e2.a = e1.b
+         |  JOIN cp e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT n_wedges, n_triangles,
+         |  CASE WHEN n_wedges > 0 THEN
+         |    floor(CAST(n_triangles * 3 AS DOUBLE) /
+         |      CAST(n_wedges AS DOUBLE) * 10000.0 + 0.5) / 10000.0 END
+         |    AS transitivity
+         |FROM wed, tri""".stripMargin,
+
     "graph_knn_degree" ->
       s"""WITH $copurchaseCte,
          |bd AS (SELECT a AS u, b AS v FROM cp

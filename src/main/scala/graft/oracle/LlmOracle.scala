@@ -81,6 +81,33 @@ object LlmOracle {
       |  WHERE rn = 1)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_min_token_freq" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS f FROM tok GROUP BY 1),
+        |dt AS (SELECT DISTINCT doc_id, tok FROM tok),
+        |j AS (SELECT doc_id, dt.tok AS tok, f
+        |  FROM dt JOIN freq ON dt.tok = freq.tok),
+        |rk AS (
+        |  SELECT doc_id, tok, f,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY f, tok) AS rn,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_distinct
+        |  FROM j)
+        |SELECT doc_id, n_distinct, f AS min_freq, tok AS rarest
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "llm_kwic" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |px AS (
+        |  SELECT doc_id, ts, CAST(i AS BIGINT) AS pos
+        |  FROM d, UNNEST(range(1, len(ts) + 1)) AS u(i)
+        |  WHERE ts[i] = 'dup')
+        |SELECT doc_id, pos,
+        |  array_to_string(ts[greatest(1, pos - 3):pos + 3], ' ') AS context
+        |FROM px ORDER BY doc_id, pos""".stripMargin,
+
     "llm_span_mask" ->
       """WITH tok AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS pos

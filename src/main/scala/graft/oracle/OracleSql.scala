@@ -414,6 +414,65 @@ object OracleSql {
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "agg_window_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |v AS (SELECT DISTINCT user_id, ms AS a_ts FROM e
+        |  WHERE event_type = 'view'),
+        |c AS (SELECT DISTINCT user_id, ms AS c_ts FROM e
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id, ms AS c_ts FROM e
+        |  WHERE event_type = 'purchase'),
+        |vc0 AS (
+        |  SELECT user_id, a_ts, a_ts AS ms, 0 AS side,
+        |    CAST(NULL AS BIGINT) AS cand_ts FROM v
+        |  UNION ALL
+        |  SELECT user_id, NULL, c_ts, 1, c_ts FROM c),
+        |vc AS (
+        |  SELECT user_id, a_ts AS v_ts,
+        |    first_value(cand_ts IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ms, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS c_ts
+        |  FROM vc0 QUALIFY side = 0),
+        |cp0 AS (
+        |  SELECT user_id, c_ts AS a_ts, c_ts AS ms, 0 AS side,
+        |    CAST(NULL AS BIGINT) AS cand_ts FROM c
+        |  UNION ALL
+        |  SELECT user_id, NULL, c_ts, 1, c_ts FROM p),
+        |cpn AS (
+        |  SELECT user_id, a_ts AS c_ts,
+        |    first_value(cand_ts IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ms, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_ts
+        |  FROM cp0 QUALIFY side = 0),
+        |depth AS (
+        |  SELECT vc.user_id AS user_id,
+        |    max(1 + (CASE WHEN vc.c_ts IS NOT NULL
+        |        AND vc.c_ts - v_ts <= 86400000 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN vc.c_ts IS NOT NULL
+        |        AND vc.c_ts - v_ts <= 86400000 AND p_ts IS NOT NULL
+        |        AND p_ts - vc.c_ts <= 86400000 THEN 1 ELSE 0 END))
+        |      AS depth
+        |  FROM vc LEFT JOIN cpn
+        |    ON vc.user_id = cpn.user_id AND vc.c_ts = cpn.c_ts
+        |  GROUP BY 1)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_users
+        |FROM depth GROUP BY 1 ORDER BY depth""".stripMargin,
+
+    "agg_decay_sum" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS vs
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(d) AS maxd FROM daily),
+        |ag AS (
+        |  SELECT user_id, d, vs, maxd - d AS age FROM daily, mx
+        |  WHERE maxd - d <= 30)
+        |SELECT user_id, count(*) AS n_days, max(d) AS last_day,
+        |  CAST(CAST(sum(vs * (CAST(1 AS BIGINT) << CAST(30 - age AS INTEGER)))
+        |    AS BIGINT) AS DOUBLE) / 1073741824.0 / 10000.0 AS decayed
+        |FROM ag GROUP BY 1 ORDER BY user_id""".stripMargin,
+
     "agg_growth_accounting" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d

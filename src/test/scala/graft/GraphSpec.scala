@@ -353,6 +353,28 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (_, (n, _)) => assert(n >= 1L && n <= 8L) }
   }
 
+  test("graph_transitivity: closed-wedge ratio reconciles with graph_triangles and degrees") {
+    import spark.implicits._
+    val r = q("graph_transitivity").collect()
+    assert(r.length === 1)
+    val (wedges, tris) = (r.head.getLong(0), r.head.getLong(1))
+    // triangles agree with the standalone graph_triangles op
+    val triOp = q("graph_triangles").collect().head.getLong(0)
+    assert(tris === triOp)
+    // wedges recompute from degrees
+    val edges = graft.ops.GraphOps.copurchase(spark, sf).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    val expWed = deg.values.map(d => d * (d - 1) / 2).sum
+    assert(wedges === expWed)
+    if (wedges > 0) {
+      val t = r.head.getDouble(2)
+      assert(t === math.floor(tris * 3.0 / wedges * 10000.0 + 0.5) / 10000.0)
+      assert(t >= 0.0 && t <= 1.0)
+    }
+  }
+
   test("graph_knn_degree: average neighbor degree per class recomputes exactly") {
     import spark.implicits._
     val rows = q("graph_knn_degree").collect()

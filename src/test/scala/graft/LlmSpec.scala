@@ -911,6 +911,42 @@ class LlmSpec extends SparkSpec {
     assert(correct.toDouble / pred.length > 0.2, "classifier below chance")
   }
 
+  test("llm_min_token_freq: per-doc rarest token matches a JVM frequency argmin") {
+    import spark.implicits._
+    val got = q("llm_min_token_freq").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    docs.foreach { case (id, toks) =>
+      val dist = toks.distinct
+      val (mf, tk) = dist.map(t => (freq(t), t)).min
+      val (gn, gf, gt) = got(id)
+      assert(gn === dist.length.toLong, s"doc $id distinct")
+      assert(gf === mf, s"doc $id min freq")
+      assert(gt === tk, s"doc $id rarest")
+    }
+    assert(got.size === docs.length)
+  }
+
+  test("llm_kwic: every 'dup' occurrence appears with its clamped ±3 context") {
+    import spark.implicits._
+    val got = q("llm_kwic").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val exp = docs.flatMap { case (id, ts) =>
+      ts.zipWithIndex.collect { case ("dup", i) =>
+        val a = math.max(0, i - 3); val b = math.min(ts.length - 1, i + 3)
+        (id, (i + 1).toLong, ts.slice(a, b + 1).mkString(" "))
+      }.toSeq
+    }
+    assert(got.toSeq.sorted === exp.toSeq.sorted)
+    assert(got.nonEmpty, "keyword 'dup' should occur at spec sf")
+    got.foreach { case (_, _, ctx) => assert(ctx.split(" ", -1).contains("dup")) }
+  }
+
   test("llm_span_mask: md5 schedule recomputes; rate near 15%; positions consistent") {
     import spark.implicits._
     val got = q("llm_span_mask").collect()

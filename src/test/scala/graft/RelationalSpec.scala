@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 253, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 245, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 258, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 250, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1471,6 +1471,60 @@ class RelationalSpec extends SparkSpec {
       }
     }
     assert(checked === rows.length)
+  }
+
+  test("agg_window_funnel: depth distribution matches a JVM chain replay") {
+    import spark.implicits._
+    val got = q("agg_window_funnel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    assert(got.keySet.subsetOf(Set(1L, 2L, 3L)))
+    val T = 86400000L
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val expDepths = byUser.toSeq.flatMap { case (_, xs) =>
+      val vs = xs.filter(_._3 == "view").map(_._2).distinct.sorted
+      val cs = xs.filter(_._3 == "click").map(_._2).distinct.sorted
+      val ps = xs.filter(_._3 == "purchase").map(_._2).distinct.sorted
+      if (vs.isEmpty) None
+      else Some(vs.map { v =>
+        cs.find(_ >= v) match {
+          case Some(c) if c - v <= T =>
+            ps.find(_ >= c) match {
+              case Some(p) if p - c <= T => 3L
+              case _ => 2L
+            }
+          case _ => 1L
+        }
+      }.max)
+    }
+    val exp = expDepths.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === exp)
+    assert(got.values.sum === byUser.count(_._2.exists(_._3 == "view")).toLong)
+  }
+
+  test("agg_decay_sum: exact power-of-two decay matches a JVM recompute bitwise") {
+    import spark.implicits._
+    val got = q("agg_decay_sum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val daily = ev.groupBy(e => (e._1, e._2)).view.mapValues(_.map(v =>
+      BigDecimal(v._3 * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum).toMap
+    val maxd = daily.keys.map(_._2).max
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    daily.keys.groupBy(_._1).foreach { case (u, ks) =>
+      val inWin = ks.map(_._2).filter(d => maxd - d <= 30).toSeq
+      val sw = inWin.map(d => daily((u, d)) * (1L << (30 - (maxd - d)).toInt)).sum
+      val (nd, ld, dec) = got(u)
+      assert(nd === inWin.length.toLong, s"user $u")
+      assert(ld === inWin.max)
+      assert(bits(dec) === bits(sw.toDouble / 1073741824.0 / 10000.0), s"user $u decayed")
+    }
   }
 
   test("agg_growth_accounting: daily decomposition reconciles with the active-user ledger") {

@@ -1967,7 +1967,72 @@ object LlmOps {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** Grid-blocked spatial self-join over the first two embedding
+    * dimensions — the classic spatial-join shape (geohash/grid bucketing)
+    * without a geo extension: points land in r-sized cells, each point
+    * probes its 3×3 cell neighborhood, exact distance filters candidates
+    * (lossless: any pair within r shares adjacent cells), pairs roll up
+    * to a (label_a ≤ label_b) proximity matrix. Cell arithmetic and
+    * distances are deterministic doubles from exact float inputs; the
+    * quantized min-distance makes the rollup hash-stable. The 9× probe
+    * explode replaces the quadratic cross join — the 100 TB spatial
+    * posture.
+    */
+  val llmSpatialGrid: Q = (s, dir) => {
+    import s.implicits._
+    val r = 0.02
+    val pts = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        element_at($"embedding", 1).cast("double").as("x"),
+        element_at($"embedding", 2).cast("double").as("y"))
+      .withColumn("cx", floor($"x" / lit(r)).cast("long"))
+      .withColumn("cy", floor($"y" / lit(r)).cast("long"))
+      .cp() // probe and build sides share the scan
+    val probes = pts
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select($"vec_id".as("va"), $"label".as("la"), $"x".as("xa"),
+        $"y".as("ya"), ($"cx" + $"dx").as("cx"), ($"cy" + $"dy").as("cy"))
+    probes.join(pts.select($"vec_id".as("vb"), $"label".as("lb"),
+        $"x".as("xb"), $"y".as("yb"), $"cx", $"cy"), Seq("cx", "cy"))
+      .filter($"va" < $"vb")
+      .withColumn("d2", ($"xa" - $"xb") * ($"xa" - $"xb") +
+        ($"ya" - $"yb") * ($"ya" - $"yb"))
+      // the threshold is the LITERAL 4.0e-4, not r*r: 0.02²'s last ulp
+      // differs from the decimal literal the oracle parses
+      .filter($"d2" <= lit(4.0e-4))
+      .withColumn("q", floor($"d2" * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy(least($"la", $"lb").as("label_a"),
+        greatest($"la", $"lb").as("label_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (min($"q").cast("double") / lit(1.0e9)).as("min_d2"))
+      .orderBy($"label_a", $"label_b")
+  }
+
+  /** Template/boilerplate detection by token-length STRUCTURE: documents
+    * sharing the md5 of their first-8 token-length sequence are the same
+    * opening template even when the words differ (the shape near-dup
+    * content dedup misses). Emits clusters of ≥2 with sorted membership;
+    * signature hashing is engine-portable md5 over an integer-derived
+    * string.
+    */
+  val llmTemplateDetect: Q = (s, dir) => {
+    import s.implicits._
+    val sig = Tables.documents(s, dir)
+      .select($"doc_id", md5(concat_ws(",", expr(
+        "transform(slice(split(text, ' '), 1, 8), x -> cast(length(x) as string))")))
+        .as("sig"))
+    sig.groupBy($"sig")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"),
+        array_join(expr("transform(sort_array(collect_list(doc_id))," +
+          " x -> cast(x as string))"), ",").as("members"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"sig")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_spatial_grid" -> llmSpatialGrid,
+    "llm_template_detect" -> llmTemplateDetect,
     "llm_min_token_freq" -> llmMinTokenFreq,
     "llm_kwic" -> llmKwic,
     "llm_span_mask" -> llmSpanMask,

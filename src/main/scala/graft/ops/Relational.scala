@@ -2613,7 +2613,48 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Bounded recursive traversal as ONE shared-dialect `WITH RECURSIVE`
+    * statement (Spark 4.1's recursive CTE support meets DuckDB's): 2-hop
+    * path walk over the co-purchase graph from a 4-seed cohort, rolled up
+    * to (node, min hop, path count). UNION ALL + explicit depth guard —
+    * identical multiplicity semantics on both engines by construction
+    * (recursive UNION's dedup subtleties never engage). The sql_q3
+    * single-source-of-truth pattern: this text IS the oracle.
+    */
+  val sqlRecursive: Q = (s, dir) => {
+    Seq("lineitem", "part").foreach(t =>
+      Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(graft.oracle.OracleSql.Recursive)
+  }
+
+  /** Local maxima (peaks) in each user's daily value curve with a simple
+    * prominence measure (height above the taller shoulder): strict
+    * greater-than both neighbors, endpoints excluded by construction.
+    * All comparisons on exact scaled BIGINTs; one user-keyed sort carries
+    * both lag and lead.
+    */
+  val winPeaks: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        round($"value" * lit(10000)).cast("long").as("v"))
+      .groupBy($"user_id", $"d").agg(sum($"v").as("vs"))
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    daily
+      .withColumn("prev", lag($"vs", 1).over(w))
+      .withColumn("next", lead($"vs", 1).over(w))
+      .filter($"prev".isNotNull && $"next".isNotNull &&
+        $"vs" > $"prev" && $"vs" > $"next")
+      .select($"user_id", $"d",
+        ($"vs".cast("double") / lit(10000.0)).as("v"),
+        (($"vs" - greatest($"prev", $"next")).cast("double") / lit(10000.0))
+          .as("prominence"))
+      .orderBy($"user_id", $"d")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_recursive" -> sqlRecursive,
+    "win_peaks" -> winPeaks,
     "agg_window_funnel" -> aggWindowFunnel,
     "agg_decay_sum" -> aggDecaySum,
     "agg_growth_accounting" -> aggGrowthAccounting,

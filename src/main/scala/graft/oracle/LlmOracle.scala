@@ -81,6 +81,37 @@ object LlmOracle {
       |  WHERE rn = 1)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_spatial_grid" ->
+      """WITH pts AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb,
+        |    b.label AS lb,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |  FROM pts a JOIN pts b ON a.vec_id < b.vec_id),
+        |q AS (
+        |  SELECT least(la, lb) AS label_a, greatest(la, lb) AS label_b,
+        |    CAST(floor(d2 * 1.0e9 + 0.5) AS BIGINT) AS q
+        |  FROM pr WHERE d2 <= 0.0004)
+        |SELECT label_a, label_b, count(*) AS n_pairs,
+        |  CAST(min(q) AS DOUBLE) / 1.0e9 AS min_d2
+        |FROM q GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin,
+
+    "llm_template_detect" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_transform(
+        |      string_split(text, ' ')[1:8],
+        |      x -> CAST(length(x) AS VARCHAR)), ',')) AS sig
+        |  FROM documents)
+        |SELECT sig, count(*) AS n_docs, min(doc_id) AS first_doc,
+        |  string_agg(doc_id, ',' ORDER BY doc_id) AS members
+        |FROM s GROUP BY sig HAVING count(*) >= 2
+        |ORDER BY sig""".stripMargin,
+
     "llm_min_token_freq" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -413,7 +413,46 @@ object OracleSql {
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** Shared-dialect bounded recursive traversal — the same text runs on
+    * Spark 4.1 (`ops.Relational.sqlRecursive`) and DuckDB (one source of
+    * truth, zero drift). UNION ALL + depth guard keeps multiplicity
+    * semantics identical; the path blow-up is bounded by seeds × deg².
+    */
+  val Recursive: String =
+    """WITH RECURSIVE lp AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |cp AS (
+      |  SELECT DISTINCT x.p AS a, y.p AS b FROM lp x JOIN lp y
+      |  ON x.ok = y.ok AND x.p < y.p),
+      |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+      |walk(node, depth) AS (
+      |  SELECT p_partkey, 0 FROM part WHERE p_partkey < 5
+      |  UNION ALL
+      |  SELECT e2.b, depth + 1 FROM walk JOIN e2 ON e2.a = walk.node
+      |  WHERE depth < 2)
+      |SELECT node, CAST(min(depth) AS BIGINT) AS hop,
+      |  count(*) AS n_paths
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "sql_recursive" -> Recursive,
+
+    "win_peaks" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS vs
+        |  FROM events GROUP BY 1, 2),
+        |n AS (
+        |  SELECT user_id, d, vs,
+        |    lag(vs) OVER w AS prev, lead(vs) OVER w AS next
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d))
+        |SELECT user_id, d, CAST(vs AS DOUBLE) / 10000.0 AS v,
+        |  CAST(vs - greatest(prev, next) AS DOUBLE) / 10000.0 AS prominence
+        |FROM n
+        |WHERE prev IS NOT NULL AND next IS NOT NULL
+        |  AND vs > prev AND vs > next
+        |ORDER BY user_id, d""".stripMargin,
+
     "agg_window_funnel" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),

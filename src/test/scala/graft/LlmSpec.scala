@@ -947,6 +947,47 @@ class LlmSpec extends SparkSpec {
     got.foreach { case (_, _, ctx) => assert(ctx.split(" ", -1).contains("dup")) }
   }
 
+  test("llm_spatial_grid: grid-blocked pairs equal the brute-force neighborhood exactly") {
+    import spark.implicits._
+    val got = q("llm_spatial_grid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val pts = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label".cast("long"), $"embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).head.toDouble, r.getSeq[Float](2)(1).toDouble))
+    val pairs = for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._3 - b._3) * (a._3 - b._3) + (a._4 - b._4) * (a._4 - b._4)
+      if d2 <= 4.0e-4
+    } yield (math.min(a._2, b._2), math.max(a._2, b._2),
+      math.floor(d2 * 1.0e9 + 0.5).toLong)
+    val exp = pairs.groupBy(p => (p._1, p._2)).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(_._3).min.toDouble / 1.0e9)
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("llm_template_detect: prefix-8 length-signature clusters recompute; members sorted") {
+    import spark.implicits._
+    val got = q("llm_template_detect").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.nonEmpty)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) ->
+        md5hex(r.getString(1).split(" ", -1).take(8).map(_.length).mkString(",")))
+    val exp = docs.groupBy(_._2).filter(_._2.length >= 2).map { case (sig, ds) =>
+      val ids = ds.map(_._1).sorted
+      sig -> (ids.length.toLong, ids.min, ids.mkString(","))
+    }
+    assert(got === exp)
+    // clusters partition docs: no doc in two clusters (md5 keyed — trivial but pinned)
+    assert(got.values.map(_._1).sum ===
+      docs.groupBy(_._2).filter(_._2.length >= 2).map(_._2.length.toLong).sum)
+  }
+
   test("llm_span_mask: md5 schedule recomputes; rate near 15%; positions consistent") {
     import spark.implicits._
     val got = q("llm_span_mask").collect()

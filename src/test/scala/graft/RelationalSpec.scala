@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 258, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 250, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 262, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 254, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1471,6 +1471,60 @@ class RelationalSpec extends SparkSpec {
       }
     }
     assert(checked === rows.length)
+  }
+
+  test("sql_recursive: bounded path walk matches a JVM BFS-with-multiplicity replay") {
+    import spark.implicits._
+    val got = q("sql_recursive").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val edges = graft.ops.GraphOps.copurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Seq[Long]] = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val seeds = Tables.part(spark, sf).select($"p_partkey").collect()
+      .map(_.getLong(0)).filter(_ < 5)
+    // depth-bounded UNION ALL walk: multiplicity = number of paths
+    var frontier = seeds.map(s0 => s0 -> 1L).toSeq
+    val paths = scala.collection.mutable.Map[(Long, Long), Long]() // (node, depth) -> n
+    frontier.foreach { case (n, c) => paths((n, 0L)) = paths.getOrElse((n, 0L), 0L) + c }
+    (1 to 2).foreach { depth =>
+      val next = scala.collection.mutable.Map[Long, Long]()
+      frontier.foreach { case (n, c) =>
+        adj.getOrElse(n, Seq.empty).foreach { m =>
+          next(m) = next.getOrElse(m, 0L) + c
+        }
+      }
+      next.foreach { case (n, c) => paths((n, depth.toLong)) = c }
+      frontier = next.toSeq
+    }
+    val exp = paths.toSeq.groupBy(_._1._1).view.mapValues { xs =>
+      (xs.map(_._1._2).min, xs.map(_._2).sum)
+    }.toMap
+    assert(got === exp)
+    seeds.foreach(s0 => assert(got(s0)._1 === 0L))
+  }
+
+  test("win_peaks: strict local maxima with shoulder prominence recompute") {
+    import spark.implicits._
+    val got = q("win_peaks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val daily = ev.groupBy(e => (e._1, e._2)).view.mapValues(_.map(v =>
+      BigDecimal(v._3 * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum).toMap
+    val exp = daily.keys.groupBy(_._1).toSeq.flatMap { case (u, ks) =>
+      val ds = ks.map(_._2).toSeq.sorted
+      ds.sliding(3).collect {
+        case Seq(p, c, n) if daily((u, c)) > daily((u, p)) && daily((u, c)) > daily((u, n)) =>
+          (u, c, daily((u, c)).toDouble / 10000.0,
+            (daily((u, c)) - math.max(daily((u, p)), daily((u, n)))).toDouble / 10000.0)
+      }.toSeq
+    }.toSet
+    assert(got.toSet === exp)
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, _, prom) => assert(prom > 0.0) }
   }
 
   test("agg_window_funnel: depth distribution matches a JVM chain replay") {

@@ -2030,7 +2030,50 @@ object LlmOps {
       .orderBy($"sig")
   }
 
+  /** Binary-codec scalar battery over part names: hex, base64, sha-256,
+    * md5, plus a base64 round-trip proof — the content-addressing surface
+    * every artifact store needs. Spark's hex is upper-case and DuckDB's
+    * lower; normalized explicitly (documented), everything else matches
+    * byte-for-byte by RFC.
+    */
+  val fnCodec: Q = (s, dir) => {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select($"p_partkey", $"p_name")
+      .select($"p_partkey",
+        lower(hex($"p_name")).as("hx"),
+        base64($"p_name".cast("binary")).as("b64"),
+        sha2($"p_name".cast("binary"), 256).as("sha256"),
+        md5($"p_name".cast("binary")).as("md5"),
+        when(decode(unbase64(base64($"p_name".cast("binary"))), "UTF-8")
+          === $"p_name", 1L).otherwise(0L).as("roundtrip_ok"))
+      .orderBy($"p_partkey")
+  }
+
+  /** The first BPE merge decision, verbatim: count adjacent CHARACTER
+    * pairs inside corpus tokens (with full token multiplicity) and rank
+    * the top-20 merge candidates — step one of training every
+    * byte-pair-encoding tokenizer. Pure integer counting over a bounded
+    * alphabet; one map-side-combined agg regardless of corpus size.
+    */
+  val llmBpeFirstMerge: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") >= 2)
+      .select($"tok", explode(sequence(lit(1), length($"tok") - 1)).as("i"))
+      .select(expr("substring(tok, i, 2)").as("pair"))
+    val w = Window.orderBy($"cnt".desc, $"pair")
+    pairs.groupBy($"pair").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 20)
+      .select($"rank", $"pair", $"cnt")
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_codec" -> fnCodec,
+    "llm_bpe_first_merge" -> llmBpeFirstMerge,
     "llm_spatial_grid" -> llmSpatialGrid,
     "llm_template_detect" -> llmTemplateDetect,
     "llm_min_token_freq" -> llmMinTokenFreq,

@@ -2652,7 +2652,50 @@ object Relational {
       .orderBy($"user_id", $"d")
   }
 
+  /** Mix-shift decomposition — "did the overall average move because the
+    * groups changed, or because the mix between them changed": events are
+    * split at the integer midpoint day into two periods, and per
+    * event-type the within-group effect w₂·(ā₂−ā₁) and mix effect
+    * (w₂−w₁)·ā₁ are emitted nano-quantized (their cross-type sums —
+    * which reconstruct the overall Δ — are then exact BIGINT folds on
+    * the consumer side, pinned in the spec). Averages and weights derive
+    * from exact integer counts/scaled sums.
+    */
+  val aggMixShift: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type",
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        round($"value" * lit(10000)).cast("long").as("v"))
+    val bounds = ev.agg((min($"d") + (max($"d") - min($"d") + 1) / 2)
+      .cast("long").as("mid"))
+    val per = ev.crossJoin(broadcast(bounds))
+      .withColumn("p", when($"d" < $"mid", 1).otherwise(2))
+      .groupBy($"event_type", $"p")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    val tot = per.groupBy($"p").agg(sum($"n").as("nt"))
+    val wide = per.join(tot, "p")
+      .withColumn("w", $"n".cast("double") / $"nt".cast("double"))
+      .withColumn("a", $"sv".cast("double") / $"n".cast("double") / lit(10000.0))
+      .groupBy($"event_type")
+      .agg(max(when($"p" === 1, $"n")).as("n1"),
+        max(when($"p" === 2, $"n")).as("n2"),
+        max(when($"p" === 1, $"w")).as("w1"),
+        max(when($"p" === 2, $"w")).as("w2"),
+        max(when($"p" === 1, $"a")).as("a1"),
+        max(when($"p" === 2, $"a")).as("a2"))
+    def q9(c: Column): Column =
+      floor(c * lit(1.0e9) + lit(0.5)).cast("long").cast("double") / lit(1.0e9)
+    wide.select($"event_type", $"n1", $"n2",
+        q9($"w1").as("w1"), q9($"w2").as("w2"),
+        q9($"a1").as("a1"), q9($"a2").as("a2"),
+        q9($"w2" * ($"a2" - $"a1")).as("within_effect"),
+        q9(($"w2" - $"w1") * $"a1").as("mix_effect"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_mix_shift" -> aggMixShift,
     "sql_recursive" -> sqlRecursive,
     "win_peaks" -> winPeaks,
     "agg_window_funnel" -> aggWindowFunnel,

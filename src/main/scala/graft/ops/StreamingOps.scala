@@ -330,6 +330,58 @@ object StreamingOps {
     * the reference's journal fan-out does. Asserted ≡ the batch twin in
     * StreamingSpec.
     */
+  /** Left-outer twin of [[attributionCore]]: every purchase emits, the
+    * unattributed ones with NULL click columns — the shape that answers
+    * "which conversions have no campaign touch". */
+  private def attributionOuterCore(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val ms = e.withColumn("ts", timestamp_millis(unix_millis($"ts")))
+    val clicks = ms.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val purchases = ms.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    purchases.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select($"purchase_id", $"click_id", $"user_id",
+        unix_millis($"p_ts").as("purchase_ts_ms"),
+        unix_millis($"c_ts").as("click_ts_ms"))
+  }
+
+  /** Batch twin of the stream-stream LEFT OUTER attribution (oracle-checked). */
+  val streamOuterJoin: Q = (s, dir) => {
+    import s.implicits._
+    attributionOuterCore(Tables.events(s, dir))
+      .orderBy($"purchase_id", $"click_id")
+  }
+
+  /** Streaming variant: stream-stream LEFT OUTER join — the semantics
+    * only watermarks make possible on unbounded feeds: a purchase's NULL
+    * row can be emitted only once the click-side watermark PROVES no
+    * match can still arrive, so the unmatched results trail the matched
+    * ones by the watermark delay (state eviction = emission). Same
+    * interval condition and watermarks as [[attributionStream]];
+    * StreamingSpec pins equality with the batch twin.
+    */
+  def attributionOuterStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ms = (df: DataFrame) => df.withColumn("ts", timestamp_millis(unix_millis($"ts")))
+    val c = ms(eventsStream(s, dir)).withWatermark("ts", "40 minutes")
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val p = ms(eventsStream(s, dir)).withWatermark("ts", "10 minutes")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    p.join(c,
+        $"user_id" === $"c_user" &&
+          $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+      .select($"purchase_id", $"click_id", $"user_id",
+        unix_millis($"p_ts").as("purchase_ts_ms"),
+        unix_millis($"c_ts").as("click_ts_ms"))
+  }
+
   def attributionStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // ms-truncate BEFORE the watermark: replacing the event-time column
@@ -622,6 +674,7 @@ object StreamingOps {
     "state_diff" -> stateDiff,
     "state_scd2" -> stateScd2,
     "stream_join" -> streamJoin,
+    "stream_outer_join" -> streamOuterJoin,
     "stream_enrich" -> streamEnrich,
     "stream_distinct_approx" -> streamDistinctApprox,
     "stream_late_data" -> streamLateData

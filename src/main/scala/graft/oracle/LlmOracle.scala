@@ -81,6 +81,30 @@ object LlmOracle {
       |  WHERE rn = 1)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "fn_codec" ->
+      """SELECT p_partkey,
+        |  lower(hex(p_name)) AS hx,
+        |  to_base64(p_name::BLOB) AS b64,
+        |  sha256(p_name) AS sha256,
+        |  md5(p_name) AS md5,
+        |  CAST(CASE WHEN decode(from_base64(to_base64(p_name::BLOB)))
+        |    = p_name THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "llm_bpe_first_merge" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |pairs AS (
+        |  SELECT substr(tok, i, 2) AS pair
+        |  FROM (SELECT tok FROM tok WHERE length(tok) >= 2) t,
+        |    UNNEST(range(1, length(tok))) AS u(i)),
+        |c AS (SELECT pair, count(*) AS cnt FROM pairs GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+        |      AS rank, pair, cnt
+        |  FROM c)
+        |SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
     "llm_spatial_grid" ->
       """WITH pts AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS label,

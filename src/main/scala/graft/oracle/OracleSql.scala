@@ -437,6 +437,42 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_recursive" -> Recursive,
 
+    "agg_mix_shift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(round(value * 10000) AS BIGINT) AS v
+        |  FROM events),
+        |b AS (SELECT min(d) + (max(d) - min(d) + 1) // 2 AS mid FROM ev),
+        |per AS (
+        |  SELECT event_type, CASE WHEN d < mid THEN 1 ELSE 2 END AS p,
+        |    count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+        |  FROM ev, b GROUP BY 1, 2),
+        |tot AS (SELECT p, CAST(sum(n) AS BIGINT) AS nt FROM per GROUP BY 1),
+        |wa AS (
+        |  SELECT event_type, per.p AS p, n,
+        |    CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS w,
+        |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS a
+        |  FROM per JOIN tot ON per.p = tot.p),
+        |wide AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN p = 1 THEN n END) AS n1,
+        |    max(CASE WHEN p = 2 THEN n END) AS n2,
+        |    max(CASE WHEN p = 1 THEN w END) AS w1,
+        |    max(CASE WHEN p = 2 THEN w END) AS w2,
+        |    max(CASE WHEN p = 1 THEN a END) AS a1,
+        |    max(CASE WHEN p = 2 THEN a END) AS a2
+        |  FROM wa GROUP BY 1)
+        |SELECT event_type, n1, n2,
+        |  CAST(floor(w1 * 1.0e9 + 0.5) AS BIGINT) / 1.0e9 AS w1,
+        |  CAST(floor(w2 * 1.0e9 + 0.5) AS BIGINT) / 1.0e9 AS w2,
+        |  CAST(floor(a1 * 1.0e9 + 0.5) AS BIGINT) / 1.0e9 AS a1,
+        |  CAST(floor(a2 * 1.0e9 + 0.5) AS BIGINT) / 1.0e9 AS a2,
+        |  CAST(floor(w2 * (a2 - a1) * 1.0e9 + 0.5) AS BIGINT) / 1.0e9
+        |    AS within_effect,
+        |  CAST(floor((w2 - w1) * a1 * 1.0e9 + 0.5) AS BIGINT) / 1.0e9
+        |    AS mix_effect
+        |FROM wide ORDER BY event_type""".stripMargin,
+
     "win_peaks" ->
       """WITH daily AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,

@@ -132,6 +132,19 @@ object StreamingOracle {
         |  p_ts AS purchase_ts_ms, c_ts AS click_ts_ms
         |FROM p JOIN c ON user_id = c_user
         |  AND c_ts <= p_ts AND c_ts >= p_ts - 1800000
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "stream_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+        |  FROM events),
+        |c AS (SELECT user_id AS c_user, ts_ms AS c_ts, event_id AS click_id
+        |  FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts_ms AS p_ts
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT purchase_id, click_id, user_id,
+        |  p_ts AS purchase_ts_ms, c_ts AS click_ts_ms
+        |FROM p LEFT JOIN c ON user_id = c_user
+        |  AND c_ts <= p_ts AND c_ts >= p_ts - 1800000
         |ORDER BY purchase_id, click_id""".stripMargin
   )
 }

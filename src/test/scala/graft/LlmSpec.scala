@@ -947,6 +947,44 @@ class LlmSpec extends SparkSpec {
     got.foreach { case (_, _, ctx) => assert(ctx.split(" ", -1).contains("dup")) }
   }
 
+  test("fn_codec: hashes match JVM digests; base64 round-trip holds for every row") {
+    import spark.implicits._
+    val got = q("fn_codec").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    def digest(alg: String, s: String): String =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val names = Tables.part(spark, sf).select($"p_partkey", $"p_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    names.foreach { case (k, n) =>
+      val (hx, b64, sha, m5, rt) = got(k)
+      assert(hx === n.getBytes("UTF-8").map("%02x".format(_)).mkString, s"part $k hex")
+      assert(b64 === java.util.Base64.getEncoder.encodeToString(n.getBytes("UTF-8")))
+      assert(sha === digest("SHA-256", n), s"part $k sha")
+      assert(m5 === digest("MD5", n), s"part $k md5")
+      assert(rt === 1L, s"part $k roundtrip")
+    }
+    assert(got.size === names.length)
+  }
+
+  test("llm_bpe_first_merge: top-20 char-pair counts match a JVM recompute") {
+    import spark.implicits._
+    val got = q("llm_bpe_first_merge").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length === 20)
+    val toks = Tables.documents(spark, sf).select($"text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+    val counts = toks.flatMap(t => t.sliding(2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val exp = counts.sortBy { case (p, c) => (-c, p) }.take(20).zipWithIndex
+      .map { case ((p, c), i) => ((i + 1).toLong, p, c) }
+    assert(got.toSeq === exp)
+    // ranks strictly ordered by count desc
+    assert(got.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("llm_spatial_grid: grid-blocked pairs equal the brute-force neighborhood exactly") {
     import spark.implicits._
     val got = q("llm_spatial_grid").collect()

@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 262, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 254, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 266, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 258, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1471,6 +1471,43 @@ class RelationalSpec extends SparkSpec {
       }
     }
     assert(checked === rows.length)
+  }
+
+  test("agg_mix_shift: decomposition recomputes; effects reconstruct the overall delta") {
+    import spark.implicits._
+    val rows = q("agg_mix_shift").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+      .toMap
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2) * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val (mind, maxd) = (ev.map(_._2).min, ev.map(_._2).max)
+    val mid = mind + (maxd - mind + 1) / 2
+    def q9(x: Double) = math.floor(x * 1.0e9 + 0.5) / 1.0e9
+    val types = ev.map(_._1).distinct.sorted
+    val n1t = ev.count(_._2 < mid).toDouble; val n2t = ev.count(_._2 >= mid).toDouble
+    var deltaSum = 0.0
+    types.foreach { t =>
+      val p1 = ev.filter(e => e._1 == t && e._2 < mid)
+      val p2 = ev.filter(e => e._1 == t && e._2 >= mid)
+      val (w1, w2) = (p1.length / n1t, p2.length / n2t)
+      val a1 = p1.map(_._3).sum.toDouble / p1.length / 10000.0
+      val a2 = p2.map(_._3).sum.toDouble / p2.length / 10000.0
+      val (gn1, gn2, gw1, gw2, ga1, ga2, gwi, gmx) = rows(t)
+      assert(gn1 === p1.length.toLong && gn2 === p2.length.toLong, t)
+      assert(gw1 === q9(w1) && gw2 === q9(w2), t)
+      assert(ga1 === q9(a1) && ga2 === q9(a2), t)
+      assert(gwi === q9(w2 * (a2 - a1)), t)
+      assert(gmx === q9((w2 - w1) * a1), t)
+      deltaSum += gwi + gmx
+    }
+    // Σ(within + mix) reconstructs ā₂ − ā₁ up to quantization of the terms
+    val overall1 = ev.filter(_._2 < mid).map(_._3).sum.toDouble / n1t / 10000.0
+    val overall2 = ev.filter(_._2 >= mid).map(_._3).sum.toDouble / n2t / 10000.0
+    assert(math.abs(deltaSum - (overall2 - overall1)) < 1e-6)
   }
 
   test("sql_recursive: bounded path walk matches a JVM BFS-with-multiplicity replay") {

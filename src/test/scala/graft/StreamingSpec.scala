@@ -183,6 +183,40 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("stream_outer_join: watermarked left-outer equals batch twin up to the final-watermark tail") {
+    import spark.implicits._
+    val batch = SparkEntry.queries("stream_outer_join")(spark, sf)
+    val stream = runStream(StreamingOps.attributionOuterStream(spark, sf),
+      OutputMode.Append)
+    assert(stream.count() > 0, "outer attribution stream produced no rows")
+    // the OUTER part is exercised: some purchases have no click in window
+    assert(batch.filter(batch("click_id").isNull).count() > 0,
+      "fixture has no unattributed purchases — outer semantics untested")
+    // end-of-stream semantics: a NULL row can only emit once the click
+    // watermark (40 min) proves its 30-min lookback closed — state for
+    // the final tail is never flushed when the source is exhausted, so
+    // the stream may lawfully MISS null rows inside the last 70 minutes
+    val s = sortedRows(stream).toSet
+    val b = sortedRows(batch).toSet
+    assert(s.subsetOf(b), "stream emitted a row the batch twin does not have")
+    // the GLOBAL watermark at end of stream = min over inputs of
+    // (max event time − delay); the click side (40 min) is the binding
+    // one. NULL rows above it are lawfully still in state at shutdown.
+    val maxClickMs = Tables.events(spark, sf)
+      .filter($"event_type" === "click")
+      .agg(org.apache.spark.sql.functions.max(unix_millis($"ts")))
+      .head().getLong(0)
+    val cutoff = maxClickMs - 40L * 60000L
+    val missed = b -- s
+    val lateNulls = batch
+      .filter(batch("click_id").isNull && batch("purchase_ts_ms") > cutoff)
+    assert(missed.subsetOf(sortedRows(lateNulls).toSet),
+      s"rows missing from the stream are not all final-tail nulls: $missed")
+    // everything strictly before the tail matches exactly
+    val batchStable = batch.filter(batch("purchase_ts_ms") <= cutoff)
+    assert(sortedRows(batchStable).toSet.subsetOf(s))
+  }
+
   test("state-TTL fold: evicted users carry the exact batch-fold state") {
     val evicted = runStream(StreamingOps.ttlFoldStream(spark, sf), OutputMode.Append)
     assert(evicted.count() > 0, "no state was evicted — TTL never fired")

@@ -2071,7 +2071,36 @@ object LlmOps {
       .orderBy($"rank")
   }
 
+  /** Feature hashing (the hashing trick): tokens bucketed into a 64-dim
+    * count vector per document via md5, with the ±1 sign bit drawn from
+    * the hash's next nibble — the collision-tolerant featurization that
+    * needs no vocabulary at any corpus size. Emits the per-doc audit
+    * (nnz, exact-integer l2² under sqrt, dominant bucket with
+    * deterministic tie-break) rather than the raw vector.
+    */
+  val llmHashEmbed: Q = (s, dir) => {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
+      .withColumn("bucket", $"h" % 64)
+      .withColumn("sgn", when(($"h" / lit(64)).cast("long") % 2 === 0, 1L)
+        .otherwise(-1L))
+    val cells = tok.groupBy($"doc_id", $"bucket")
+      .agg(sum($"sgn").as("w"))
+      .filter($"w" =!= 0)
+    cells.groupBy($"doc_id")
+      .agg(count(lit(1)).as("nnz"), sum($"w" * $"w").as("l22"),
+        max(struct(abs($"w").as("a"), (-$"bucket").as("nb"))).as("m"))
+      .select($"doc_id", $"nnz",
+        sqrt($"l22".cast("double")).as("l2"),
+        (-$"m.nb").as("top_bucket"), $"m.a".as("top_weight"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_hash_embed" -> llmHashEmbed,
     "fn_codec" -> fnCodec,
     "llm_bpe_first_merge" -> llmBpeFirstMerge,
     "llm_spatial_grid" -> llmSpatialGrid,

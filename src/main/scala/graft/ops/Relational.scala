@@ -2694,7 +2694,73 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Differential-privacy-style noisy count release (Laplace b=2) with a
+    * HASH-SEEDED noise draw, so the "randomness" is reproducible on any
+    * engine/cluster: u ∈ (0,1) from the md5 of the group key (half-offset
+    * — u can never be 0 or 1, the ln(0) pole is unreachable by
+    * construction), inverse-CDF Laplace, the single ln nano-quantized
+    * (margin pinned in spec). True counts ride along for the spec; a real
+    * release would drop them.
+    */
+  val aggDpCounts: Q = (s, dir) => {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat(event_type, ':dp1')), 1, 8), 16, 10) as bigint)"))
+      .withColumn("u", ($"h".cast("double") + lit(0.5)) / lit(4294967296.0))
+      .withColumn("uc", $"u" - lit(0.5))
+      .withColumn("mag", floor(-log(lit(1.0) - lit(2.0) * abs($"uc")) *
+        lit(2.0) * lit(1.0e9) + lit(0.5)).cast("long"))
+      .withColumn("noise",
+        when($"uc" < 0, -$"mag").otherwise($"mag").cast("double") / lit(1.0e9))
+      .select($"event_type", $"n",
+        ($"n".cast("double") + $"noise").as("noisy_n"))
+      .orderBy($"event_type")
+  }
+
+  /** Additive seasonal decomposition (STL-lite) of the global daily value
+    * series: trend = centered 7-day average (defined only where the full
+    * window exists), seasonal = per-weekday mean of the detrended series,
+    * residual = the rest. Daily sums and the trend numerator are exact
+    * scaled BIGINTs; detrended values are nano-quantized BEFORE the
+    * weekday mean so that 4-to-5-element average is an exact fold. The
+    * windows run over the 30-row DAILY frame — at any input scale the
+    * decomposition costs one groupBy(day) shuffle.
+    */
+  val winSeasonalDecompose: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        round($"value" * lit(10000)).cast("long").as("v"))
+      .groupBy($"d").agg(sum($"v").as("vs"))
+    val w = Window.orderBy($"d").rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("nf", count(lit(1)).over(w))
+      .withColumn("ts7", sum($"vs").over(w))
+      .withColumn("trend", when($"nf" === 7,
+        $"ts7".cast("double") / lit(7.0) / lit(10000.0)))
+      .withColumn("det", when($"trend".isNotNull,
+        floor(($"vs".cast("double") / lit(10000.0) - $"trend") * lit(1.0e9) +
+          lit(0.5)).cast("long")))
+      .withColumn("weekday", ($"d" + 3) % 7)
+    val seas = tr.filter($"det".isNotNull)
+      .groupBy($"weekday")
+      .agg((sum($"det").cast("double") / count(lit(1)).cast("double") /
+        lit(1.0e9)).as("seasonal"))
+    tr.join(broadcast(seas), Seq("weekday"), "left")
+      .select($"d", $"weekday",
+        ($"vs".cast("double") / lit(10000.0)).as("v"), $"trend",
+        when($"det".isNotNull, $"seasonal").as("seasonal"),
+        when($"det".isNotNull,
+          $"det".cast("double") / lit(1.0e9) - $"seasonal").as("residual"))
+      .orderBy($"d")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_dp_counts" -> aggDpCounts,
+    "win_seasonal_decompose" -> winSeasonalDecompose,
     "agg_mix_shift" -> aggMixShift,
     "sql_recursive" -> sqlRecursive,
     "win_peaks" -> winPeaks,

@@ -81,6 +81,34 @@ object LlmOracle {
       |  WHERE rn = 1)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_hash_embed" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+        |  FROM tok),
+        |s AS (
+        |  SELECT doc_id, h % 64 AS bucket,
+        |    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM h),
+        |cells AS (
+        |  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS w
+        |  FROM s GROUP BY 1, 2 HAVING sum(sgn) != 0),
+        |rk AS (
+        |  SELECT doc_id, bucket, w,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY abs(w) DESC, bucket) AS rn
+        |  FROM cells),
+        |a AS (
+        |  SELECT doc_id, count(*) AS nnz, CAST(sum(w * w) AS BIGINT) AS l22
+        |  FROM cells GROUP BY 1)
+        |SELECT a.doc_id AS doc_id, nnz, sqrt(CAST(l22 AS DOUBLE)) AS l2,
+        |  bucket AS top_bucket, abs(w) AS top_weight
+        |FROM a JOIN rk ON a.doc_id = rk.doc_id AND rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
     "fn_codec" ->
       """SELECT p_partkey,
         |  lower(hex(p_name)) AS hx,

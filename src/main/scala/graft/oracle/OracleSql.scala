@@ -437,6 +437,62 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_recursive" -> Recursive,
 
+    "agg_dp_counts" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |h AS (
+        |  SELECT event_type, n,
+        |    CAST('0x' || substr(md5(event_type || ':dp1'), 1, 8) AS BIGINT)
+        |      AS h
+        |  FROM c),
+        |u AS (
+        |  SELECT event_type, n,
+        |    (CAST(h AS DOUBLE) + 0.5) / 4294967296.0 - 0.5 AS uc
+        |  FROM h),
+        |m AS (
+        |  SELECT event_type, n, uc,
+        |    CAST(floor(-ln(1.0 - 2.0 * abs(uc)) * 2.0 * 1.0e9 + 0.5)
+        |      AS BIGINT) AS mag
+        |  FROM u)
+        |SELECT event_type, n,
+        |  CAST(n AS DOUBLE) +
+        |    CAST(CASE WHEN uc < 0 THEN -mag ELSE mag END AS DOUBLE) / 1.0e9
+        |    AS noisy_n
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "win_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS vs
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT d, vs, CAST(count(*) OVER w AS BIGINT) AS nf,
+        |    CAST(sum(vs) OVER w AS BIGINT) AS ts7
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT d, (d + 3) % 7 AS weekday, vs,
+        |    CASE WHEN nf = 7
+        |      THEN CAST(ts7 AS DOUBLE) / 7.0 / 10000.0 END AS trend
+        |  FROM tr),
+        |t3 AS (
+        |  SELECT d, weekday, vs, trend,
+        |    CASE WHEN trend IS NOT NULL THEN
+        |      CAST(floor((CAST(vs AS DOUBLE) / 10000.0 - trend) * 1.0e9
+        |        + 0.5) AS BIGINT) END AS det
+        |  FROM t2),
+        |seas AS (
+        |  SELECT weekday, CAST(sum(det) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) / 1.0e9 AS seasonal
+        |  FROM t3 WHERE det IS NOT NULL GROUP BY 1)
+        |SELECT d, t3.weekday AS weekday,
+        |  CAST(vs AS DOUBLE) / 10000.0 AS v, trend,
+        |  CASE WHEN det IS NOT NULL THEN seasonal END AS seasonal,
+        |  CASE WHEN det IS NOT NULL
+        |    THEN CAST(det AS DOUBLE) / 1.0e9 - seasonal END AS residual
+        |FROM t3 LEFT JOIN seas ON t3.weekday = seas.weekday
+        |ORDER BY d""".stripMargin,
+
     "agg_mix_shift" ->
       """WITH ev AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS d,

@@ -947,6 +947,36 @@ class LlmSpec extends SparkSpec {
     got.foreach { case (_, _, ctx) => assert(ctx.split(" ", -1).contains("dup")) }
   }
 
+  test("llm_hash_embed: signed 64-bucket hashing recomputes; audit columns consistent") {
+    import spark.implicits._
+    val got = q("llm_hash_embed").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    docs.foreach { case (id, toks) =>
+      val cells = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      toks.foreach { t =>
+        val h = java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16)
+        val sgn = if ((h / 64) % 2 == 0) 1L else -1L
+        cells(h % 64) += sgn
+      }
+      val nz = cells.toSeq.filter(_._2 != 0L)
+      if (nz.isEmpty) assert(!got.contains(id), s"doc $id should drop")
+      else {
+        val (nnz, l2, tb, tw) = got(id)
+        assert(nnz === nz.length.toLong, s"doc $id nnz")
+        assert(l2 === math.sqrt(nz.map(c => c._2 * c._2).sum.toDouble), s"doc $id l2")
+        val (eb, ew) = nz.map(c => (c._1, math.abs(c._2)))
+          .minBy { case (b, a) => (-a, b) }
+        assert(tb === eb, s"doc $id top bucket")
+        assert(tw === ew, s"doc $id top weight")
+      }
+    }
+  }
+
   test("fn_codec: hashes match JVM digests; base64 round-trip holds for every row") {
     import spark.implicits._
     val got = q("fn_codec").collect()

@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 266, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 258, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 269, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 261, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1471,6 +1471,67 @@ class RelationalSpec extends SparkSpec {
       }
     }
     assert(checked === rows.length)
+  }
+
+  test("agg_dp_counts: hash-seeded Laplace noise recomputes bitwise; margin pinned") {
+    import spark.implicits._
+    val got = q("agg_dp_counts").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    def margin(x: Double): Double = { val f = x - math.floor(x); math.min(f, 1.0 - f) }
+    val counts = Tables.events(spark, sf).groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === counts.keySet)
+    counts.foreach { case (t, n) =>
+      val h = java.lang.Long.parseLong(md5hex(t + ":dp1").substring(0, 8), 16)
+      val uc = (h.toDouble + 0.5) / 4294967296.0 - 0.5
+      val inner = -math.log(1.0 - 2.0 * math.abs(uc)) * 2.0 * 1.0e9 + 0.5
+      assert(margin(inner) > 1e-3, s"$t ln quantization margin ${margin(inner)}")
+      val mag = math.floor(inner).toLong
+      val noise = (if (uc < 0) -mag else mag).toDouble / 1.0e9
+      val (gn, gNoisy) = got(t)
+      assert(gn === n)
+      assert(bits(gNoisy) === bits(n.toDouble + noise), s"$t noisy")
+      assert(gNoisy !== n.toDouble, s"$t noise degenerate")
+    }
+  }
+
+  test("win_seasonal_decompose: components recompute; v reconstructs within quantization") {
+    import spark.implicits._
+    val rows = q("win_seasonal_decompose").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select((unix_millis($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .collect().map(r => r.getLong(0) ->
+        BigDecimal(r.getDouble(1) * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val daily = ev.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ds = daily.keys.toSeq.sorted
+    rows.zipWithIndex.foreach { case ((d, wd, v, tr, se, re), i) =>
+      assert(d === ds(i))
+      assert(wd === (d + 3) % 7)
+      assert(v === daily(d).toDouble / 10000.0)
+      val frame = ds.slice(math.max(0, i - 3), math.min(ds.length, i + 4))
+      if (frame.length == 7) {
+        val expTrend = frame.map(daily).sum.toDouble / 7.0 / 10000.0
+        assert(tr === Some(expTrend), s"day $d trend")
+        // additive reconstruction up to det-quantization (5e-10)
+        assert(math.abs(v - (tr.get + se.get + re.get)) < 1e-9, s"day $d reconstruct")
+      } else {
+        assert(tr.isEmpty && se.isEmpty && re.isEmpty, s"day $d edge")
+      }
+    }
+    // per-weekday seasonal is a single shared value
+    rows.filter(_._5.isDefined).groupBy(_._2).foreach { case (wd, rs) =>
+      assert(rs.map(_._5.get).distinct.length === 1, s"weekday $wd seasonal")
+    }
   }
 
   test("agg_mix_shift: decomposition recomputes; effects reconstruct the overall delta") {

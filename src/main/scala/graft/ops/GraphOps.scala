@@ -1139,7 +1139,44 @@ object GraphOps {
             .cast("double") / lit(10000.0)).as("transitivity"))
   }
 
+  /** DOULION-style sampled triangle estimate: keep each co-purchase edge
+    * with deterministic probability 1/4 (md5 bucket of the edge key — the
+    * same "seeded randomness" move as llm_train_val_split, so the sample
+    * is reproducible anywhere), count triangles on the sampled graph, and
+    * scale by 1/p³ = 64. Emits sample sizes, the estimate, the exact
+    * count (the graph_triangles shape on the full graph) and the
+    * quantized relative error — the estimator-validation readout. At
+    * 100 TB only the sampled side's intersect lists are built.
+    */
+  val graphTriangleSample: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).select($"a", $"b").cp()
+    val sampled = cp.filter(expr(
+      "cast(conv(substring(md5(concat(cast(a as string), '_'," +
+        " cast(b as string))), 1, 4), 16, 10) as bigint) % 4 = 0"))
+      .cp()
+    def triangles(e: DataFrame): DataFrame = {
+      val adj = e.groupBy($"a".as("v"))
+        .agg(sort_array(collect_list($"b")).as("nbrs"))
+      e.join(adj.select($"v", $"nbrs".as("na")), $"a" === $"v")
+        .join(adj.select($"v".as("v2"), $"nbrs".as("nb")), $"b" === $"v2")
+        .select(size(array_intersect($"na", $"nb")).cast("long").as("t"))
+        .agg(coalesce(sum($"t"), lit(0L)).as("n_tri"))
+    }
+    val exact = triangles(cp).select($"n_tri".as("n_exact"))
+    val est = triangles(sampled).select($"n_tri".as("n_tri_sampled"))
+    cp.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(sampled.agg(count(lit(1)).as("n_edges_sampled")))
+      .crossJoin(est).crossJoin(exact)
+      .select($"n_edges", $"n_edges_sampled", $"n_tri_sampled",
+        ($"n_tri_sampled" * 64).as("estimate"), $"n_exact",
+        (floor(($"n_tri_sampled" * 64 - $"n_exact").cast("double") /
+          $"n_exact".cast("double") * lit(10000.0) + lit(0.5))
+          .cast("double") / lit(10000.0)).as("rel_err"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_triangle_sample" -> graphTriangleSample,
     "graph_transitivity" -> graphTransitivity,
     "graph_knn_degree" -> graphKnnDegree,
     "graph_rich_club" -> graphRichClub,

@@ -2758,7 +2758,73 @@ object Relational {
       .orderBy($"d")
   }
 
+  /** Kaplan–Meier survival curve of user lifetime (first→last active day;
+    * users still active on the final day are right-censored): at each
+    * death time t, S(t) = Π(1 − d/n) over death times ≤ t. Counts are
+    * exact integers; each factor is one double from two BIGINTs, and the
+    * cumulative product folds a canonically SORTED factor list
+    * left-to-right (the win_ewma discipline — identical sequence, bit-
+    * identical product, no exp/ln chain). The fold runs over ≤ |distinct
+    * lifetimes| rows — tiny at any input scale.
+    */
+  val aggSurvivalKm: Q = (s, dir) => {
+    import s.implicits._
+    val spans = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+      .groupBy($"user_id").agg(min($"d").as("fd"), max($"d").as("ld"))
+    val maxd = spans.agg(max($"ld").as("maxd"))
+    val lt = spans.crossJoin(broadcast(maxd))
+      .select(($"ld" - $"fd").as("life"), ($"ld" === $"maxd").as("censored"))
+      .cp() // at-risk counts and death counts share the frame
+    val deaths = lt.filter(!$"censored")
+      .groupBy($"life".as("t")).agg(count(lit(1)).as("d"))
+    val atRisk = deaths.as("dt").join(lt.as("l"), $"l.life" >= $"dt.t")
+      .groupBy($"t", $"d").agg(count(lit(1)).as("n_risk"))
+    val folded = atRisk
+      .withColumn("f", lit(1.0) - $"d".cast("double") / $"n_risk".cast("double"))
+      .agg(sort_array(collect_list(struct($"t", $"n_risk", $"d", $"f")))
+        .as("fs"))
+      .select(posexplode($"fs").as(Seq("i", "x")), $"fs")
+      .select($"x.t".as("t"), $"x.n_risk".as("n_risk"), $"x.d".as("d"),
+        expr("aggregate(slice(transform(fs, e -> e.f), 1, i + 1)," +
+          " cast(1.0 as double), (acc, f) -> acc * f)").as("surv"))
+    folded.orderBy($"t")
+  }
+
+  /** Malformed-row quarantine — the PERMISSIVE-mode ingest contract: a
+    * CSV batch with 3 injected corrupt lines is read with an explicit
+    * schema + corrupt-record column; bad rows land in quarantine instead
+    * of failing the job or silently dropping. The summary (clean count,
+    * quarantined count, exact clean balance sum) is what the oracle
+    * checks against the pristine table + the injection constant.
+    */
+  val srcCsvQuarantine: Q = (s, dir) => {
+    import s.implicits._
+    val out = s"${graft.Scratch.dir("src_csv_quarantine")}/customer"
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .write.option("header", "false").mode("overwrite").csv(out)
+    // inject malformed lines (wrong arity / non-numeric key) as an extra
+    // file in the batch dir — appending to a Spark-written part would
+    // invalidate its Hadoop .crc sidecar
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "malformed-batch.csv"),
+      "not-a-key,broken\nx\n,,,too,many,fields,here\n".getBytes("UTF-8"))
+    val read = s.read
+      .schema("c_custkey LONG, c_name STRING, c_acctbal DOUBLE," +
+        " _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(out).cache()
+    read.agg(
+        sum(when($"_corrupt".isNull, 1L).otherwise(0L)).as("n_clean"),
+        sum(when($"_corrupt".isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+        msum(when($"_corrupt".isNull, $"c_acctbal")).as("clean_bal"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "src_csv_quarantine" -> srcCsvQuarantine,
+    "agg_survival_km" -> aggSurvivalKm,
     "agg_dp_counts" -> aggDpCounts,
     "win_seasonal_decompose" -> winSeasonalDecompose,
     "agg_mix_shift" -> aggMixShift,

@@ -361,6 +361,27 @@ object GraphOracle {
     "graph_lpa" -> lpaSql,
     "graph_modularity" -> modularitySql,
 
+    "graph_triangle_sample" ->
+      s"""WITH $copurchaseCte,
+         |e AS (SELECT a, b FROM cp),
+         |sm AS (
+         |  SELECT a, b FROM e
+         |  WHERE CAST('0x' || substr(md5(CAST(a AS VARCHAR) || '_' ||
+         |    CAST(b AS VARCHAR)), 1, 4) AS BIGINT) % 4 = 0),
+         |tx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |ts AS (SELECT CAST(count(*) AS BIGINT) AS n_tri_sampled
+         |  FROM sm e1 JOIN sm e2 ON e2.a = e1.b
+         |  JOIN sm e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |ne AS (SELECT count(*) AS n_edges FROM e),
+         |ns AS (SELECT count(*) AS n_edges_sampled FROM sm)
+         |SELECT n_edges, n_edges_sampled, n_tri_sampled,
+         |  n_tri_sampled * 64 AS estimate, n_exact,
+         |  floor(CAST(n_tri_sampled * 64 - n_exact AS DOUBLE) /
+         |    CAST(n_exact AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS rel_err
+         |FROM ne, ns, ts, tx""".stripMargin,
+
     "graph_transitivity" ->
       s"""WITH $copurchaseCte,
          |deg AS (SELECT v, count(*) AS deg FROM (

@@ -437,6 +437,40 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_recursive" -> Recursive,
 
+    "agg_survival_km" ->
+      """WITH spans AS (
+        |  SELECT user_id, min(epoch_ms(ts) // 86400000) AS fd,
+        |    max(epoch_ms(ts) // 86400000) AS ld
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(ld) AS maxd FROM spans),
+        |lt AS (
+        |  SELECT ld - fd AS life, ld = maxd AS censored FROM spans, mx),
+        |deaths AS (
+        |  SELECT life AS t, count(*) AS d FROM lt
+        |  WHERE NOT censored GROUP BY 1),
+        |ar AS (
+        |  SELECT t, d, count(*) AS n_risk
+        |  FROM deaths JOIN lt ON lt.life >= deaths.t
+        |  GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT list_sort(list(
+        |    {'t': t, 'n_risk': n_risk, 'd': d,
+        |     'f': 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)}))
+        |    AS fs
+        |  FROM ar),
+        |ex AS (
+        |  SELECT fs[i] AS x, i, fs
+        |  FROM fl, UNNEST(range(1, len(fs) + 1)) AS u(i))
+        |SELECT x.t AS t, x.n_risk AS n_risk, x.d AS d,
+        |  list_reduce(list_transform(fs[1:CAST(i AS INTEGER)], e -> e.f),
+        |    (acc, f) -> acc * f) AS surv
+        |FROM ex ORDER BY t""".stripMargin,
+
+    "src_csv_quarantine" ->
+      ("""SELECT count(*) AS n_clean, CAST(3 AS BIGINT) AS n_quarantined,
+        |  """ + msum("c_acctbal") + """ AS clean_bal
+        |FROM customer""").stripMargin,
+
     "agg_dp_counts" ->
       """WITH c AS (
         |  SELECT event_type, count(*) AS n FROM events GROUP BY 1),

@@ -353,6 +353,33 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (_, (n, _)) => assert(n >= 1L && n <= 8L) }
   }
 
+  test("graph_triangle_sample: deterministic sample recomputes; estimate scales by 64") {
+    import spark.implicits._
+    val r = q("graph_triangle_sample").collect().head
+    val (ne, ns, ts0, est, exact) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(est === ts0 * 64)
+    assert(exact === q("graph_triangles").collect().head.getLong(0))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val edges = graft.ops.GraphOps.copurchase(spark, sf).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    assert(ne === edges.length.toLong)
+    val sampled = edges.filter { case (a, b) =>
+      java.lang.Long.parseLong(md5hex(s"${a}_$b").substring(0, 4), 16) % 4 == 0
+    }
+    assert(ns === sampled.length.toLong, "sampled edge count")
+    // sampled triangle count recomputes on the sampled simple graph
+    val sset = sampled.toSet
+    val adj = sampled.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expTs = sampled.map { case (a, b) =>
+      (adj.getOrElse(a, Set.empty) & adj.getOrElse(b, Set.empty)).size.toLong
+    }.sum
+    assert(ts0 === expTs, "sampled triangles")
+    assert(r.getDouble(5) ===
+      math.floor((est - exact).toDouble / exact * 10000.0 + 0.5) / 10000.0)
+  }
+
   test("graph_transitivity: closed-wedge ratio reconciles with graph_triangles and degrees") {
     import spark.implicits._
     val r = q("graph_transitivity").collect()

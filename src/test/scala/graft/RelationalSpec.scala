@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 269, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 261, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 272, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 264, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1471,6 +1471,48 @@ class RelationalSpec extends SparkSpec {
       }
     }
     assert(checked === rows.length)
+  }
+
+  test("agg_survival_km: KM curve matches a JVM fold; survival is monotone non-increasing") {
+    import spark.implicits._
+    val rows = q("agg_survival_km").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val spans = ev.groupBy(_._1).view.mapValues(ds =>
+      (ds.map(_._2).min, ds.map(_._2).max)).toMap
+    val maxd = spans.values.map(_._2).max
+    val lives = spans.values.map { case (fd, ld) => (ld - fd, ld == maxd) }.toSeq
+    val deaths = lives.filter(!_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    var surv = 1.0
+    val expRows = deaths.keys.toSeq.sorted.map { t =>
+      val n = lives.count(_._1 >= t).toLong
+      val f = 1.0 - deaths(t).toDouble / n.toDouble
+      surv = surv * f
+      (t, n, deaths(t), surv)
+    }
+    assert(rows.length === expRows.length)
+    rows.zip(expRows).foreach { case ((t, n, d, s0), (et, en, ed, es)) =>
+      assert(t === et); assert(n === en); assert(d === ed)
+      assert(bits(s0) === bits(es), s"t=$t surv")
+    }
+    assert(rows.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("src_csv_quarantine: exactly the injected rows quarantine; clean sum exact") {
+    import spark.implicits._
+    val r = q("src_csv_quarantine").collect().head
+    val nCustomers = Tables.customer(spark, sf).count()
+    assert(r.getLong(0) === nCustomers, "clean count")
+    assert(r.getLong(1) === 3L, "quarantined count")
+    val expBal = Tables.customer(spark, sf).select($"c_acctbal").collect()
+      .map(x => BigDecimal(x.getDouble(0) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum.toDouble / 10000.0
+    assert(r.getDouble(2) === expBal, "clean balance")
   }
 
   test("agg_dp_counts: hash-seeded Laplace noise recomputes bitwise; margin pinned") {

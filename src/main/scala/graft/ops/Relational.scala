@@ -2822,7 +2822,116 @@ object Relational {
         msum(when($"_corrupt".isNull, $"c_acctbal")).as("clean_bal"))
   }
 
+  /** Difference-in-differences estimator: treatment = users who ever
+    * purchased, pre/post split at the integer midpoint day; DiD =
+    * (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) over per-event values.
+    * All four cell means derive from exact integer counts and scaled
+    * sums; the estimate is one fixed double tree mirrored token-for-token
+    * — the agg_linreg discipline applied to the causal-analytics
+    * workhorse.
+    */
+  val aggDid: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"event_type", round($"value" * lit(10000)).cast("long").as("v"))
+      .cp() // the treatment roster and the cell grid share the scan
+    val treated = ev.filter($"event_type" === "purchase")
+      .select($"user_id").distinct().withColumn("treated", lit(1))
+    val mid = ev.agg((min($"d") + (max($"d") - min($"d") + 1) / 2)
+      .cast("long").as("mid"))
+    val cells = ev.join(treated, Seq("user_id"), "left")
+      .crossJoin(broadcast(mid))
+      .groupBy(coalesce($"treated", lit(0)).as("t"),
+        when($"d" < $"mid", 0).otherwise(1).as("post"))
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .withColumn("m", $"sv".cast("double") / $"n".cast("double") / lit(10000.0))
+    val w = cells.groupBy()
+      .agg(max(when($"t" === 1 && $"post" === 1, $"m")).as("t_post"),
+        max(when($"t" === 1 && $"post" === 0, $"m")).as("t_pre"),
+        max(when($"t" === 0 && $"post" === 1, $"m")).as("c_post"),
+        max(when($"t" === 0 && $"post" === 0, $"m")).as("c_pre"),
+        sum($"n").as("n_events"))
+    w.select($"n_events", $"t_pre", $"t_post", $"c_pre", $"c_post",
+      (($"t_post" - $"t_pre") - ($"c_post" - $"c_pre")).as("did"))
+  }
+
+  /** Rolling 7-day OLS slope of each user's daily value curve — the
+    * windowed trend detector (win_bollinger flags levels, this flags
+    * drift). All four regression moments are exact BIGINT window sums
+    * over (epoch-day, scaled value) products; the slope is one double
+    * tree per row. Frames under 3 days emit NULL (a 2-point slope is
+    * noise), zero x-variance cannot occur (days are distinct).
+    */
+  val winRollingSlope: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        round($"value" * lit(10000)).cast("long").as("v"))
+      .groupBy($"user_id", $"d").agg(sum($"v").as("vs"))
+    val w = Window.partitionBy($"user_id").orderBy($"d").rowsBetween(-6, 0)
+    daily
+      .withColumn("nf", count(lit(1)).over(w))
+      .withColumn("sx", sum($"d").over(w))
+      .withColumn("sy", sum($"vs").over(w))
+      .withColumn("sxx", sum($"d" * $"d").over(w))
+      .withColumn("sxy", sum($"d" * $"vs").over(w))
+      .withColumn("slope", when($"nf" >= 3,
+        (($"nf" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"nf" * $"sxx" - $"sx" * $"sx").cast("double")) / lit(10000.0)))
+      .select($"user_id", $"d", $"nf".as("n_frame"),
+        ($"vs".cast("double") / lit(10000.0)).as("v"), $"slope")
+      .orderBy($"user_id", $"d")
+  }
+
+  /** Weekday-presence bitmask per user: bit_or of (1 << weekday) with the
+    * distinct-weekday count read back via bit_count — the bitmap
+    * presence encoding that replaces a count-distinct at scale (the mask
+    * is mergeable state, one long per user). Pure integer/bit ops.
+    */
+  val aggActivityBitmask: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id",
+        expr("shiftleft(1L, cast((cast(unix_millis(ts) / 86400000 as bigint)" +
+          " + 3) % 7 as int))").as("bit"))
+      .groupBy($"user_id")
+      .agg(expr("bit_or(bit)").as("mask"))
+      .select($"user_id", $"mask",
+        expr("cast(bit_count(mask) as bigint)").as("n_weekdays"))
+      .orderBy($"user_id")
+  }
+
+  /** Cumulative cohort LTV curve: cohorts by first-activity day, cell =
+    * cohort's msum revenue at day-offset, accumulated left-to-right —
+    * the lifetime-value triangle agg_retention counts users for, in
+    * value terms. Exact scaled-BIGINT sums end to end; the cumulative
+    * window runs per cohort over ≤ |days| rows.
+    */
+  val aggCohortLtv: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        round($"value" * lit(10000)).cast("long").as("v"))
+    val cohort = ev.groupBy($"user_id").agg(min($"d").as("d0"))
+    val cells = ev.join(cohort, "user_id")
+      .groupBy($"d0".as("cohort_day"), ($"d" - $"d0").as("day_offset"))
+      .agg(sum($"v").as("sv"))
+    cells
+      .withColumn("cum", sum($"sv").over(Window.partitionBy($"cohort_day")
+        .orderBy($"day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"cohort_day", $"day_offset",
+        ($"sv".cast("double") / lit(10000.0)).as("revenue"),
+        ($"cum".cast("double") / lit(10000.0)).as("cum_ltv"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_did" -> aggDid,
+    "win_rolling_slope" -> winRollingSlope,
+    "agg_activity_bitmask" -> aggActivityBitmask,
+    "agg_cohort_ltv" -> aggCohortLtv,
     "src_csv_quarantine" -> srcCsvQuarantine,
     "agg_survival_km" -> aggSurvivalKm,
     "agg_dp_counts" -> aggDpCounts,

@@ -437,6 +437,88 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_recursive" -> Recursive,
 
+    "agg_did" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d, event_type,
+        |    CAST(round(value * 10000) AS BIGINT) AS v
+        |  FROM events),
+        |tr AS (SELECT DISTINCT user_id, 1 AS treated FROM ev
+        |  WHERE event_type = 'purchase'),
+        |b AS (SELECT min(d) + (max(d) - min(d) + 1) // 2 AS mid FROM ev),
+        |cells AS (
+        |  SELECT coalesce(treated, 0) AS t,
+        |    CASE WHEN d < mid THEN 0 ELSE 1 END AS post,
+        |    count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+        |  FROM ev LEFT JOIN tr ON ev.user_id = tr.user_id, b
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT t, post, n,
+        |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS m
+        |  FROM cells),
+        |w AS (
+        |  SELECT
+        |    max(CASE WHEN t = 1 AND post = 1 THEN m END) AS t_post,
+        |    max(CASE WHEN t = 1 AND post = 0 THEN m END) AS t_pre,
+        |    max(CASE WHEN t = 0 AND post = 1 THEN m END) AS c_post,
+        |    max(CASE WHEN t = 0 AND post = 0 THEN m END) AS c_pre,
+        |    CAST(sum(n) AS BIGINT) AS n_events
+        |  FROM m)
+        |SELECT n_events, t_pre, t_post, c_pre, c_post,
+        |  (t_post - t_pre) - (c_post - c_pre) AS did
+        |FROM w""".stripMargin,
+
+    "win_rolling_slope" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS vs
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT user_id, d, vs,
+        |    CAST(count(*) OVER w AS BIGINT) AS nf,
+        |    CAST(sum(d) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(vs) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(d * d) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(d * vs) OVER w AS BIGINT) AS sxy
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, d, nf AS n_frame,
+        |  CAST(vs AS DOUBLE) / 10000.0 AS v,
+        |  CASE WHEN nf >= 3 THEN
+        |    (CAST(nf * sxy - sx * sy AS DOUBLE) /
+        |      CAST(nf * sxx - sx * sx AS DOUBLE)) / 10000.0 END AS slope
+        |FROM f ORDER BY user_id, d""".stripMargin,
+
+    "agg_activity_bitmask" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    1::BIGINT << CAST((epoch_ms(ts) // 86400000 + 3) % 7
+        |      AS INTEGER) AS bit
+        |  FROM events)
+        |SELECT user_id, CAST(bit_or(bit) AS BIGINT) AS mask,
+        |  CAST(bit_count(CAST(bit_or(bit) AS BIGINT)) AS BIGINT)
+        |    AS n_weekdays
+        |FROM b GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "agg_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(round(value * 10000) AS BIGINT) AS v
+        |  FROM events),
+        |c AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY 1),
+        |cells AS (
+        |  SELECT d0 AS cohort_day, d - d0 AS day_offset,
+        |    CAST(sum(v) AS BIGINT) AS sv
+        |  FROM ev JOIN c ON ev.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset,
+        |  CAST(sv AS DOUBLE) / 10000.0 AS revenue,
+        |  CAST(CAST(sum(sv) OVER (PARTITION BY cohort_day
+        |    ORDER BY day_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS DOUBLE) / 10000.0 AS cum_ltv
+        |FROM cells ORDER BY cohort_day, day_offset""".stripMargin,
+
     "agg_survival_km" ->
       """WITH spans AS (
         |  SELECT user_id, min(epoch_ms(ts) // 86400000) AS fd,

@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 272, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 264, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 276, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 268, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1471,6 +1471,124 @@ class RelationalSpec extends SparkSpec {
       }
     }
     assert(checked === rows.length)
+  }
+
+  test("agg_did: four cell means and the estimator recompute bitwise") {
+    import spark.implicits._
+    val r = q("agg_did").collect().head
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"event_type", $"value")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        BigDecimal(x.getDouble(3) * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val treated = ev.filter(_._3 == "purchase").map(_._1).toSet
+    val (mind, maxd) = (ev.map(_._2).min, ev.map(_._2).max)
+    val mid = mind + (maxd - mind + 1) / 2
+    def cell(t: Boolean, post: Boolean): Option[Double] = {
+      val xs = ev.filter(e => treated(e._1) == t && (e._2 >= mid) == post)
+      if (xs.isEmpty) None
+      else Some(xs.map(_._4).sum.toDouble / xs.length.toDouble / 10000.0)
+    }
+    val (tPre, tPost, cPre, cPost) =
+      (cell(t = true, post = false), cell(t = true, post = true),
+        cell(t = false, post = false), cell(t = false, post = true))
+    def gotOpt(i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    def same(g: Option[Double], e: Option[Double], what: String): Unit =
+      (g, e) match {
+        case (Some(a), Some(b)) => assert(bits(a) === bits(b), what)
+        case (None, None)       =>
+        case _                  => fail(s"$what null mismatch: $g vs $e")
+      }
+    assert(r.getLong(0) === ev.length.toLong)
+    same(gotOpt(1), tPre, "t_pre"); same(gotOpt(2), tPost, "t_post")
+    same(gotOpt(3), cPre, "c_pre"); same(gotOpt(4), cPost, "c_post")
+    val expDid = for (a <- tPost; b <- tPre; c <- cPost; d0 <- cPre)
+      yield (a - b) - (c - d0)
+    same(gotOpt(5), expDid, "did")
+    // at sf0.001 every user may have purchased — the TREATED cells at
+    // least must be populated for the estimator to mean anything
+    assert(tPre.isDefined && tPost.isDefined)
+  }
+
+  test("win_rolling_slope: frame-moment OLS matches a bitwise JVM recompute") {
+    import spark.implicits._
+    val got = q("win_rolling_slope").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got.nonEmpty)
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val daily = ev.groupBy(e => (e._1, e._2)).view.mapValues(_.map(v =>
+      BigDecimal(v._3 * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum).toMap
+    var checked = 0
+    daily.keys.groupBy(_._1).foreach { case (u, ks) =>
+      val ds = ks.map(_._2).toSeq.sorted
+      ds.zipWithIndex.foreach { case (d, i) =>
+        val frame = ds.slice(math.max(0, i - 6), i + 1)
+        val nf = frame.length.toLong
+        val sx = frame.sum; val sy = frame.map(x => daily((u, x))).sum
+        val sxx = frame.map(x => x * x).sum
+        val sxy = frame.map(x => x * daily((u, x))).sum
+        val slope = if (nf >= 3)
+          Some((nf * sxy - sx * sy).toDouble / (nf * sxx - sx * sx).toDouble / 10000.0)
+        else None
+        val (gn, gv, gs) = got((u, d))
+        assert(gn === nf); assert(gv === daily((u, d)).toDouble / 10000.0)
+        (gs, slope) match {
+          case (Some(a), Some(b)) => assert(bits(a) === bits(b), s"($u,$d)")
+          case (None, None)       =>
+          case _                  => fail(s"($u,$d) null mismatch")
+        }
+        checked += 1
+      }
+    }
+    assert(checked === got.size)
+  }
+
+  test("agg_activity_bitmask: mask bits equal the weekday set; popcount consistent") {
+    import spark.implicits._
+    val got = q("agg_activity_bitmask").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1) + 3) % 7))
+    ev.groupBy(_._1).foreach { case (u, xs) =>
+      val wds = xs.map(_._2).toSet
+      val mask = wds.foldLeft(0L)((m, w) => m | (1L << w.toInt))
+      val (gm, gc) = got(u)
+      assert(gm === mask, s"user $u mask")
+      assert(gc === wds.size.toLong, s"user $u popcount")
+      assert(gc === java.lang.Long.bitCount(gm).toLong)
+    }
+  }
+
+  test("agg_cohort_ltv: cumulative revenue triangle recomputes; cum monotone") {
+    import spark.implicits._
+    val rows = q("agg_cohort_ltv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2) * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val d0 = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = ev.groupBy(e => (d0(e._1), e._2 - d0(e._1))).view
+      .mapValues(_.map(_._3).sum).toMap
+    assert(rows.map(r => (r._1, r._2)).toSet === cells.keySet)
+    rows.groupBy(_._1).foreach { case (cd, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).foreach { case (_, off, rev, cumLtv) =>
+        val sv = cells((cd, off))
+        cum += sv
+        assert(rev === sv.toDouble / 10000.0, s"($cd,$off) revenue")
+        assert(cumLtv === cum.toDouble / 10000.0, s"($cd,$off) cum")
+      }
+    }
   }
 
   test("agg_survival_km: KM curve matches a JVM fold; survival is monotone non-increasing") {

@@ -2099,7 +2099,38 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** One-row dataset card — the datasheet header every corpus release
+    * ships: doc/source/lang/token/type counts, quantized mean length,
+    * exact global median length (the 2·rank crossing), and the
+    * exact-duplicate exposure (docs whose full text md5 collides with at
+    * least one other). Pure composition of exact aggregates; every
+    * column is integer-derived.
+    */
+  val llmDatasetCard: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).cp()
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+      countDistinct($"source").as("n_sources"),
+      countDistinct($"lang").as("n_langs"))
+    val tok = docs.select(explode(split($"text", " ")).as("t"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct($"t").as("n_types"))
+    val med = docs
+      .withColumn("rn", row_number().over(Window.orderBy($"n_chars", $"doc_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .filter($"rn" === (($"n" + 1) / 2).cast("long"))
+      .select($"n_chars".as("p50_chars"))
+    val dups = docs.groupBy(md5($"text")).agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).agg(coalesce(sum($"c"), lit(0L)).as("exact_dup_docs"))
+    base.crossJoin(tok).crossJoin(med).crossJoin(dups)
+      .select($"n_docs", $"n_sources", $"n_langs", $"n_tokens", $"n_types",
+        (floor($"n_tokens".cast("double") / $"n_docs".cast("double") *
+          lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
+          .as("mean_tokens"),
+        $"p50_chars", $"exact_dup_docs")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_dataset_card" -> llmDatasetCard,
     "llm_hash_embed" -> llmHashEmbed,
     "fn_codec" -> fnCodec,
     "llm_bpe_first_merge" -> llmBpeFirstMerge,

@@ -2927,7 +2927,67 @@ object Relational {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** Nested-schema JSON round-trip: orders nested with their line items
+    * as an array-of-structs column, serialized to JSON lines, re-read
+    * with an EXPLICIT nested schema (array<struct> — no inference pass),
+    * exploded back flat and summarized with an exact checksum. Proves the
+    * nested-type surface (to_json/from_json/explode over struct arrays)
+    * end to end; the oracle derives the identical summary from the
+    * pristine tables, so a hash match certifies losslessness.
+    */
+  val srcJsonNested: Q = (s, dir) => {
+    import s.implicits._
+    val out = s"${graft.Scratch.dir("src_json_nested")}/orders_nested"
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(sort_array(collect_list(struct($"l_linenumber", $"l_partkey",
+        $"l_quantity"))).as("items"))
+      .select(to_json(struct($"o_orderkey", $"items")).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = "o_orderkey LONG, items ARRAY<STRUCT<l_linenumber: INT," +
+      " l_partkey: LONG, l_quantity: DOUBLE>>"
+    s.read.schema(schema).json(out)
+      .select($"o_orderkey", explode($"items").as("it"))
+      .agg(countDistinct($"o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_items"),
+        sum($"it.l_quantity".cast("long")).as("sum_qty"),
+        sum($"it.l_partkey" * $"it.l_quantity".cast("long")).as("checksum"))
+  }
+
+  /** Sample-ratio-mismatch check for the md5 train/val/test split (the
+    * llm_train_val_split rule): observed bucket counts vs the designed
+    * 13:2:1 expectation, Pearson chi² with the expected counts EXACT in
+    * doubles (n·13/16 is an integer times a power-of-two division), each
+    * cell term nano-quantized. The A/B hygiene gate that catches a broken
+    * hash route before anyone trusts the experiment.
+    */
+  val aggSrmCheck: Q = (s, dir) => {
+    import s.implicits._
+    val obs = Tables.documents(s, dir)
+      .withColumn("h1", substring(md5($"doc_id".cast("string")), 1, 1))
+      .withColumn("split",
+        when($"h1" < "d", "train").when($"h1" < "f", "val").otherwise("test"))
+      .groupBy($"split").agg(count(lit(1)).as("o"))
+    val tot = obs.agg(sum($"o").as("n"))
+    val weights = Seq(("train", 13L), ("val", 2L), ("test", 1L))
+      .toDF("split", "wt")
+    obs.join(broadcast(weights), "split")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", $"n".cast("double") * $"wt".cast("double") / lit(16.0))
+      .withColumn("q", floor(($"o".cast("double") - $"e") *
+        ($"o".cast("double") - $"e") / $"e" * lit(1.0e9) + lit(0.5))
+        .cast("long"))
+      .agg(max($"n").as("n_docs"),
+        max(when($"split" === "train", $"o")).as("n_train"),
+        max(when($"split" === "val", $"o")).as("n_val"),
+        max(when($"split" === "test", $"o")).as("n_test"),
+        (sum($"q").cast("double") / lit(1.0e9)).as("chi2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "src_json_nested" -> srcJsonNested,
+    "agg_srm_check" -> aggSrmCheck,
     "agg_did" -> aggDid,
     "win_rolling_slope" -> winRollingSlope,
     "agg_activity_bitmask" -> aggActivityBitmask,

@@ -81,6 +81,33 @@ object LlmOracle {
       |  WHERE rn = 1)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_dataset_card" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT lang) AS n_langs
+        |  FROM documents),
+        |tok AS (
+        |  SELECT count(*) AS n_tokens, count(DISTINCT t) AS n_types
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t
+        |        FROM documents) x),
+        |med AS (
+        |  SELECT n_chars AS p50_chars FROM (
+        |    SELECT n_chars,
+        |      row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |      count(*) OVER () AS n
+        |    FROM documents) r
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (
+        |  SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS exact_dup_docs
+        |  FROM (SELECT md5(text) AS h, count(*) AS c FROM documents
+        |        GROUP BY 1) g
+        |  WHERE c >= 2)
+        |SELECT n_docs, n_sources, n_langs, n_tokens, n_types,
+        |  floor(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) * 10000.0
+        |    + 0.5) / 10000.0 AS mean_tokens,
+        |  p50_chars, exact_dup_docs
+        |FROM base, tok, med, d""".stripMargin,
+
     "llm_hash_embed" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -437,6 +437,39 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_recursive" -> Recursive,
 
+    "src_json_nested" ->
+      """SELECT count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(l_partkey * CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS checksum
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+
+    "agg_srm_check" ->
+      """WITH obs AS (
+        |  SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'd'
+        |      THEN 'train'
+        |      WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'f' THEN 'val'
+        |      ELSE 'test' END AS split,
+        |    count(*) AS o
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        |w(split, wt) AS (VALUES ('train', 13), ('val', 2), ('test', 1)),
+        |q AS (
+        |  SELECT obs.split AS split, o, n,
+        |    CAST(n AS DOUBLE) * CAST(wt AS DOUBLE) / 16.0 AS e
+        |  FROM obs JOIN w ON obs.split = w.split, t),
+        |f AS (
+        |  SELECT split, o, n,
+        |    CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+        |      / e * 1.0e9 + 0.5) AS BIGINT) AS qq
+        |  FROM q)
+        |SELECT max(n) AS n_docs,
+        |  max(CASE WHEN split = 'train' THEN o END) AS n_train,
+        |  max(CASE WHEN split = 'val' THEN o END) AS n_val,
+        |  max(CASE WHEN split = 'test' THEN o END) AS n_test,
+        |  CAST(CAST(sum(qq) AS BIGINT) AS DOUBLE) / 1.0e9 AS chi2
+        |FROM f""".stripMargin,
+
     "agg_did" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS d, event_type,

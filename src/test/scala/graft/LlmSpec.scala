@@ -947,6 +947,26 @@ class LlmSpec extends SparkSpec {
     got.foreach { case (_, _, ctx) => assert(ctx.split(" ", -1).contains("dup")) }
   }
 
+  test("llm_dataset_card: every card column recomputes from the corpus") {
+    import spark.implicits._
+    val r = q("llm_dataset_card").collect().head
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3), x.getLong(4)))
+    val toks = docs.flatMap(_._2.split(" ", -1))
+    assert(r.getLong(0) === docs.length.toLong)
+    assert(r.getLong(1) === docs.map(_._4).distinct.length.toLong)
+    assert(r.getLong(2) === docs.map(_._3).distinct.length.toLong)
+    assert(r.getLong(3) === toks.length.toLong)
+    assert(r.getLong(4) === toks.distinct.length.toLong)
+    assert(r.getDouble(5) ===
+      math.floor(toks.length.toDouble / docs.length * 10000.0 + 0.5) / 10000.0)
+    val sorted = docs.map(d => (d._5, d._1)).sorted
+    assert(r.getLong(6) === sorted((docs.length + 1) / 2 - 1)._1)
+    val dupDocs = docs.groupBy(_._2).values.filter(_.length >= 2).map(_.length.toLong).sum
+    assert(r.getLong(7) === dupDocs)
+  }
+
   test("llm_hash_embed: signed 64-bucket hashing recomputes; audit columns consistent") {
     import spark.implicits._
     val got = q("llm_hash_embed").collect()

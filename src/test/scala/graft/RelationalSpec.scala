@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 276, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 268, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 279, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 271, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1471,6 +1471,44 @@ class RelationalSpec extends SparkSpec {
       }
     }
     assert(checked === rows.length)
+  }
+
+  test("src_json_nested: nested round-trip summary equals the pristine-table checksum") {
+    import spark.implicits._
+    val r = q("src_json_nested").collect().head
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2).toLong))
+    assert(r.getLong(0) === li.map(_._1).distinct.length.toLong)
+    assert(r.getLong(1) === li.length.toLong)
+    assert(r.getLong(2) === li.map(_._3).sum)
+    assert(r.getLong(3) === li.map(x => x._2 * x._3).sum)
+  }
+
+  test("agg_srm_check: chi2 against the designed 13:2:1 split recomputes; counts reconcile") {
+    import spark.implicits._
+    val r = q("agg_srm_check").collect().head
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val splits = Tables.documents(spark, sf).select($"doc_id").collect()
+      .map { x =>
+        val h1 = md5hex(x.getLong(0).toString).charAt(0)
+        if (h1 < 'd') "train" else if (h1 < 'f') "val" else "test"
+      }
+    val n = splits.length.toLong
+    val o = splits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === o("train"))
+    assert(r.getLong(2) === o("val"))
+    assert(r.getLong(3) === o("test"))
+    val chi2 = Seq(("train", 13.0), ("val", 2.0), ("test", 1.0)).map { case (s0, w) =>
+      val e = n.toDouble * w / 16.0
+      math.floor((o(s0) - e) * (o(s0) - e) / e * 1.0e9 + 0.5).toLong
+    }.sum
+    assert(r.getDouble(4) === chi2.toDouble / 1.0e9)
+    // the md5 route is healthy: chi2 under a generous threshold at spec sf
+    assert(r.getDouble(4) < 50.0, s"split badly skewed: ${r.getDouble(4)}")
   }
 
   test("agg_did: four cell means and the estimator recompute bitwise") {

@@ -2985,7 +2985,58 @@ object Relational {
         (sum($"q").cast("double") / lit(1.0e9)).as("chi2"))
   }
 
+  /** TPC-H Q1 as the shared-dialect text (OracleSql.Q1 runs verbatim on
+    * Spark AND DuckDB — agg_pricing is the DataFrame twin; this closes
+    * the visible sql_q1..q22 enumeration).
+    */
+  val sqlQ1: Q = (s, dir) => {
+    Seq("lineitem").foreach(t =>
+      Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(graft.oracle.OracleSql.Q1)
+  }
+
+  /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): keys nulled with
+    * nullif meet in the join, and the NULL group MATCHES ITSELF — the
+    * semantic corner a plain equi join silently drops. Catalyst plans
+    * `<=>` as a hash join (null-safe keys are still equi keys); output
+    * ordering pins NULLS FIRST explicitly because the engines' default
+    * null sort order differs.
+    */
+  val joinNullSafe: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+      .select(expr("nullif(c_nationkey, 3)").as("ck"))
+    val sup = Tables.supplier(s, dir)
+      .select(expr("nullif(s_nationkey, 3)").as("sk"))
+    c.join(sup, $"ck" <=> $"sk")
+      .groupBy($"ck".as("k")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"k".asc_nulls_first)
+  }
+
+  /** ANSI-safe arithmetic battery: `try_divide` yields NULL at the
+    * division-by-zero rows instead of failing the job (Spark 4 runs ANSI
+    * mode by default — the try_* family is how a pipeline stays total).
+    * The oracle uses DuckDB's plain `/`, which has the same NULL-on-zero
+    * contract — the point of the op is that the SEMANTICS line up.
+    */
+  val fnTryArith: Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        expr("try_divide(cast(round(l_extendedprice * 100) as bigint)," +
+          " cast(l_quantity - 25 as bigint))").as("ratio"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"ratio".isNull, 1L).otherwise(0L)).as("n_div_zero"),
+        sum(floor($"ratio" * lit(10000.0) + lit(0.5)).cast("long"))
+          .as("ratio_q_sum"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_q1" -> sqlQ1,
+    "join_null_safe" -> joinNullSafe,
+    "fn_try_arith" -> fnTryArith,
     "src_json_nested" -> srcJsonNested,
     "agg_srm_check" -> aggSrmCheck,
     "agg_did" -> aggDid,

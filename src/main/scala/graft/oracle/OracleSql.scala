@@ -434,7 +434,53 @@ object OracleSql {
       |  count(*) AS n_paths
       |FROM walk GROUP BY node ORDER BY node""".stripMargin
 
+  /** Shared-dialect TPC-H Q1 — the flagship pricing summary as ONE text
+    * both engines execute (agg_pricing is its DataFrame twin): money sums
+    * spelled scale-to-integer inline so the identical SQL is hash-stable
+    * on any partitioning.
+    */
+  val Q1: String = {
+    def m(e: String) =
+      s"CAST(sum(CAST(round(($e) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0"
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       |  ${m("l_extendedprice")} AS sum_base_price,
+       |  ${m("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |  ${m("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+       |  ${m("l_extendedprice")} / count(*) AS avg_price,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "sql_q1" -> Q1,
+
+    "join_null_safe" ->
+      """WITH c AS (
+        |  SELECT nullif(c_nationkey, 3) AS k FROM customer),
+        |s AS (
+        |  SELECT nullif(s_nationkey, 3) AS k FROM supplier)
+        |SELECT c.k AS k, count(*) AS n_pairs
+        |FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+        |GROUP BY c.k ORDER BY k NULLS FIRST""".stripMargin,
+
+    "fn_try_arith" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) /
+        |      CAST(l_quantity - 25 AS BIGINT) AS ratio
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_div_zero,
+        |  CAST(sum(CAST(floor(ratio * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS ratio_q_sum
+        |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
     "sql_recursive" -> Recursive,
 
     "src_json_nested" ->

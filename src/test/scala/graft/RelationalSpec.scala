@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 279, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 271, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 282, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 274, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1471,6 +1471,60 @@ class RelationalSpec extends SparkSpec {
       }
     }
     assert(checked === rows.length)
+  }
+
+  test("sql_q1: shared-dialect text equals the agg_pricing DataFrame twin") {
+    val q1 = q("sql_q1").collect()
+    val twin = q("agg_pricing").collect()
+    assert(q1.length === twin.length && q1.nonEmpty)
+    // same group keys and same exact sums, column-for-column by position
+    q1.zip(twin).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      assert(a.getString(1) === b.getString(1))
+      assert(a.getLong(2) === b.getDouble(2).toLong, "sum_qty") // twin sums integral doubles
+      assert(a.getDouble(3) === b.getDouble(3), "sum_base_price")
+      assert(a.getDouble(4) === b.getDouble(4), "sum_disc_price")
+      assert(a.getDouble(5) === b.getDouble(5), "sum_charge")
+      assert(a.getLong(8) === b.getLong(8), "count_order")
+    }
+  }
+
+  test("join_null_safe: the NULL key group matches itself; counts recompute") {
+    import spark.implicits._
+    val got = q("join_null_safe").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getLong(1))
+      .toMap
+    val cs = Tables.customer(spark, sf).select($"c_nationkey").collect()
+      .map(r => r.getInt(0)).map(k => if (k == 3) None else Some(k))
+    val ss = Tables.supplier(spark, sf).select($"s_nationkey").collect()
+      .map(r => r.getInt(0)).map(k => if (k == 3) None else Some(k))
+    val cCnt = cs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sCnt = ss.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val exp = cCnt.keySet.intersect(sCnt.keySet)
+      .map(k => k -> cCnt(k) * sCnt(k)).toMap
+    assert(got === exp)
+    assert(got.contains(None), "the NULL-matches-NULL group must be present")
+  }
+
+  test("fn_try_arith: NULL-on-zero semantics and quantized ratio sums recompute") {
+    import spark.implicits._
+    val got = q("fn_try_arith").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity").collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1) * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+        r.getDouble(2).toLong - 25))
+    li.groupBy(_._1).foreach { case (flag, xs) =>
+      val (n, nz, qs) = got(flag)
+      assert(n === xs.length.toLong)
+      assert(nz === xs.count(_._3 == 0L).toLong, s"$flag zero denominators")
+      val expQs = xs.filter(_._3 != 0L)
+        .map(x => math.floor(x._2.toDouble / x._3.toDouble * 10000.0 + 0.5).toLong).sum
+      assert(qs === expQs, s"$flag ratio sum")
+      assert(nz > 0, s"$flag should hit the qty=25 rows at spec sf")
+    }
   }
 
   test("src_json_nested: nested round-trip summary equals the pristine-table checksum") {

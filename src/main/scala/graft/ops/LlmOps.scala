@@ -2129,7 +2129,47 @@ object LlmOps {
         $"p50_chars", $"exact_dup_docs")
   }
 
+  /** Byte-range chunk manifest over opaque payloads — the artifact a
+    * range-request object store serves from (resumable upload/download
+    * bookkeeping): fixed 64-byte chunks with offsets, sizes and per-chunk
+    * md5. Payloads are ASCII text bytes (the mm family convention), so
+    * the DuckDB oracle replays the slicing with substr; the chunk grid is
+    * a `sequence` explode — no per-row imperative loop.
+    */
+  val mmChunkManifest: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", length($"text").as("len"))
+      .select($"doc_id", $"text", $"len",
+        explode(sequence(lit(0L), (($"len" - 1) / lit(64)).cast("long")))
+          .as("ci"))
+      .select($"doc_id", ($"ci" + 1).as("chunk_idx"),
+        ($"ci" * 64).as("offset"),
+        length(expr("substring(text, ci * 64 + 1, 64)")).cast("long")
+          .as("size"),
+        md5(expr("substring(text, ci * 64 + 1, 64)")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Content-addressed payload dedup summary — what a binary store saves
+    * by keeping one copy per digest: unique payload count, duplicated
+    * payload exposure, and the exact byte savings Σ len·(copies−1).
+    * All integers off one md5 group-by.
+    */
+  val mmPayloadDedup: Q = (s, dir) => {
+    import s.implicits._
+    val g = Tables.documents(s, dir)
+      .select(md5($"text").as("h"), length($"text").cast("long").as("len"))
+      .groupBy($"h").agg(count(lit(1)).as("c"), max($"len").as("len"))
+    g.agg(sum($"c").as("n_payloads"), count(lit(1)).as("n_unique"),
+        coalesce(sum(when($"c" >= 2, $"c")), lit(0L)).as("n_dup_payloads"),
+        sum($"len" * $"c").as("bytes_total"),
+        coalesce(sum(($"c" - 1) * $"len"), lit(0L)).as("bytes_saved"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_chunk_manifest" -> mmChunkManifest,
+    "mm_payload_dedup" -> mmPayloadDedup,
     "llm_dataset_card" -> llmDatasetCard,
     "llm_hash_embed" -> llmHashEmbed,
     "fn_codec" -> fnCodec,

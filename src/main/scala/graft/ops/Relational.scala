@@ -2793,10 +2793,14 @@ object Relational {
 
   /** Malformed-row quarantine — the PERMISSIVE-mode ingest contract: a
     * CSV batch with 3 injected corrupt lines is read with an explicit
-    * schema + corrupt-record column; bad rows land in quarantine instead
-    * of failing the job or silently dropping. The summary (clean count,
-    * quarantined count, exact clean balance sum) is what the oracle
-    * checks against the pristine table + the injection constant.
+    * schema; under PERMISSIVE the broken lines safe-parse to NULL keys
+    * (never fail the job, never silently drop a row), and the null-key
+    * predicate routes them to quarantine. Deliberately NOT the
+    * columnNameOfCorruptRecord mechanism: its malformed-detection is
+    * column-pruning-sensitive (a count over pruned columns misses
+    * arity errors — verified) — the null-key route is plan-shape-proof.
+    * The summary is checked against the pristine table + the injection
+    * constant.
     */
   val srcCsvQuarantine: Q = (s, dir) => {
     import s.implicits._
@@ -2810,16 +2814,17 @@ object Relational {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(out, "malformed-batch.csv"),
       "not-a-key,broken\nx\n,,,too,many,fields,here\n".getBytes("UTF-8"))
-    val read = s.read
-      .schema("c_custkey LONG, c_name STRING, c_acctbal DOUBLE," +
-        " _corrupt STRING")
+    // the overwrite above may have re-listed the path before the
+    // malformed file landed — refresh defeats stale file indexes
+    s.catalog.refreshByPath(out)
+    s.read
+      .schema("c_custkey LONG, c_name STRING, c_acctbal DOUBLE")
       .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .csv(out).cache()
-    read.agg(
-        sum(when($"_corrupt".isNull, 1L).otherwise(0L)).as("n_clean"),
-        sum(when($"_corrupt".isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
-        msum(when($"_corrupt".isNull, $"c_acctbal")).as("clean_bal"))
+      .csv(out)
+      .agg(
+        sum(when($"c_custkey".isNotNull, 1L).otherwise(0L)).as("n_clean"),
+        sum(when($"c_custkey".isNull, 1L).otherwise(0L)).as("n_quarantined"),
+        msum(when($"c_custkey".isNotNull, $"c_acctbal")).as("clean_bal"))
   }
 
   /** Difference-in-differences estimator: treatment = users who ever

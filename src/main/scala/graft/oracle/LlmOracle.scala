@@ -81,6 +81,30 @@ object LlmOracle {
       |  WHERE rn = 1)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "mm_chunk_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, CAST(i AS BIGINT) AS ci
+        |  FROM d, UNNEST(range(0, (len - 1) // 64 + 1)) AS u(i))
+        |SELECT doc_id, ci + 1 AS chunk_idx, ci * 64 AS offset,
+        |  CAST(length(substr(text, CAST(ci * 64 + 1 AS INTEGER), 64))
+        |    AS BIGINT) AS size,
+        |  md5(substr(text, CAST(ci * 64 + 1 AS INTEGER), 64)) AS chunk_md5
+        |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "mm_payload_dedup" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS h, count(*) AS c,
+        |    CAST(max(length(text)) AS BIGINT) AS len
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_payloads, count(*) AS n_unique,
+        |  coalesce(CAST(sum(CASE WHEN c >= 2 THEN c END) AS BIGINT), 0)
+        |    AS n_dup_payloads,
+        |  CAST(sum(len * c) AS BIGINT) AS bytes_total,
+        |  coalesce(CAST(sum((c - 1) * len) AS BIGINT), 0) AS bytes_saved
+        |FROM g""".stripMargin,
+
     "llm_dataset_card" ->
       """WITH base AS (
         |  SELECT count(*) AS n_docs, count(DISTINCT source) AS n_sources,

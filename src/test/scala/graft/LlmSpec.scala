@@ -947,6 +947,47 @@ class LlmSpec extends SparkSpec {
     got.foreach { case (_, _, ctx) => assert(ctx.split(" ", -1).contains("dup")) }
   }
 
+  test("mm_chunk_manifest: chunks tile every payload exactly; hashes recompute") {
+    import spark.implicits._
+    val got = q("mm_chunk_manifest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.nonEmpty)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val exp = docs.flatMap { case (id, t) =>
+      t.grouped(64).zipWithIndex.map { case (chunk, i) =>
+        (id, (i + 1).toLong, i.toLong * 64, chunk.length.toLong, md5hex(chunk))
+      }.toSeq
+    }
+    assert(got.toSet === exp.toSet)
+    // chunks reassemble: per doc, sizes sum to the payload length and
+    // offsets are contiguous
+    got.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._4).sum === docs.toMap.apply(id).length.toLong, s"doc $id")
+      sorted.zipWithIndex.foreach { case (c, i) => assert(c._3 === i.toLong * 64) }
+    }
+  }
+
+  test("mm_payload_dedup: savings ledger reconciles with exact duplicate groups") {
+    import spark.implicits._
+    val r = q("mm_payload_dedup").collect().head
+    val texts = Tables.documents(spark, sf).select($"text").collect().map(_.getString(0))
+    val groups = texts.groupBy(identity).values.map(_.length.toLong).toSeq
+    assert(r.getLong(0) === texts.length.toLong)
+    assert(r.getLong(1) === groups.length.toLong)
+    assert(r.getLong(2) === groups.filter(_ >= 2).sum)
+    assert(r.getLong(3) === texts.map(_.length.toLong).sum)
+    val saved = texts.groupBy(identity).map { case (t, xs) =>
+      (xs.length - 1).toLong * t.length
+    }.sum
+    assert(r.getLong(4) === saved)
+    assert(r.getLong(3) - r.getLong(4) ===
+      texts.distinct.map(_.length.toLong).sum, "store size after dedup")
+  }
+
   test("llm_dataset_card: every card column recomputes from the corpus") {
     import spark.implicits._
     val r = q("llm_dataset_card").collect().head

@@ -1175,7 +1175,36 @@ object GraphOps {
           .cast("double") / lit(10000.0)).as("rel_err"))
   }
 
+  /** BFS tree with PARENT pointers from the 4-seed cohort (2 hops over
+    * the undirected co-purchase graph): each discovered node records its
+    * minimum-id predecessor, so any shortest path reconstructs by
+    * following parents — the traversal ARTIFACT (not just reachability)
+    * a path-explaining query serves. Deterministic by the min-parent
+    * rule; level exclusion via anti joins.
+    */
+  val graphBfsTree: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).select($"a", $"b")
+    val e2 = cp.unionAll(cp.select($"b".as("a"), $"a".as("b"))).cp()
+    val f0 = Tables.part(s, dir).filter($"p_partkey" < 5)
+      .select($"p_partkey".as("node"))
+    val n1 = e2.join(f0, $"a" === $"node")
+      .groupBy($"b").agg(min($"a").as("parent"))
+      .join(f0, $"b" === $"node", "left_anti")
+      .select($"b".as("node"), $"parent")
+    val n2 = e2.join(n1.select($"node".as("a2")), $"a" === $"a2")
+      .groupBy($"b").agg(min($"a").as("parent"))
+      .join(f0, $"b" === $"node", "left_anti")
+      .join(n1.select($"node".as("v1")), $"b" === $"v1", "left_anti")
+      .select($"b".as("node"), $"parent")
+    f0.select($"node", lit(0L).as("hop"), lit(null).cast("long").as("parent"))
+      .unionAll(n1.select($"node", lit(1L).as("hop"), $"parent"))
+      .unionAll(n2.select($"node", lit(2L).as("hop"), $"parent"))
+      .orderBy($"node")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_bfs_tree" -> graphBfsTree,
     "graph_triangle_sample" -> graphTriangleSample,
     "graph_transitivity" -> graphTransitivity,
     "graph_knn_degree" -> graphKnnDegree,

@@ -2167,7 +2167,30 @@ object LlmOps {
         coalesce(sum(($"c" - 1) * $"len"), lit(0L)).as("bytes_saved"))
   }
 
+  /** Deterministic preference-pair assembly (the RLHF data-prep step):
+    * within each source, documents rank by (length desc, doc_id) and each
+    * adjacent pair becomes (chosen = longer, rejected = shorter) — the
+    * reproducible pairing schedule a preference dataset builder runs
+    * before human labels exist. One source-partitioned window, lead()
+    * pairing, no joins.
+    */
+  val llmPrefPairs: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("rej_doc", lead($"doc_id", 1).over(w))
+      .withColumn("rej_chars", lead($"n_chars", 1).over(w))
+      .filter($"rej_doc".isNotNull)
+      .select($"source", $"rk".as("pair_idx"), $"doc_id".as("chosen_doc"),
+        $"rej_doc".as("rejected_doc"),
+        ($"n_chars" - $"rej_chars").as("len_gap"))
+      .orderBy($"source", $"pair_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_pref_pairs" -> llmPrefPairs,
     "mm_chunk_manifest" -> mmChunkManifest,
     "mm_payload_dedup" -> mmPayloadDedup,
     "llm_dataset_card" -> llmDatasetCard,

@@ -3038,7 +3038,47 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Funnel stage latency: for every completed view→click and
+    * click→purchase step (first-following within 24 h — the
+    * agg_window_funnel chain rule), the per-stage count and the EXACT
+    * lower-median gap in ms (the 2·rank crossing, no float percentile).
+    * The latency readout that turns a conversion funnel into an SLA.
+    */
+  val aggFunnelTime: Q = (s, dir) => {
+    import s.implicits._
+    val T = 86400000L
+    val e = Tables.events(s, dir)
+      .select($"user_id", tsMs($"ts").as("ms"), $"event_type").cp()
+    def gaps(from: String, to: String, stage: String): DataFrame = {
+      val a = e.filter($"event_type" === from)
+        .select($"user_id", $"ms".as("a_ts")).distinct()
+        .select($"user_id", $"a_ts", $"a_ts".as("ms"), lit(0).as("side"),
+          lit(null).cast("long").as("cand_ts"))
+      val c = e.filter($"event_type" === to)
+        .select($"user_id", $"ms".as("c_ts")).distinct()
+        .select($"user_id", lit(null).cast("long").as("a_ts"),
+          $"c_ts".as("ms"), lit(1).as("side"), $"c_ts".as("cand_ts"))
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      a.unionByName(c)
+        .withColumn("nxt", first($"cand_ts", ignoreNulls = true).over(w))
+        .filter($"side" === 0 && $"nxt".isNotNull &&
+          $"nxt" - $"a_ts" <= T)
+        .select(lit(stage).as("stage"), ($"nxt" - $"a_ts").as("gap_ms"))
+    }
+    val all = gaps("view", "click", "view_to_click")
+      .unionAll(gaps("click", "purchase", "click_to_purchase"))
+    val ws = Window.partitionBy($"stage").orderBy($"gap_ms")
+    all
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"stage")))
+      .filter($"rn" === (($"n" + 1) / 2).cast("long"))
+      .select($"stage", $"n".as("n_steps"), $"gap_ms".as("median_gap_ms"))
+      .orderBy($"stage")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_funnel_time" -> aggFunnelTime,
     "sql_q1" -> sqlQ1,
     "join_null_safe" -> joinNullSafe,
     "fn_try_arith" -> fnTryArith,

@@ -361,6 +361,27 @@ object GraphOracle {
     "graph_lpa" -> lpaSql,
     "graph_modularity" -> modularitySql,
 
+    "graph_bfs_tree" ->
+      s"""WITH $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |f0 AS (SELECT p_partkey AS node FROM part WHERE p_partkey < 5),
+         |n1 AS (
+         |  SELECT b AS node, CAST(min(a) AS BIGINT) AS parent
+         |  FROM e2 JOIN f0 ON e2.a = f0.node
+         |  WHERE b NOT IN (SELECT node FROM f0)
+         |  GROUP BY b),
+         |n2 AS (
+         |  SELECT b AS node, CAST(min(a) AS BIGINT) AS parent
+         |  FROM e2 JOIN n1 ON e2.a = n1.node
+         |  WHERE b NOT IN (SELECT node FROM f0)
+         |    AND b NOT IN (SELECT node FROM n1)
+         |  GROUP BY b)
+         |SELECT node, CAST(0 AS BIGINT) AS hop,
+         |  CAST(NULL AS BIGINT) AS parent FROM f0
+         |UNION ALL SELECT node, 1, parent FROM n1
+         |UNION ALL SELECT node, 2, parent FROM n2
+         |ORDER BY node""".stripMargin,
+
     "graph_triangle_sample" ->
       s"""WITH $copurchaseCte,
          |e AS (SELECT a, b FROM cp),

@@ -81,6 +81,19 @@ object LlmOracle {
       |  WHERE rn = 1)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_pref_pairs" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER w AS BIGINT) AS rk,
+        |    lead(doc_id) OVER w AS rej_doc,
+        |    lead(n_chars) OVER w AS rej_chars
+        |  FROM documents
+        |  WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id))
+        |SELECT source, rk AS pair_idx, doc_id AS chosen_doc,
+        |  rej_doc AS rejected_doc, n_chars - rej_chars AS len_gap
+        |FROM r WHERE rej_doc IS NOT NULL
+        |ORDER BY source, pair_idx""".stripMargin,
+
     "mm_chunk_manifest" ->
       """WITH d AS (
         |  SELECT doc_id, text, length(text) AS len FROM documents),

@@ -516,6 +516,51 @@ object OracleSql {
         |  CAST(CAST(sum(qq) AS BIGINT) AS DOUBLE) / 1.0e9 AS chi2
         |FROM f""".stripMargin,
 
+    "agg_funnel_time" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |s1 AS (
+        |  SELECT user_id, a_ts, ms, side, cand_ts FROM (
+        |    SELECT DISTINCT user_id, ms AS a_ts, ms, 0 AS side,
+        |      CAST(NULL AS BIGINT) AS cand_ts
+        |    FROM e WHERE event_type = 'view'
+        |    UNION ALL
+        |    SELECT DISTINCT user_id, NULL, ms, 1, ms
+        |    FROM e WHERE event_type = 'click') u),
+        |g1 AS (
+        |  SELECT 'view_to_click' AS stage, nxt - a_ts AS gap_ms FROM (
+        |    SELECT a_ts, side,
+        |      first_value(cand_ts IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY ms, side
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+        |    FROM s1) x
+        |  WHERE side = 0 AND nxt IS NOT NULL AND nxt - a_ts <= 86400000),
+        |s2 AS (
+        |  SELECT user_id, a_ts, ms, side, cand_ts FROM (
+        |    SELECT DISTINCT user_id, ms AS a_ts, ms, 0 AS side,
+        |      CAST(NULL AS BIGINT) AS cand_ts
+        |    FROM e WHERE event_type = 'click'
+        |    UNION ALL
+        |    SELECT DISTINCT user_id, NULL, ms, 1, ms
+        |    FROM e WHERE event_type = 'purchase') u),
+        |g2 AS (
+        |  SELECT 'click_to_purchase' AS stage, nxt - a_ts AS gap_ms FROM (
+        |    SELECT a_ts, side,
+        |      first_value(cand_ts IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY ms, side
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+        |    FROM s2) x
+        |  WHERE side = 0 AND nxt IS NOT NULL AND nxt - a_ts <= 86400000),
+        |a AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+        |r AS (
+        |  SELECT stage, gap_ms,
+        |    row_number() OVER (PARTITION BY stage ORDER BY gap_ms) AS rn,
+        |    count(*) OVER (PARTITION BY stage) AS n
+        |  FROM a)
+        |SELECT stage, n AS n_steps, gap_ms AS median_gap_ms
+        |FROM r WHERE rn = (n + 1) // 2
+        |ORDER BY stage""".stripMargin,
+
     "agg_did" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS d, event_type,

@@ -353,6 +353,36 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (_, (n, _)) => assert(n >= 1L && n <= 8L) }
   }
 
+  test("graph_bfs_tree: parents are valid previous-level neighbors; levels partition reachability") {
+    import spark.implicits._
+    val rows = q("graph_bfs_tree").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.nonEmpty)
+    val edges = graft.ops.GraphOps.copurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = Tables.part(spark, sf).select($"p_partkey").collect()
+      .map(_.getLong(0)).filter(_ < 5).toSet
+    // JVM BFS with min-parent rule
+    val l0 = seeds
+    val l1 = l0.flatMap(adj.getOrElse(_, Set.empty)) -- l0
+    val l2 = l1.flatMap(adj.getOrElse(_, Set.empty)) -- l0 -- l1
+    val byHop = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byHop.getOrElse(0L, Set.empty) === l0)
+    assert(byHop.getOrElse(1L, Set.empty) === l1)
+    assert(byHop.getOrElse(2L, Set.empty) === l2)
+    rows.foreach { case (node, hop, parent) =>
+      if (hop == 0L) assert(parent.isEmpty)
+      else {
+        val prev = if (hop == 1L) l0 else l1
+        val expParent = adj(node).intersect(prev).min
+        assert(parent === Some(expParent), s"node $node parent")
+      }
+    }
+  }
+
   test("graph_triangle_sample: deterministic sample recomputes; estimate scales by 64") {
     import spark.implicits._
     val r = q("graph_triangle_sample").collect().head

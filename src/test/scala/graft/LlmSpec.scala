@@ -947,6 +947,29 @@ class LlmSpec extends SparkSpec {
     got.foreach { case (_, _, ctx) => assert(ctx.split(" ", -1).contains("dup")) }
   }
 
+  test("llm_pref_pairs: adjacent-rank pairing recomputes; chosen is never shorter") {
+    import spark.implicits._
+    val got = q("llm_pref_pairs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"doc_id", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val ranked = ds.sortBy(d => (-d._3, d._2))
+      ranked.zip(ranked.tail).zipWithIndex.map { case ((a, b), i) =>
+        (src, (i + 1).toLong, a._2, b._2, a._3 - b._3)
+      }.toSeq
+    }
+    assert(got.toSet === exp.toSet)
+    got.foreach { case (_, _, _, _, gap) => assert(gap >= 0L, "chosen shorter than rejected") }
+    // each source emits n-1 pairs
+    val perSource = docs.groupBy(_._1).view.mapValues(_.length).toMap
+    got.groupBy(_._1).foreach { case (src, ps) =>
+      assert(ps.length === perSource(src) - 1, src)
+    }
+  }
+
   test("mm_chunk_manifest: chunks tile every payload exactly; hashes recompute") {
     import spark.implicits._
     val got = q("mm_chunk_manifest").collect()

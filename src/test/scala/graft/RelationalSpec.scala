@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 284, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 276, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 287, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 279, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1471,6 +1471,33 @@ class RelationalSpec extends SparkSpec {
       }
     }
     assert(checked === rows.length)
+  }
+
+  test("agg_funnel_time: per-stage medians recompute from a JVM first-following replay") {
+    import spark.implicits._
+    val got = q("agg_funnel_time").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val T = 86400000L
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def stageGaps(from: String, to: String): Seq[Long] =
+      ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+        val as = xs.filter(_._3 == from).map(_._2).distinct.sorted
+        val cs = xs.filter(_._3 == to).map(_._2).distinct.sorted
+        as.flatMap { a =>
+          cs.find(_ >= a).collect { case c if c - a <= T => c - a }
+        }
+      }
+    Seq("view_to_click" -> stageGaps("view", "click"),
+      "click_to_purchase" -> stageGaps("click", "purchase")).foreach {
+      case (stage, gaps) =>
+        val (n, med) = got(stage)
+        assert(n === gaps.length.toLong, s"$stage count")
+        assert(med === gaps.sorted.apply((gaps.length + 1) / 2 - 1), s"$stage median")
+    }
+    assert(got.keySet === Set("view_to_click", "click_to_purchase"))
   }
 
   test("sql_q1: shared-dialect text equals the agg_pricing DataFrame twin") {

@@ -3077,7 +3077,58 @@ object Relational {
       .orderBy($"stage")
   }
 
+  /** Event-cadence regularity per user: coefficient of variation of the
+    * inter-event gaps (metronome bots ≈ 0, bursty humans ≫ 0) — the
+    * behavioral-rhythm signal a fraud screen reads next to volume. Gap
+    * moments are exact BIGINT sums over epoch-ms differences; CV is one
+    * double tree; single-event users (no gaps) emit NULL.
+    */
+  val winCadence: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val gaps = Tables.events(s, dir)
+      .select($"user_id", $"event_id", tsMs($"ts").as("ms"))
+      .withColumn("gap", $"ms" - lag($"ms", 1).over(w))
+      .filter($"gap".isNotNull)
+      // CV moments run on SECOND-quantized gaps: n·Σg² in ms² overflows
+      // BIGINT for month-scale gaps (observed); seconds keep every sum
+      // < 2^50 at any realistic span. The mean keeps ms fidelity.
+      .withColumn("gs", ($"gap" / lit(1000)).cast("long"))
+    gaps.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum($"gap").as("s1"),
+        sum($"gs").as("s1s"), sum($"gs" * $"gs").as("s2s"))
+      .select($"user_id", $"n_gaps",
+        ($"s1".cast("double") / $"n_gaps".cast("double")).as("mean_gap_ms"),
+        when($"s1s" > 0,
+          floor(sqrt(($"n_gaps" * $"s2s" - $"s1s" * $"s1s").cast("double")) /
+            $"s1s".cast("double") * lit(10000.0) + lit(0.5)).cast("double") /
+            lit(10000.0)).as("cv"))
+      .orderBy($"user_id")
+  }
+
+  /** Deterministic UUIDv5-style surrogate keys minted from a namespace +
+    * natural key via md5 — the stable-ID convention a pipeline uses to
+    * join entities across systems without coordination. Pure string
+    * surgery over the hex digest (version/variant nibbles forced per
+    * RFC 4122 shape); reproducible on any engine.
+    */
+  val fnUuid5: Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey",
+        md5(concat(lit("graft:order:"), $"o_orderkey".cast("string")))
+          .as("h"))
+      .select($"o_orderkey",
+        concat(
+          substring($"h", 1, 8), lit("-"), substring($"h", 9, 4), lit("-5"),
+          substring($"h", 14, 3), lit("-a"), substring($"h", 18, 3),
+          lit("-"), substring($"h", 21, 12)).as("uuid"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_cadence" -> winCadence,
+    "fn_uuid5" -> fnUuid5,
     "agg_funnel_time" -> aggFunnelTime,
     "sql_q1" -> sqlQ1,
     "join_null_safe" -> joinNullSafe,

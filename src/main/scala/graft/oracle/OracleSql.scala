@@ -516,6 +516,37 @@ object OracleSql {
         |  CAST(CAST(sum(qq) AS BIGINT) AS DOUBLE) / 1.0e9 AS chi2
         |FROM f""".stripMargin,
 
+    "win_cadence" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    ms - lag(ms) OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id) AS gap
+        |  FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms
+        |        FROM events) e),
+        |m AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |    CAST(sum(gap) AS BIGINT) AS s1,
+        |    CAST(sum(gap // 1000) AS BIGINT) AS s1s,
+        |    CAST(sum((gap // 1000) * (gap // 1000)) AS BIGINT) AS s2s
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps,
+        |  CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_ms,
+        |  CASE WHEN s1s > 0 THEN
+        |    floor(sqrt(CAST(n_gaps * s2s - s1s * s1s AS DOUBLE)) /
+        |      CAST(s1s AS DOUBLE) * 10000.0 + 0.5) / 10000.0 END AS cv
+        |FROM m ORDER BY user_id""".stripMargin,
+
+    "fn_uuid5" ->
+      """WITH h AS (
+        |  SELECT o_orderkey,
+        |    md5('graft:order:' || o_orderkey::VARCHAR) AS h
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-5' ||
+        |  substr(h, 14, 3) || '-a' || substr(h, 18, 3) || '-' ||
+        |  substr(h, 21, 12) AS uuid
+        |FROM h ORDER BY o_orderkey""".stripMargin,
+
     "agg_funnel_time" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),

@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 287, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 279, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 289, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 281, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1471,6 +1471,52 @@ class RelationalSpec extends SparkSpec {
       }
     }
     assert(checked === rows.length)
+  }
+
+  test("win_cadence: gap CV recomputes bitwise; single-event users excluded") {
+    import spark.implicits._
+    val got = q("win_cadence").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (u, xs) =>
+      val sorted = xs.sortBy(e => (e._3, e._2)).map(_._3)
+      val gaps = sorted.zip(sorted.tail).map { case (a, b) => b - a }
+      if (gaps.isEmpty) assert(!got.contains(u))
+      else {
+        val (n, mean, cv) = got(u)
+        val s1 = gaps.sum
+        val gs = gaps.map(_ / 1000)
+        val s1s = gs.sum; val s2s = gs.map(g => g * g).sum
+        assert(n === gaps.length.toLong)
+        assert(bits(mean) === bits(s1.toDouble / gaps.length.toDouble))
+        val expCv = if (s1s > 0) Some(math.floor(
+          math.sqrt((gaps.length * s2s - s1s * s1s).toDouble) / s1s.toDouble
+            * 10000.0 + 0.5) / 10000.0) else None
+        assert(cv === expCv, s"user $u cv")
+        cv.foreach(c => assert(c >= 0.0))
+      }
+    }
+  }
+
+  test("fn_uuid5: minted ids are RFC-shaped, unique, and md5-reproducible") {
+    import spark.implicits._
+    val got = q("fn_uuid5").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.nonEmpty)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    got.foreach { case (k, u) =>
+      val h = md5hex(s"graft:order:$k")
+      val exp = s"${h.substring(0, 8)}-${h.substring(8, 12)}-5${h.substring(13, 16)}" +
+        s"-a${h.substring(17, 20)}-${h.substring(20, 32)}"
+      assert(u === exp, s"order $k")
+      assert(u.matches("[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-a[0-9a-f]{3}-[0-9a-f]{12}"))
+    }
+    assert(got.map(_._2).distinct.length === got.length, "uuid collision")
   }
 
   test("agg_funnel_time: per-stage medians recompute from a JVM first-following replay") {

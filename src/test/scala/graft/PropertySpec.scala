@@ -269,4 +269,55 @@ object PropertySpec extends Properties("graft") {
           got == expect
         }
     }
+
+  property("skyline sweep (candidate reduction + rows-frame) equals brute-force dominance") = {
+    import org.apache.spark.sql.expressions.Window
+    // tiny value ranges on purpose: duplicates and exact ties are the
+    // adversarial cases for the sweep's frame semantics
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1, 20), Gen.chooseNum(1L, 20L)))) { pts0 =>
+      val pts = pts0.map { case (p, d) => (p.toDouble, d) }
+      val g = pts.toDF("price", "day")
+        .groupBy($"price", $"day").agg(count(lit(1)).as("n"))
+      val cand = g
+        .withColumn("mind", min($"day").over(Window.partitionBy($"price")))
+        .filter($"day" === $"mind").drop("mind")
+      val sweep = Window.orderBy($"price".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = cand.withColumn("mp", min($"day").over(sweep))
+        .filter($"mp".isNull || $"day" < $"mp")
+        .select($"price", $"day").collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).toSet
+      val set = pts.toSet
+      val exp = set.filter(p =>
+        !set.exists(o => o != p && o._1 >= p._1 && o._2 <= p._2))
+      sky == exp
+    }
+  }
+
+  property("holt struct-accumulator fold equals the JVM recurrence bitwise") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100.0, 100.0))) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("d", "v")
+      val r = df
+        .agg(sort_array(collect_list(struct($"d", $"v"))).as("fr"))
+        .withColumn("vs", expr("transform(fr, x -> x.v)"))
+        .withColumn("st", expr(
+          "aggregate(slice(vs, 2, size(vs) - 1)," +
+            " named_struct('l', element_at(vs, 1), 't', cast(0.0 as double))," +
+            " (acc, e) -> named_struct(" +
+            "'l', 0.5 * e + 0.5 * (acc.l + acc.t)," +
+            "'t', 0.5 * ((0.5 * e + 0.5 * (acc.l + acc.t)) - acc.l)" +
+            " + 0.5 * acc.t))"))
+        .select($"st.l", $"st.t").collect().head
+      var l = vs.head; var t = 0.0
+      vs.tail.foreach { e =>
+        val lNew = 0.5 * e + 0.5 * (l + t)
+        t = 0.5 * ((0.5 * e + 0.5 * (l + t)) - l) + 0.5 * t
+        l = lNew
+      }
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(l) &&
+      java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(t)
+    }
 }

@@ -3126,7 +3126,43 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Repeat-purchase economics: how many purchasers come back, and how
+    * fast — repeat share (quantized) and the EXACT lower-median days
+    * between first and second purchase. First/second purchase times are
+    * picked by integer rank over each user's distinct purchase days;
+    * the median is the 2·rank crossing. The retention metric every
+    * commerce dashboard leads with.
+    */
+  val aggRepeatPurchase: Q = (s, dir) => {
+    import s.implicits._
+    val pd = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val ranked = pd.withColumn("rn", row_number().over(w))
+    val firstSecond = ranked.filter($"rn" <= 2)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), min($"d").as("d1"), max($"d").as("d2"))
+    val base = firstSecond.agg(
+      count(lit(1)).as("n_purchasers"),
+      sum(when($"n" >= 2, 1L).otherwise(0L)).as("n_repeat"))
+    val gaps = firstSecond.filter($"n" >= 2)
+      .select(($"d2" - $"d1").as("gap"))
+      .withColumn("rn", row_number().over(Window.orderBy($"gap")))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .filter($"rn" === (($"m" + 1) / 2).cast("long"))
+      .select($"gap".as("median_days_to_second"))
+    base.crossJoin(gaps)
+      .select($"n_purchasers", $"n_repeat",
+        (floor($"n_repeat".cast("double") / $"n_purchasers".cast("double") *
+          lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
+          .as("repeat_rate"),
+        $"median_days_to_second")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_repeat_purchase" -> aggRepeatPurchase,
     "win_cadence" -> winCadence,
     "fn_uuid5" -> fnUuid5,
     "agg_funnel_time" -> aggFunnelTime,

@@ -516,6 +516,35 @@ object OracleSql {
         |  CAST(CAST(sum(qq) AS BIGINT) AS DOUBLE) / 1.0e9 AS chi2
         |FROM f""".stripMargin,
 
+    "agg_repeat_purchase" ->
+      """WITH pd AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d
+        |  FROM events WHERE event_type = 'purchase'),
+        |rk AS (
+        |  SELECT user_id, d,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        |  FROM pd),
+        |fs AS (
+        |  SELECT user_id, count(*) AS n, min(d) AS d1, max(d) AS d2
+        |  FROM rk WHERE rn <= 2 GROUP BY 1),
+        |b AS (
+        |  SELECT count(*) AS n_purchasers,
+        |    CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_repeat
+        |  FROM fs),
+        |g AS (
+        |  SELECT gap FROM (
+        |    SELECT d2 - d1 AS gap,
+        |      row_number() OVER (ORDER BY d2 - d1) AS rn,
+        |      count(*) OVER () AS m
+        |    FROM fs WHERE n >= 2) x
+        |  WHERE rn = (m + 1) // 2)
+        |SELECT n_purchasers, n_repeat,
+        |  floor(CAST(n_repeat AS DOUBLE) / CAST(n_purchasers AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS repeat_rate,
+        |  gap AS median_days_to_second
+        |FROM b, g""".stripMargin,
+
     "win_cadence" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 289, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 281, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 290, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 282, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {
@@ -1471,6 +1471,24 @@ class RelationalSpec extends SparkSpec {
       }
     }
     assert(checked === rows.length)
+  }
+
+  test("agg_repeat_purchase: repeat share and time-to-second recompute exactly") {
+    import spark.implicits._
+    val r = q("agg_repeat_purchase").collect().head
+    val pd = Tables.events(spark, sf).filter($"event_type" === "purchase")
+      .select($"user_id", (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"))
+      .distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+    val byUser = pd.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val nP = byUser.size.toLong
+    val repeat = byUser.values.filter(_.length >= 2).toSeq
+    assert(r.getLong(0) === nP)
+    assert(r.getLong(1) === repeat.length.toLong)
+    assert(r.getDouble(2) ===
+      math.floor(repeat.length.toDouble / nP * 10000.0 + 0.5) / 10000.0)
+    val gaps = repeat.map(ds => ds(1) - ds.head).sorted
+    assert(r.getLong(3) === gaps((gaps.length + 1) / 2 - 1))
+    assert(repeat.nonEmpty, "fixture should contain repeat purchasers")
   }
 
   test("win_cadence: gap CV recomputes bitwise; single-event users excluded") {

@@ -1203,7 +1203,32 @@ object GraphOps {
       .orderBy($"node")
   }
 
+  /** Hop-distance histogram from the 8 landmark BFS trees (the effective-
+    * diameter readout: the hop at which cum_share crosses 0.9): shares
+    * the ONE multi-source traversal with graph_closeness/eccentricity
+    * (same landmarks, same 6-hop cap, same recursive oracle frame — the
+    * oracle literally reuses `landmarkBfsCtes`); the rollup is a ≤6-row
+    * cumulative window. Exact pair counts, one quantized share.
+    */
+  val graphHopHistogram: Q = (s, dir) => {
+    import s.implicits._
+    val lm = partVertices(s, dir)
+      .orderBy($"p_partkey").limit(8).select($"p_partkey".as("src"))
+    graft.api.GraphAlgebra
+      .multiBfsHops(copurchaseBoth(s, dir), lm, maxHops = 6)
+      .filter($"dist" > 0)
+      .groupBy($"dist".as("hop")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum", sum($"n_pairs").over(Window.orderBy($"hop")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum($"n_pairs").over(Window.partitionBy()))
+      .select($"hop", $"n_pairs",
+        (floor($"cum".cast("double") / $"tot".cast("double") * lit(10000.0) +
+          lit(0.5)).cast("double") / lit(10000.0)).as("cum_share"))
+      .orderBy($"hop")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_hop_histogram" -> graphHopHistogram,
     "graph_bfs_tree" -> graphBfsTree,
     "graph_triangle_sample" -> graphTriangleSample,
     "graph_transitivity" -> graphTransitivity,

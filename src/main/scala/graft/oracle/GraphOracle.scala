@@ -134,6 +134,22 @@ object GraphOracle {
   private val lpaSql: String =
     s"$lpaCtes\nSELECT id AS part, lbl AS community FROM l4 ORDER BY part"
 
+  /** The 8-landmark bounded-BFS frame (recursive, node-dedup per source)
+    * ending at `md` = min hop per (src, node) — shared by
+    * graph_closeness, graph_eccentricity and graph_hop_histogram so all
+    * three derive from the identical traversal.
+    */
+  private val landmarkBfsCtes: String =
+    s"""WITH RECURSIVE $copurchaseCte,
+       |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+       |lm AS (SELECT p_partkey AS src FROM part ORDER BY 1 LIMIT 8),
+       |bfs(src, node, d) AS (
+       |  SELECT src, src, 0 FROM lm
+       |  UNION
+       |  SELECT bfs.src, e2.b, bfs.d + 1 FROM bfs JOIN e2 ON e2.a = bfs.node
+       |  WHERE bfs.d < 6),
+       |md AS (SELECT src, node, min(d) AS d FROM bfs GROUP BY 1, 2)""".stripMargin
+
   private val modularitySql: String =
     s"""$lpaCtes,
        |lbl AS (SELECT id, lbl AS community FROM l4),
@@ -299,32 +315,32 @@ object GraphOracle {
 
   val sql: Map[String, String] = Map(
     "graph_eccentricity" ->
-      s"""WITH RECURSIVE $copurchaseCte,
-         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
-         |lm AS (SELECT p_partkey AS src FROM part ORDER BY 1 LIMIT 8),
-         |bfs(src, node, d) AS (
-         |  SELECT src, src, 0 FROM lm
-         |  UNION
-         |  SELECT bfs.src, e2.b, bfs.d + 1 FROM bfs JOIN e2 ON e2.a = bfs.node
-         |  WHERE bfs.d < 6),
-         |md AS (SELECT src, node, min(d) AS d FROM bfs GROUP BY 1, 2)
+      s"""$landmarkBfsCtes
          |SELECT node AS part, count(*) AS n_sources,
          |  CAST(max(d) AS BIGINT) AS ecc_lb
          |FROM md GROUP BY 1 ORDER BY part""".stripMargin,
 
     "graph_closeness" ->
-      s"""WITH RECURSIVE $copurchaseCte,
-         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
-         |lm AS (SELECT p_partkey AS src FROM part ORDER BY 1 LIMIT 8),
-         |bfs(src, node, d) AS (
-         |  SELECT src, src, 0 FROM lm
-         |  UNION
-         |  SELECT bfs.src, e2.b, bfs.d + 1 FROM bfs JOIN e2 ON e2.a = bfs.node
-         |  WHERE bfs.d < 6),
-         |md AS (SELECT src, node, min(d) AS d FROM bfs GROUP BY 1, 2)
+      s"""$landmarkBfsCtes
          |SELECT node AS part, count(*) AS n_reached,
          |  CAST(sum((2000000000 + d) // (2 * d)) AS BIGINT) AS harmonic_nano
          |FROM md WHERE d > 0 GROUP BY 1 ORDER BY part""".stripMargin,
+
+    "graph_hop_histogram" ->
+      s"""$landmarkBfsCtes,
+         |h AS (SELECT CAST(d AS BIGINT) AS hop, count(*) AS n_pairs FROM md
+         |  WHERE d > 0 GROUP BY 1),
+         |c AS (
+         |  SELECT hop, n_pairs,
+         |    CAST(sum(n_pairs) OVER (ORDER BY hop
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum,
+         |    CAST(sum(n_pairs) OVER () AS BIGINT) AS tot
+         |  FROM h)
+         |SELECT hop, n_pairs,
+         |  floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * 10000.0 + 0.5)
+         |    / 10000.0 AS cum_share
+         |FROM c ORDER BY hop""".stripMargin,
 
     "graph_hits" -> hitsSql,
     "graph_eigencentrality" -> eigenSql,

@@ -353,6 +353,24 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (_, (n, _)) => assert(n >= 1L && n <= 8L) }
   }
 
+  test("graph_hop_histogram: pair counts reconcile with closeness/eccentricity reach") {
+    import spark.implicits._
+    val rows = q("graph_hop_histogram").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 1 && r._1 <= 6))
+    // total pairs equal the closeness op's reach (same traversal, d > 0)
+    val reach = q("graph_closeness").collect().map(_.getLong(1)).sum
+    assert(rows.map(_._2).sum === reach)
+    // cum_share monotone to 1.0; quantization recomputes
+    var cum = 0L
+    val tot = rows.map(_._2).sum
+    rows.foreach { case (_, n, share) =>
+      cum += n
+      assert(share === math.floor(cum.toDouble / tot * 10000.0 + 0.5) / 10000.0)
+    }
+    assert(rows.last._3 === 1.0)
+  }
+
   test("graph_bfs_tree: parents are valid previous-level neighbors; levels partition reachability") {
     import spark.implicits._
     val rows = q("graph_bfs_tree").collect()

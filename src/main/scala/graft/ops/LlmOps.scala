@@ -2189,7 +2189,38 @@ object LlmOps {
       .orderBy($"source", $"pair_idx")
   }
 
+  /** Skip-gram co-occurrence counts (window ±2, distance-weighted) — the
+    * word2vec/GloVe training-pair extraction step, one up from adjacent-
+    * bigram collocations. Weights stay integral by counting HALF-UNITS
+    * (distance 1 → 2, distance 2 → 1), so the rollup is an exact BIGINT
+    * fold; the position self-join is banded by construction (j−i ∈
+    * {1,2} — fan-out ≤ 2 per token, never a quadratic pair join).
+    * Top-30 pairs with deterministic tie-break.
+    */
+  val llmSkipgramPairs: Q = (s, dir) => {
+    import s.implicits._
+    val pos = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "tok")))
+      .select($"doc_id", $"p".cast("long").as("p"), $"tok")
+      .cp() // both sides of the banded self-join share the tokenize pass
+    val pairs = pos.as("a")
+      .join(pos.as("b"),
+        $"a.doc_id" === $"b.doc_id" &&
+          ($"b.p" - $"a.p" === 1 || $"b.p" - $"a.p" === 2))
+      .select($"a.tok".as("w1"), $"b.tok".as("w2"),
+        when($"b.p" - $"a.p" === 1, 2L).otherwise(1L).as("wt"))
+    val w = Window.orderBy($"wt_sum".desc, $"w1", $"w2")
+    pairs.groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("n"), sum($"wt").as("wt_sum"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 30)
+      .select($"rank", $"w1", $"w2", $"n",
+        ($"wt_sum".cast("double") / lit(2.0)).as("weight"))
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_skipgram_pairs" -> llmSkipgramPairs,
     "llm_pref_pairs" -> llmPrefPairs,
     "mm_chunk_manifest" -> mmChunkManifest,
     "mm_payload_dedup" -> mmPayloadDedup,

@@ -81,6 +81,28 @@ object LlmOracle {
       |  WHERE rn = 1)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_skipgram_pairs" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p, ts[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+        |        FROM documents) t,
+        |    UNNEST(range(1, len(ts) + 1)) AS u(i)),
+        |pr AS (
+        |  SELECT a.tok AS w1, b.tok AS w2,
+        |    CASE WHEN b.p - a.p = 1 THEN 2 ELSE 1 END AS wt
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND (b.p - a.p = 1 OR b.p - a.p = 2)),
+        |g AS (
+        |  SELECT w1, w2, count(*) AS n, CAST(sum(wt) AS BIGINT) AS wt_sum
+        |  FROM pr GROUP BY 1, 2),
+        |r AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY wt_sum DESC, w1, w2)
+        |      AS BIGINT) AS rank,
+        |    w1, w2, n, CAST(wt_sum AS DOUBLE) / 2.0 AS weight
+        |  FROM g)
+        |SELECT rank, w1, w2, n, weight FROM r WHERE rank <= 30
+        |ORDER BY rank""".stripMargin,
+
     "llm_pref_pairs" ->
       """WITH r AS (
         |  SELECT source, doc_id, n_chars,

@@ -947,6 +947,33 @@ class LlmSpec extends SparkSpec {
     got.foreach { case (_, _, ctx) => assert(ctx.split(" ", -1).contains("dup")) }
   }
 
+  test("llm_skipgram_pairs: distance-weighted top-30 matches a JVM window scan") {
+    import spark.implicits._
+    val got = q("llm_skipgram_pairs").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length === 30)
+    val docs = Tables.documents(spark, sf).select($"text").collect()
+      .map(_.getString(0).split(" ", -1))
+    val counts = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    docs.foreach { ts =>
+      for (i <- ts.indices; d <- 1 to 2 if i + d < ts.length) {
+        val k = (ts(i), ts(i + d))
+        val (n, wt) = counts.getOrElse(k, (0L, 0L))
+        counts(k) = (n + 1, wt + (if (d == 1) 2L else 1L))
+      }
+    }
+    val exp = counts.toSeq
+      .sortBy { case ((w1, w2), (_, wt)) => (-wt, w1, w2) }.take(30)
+      .zipWithIndex.map { case (((w1, w2), (n, wt)), i) =>
+        ((i + 1).toLong, w1, w2, n, wt.toDouble / 2.0)
+      }
+    assert(got.toSeq === exp)
+    // weights dominate counts only through the distance rule
+    got.foreach { case (_, _, _, n, wgt) =>
+      assert(wgt <= n.toDouble && wgt >= n.toDouble / 2.0)
+    }
+  }
+
   test("llm_pref_pairs: adjacent-rank pairing recomputes; chosen is never shorter") {
     import spark.implicits._
     val got = q("llm_pref_pairs").collect()

@@ -2219,7 +2219,36 @@ object LlmOps {
       .orderBy($"rank")
   }
 
+  /** Eval-coverage probe: what fraction of the eval slice's (source =
+    * src0) DISTINCT 3-grams the training corpus already contains — the
+    * aggregate cousin of llm_decontaminate (that op finds the documents;
+    * this one scores the overlap pressure). Distinct-shingle left join,
+    * exact counts, one quantized share.
+    */
+  val llmNgramCoverage: Q = (s, dir) => {
+    import s.implicits._
+    val tri = Tables.documents(s, dir)
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"source", split($"text", " ").as("ts"))
+      .select($"source", explode(sequence(lit(1), size($"ts") - 2)).as("i"),
+        $"ts")
+      .select($"source", concat_ws(" ",
+        element_at($"ts", $"i"), element_at($"ts", $"i" + 1),
+        element_at($"ts", $"i" + 2)).as("g"))
+      .cp() // eval and train slices share the shingle pass
+    val ev = tri.filter($"source" === "src0").select($"g").distinct()
+    val tr = tri.filter($"source" =!= "src0").select($"g".as("tg")).distinct()
+    ev.join(tr, $"g" === $"tg", "left")
+      .agg(count(lit(1)).as("n_eval_ngrams"),
+        sum(when($"tg".isNotNull, 1L).otherwise(0L)).as("n_covered"))
+      .select($"n_eval_ngrams", $"n_covered",
+        (floor($"n_covered".cast("double") / $"n_eval_ngrams".cast("double") *
+          lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
+          .as("coverage"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_ngram_coverage" -> llmNgramCoverage,
     "llm_skipgram_pairs" -> llmSkipgramPairs,
     "llm_pref_pairs" -> llmPrefPairs,
     "mm_chunk_manifest" -> mmChunkManifest,

@@ -81,6 +81,23 @@ object LlmOracle {
       |  WHERE rn = 1)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "llm_ngram_coverage" ->
+      """WITH tri AS (
+        |  SELECT source,
+        |    ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+        |  FROM (SELECT source, string_split(text, ' ') AS ts
+        |        FROM documents WHERE len(string_split(text, ' ')) >= 3) t,
+        |    UNNEST(range(1, len(ts) - 1)) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM tri WHERE source = 'src0'),
+        |tr AS (SELECT DISTINCT g AS tg FROM tri WHERE source != 'src0')
+        |SELECT count(*) AS n_eval_ngrams,
+        |  CAST(sum(CASE WHEN tg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_covered,
+        |  floor(CAST(sum(CASE WHEN tg IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS coverage
+        |FROM ev LEFT JOIN tr ON g = tg""".stripMargin,
+
     "llm_skipgram_pairs" ->
       """WITH pos AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS p, ts[i] AS tok

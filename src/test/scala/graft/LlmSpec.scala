@@ -947,6 +947,24 @@ class LlmSpec extends SparkSpec {
     got.foreach { case (_, _, ctx) => assert(ctx.split(" ", -1).contains("dup")) }
   }
 
+  test("llm_ngram_coverage: eval 3-gram coverage matches a JVM set intersection") {
+    import spark.implicits._
+    val r = q("llm_ngram_coverage").collect().head
+    val docs = Tables.documents(spark, sf).select($"source", $"text").collect()
+      .map(x => x.getString(0) -> x.getString(1).split(" ", -1))
+      .filter(_._2.length >= 3)
+    def tri(ts: Array[String]): Iterator[String] =
+      ts.sliding(3).map(_.mkString(" "))
+    val ev = docs.filter(_._1 == "src0").flatMap(d => tri(d._2)).toSet
+    val tr = docs.filter(_._1 != "src0").flatMap(d => tri(d._2)).toSet
+    val covered = (ev & tr).size.toLong
+    assert(r.getLong(0) === ev.size.toLong)
+    assert(r.getLong(1) === covered)
+    assert(r.getDouble(2) ===
+      math.floor(covered.toDouble / ev.size * 10000.0 + 0.5) / 10000.0)
+    assert(covered > 0, "fixture slices should overlap on some 3-grams")
+  }
+
   test("llm_skipgram_pairs: distance-weighted top-30 matches a JVM window scan") {
     import spark.implicits._
     val got = q("llm_skipgram_pairs").collect()

@@ -541,6 +541,101 @@ object GraphAlgebra {
     dist
   }
 
+  /** [[multiBfsHops]] carrying Brandes path counts: per (src, id) the hop
+    * distance AND σ = the exact BIGINT number of distinct shortest
+    * src→id paths (each hop's σ is the sum of the predecessors' σ — the
+    * level-synchronous forward pass of Brandes' betweenness algorithm).
+    * Same frontier/anti-join/broadcast-gating shape as multiBfsHops; the
+    * per-hop groupBy(src, b) both dedups the frontier and folds σ in one
+    * exchange. σ is exact while it fits BIGINT (levels are capped by
+    * maxHops, so the combinatorial blowup of an unbounded small-world
+    * expansion is bounded by construction).
+    */
+  def multiBfsSigma(edgesBoth: DataFrame, sources: DataFrame, maxHops: Int,
+                    broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
+    val adj = edgesBoth.select(col("a"), col("b")).cp()
+    var state = sources.select(col("src"), col("src").as("id"),
+      lit(0L).as("dist"), lit(1L).as("sigma")).cp()
+    var frontier = state.select(col("src"), col("id"), col("sigma"))
+    var frontierRows = frontier.count()
+    var h = 1L
+    var done = frontierRows == 0
+    while (h <= maxHops && !done) {
+      val next = adj.join(hinted(frontier, frontierRows, broadcastMaxRows),
+          col("a") === col("id"))
+        .groupBy(col("src"), col("b"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("src"), col("b").as("id"), col("sigma"))
+        .join(state.select(col("src"), col("id")), Seq("src", "id"),
+          "left_anti")
+        .cp()
+      frontierRows = next.count()
+      if (frontierRows == 0) done = true
+      else {
+        state = state.unionAll(next.select(col("src"), col("id"),
+          lit(h).as("dist"), col("sigma"))).cp()
+        frontier = next.select(col("src"), col("id"), col("sigma"))
+        h += 1
+      }
+    }
+    state
+  }
+
+  /** Brandes backward pass over a [[multiBfsSigma]] frame: per-(src, id)
+    * dependency δ, MICRO-quantized (δ in units of 1e-6 path-credits) so
+    * the level sums accumulate in exact BIGINTs — each predecessor
+    * contribution is the fixed double tree
+    * `floor(σv/σw · (1e6 + δw) + 0.5)` evaluated on exact integer inputs
+    * (identical IEEE ops on identical operands on any engine — the
+    * agg_chisq determinism discipline), then summed order-independently.
+    * Levels are processed deepest-first; each step is one join of the
+    * level-h frame against the already-resolved level-(h+1) deltas.
+    * Returns (src, id, dist, delta_micro) for every NON-SOURCE visited
+    * node (dist ≥ 1); level-0 rows (the sources themselves) are excluded,
+    * as Brandes excludes δ(s,s).
+    */
+  def brandesDeltas(edgesBoth: DataFrame, sigmaState: DataFrame): DataFrame = {
+    val st = sigmaState.cp()
+    val adj = edgesBoth.select(col("a"), col("b"))
+    val maxDist = st.agg(max(col("dist"))).head().getLong(0)
+    if (maxDist < 1) return st.filter(lit(false))
+      .select(col("src"), col("id"), col("dist"), lit(0L).as("delta"))
+    var resolved = st.filter(col("dist") === maxDist)
+      .select(col("src"), col("id"), col("dist"), lit(0L).as("delta")).cp()
+    var deeper = resolved // the level-(h+1) deltas for the step below
+    var h = maxDist - 1
+    while (h >= 1) {
+      val vlev = st.filter(col("dist") === h)
+        .select(col("src"), col("id"), col("sigma"))
+      val wlev = deeper
+        .join(st.select(col("src"), col("id"), col("sigma")),
+          Seq("src", "id"))
+        .select(col("src"), col("id").as("wid"),
+          col("sigma").as("wsigma"), col("delta").as("wdelta"))
+      // predecessor edges v→w (v at level h, w at level h+1): the fixed
+      // double tree below is the ONLY float in Brandes here, quantized
+      // per contribution then BIGINT-summed (order-independent)
+      val contribs = adj
+        .join(vlev, adj("a") === vlev("id"))
+        .join(wlev, adj("b") === col("wid") &&
+          vlev("src") === wlev("src"))
+        .select(vlev("src"), vlev("id"),
+          floor(col("sigma").cast("double") / col("wsigma").cast("double") *
+            (lit(1000000L) + col("wdelta")).cast("double") + lit(0.5))
+            .cast("long").as("c"))
+        .groupBy(col("src"), col("id"))
+        .agg(sum(col("c")).as("delta"))
+      val lev = vlev.select(col("src"), col("id"))
+        .join(contribs, Seq("src", "id"), "left")
+        .select(col("src"), col("id"), lit(h).as("dist"),
+          coalesce(col("delta"), lit(0L)).as("delta")).cp()
+      resolved = resolved.unionAll(lev).cp()
+      deeper = lev
+      h -= 1
+    }
+    resolved
+  }
+
   def bfsHops(edgesBoth: DataFrame, src: Long, maxHops: Int,
               broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     val s = edgesBoth.sparkSession

@@ -989,6 +989,36 @@ object GraphOps {
       .orderBy($"part")
   }
 
+  /** Landmark (sampled-source) Brandes betweenness centrality — "which
+    * parts sit on the most shortest paths": the classic broker/bottleneck
+    * signal, estimated from the 8-landmark source sample the
+    * closeness/eccentricity family already uses (exact betweenness is
+    * all-pairs — Brandes' SSSP-per-source contracted to a fixed landmark
+    * set is the standard at-scale estimator). Forward pass:
+    * [[graft.api.GraphAlgebra.multiBfsSigma]], ONE level-synchronous
+    * multi-source traversal carrying exact BIGINT path counts σ (same
+    * 6-hop cap and broadcast-gated frontier as the sibling ops). Backward
+    * pass: [[graft.api.GraphAlgebra.brandesDeltas]], ≤ 5 level joins
+    * accumulating micro-quantized dependencies δ in exact BIGINTs — the
+    * only float is one fixed per-contribution double tree on exact
+    * integer inputs, mirrored token-for-token in the oracle's unrolled
+    * per-level CTE chain. Output: per part the BIGINT micro-credit sum
+    * and its double image.
+    */
+  val graphBetweenness: Q = (s, dir) => {
+    import s.implicits._
+    val lm = partVertices(s, dir)
+      .orderBy($"p_partkey").limit(8).select($"p_partkey".as("src"))
+    val both = copurchaseBoth(s, dir)
+    val sigma = graft.api.GraphAlgebra.multiBfsSigma(both, lm, maxHops = 6)
+    graft.api.GraphAlgebra.brandesDeltas(both, sigma)
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_sources"), sum($"delta").as("bt_micro"))
+      .select($"id".as("part"), $"n_sources", $"bt_micro",
+        ($"bt_micro".cast("double") / lit(1.0e6)).as("betweenness"))
+      .orderBy($"part")
+  }
+
   /** Landmark eccentricity lower bound — max hop distance from any of the
     * 8 landmark sources (the standard diameter/eccentricity estimator:
     * ecc(v) ≥ max over landmarks d(l,v), tight when landmarks are spread).
@@ -1170,9 +1200,12 @@ object GraphOps {
       .crossJoin(est).crossJoin(exact)
       .select($"n_edges", $"n_edges_sampled", $"n_tri_sampled",
         ($"n_tri_sampled" * 64).as("estimate"), $"n_exact",
-        (floor(($"n_tri_sampled" * 64 - $"n_exact").cast("double") /
-          $"n_exact".cast("double") * lit(10000.0) + lit(0.5))
-          .cast("double") / lit(10000.0)).as("rel_err"))
+        // triangle-free graph → NULL rel_err, matching the oracle's CASE
+        // (ANSI Spark would otherwise raise DIVIDE_BY_ZERO)
+        when($"n_exact" > 0,
+          floor(($"n_tri_sampled" * 64 - $"n_exact").cast("double") /
+            $"n_exact".cast("double") * lit(10000.0) + lit(0.5))
+            .cast("double") / lit(10000.0)).as("rel_err"))
   }
 
   /** BFS tree with PARENT pointers from the 4-seed cohort (2 hops over
@@ -1237,6 +1270,7 @@ object GraphOps {
     "graph_modularity" -> graphModularity,
     "graph_eccentricity" -> graphEccentricity,
     "graph_closeness" -> graphCloseness,
+    "graph_betweenness" -> graphBetweenness,
     "graph_build_edges" -> graphBuildEdges,
     "graph_tag_profile" -> graphTagProfile,
     "graph_degree" -> graphDegree,

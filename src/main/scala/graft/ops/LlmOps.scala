@@ -1013,8 +1013,10 @@ object LlmOps {
     * quartiles, and keep the MIDDLE two (the head is boilerplate/dup-heavy,
     * the tail is noise — the CCNet recipe). The quantile split orders by
     * the ROUNDED score + doc_id so both engines rank the identical total
-    * order (raw float averages could ulp-swap neighbors). The global ntile
-    * runs over the per-doc aggregate (|docs| rows, dim-sized); the token
+    * order (raw float averages could ulp-swap neighbors). The quartile is
+    * a [[graft.api.DistScan]] range-partitioned global rank +
+    * [[graft.api.DistScan.ntileOfRank]] arithmetic over the per-doc
+    * aggregate (|docs| rows) — never a single-partition window; the token
     * work is the same two-shuffle pass as the scorer.
     */
   val llmPerplexityFilter: Q = (s, dir) => {
@@ -1029,8 +1031,11 @@ object LlmOps {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         round(sum($"sc") / (count(lit(1)) * 1.0e9), 4).as("avg_surprise"))
-    val byScore = Window.orderBy($"avg_surprise", $"doc_id")
-    scored.withColumn("q", ntile(4).over(byScore).cast("long"))
+    val ranked = graft.api.DistScan.withGlobalRank(
+      scored, "__r", $"avg_surprise", $"doc_id")
+    val n = ranked.agg(max($"__r").as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("q", graft.api.DistScan.ntileOfRank($"__r", $"__n", 4))
       .filter($"q" === 2L || $"q" === 3L)
       .select($"doc_id", $"n_tokens", $"avg_surprise", $"q")
       .orderBy($"doc_id")
@@ -2101,10 +2106,13 @@ object LlmOps {
 
   /** One-row dataset card — the datasheet header every corpus release
     * ships: doc/source/lang/token/type counts, quantized mean length,
-    * exact global median length (the 2·rank crossing), and the
-    * exact-duplicate exposure (docs whose full text md5 collides with at
-    * least one other). Pure composition of exact aggregates; every
-    * column is integer-derived.
+    * exact global median length, and the exact-duplicate exposure (docs
+    * whose full text md5 collides with at least one other). The median is
+    * value-collapsed (count per distinct n_chars — a bounded domain) and
+    * found as the smallest length whose range-partitioned prefix-sum
+    * ([[graft.api.DistScan]]) reaches rank (n+1) div 2 — no global
+    * window. Pure composition of exact aggregates; every column is
+    * integer-derived.
     */
   val llmDatasetCard: Q = (s, dir) => {
     import s.implicits._
@@ -2114,11 +2122,12 @@ object LlmOps {
       countDistinct($"lang").as("n_langs"))
     val tok = docs.select(explode(split($"text", " ")).as("t"))
       .agg(count(lit(1)).as("n_tokens"), countDistinct($"t").as("n_types"))
-    val med = docs
-      .withColumn("rn", row_number().over(Window.orderBy($"n_chars", $"doc_id")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .filter($"rn" === (($"n" + 1) / 2).cast("long"))
-      .select($"n_chars".as("p50_chars"))
+    val lens = docs.groupBy($"n_chars").agg(count(lit(1)).as("c"))
+    val med = graft.api.DistScan.withPrefixAgg(lens, "cb", $"c", "sum", $"n_chars")
+      .withColumn("cum", coalesce($"cb", lit(0L)) + $"c")
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
+      .filter($"cum" >= (($"__n" + 1) / 2).cast("long"))
+      .agg(min($"n_chars").as("p50_chars"))
     val dups = docs.groupBy(md5($"text")).agg(count(lit(1)).as("c"))
       .filter($"c" >= 2).agg(coalesce(sum($"c"), lit(0L)).as("exact_dup_docs"))
     base.crossJoin(tok).crossJoin(med).crossJoin(dups)

@@ -150,6 +150,54 @@ object GraphOracle {
        |  WHERE bfs.d < 6),
        |md AS (SELECT src, node, min(d) AS d FROM bfs GROUP BY 1, 2)""".stripMargin
 
+  /** Landmark Brandes betweenness, unrolled per level over the
+    * [[landmarkBfsCtes]] frame: σ path counts s1..s6 chain forward
+    * (σ_h(node) = Σ preds' σ_{h-1}), then micro-quantized dependencies
+    * d5..d1 chain backward — each contribution is the same fixed double
+    * tree as the Spark op (`floor(σv/σw · (1e6+δw) + 0.5)`), summed in
+    * BIGINT so accumulation order can't drift.
+    */
+  private val betweennessSql: String = {
+    val sigma = (1 to 6).map { h =>
+      s"""s$h AS (
+         |  SELECT md.src, md.node, CAST(sum(sp.sigma) AS BIGINT) AS sigma
+         |  FROM md JOIN e2 ON e2.b = md.node
+         |  JOIN s${h - 1} sp ON sp.src = md.src AND sp.node = e2.a
+         |  WHERE md.d = $h GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val deltas = (5 to 1 by -1).map { h =>
+      s"""c$h AS (
+         |  SELECT sv.src, sv.node AS v,
+         |    CAST(sum(CAST(floor(CAST(sv.sigma AS DOUBLE) /
+         |      CAST(sw.sigma AS DOUBLE) *
+         |      CAST(1000000 + dw.delta AS DOUBLE) + 0.5) AS BIGINT))
+         |      AS BIGINT) AS delta
+         |  FROM e2
+         |  JOIN s$h sv ON sv.node = e2.a
+         |  JOIN s${h + 1} sw ON sw.src = sv.src AND sw.node = e2.b
+         |  JOIN d${h + 1} dw ON dw.src = sv.src AND dw.node = sw.node
+         |  GROUP BY 1, 2),
+         |d$h AS (
+         |  SELECT sv.src, sv.node,
+         |    CAST(coalesce(c.delta, 0) AS BIGINT) AS delta
+         |  FROM s$h sv LEFT JOIN c$h c
+         |    ON c.src = sv.src AND c.v = sv.node)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 6).map(h =>
+      s"SELECT src, node, delta FROM d$h").mkString("\n|  UNION ALL ")
+    s"""$landmarkBfsCtes,
+       |s0 AS (SELECT src, src AS node, CAST(1 AS BIGINT) AS sigma FROM lm),
+       |$sigma,
+       |d6 AS (SELECT src, node, CAST(0 AS BIGINT) AS delta
+       |  FROM md WHERE d = 6),
+       |$deltas,
+       |allv AS ($union)
+       |SELECT node AS part, count(*) AS n_sources,
+       |  CAST(sum(delta) AS BIGINT) AS bt_micro,
+       |  CAST(CAST(sum(delta) AS BIGINT) AS DOUBLE) / 1.0e6 AS betweenness
+       |FROM allv GROUP BY 1 ORDER BY part""".stripMargin
+  }
+
   private val modularitySql: String =
     s"""$lpaCtes,
        |lbl AS (SELECT id, lbl AS community FROM l4),
@@ -320,6 +368,8 @@ object GraphOracle {
          |  CAST(max(d) AS BIGINT) AS ecc_lb
          |FROM md GROUP BY 1 ORDER BY part""".stripMargin,
 
+    "graph_betweenness" -> betweennessSql,
+
     "graph_closeness" ->
       s"""$landmarkBfsCtes
          |SELECT node AS part, count(*) AS n_reached,
@@ -415,8 +465,10 @@ object GraphOracle {
          |ns AS (SELECT count(*) AS n_edges_sampled FROM sm)
          |SELECT n_edges, n_edges_sampled, n_tri_sampled,
          |  n_tri_sampled * 64 AS estimate, n_exact,
-         |  floor(CAST(n_tri_sampled * 64 - n_exact AS DOUBLE) /
-         |    CAST(n_exact AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS rel_err
+         |  CASE WHEN n_exact > 0 THEN
+         |    floor(CAST(n_tri_sampled * 64 - n_exact AS DOUBLE) /
+         |      CAST(n_exact AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |  END AS rel_err
          |FROM ne, ns, ts, tx""".stripMargin,
 
     "graph_transitivity" ->

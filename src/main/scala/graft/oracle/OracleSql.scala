@@ -533,17 +533,20 @@ object OracleSql {
         |      AS n_repeat
         |  FROM fs),
         |g AS (
-        |  SELECT gap FROM (
-        |    SELECT d2 - d1 AS gap,
-        |      row_number() OVER (ORDER BY d2 - d1) AS rn,
-        |      count(*) OVER () AS m
-        |    FROM fs WHERE n >= 2) x
-        |  WHERE rn = (m + 1) // 2)
+        |  SELECT d2 - d1 AS gap, count(*) AS c FROM fs WHERE n >= 2
+        |  GROUP BY 1),
+        |cumg AS (
+        |  SELECT gap, sum(c) OVER (ORDER BY gap) AS cum FROM g),
+        |med AS (
+        |  SELECT min(gap) AS median_days_to_second
+        |  FROM cumg, b WHERE cum >= (b.n_repeat + 1) // 2)
         |SELECT n_purchasers, n_repeat,
-        |  floor(CAST(n_repeat AS DOUBLE) / CAST(n_purchasers AS DOUBLE)
-        |    * 10000.0 + 0.5) / 10000.0 AS repeat_rate,
-        |  gap AS median_days_to_second
-        |FROM b, g""".stripMargin,
+        |  CASE WHEN n_purchasers > 0 THEN
+        |    floor(CAST(n_repeat AS DOUBLE) / CAST(n_purchasers AS DOUBLE)
+        |      * 10000.0 + 0.5) / 10000.0
+        |  END AS repeat_rate,
+        |  median_days_to_second
+        |FROM b, med""".stripMargin,
 
     "win_cadence" ->
       """WITH g AS (
@@ -1272,9 +1275,11 @@ object OracleSql {
         |    CAST(sum(prev * c) AS BIGINT) AS sxy
         |  FROM p WHERE prev IS NOT NULL)
         |SELECT n,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-        |      CAST(n * syy - sy * sy AS DOUBLE)) AS r
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |        CAST(n * syy - sy * sy AS DOUBLE))
+        |  END AS r
         |FROM m""".stripMargin,
 
     "win_drawdown" ->

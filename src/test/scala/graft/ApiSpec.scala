@@ -406,6 +406,59 @@ class ApiSpec extends SparkSpec {
     assert(core === Set((1L, 2L), (2L, 2L), (3L, 2L)))
     intercept[IllegalArgumentException](api.GraphAlgebra.kcore(pairs, 0, 5))
   }
+
+  test("DistScan.withGlobalRank equals the single-partition window rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // values with duplicates so the tie-break carries the total order;
+    // enough rows to span several range partitions
+    val df = (1 to 97).map(i => (i % 13, s"id$i")).toDF("v", "id")
+    val want = df.withColumn("r",
+      row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    val got = api.DistScan.withGlobalRank(df, "r", $"v", $"id")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got === want)
+    // descending order too (the skyline/RFM-recency spelling)
+    val wantD = df.withColumn("r",
+      row_number().over(Window.orderBy($"v".desc, $"id")).cast("long"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    val gotD = api.DistScan.withGlobalRank(df, "r", $"v".desc, $"id")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(gotD === wantD)
+  }
+
+  test("DistScan.withPrefixAgg (sum/max/min) equals the exclusive-frame window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 61).map(i => ((i * 37) % 61, (i % 7).toLong)).toDF("k", "x")
+    for (kind <- Seq("sum", "max", "min")) {
+      val aggF: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        kind match { case "sum" => sum; case "max" => max; case _ => min }
+      val w = Window.orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = df.withColumn("p", aggF($"x").over(w))
+        .collect().map(r => r.getInt(0) -> Option(r.get(2))).toMap
+      val got = api.DistScan.withPrefixAgg(df, "p", $"x", kind, $"k")
+        .collect().map(r => r.getInt(0) -> Option(r.get(2))).toMap
+      assert(got === want, s"kind=$kind")
+    }
+  }
+
+  test("DistScan.ntileOfRank matches SQL ntile for every rank at several n, k") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 2, 3, 4, 5, 7, 12, 23); k <- Seq(2, 4, 5)) {
+      val df = (1 to n).map(_.toLong).toDF("v")
+      val want = df.withColumn("b",
+        ntile(k).over(Window.orderBy($"v")).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = df.select($"v",
+        api.DistScan.ntileOfRank($"v", lit(n.toLong), k).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"n=$n k=$k")
+    }
+  }
 }
 
 /** A swap-in codec for the seam spec: fixed 7×7 dims, constant features —

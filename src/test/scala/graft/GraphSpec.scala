@@ -532,4 +532,73 @@ class GraphSpec extends SparkSpec {
     val q0 = rows.values.map(_._4).sum
     assert(q0 >= -0.5 && q0 <= 1.0, s"modularity $q0")
   }
+
+  /** In-JVM reference Brandes with the op's EXACT quantized arithmetic:
+    * level-synchronous BFS σ counts, then backward micro-quantized δ via
+    * the identical double tree floor(σv/σw·(1e6+δw)+0.5).
+    */
+  private def refBrandes(adj: Map[Long, Seq[Long]], src: Long, maxHops: Int)
+      : Map[Long, (Long, Long, Long)] = {
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    val sigma = scala.collection.mutable.Map(src -> 1L)
+    val levels = scala.collection.mutable.Map(0L -> Seq(src))
+    var frontier = Seq(src)
+    var h = 1L
+    while (frontier.nonEmpty && h <= maxHops) {
+      val next = scala.collection.mutable.Map[Long, Long]()
+      for (v <- frontier; w <- adj.getOrElse(v, Nil) if !dist.contains(w))
+        next(w) = next.getOrElse(w, 0L) + sigma(v)
+      for ((w, sg) <- next) { dist(w) = h; sigma(w) = sg }
+      frontier = next.keys.toSeq
+      if (frontier.nonEmpty) levels(h) = frontier
+      h += 1
+    }
+    val delta = scala.collection.mutable.Map[Long, Long]()
+    val hmax = levels.keys.max
+    levels(hmax).foreach(v => delta(v) = 0L)
+    for (lev <- (hmax - 1) to 1L by -1L; v <- levels(lev)) {
+      delta(v) = adj.getOrElse(v, Nil)
+        .filter(w => dist.get(w).contains(lev + 1))
+        .map(w => math.floor(sigma(v).toDouble / sigma(w).toDouble *
+          (1000000L + delta(w)).toDouble + 0.5).toLong)
+        .sum
+    }
+    dist.keys.filter(_ != src)
+      .map(v => v -> ((dist(v), sigma(v), delta(v)))).toMap
+  }
+
+  test("graph_betweenness machinery equals in-JVM Brandes on a fixture graph") {
+    import spark.implicits._
+    // deterministic sparse graph: ring + chords → multiple equal-length
+    // shortest paths, so σ > 1 and fractional dependencies exercise the
+    // quantization
+    val n = 24
+    val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+    val chords = (0 until n by 3).map(i => (i.toLong, ((i + 7) % n).toLong))
+    val pairs = (ring ++ chords).map { case (a, b) =>
+      if (a < b) (a, b) else (b, a)
+    }.distinct
+    val both = pairs.toDF("a", "b")
+      .unionAll(pairs.map(_.swap).toDF("a", "b"))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    val sources = Seq(0L, 5L, 11L).toDF("src")
+    val sigma = api.GraphAlgebra.multiBfsSigma(both, sources, maxHops = 6)
+    val deltas = api.GraphAlgebra.brandesDeltas(both, sigma)
+    val got = deltas.as("d")
+      .join(sigma.as("g"), $"d.src" === $"g.src" && $"d.id" === $"g.id")
+      .select($"d.src", $"d.id", $"g.dist", $"g.sigma", $"d.delta")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = (for {
+      s <- Seq(0L, 5L, 11L)
+      (v, t) <- refBrandes(adj, s, 6)
+    } yield (s, v) -> t).toMap
+    assert(got === want)
+    // and the registry op runs with a sane shape on the sf fixture
+    val op = q("graph_betweenness").collect()
+    assert(op.nonEmpty)
+    assert(op.forall(_.getLong(2) >= 0L), "negative betweenness credit")
+  }
 }

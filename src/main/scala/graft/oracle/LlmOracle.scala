@@ -574,6 +574,55 @@ object LlmOracle {
          |FROM m JOIN jac ON m.d1 = jac.d1 AND m.d2 = jac.d2
          |ORDER BY m.d1, m.d2""".stripMargin,
 
+    "llm_containment_join_banded" ->
+      s"""WITH $jaccardPairs,
+         |mh AS (
+         |  SELECT doc_id,
+         |    min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
+         |    min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3,
+         |    min(md5('4' || s)) AS h4, min(md5('5' || s)) AS h5,
+         |    min(md5('6' || s)) AS h6, min(md5('7' || s)) AS h7
+         |  FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, band,
+         |    CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+         |              WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS key
+         |  FROM mh, (VALUES (0), (1), (2), (3)) b(band)),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |m AS (
+         |  SELECT c.d1, c.d2,
+         |    CAST((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT
+         |      + (a.h2 = b.h2)::INT + (a.h3 = b.h3)::INT
+         |      + (a.h4 = b.h4)::INT + (a.h5 = b.h5)::INT
+         |      + (a.h6 = b.h6)::INT + (a.h7 = b.h7)::INT AS BIGINT)
+         |      AS n_match
+         |  FROM cands c JOIN mh a ON c.d1 = a.doc_id
+         |               JOIN mh b ON c.d2 = b.doc_id),
+         |cal AS (
+         |  SELECT m.d1, m.d2, m.n_match, p.common,
+         |    CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2, jac.j
+         |  FROM m JOIN pairs p ON m.d1 = p.d1 AND m.d2 = p.d2
+         |  JOIN jac ON m.d1 = jac.d1 AND m.d2 = jac.d2
+         |  JOIN sizes s1 ON m.d1 = s1.doc_id
+         |  JOIN sizes s2 ON m.d2 = s2.doc_id),
+         |thr AS (
+         |  SELECT coalesce(min(n_match), 2) AS t FROM cal WHERE j >= 0.35),
+         |g AS (SELECT cal.* FROM cal, thr WHERE n_match >= t),
+         |dir AS (
+         |  SELECT d1 AS d_sub, d2 AS d_super, common, n1 AS n_sub FROM g
+         |  UNION ALL
+         |  SELECT d2, d1, common, n2 FROM g)
+         |SELECT d_sub, d_super, common, n_sub,
+         |  floor(CAST(common AS DOUBLE) / n_sub * 10000.0 + 0.5) / 10000.0
+         |    AS containment
+         |FROM dir
+         |WHERE floor(CAST(common AS DOUBLE) / n_sub * 10000.0 + 0.5)
+         |  / 10000.0 >= 0.8
+         |ORDER BY d_sub, d_super""".stripMargin,
+
     "llm_containment_join" ->
       s"""WITH $shingleDocs,
          |pairs AS (

@@ -1233,4 +1233,18 @@ class LlmSpec extends SparkSpec {
     assert(got.toSet === exp)
     assert(exp.nonEmpty, "threshold should flag some docs at spec sf")
   }
+
+  test("llm_containment_join_banded equals the exact twin on the fixture corpus") {
+    // the banded front end's declared posture: identical output where the
+    // corpus's containment pairs sit above the calibration-fed recall
+    // floor — which the fixture's do (any drop here means the banding or
+    // the threshold feed regressed, not noise)
+    def rows(k: String) = SparkEntry.queries(k)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val exact = rows("llm_containment_join")
+    val banded = rows("llm_containment_join_banded")
+    assert(exact.nonEmpty, "fixture should contain containment pairs")
+    assert(banded === exact)
+  }
 }

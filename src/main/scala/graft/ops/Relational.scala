@@ -3214,7 +3214,142 @@ object Relational {
         $"median_days_to_second")
   }
 
+  /** Global empirical CDF of order price — the distribution readout every
+    * pricing dashboard starts from, exact at full resolution: collapse to
+    * cents-exact distinct price points first (≪ |orders|), then the
+    * cumulative count is a [[DistScan.withPrefixAgg]] range-partitioned
+    * prefix-sum over the collapsed frame — a global ECDF with NO
+    * single-partition window anywhere. The share is one quantized ratio
+    * of exact BIGINTs.
+    */
+  val winEcdf: Q = (s, dir) => {
+    import s.implicits._
+    val pts = Tables.orders(s, dir)
+      .groupBy(round($"o_totalprice" * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pts.agg(sum($"n").as("tot"))
+    DistScan.withPrefixAgg(pts, "cb", $"n", "sum", $"cents")
+      .withColumn("cum", coalesce($"cb", lit(0L)) + $"n")
+      .crossJoin(broadcast(tot))
+      .select(($"cents".cast("double") / lit(100.0)).as("price"), $"n",
+        $"cum",
+        (floor($"cum".cast("double") / $"tot".cast("double") * lit(10000.0) +
+          lit(0.5)).cast("double") / lit(10000.0)).as("ecdf"))
+      .orderBy($"cum")
+  }
+
+  /** Winsorized mean per return flag — the robust mean every metrics
+    * pipeline ships next to the raw one: clamp to the exact in-group
+    * [p05, p95] elements (the [[aggPercentiles]] rank convention,
+    * `(p·n+99) DIV 100`, picked via the value-collapsed cumulative — the
+    * weighted-median shape, so the window runs over distinct cent values
+    * per group, not the fact table), then an exact clamped BIGINT mean.
+    */
+  val aggWinsorized: Q = (s, dir) => {
+    import s.implicits._
+    val rows = Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        round($"l_extendedprice" * 100).cast("long").as("v"))
+    val byVal = rows.groupBy($"l_returnflag", $"v")
+      .agg(count(lit(1)).as("c"))
+    val cumw = Window.partitionBy($"l_returnflag").orderBy($"v")
+    val cum = byVal
+      .withColumn("cum", sum($"c").over(cumw))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"l_returnflag")))
+    def pick(p: Int, name: String) = cum
+      .filter($"cum" >= expr(s"($p * n + 99) DIV 100"))
+      .groupBy($"l_returnflag").agg(min($"v").as(name))
+    val bounds = pick(5, "lo").join(pick(95, "hi"), "l_returnflag")
+    rows.join(broadcast(bounds), "l_returnflag")
+      .select($"l_returnflag",
+        least(greatest($"v", $"lo"), $"hi").as("w"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"w").as("sw"))
+      .join(broadcast(bounds), "l_returnflag")
+      .select($"l_returnflag", $"n",
+        ($"lo".cast("double") / lit(100.0)).as("p05"),
+        ($"hi".cast("double") / lit(100.0)).as("p95"),
+        (floor($"sw".cast("double") / $"n".cast("double") + lit(0.5))
+          .cast("double") / lit(100.0)).as("winsorized_mean"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Theil T inequality index of customer spend per nation — the
+    * decomposable sibling of [[aggGini]] (log-based, so it splits into
+    * within/between terms at rollup time). Spend is exact cents; the
+    * per-customer ratio q = x·n/Σx is ONE division of exact BIGINTs and
+    * the transcendental term q·ln(q) is nano-quantized per row
+    * (`floor(f·1e9 + 0.5)` — the §2.9-sanctioned transcendental form)
+    * then BIGINT-summed, so accumulation order can't drift; T is a fixed
+    * double tree over the exact sum.
+    */
+  val aggTheil: Q = (s, dir) => {
+    import s.implicits._
+    val spend = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+    val nat = spend.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+    spend.join(broadcast(nat), "c_nationkey")
+      .withColumn("q", ($"x" * $"n").cast("double") / $"sx".cast("double"))
+      .withColumn("t", floor($"q" * log($"q") * lit(1.0e9) + lit(0.5))
+        .cast("long"))
+      .groupBy($"c_nationkey")
+      .agg(max($"n").as("n_cust"), sum($"t").as("tn"))
+      .select($"c_nationkey", $"n_cust",
+        ($"tn".cast("double") / $"n_cust".cast("double") / lit(1.0e9))
+          .as("theil"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** Deterministic half-sample bootstrap CI for the mean order price —
+    * the error bar an A/B readout puts on its headline mean WITHOUT an
+    * RNG: replicate r ∈ 0..31 includes order o iff a 16-bit md5 slice of
+    * (r, o_orderkey) is even (an exact 50% subsample, reproducible on
+    * any engine), each replicate's mean is an exact cents-sum ratio, and
+    * the CI picks the p05/p95 replicate means by the [[aggPercentiles]]
+    * rank rule. The replicate frame is 32 rows by construction — its
+    * ordering is constant-sized, never data-sized; the expansion join is
+    * 32× the fact table, the honest cost of resampling (at 100 TB the
+    * swap is per-partition replicate partials, same estimator).
+    */
+  val aggSubsampleCi: Q = (s, dir) => {
+    import s.implicits._
+    val reps = Tables.orders(s, dir)
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("v"))
+      .select($"o_orderkey", $"v",
+        explode(sequence(lit(0L), lit(31L))).as("r"))
+      .filter(expr(
+        "cast(conv(substring(md5(concat(cast(r as string), '_'," +
+          " cast(o_orderkey as string))), 1, 4), 16, 10) as bigint) % 2 = 0"))
+      .groupBy($"r")
+      .agg(count(lit(1)).as("m"), sum($"v").as("sv"))
+      .select($"r", ($"sv".cast("double") / $"m".cast("double")).as("mean"))
+    val ranked = reps.withColumn("rn",
+      row_number().over(Window.orderBy($"mean", $"r")).cast("long"))
+    val lo = ranked.filter($"rn" === lit((5 * 32 + 99) / 100))
+      .select($"mean".as("lo"))
+    val hi = ranked.filter($"rn" === lit((95 * 32 + 99) / 100))
+      .select($"mean".as("hi"))
+    val base = Tables.orders(s, dir)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("sv"))
+    base.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select($"n_orders",
+        (floor($"sv".cast("double") / $"n_orders".cast("double") + lit(0.5))
+          .cast("double") / lit(100.0)).as("mean_price"),
+        (floor($"lo" + lit(0.5)).cast("double") / lit(100.0)).as("ci_lo"),
+        (floor($"hi" + lit(0.5)).cast("double") / lit(100.0)).as("ci_hi"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_ecdf" -> winEcdf,
+    "agg_winsorized" -> aggWinsorized,
+    "agg_theil" -> aggTheil,
+    "agg_subsample_ci" -> aggSubsampleCi,
     "agg_repeat_purchase" -> aggRepeatPurchase,
     "win_cadence" -> winCadence,
     "fn_uuid5" -> fnUuid5,

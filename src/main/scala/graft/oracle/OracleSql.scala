@@ -459,6 +459,99 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "win_ecdf" ->
+      """WITH pts AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM pts),
+        |c AS (
+        |  SELECT cents, CAST(n AS BIGINT) AS n,
+        |    CAST(sum(n) OVER (ORDER BY cents) AS BIGINT) AS cum
+        |  FROM pts)
+        |SELECT CAST(cents AS DOUBLE) / 100.0 AS price, n, cum,
+        |  floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS ecdf
+        |FROM c, tot ORDER BY cum""".stripMargin,
+
+    "agg_winsorized" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |bv AS (SELECT l_returnflag, v, count(*) AS c FROM r GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT l_returnflag, v,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY v)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM bv),
+        |lo AS (SELECT l_returnflag, min(v) AS lo FROM cm
+        |  WHERE cum >= (5 * n + 99) // 100 GROUP BY 1),
+        |hi AS (SELECT l_returnflag, min(v) AS hi FROM cm
+        |  WHERE cum >= (95 * n + 99) // 100 GROUP BY 1),
+        |w AS (
+        |  SELECT r.l_returnflag, least(greatest(r.v, lo.lo), hi.hi) AS w
+        |  FROM r JOIN lo ON r.l_returnflag = lo.l_returnflag
+        |  JOIN hi ON r.l_returnflag = hi.l_returnflag),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(w) AS BIGINT) AS sw FROM w GROUP BY 1)
+        |SELECT m.l_returnflag, n,
+        |  CAST(lo.lo AS DOUBLE) / 100.0 AS p05,
+        |  CAST(hi.hi AS DOUBLE) / 100.0 AS p95,
+        |  floor(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) / 100.0
+        |    AS winsorized_mean
+        |FROM m JOIN lo ON m.l_returnflag = lo.l_returnflag
+        |JOIN hi ON m.l_returnflag = hi.l_returnflag
+        |ORDER BY m.l_returnflag""".stripMargin,
+
+    "agg_theil" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c_nationkey, x FROM spend
+        |  JOIN customer ON o_custkey = c_custkey),
+        |nat AS (SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx FROM j GROUP BY 1),
+        |t AS (
+        |  SELECT j.c_nationkey, n,
+        |    CAST(floor(CAST(x * n AS DOUBLE) / CAST(sx AS DOUBLE) *
+        |      ln(CAST(x * n AS DOUBLE) / CAST(sx AS DOUBLE)) * 1.0e9 + 0.5)
+        |      AS BIGINT) AS tt
+        |  FROM j JOIN nat ON j.c_nationkey = nat.c_nationkey)
+        |SELECT c_nationkey, max(n) AS n_cust,
+        |  CAST(CAST(sum(tt) AS BIGINT) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+        |    / 1.0e9 AS theil
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_subsample_ci" ->
+      """WITH reps AS (
+        |  SELECT r, count(*) AS m, CAST(sum(v) AS BIGINT) AS sv FROM (
+        |    SELECT o_orderkey,
+        |      CAST(round(o_totalprice * 100) AS BIGINT) AS v, u.r
+        |    FROM orders, UNNEST(range(0, 32)) AS u(r)) x
+        |  WHERE CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '_' ||
+        |    CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % 2 = 0
+        |  GROUP BY 1),
+        |mns AS (SELECT r, CAST(sv AS DOUBLE) / CAST(m AS DOUBLE) AS mean
+        |  FROM reps),
+        |rk AS (SELECT mean,
+        |  row_number() OVER (ORDER BY mean, r) AS rn FROM mns),
+        |lo AS (SELECT mean AS lo FROM rk WHERE rn = 2),
+        |hi AS (SELECT mean AS hi FROM rk WHERE rn = 31),
+        |b AS (SELECT count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sv
+        |  FROM orders)
+        |SELECT n_orders,
+        |  floor(CAST(sv AS DOUBLE) / CAST(n_orders AS DOUBLE) + 0.5)
+        |    / 100.0 AS mean_price,
+        |  floor(lo + 0.5) / 100.0 AS ci_lo,
+        |  floor(hi + 0.5) / 100.0 AS ci_hi
+        |FROM b, lo, hi""".stripMargin,
+
     "join_null_safe" ->
       """WITH c AS (
         |  SELECT nullif(c_nationkey, 3) AS k FROM customer),

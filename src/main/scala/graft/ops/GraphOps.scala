@@ -332,6 +332,22 @@ object GraphOps {
       .orderBy($"part")
   }
 
+  /** Component-size distribution of the w≥2 co-purchase graph — the
+    * fragmentation readout next to [[graphCcDf]]'s raw labeling ("one
+    * giant component or many islands?"): same frontier-gated min-label
+    * fixpoint, then two cheap rollups (label→size, size→count). The
+    * histogram is ≤ |distinct sizes| rows — dashboard-sized at any scale.
+    */
+  val graphCcSizes: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).filter($"w" >= 2).select($"a", $"b")
+    graft.api.GraphAlgebra
+      .connectedComponentsDf(partVertices(s, dir).toDF("part"), cp)
+      .groupBy($"comp").agg(count(lit(1)).as("size"))
+      .groupBy($"size").agg(count(lit(1)).as("n_components"))
+      .orderBy($"size")
+  }
+
   /** Single-source BFS hops from part 1 over the undirected co-purchase
     * graph, capped at 6 hops (GraphX Pregel/ShortestPaths; oracle = bounded
     * recursive BFS with min(depth)).
@@ -1296,6 +1312,7 @@ object GraphOps {
     "graph_tag_similarity_approx" -> graphTagSimilarityApprox,
     "graph_cc" -> graphCc,
     "graph_cc_df" -> graphCcDf,
+    "graph_cc_sizes" -> graphCcSizes,
     "graph_sssp" -> graphSssp,
     "graph_sssp_df" -> graphSsspDf,
     "graph_wsssp" -> graphWsssp,

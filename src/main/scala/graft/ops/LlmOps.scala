@@ -1643,6 +1643,52 @@ object LlmOps {
       .orderBy($"d_sub", $"d_super")
   }
 
+  /** T5-style span-corruption SCHEDULE, RNG-free: a 3-token mask span
+    * starts at 1-based position i iff the 16-bit md5 slice of (doc_id, i)
+    * ≡ 0 mod 8 and the span fits — an exact 1-in-8 position sample,
+    * reproducible on any engine (the graph_triangle_sample hash-coin
+    * convention). Spans MAY overlap; this op emits the sampling artifact
+    * (start, len, span text) that a masking executor dedups at apply
+    * time — the schedule is what must be deterministic and auditable.
+    * Per-row array arithmetic + one hash predicate: embarrassingly
+    * parallel, zero shuffles before the output sort.
+    */
+  val llmSpanCorruption: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), " ").as("ts"))
+      .withColumn("n", size($"ts").cast("long"))
+      .filter($"n" >= 3)
+      .select($"doc_id", $"ts",
+        explode(sequence(lit(1L), $"n" - 2)).as("i"))
+      .filter(expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':'," +
+          " cast(i as string))), 1, 4), 16, 10) as bigint) % 8 = 0"))
+      .select($"doc_id", $"i".as("start"), lit(3L).as("len"),
+        concat_ws(" ", slice($"ts", $"i".cast("int"), lit(3))).as("span"))
+      .orderBy($"doc_id", $"start")
+  }
+
+  /** Type-token-ratio curve by document length bucket (width 50 tokens) —
+    * the lexical-diversity readout a corpus audit plots against length
+    * (TTR falls with length; a bucket off the curve flags templated or
+    * keyword-stuffed strata). Types are counted WITHIN each document
+    * (distinct tokens per doc — the per-doc explode+agg), then bucket
+    * ratios aggregate exact BIGINTs; one quantized ratio per bucket.
+    */
+  val llmTtrCurve: Q = (s, dir) => {
+    import s.implicits._
+    val per = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("t"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct($"t").as("n_typ"))
+    per.groupBy(expr("(n_tok - 1) DIV 50").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tokens"),
+        sum($"n_typ").as("types"))
+      .withColumn("ttr", pround4($"types" / $"tokens"))
+      .orderBy($"bucket")
+  }
+
   /** Chunk-hash dedup with keep-first semantics (the CCNet move, at chunk
     * granularity): documents split into DISJOINT 20-token chunks, each
     * chunk hashed, and a chunk survives only in the document that MINTED
@@ -2355,6 +2401,8 @@ object LlmOps {
     "fn_struct" -> fnStruct,
     "llm_minhash_calibration" -> llmMinhashCalibration,
     "llm_containment_join_banded" -> llmContainmentJoinBanded,
+    "llm_span_corruption" -> llmSpanCorruption,
+    "llm_ttr_curve" -> llmTtrCurve,
     "llm_containment_join" -> llmContainmentJoin,
     "llm_ngram_novelty" -> llmNgramNovelty,
     "llm_fuzzy_join" -> llmFuzzyJoin,

@@ -254,6 +254,29 @@ object StreamingOps {
       .orderBy($"user_id", $"version")
   }
 
+  /** CDC log compaction — the keep-latest-per-key pass every changelog
+    * store runs before serving point lookups: latest event per user under
+    * the deterministic (ms, event_id) version order, spelled as ONE
+    * max-struct aggregation (the struct comparison IS the version
+    * comparator) — map-side combinable, no window, no sort, no shuffle
+    * beyond the key agg; the version counter rides the same agg. The
+    * 100 TB posture of compaction: one exchange on the key, partials
+    * folded before the shuffle.
+    */
+  val stateCompactLatest: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_id",
+        $"event_type", round($"value" * lit(10000)).cast("long").as("v"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        max(struct($"ms", $"event_id", $"event_type", $"v")).as("m"))
+      .select($"user_id", $"n_versions", $"m.ms".as("last_ms"),
+        $"m.event_id".as("last_event_id"), $"m.event_type".as("last_type"),
+        ($"m.v".cast("double") / lit(10000.0)).as("last_value"))
+      .orderBy($"user_id")
+  }
+
   /** The shared journal→state fold ([[streamEdgeUpsert]]'s core). */
   private def foldEdgeState(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
@@ -671,6 +694,7 @@ object StreamingOps {
     "stream_stateful_fold" -> streamStatefulFold,
     "stream_edge_upsert" -> streamEdgeUpsert,
     "state_asof" -> stateAsof,
+    "state_compact_latest" -> stateCompactLatest,
     "state_diff" -> stateDiff,
     "state_scd2" -> stateScd2,
     "stream_join" -> streamJoin,

@@ -784,6 +784,19 @@ object GraphOracle {
          |SELECT node AS part, min(label) AS comp
          |FROM reach GROUP BY node ORDER BY part""".stripMargin,
 
+    "graph_cc_sizes" ->
+      s"""WITH RECURSIVE $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp WHERE w >= 2
+         |       UNION ALL SELECT b, a FROM cp WHERE w >= 2),
+         |reach(node, label) AS (
+         |  SELECT p_partkey, p_partkey FROM part
+         |  UNION
+         |  SELECT e2.b, reach.label FROM reach JOIN e2 ON e2.a = reach.node),
+         |comp AS (SELECT node, min(label) AS comp FROM reach GROUP BY node),
+         |sz AS (SELECT comp, count(*) AS size FROM comp GROUP BY 1)
+         |SELECT CAST(size AS BIGINT) AS size, count(*) AS n_components
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "graph_sssp" ->
       s"""WITH RECURSIVE $copurchaseCte,
          |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),

@@ -574,6 +574,36 @@ object LlmOracle {
          |FROM m JOIN jac ON m.d1 = jac.d1 AND m.d2 = jac.d2
          |ORDER BY m.d1, m.d2""".stripMargin,
 
+    "llm_span_corruption" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS ts
+        |  FROM documents
+        |  WHERE len(string_split(trim(text), ' ')) >= 3),
+        |pos AS (
+        |  SELECT doc_id, ts, CAST(i AS BIGINT) AS i
+        |  FROM toks, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+        |hit AS (
+        |  SELECT doc_id, i, ts FROM pos
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(i AS VARCHAR)), 1, 4) AS BIGINT) % 8 = 0)
+        |SELECT doc_id, i AS start, CAST(3 AS BIGINT) AS len,
+        |  array_to_string(list_slice(ts, i, i + 2), ' ') AS span
+        |FROM hit ORDER BY doc_id, start""".stripMargin,
+
+    "llm_ttr_curve" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_tok, count(DISTINCT t) AS n_typ
+        |  FROM tok GROUP BY 1)
+        |SELECT (n_tok - 1) // 50 AS bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |  CAST(sum(n_typ) AS BIGINT) AS types,
+        |  floor(CAST(sum(n_typ) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS ttr
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "llm_containment_join_banded" ->
       s"""WITH $jaccardPairs,
          |mh AS (

@@ -67,6 +67,22 @@ object StreamingOracle {
          |FROM events GROUP BY 1, 2 ORDER BY user_id, item""".stripMargin,
 
     // journal replay as-of T = max(ts) - 1 h: same fold, prefix-filtered
+    "state_compact_latest" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+        |    CAST(round(value * 10000) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ms, event_id, event_type, v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ms DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM e)
+        |SELECT user_id, CAST(n_versions AS BIGINT) AS n_versions,
+        |  ms AS last_ms, event_id AS last_event_id, event_type AS last_type,
+        |  CAST(v AS DOUBLE) / 10000.0 AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "state_asof" ->
       s"""WITH m AS (SELECT max(epoch_ms(ts)) AS mx FROM events)
          |SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,

@@ -1218,6 +1218,59 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** ViT-style image tile manifest — the 16×16 patching schedule a vision
+    * preprocessor emits per image (edge tiles truncated, never padded
+    * here — the padding mask is the consumer's): payload dims come from
+    * the [[graft.api.Codec]] seam's decode (STUB dims in this container;
+    * a real codec swaps in via -Dgraft.codec.class without touching this
+    * op), and the grid then derives DECLARATIVELY from the (w, h)
+    * metadata — two sequence explodes inside codegen, the payload bytes
+    * never reshuffle. Oracle replays the stub's documented dim
+    * arithmetic (the mm-family convention).
+    */
+  val mmTileGrid: Q = (s, dir) => {
+    import s.implicits._
+    val dec = graft.api.Multimodal.decode(
+      Tables.documents(s, dir)
+        .select($"doc_id".as("id"), $"text".cast("binary").as("payload"))
+        .as[graft.api.Multimodal.Payload]).toDF()
+    dec
+      .select($"id".as("doc_id"), $"width".cast("long").as("w"),
+        $"height".cast("long").as("h"))
+      .select($"doc_id", $"w", $"h",
+        explode(sequence(lit(0L), expr("(w - 1) DIV 16"))).as("tx"))
+      .select($"doc_id", $"w", $"h", $"tx",
+        explode(sequence(lit(0L), expr("(h - 1) DIV 16"))).as("ty"))
+      .select($"doc_id", $"tx".as("tile_x"), $"ty".as("tile_y"),
+        least(lit(16L), $"w" - $"tx" * 16).as("px_w"),
+        least(lit(16L), $"h" - $"ty" * 16).as("px_h"))
+      .orderBy($"doc_id", $"tile_x", $"tile_y")
+  }
+
+  /** Aspect-preserving resize plan over decoded dims (max side 64) — the
+    * metadata half of an image-resize stage: the SCALE decision is pure
+    * integer/one-double arithmetic over [[graft.api.Multimodal.decode]]'s
+    * (w, h) and runs without touching payload bytes; the pixel kernel
+    * is the codec's job at apply time. Truncation (toward zero) is
+    * mirrored with trunc() in the oracle — both engines evaluate the
+    * identical IEEE scale product.
+    */
+  val mmResizeBatch: Q = (s, dir) => {
+    import s.implicits._
+    val dec = graft.api.Multimodal.decode(
+      Tables.documents(s, dir)
+        .select($"doc_id".as("id"), $"text".cast("binary").as("payload"))
+        .as[graft.api.Multimodal.Payload])
+    graft.api.Multimodal.resize(dec, maxSide = 64).toDF()
+      .join(dec.toDF().select($"id", $"width".as("orig_w"),
+        $"height".as("orig_h")), "id")
+      .select($"id".as("doc_id"), $"orig_w".cast("long").as("orig_w"),
+        $"orig_h".cast("long").as("orig_h"),
+        $"width".cast("long").as("out_w"),
+        $"height".cast("long").as("out_h"))
+      .orderBy($"doc_id")
+  }
+
   /** Video-style frame sampling over opaque payloads (text bytes stand in
     * for the codec stream — ASCII, so byte slices == char slices and the
     * DuckDB oracle can replay them with substr): 16-byte frames, every 4th
@@ -2461,6 +2514,8 @@ object LlmOps {
     "llm_pipeline_e2e" -> llmPipelineE2e,
     "llm_pipeline_pack" -> llmPipelinePack,
     "llm_sim_topk" -> llmSimTopk,
-    "mm_decode_stub" -> mmDecodeStub
+    "mm_decode_stub" -> mmDecodeStub,
+    "mm_tile_grid" -> mmTileGrid,
+    "mm_resize_batch" -> mmResizeBatch
   )
 }

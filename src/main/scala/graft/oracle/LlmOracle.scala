@@ -1366,6 +1366,49 @@ object LlmOracle {
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replays StubCodec.imageDims (w = n mod 64 + 1, h = max(1, n div w))
+    // — the mm-family convention: the oracle checks the STUB path; a real
+    // codec swap is covered by the ApiSpec seam test, not the oracle
+    "mm_tile_grid" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, CAST(n % 64 + 1 AS BIGINT) AS w,
+        |    CAST(greatest(1, n // (n % 64 + 1)) AS BIGINT) AS h
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id, w, h, CAST(ux.tx AS BIGINT) AS tile_x,
+        |    CAST(uy.ty AS BIGINT) AS tile_y
+        |  FROM dims,
+        |  UNNEST(range(0, (w - 1) // 16 + 1)) AS ux(tx),
+        |  UNNEST(range(0, (h - 1) // 16 + 1)) AS uy(ty))
+        |SELECT doc_id, tile_x, tile_y,
+        |  least(16, w - tile_x * 16) AS px_w,
+        |  least(16, h - tile_y * 16) AS px_h
+        |FROM g ORDER BY doc_id, tile_x, tile_y""".stripMargin,
+
+    "mm_resize_batch" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, CAST(n % 64 + 1 AS BIGINT) AS w,
+        |    CAST(greatest(1, n // (n % 64 + 1)) AS BIGINT) AS h
+        |  FROM d)
+        |SELECT doc_id, w AS orig_w, h AS orig_h,
+        |  CASE WHEN greatest(w, h) <= 64 THEN w
+        |    ELSE greatest(1, CAST(trunc(CAST(w AS DOUBLE) *
+        |      (64.0 / CAST(greatest(w, h) AS DOUBLE))) AS BIGINT)) END
+        |    AS out_w,
+        |  CASE WHEN greatest(w, h) <= 64 THEN h
+        |    ELSE greatest(1, CAST(trunc(CAST(h AS DOUBLE) *
+        |      (64.0 / CAST(greatest(w, h) AS DOUBLE))) AS BIGINT)) END
+        |    AS out_h
+        |FROM dims ORDER BY doc_id""".stripMargin
   )
 }

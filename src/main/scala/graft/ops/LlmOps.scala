@@ -1696,6 +1696,31 @@ object LlmOps {
       .orderBy($"d_sub", $"d_super")
   }
 
+  /** Deterministic train/val/test split assignment — the one decision a
+    * training-data pipeline must make identically on every engine, at
+    * every scale, forever: split = md5-coin of the SALTED doc id (salt
+    * pins the split generation; re-salting is an explicit new split, not
+    * an accident), 80/10/10 by hash mod 100. Emits the per-split audit
+    * row (docs, exact token total, quantized mean length) a datasheet
+    * reports; the assignment itself is a pure per-row expression any
+    * downstream op can inline.
+    */
+  val llmDatasetSplit: Q = (s, dir) => {
+    import s.implicits._
+    val coin = expr(
+      "cast(conv(substring(md5(concat('split-v1:'," +
+        " cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100")
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", size(split(trim($"text"), " ")).cast("long")
+        .as("n_tok"))
+      .withColumn("split",
+        when(coin < 80, "train").when(coin < 90, "val").otherwise("test"))
+    tok.groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .withColumn("mean_tokens", pround4($"n_tokens" / $"n_docs"))
+      .orderBy($"split")
+  }
+
   /** T5-style span-corruption SCHEDULE, RNG-free: a 3-token mask span
     * starts at 1-based position i iff the 16-bit md5 slice of (doc_id, i)
     * ≡ 0 mod 8 and the span fits — an exact 1-in-8 position sample,
@@ -2455,6 +2480,7 @@ object LlmOps {
     "llm_minhash_calibration" -> llmMinhashCalibration,
     "llm_containment_join_banded" -> llmContainmentJoinBanded,
     "llm_span_corruption" -> llmSpanCorruption,
+    "llm_dataset_split" -> llmDatasetSplit,
     "llm_ttr_curve" -> llmTtrCurve,
     "llm_containment_join" -> llmContainmentJoin,
     "llm_ngram_novelty" -> llmNgramNovelty,

@@ -694,6 +694,25 @@ object Relational {
       .orderBy($"s_suppkey")
   }
 
+  /** ORC source — the fourth file format on the graded surface (parquet /
+    * CSV / JSON-lines / ORC; Spark ships the ORC reader natively):
+    * supplier round-tripped through ORC scratch with an EXPLICIT schema
+    * on read, joined to nation. Artifact memoized like the other source
+    * round-trips; the oracle reads the pristine parquet, so the ORC
+    * round-trip must be lossless for these types (it is — ORC stores
+    * doubles and strings natively).
+    */
+  val srcOrc: Q = (s, dir) => {
+    import s.implicits._
+    val out = srcArtifact("src_orc", dir, "supplier.parquet") { p =>
+      Tables.supplier(s, dir).write.mode("overwrite").orc(s"$p/supplier")
+    } + "/supplier"
+    val sup = s.read.schema(Tables.supplier(s, dir).schema).orc(out)
+    sup.join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name", $"s_acctbal")
+      .orderBy($"s_suppkey")
+  }
+
   /** Running DISTINCT count per partition — a window Spark (and standard
     * SQL) cannot express as `count(DISTINCT) OVER`: flag each (supplier,
     * part)'s first occurrence with an inner row_number, then running-sum
@@ -3452,6 +3471,7 @@ object Relational {
     "agg_median_mode" -> aggMedianMode,
     "src_csv" -> srcCsv,
     "src_json" -> srcJson,
+    "src_orc" -> srcOrc,
     "win_running_distinct" -> winRunningDistinct,
     "agg_pivot" -> aggPivot,
     "agg_corr" -> aggCorr,

@@ -574,6 +574,24 @@ object LlmOracle {
          |FROM m JOIN jac ON m.d1 = jac.d1 AND m.d2 = jac.d2
          |ORDER BY m.d1, m.d2""".stripMargin,
 
+    "llm_dataset_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+        |      AS n_tok,
+        |    CAST('0x' || substr(md5('split-v1:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS coin
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN coin < 80 THEN 'train' WHEN coin < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM t)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  floor(CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_tokens
+        |FROM a GROUP BY 1 ORDER BY split""".stripMargin,
+
     "llm_span_corruption" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS ts

@@ -2102,6 +2102,13 @@ object OracleSql {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY s_suppkey""".stripMargin,
 
+    // same pristine-parquet oracle as src_json: the ORC round-trip is
+    // DEFINED lossless for these types, so both must hash identically
+    "src_orc" ->
+      """SELECT s_suppkey, s_name, n_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
+
     "join_theta_rule" ->
       """WITH e AS (SELECT event_id, epoch_ms(ts) AS t FROM events)
         |SELECT a.t // 3600000 AS hour, count(*) AS n_pairs,

@@ -348,6 +348,22 @@ object GraphOps {
       .orderBy($"size")
   }
 
+  /** Shortest-path COUNTS from part 1 — [[graphSssp]]'s distances plus
+    * Brandes σ: how many distinct shortest paths reach each node (path
+    * redundancy = robustness of the connection; σ=1 nodes hang by a
+    * thread). One [[graft.api.GraphAlgebra.multiBfsSigma]] traversal with
+    * a single source; exact BIGINT counts, 6-hop cap, oracle = the
+    * per-level σ chain unrolled over the recursive BFS frame.
+    */
+  val graphPathCount: Q = (s, dir) => {
+    import s.implicits._
+    val lm = Seq(1L).toDF("src")
+    graft.api.GraphAlgebra
+      .multiBfsSigma(copurchaseBoth(s, dir), lm, maxHops = 6)
+      .select($"id".as("part"), $"dist", $"sigma")
+      .orderBy($"part")
+  }
+
   /** Single-source BFS hops from part 1 over the undirected co-purchase
     * graph, capped at 6 hops (GraphX Pregel/ShortestPaths; oracle = bounded
     * recursive BFS with min(depth)).
@@ -1313,6 +1329,7 @@ object GraphOps {
     "graph_cc" -> graphCc,
     "graph_cc_df" -> graphCcDf,
     "graph_cc_sizes" -> graphCcSizes,
+    "graph_path_count" -> graphPathCount,
     "graph_sssp" -> graphSssp,
     "graph_sssp_df" -> graphSsspDf,
     "graph_wsssp" -> graphWsssp,

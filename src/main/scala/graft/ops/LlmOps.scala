@@ -1696,6 +1696,77 @@ object LlmOps {
       .orderBy($"d_sub", $"d_super")
   }
 
+  /** Hard-negative mining for contrastive training — per document, the
+    * most lexically similar document from a DIFFERENT source (similar
+    * surface, different provenance: exactly the negatives that teach a
+    * retriever the hard boundary). Candidates come from the shared 4×2
+    * MinHash band join (collision-scaled, the [[llmContainmentJoinBanded]]
+    * front end), verified to exact Jaccard, cross-source filtered, and
+    * the per-doc argmax is ONE max-struct agg under the deterministic
+    * (j, smallest-candidate) order — no window over the pair stream.
+    */
+  val llmHardNegatives: Q = (s, dir) => {
+    import s.implicits._
+    val ex = shingleRows(s, dir).cp()
+    val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val hashAggs = (0 to 7).map(i =>
+      min(md5(concat(lit(i.toString), $"s"))).as(s"h$i"))
+    val mh = ex.groupBy($"doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    val bands = mh.select($"doc_id", explode(array(
+      struct(lit(0).as("band"), concat($"h0", $"h1").as("key")),
+      struct(lit(1).as("band"), concat($"h2", $"h3").as("key")),
+      struct(lit(2).as("band"), concat($"h4", $"h5").as("key")),
+      struct(lit(3).as("band"), concat($"h6", $"h7").as("key")))).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val cands = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2")).distinct()
+    val exact = cands
+      .join(ex.select($"doc_id".as("d1"), $"s".as("s1")), "d1")
+      .join(ex.select($"doc_id".as("d2"), $"s".as("s1")), Seq("d2", "s1"))
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("common"))
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .withColumn("j", $"common" / ($"n1" + $"n2" - $"common"))
+    val both = exact.select($"d1".as("doc_id"), $"d2".as("cand"), $"j")
+      .unionAll(exact.select($"d2".as("doc_id"), $"d1".as("cand"), $"j"))
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    both
+      .join(src, "doc_id")
+      .join(src.select($"doc_id".as("cand"), $"source".as("cand_source")),
+        "cand")
+      .filter($"source" =!= $"cand_source")
+      .groupBy($"doc_id")
+      .agg(max(struct($"j", (-$"cand").as("nc"))).as("m"),
+        count(lit(1)).as("n_cands"))
+      .select($"doc_id", (-$"m.nc").as("hard_neg"), pround4($"m.j").as("jaccard"),
+        $"n_cands")
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic curriculum ordering — the schedule an easy-to-hard
+    * training run feeds from: difficulty = integer average word length
+    * (`n_chars·100 DIV n_tokens` — a pure-integer proxy; swap in any
+    * scorer), total order (difficulty, n_tokens, doc_id), global rank via
+    * [[graft.api.DistScan.withGlobalRank]] (range-partitioned — the
+    * full-corpus ordering at 100 TB is a range shuffle, exactly what the
+    * training-shard writer wants), first 200 positions emitted as the
+    * auditable schedule head.
+    */
+  val llmCurriculumOrder: Q = (s, dir) => {
+    import s.implicits._
+    val per = Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars",
+        size(split(trim($"text"), " ")).cast("long").as("n_tok"))
+      .withColumn("difficulty", expr("(n_chars * 100) DIV n_tok"))
+    graft.api.DistScan
+      .withGlobalRank(per, "position", $"difficulty", $"n_tok", $"doc_id")
+      .filter($"position" <= 200)
+      .select($"position", $"doc_id", $"difficulty", $"n_tok")
+      .orderBy($"position")
+  }
+
   /** Deterministic train/val/test split assignment — the one decision a
     * training-data pipeline must make identically on every engine, at
     * every scale, forever: split = md5-coin of the SALTED doc id (salt
@@ -2481,6 +2552,8 @@ object LlmOps {
     "llm_containment_join_banded" -> llmContainmentJoinBanded,
     "llm_span_corruption" -> llmSpanCorruption,
     "llm_dataset_split" -> llmDatasetSplit,
+    "llm_hard_negatives" -> llmHardNegatives,
+    "llm_curriculum_order" -> llmCurriculumOrder,
     "llm_ttr_curve" -> llmTtrCurve,
     "llm_containment_join" -> llmContainmentJoin,
     "llm_ngram_novelty" -> llmNgramNovelty,

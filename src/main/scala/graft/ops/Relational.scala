@@ -3364,7 +3364,34 @@ object Relational {
         (floor($"hi" + lit(0.5)).cast("double") / lit(100.0)).as("ci_hi"))
   }
 
+  /** CUSUM changepoint detector over the daily event count — "when did
+    * behavior shift": S_t = Σ_{i≤t} (c_i·n − Σc) is the n-SCALED
+    * cumulative deviation from the mean (×n keeps every term an exact
+    * BIGINT — no float mean ever enters), and the changepoint is the day
+    * with the maximum |S_t| (deterministic argmax via max-struct with the
+    * earliest-day tie-break). The cumulative runs over the
+    * already-aggregated daily frame (≤ one row per day — the agg_autocorr
+    * posture: single-partition by construction, not by accident).
+    */
+  val aggChangepoint: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("c"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum($"c").as("sc"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("dev", $"c" * $"n" - $"sc")
+      .withColumn("s", sum($"dev").over(
+        Window.orderBy($"d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .agg(max(struct(abs($"s").as("a"), (-$"d").as("nd"))).as("m"),
+        max($"n").as("n_days"))
+      .select($"n_days", (-$"m.nd").as("changepoint_day"),
+        $"m.a".as("cusum_peak_nscaled"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_changepoint" -> aggChangepoint,
     "win_ecdf" -> winEcdf,
     "agg_winsorized" -> aggWinsorized,
     "agg_theil" -> aggTheil,

@@ -784,6 +784,33 @@ object GraphOracle {
          |SELECT node AS part, min(label) AS comp
          |FROM reach GROUP BY node ORDER BY part""".stripMargin,
 
+    "graph_path_count" -> {
+      val sigma = (1 to 6).map { h =>
+        s"""s$h AS (
+           |  SELECT md.node, CAST(sum(sp.sigma) AS BIGINT) AS sigma
+           |  FROM md JOIN e2 ON e2.b = md.node
+           |  JOIN s${h - 1} sp ON sp.node = e2.a
+           |  WHERE md.d = $h GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 to 6).map(h =>
+        s"SELECT node, sigma FROM s$h").mkString("\n|  UNION ALL ")
+      s"""WITH RECURSIVE $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |bfs(node, d) AS (
+         |  SELECT CAST(1 AS BIGINT) AS node, 0 AS d
+         |  UNION
+         |  SELECT e2.b, bfs.d + 1 FROM bfs JOIN e2 ON e2.a = bfs.node
+         |  WHERE bfs.d < 6),
+         |md AS (SELECT node, min(d) AS d FROM bfs GROUP BY 1),
+         |s0 AS (SELECT CAST(1 AS BIGINT) AS node,
+         |  CAST(1 AS BIGINT) AS sigma),
+         |$sigma,
+         |sg AS ($union)
+         |SELECT md.node AS part, CAST(md.d AS BIGINT) AS dist, sg.sigma
+         |FROM md JOIN sg ON sg.node = md.node
+         |ORDER BY part""".stripMargin
+    },
+
     "graph_cc_sizes" ->
       s"""WITH RECURSIVE $copurchaseCte,
          |e2 AS (SELECT a, b FROM cp WHERE w >= 2

@@ -574,6 +574,61 @@ object LlmOracle {
          |FROM m JOIN jac ON m.d1 = jac.d1 AND m.d2 = jac.d2
          |ORDER BY m.d1, m.d2""".stripMargin,
 
+    "llm_hard_negatives" ->
+      s"""WITH $jaccardPairs,
+         |mh AS (
+         |  SELECT doc_id,
+         |    min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
+         |    min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3,
+         |    min(md5('4' || s)) AS h4, min(md5('5' || s)) AS h5,
+         |    min(md5('6' || s)) AS h6, min(md5('7' || s)) AS h7
+         |  FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, band,
+         |    CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+         |              WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS key
+         |  FROM mh, (VALUES (0), (1), (2), (3)) b(band)),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |cj AS (
+         |  SELECT c.d1, c.d2, jac.j FROM cands c
+         |  JOIN jac ON c.d1 = jac.d1 AND c.d2 = jac.d2),
+         |dd AS (
+         |  SELECT d1 AS doc_id, d2 AS cand, j FROM cj
+         |  UNION ALL SELECT d2, d1, j FROM cj),
+         |xs AS (
+         |  SELECT b.doc_id, b.cand, b.j
+         |  FROM dd b
+         |  JOIN documents da ON b.doc_id = da.doc_id
+         |  JOIN documents db ON b.cand = db.doc_id
+         |  WHERE da.source != db.source),
+         |pick AS (
+         |  SELECT doc_id, cand, j,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY j DESC, cand) AS rn,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_cands
+         |  FROM xs)
+         |SELECT doc_id, cand AS hard_neg,
+         |  floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard,
+         |  CAST(n_cands AS BIGINT) AS n_cands
+         |FROM pick WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "llm_curriculum_order" ->
+      """WITH per AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, (n_chars * 100) // n_tok AS difficulty, n_tok,
+        |    row_number() OVER (
+        |      ORDER BY (n_chars * 100) // n_tok, n_tok, doc_id) AS position
+        |  FROM per)
+        |SELECT CAST(position AS BIGINT) AS position, doc_id,
+        |  CAST(difficulty AS BIGINT) AS difficulty, n_tok
+        |FROM r WHERE position <= 200 ORDER BY position""".stripMargin,
+
     "llm_dataset_split" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT)

@@ -459,6 +459,26 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "agg_changepoint" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS sc
+        |  FROM daily),
+        |cu AS (
+        |  SELECT d,
+        |    CAST(sum(c * n - sc) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS s, n
+        |  FROM daily, st),
+        |pick AS (
+        |  SELECT d, abs(s) AS a, n,
+        |    row_number() OVER (ORDER BY abs(s) DESC, d) AS rn
+        |  FROM cu)
+        |SELECT CAST(n AS BIGINT) AS n_days, d AS changepoint_day,
+        |  a AS cusum_peak_nscaled
+        |FROM pick WHERE rn = 1""".stripMargin,
+
     "win_ecdf" ->
       """WITH pts AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

@@ -1696,6 +1696,26 @@ object LlmOps {
       .orderBy($"d_sub", $"d_super")
   }
 
+  /** Prefix-hash dedup groups — boilerplate-header detection: documents
+    * sharing an identical first-64-char prefix (site chrome, license
+    * headers, templated intros) cluster under one md5; emit each
+    * multi-member group with its canonical keeper (min doc_id), member
+    * and distinct-full-text counts — "same opening, how many bodies".
+    * One hash group-by; the prefix never shuffles as text at scale, the
+    * digest is the key.
+    */
+  val llmPrefixDedup: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", md5(substring($"text", 1, 64)).as("ph"),
+        md5($"text").as("fh"))
+      .groupBy($"ph")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper"),
+        countDistinct($"fh").as("n_distinct_bodies"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"keeper")
+  }
+
   /** Hard-negative mining for contrastive training — per document, the
     * most lexically similar document from a DIFFERENT source (similar
     * surface, different provenance: exactly the negatives that teach a
@@ -2553,6 +2573,7 @@ object LlmOps {
     "llm_span_corruption" -> llmSpanCorruption,
     "llm_dataset_split" -> llmDatasetSplit,
     "llm_hard_negatives" -> llmHardNegatives,
+    "llm_prefix_dedup" -> llmPrefixDedup,
     "llm_curriculum_order" -> llmCurriculumOrder,
     "llm_ttr_curve" -> llmTtrCurve,
     "llm_containment_join" -> llmContainmentJoin,

@@ -3390,7 +3390,52 @@ object Relational {
         $"m.a".as("cusum_peak_nscaled"))
   }
 
+  /** Day-of-week × hour activity heatmap — the calendar rhythm readout
+    * every ops dashboard leads with. Both axes are pure integer epoch
+    * arithmetic (dow via the 1970-01-01-was-Thursday offset, hour from
+    * the ms remainder) — no engine calendar/locale/timezone machinery
+    * anywhere near the hash, which is exactly why the cells compare
+    * bit-identically across engines.
+    */
+  val aggCalendarHeatmap: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(tsMs($"ts").as("ms"))
+      .select(expr("((ms DIV 86400000) + 4) % 7").as("dow"),
+        expr("(ms % 86400000) DIV 3600000").as("hour"))
+      .groupBy($"dow", $"hour").agg(count(lit(1)).as("n"))
+      .orderBy($"dow", $"hour")
+  }
+
+  /** DAU/MAU stickiness per 30-day epoch bucket — "of the users active
+    * this month, what share shows up on an average day": mean daily
+    * distinct users over the bucket ÷ bucket distinct users. Fixed
+    * 30-day epoch buckets (pure integer day arithmetic), exact distinct
+    * counts, one quantized ratio — no calendar months, so the metric is
+    * reproducible on any engine and partitions cleanly at scale.
+    */
+  val aggDauMau: Q = (s, dir) => {
+    import s.implicits._
+    val ud = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+      .distinct()
+      .withColumn("bucket", expr("d DIV 30"))
+    val daily = ud.groupBy($"bucket", $"d").agg(count(lit(1)).as("dau"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_days"), sum($"dau").as("dau_sum"))
+    val monthly = ud.groupBy($"bucket")
+      .agg(countDistinct($"user_id").as("mau"))
+    daily.join(monthly, "bucket")
+      .select($"bucket", $"n_days", $"dau_sum", $"mau",
+        (floor($"dau_sum".cast("double") / $"n_days".cast("double") /
+          $"mau".cast("double") * lit(10000.0) + lit(0.5)).cast("double") /
+          lit(10000.0)).as("stickiness"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_calendar_heatmap" -> aggCalendarHeatmap,
+    "agg_dau_mau" -> aggDauMau,
     "agg_changepoint" -> aggChangepoint,
     "win_ecdf" -> winEcdf,
     "agg_winsorized" -> aggWinsorized,

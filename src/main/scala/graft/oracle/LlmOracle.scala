@@ -574,6 +574,15 @@ object LlmOracle {
          |FROM m JOIN jac ON m.d1 = jac.d1 AND m.d2 = jac.d2
          |ORDER BY m.d1, m.d2""".stripMargin,
 
+    "llm_prefix_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, md5(substr(text, 1, 64)) AS ph, md5(text) AS fh
+        |  FROM documents)
+        |SELECT ph, count(*) AS n_docs, min(doc_id) AS keeper,
+        |  count(DISTINCT fh) AS n_distinct_bodies
+        |FROM p GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY keeper""".stripMargin,
+
     "llm_hard_negatives" ->
       s"""WITH $jaccardPairs,
          |mh AS (

@@ -459,6 +459,30 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "agg_calendar_heatmap" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms FROM events)
+        |SELECT ((ms // 86400000) + 4) % 7 AS dow,
+        |  (ms % 86400000) // 3600000 AS hour, count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
+
+    "agg_dau_mau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d
+        |  FROM events),
+        |ub AS (SELECT user_id, d, d // 30 AS bucket FROM ud),
+        |daily AS (
+        |  SELECT bucket, count(*) AS n_days,
+        |    CAST(sum(dau) AS BIGINT) AS dau_sum
+        |  FROM (SELECT bucket, d, count(*) AS dau FROM ub GROUP BY 1, 2) x
+        |  GROUP BY 1),
+        |monthly AS (
+        |  SELECT bucket, count(DISTINCT user_id) AS mau FROM ub GROUP BY 1)
+        |SELECT daily.bucket, n_days, dau_sum, mau,
+        |  floor(CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |    / CAST(mau AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS stickiness
+        |FROM daily JOIN monthly ON daily.bucket = monthly.bucket
+        |ORDER BY daily.bucket""".stripMargin,
+
     "agg_changepoint" ->
       """WITH daily AS (
         |  SELECT epoch_ms(ts) // 86400000 AS d, count(*) AS c

@@ -1696,6 +1696,25 @@ object LlmOps {
       .orderBy($"d_sub", $"d_super")
   }
 
+  /** BPE pair statistics — the inner loop of byte-pair-encoding tokenizer
+    * TRAINING, as one corpus query: every adjacent character pair inside
+    * every word, counted globally, top 50 by frequency (the pair a BPE
+    * trainer would merge next, and the 49 runners-up). The pair explode
+    * is per-row arithmetic inside codegen; the rollup is one exact
+    * BIGINT count agg; the head is TakeOrderedAndProject (per-partition
+    * heaps, never a global sort).
+    */
+  val llmBpePairStats: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split(trim($"text"), " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .select($"w", explode(sequence(lit(1), length($"w") - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair").limit(50)
+  }
+
   /** Prefix-hash dedup groups — boilerplate-header detection: documents
     * sharing an identical first-64-char prefix (site chrome, license
     * headers, templated intros) cluster under one md5; emit each
@@ -2574,6 +2593,7 @@ object LlmOps {
     "llm_dataset_split" -> llmDatasetSplit,
     "llm_hard_negatives" -> llmHardNegatives,
     "llm_prefix_dedup" -> llmPrefixDedup,
+    "llm_bpe_pair_stats" -> llmBpePairStats,
     "llm_curriculum_order" -> llmCurriculumOrder,
     "llm_ttr_curve" -> llmTtrCurve,
     "llm_containment_join" -> llmContainmentJoin,

@@ -2561,6 +2561,42 @@ object Relational {
       .orderBy($"island")
   }
 
+  /** Peak session concurrency — "how many sessions were live at the
+    * busiest instant" (capacity planning's first number): the same
+    * 30-min-gap session frame as [[winIntervalUnion]], swept as a ±1
+    * boundary stream — starts before ends at an equal timestamp
+    * (inclusive-interval convention), running sum = live-session count —
+    * with the global running sum spelled as a [[DistScan.withPrefixAgg]]
+    * range-partitioned scan and the earliest-peak argmax as one
+    * max-struct agg. No single-partition window; the sweep is
+    * 2·|sessions| rows, never the event stream.
+    */
+  val winConcurrencyPeak: Q = (s, dir) => {
+    import s.implicits._
+    val wUser = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val sessions = Tables.events(s, dir)
+      .select($"user_id", $"event_id", tsMs($"ts").as("ms"))
+      .withColumn("gap",
+        when(lag($"ms", 1).over(wUser).isNull, 1L)
+          .when($"ms" - lag($"ms", 1).over(wUser) > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum($"gap").over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ms").as("start_ms"), max($"ms").as("end_ms"))
+    val deltas = sessions
+      .select($"user_id", $"sid", $"start_ms".as("ms"), lit(1L).as("delta"))
+      .unionAll(sessions.select($"user_id", $"sid", $"end_ms".as("ms"),
+        lit(-1L).as("delta")))
+    DistScan.withPrefixAgg(deltas, "cb", $"delta", "sum",
+        $"ms", $"delta".desc, $"user_id", $"sid")
+      .withColumn("conc", coalesce($"cb", lit(0L)) + $"delta")
+      .agg(count(lit(1)).as("n_boundaries"),
+        max(struct($"conc".as("c"), (-$"ms").as("nm"))).as("m"))
+      .select($"n_boundaries", $"m.c".as("peak_concurrency"),
+        (-$"m.nm").as("peak_ms"))
+  }
+
   /** Day-over-day behavioral-set similarity: Jaccard between the set of
     * event types a user emitted today vs yesterday (habit stability).
     * Spelled set-free — distinct (user, day, type) rows self-joined on
@@ -3438,6 +3474,7 @@ object Relational {
     "agg_dau_mau" -> aggDauMau,
     "agg_changepoint" -> aggChangepoint,
     "win_ecdf" -> winEcdf,
+    "win_concurrency_peak" -> winConcurrencyPeak,
     "agg_winsorized" -> aggWinsorized,
     "agg_theil" -> aggTheil,
     "agg_subsample_ci" -> aggSubsampleCi,

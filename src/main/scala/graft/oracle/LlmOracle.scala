@@ -574,6 +574,17 @@ object LlmOracle {
          |FROM m JOIN jac ON m.d1 = jac.d1 AND m.d2 = jac.d2
          |ORDER BY m.d1, m.d2""".stripMargin,
 
+    "llm_bpe_pair_stats" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS w
+        |  FROM documents),
+        |ws AS (SELECT w FROM w WHERE len(w) >= 2),
+        |p AS (
+        |  SELECT substr(w, i, 2) AS pair
+        |  FROM ws, UNNEST(range(1, len(w))) AS u(i))
+        |SELECT pair, count(*) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
     "llm_prefix_dedup" ->
       """WITH p AS (
         |  SELECT doc_id, md5(substr(text, 1, 64)) AS ph, md5(text) AS fh

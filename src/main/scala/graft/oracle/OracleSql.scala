@@ -503,6 +503,44 @@ object OracleSql {
         |  a AS cusum_peak_nscaled
         |FROM pick WHERE rn = 1""".stripMargin,
 
+    "win_concurrency_peak" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL THEN 1
+        |      WHEN ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS gap
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sid AS (
+        |  SELECT user_id, ms,
+        |    CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms
+        |  FROM sid GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT user_id, sid, start_ms AS ms, CAST(1 AS BIGINT) AS delta
+        |  FROM sess
+        |  UNION ALL
+        |  SELECT user_id, sid, end_ms, CAST(-1 AS BIGINT) FROM sess),
+        |run AS (
+        |  SELECT ms,
+        |    CAST(sum(delta) OVER (ORDER BY ms, delta DESC, user_id, sid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS conc
+        |  FROM deltas),
+        |pick AS (
+        |  SELECT conc, ms,
+        |    row_number() OVER (ORDER BY conc DESC, ms) AS rn,
+        |    count(*) OVER () AS n_boundaries
+        |  FROM run)
+        |SELECT CAST(n_boundaries AS BIGINT) AS n_boundaries,
+        |  conc AS peak_concurrency, ms AS peak_ms
+        |FROM pick WHERE rn = 1""".stripMargin,
+
     "win_ecdf" ->
       """WITH pts AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

@@ -320,4 +320,40 @@ object PropertySpec extends Properties("graft") {
       java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
         java.lang.Double.doubleToLongBits(t)
     }
+
+  property("DistScan prefix sum/max/min equals in-JVM exclusive scan") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-1000L, 1000L),
+        Gen.chooseNum(-50L, 50L))),
+      Gen.oneOf("sum", "max", "min")) { (xs0, kind) =>
+      // unique composite order key (k, i) — the helper's total-order contract
+      val xs = xs0.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+      val df = xs.toDF("k", "i", "x")
+      val got = api.DistScan
+        .withPrefixAgg(df, "p", $"x", kind, $"k", $"i")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(3))).toMap
+      var acc = Option.empty[Long]
+      val want = xs.sortBy(t => (t._1, t._2)).map { t =>
+        val out = (t._1, t._2) -> acc
+        acc = Some(kind match {
+          case "sum" => acc.getOrElse(0L) + t._3
+          case "max" => math.max(acc.getOrElse(Long.MinValue), t._3)
+          case _     => math.min(acc.getOrElse(Long.MaxValue), t._3)
+        })
+        out
+      }.toMap
+      got == want
+    }
+
+  property("DistScan.withGlobalRank equals the sort index") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L))) { ks =>
+      val xs = ks.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      val df = xs.toDF("k", "i")
+      val got = api.DistScan.withGlobalRank(df, "r", $"k", $"i")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = xs.sortBy(identity).zipWithIndex
+        .map { case (t, i) => t -> (i + 1L) }.toMap
+      got == want
+    }
 }

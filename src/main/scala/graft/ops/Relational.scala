@@ -3282,10 +3282,12 @@ object Relational {
     val pts = Tables.orders(s, dir)
       .groupBy(round($"o_totalprice" * 100).cast("long").as("cents"))
       .agg(count(lit(1)).as("n"))
-    val tot = pts.agg(sum($"n").as("tot"))
-    DistScan.withPrefixAgg(pts, "cb", $"n", "sum", $"cents")
+    val scanned = DistScan.withPrefixAgg(pts, "cb", $"n", "sum", $"cents")
       .withColumn("cum", coalesce($"cb", lit(0L)) + $"n")
-      .crossJoin(broadcast(tot))
+    // total = the last row's cumulative — a tiny agg over the CHECKPOINTED
+    // scan frame, not a second pass over the parquet lineage
+    val tot = scanned.agg(max($"cum").as("tot"))
+    scanned.crossJoin(broadcast(tot))
       .select(($"cents".cast("double") / lit(100.0)).as("price"), $"n",
         $"cum",
         (floor($"cum".cast("double") / $"tot".cast("double") * lit(10000.0) +

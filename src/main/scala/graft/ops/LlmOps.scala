@@ -1303,6 +1303,32 @@ object LlmOps {
       .orderBy($"doc_id", $"win_idx")
   }
 
+  /** Video scene-cut detection over stub frame energies — the shot-
+    * boundary pass a video-curation pipeline runs before sampling
+    * keyframes: 16-byte non-overlapping "frames" through the
+    * [[graft.api.Codec]] energy kernel (stub: byte sum; a real build
+    * swaps an encoder in via the seam), a cut wherever the consecutive
+    * energy delta exceeds 200. The lag runs per document (partitioned
+    * window); exact integer energies so the threshold compare is
+    * engine-portable.
+    */
+  val mmSceneCuts: Q = (s, dir) => {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .select($"doc_id".as("id"), $"text".cast("binary").as("payload"))
+      .as[graft.api.Multimodal.Payload]
+    val en = graft.api.Multimodal
+      .windowEnergy(payloads, windowBytes = 16, stride = 16)
+      .toDF("doc_id", "win_idx", "energy")
+    val w = Window.partitionBy($"doc_id").orderBy($"win_idx")
+    en.withColumn("prev", lag($"energy", 1).over(w))
+      .filter($"prev".isNotNull && abs($"energy" - $"prev") > 200)
+      .select($"doc_id", $"win_idx".as("cut_idx"),
+        $"prev".as("prev_energy"), $"energy",
+        abs($"energy" - $"prev").as("delta"))
+      .orderBy($"doc_id", $"cut_idx")
+  }
+
   /** Regex scalar surface — the extract / global-replace / match-count /
     * boolean-match quartet every text pipeline leans on, spelled in the
     * POSIX-class subset where Java regex (Spark) and RE2 (DuckDB) agree
@@ -2656,6 +2682,7 @@ object LlmOps {
     "llm_sim_topk" -> llmSimTopk,
     "mm_decode_stub" -> mmDecodeStub,
     "mm_tile_grid" -> mmTileGrid,
+    "mm_scene_cuts" -> mmSceneCuts,
     "mm_resize_batch" -> mmResizeBatch
   )
 }

@@ -3471,7 +3471,76 @@ object Relational {
       .orderBy($"bucket")
   }
 
+  /** Robust daily-volume anomaly days — median/MAD outlier detection over
+    * the daily event count (the ops-alerting staple; mean/σ would let one
+    * spike poison the threshold): exact lower-median and
+    * median-absolute-deviation via the (value, day)-ranked pick, flag
+    * days with 2·|c−med| > 3·MAD — all BIGINT comparisons, no float
+    * threshold. The rank windows run over the ALREADY-aggregated daily
+    * frame (≤ one row per day — the agg_autocorr posture).
+    */
+  val aggAnomalyDays: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("c"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    val med = daily
+      .withColumn("rn", row_number().over(Window.orderBy($"c", $"d")))
+      .crossJoin(broadcast(n))
+      .filter($"rn" === (($"n" + 1) / 2).cast("long"))
+      .select($"c".as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs($"c" - $"med"))
+    val mad = dev
+      .withColumn("rn", row_number().over(Window.orderBy($"dev", $"d")))
+      .crossJoin(broadcast(n))
+      .filter($"rn" === (($"n" + 1) / 2).cast("long"))
+      .select($"dev".as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .filter($"dev" * 2 > $"mad" * 3)
+      .select($"d", $"c", $"med", $"mad", $"dev")
+      .orderBy($"d")
+  }
+
+  /** Symmetric difference with provenance — "in exactly one of the two
+    * cohorts, and which": the set-algebra completion of [[setExcept]]
+    * (same cohort pair), spelled as two EXCEPTs union-tagged with their
+    * side. Both EXCEPTs are hash anti-joins on the same key — one
+    * exchange family at scale.
+    */
+  val setSymmetricDiff: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val a = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+    val b = c.filter($"c_acctbal" > 5000).select($"c_custkey")
+    a.except(b).withColumn("side", lit("a_only"))
+      .unionAll(b.except(a).withColumn("side", lit("b_only")))
+      .orderBy($"c_custkey")
+  }
+
+  /** Top-3 orders per market segment — the per-group head every "biggest
+    * deals by region" report runs: one partitioned rank (parallel across
+    * segments, never a global sort) with the (price desc, orderkey)
+    * deterministic tie-break, filtered to rank ≤ 3.
+    */
+  val topkPerGroup: Q = (s, dir) => {
+    import s.implicits._
+    val j = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment"), $"o_custkey" === $"c_custkey")
+    j.withColumn("rk", row_number().over(
+        Window.partitionBy($"c_mktsegment")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"c_mktsegment", $"rk", $"o_orderkey", $"o_totalprice")
+      .orderBy($"c_mktsegment", $"rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_anomaly_days" -> aggAnomalyDays,
+    "set_symmetric_diff" -> setSymmetricDiff,
+    "topk_per_group" -> topkPerGroup,
     "agg_calendar_heatmap" -> aggCalendarHeatmap,
     "agg_dau_mau" -> aggDauMau,
     "agg_changepoint" -> aggChangepoint,

@@ -1455,6 +1455,25 @@ object LlmOracle {
         |    greatest(0, (octet_length(CAST(t.text AS BLOB)) - 32) // 16 + 1))) AS i) x
         |ORDER BY doc_id, win_idx""".stripMargin,
 
+    "mm_scene_cuts" ->
+      """WITH en AS (
+        |  SELECT doc_id, CAST(x.i AS BIGINT) AS win_idx,
+        |    CAST(list_aggregate(list_transform(range(1, 17),
+        |      j -> ord(substr(text, CAST(x.i * 16 + j AS INT), 1))), 'sum')
+        |      AS BIGINT) AS energy
+        |  FROM documents t,
+        |    LATERAL (SELECT unnest(range(0,
+        |      greatest(0, (octet_length(CAST(t.text AS BLOB)) - 16) // 16
+        |        + 1))) AS i) x),
+        |lg AS (
+        |  SELECT doc_id, win_idx, energy,
+        |    lag(energy) OVER (PARTITION BY doc_id ORDER BY win_idx) AS prev
+        |  FROM en)
+        |SELECT doc_id, win_idx AS cut_idx, prev AS prev_energy, energy,
+        |  abs(energy - prev) AS delta
+        |FROM lg WHERE prev IS NOT NULL AND abs(energy - prev) > 200
+        |ORDER BY doc_id, cut_idx""".stripMargin,
+
     "mm_decode_stub" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -459,6 +459,50 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "agg_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM daily),
+        |med AS (
+        |  SELECT c AS med FROM (
+        |    SELECT c, row_number() OVER (ORDER BY c, d) AS rn FROM daily) x,
+        |    n WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT d, c, med, abs(c - med) AS dev FROM daily, med),
+        |mad AS (
+        |  SELECT dev AS mad FROM (
+        |    SELECT dev, row_number() OVER (ORDER BY dev, d) AS rn
+        |    FROM dev) x, n
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d, CAST(c AS BIGINT) AS c, CAST(med AS BIGINT) AS med,
+        |  CAST(mad AS BIGINT) AS mad, CAST(dev AS BIGINT) AS dev
+        |FROM dev, mad WHERE dev * 2 > mad * 3 ORDER BY d""".stripMargin,
+
+    "set_symmetric_diff" ->
+      """WITH a AS (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'AUTOMOBILE'),
+        |b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT c_custkey, 'a_only' AS side FROM (
+        |  SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT c_custkey, 'b_only' FROM (
+        |  SELECT c_custkey FROM b EXCEPT SELECT c_custkey FROM a)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "topk_per_group" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, o_orderkey,
+        |  o_totalprice
+        |FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM j) x
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+
     "agg_calendar_heatmap" ->
       """WITH e AS (SELECT epoch_ms(ts) AS ms FROM events)
         |SELECT ((ms // 86400000) + 4) % 7 AS dow,

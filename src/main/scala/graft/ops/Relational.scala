@@ -3537,7 +3537,82 @@ object Relational {
       .orderBy($"c_mktsegment", $"rk")
   }
 
+  /** Deterministic stratified sample audit — the RNG-free 10% per-stratum
+    * subsample every eval pipeline draws (stratify by segment so small
+    * strata aren't starved): membership = md5-coin of the salted customer
+    * key < 10 (mod 100), the llm_dataset_split convention; emits the
+    * per-stratum audit (population, sampled, quantized realized rate —
+    * the drift-vs-nominal check). The assignment is a per-row expression
+    * any consumer inlines; no sampling state, no seed bookkeeping.
+    */
+  val aggSampleStratified: Q = (s, dir) => {
+    import s.implicits._
+    val coin = expr(
+      "cast(conv(substring(md5(concat('sample-v1:'," +
+        " cast(c_custkey as string))), 1, 8), 16, 10) as bigint) % 100")
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment", coin.as("coin"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_pop"),
+        sum(when($"coin" < 10, 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("rate",
+        floor($"n_sampled".cast("double") / $"n_pop".cast("double") *
+          lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Levenshtein edit distance over successive supplier names — the fuzzy
+    * entity-resolution primitive (typo'd vendor feeds) exercised on a
+    * LINEAR pair stream (each key against its successor — the sorted-
+    * neighborhood blocking a real ER pass uses), never the quadratic all-
+    * pairs. Both engines ship the same classic DP; exact integer output.
+    */
+  val fnLevenshtein: Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_name")
+    sup.as("a")
+      .join(sup.as("b"), $"b.s_suppkey" === $"a.s_suppkey" + 1)
+      .select($"a.s_suppkey".as("s_suppkey"), $"a.s_name".as("name_a"),
+        $"b.s_name".as("name_b"),
+        levenshtein($"a.s_name", $"b.s_name").cast("long").as("dist"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** Ship-latency distribution per order priority — exact integer-day
+    * median of (shipdate − orderdate) via the value-collapsed crossing
+    * (the weighted-median shape: the window runs over ≤ |distinct
+    * latencies| rows per priority, never the fact table), plus exact
+    * min/max/mean. The fulfillment-SLA readout.
+    */
+  val aggShipLatency: Q = (s, dir) => {
+    import s.implicits._
+    val lat = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        datediff($"l_shipdate", $"o_orderdate").cast("long").as("days"))
+    val byVal = lat.groupBy($"o_orderpriority", $"days")
+      .agg(count(lit(1)).as("c"))
+    val cumw = Window.partitionBy($"o_orderpriority").orderBy($"days")
+    val medians = byVal
+      .withColumn("cum", sum($"c").over(cumw))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"o_orderpriority")))
+      .filter($"cum" >= (($"n" + 1) / 2).cast("long"))
+      .groupBy($"o_orderpriority").agg(min($"days").as("median_days"))
+    lat.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), min($"days").as("min_days"),
+        max($"days").as("max_days"), sum($"days").as("sd"))
+      .join(medians, "o_orderpriority")
+      .select($"o_orderpriority", $"n", $"min_days", $"median_days",
+        $"max_days",
+        (floor($"sd".cast("double") / $"n".cast("double") * lit(10000.0) +
+          lit(0.5)).cast("double") / lit(10000.0)).as("mean_days"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_sample_stratified" -> aggSampleStratified,
+    "fn_levenshtein" -> fnLevenshtein,
+    "agg_ship_latency" -> aggShipLatency,
     "agg_anomaly_days" -> aggAnomalyDays,
     "set_symmetric_diff" -> setSymmetricDiff,
     "topk_per_group" -> topkPerGroup,

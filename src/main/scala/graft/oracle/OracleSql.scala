@@ -459,6 +459,53 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "agg_sample_stratified" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST('0x' || substr(md5('sample-v1:' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS coin
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_pop,
+        |  CAST(sum(CASE WHEN coin < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sampled,
+        |  floor(CAST(sum(CASE WHEN coin < 10 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS rate
+        |FROM c GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "fn_levenshtein" ->
+      """SELECT a.s_suppkey AS s_suppkey, a.s_name AS name_a,
+        |  b.s_name AS name_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b ON b.s_suppkey = a.s_suppkey + 1
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "agg_ship_latency" ->
+      """WITH lat AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |bv AS (SELECT o_orderpriority, days, count(*) AS c
+        |  FROM lat GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT o_orderpriority, days,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY days)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        |  FROM bv),
+        |md AS (SELECT o_orderpriority, min(days) AS median_days FROM cm
+        |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |st AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    min(days) AS min_days, max(days) AS max_days,
+        |    CAST(sum(days) AS BIGINT) AS sd
+        |  FROM lat GROUP BY 1)
+        |SELECT st.o_orderpriority, n, min_days, median_days, max_days,
+        |  floor(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS mean_days
+        |FROM st JOIN md ON st.o_orderpriority = md.o_orderpriority
+        |ORDER BY st.o_orderpriority""".stripMargin,
+
     "agg_anomaly_days" ->
       """WITH daily AS (
         |  SELECT epoch_ms(ts) // 86400000 AS d, count(*) AS c

@@ -1303,6 +1303,29 @@ object LlmOps {
       .orderBy($"doc_id", $"win_idx")
   }
 
+  /** Cross-document frame dedup — the content-addressed frame store's
+    * savings ledger at FRAME granularity (mm_payload_dedup is the whole-
+    * payload version): every full 16-byte frame of every payload hashed,
+    * digests with ≥ 2 occurrences reported with copy/document counts and
+    * the canonical first holder. The md5 is the shuffle key — frames
+    * never move as bytes past the hash projection.
+    */
+  val mmFrameDedup: Q = (s, dir) => {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .select($"doc_id".as("id"), $"text".cast("binary").as("payload"))
+      .as[graft.api.Multimodal.Payload]
+    graft.api.Multimodal.sampleFrames(payloads, frameBytes = 16, stride = 1)
+      .toDF("doc_id", "frame_idx", "frame")
+      .select($"doc_id", md5($"frame").as("h"))
+      .groupBy($"h")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("first_doc"))
+      .filter($"n_copies" >= 2)
+      .orderBy($"h")
+  }
+
   /** Video scene-cut detection over stub frame energies — the shot-
     * boundary pass a video-curation pipeline runs before sampling
     * keyframes: 16-byte non-overlapping "frames" through the
@@ -2683,6 +2706,7 @@ object LlmOps {
     "mm_decode_stub" -> mmDecodeStub,
     "mm_tile_grid" -> mmTileGrid,
     "mm_scene_cuts" -> mmSceneCuts,
+    "mm_frame_dedup" -> mmFrameDedup,
     "mm_resize_batch" -> mmResizeBatch
   )
 }

@@ -1455,6 +1455,17 @@ object LlmOracle {
         |    greatest(0, (octet_length(CAST(t.text AS BLOB)) - 32) // 16 + 1))) AS i) x
         |ORDER BY doc_id, win_idx""".stripMargin,
 
+    "mm_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(substr(text, CAST(x.i * 16 + 1 AS INT), 16)) AS h
+        |  FROM documents t,
+        |    LATERAL (SELECT unnest(range(0,
+        |      octet_length(CAST(t.text AS BLOB)) // 16)) AS i) x)
+        |SELECT h, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM f GROUP BY 1 HAVING count(*) >= 2 ORDER BY h""".stripMargin,
+
     "mm_scene_cuts" ->
       """WITH en AS (
         |  SELECT doc_id, CAST(x.i AS BIGINT) AS win_idx,

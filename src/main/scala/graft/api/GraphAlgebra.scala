@@ -596,7 +596,10 @@ object GraphAlgebra {
     */
   def brandesDeltas(edgesBoth: DataFrame, sigmaState: DataFrame): DataFrame = {
     val st = sigmaState.cp()
-    val adj = edgesBoth.select(col("a"), col("b"))
+    // checkpoint the edge frame ONCE: every backward level joins it, and
+    // without this each of the ≤5 level joins re-derives the caller's
+    // edge lineage (a parquet scan + the co-purchase build, per level)
+    val adj = edgesBoth.select(col("a"), col("b")).cp()
     val maxDist = st.agg(max(col("dist"))).head().getLong(0)
     if (maxDist < 1) return st.filter(lit(false))
       .select(col("src"), col("id"), col("dist"), lit(0L).as("delta"))

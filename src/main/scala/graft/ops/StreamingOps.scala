@@ -26,6 +26,11 @@ case class EdgeState(n: Long, sumScaled: Long, maxTs: Long)
   */
 case class UserState(n: Long, sumScaled: Long, maxTs: Long)
 
+case class CompactEv(user_id: Long, ts_ms: Long, event_id: Long,
+                     event_type: String, value: Double)
+
+case class CompactState(ms: Long, eid: Long, ty: String, vScaled: Long)
+
 /** Streaming surface (SURVEY.md §2.8), modeled on Structured Streaming over
   * the `events` table. Each windowing/dedup/stateful operator exists twice:
   *
@@ -275,6 +280,58 @@ object StreamingOps {
         $"m.event_id".as("last_event_id"), $"m.event_type".as("last_type"),
         ($"m.v".cast("double") / lit(10000.0)).as("last_value"))
       .orderBy($"user_id")
+  }
+
+  /** The keep-latest fold shared by [[streamCompactLatest]]'s batch and
+    * streaming faces: the state IS the winning (ms, event_id)-max row, so
+    * the fold is commutative/idempotent per event — executor iteration
+    * order and micro-batch boundaries cannot change the survivor.
+    */
+  private def compactFold(uid: Long, events: Iterator[CompactEv],
+      state: org.apache.spark.sql.streaming.GroupState[CompactState])
+      : Iterator[(Long, Long, Long, String, Double)] = {
+    val init = state.getOption.getOrElse(
+      CompactState(Long.MinValue, Long.MinValue, "", 0L))
+    val folded = events.foldLeft(init) { (st, e) =>
+      if (e.ts_ms > st.ms || (e.ts_ms == st.ms && e.event_id > st.eid))
+        CompactState(e.ts_ms, e.event_id, e.event_type,
+          math.round(e.value * 10000))
+      else st
+    }
+    state.update(folded)
+    Iterator((uid, folded.ms, folded.eid, folded.ty, folded.vScaled / 10000.0))
+  }
+
+  private def compactEvents(e: DataFrame): org.apache.spark.sql.Dataset[CompactEv] = {
+    import e.sparkSession.implicits._
+    e.select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+      col("event_id"), col("event_type"), col("value")).as[CompactEv]
+  }
+
+  /** [[stateCompactLatest]]'s STATEFUL-FOLD twin — the same keep-latest
+    * compaction driven through flatMapGroupsWithState (batch mode here;
+    * the incremental face is [[compactLatestStream]], equality asserted
+    * in StreamingSpec): how a live CDC consumer maintains the serving
+    * view the batch op rebuilds from scratch.
+    */
+  val streamCompactLatest: Q = (s, dir) => {
+    import s.implicits._
+    compactEvents(Tables.events(s, dir))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CompactState, (Long, Long, Long, String, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(compactFold)
+      .toDF("user_id", "last_ms", "last_event_id", "last_type", "last_value")
+      .orderBy($"user_id")
+  }
+
+  /** Incremental face of [[streamCompactLatest]] (StreamingSpec). */
+  def compactLatestStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    compactEvents(eventsStream(s, dir))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CompactState, (Long, Long, Long, String, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(compactFold)
+      .toDF("user_id", "last_ms", "last_event_id", "last_type", "last_value")
   }
 
   /** The shared journal→state fold ([[streamEdgeUpsert]]'s core). */
@@ -695,6 +752,7 @@ object StreamingOps {
     "stream_edge_upsert" -> streamEdgeUpsert,
     "state_asof" -> stateAsof,
     "state_compact_latest" -> stateCompactLatest,
+    "stream_compact_latest" -> streamCompactLatest,
     "state_diff" -> stateDiff,
     "state_scd2" -> stateScd2,
     "stream_join" -> streamJoin,

@@ -67,6 +67,20 @@ object StreamingOracle {
          |FROM events GROUP BY 1, 2 ORDER BY user_id, item""".stripMargin,
 
     // journal replay as-of T = max(ts) - 1 h: same fold, prefix-filtered
+    "stream_compact_latest" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+        |    CAST(round(value * 10000) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ms, event_id, event_type, v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ms DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, ms AS last_ms, event_id AS last_event_id,
+        |  event_type AS last_type, CAST(v AS DOUBLE) / 10000.0 AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "state_compact_latest" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,

@@ -53,6 +53,12 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("stream_compact_latest: incremental keep-latest equals batch compaction") {
+    val batch = SparkEntry.queries("stream_compact_latest")(spark, sf)
+    val stream = runStream(StreamingOps.compactLatestStream(spark, sf), OutputMode.Append)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
   test("stream_edge_upsert: incremental edge fold equals batch replay") {
     val batch = SparkEntry.queries("stream_edge_upsert")(spark, sf)
     val stream = runStream(StreamingOps.edgeUpsertStream(spark, sf), OutputMode.Append)

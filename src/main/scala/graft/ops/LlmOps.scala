@@ -1855,6 +1855,90 @@ object LlmOps {
       .orderBy($"position")
   }
 
+  /** Character-class profile per language — the encoding/noise audit a
+    * corpus intake runs (a "lang=en" stratum that is 30% digits is a
+    * scraped table dump, not prose): alpha/digit/space/other fractions
+    * from exact per-class character counts, each count spelled as
+    * length minus the class-stripped length (regexp_replace in the
+    * POSIX-class subset where Java regex and RE2 agree). Integer counts,
+    * quantized ratios.
+    */
+  val llmCharClassProfile: Q = (s, dir) => {
+    import s.implicits._
+    def cls(pat: String) =
+      sum(length($"text") -
+        length(regexp_replace($"text", pat, ""))).cast("long")
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"text")).cast("long").as("n_chars"),
+        cls("[a-zA-Z]").as("n_alpha"),
+        cls("[0-9]").as("n_digit"),
+        cls("[ ]").as("n_space"))
+      .select($"lang", $"n_docs", $"n_chars",
+        pround4($"n_alpha" / $"n_chars").as("alpha_frac"),
+        pround4($"n_digit" / $"n_chars").as("digit_frac"),
+        pround4($"n_space" / $"n_chars").as("space_frac"),
+        pround4(($"n_chars" - $"n_alpha" - $"n_digit" - $"n_space") /
+          $"n_chars").as("other_frac"))
+      .orderBy($"lang")
+  }
+
+  /** Out-of-vocabulary audit of the deterministic split — the tokenizer-
+    * coverage question every training run asks before committing a vocab:
+    * build the vocabulary from the TRAIN slice of the
+    * [[llmDatasetSplit]] hash split (same salted coin, so the two ops
+    * agree row-for-row), then measure what fraction of val+test tokens
+    * fall outside it. Token membership is one left-anti-shaped join keyed
+    * on the token string; counts are exact BIGINTs, the rate one
+    * quantized ratio per split.
+    */
+  val llmOovRate: Q = (s, dir) => {
+    import s.implicits._
+    val coin = expr(
+      "cast(conv(substring(md5(concat('split-v1:'," +
+        " cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100")
+    val tok = Tables.documents(s, dir)
+      .withColumn("split",
+        when(coin < 80, "train").when(coin < 90, "val").otherwise("test"))
+      .select($"split", explode(split(trim($"text"), " ")).as("t"))
+      .cp() // vocabulary and eval sides share the tokenize pass
+    val vocab = tok.filter($"split" === "train").select($"t").distinct()
+    tok.filter($"split" =!= "train")
+      .join(vocab.withColumn("known", lit(1L)), Seq("t"), "left")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"known".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        floor($"n_oov".cast("double") / $"n_tokens".cast("double") *
+          lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
+      .orderBy($"split")
+  }
+
+  /** Label-balance audit with per-source language entropy — the class-
+    * imbalance readout a curation run reports per stratum: doc counts per
+    * (source, lang) cell plus each source's language-distribution entropy
+    * in bits (0 = monolingual, log₂k = uniform over k). The per-cell
+    * −p·log₂p term is the §2.9-sanctioned quantized transcendental
+    * (floor(f·1e9+½) on the exact count ratio), BIGINT-summed per source.
+    */
+  val llmLabelBalance: Q = (s, dir) => {
+    import s.implicits._
+    val cells = Tables.documents(s, dir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy($"source").agg(sum($"n").as("nt"))
+    cells.join(broadcast(tot), "source")
+      .withColumn("p", $"n".cast("double") / $"nt".cast("double"))
+      .withColumn("e", floor(-$"p" * log2($"p") * lit(1.0e9) + lit(0.5))
+        .cast("long"))
+      .groupBy($"source")
+      .agg(max($"nt").as("n_docs"), count(lit(1)).as("n_langs"),
+        sum($"e").as("en"))
+      .select($"source", $"n_docs", $"n_langs",
+        ($"en".cast("double") / lit(1.0e9)).as("lang_entropy_bits"))
+      .orderBy($"source")
+  }
+
   /** Deterministic train/val/test split assignment — the one decision a
     * training-data pipeline must make identically on every engine, at
     * every scale, forever: split = md5-coin of the SALTED doc id (salt
@@ -2640,6 +2724,9 @@ object LlmOps {
     "llm_containment_join_banded" -> llmContainmentJoinBanded,
     "llm_span_corruption" -> llmSpanCorruption,
     "llm_dataset_split" -> llmDatasetSplit,
+    "llm_oov_rate" -> llmOovRate,
+    "llm_label_balance" -> llmLabelBalance,
+    "llm_char_class_profile" -> llmCharClassProfile,
     "llm_hard_negatives" -> llmHardNegatives,
     "llm_prefix_dedup" -> llmPrefixDedup,
     "llm_bpe_pair_stats" -> llmBpePairStats,

@@ -649,6 +649,67 @@ object LlmOracle {
         |  CAST(difficulty AS BIGINT) AS difficulty, n_tok
         |FROM r WHERE position <= 200 ORDER BY position""".stripMargin,
 
+    "llm_oov_rate" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN coin < 80 THEN 'train' WHEN coin < 90 THEN 'val'
+        |    ELSE 'test' END AS split, text
+        |  FROM (SELECT text,
+        |    CAST('0x' || substr(md5('split-v1:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS coin
+        |    FROM documents) d),
+        |tok AS (SELECT split, unnest(string_split(trim(text), ' ')) AS t
+        |  FROM a),
+        |vocab AS (SELECT DISTINCT t FROM tok WHERE split = 'train'),
+        |ev AS (
+        |  SELECT tok.split, vocab.t AS kt FROM tok
+        |  LEFT JOIN vocab ON tok.t = vocab.t
+        |  WHERE tok.split != 'train')
+        |SELECT split, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN kt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  floor(CAST(sum(CASE WHEN kt IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS oov_rate
+        |FROM ev GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "llm_label_balance" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt
+        |  FROM cells GROUP BY 1),
+        |e AS (
+        |  SELECT cells.source, nt,
+        |    CAST(floor(-(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) *
+        |      log2(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * 1.0e9 + 0.5)
+        |      AS BIGINT) AS e
+        |  FROM cells JOIN tot ON cells.source = tot.source)
+        |SELECT source, max(nt) AS n_docs, count(*) AS n_langs,
+        |  CAST(CAST(sum(e) AS BIGINT) AS DOUBLE) / 1.0e9
+        |    AS lang_entropy_bits
+        |FROM e GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "llm_char_class_profile" ->
+      """WITH d AS (
+        |  SELECT lang, length(text) AS lc,
+        |    length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+        |      AS na,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS nd,
+        |    length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
+        |      AS ns
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(lc) AS BIGINT) AS n_chars,
+        |  floor(CAST(sum(na) AS DOUBLE) / CAST(sum(lc) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS alpha_frac,
+        |  floor(CAST(sum(nd) AS DOUBLE) / CAST(sum(lc) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS digit_frac,
+        |  floor(CAST(sum(ns) AS DOUBLE) / CAST(sum(lc) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS space_frac,
+        |  floor(CAST(sum(lc) - sum(na) - sum(nd) - sum(ns) AS DOUBLE)
+        |    / CAST(sum(lc) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS other_frac
+        |FROM d GROUP BY 1 ORDER BY lang""".stripMargin,
+
     "llm_dataset_split" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT)

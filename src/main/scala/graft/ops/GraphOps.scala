@@ -348,6 +348,27 @@ object GraphOps {
       .orderBy($"size")
   }
 
+  /** Landmark mean shortest-path length + effective diameter bound — the
+    * small-world summary next to [[graphHopHistogram]]'s full curve: one
+    * shared 8-landmark traversal, mean hop distance as a quantized exact
+    * ratio, max as the diameter lower bound, reach counted exactly. At
+    * scale this is THE standard estimate (exact APL is all-pairs).
+    */
+  val graphAvgPathLength: Q = (s, dir) => {
+    import s.implicits._
+    val lm = partVertices(s, dir)
+      .orderBy($"p_partkey").limit(8).select($"p_partkey".as("src"))
+    graft.api.GraphAlgebra
+      .multiBfsHops(copurchaseBoth(s, dir), lm, maxHops = 6)
+      .filter($"dist" > 0)
+      .agg(count(lit(1)).as("n_pairs"), sum($"dist").as("sum_hops"),
+        max($"dist").as("diameter_lb"))
+      .select($"n_pairs", $"sum_hops", $"diameter_lb",
+        (floor($"sum_hops".cast("double") / $"n_pairs".cast("double") *
+          lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
+          .as("mean_hops"))
+  }
+
   /** Shortest-path COUNTS from part 1 — [[graphSssp]]'s distances plus
     * Brandes σ: how many distinct shortest paths reach each node (path
     * redundancy = robustness of the connection; σ=1 nodes hang by a
@@ -1330,6 +1351,7 @@ object GraphOps {
     "graph_cc_df" -> graphCcDf,
     "graph_cc_sizes" -> graphCcSizes,
     "graph_path_count" -> graphPathCount,
+    "graph_avg_path_length" -> graphAvgPathLength,
     "graph_sssp" -> graphSssp,
     "graph_sssp_df" -> graphSsspDf,
     "graph_wsssp" -> graphWsssp,

@@ -282,6 +282,28 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** State-GC tombstone audit — what a stateful store's retention sweep
+    * would reclaim: per-user last-active day against the observed horizon,
+    * bucketed into live (≤3 idle days) / idle (4-7) / tombstone (>7 —
+    * evict and archive). Exact integer day arithmetic off one key agg +
+    * a broadcast horizon scalar; the summary a state-TTL policy is tuned
+    * from.
+    */
+  val stateGcTombstones: Q = (s, dir) => {
+    import s.implicits._
+    val last = Tables.events(s, dir)
+      .select($"user_id",
+        (unix_millis($"ts") / lit(86400000L)).cast("long").as("d"))
+      .groupBy($"user_id").agg(max($"d").as("last_d"))
+    val horizon = last.agg(max($"last_d").as("maxd"))
+    last.crossJoin(broadcast(horizon))
+      .withColumn("idle", $"maxd" - $"last_d")
+      .groupBy(when($"idle" <= 3, "live").when($"idle" <= 7, "idle")
+        .otherwise("tombstone").as("bucket"))
+      .agg(count(lit(1)).as("n_users"), max($"idle").as("max_idle_days"))
+      .orderBy($"bucket")
+  }
+
   /** The keep-latest fold shared by [[streamCompactLatest]]'s batch and
     * streaming faces: the state IS the winning (ms, event_id)-max row, so
     * the fold is commutative/idempotent per event — executor iteration
@@ -753,6 +775,7 @@ object StreamingOps {
     "state_asof" -> stateAsof,
     "state_compact_latest" -> stateCompactLatest,
     "stream_compact_latest" -> streamCompactLatest,
+    "state_gc_tombstones" -> stateGcTombstones,
     "state_diff" -> stateDiff,
     "state_scd2" -> stateScd2,
     "stream_join" -> streamJoin,

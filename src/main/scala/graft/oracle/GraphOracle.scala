@@ -370,6 +370,14 @@ object GraphOracle {
 
     "graph_betweenness" -> betweennessSql,
 
+    "graph_avg_path_length" ->
+      s"""$landmarkBfsCtes
+         |SELECT count(*) AS n_pairs, CAST(sum(d) AS BIGINT) AS sum_hops,
+         |  CAST(max(d) AS BIGINT) AS diameter_lb,
+         |  floor(CAST(sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    * 10000.0 + 0.5) / 10000.0 AS mean_hops
+         |FROM md WHERE d > 0""".stripMargin,
+
     "graph_closeness" ->
       s"""$landmarkBfsCtes
          |SELECT node AS part, count(*) AS n_reached,

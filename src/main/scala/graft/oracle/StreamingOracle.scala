@@ -67,6 +67,20 @@ object StreamingOracle {
          |FROM events GROUP BY 1, 2 ORDER BY user_id, item""".stripMargin,
 
     // journal replay as-of T = max(ts) - 1 h: same fold, prefix-filtered
+    "state_gc_tombstones" ->
+      """WITH last AS (
+        |  SELECT user_id, max(epoch_ms(ts) // 86400000) AS last_d
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT max(last_d) AS maxd FROM last),
+        |b AS (
+        |  SELECT CASE WHEN maxd - last_d <= 3 THEN 'live'
+        |    WHEN maxd - last_d <= 7 THEN 'idle' ELSE 'tombstone' END
+        |    AS bucket, maxd - last_d AS idle
+        |  FROM last, h)
+        |SELECT bucket, count(*) AS n_users,
+        |  CAST(max(idle) AS BIGINT) AS max_idle_days
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "stream_compact_latest" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,

@@ -1855,6 +1855,49 @@ object LlmOps {
       .orderBy($"position")
   }
 
+  /** Corpus n-gram entropy rates — the compressibility/predictability
+    * audit (a low conditional entropy flags templated or repetitive
+    * text): unigram entropy H₁, bigram entropy H₂, and the conditional
+    * rate H₂−H₁ (bits per token given one token of context), all from
+    * exact BIGINT counts with each −p·log₂p term nano-quantized per
+    * distinct (n-)gram before its BIGINT sum (the §2.9 transcendental
+    * form — accumulation order can't drift).
+    */
+  val llmNgramEntropy: Q = (s, dir) => {
+    import s.implicits._
+    def entropyBits(counts: DataFrame): DataFrame = {
+      val tot = counts.agg(sum($"c").as("nt"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("p", $"c".cast("double") / $"nt".cast("double"))
+        .withColumn("e", floor(-$"p" * log2($"p") * lit(1.0e9) + lit(0.5))
+          .cast("long"))
+        .agg(max($"nt").as("n"), count(lit(1)).as("types"),
+          sum($"e").as("en"))
+    }
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), " ").as("ts"))
+      .withColumn("n", size($"ts").cast("long"))
+    val uni = toks.select(explode($"ts").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("c"))
+    val bi = toks.filter($"n" >= 2)
+      .select($"ts", explode(sequence(lit(1L), $"n" - 1)).as("i"))
+      .select(concat_ws(" ",
+        element_at($"ts", $"i".cast("int")),
+        element_at($"ts", $"i".cast("int") + 1)).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("c"))
+    val h1 = entropyBits(uni)
+      .select($"n".as("n_tokens"), $"types".as("n_types"),
+        $"en".as("e1"))
+    val h2 = entropyBits(bi)
+      .select($"n".as("n_bigrams"), $"types".as("n_bigram_types"),
+        $"en".as("e2"))
+    h1.crossJoin(h2)
+      .select($"n_tokens", $"n_types", $"n_bigrams", $"n_bigram_types",
+        ($"e1".cast("double") / lit(1.0e9)).as("h_unigram_bits"),
+        ($"e2".cast("double") / lit(1.0e9)).as("h_bigram_bits"),
+        (($"e2" - $"e1").cast("double") / lit(1.0e9)).as("h_cond_bits"))
+  }
+
   /** Character-class profile per language — the encoding/noise audit a
     * corpus intake runs (a "lang=en" stratum that is 30% digits is a
     * scraped table dump, not prose): alpha/digit/space/other fractions
@@ -2727,6 +2770,7 @@ object LlmOps {
     "llm_oov_rate" -> llmOovRate,
     "llm_label_balance" -> llmLabelBalance,
     "llm_char_class_profile" -> llmCharClassProfile,
+    "llm_ngram_entropy" -> llmNgramEntropy,
     "llm_hard_negatives" -> llmHardNegatives,
     "llm_prefix_dedup" -> llmPrefixDedup,
     "llm_bpe_pair_stats" -> llmBpePairStats,

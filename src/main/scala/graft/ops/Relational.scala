@@ -2597,6 +2597,26 @@ object Relational {
         (-$"m.nm").as("peak_ms"))
   }
 
+  /** Sessions-per-user distribution — the engagement-depth histogram
+    * ("how many users had exactly k sessions"): the 30-min-gap session
+    * frame rolled up twice (user → session count → user count). Both
+    * rollups are exact BIGINT aggs; the histogram is ≤ |distinct session
+    * counts| rows — dashboard-sized at any scale.
+    */
+  val aggSessionCountDist: Q = (s, dir) => {
+    import s.implicits._
+    val wUser = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val perUser = Tables.events(s, dir)
+      .select($"user_id", $"event_id", tsMs($"ts").as("ms"))
+      .withColumn("gap",
+        when(lag($"ms", 1).over(wUser).isNull, 1L)
+          .when($"ms" - lag($"ms", 1).over(wUser) > 1800000L, 1L)
+          .otherwise(0L))
+      .groupBy($"user_id").agg(sum($"gap").as("n_sessions"))
+    perUser.groupBy($"n_sessions").agg(count(lit(1)).as("n_users"))
+      .orderBy($"n_sessions")
+  }
+
   /** Day-over-day behavioral-set similarity: Jaccard between the set of
     * event types a user emitted today vs yesterday (habit stability).
     * Spelled set-free — distinct (user, day, type) rows self-joined on
@@ -3621,6 +3641,7 @@ object Relational {
     "agg_changepoint" -> aggChangepoint,
     "win_ecdf" -> winEcdf,
     "win_concurrency_peak" -> winConcurrencyPeak,
+    "agg_session_count_dist" -> aggSessionCountDist,
     "agg_winsorized" -> aggWinsorized,
     "agg_theil" -> aggTheil,
     "agg_subsample_ci" -> aggSubsampleCi,

@@ -688,6 +688,43 @@ object LlmOracle {
         |    AS lang_entropy_bits
         |FROM e GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "llm_ngram_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS ts,
+        |    len(string_split(trim(text), ' ')) AS n
+        |  FROM documents),
+        |uni AS (
+        |  SELECT g, count(*) AS c FROM (
+        |    SELECT unnest(ts) AS g FROM toks) x GROUP BY 1),
+        |bi AS (
+        |  SELECT g, count(*) AS c FROM (
+        |    SELECT ts[i] || ' ' || ts[i + 1] AS g
+        |    FROM toks, UNNEST(range(1, n)) AS u(i)
+        |    WHERE n >= 2) x GROUP BY 1),
+        |h1 AS (
+        |  SELECT max(nt) AS n_tokens, count(*) AS n_types,
+        |    CAST(sum(e) AS BIGINT) AS e1
+        |  FROM (
+        |    SELECT nt,
+        |      CAST(floor(-(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)) *
+        |        log2(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)) * 1.0e9 + 0.5)
+        |        AS BIGINT) AS e
+        |    FROM uni, (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uni) t) x),
+        |h2 AS (
+        |  SELECT max(nt) AS n_bigrams, count(*) AS n_bigram_types,
+        |    CAST(sum(e) AS BIGINT) AS e2
+        |  FROM (
+        |    SELECT nt,
+        |      CAST(floor(-(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)) *
+        |        log2(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)) * 1.0e9 + 0.5)
+        |        AS BIGINT) AS e
+        |    FROM bi, (SELECT CAST(sum(c) AS BIGINT) AS nt FROM bi) t) x)
+        |SELECT n_tokens, n_types, n_bigrams, n_bigram_types,
+        |  CAST(e1 AS DOUBLE) / 1.0e9 AS h_unigram_bits,
+        |  CAST(e2 AS DOUBLE) / 1.0e9 AS h_bigram_bits,
+        |  CAST(e2 - e1 AS DOUBLE) / 1.0e9 AS h_cond_bits
+        |FROM h1, h2""".stripMargin,
+
     "llm_char_class_profile" ->
       """WITH d AS (
         |  SELECT lang, length(text) AS lc,

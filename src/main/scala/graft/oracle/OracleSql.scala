@@ -594,6 +594,21 @@ object OracleSql {
         |  a AS cusum_peak_nscaled
         |FROM pick WHERE rn = 1""".stripMargin,
 
+    "agg_session_count_dist" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ms) OVER w IS NULL THEN 1
+        |      WHEN ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS gap
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |pu AS (
+        |  SELECT user_id, CAST(sum(gap) AS BIGINT) AS n_sessions
+        |  FROM g GROUP BY 1)
+        |SELECT n_sessions, count(*) AS n_users
+        |FROM pu GROUP BY 1 ORDER BY n_sessions""".stripMargin,
+
     "win_concurrency_peak" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

@@ -348,6 +348,24 @@ object GraphOps {
       .orderBy($"size")
   }
 
+  /** Co-purchase edge-weight distribution — the weighted-graph sibling of
+    * graph_degree_dist ("how strong are the ties"): weight → edge count,
+    * plus each bucket's share of total edge mass in exact integer weight
+    * units; the histogram is ≤ |distinct weights| rows.
+    */
+  val graphWeightDist: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir)
+    val hist = cp.groupBy($"w").agg(count(lit(1)).as("n_edges"))
+    val tot = cp.agg(sum($"w").as("tw"))
+    hist.crossJoin(broadcast(tot))
+      .select($"w", $"n_edges",
+        (floor(($"w" * $"n_edges").cast("double") / $"tw".cast("double") *
+          lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
+          .as("mass_share"))
+      .orderBy($"w")
+  }
+
   /** Landmark mean shortest-path length + effective diameter bound — the
     * small-world summary next to [[graphHopHistogram]]'s full curve: one
     * shared 8-landmark traversal, mean hop distance as a quantized exact
@@ -1352,6 +1370,7 @@ object GraphOps {
     "graph_cc_sizes" -> graphCcSizes,
     "graph_path_count" -> graphPathCount,
     "graph_avg_path_length" -> graphAvgPathLength,
+    "graph_weight_dist" -> graphWeightDist,
     "graph_sssp" -> graphSssp,
     "graph_sssp_df" -> graphSsspDf,
     "graph_wsssp" -> graphWsssp,

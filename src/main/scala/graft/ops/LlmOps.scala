@@ -1855,6 +1855,24 @@ object LlmOps {
       .orderBy($"position")
   }
 
+  /** Deterministic human-review sample — 2 documents per source chosen by
+    * salted md5 rank (the audit queue a curation process mints every run,
+    * IDENTICAL every run: review diffs stay meaningful, no RNG state):
+    * rank within source by (hash, doc_id), keep the first 2. The window
+    * partitions by source — parallel across strata.
+    */
+  val llmReviewSample: Q = (s, dir) => {
+    import s.implicits._
+    val h = expr("md5(concat('review-v1:', cast(doc_id as string)))")
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"lang", $"n_chars", h.as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")).cast("long"))
+      .filter($"rk" <= 2)
+      .select($"source", $"rk", $"doc_id", $"lang", $"n_chars")
+      .orderBy($"source", $"rk")
+  }
+
   /** Corpus n-gram entropy rates — the compressibility/predictability
     * audit (a low conditional entropy flags templated or repetitive
     * text): unigram entropy H₁, bigram entropy H₂, and the conditional
@@ -2771,6 +2789,7 @@ object LlmOps {
     "llm_label_balance" -> llmLabelBalance,
     "llm_char_class_profile" -> llmCharClassProfile,
     "llm_ngram_entropy" -> llmNgramEntropy,
+    "llm_review_sample" -> llmReviewSample,
     "llm_hard_negatives" -> llmHardNegatives,
     "llm_prefix_dedup" -> llmPrefixDedup,
     "llm_bpe_pair_stats" -> llmBpePairStats,

@@ -370,6 +370,15 @@ object GraphOracle {
 
     "graph_betweenness" -> betweennessSql,
 
+    "graph_weight_dist" ->
+      s"""WITH $copurchaseCte,
+         |hist AS (SELECT w, count(*) AS n_edges FROM cp GROUP BY 1),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM cp)
+         |SELECT w, n_edges,
+         |  floor(CAST(w * n_edges AS DOUBLE) / CAST(tw AS DOUBLE)
+         |    * 10000.0 + 0.5) / 10000.0 AS mass_share
+         |FROM hist, tot ORDER BY w""".stripMargin,
+
     "graph_avg_path_length" ->
       s"""$landmarkBfsCtes
          |SELECT count(*) AS n_pairs, CAST(sum(d) AS BIGINT) AS sum_hops,

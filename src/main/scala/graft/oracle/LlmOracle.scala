@@ -688,6 +688,16 @@ object LlmOracle {
         |    AS lang_entropy_bits
         |FROM e GROUP BY 1 ORDER BY source""".stripMargin,
 
+    "llm_review_sample" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('review-v1:' || CAST(doc_id AS VARCHAR)),
+        |        doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, lang, n_chars
+        |FROM r WHERE rk <= 2 ORDER BY source, rk""".stripMargin,
+
     "llm_ngram_entropy" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS ts,

@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpec {
   test("registry: declared counts match the registry (drift guard)") {
     // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
     // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 332, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 324, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size === 334, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size === 326, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {

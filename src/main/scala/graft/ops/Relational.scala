@@ -3629,7 +3629,296 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** Two-sample Kolmogorov–Smirnov test on the order-price distribution,
+    * pre-1998 vs 1998-onward — "did pricing drift?" asked exactly. The
+    * scale discipline is value-collapse first (one row per distinct price
+    * cents with per-period counts), then BOTH inclusive ECDFs come from
+    * range-partitioned [[DistScan.withPrefixAgg]] prefix sums over the
+    * collapsed frame — no single-partition window anywhere. The KS
+    * statistic is computed CROSS-MULTIPLIED: |cumA·nB − cumB·nA| is an
+    * exact BIGINT per point, the argmax picks the smallest price at the
+    * max via one max-struct agg, and only the final D = maxdiff/(nA·nB)
+    * touches doubles (one division, engine-identical).
+    */
+  val aggKsTest: Q = (s, dir) => {
+    import s.implicits._
+    val rows = Tables.orders(s, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("v"),
+        (tsMs($"o_orderdate".cast("timestamp")) <
+          lit(883612800000L)).as("isA")) // 1998-01-01 UTC
+    val pts = rows.groupBy($"v")
+      .agg(sum(when($"isA", 1L).otherwise(0L)).as("ca"),
+        sum(when(!$"isA", 1L).otherwise(0L)).as("cb"))
+    val cum = DistScan.withPrefixAgg(
+      DistScan.withPrefixAgg(pts, "pa", $"ca", "sum", $"v"),
+      "pb", $"cb", "sum", $"v")
+      .select($"v", (coalesce($"pa", lit(0L)) + $"ca").as("cuma"),
+        (coalesce($"pb", lit(0L)) + $"cb").as("cumb"))
+    val tot = rows.agg(sum(when($"isA", 1L).otherwise(0L)).as("na"),
+      sum(when(!$"isA", 1L).otherwise(0L)).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select($"na", $"nb",
+        abs($"cuma" * $"nb" - $"cumb" * $"na").as("diff"), $"v")
+      .groupBy($"na", $"nb")
+      .agg(max(struct($"diff", (-$"v").as("negv"))).as("m"))
+      .select($"na".as("n_a"), $"nb".as("n_b"),
+        ((-$"m.negv").cast("double") / lit(100.0)).as("at_price"),
+        LlmOps.pround4($"m.diff".cast("double") /
+          ($"na" * $"nb").cast("double")).as("d_stat"),
+        LlmOps.pround4(lit(1.358) *
+          sqrt(($"na" + $"nb").cast("double") /
+            ($"na" * $"nb").cast("double"))).as("d_crit"))
+  }
+
+  /** Population Stability Index between the same two order-price periods
+    * — the drift gate every scoring pipeline runs before trusting a
+    * model trained on last quarter. Ten equal-width cents buckets pinned
+    * by the global min/max (two broadcast scalars, integer bucket
+    * arithmetic so assignment is engine-exact); per-bucket proportions
+    * are floored at 1e-4 (the standard PSI epsilon, applied identically
+    * on both engines) so empty cells stay finite; each (pc−pr)·ln(pc/pr)
+    * term is nano-quantized then BIGINT-summed for an order-independent
+    * total. One shuffle for the bucket agg; everything after is 10 rows.
+    */
+  val aggPsi: Q = (s, dir) => {
+    import s.implicits._
+    val rows = Tables.orders(s, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("v"),
+        (tsMs($"o_orderdate".cast("timestamp")) <
+          lit(883612800000L)).as("isRef"))
+    val mm = rows.agg(min($"v").as("vmin"), max($"v").as("vmax"))
+    val b = rows.crossJoin(broadcast(mm))
+      .select(least(lit(9L),
+        expr("((v - vmin) * 10) div (vmax - vmin + 1)")).as("bucket"),
+        $"isRef")
+      .groupBy($"bucket")
+      .agg(sum(when($"isRef", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!$"isRef", 1L).otherwise(0L)).as("n_cur"))
+    val tot = rows.agg(sum(when($"isRef", 1L).otherwise(0L)).as("tr"),
+      sum(when(!$"isRef", 1L).otherwise(0L)).as("tc"))
+    val terms = b.crossJoin(broadcast(tot))
+      .withColumn("pr", greatest($"n_ref".cast("double") /
+        $"tr".cast("double"), lit(1.0e-4)))
+      .withColumn("pc", greatest($"n_cur".cast("double") /
+        $"tc".cast("double"), lit(1.0e-4)))
+      .withColumn("tq", floor(($"pc" - $"pr") * log($"pc" / $"pr") *
+        lit(1.0e9) + lit(0.5)).cast("long"))
+    val total = terms.agg(sum($"tq").as("tpsi"))
+    terms.crossJoin(broadcast(total))
+      .select($"bucket", $"n_ref", $"n_cur",
+        LlmOps.pround4($"pr").as("p_ref"),
+        LlmOps.pround4($"pc").as("p_cur"),
+        ($"tq".cast("double") / lit(1.0e9)).as("psi_term"),
+        ($"tpsi".cast("double") / lit(1.0e9)).as("psi_total"))
+      .orderBy($"bucket")
+  }
+
+  /** Cramér's V association between event type and day-of-week — "is
+    * behavior weekday-shaped?" with the effect size a raw chi² hides.
+    * Day-of-week is epoch-day mod 7 (integer, engine-identical — named
+    * weekday functions disagree on week start across engines). The
+    * contingency table is one shuffle agg to ≤ 5×7 cells; row/column
+    * totals re-aggregate from the broadcast cell frame (no second fact
+    * pass); each (o−e)²/e term is nano-quantized, BIGINT-summed, and V =
+    * sqrt(chi²/(n·min(r−1,c−1))) is one double tree over exact integers.
+    */
+  val aggCramersV: Q = (s, dir) => {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .select($"event_type",
+        ((tsMs($"ts") / lit(86400000L)).cast("long") % 7).as("dow"))
+      .groupBy($"event_type", $"dow").agg(count(lit(1)).as("o"))
+      .cp() // totals and terms both consume the 35-cell frame
+    val rt = cells.groupBy($"event_type").agg(sum($"o").as("rt"))
+    val ct = cells.groupBy($"dow").agg(sum($"o").as("ct"))
+    val dims = cells.agg(countDistinct($"event_type").as("r"),
+      countDistinct($"dow").as("c"), sum($"o").as("n"))
+    cells.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+      .crossJoin(broadcast(dims))
+      .withColumn("e", $"rt".cast("double") * $"ct".cast("double") /
+        $"n".cast("double"))
+      .withColumn("tq", floor(($"o" - $"e") * ($"o" - $"e") / $"e" *
+        lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy($"r", $"c", $"n").agg(sum($"tq").as("chiq"))
+      .select($"n", (($"r" - 1) * ($"c" - 1)).as("dof"),
+        LlmOps.pround4($"chiq".cast("double") / lit(1.0e9)).as("chi2"),
+        LlmOps.pround4(sqrt($"chiq".cast("double") / lit(1.0e9) /
+          ($"n".cast("double") *
+            least($"r" - 1, $"c" - 1).cast("double")))).as("cramers_v"))
+  }
+
+  /** Kendall's τ-b rank correlation between the daily view count and the
+    * daily purchase count — the monotone-association readout that is
+    * robust where Pearson is not. Concordant/discordant/tied pairs come
+    * from a self-join of the DAILY rollup with d1 < d2: the pair frame
+    * is (observed days)², bounded by the calendar window, never by event
+    * volume — the fact table is touched exactly once. Every count is an
+    * exact BIGINT; τ-b's tie-corrected denominator touches doubles only
+    * in the final guarded division.
+    */
+  val aggKendallTau: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"event_type")
+      .groupBy($"d")
+      .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      .cp() // both sides of the bounded pair join read this rollup
+    val pairs = daily.as("a").join(daily.as("b"), $"a.d" < $"b.d")
+      .select(($"a.x" - $"b.x").as("dx"), ($"a.y" - $"b.y").as("dy"))
+    pairs.agg(
+      count(lit(1)).as("n0"),
+      sum(when($"dx" * $"dy" > 0, 1L).otherwise(0L)).as("concordant"),
+      sum(when($"dx" * $"dy" < 0, 1L).otherwise(0L)).as("discordant"),
+      sum(when($"dx" === 0, 1L).otherwise(0L)).as("ties_x"),
+      sum(when($"dy" === 0, 1L).otherwise(0L)).as("ties_y"))
+      .select($"n0", $"concordant", $"discordant", $"ties_x", $"ties_y",
+        when(($"n0" - $"ties_x") * ($"n0" - $"ties_y") > 0,
+          LlmOps.pround4(($"concordant" - $"discordant").cast("double") /
+            sqrt(($"n0" - $"ties_x").cast("double") *
+              ($"n0" - $"ties_y").cast("double")))).as("tau_b"))
+  }
+
+  /** 7-day rolling Pearson correlation between daily purchase revenue
+    * and daily click traffic — "does spend still follow attention this
+    * week?". ONE pass over events builds the daily two-series rollup
+    * (conditional aggs, exact scaled cents + counts); the rolling frame
+    * is a rows-between window over the DAY dimension — bounded by the
+    * calendar, never by event volume (the repo's documented-bounded
+    * window class). All five window sums are exact BIGINTs; r is one
+    * guarded double tree per day.
+    */
+  val winRollingCorr: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"event_type", $"value")
+      .groupBy($"d")
+      .agg(sum(when($"event_type" === "purchase",
+        round($"value" * 10000).cast("long")).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("y"))
+    val w = Window.orderBy($"d").rowsBetween(-6, 0)
+    daily
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sx", sum($"x").over(w))
+      .withColumn("sy", sum($"y").over(w))
+      .withColumn("sxx", sum($"x" * $"x").over(w))
+      .withColumn("syy", sum($"y" * $"y").over(w))
+      .withColumn("sxy", sum($"x" * $"y").over(w))
+      .select($"d", $"nw".as("n_win"),
+        when(($"nw" * $"sxx" - $"sx" * $"sx") > 0 &&
+          ($"nw" * $"syy" - $"sy" * $"sy") > 0,
+          LlmOps.pround4(
+            ($"nw" * $"sxy" - $"sx" * $"sy").cast("double") /
+              sqrt(($"nw" * $"sxx" - $"sx" * $"sx").cast("double") *
+                ($"nw" * $"syy" - $"sy" * $"sy").cast("double"))))
+          .as("corr_7d"))
+      .orderBy($"d")
+  }
+
+  /** Running VWAP (volume-weighted average price) over the ship-date
+    * axis — the execution-quality benchmark, on lineitem: day volume =
+    * Σ quantity, day notional = Σ extendedprice cents, both exact
+    * BIGINTs from one shuffle agg; the cumulative pair runs over the
+    * DATE dimension (≤ the ~2.4k-day generator calendar — bounded by
+    * time, not data, at any SF) and VWAP is one division per day.
+    */
+  val winVwap: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.lineitem(s, dir)
+      .select((tsMs($"l_shipdate".cast("timestamp")) / lit(86400000L))
+        .cast("long").as("d"),
+        round($"l_quantity").cast("long").as("q"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"d")
+      .agg(sum($"q").as("vol"), sum($"cents").as("notional"))
+    val w = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_vol", sum($"vol").over(w))
+      .withColumn("cum_notional", sum($"notional").over(w))
+      .select($"d", $"vol".as("day_vol"), $"cum_vol",
+        LlmOps.pround4($"cum_notional".cast("double") /
+          $"cum_vol".cast("double") / lit(100.0)).as("vwap"))
+      .orderBy($"d")
+  }
+
+  /** 14-day RSI (Cutler's simple-average variant — deterministic, no
+    * Wilder recursion) over daily order revenue. Gains/losses are exact
+    * cents deltas via lag over the date dimension; the 14-day frame is
+    * calendar-bounded; RSI = 100·G/(G+L) is the algebraic identity for
+    * 100 − 100/(1+G/L) with the flat-market case (G+L=0) NULL. The
+    * momentum readout every ops dashboard wants on revenue.
+    */
+  val winRsi: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .select((tsMs($"o_orderdate".cast("timestamp")) / lit(86400000L))
+        .cast("long").as("d"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"d").agg(sum($"cents").as("v"))
+    val ord = Window.orderBy($"d")
+    val w14 = Window.orderBy($"d").rowsBetween(-13, 0)
+    daily
+      .withColumn("delta", $"v" - lag($"v", 1).over(ord))
+      .withColumn("gain", greatest($"delta", lit(0L)))
+      .withColumn("loss", greatest(-$"delta", lit(0L)))
+      .withColumn("nw", count($"delta").over(w14))
+      .withColumn("sg", sum($"gain").over(w14))
+      .withColumn("sl", sum($"loss").over(w14))
+      .filter($"nw" === 14)
+      .select($"d",
+        when($"sg" + $"sl" > 0,
+          LlmOps.pround4(lit(100.0) * $"sg".cast("double") /
+            ($"sg" + $"sl").cast("double"))).as("rsi_14"))
+      .orderBy($"d")
+  }
+
+  /** Association rules over per-user event-type baskets — market-basket
+    * mining's support/confidence/lift on the behavioral alphabet. The
+    * basket frame collapses to DISTINCT (user, type) first (≤5 rows per
+    * user), so the pair self-join fans out ≤20 pairs per user — linear
+    * in users, never quadratic in events. Rule metrics are ratios of
+    * exact counts, quantized; the whole rule table is ≤ |types|² rows.
+    */
+  val aggAssocRules: Q = (s, dir) => {
+    import s.implicits._
+    val baskets = Tables.events(s, dir)
+      .select($"user_id", $"event_type").distinct().cp()
+    val nUsers = baskets.agg(countDistinct($"user_id").as("nu"))
+    val item = baskets.groupBy($"event_type").agg(count(lit(1)).as("ni"))
+    val pairs = baskets.as("a").join(baskets.as("b"),
+      $"a.user_id" === $"b.user_id" &&
+        $"a.event_type" =!= $"b.event_type")
+      .groupBy($"a.event_type".as("ante"), $"b.event_type".as("cons"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(item.select($"event_type".as("ante"),
+        $"ni".as("n_ante"))), "ante")
+      .join(broadcast(item.select($"event_type".as("cons"),
+        $"ni".as("n_cons"))), "cons")
+      .crossJoin(broadcast(nUsers))
+      .select($"ante", $"cons", $"n_both",
+        LlmOps.pround4($"n_both".cast("double") / $"nu".cast("double"))
+          .as("support"),
+        LlmOps.pround4($"n_both".cast("double") /
+          $"n_ante".cast("double")).as("confidence"),
+        LlmOps.pround4($"n_both".cast("double") * $"nu".cast("double") /
+          ($"n_ante".cast("double") * $"n_cons".cast("double")))
+          .as("lift"))
+      .orderBy($"ante", $"cons")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_ks_test" -> aggKsTest,
+    "agg_psi" -> aggPsi,
+    "agg_cramers_v" -> aggCramersV,
+    "agg_kendall_tau" -> aggKendallTau,
+    "win_rolling_corr" -> winRollingCorr,
+    "win_vwap" -> winVwap,
+    "win_rsi" -> winRsi,
+    "agg_assoc_rules" -> aggAssocRules,
     "agg_sample_stratified" -> aggSampleStratified,
     "fn_levenshtein" -> fnLevenshtein,
     "agg_ship_latency" -> aggShipLatency,

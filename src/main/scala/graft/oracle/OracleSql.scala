@@ -2584,6 +2584,238 @@ object OracleSql {
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "agg_ks_test" ->
+      """WITH r AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    epoch_ms(o_orderdate) < 883612800000 AS isa
+        |  FROM orders),
+        |pts AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM r GROUP BY 1),
+        |cum AS (
+        |  SELECT v,
+        |    CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+        |  FROM pts),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM r),
+        |d AS (
+        |  SELECT na, nb, abs(cuma * nb - cumb * na) AS diff, v,
+        |    row_number() OVER (ORDER BY abs(cuma * nb - cumb * na) DESC,
+        |      v) AS rn
+        |  FROM cum, tot)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(v AS DOUBLE) / 100.0 AS at_price,
+        |  floor(CAST(diff AS DOUBLE) / CAST(na * nb AS DOUBLE) * 10000.0
+        |    + 0.5) / 10000.0 AS d_stat,
+        |  floor(1.358 * sqrt(CAST(na + nb AS DOUBLE) /
+        |    CAST(na * nb AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS d_crit
+        |FROM d WHERE rn = 1""".stripMargin,
+
+    "agg_psi" ->
+      """WITH r AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    epoch_ms(o_orderdate) < 883612800000 AS isref
+        |  FROM orders),
+        |mm AS (SELECT min(v) AS vmin, max(v) AS vmax FROM r),
+        |b AS (
+        |  SELECT least(9, ((v - vmin) * 10) // (vmax - vmin + 1))
+        |      AS bucket,
+        |    CAST(sum(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(sum(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM r, mm GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tr,
+        |    CAST(sum(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT) AS tc
+        |  FROM r),
+        |terms AS (
+        |  SELECT bucket, n_ref, n_cur,
+        |    greatest(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE), 1.0e-4)
+        |      AS pr,
+        |    greatest(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 1.0e-4)
+        |      AS pc
+        |  FROM b, tot),
+        |q AS (
+        |  SELECT bucket, n_ref, n_cur, pr, pc,
+        |    CAST(floor((pc - pr) * ln(pc / pr) * 1.0e9 + 0.5) AS BIGINT)
+        |      AS tq
+        |  FROM terms),
+        |t AS (SELECT CAST(sum(tq) AS BIGINT) AS tpsi FROM q)
+        |SELECT bucket, n_ref, n_cur,
+        |  floor(pr * 10000.0 + 0.5) / 10000.0 AS p_ref,
+        |  floor(pc * 10000.0 + 0.5) / 10000.0 AS p_cur,
+        |  CAST(tq AS DOUBLE) / 1.0e9 AS psi_term,
+        |  CAST(tpsi AS DOUBLE) / 1.0e9 AS psi_total
+        |FROM q, t ORDER BY bucket""".stripMargin,
+
+    "agg_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT event_type, (epoch_ms(ts) // 86400000) % 7 AS dow,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct
+        |  FROM cells GROUP BY 1),
+        |dims AS (
+        |  SELECT count(DISTINCT event_type) AS r,
+        |    count(DISTINCT dow) AS c, CAST(sum(o) AS BIGINT) AS n
+        |  FROM cells),
+        |t AS (
+        |  SELECT r, c, n,
+        |    CAST(sum(CAST(floor((o - e) * (o - e) / e * 1.0e9 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS chiq
+        |  FROM (
+        |    SELECT cells.o, r, c, n,
+        |      CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)
+        |        AS e
+        |    FROM cells
+        |    JOIN rt ON cells.event_type = rt.event_type
+        |    JOIN ct ON cells.dow = ct.dow, dims) x
+        |  GROUP BY 1, 2, 3)
+        |SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+        |  floor(CAST(chiq AS DOUBLE) / 1.0e9 * 10000.0 + 0.5) / 10000.0
+        |    AS chi2,
+        |  floor(sqrt(CAST(chiq AS DOUBLE) / 1.0e9 / (CAST(n AS DOUBLE) *
+        |    CAST(least(r - 1, c - 1) AS DOUBLE))) * 10000.0 + 0.5)
+        |    / 10000.0 AS cramers_v
+        |FROM t""".stripMargin,
+
+    "agg_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT a.x - b.x AS dx, a.y - b.y AS dy
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |agg AS (
+        |  SELECT count(*) AS n0,
+        |    CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant,
+        |    CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discordant,
+        |    CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_x,
+        |    CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_y
+        |  FROM p)
+        |SELECT n0, concordant, discordant, ties_x, ties_y,
+        |  CASE WHEN (n0 - ties_x) * (n0 - ties_y) > 0 THEN
+        |    floor(CAST(concordant - discordant AS DOUBLE) /
+        |      sqrt(CAST(n0 - ties_x AS DOUBLE) *
+        |        CAST(n0 - ties_y AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+        |  END AS tau_b
+        |FROM agg""".stripMargin,
+
+    "win_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT d,
+        |    count(*) OVER fr AS nw,
+        |    CAST(sum(x) OVER fr AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER fr AS BIGINT) AS sy,
+        |    CAST(sum(x * x) OVER fr AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER fr AS BIGINT) AS syy,
+        |    CAST(sum(x * y) OVER fr AS BIGINT) AS sxy
+        |  FROM daily
+        |  WINDOW fr AS (ORDER BY d ROWS BETWEEN 6 PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT d, CAST(nw AS BIGINT) AS n_win,
+        |  CASE WHEN (nw * sxx - sx * sx) > 0 AND (nw * syy - sy * sy) > 0
+        |  THEN floor(CAST(nw * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(nw * sxx - sx * sx AS DOUBLE) *
+        |      CAST(nw * syy - sy * sy AS DOUBLE)) * 10000.0 + 0.5)
+        |    / 10000.0
+        |  END AS corr_7d
+        |FROM w ORDER BY d""".stripMargin,
+
+    "win_vwap" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(l_shipdate) // 86400000 AS d,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS vol,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS notional
+        |  FROM lineitem GROUP BY 1)
+        |SELECT d, vol AS day_vol,
+        |  CAST(sum(vol) OVER (ORDER BY d) AS BIGINT) AS cum_vol,
+        |  floor(CAST(sum(notional) OVER (ORDER BY d) AS DOUBLE) /
+        |    CAST(sum(vol) OVER (ORDER BY d) AS DOUBLE) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS vwap
+        |FROM daily ORDER BY d""".stripMargin,
+
+    "win_rsi" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |dl AS (
+        |  SELECT d, v - lag(v, 1) OVER (ORDER BY d) AS delta
+        |  FROM daily),
+        |gl AS (
+        |  SELECT d, delta,
+        |    greatest(delta, 0) AS gain, greatest(-delta, 0) AS loss
+        |  FROM dl),
+        |w AS (
+        |  SELECT d,
+        |    count(delta) OVER fr AS nw,
+        |    CAST(sum(gain) OVER fr AS BIGINT) AS sg,
+        |    CAST(sum(loss) OVER fr AS BIGINT) AS sl
+        |  FROM gl
+        |  WINDOW fr AS (ORDER BY d ROWS BETWEEN 13 PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT d,
+        |  CASE WHEN sg + sl > 0 THEN
+        |    floor(100.0 * CAST(sg AS DOUBLE) / CAST(sg + sl AS DOUBLE)
+        |      * 10000.0 + 0.5) / 10000.0
+        |  END AS rsi_14
+        |FROM w WHERE nw = 14 ORDER BY d""".stripMargin,
+
+    "agg_assoc_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT count(DISTINCT user_id) AS nu FROM baskets),
+        |item AS (SELECT event_type, count(*) AS ni
+        |  FROM baskets GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS ante, b.event_type AS cons,
+        |    count(*) AS n_both
+        |  FROM baskets a JOIN baskets b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ante, cons, CAST(n_both AS BIGINT) AS n_both,
+        |  floor(CAST(n_both AS DOUBLE) / CAST(nu AS DOUBLE) * 10000.0
+        |    + 0.5) / 10000.0 AS support,
+        |  floor(CAST(n_both AS DOUBLE) / CAST(ia.ni AS DOUBLE) * 10000.0
+        |    + 0.5) / 10000.0 AS confidence,
+        |  floor(CAST(n_both AS DOUBLE) * CAST(nu AS DOUBLE) /
+        |    (CAST(ia.ni AS DOUBLE) * CAST(ic.ni AS DOUBLE)) * 10000.0
+        |    + 0.5) / 10000.0 AS lift
+        |FROM pairs
+        |JOIN item ia ON pairs.ante = ia.event_type
+        |JOIN item ic ON pairs.cons = ic.event_type, nu
+        |ORDER BY ante, cons""".stripMargin
   )
 }

@@ -1331,7 +1331,94 @@ object GraphOps {
       .orderBy($"hop")
   }
 
+  /** Edge reciprocity of the DIRECTED line-sequence part graph (part at
+    * line i → part at line i+1 within each order — the "what ships after
+    * what" flow): share of directed edges whose reverse also exists. The
+    * sequence edges come from a lead() over the per-order frame (bounded
+    * by lines-per-order, ≤7); the reverse-existence probe is a left-semi
+    * self-join of the DISTINCT edge list on the swapped key — |E| rows,
+    * no fan-out. The directedness health check every flow graph gets.
+    */
+  val graphReciprocity: Q = (s, dir) => {
+    import s.implicits._
+    // distinct triples + (linenumber, partkey) total order: the generator's
+    // composite-key collisions (src_pk_audit) would otherwise make the
+    // lead() pairing engine-dependent
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_linenumber", $"l_partkey")
+    val seq = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey").distinct()
+      .withColumn("nxt", lead($"l_partkey", 1).over(w))
+      .filter($"nxt".isNotNull && $"nxt" =!= $"l_partkey")
+      .select($"l_partkey".as("src"), $"nxt".as("dst"))
+      .distinct().cp() // the reverse probe reads it twice
+    val recip = seq.join(seq.select($"dst".as("src"), $"src".as("dst")),
+      Seq("src", "dst"), "left_semi")
+    seq.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+      .select($"n_edges", $"n_reciprocal",
+        LlmOps.pround4($"n_reciprocal".cast("double") /
+          $"n_edges".cast("double")).as("reciprocity"))
+  }
+
+  /** Preferential-attachment link prediction — the degree-product
+    * baseline every link-prediction benchmark starts from: for part
+    * pairs sharing ≥1 customer, score = custDeg(p1)·custDeg(p2) (exact
+    * BIGINT). Same Σdeg² candidate stream and [[graft.api.PairBudget]]
+    * posture as [[graphAdamicAdar]]; degrees attach to the candidate
+    * PAIRS via two broadcast joins against the part-degree rollup
+    * (dimension-sized), never to the pair stream pre-aggregation.
+    */
+  val graphPrefAttachment: Q = (s, dir) => {
+    import s.implicits._
+    val adj = edges(s, dir).select($"src", $"dst").cp()
+    val g1 = graft.api.PairBudget.gate(adj, Seq($"src"),
+      "graph_pref_attachment", "graph_common_neighbors_approx")
+    val pdeg = adj.groupBy($"dst").agg(count(lit(1)).as("pdeg"))
+    g1.as("e1")
+      .join(adj.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
+      .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(pdeg.select($"dst".as("p1"), $"pdeg".as("d1"))), "p1")
+      .join(broadcast(pdeg.select($"dst".as("p2"), $"pdeg".as("d2"))), "p2")
+      .select($"p1", $"p2", $"common", ($"d1" * $"d2").as("pa_score"))
+      .orderBy($"pa_score".desc, $"p1", $"p2").limit(20)
+  }
+
+  /** Deterministic random walks over the co-purchase graph — the
+    * node2vec/DeepWalk sampling primitive made RNG-free: from the 4
+    * highest-degree parts, 4 steps, each step moving to the neighbor
+    * minimizing md5(walk‖step‖neighbor) (a fresh uniform choice per
+    * step, reproducible on any engine — the [[aggSubsampleCi]] hash-
+    * randomness discipline applied to graph sampling). Each step is one
+    * broadcast join of the 4-row frontier against the edge list — walk
+    * cost is O(steps·|frontier|) lookups, never a full-graph pass.
+    */
+  val graphRandomWalk: Q = (s, dir) => {
+    import s.implicits._
+    val both = copurchaseBoth(s, dir).cp() // 4 step joins + the seed scan
+    val seeds = both.groupBy($"a").agg(count(lit(1)).as("d"))
+      .orderBy($"d".desc, $"a").limit(4)
+      .select($"a".as("walk"))
+    var cur = seeds.select($"walk", $"walk".as("node")).cp()
+    var out = cur.withColumn("step", lit(0L))
+    for (step <- 1 to 4) {
+      cur = both
+        .join(broadcast(cur.select($"walk", $"node".as("a"))), "a")
+        .select($"walk", $"b",
+          md5(concat($"walk".cast("string"), lit("_"), lit(step.toString),
+            lit("_"), $"b".cast("string"))).as("h"))
+        .groupBy($"walk").agg(min(struct($"h", $"b")).as("m"))
+        .select($"walk", $"m.b".as("node")).cp()
+      out = out.unionAll(cur.withColumn("step", lit(step.toLong)))
+    }
+    out.select($"walk", $"step", $"node").orderBy($"walk", $"step")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_reciprocity" -> graphReciprocity,
+    "graph_pref_attachment" -> graphPrefAttachment,
+    "graph_random_walk" -> graphRandomWalk,
     "graph_hop_histogram" -> graphHopHistogram,
     "graph_bfs_tree" -> graphBfsTree,
     "graph_triangle_sample" -> graphTriangleSample,

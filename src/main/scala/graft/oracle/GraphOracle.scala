@@ -72,6 +72,35 @@ object GraphOracle {
     s"$base,\n$rounds\nSELECT id AS part, d AS wdist FROM d6 ORDER BY part"
   }
 
+  /** Unrolled 4-step deterministic min-md5 random walk — the same
+    * generation trick as [[wssspSql]]; each step's choice is the neighbor
+    * minimizing md5(walk‖step‖neighbor), tie-break neighbor id (ties are
+    * md5-collision-impossible in practice but the ORDER BY carries the
+    * same tie key as the Spark max-struct anyway).
+    */
+  private val randomWalkSql: String = {
+    val base =
+      s"""WITH $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |seeds AS (SELECT a AS walk FROM (
+         |  SELECT a, count(*) AS d FROM e2 GROUP BY 1) t
+         |  ORDER BY d DESC, a LIMIT 4),
+         |w0 AS (SELECT walk, walk AS node FROM seeds)""".stripMargin
+    val steps = (1 to 4).map { i =>
+      s"""w$i AS (SELECT walk, b AS node FROM (
+         |  SELECT w.walk, e2.b,
+         |    row_number() OVER (PARTITION BY w.walk ORDER BY
+         |      md5(CAST(w.walk AS VARCHAR) || '_' || '$i' || '_' ||
+         |        CAST(e2.b AS VARCHAR)), e2.b) AS rn
+         |  FROM w${i - 1} w JOIN e2 ON e2.a = w.node) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to 4)
+      .map(i => s"SELECT walk, CAST($i AS BIGINT) AS step, node FROM w$i")
+      .mkString("\nUNION ALL ")
+    s"$base,\n$steps\n$sel\nORDER BY walk, step"
+  }
+
   /** Unrolled 10-iteration BATCH personalized PageRank: the source key `s`
     * rides every CTE; the per-iteration reset row is re-injected by a
     * UNION ALL (support-sparse state, matching the Spark side's absence-
@@ -438,6 +467,41 @@ object GraphOracle {
          |    count(*) AS common FROM t GROUP BY 1, 2)
          |SELECT p1, p2, common, CAST(aa_scaled AS DOUBLE) / 1000000000.0 AS aa
          |FROM a ORDER BY aa_scaled DESC, p1, p2 LIMIT 20""".stripMargin,
+
+    "graph_reciprocity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+        |  FROM lineitem),
+        |seq AS (
+        |  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
+        |    SELECT l_partkey,
+        |      lead(l_partkey, 1) OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_linenumber, l_partkey) AS nxt
+        |    FROM li) t
+        |  WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+        |r AS (
+        |  SELECT count(*) AS n_reciprocal FROM seq
+        |  WHERE EXISTS (SELECT 1 FROM seq s2
+        |    WHERE s2.src = seq.dst AND s2.dst = seq.src)),
+        |n AS (SELECT count(*) AS n_edges FROM seq)
+        |SELECT n_edges, n_reciprocal,
+        |  floor(CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS reciprocity
+        |FROM n, r""".stripMargin,
+
+    "graph_pref_attachment" ->
+      s"""WITH $edgesCte,
+         |pdeg AS (SELECT dst, count(*) AS pd FROM e GROUP BY 1),
+         |c AS (SELECT e1.dst AS p1, e2.dst AS p2, count(*) AS common
+         |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2)
+         |SELECT p1, p2, common,
+         |  CAST(d1.pd * d2.pd AS BIGINT) AS pa_score
+         |FROM c JOIN pdeg d1 ON c.p1 = d1.dst
+         |JOIN pdeg d2 ON c.p2 = d2.dst
+         |ORDER BY pa_score DESC, p1, p2 LIMIT 20""".stripMargin,
+
+    "graph_random_walk" -> randomWalkSql,
 
     "graph_wsssp" -> wssspSql,
     "graph_ppr_batch" -> pprBatchSql,

@@ -2754,7 +2754,195 @@ object LlmOps {
           .as("coverage"))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync idea at token
+    * granularity): a chunk boundary falls AFTER any token whose md5 head
+    * nibble is 0 or 1 (expected chunk ≈ 8 tokens), so boundaries depend
+    * only on LOCAL content and survive upstream insertions — the
+    * property fixed-width chunking lacks and dedup-friendly pipelines
+    * need. chunk id = 1 + exclusive prefix count of boundaries over the
+    * per-doc frame (bounded by doc length); per-doc stats are exact.
+    */
+  val llmChunkCdc: Q = (s, dir) => {
+    import s.implicits._
+    val pos = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "tok")))
+      .select($"doc_id", $"p".cast("long").as("p"),
+        when(substring(md5($"tok"), 1, 1).isin("0", "1"), 1L)
+          .otherwise(0L).as("b"))
+    val w = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = pos
+      .withColumn("chunk", lit(1L) + coalesce(sum($"b").over(w), lit(0L)))
+      .groupBy($"doc_id", $"chunk").agg(count(lit(1)).as("sz"))
+    chunks.groupBy($"doc_id")
+      .agg(sum($"sz").as("n_tokens"), count(lit(1)).as("n_chunks"),
+        max($"sz").as("max_chunk"))
+      .select($"doc_id", $"n_tokens", $"n_chunks", $"max_chunk",
+        pround4($"n_tokens".cast("double") / $"n_chunks".cast("double"))
+          .as("mean_chunk"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-dimension embedding health table — the feature-store audit
+    * (dead dims, variance collapse, range drift) run before any ANN
+    * index is trusted. One posexplode pass; per-dim mean and variance
+    * from exact scaled-BIGINT power sums (q = round(v·1e4):
+    * var = (n·Σq² − (Σq)²)/(n²·1e8) — order-independent), min/max as
+    * exact q/1e4 ratios. 64 output rows; every emitted double is ONE
+    * division of exact integers.
+    */
+  val llmEmbedDimStats: Q = (s, dir) => {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select(posexplode($"embedding").as(Seq("p", "v")))
+      .select(($"p" + 1).cast("long").as("pos"),
+        round($"v".cast("double") * lit(10000)).cast("long").as("q"))
+      .groupBy($"pos")
+      .agg(count(lit(1)).as("n"), sum($"q").as("sq"),
+        sum($"q" * $"q").as("sqq"), min($"q").as("qmin"),
+        max($"q").as("qmax"))
+      .select($"pos", $"n",
+        ($"sq".cast("double") / ($"n".cast("double") * lit(10000.0)))
+          .as("mean"),
+        (($"n" * $"sqq" - $"sq" * $"sq").cast("double") /
+          ($"n".cast("double") * $"n".cast("double") * lit(1.0e8)))
+          .as("variance"),
+        ($"qmin".cast("double") / lit(10000.0)).as("vmin"),
+        ($"qmax".cast("double") / lit(10000.0)).as("vmax"))
+      .orderBy($"pos")
+  }
+
+  /** Per-dimension affine int8 quantization audit — the embedding-
+    * compression readout (PQ/int8 serving cuts vector storage 4×; this
+    * measures what it costs): codes c = ⌊(q−qmin)·255/d + ½⌋ via EXACT
+    * integer rounding ((2·255·(q−qmin) + d) div 2d), reconstruction
+    * error |255·(q−qmin) − c·d| kept as an exact BIGINT numerator and
+    * divided once per dim for max/mean — no float enters until the
+    * final division. Constant-range dims (d=0) quantize losslessly.
+    */
+  val llmEmbedQuantize: Q = (s, dir) => {
+    import s.implicits._
+    val q = Tables.embeddings(s, dir)
+      .select(posexplode($"embedding").as(Seq("p", "v")))
+      .select(($"p" + 1).cast("long").as("pos"),
+        round($"v".cast("double") * lit(10000)).cast("long").as("q"))
+      .cp() // min/max pass and error pass share the explode
+    val mm = q.groupBy($"pos")
+      .agg(min($"q").as("qmin"), max($"q").as("qmax"))
+      .select($"pos", $"qmin", ($"qmax" - $"qmin").as("d"))
+    q.join(broadcast(mm), "pos")
+      .withColumn("c", when($"d" > 0,
+        expr("(2 * 255 * (q - qmin) + d) div (2 * d)")).otherwise(0L))
+      .withColumn("errnum", when($"d" > 0,
+        abs(lit(255) * ($"q" - $"qmin") - $"c" * $"d")).otherwise(0L))
+      .groupBy($"pos")
+      .agg(count(lit(1)).as("n"), max($"d").as("d"),
+        max($"errnum").as("maxnum"), sum($"errnum").as("sumnum"))
+      .select($"pos",
+        ($"d".cast("double") / lit(10000.0)).as("range"),
+        ($"maxnum".cast("double") / lit(255.0 * 10000.0)).as("max_err"),
+        ($"sumnum".cast("double") /
+          ($"n".cast("double") * lit(255.0 * 10000.0))).as("mean_err"))
+      .orderBy($"pos")
+  }
+
+  /** SemDeDup (semantic dedup via embedding clusters): vectors bucket by
+    * the sign pattern of dims 1–4 (16 axis-LSH cells — deterministic,
+    * engine-portable), near-dup pairs are within-bucket cosine ≥ 0.3
+    * (the [[llmDedupEmbed]] float-portability discipline), and each pair
+    * drops the member CLOSER to its bucket centroid — the paper's
+    * keep-the-extreme rule, with centroid distance as the exact
+    * nano-quantized BIGINT of [[llmEmbedOutliers]]. Pair work is
+    * LSH-blocked (Σ bucket² ≪ N²), the 100 TB shape. Per-bucket audit
+    * rows: sizes, pair counts, drop counts.
+    */
+  val llmSemdedup: Q = (s, dir) => {
+    import s.implicits._
+    def bit(i: Int, w: Int) =
+      when(element_at($"embedding", i).cast("double") > 0, w).otherwise(0)
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        (bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1)).cast("long")
+          .as("bucket"),
+        sqrt(FloatVec.floatDot($"embedding", $"embedding")).as("nrm"))
+      .cp() // bucket stats, centroid pass, and both pair sides share it
+    val pos = e.select($"vec_id", $"bucket",
+      posexplode($"embedding").as(Seq("p", "v")))
+      .select($"vec_id", $"bucket", ($"p" + 1).cast("long").as("pos"),
+        $"v".cast("double").as("v"))
+      .cp()
+    val cent = pos.groupBy($"bucket", $"pos")
+      .agg(sum(round($"v" * lit(10000)).cast("long")).as("cs"),
+        count(lit(1)).as("n"))
+      .select($"bucket", $"pos",
+        ($"cs".cast("double") / ($"n".cast("double") * lit(10000.0)))
+          .as("c"))
+    val d2 = pos.join(cent, Seq("bucket", "pos"))
+      .withColumn("t", $"v" - $"c")
+      .withColumn("tq",
+        floor($"t" * $"t" * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy($"vec_id", $"bucket").agg(sum($"tq").as("d2q"))
+    val pairs = e.as("x").join(e.as("y"),
+        $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
+      .filter(pround4(FloatVec.floatDot($"x.embedding", $"y.embedding") /
+        ($"x.nrm" * $"y.nrm")) >= 0.3)
+      .select($"x.bucket".as("bucket"), $"x.vec_id".as("i"),
+        $"y.vec_id".as("j"))
+      .join(d2.select($"vec_id".as("i"), $"d2q".as("di")), "i")
+      .join(d2.select($"vec_id".as("j"), $"d2q".as("dj")), "j")
+      .select($"bucket", $"i", $"j",
+        when($"di" < $"dj" || ($"di" === $"dj" && $"i" > $"j"), $"i")
+          .otherwise($"j").as("drop_id"))
+      .cp() // pair count and drop rollup both read it
+    val pstat = pairs.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"drop_id").as("n_dropped"))
+    e.groupBy($"bucket").agg(count(lit(1)).as("n_vecs"))
+      .join(pstat, Seq("bucket"), "left")
+      .select($"bucket", $"n_vecs",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"))
+      .orderBy($"bucket")
+  }
+
+  /** Token↔source mutual-information table for the corpus's top-20
+    * tokens — "which tokens are source fingerprints" (the leakage probe
+    * behind source-balancing): MI(t) = Σ_s p_ts·ln(p_ts·N/(p_t·n_s))
+    * with every probability a ratio of exact counts, each transcendental
+    * term nano-quantized then BIGINT-summed (§2.9 discipline). The tf
+    * frame is one tokenize shuffle; the top-20 cut is a broadcast
+    * semi-join, so the MI rollup runs over ≤ 20·|sources| rows.
+    */
+  val llmTokenMi: Q = (s, dir) => {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok", $"source").agg(count(lit(1)).as("c"))
+      .cp() // token totals, source totals, and the MI pass share it
+    val tokTot = tf.groupBy($"tok").agg(sum($"c").as("nt"))
+    val srcTot = tf.groupBy($"source").agg(sum($"c").as("ns"))
+    val grand = tf.agg(sum($"c").as("nn"))
+    val top = tokTot.orderBy($"nt".desc, $"tok").limit(20)
+    tf.join(broadcast(top), "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(grand))
+      .withColumn("term", floor(
+        $"c".cast("double") / $"nn".cast("double") *
+          log($"c".cast("double") * $"nn".cast("double") /
+            ($"nt".cast("double") * $"ns".cast("double"))) *
+          lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy($"tok", $"nt").agg(sum($"term").as("miq"))
+      .select($"tok", $"nt".as("n"),
+        ($"miq".cast("double") / lit(1.0e9)).as("mi"))
+      .orderBy($"tok")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_chunk_cdc" -> llmChunkCdc,
+    "llm_embed_dim_stats" -> llmEmbedDimStats,
+    "llm_embed_quantize" -> llmEmbedQuantize,
+    "llm_semdedup" -> llmSemdedup,
+    "llm_token_mi" -> llmTokenMi,
     "llm_ngram_coverage" -> llmNgramCoverage,
     "llm_skipgram_pairs" -> llmSkipgramPairs,
     "llm_pref_pairs" -> llmPrefPairs,

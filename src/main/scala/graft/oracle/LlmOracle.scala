@@ -1640,6 +1640,143 @@ object LlmOracle {
         |    ELSE greatest(1, CAST(trunc(CAST(h AS DOUBLE) *
         |      (64.0 / CAST(greatest(w, h) AS DOUBLE))) AS BIGINT)) END
         |    AS out_h
-        |FROM dims ORDER BY doc_id""".stripMargin
+        |FROM dims ORDER BY doc_id""".stripMargin,
+
+    "llm_chunk_cdc" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i AS p,
+        |    CASE WHEN substr(md5(ts[i]), 1, 1) IN ('0', '1')
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+        |        FROM documents) t,
+        |    UNNEST(range(1, len(ts) + 1)) AS u(i)),
+        |ch AS (
+        |  SELECT doc_id, p,
+        |    1 + coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk
+        |  FROM tok),
+        |sz AS (SELECT doc_id, chunk, count(*) AS sz
+        |  FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(sz) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_chunks, CAST(max(sz) AS BIGINT) AS max_chunk,
+        |  floor(CAST(sum(sz) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_chunk
+        |FROM sz GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_embed_dim_stats" ->
+      """WITH q AS (
+        |  SELECT i AS pos,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings,
+        |    UNNEST(range(1, len(embedding) + 1)) AS t(i))
+        |SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
+        |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * 10000.0) AS mean,
+        |  CAST(CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS BIGINT)
+        |    AS DOUBLE) / (CAST(count(*) AS DOUBLE) *
+        |    CAST(count(*) AS DOUBLE) * 1.0e8) AS variance,
+        |  CAST(min(q) AS DOUBLE) / 10000.0 AS vmin,
+        |  CAST(max(q) AS DOUBLE) / 10000.0 AS vmax
+        |FROM q GROUP BY pos ORDER BY pos""".stripMargin,
+
+    "llm_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT i AS pos,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings,
+        |    UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |mm AS (
+        |  SELECT pos, min(q) AS qmin, max(q) - min(q) AS d
+        |  FROM q GROUP BY 1),
+        |err AS (
+        |  SELECT q.pos, mm.d,
+        |    CASE WHEN mm.d > 0 THEN
+        |      abs(255 * (q.q - mm.qmin) -
+        |        ((2 * 255 * (q.q - mm.qmin) + mm.d) // (2 * mm.d)) * mm.d)
+        |    ELSE 0 END AS errnum
+        |  FROM q JOIN mm ON q.pos = mm.pos)
+        |SELECT CAST(pos AS BIGINT) AS pos,
+        |  CAST(max(d) AS DOUBLE) / 10000.0 AS range,
+        |  CAST(CAST(max(errnum) AS BIGINT) AS DOUBLE) / 2550000.0
+        |    AS max_err,
+        |  CAST(CAST(sum(errnum) AS BIGINT) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * 2550000.0) AS mean_err
+        |FROM err GROUP BY pos ORDER BY pos""".stripMargin,
+
+    "llm_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 8 ELSE 0 END
+        |     + CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 4 ELSE 0
+        |       END
+        |     + CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 2 ELSE 0
+        |       END
+        |     + CASE WHEN CAST(embedding[4] AS DOUBLE) > 0 THEN 1 ELSE 0
+        |       END) AS bucket
+        |  FROM embeddings),
+        |px AS (
+        |  SELECT vec_id, bucket, i AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM e, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |cent AS (
+        |  SELECT bucket, pos,
+        |    CAST(CAST(sum(CAST(round(v * 10000) AS BIGINT)) AS BIGINT)
+        |      AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0) AS c
+        |  FROM px GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT vec_id, px.bucket AS bucket,
+        |    CAST(sum(CAST(floor((v - c) * (v - c) * 1.0e9 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS d2q
+        |  FROM px JOIN cent ON px.bucket = cent.bucket
+        |    AND px.pos = cent.pos
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT x.bucket, x.vec_id AS i, y.vec_id AS j,
+        |    CASE WHEN di.d2q < dj.d2q OR
+        |        (di.d2q = dj.d2q AND x.vec_id > y.vec_id)
+        |      THEN x.vec_id ELSE y.vec_id END AS drop_id
+        |  FROM e x JOIN e y
+        |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |  JOIN d2 di ON di.vec_id = x.vec_id
+        |  JOIN d2 dj ON dj.vec_id = y.vec_id
+        |  WHERE floor(list_cosine_similarity(x.embedding::DOUBLE[],
+        |    y.embedding::DOUBLE[]) * 10000.0 + 0.5) / 10000.0 >= 0.3),
+        |ps AS (
+        |  SELECT bucket, count(*) AS n_pairs,
+        |    count(DISTINCT drop_id) AS n_dropped
+        |  FROM pairs GROUP BY 1),
+        |bs AS (SELECT bucket, count(*) AS n_vecs FROM e GROUP BY 1)
+        |SELECT CAST(bs.bucket AS BIGINT) AS bucket, bs.n_vecs,
+        |  coalesce(ps.n_pairs, 0) AS n_pairs,
+        |  coalesce(ps.n_dropped, 0) AS n_dropped
+        |FROM bs LEFT JOIN ps ON bs.bucket = ps.bucket
+        |ORDER BY bs.bucket""".stripMargin,
+
+    "llm_token_mi" ->
+      """WITH tf AS (
+        |  SELECT tok, source, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS nt
+        |  FROM tf GROUP BY 1),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+        |  FROM tf GROUP BY 1),
+        |g AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM tf),
+        |top AS (SELECT tok, nt FROM tt ORDER BY nt DESC, tok LIMIT 20),
+        |terms AS (
+        |  SELECT tf.tok, top.nt,
+        |    CAST(floor(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |      ln(CAST(c AS DOUBLE) * CAST(nn AS DOUBLE) /
+        |        (CAST(nt AS DOUBLE) * CAST(ns AS DOUBLE))) * 1.0e9 + 0.5)
+        |      AS BIGINT) AS term
+        |  FROM tf JOIN top ON tf.tok = top.tok
+        |  JOIN st ON tf.source = st.source, g)
+        |SELECT tok, nt AS n,
+        |  CAST(CAST(sum(term) AS BIGINT) AS DOUBLE) / 1.0e9 AS mi
+        |FROM terms GROUP BY tok, nt ORDER BY tok""".stripMargin
   )
 }

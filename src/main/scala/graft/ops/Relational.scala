@@ -3629,6 +3629,32 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** Plain-text line source round trip — the fifth file format
+    * (parquet/CSV/JSON-lines/ORC/text): supplier names through a
+    * `write.text` scratch, re-read as lines, the natural key parsed back
+    * out of the name string, joined to the pristine dim. The oracle runs
+    * on the pristine table with the name-match count DEFINED equal to
+    * the supplier count — so a hash match proves the text round trip is
+    * lossless AND the parse is exact. Artifact memoized per (op, data
+    * fingerprint) like the sibling sources.
+    */
+  val srcTextLines: Q = (s, dir) => {
+    import s.implicits._
+    val out = srcArtifact("src_text_lines", dir, "supplier.parquet") { p =>
+      Tables.supplier(s, dir).select($"s_name")
+        .write.mode("overwrite").text(s"$p/supplier_txt")
+    } + "/supplier_txt"
+    s.read.text(out)
+      .select($"value", substring($"value", 10, 9).cast("long").as("k"))
+      .join(Tables.supplier(s, dir), $"k" === $"s_suppkey")
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(when($"value" === $"s_name", 1L).otherwise(0L))
+          .as("n_name_match"),
+        msum($"s_acctbal").as("acctbal_sum"))
+      .orderBy($"s_nationkey")
+  }
+
   /** Two-sample Kolmogorov–Smirnov test on the order-price distribution,
     * pre-1998 vs 1998-onward — "did pricing drift?" asked exactly. The
     * scale discipline is value-collapse first (one row per distinct price
@@ -3911,6 +3937,7 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "src_text_lines" -> srcTextLines,
     "agg_ks_test" -> aggKsTest,
     "agg_psi" -> aggPsi,
     "agg_cramers_v" -> aggCramersV,

@@ -764,7 +764,54 @@ object StreamingOps {
     topkCore(counts).orderBy($"ws_ms", $"rnk")
   }
 
+  /** Fixed-window rate-limit accounting — the API-gateway admission
+    * contract "≤3 events per user per minute" scored over the feed: the
+    * windowed per-user count is the INCREMENTAL stage (plain streaming
+    * agg — watermark-compatible, no per-event state), admitted =
+    * least(n, 3) is a stateless finish, and the per-user rollup reports
+    * what a token bucket would have passed/shed. Two shuffles total
+    * (window agg, user rollup), both partial-combining.
+    */
+  private def throttleCore(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
+    counts.groupBy($"user_id")
+      .agg(sum($"n").as("n_events"),
+        sum(least($"n", lit(3L))).as("n_admitted"),
+        count(lit(1)).as("n_windows"))
+      .select($"user_id", $"n_events", $"n_admitted",
+        ($"n_events" - $"n_admitted").as("n_rejected"), $"n_windows")
+  }
+
+  /** The incremental (streaming) stage of [[streamThrottle]]: per-user
+    * 1-minute tumbling counts on the live feed.
+    */
+  def throttleCountsStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    eventsStream(s, dir).withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 minute").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"w.start").as("ws_ms"), $"user_id", $"n")
+  }
+
+  /** The stateless finish of [[streamThrottle]] exposed for the live
+    * spec, mirroring [[topkFinish]].
+    */
+  private[graft] def throttleFinish(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
+    throttleCore(counts).orderBy($"user_id")
+  }
+
+  val streamThrottle: Q = (s, dir) => {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy(window($"ts", "1 minute").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"w.start").as("ws_ms"), $"user_id", $"n")
+    throttleCore(counts).orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_throttle" -> streamThrottle,
     "stream_topk" -> streamTopk,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,

@@ -2586,6 +2586,13 @@ object OracleSql {
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         |ORDER BY c_custkey""".stripMargin,
 
+    "src_text_lines" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        |  count(*) AS n_name_match,
+        |  CAST(sum(CAST(round(s_acctbal * 10000) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0 AS acctbal_sum
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "agg_ks_test" ->
       """WITH r AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,

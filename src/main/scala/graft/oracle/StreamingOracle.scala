@@ -15,6 +15,17 @@ object StreamingOracle {
     s"CAST(sum(CAST(round(($expr) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0"
 
   val sql: Map[String, String] = Map(
+    "stream_throttle" ->
+      """WITH c AS (
+        |  SELECT (epoch_ms(ts) // 60000) * 60000 AS ws_ms, user_id,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(least(n, 3)) AS BIGINT) AS n_admitted,
+        |  CAST(sum(n) - sum(least(n, 3)) AS BIGINT) AS n_rejected,
+        |  count(*) AS n_windows
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "stream_topk" ->
       """WITH w AS (
         |  SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, event_type,

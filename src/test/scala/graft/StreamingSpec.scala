@@ -312,6 +312,12 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(StreamingOps.topkFinish(live)) === sortedRows(batch))
   }
 
+  test("stream_throttle: incremental windowed counts + stateless finish equal the batch twin") {
+    val batch = SparkEntry.queries("stream_throttle")(spark, sf)
+    val live = runStream(StreamingOps.throttleCountsStream(spark, sf), OutputMode.Complete)
+    assert(sortedRows(StreamingOps.throttleFinish(live)) === sortedRows(batch))
+  }
+
   test("EventBus seam: default is the parquet replay; property swaps the source in") {
     import graft.sources.EventBus
     assert(EventBus.active.isInstanceOf[graft.sources.ParquetReplayBus])

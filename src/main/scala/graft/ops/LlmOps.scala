@@ -2937,7 +2937,72 @@ object LlmOps {
       .orderBy($"tok")
   }
 
+  /** Chunk-level dedup over the CDC chunking — WHY content-defined
+    * boundaries matter: chunks hash by their token content
+    * (order-pinned sort_array concat, md5), a chunk is duplicated when
+    * its hash occurs under more than one (doc, chunk) slot, and the
+    * per-source dup share is the storage-savings estimate an incremental
+    * corpus snapshot actually banks. The hash (not the text) is the
+    * shuffle key of the global count — the [[llmDedupExact]] discipline
+    * at sub-document granularity.
+    */
+  val llmCdcDedup: Q = (s, dir) => {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        posexplode(split($"text", " ")).as(Seq("p", "tok")))
+      .select($"doc_id", $"source", $"p".cast("long").as("p"), $"tok",
+        when(substring(md5($"tok"), 1, 1).isin("0", "1"), 1L)
+          .otherwise(0L).as("b"))
+    val w = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = tok
+      .withColumn("chunk", lit(1L) + coalesce(sum($"b").over(w), lit(0L)))
+      .groupBy($"doc_id", $"source", $"chunk")
+      .agg(md5(concat_ws(" ", expr(
+        "transform(sort_array(collect_list(struct(p, tok))), x -> x.tok)")))
+        .as("h"))
+      .cp() // hash counts and the per-source rollup share it
+    val dup = chunks.groupBy($"h").agg(count(lit(1)).as("nh"))
+    chunks.join(dup, "h")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"nh" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select($"source", $"n_chunks", $"n_dup_chunks",
+        pround4($"n_dup_chunks".cast("double") /
+          $"n_chunks".cast("double")).as("dup_rate"))
+      .orderBy($"source")
+  }
+
+  /** ANN recall@5 evaluation — the serving-quality gate on the IVF
+    * index: [[llmAnnIvf]]'s cluster-pruned top-5 scored against the
+    * exact brute-force top-5 for the same probe. Pure composition of two
+    * graded deterministic queries, so the recall itself is
+    * hash-checkable — the eval a vector-serving team runs before
+    * trusting nprobe. At 100 TB the exact side runs on a sampled probe
+    * set; the shape (semi-join of two top-k frames) is unchanged.
+    */
+  val llmAnnRecall: Q = (s, dir) => {
+    import s.implicits._
+    val ann = llmAnnIvf(s, dir).select($"vec_id")
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(FloatVec.floatDot($"embedding", $"embedding")))
+    val probe = e.filter($"vec_id" === 42)
+      .select($"embedding".as("pe"), $"nrm".as("pn"))
+    val exact = e.crossJoin(broadcast(probe))
+      .filter($"vec_id" =!= 42)
+      .select($"vec_id", round(FloatVec.floatDot($"embedding", $"pe") /
+        ($"nrm" * $"pn"), 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id").limit(5)
+    exact.join(ann, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(5L).as("k"), $"n_hits",
+        pround4($"n_hits".cast("double") / lit(5.0)).as("recall"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_cdc_dedup" -> llmCdcDedup,
+    "llm_ann_recall" -> llmAnnRecall,
     "llm_chunk_cdc" -> llmChunkCdc,
     "llm_embed_dim_stats" -> llmEmbedDimStats,
     "llm_embed_quantize" -> llmEmbedQuantize,

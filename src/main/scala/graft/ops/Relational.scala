@@ -3936,7 +3936,113 @@ object Relational {
       .orderBy($"ante", $"cons")
   }
 
+  /** MACD (12/26/9) on daily order revenue — the trend-following readout,
+    * spelled with TRUNCATED folds so it is deterministic and engine-
+    * portable: each EWMA is a left fold over the windowed value list
+    * (aggregate ↔ DuckDB list_reduce, token-identical arithmetic
+    * `acc·k/m + x·2/m`), frames are calendar-bounded (26- and 9-day), and
+    * the truncation IS the declared semantics — no unbounded Wilder
+    * recursion, no float drift (the [[winEwma]] discipline). Inputs are
+    * exact cents cast to double once.
+    */
+  val winMacd: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .select((tsMs($"o_orderdate".cast("timestamp")) / lit(86400000L))
+        .cast("long").as("d"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"d").agg(sum($"cents").cast("double").as("x"))
+    val w12 = Window.orderBy($"d").rowsBetween(-11, 0)
+    val w26 = Window.orderBy($"d").rowsBetween(-25, 0)
+    val w9 = Window.orderBy($"d").rowsBetween(-8, 0)
+    def fold(vs: String, keep: String, alpha2: Int, m: Int) =
+      expr(s"aggregate(slice($vs, 2, size($vs) - 1), element_at($vs, 1)," +
+        s" (acc, x) -> acc * $keep.0 / $m.0 + x * $alpha2.0 / $m.0)")
+    val macd = daily
+      .withColumn("v12", collect_list($"x").over(w12))
+      .withColumn("v26", collect_list($"x").over(w26))
+      .withColumn("e12", fold("v12", "11", 2, 13))
+      .withColumn("e26", fold("v26", "25", 2, 27))
+      .withColumn("macd", $"e12" - $"e26")
+    macd
+      .withColumn("vm", collect_list($"macd").over(w9))
+      .withColumn("signal", fold("vm", "8", 2, 10))
+      .select($"d", $"macd", $"signal",
+        ($"macd" - $"signal").as("histogram"))
+      .orderBy($"d")
+  }
+
+  /** ABC inventory classification over part revenue — A carries the first
+    * 80% of revenue, B the next 15%, C the tail: the Pareto cut every
+    * supply-chain review starts from. Per-part revenue is one shuffle agg
+    * to exact cents; the revenue-descending cumulative is a
+    * range-partitioned [[DistScan.withPrefixAgg]] EXCLUSIVE prefix (a
+    * part is A while everything strictly richer than it is under 80%) —
+    * part-scale frame, NO single-partition window; class membership is an
+    * exact integer cross-multiplication, output 3 rows.
+    */
+  val aggAbcAnalysis: Q = (s, dir) => {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("rev"))
+    val tot = rev.agg(sum($"rev").as("tot"))
+    DistScan.withPrefixAgg(rev, "cb", $"rev", "sum",
+        $"rev".desc, $"l_partkey")
+      .crossJoin(broadcast(tot))
+      .withColumn("cprev", coalesce($"cb", lit(0L)))
+      .withColumn("cls",
+        when($"cprev" * 100 < $"tot" * 80, "A")
+          .when($"cprev" * 100 < $"tot" * 95, "B")
+          .otherwise("C"))
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("n_parts"), sum($"rev").as("r"), max($"tot").as("t"))
+      .select($"cls", $"n_parts",
+        LlmOps.pround4($"r".cast("double") / $"t".cast("double"))
+          .as("rev_share"))
+      .orderBy($"cls")
+  }
+
+  /** Price elasticity of demand per brand — the log-log regression slope
+    * of per-part quantity on unit price (the econ workhorse behind every
+    * pricing decision). Unit price and quantity collapse to ONE row per
+    * part first; the logs are quantized to 1e-5 BIGINTs per part (same
+    * IEEE ln both engines) so all five regression sums are exact integer
+    * accumulations; the slope is one fixed double tree over the exact
+    * sums, per brand (the [[aggLinreg]] discipline on log axes).
+    */
+  val aggPriceElasticity: Q = (s, dir) => {
+    import s.implicits._
+    val per = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"l_partkey")
+      .agg(sum(round($"l_quantity").cast("long")).as("qty"),
+        sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+      .select($"p_brand",
+        floor(log($"cents".cast("double") / $"qty".cast("double")) *
+          lit(1.0e5) + lit(0.5)).cast("long").as("xq"),
+        floor(log($"qty".cast("double")) * lit(1.0e5) + lit(0.5))
+          .cast("long").as("yq"))
+    per.groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), sum($"xq").as("sx"), sum($"yq").as("sy"),
+        sum($"xq" * $"yq").as("sxy"), sum($"xq" * $"xq").as("sxx"))
+      .select($"p_brand", $"n",
+        when($"n".cast("double") * $"sxx".cast("double") -
+          $"sx".cast("double") * $"sx".cast("double") > 0,
+          LlmOps.pround4(
+            ($"n".cast("double") * $"sxy".cast("double") -
+              $"sx".cast("double") * $"sy".cast("double")) /
+              ($"n".cast("double") * $"sxx".cast("double") -
+                $"sx".cast("double") * $"sx".cast("double"))))
+          .as("elasticity"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_macd" -> winMacd,
+    "agg_abc_analysis" -> aggAbcAnalysis,
+    "agg_price_elasticity" -> aggPriceElasticity,
     "src_text_lines" -> srcTextLines,
     "agg_ks_test" -> aggKsTest,
     "agg_psi" -> aggPsi,

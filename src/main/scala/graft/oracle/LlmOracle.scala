@@ -1642,6 +1642,69 @@ object LlmOracle {
         |    AS out_h
         |FROM dims ORDER BY doc_id""".stripMargin,
 
+    "llm_cdc_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, i AS p, ts[i] AS tok,
+        |    CASE WHEN substr(md5(ts[i]), 1, 1) IN ('0', '1')
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ts
+        |        FROM documents) t,
+        |    UNNEST(range(1, len(ts) + 1)) AS u(i)),
+        |ch AS (
+        |  SELECT doc_id, source, p, tok,
+        |    1 + coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk
+        |  FROM tok),
+        |chunks AS (
+        |  SELECT doc_id, source, chunk,
+        |    md5(string_agg(tok, ' ' ORDER BY p)) AS h
+        |  FROM ch GROUP BY 1, 2, 3),
+        |dup AS (SELECT h, count(*) AS nh FROM chunks GROUP BY 1)
+        |SELECT source, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  floor(CAST(sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS dup_rate
+        |FROM chunks JOIN dup ON chunks.h = dup.h
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_ann_recall" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        |  WHERE vec_id < 10),
+        |assigned AS (
+        |  SELECT vec_id, cid, embedding FROM (
+        |    SELECT e.vec_id, c.cid, e.embedding,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(
+        |          e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+        |                 c.cid) AS rn
+        |    FROM embeddings e, cent c) t
+        |  WHERE rn = 1),
+        |probe AS (SELECT cid AS pcid, embedding AS pe FROM assigned
+        |  WHERE vec_id = 42),
+        |ivf AS (
+        |  SELECT a.vec_id
+        |  FROM assigned a, probe p
+        |  WHERE a.cid = p.pcid AND a.vec_id <> 42
+        |  ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    p.pe::DOUBLE[]), 4) DESC, vec_id LIMIT 5),
+        |pr AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 42),
+        |exact AS (
+        |  SELECT e.vec_id
+        |  FROM embeddings e, pr
+        |  WHERE e.vec_id <> 42
+        |  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |    pr.pe::DOUBLE[]), 4) DESC, e.vec_id LIMIT 5),
+        |h AS (SELECT count(*) AS n_hits FROM exact
+        |  WHERE vec_id IN (SELECT vec_id FROM ivf))
+        |SELECT CAST(5 AS BIGINT) AS k, n_hits,
+        |  floor(CAST(n_hits AS DOUBLE) / 5.0 * 10000.0 + 0.5) / 10000.0
+        |    AS recall
+        |FROM h""".stripMargin,
+
     "llm_chunk_cdc" ->
       """WITH tok AS (
         |  SELECT doc_id, i AS p,

@@ -2586,6 +2586,95 @@ object OracleSql {
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         |ORDER BY c_custkey""".stripMargin,
 
+    "win_macd" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS d,
+        |    CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |f AS (
+        |  SELECT d,
+        |    list(x) OVER (ORDER BY d ROWS BETWEEN 11 PRECEDING
+        |      AND CURRENT ROW) AS v12,
+        |    list(x) OVER (ORDER BY d ROWS BETWEEN 25 PRECEDING
+        |      AND CURRENT ROW) AS v26
+        |  FROM daily),
+        |m AS (
+        |  SELECT d,
+        |    list_reduce(v12, (acc, x) -> acc * 11.0 / 13.0
+        |      + x * 2.0 / 13.0) -
+        |    list_reduce(v26, (acc, x) -> acc * 25.0 / 27.0
+        |      + x * 2.0 / 27.0) AS macd
+        |  FROM f),
+        |sg AS (
+        |  SELECT d, macd,
+        |    list(macd) OVER (ORDER BY d ROWS BETWEEN 8 PRECEDING
+        |      AND CURRENT ROW) AS vm
+        |  FROM m)
+        |SELECT d, macd,
+        |  list_reduce(vm, (acc, x) -> acc * 8.0 / 10.0 + x * 2.0 / 10.0)
+        |    AS signal,
+        |  macd - list_reduce(vm, (acc, x) -> acc * 8.0 / 10.0
+        |    + x * 2.0 / 10.0) AS histogram
+        |FROM sg ORDER BY d""".stripMargin,
+
+    "agg_abc_analysis" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM rev),
+        |c AS (
+        |  SELECT rev,
+        |    CAST(coalesce(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cprev
+        |  FROM rev),
+        |cls AS (
+        |  SELECT rev,
+        |    CASE WHEN cprev * 100 < tot * 80 THEN 'A'
+        |      WHEN cprev * 100 < tot * 95 THEN 'B'
+        |      ELSE 'C' END AS cls, tot
+        |  FROM c, tot)
+        |SELECT cls, count(*) AS n_parts,
+        |  floor(CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE) /
+        |    CAST(max(tot) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS rev_share
+        |FROM cls GROUP BY cls ORDER BY cls""".stripMargin,
+
+    "agg_price_elasticity" ->
+      """WITH per AS (
+        |  SELECT p_brand,
+        |    CAST(floor(ln(CAST(cents AS DOUBLE) / CAST(qty AS DOUBLE))
+        |      * 1.0e5 + 0.5) AS BIGINT) AS xq,
+        |    CAST(floor(ln(CAST(qty AS DOUBLE)) * 1.0e5 + 0.5) AS BIGINT)
+        |      AS yq
+        |  FROM (
+        |    SELECT p_brand, l_partkey,
+        |      CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |        AS qty,
+        |      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |        AS BIGINT) AS cents
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    GROUP BY 1, 2) t),
+        |s AS (
+        |  SELECT p_brand, count(*) AS n, CAST(sum(xq) AS BIGINT) AS sx,
+        |    CAST(sum(yq) AS BIGINT) AS sy,
+        |    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+        |    CAST(sum(xq * xq) AS BIGINT) AS sxx
+        |  FROM per GROUP BY 1)
+        |SELECT p_brand, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+        |    floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 10000.0 + 0.5)
+        |      / 10000.0
+        |  END AS elasticity
+        |FROM s ORDER BY p_brand""".stripMargin,
+
     "src_text_lines" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
         |  count(*) AS n_name_match,

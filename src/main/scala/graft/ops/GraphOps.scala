@@ -1415,7 +1415,33 @@ object GraphOps {
     out.select($"walk", $"step", $"node").orderBy($"walk", $"step")
   }
 
+  /** Local bridges (Granovetter's weak-tie structure): co-purchase edges
+    * whose endpoints share NO common neighbor — removing one lengthens
+    * the a↔b path to > 2, so these are the graph's information
+    * bottlenecks. Support per edge comes from the same sorted-adjacency
+    * `array_intersect` shape as [[graphClusteringCoeff]] (adjacency
+    * arrays bounded by max degree, no Σdeg² wedge materialization) but
+    * over FULL neighborhoods (both directions — canonical-orientation
+    * adjacency would undercount common neighbors).
+    */
+  val graphLocalBridges: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).select($"a", $"b").cp() // adj + edge scan
+    val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
+    val adj = both.groupBy($"a".as("v"))
+      .agg(sort_array(collect_list($"b")).as("nbrs"))
+    cp.join(adj.select($"v", $"nbrs".as("na")), $"a" === $"v")
+      .join(adj.select($"v".as("v2"), $"nbrs".as("nb")), $"b" === $"v2")
+      .select(size(array_intersect($"na", $"nb")).cast("long").as("sup"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when($"sup" === 0, 1L).otherwise(0L)).as("n_local_bridges"))
+      .select($"n_edges", $"n_local_bridges",
+        LlmOps.pround4($"n_local_bridges".cast("double") /
+          $"n_edges".cast("double")).as("bridge_share"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_local_bridges" -> graphLocalBridges,
     "graph_reciprocity" -> graphReciprocity,
     "graph_pref_attachment" -> graphPrefAttachment,
     "graph_random_walk" -> graphRandomWalk,

@@ -3000,7 +3000,91 @@ object LlmOps {
         pround4($"n_hits".cast("double") / lit(5.0)).as("recall"))
   }
 
+  /** Filter-funnel report — how many documents survive each successive
+    * curation gate (length → top-token dominance → mean word length →
+    * exact dedup), the one-page readout every pipeline publishes with a
+    * release. All per-doc signals come from ONE tokenize pass (exact
+    * integer stats; the word-length band is the cross-multiplied
+    * `3n ≤ Σlen ≤ 10n`, no division); the dedup stage keeps min doc_id
+    * per md5 of the normalized text AMONG prior survivors (the funnel
+    * semantics — dedup sees only what upstream passed). Stage counts
+    * unpivot into 5 rows via one `stack`.
+    */
+  val llmFilterFunnel: Q = (s, dir) => {
+    import s.implicits._
+    val per = Tables.documents(s, dir)
+      .select($"doc_id", $"text", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("c"), sum(length($"tok")).as("lensum"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), max($"c").as("maxc"),
+        sum($"lensum").as("sumlen"))
+    val flags = Tables.documents(s, dir)
+      .select($"doc_id", md5(lower(trim($"text"))).as("h"))
+      .join(per, "doc_id")
+      .withColumn("f1", $"n_tokens" >= 10)
+      .withColumn("f2", $"f1" && $"maxc" * 5 <= $"n_tokens")
+      .withColumn("f3", $"f2" && $"sumlen" >= $"n_tokens" * 3 &&
+        $"sumlen" <= $"n_tokens" * 10)
+      .cp() // keeper rollup + the count agg both read it
+    val keep = flags.filter($"f3").groupBy($"h")
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", lit(true).as("f4"))
+    flags.join(keep, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("s0"),
+        sum(when($"f1", 1L).otherwise(0L)).as("s1"),
+        sum(when($"f2", 1L).otherwise(0L)).as("s2"),
+        sum(when($"f3", 1L).otherwise(0L)).as("s3"),
+        sum(when($"f4", 1L).otherwise(0L)).as("s4"))
+      .select(expr("stack(5, 0L, 'all', s0, 1L, 'min_length', s1," +
+        " 2L, 'token_dominance', s2, 3L, 'word_length', s3," +
+        " 4L, 'exact_dedup', s4) AS (stage, gate, n_docs)"), $"s0")
+      .select($"stage", $"gate", $"n_docs",
+        pround4($"n_docs".cast("double") / $"s0".cast("double"))
+          .as("survival"))
+      .orderBy($"stage")
+  }
+
+  /** Embedding drift detector — Welch z per dimension between the
+    * label<5 and label≥5 cohorts (the "did the new data move the
+    * embedding space" gate before reusing an index or classifier):
+    * cohort means/variances from exact scaled-BIGINT power sums (the
+    * [[llmEmbedDimStats]] machinery split two ways), z one fixed guarded
+    * double tree per dimension. 64 rows.
+    */
+  val llmEmbedDrift: Q = (s, dir) => {
+    import s.implicits._
+    val q = Tables.embeddings(s, dir)
+      .select(($"label" < 5).as("isA"),
+        posexplode($"embedding").as(Seq("p", "v")))
+      .select($"isA", ($"p" + 1).cast("long").as("pos"),
+        round($"v".cast("double") * lit(10000)).cast("long").as("q"))
+      .groupBy($"pos")
+      .agg(sum(when($"isA", 1L).otherwise(0L)).as("na"),
+        sum(when($"isA", $"q").otherwise(0L)).as("sa"),
+        sum(when($"isA", $"q" * $"q").otherwise(0L)).as("qa"),
+        sum(when(!$"isA", 1L).otherwise(0L)).as("nb"),
+        sum(when(!$"isA", $"q").otherwise(0L)).as("sb"),
+        sum(when(!$"isA", $"q" * $"q").otherwise(0L)).as("qb"))
+    def m(sc: Column, nc: Column) =
+      sc.cast("double") / (nc.cast("double") * lit(10000.0))
+    def v(nc: Column, sc: Column, qc: Column) =
+      (nc * qc - sc * sc).cast("double") /
+        (nc.cast("double") * nc.cast("double") * lit(1.0e8))
+    q.withColumn("v2",
+        v($"na", $"sa", $"qa") / $"na".cast("double") +
+          v($"nb", $"sb", $"qb") / $"nb".cast("double"))
+      .select($"pos",
+        m($"sa", $"na").as("mean_a"), m($"sb", $"nb").as("mean_b"),
+        when($"na" > 1 && $"nb" > 1 && $"v2" > 0,
+          pround4((m($"sa", $"na") - m($"sb", $"nb")) / sqrt($"v2")))
+          .as("drift_z"))
+      .orderBy($"pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_filter_funnel" -> llmFilterFunnel,
+    "llm_embed_drift" -> llmEmbedDrift,
     "llm_cdc_dedup" -> llmCdcDedup,
     "llm_ann_recall" -> llmAnnRecall,
     "llm_chunk_cdc" -> llmChunkCdc,

@@ -4039,7 +4039,44 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** Wald–Wolfowitz runs test on the daily revenue direction — "is the
+    * up/down sequence random, or trending/mean-reverting?": signs from
+    * exact cents deltas (zero-delta days dropped, the standard
+    * treatment), runs = 1 + sign changes over the calendar-bounded day
+    * frame, and the normal approximation z = (R−E[R])/σ is one fixed
+    * double tree over the exact integer counts (guarded when the
+    * variance degenerates). All counting is BIGINT-exact.
+    */
+  val aggRunsTest: Q = (s, dir) => {
+    import s.implicits._
+    val ord = Window.orderBy($"d")
+    val daily = Tables.orders(s, dir)
+      .select((tsMs($"o_orderdate".cast("timestamp")) / lit(86400000L))
+        .cast("long").as("d"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"d").agg(sum($"cents").as("v"))
+      .withColumn("delta", $"v" - lag($"v", 1).over(ord))
+      .filter($"delta".isNotNull && $"delta" =!= 0)
+      .withColumn("sgn", when($"delta" > 0, 1L).otherwise(-1L))
+      .withColumn("prev", lag($"sgn", 1).over(ord))
+    daily.agg(
+      sum(when($"sgn" === 1, 1L).otherwise(0L)).as("n_up"),
+      sum(when($"sgn" === -1, 1L).otherwise(0L)).as("n_down"),
+      (lit(1L) + sum(when($"prev".isNotNull && $"sgn" =!= $"prev", 1L)
+        .otherwise(0L))).as("n_runs"))
+      .select($"n_up", $"n_down", $"n_runs",
+        when($"n_up" > 0 && $"n_down" > 0 && $"n_up" + $"n_down" > 1, {
+          val n1 = $"n_up".cast("double"); val n2 = $"n_down".cast("double")
+          val er = lit(2.0) * n1 * n2 / (n1 + n2) + lit(1.0)
+          val vr = (lit(2.0) * n1 * n2 *
+            (lit(2.0) * n1 * n2 - n1 - n2)) /
+            ((n1 + n2) * (n1 + n2) * (n1 + n2 - lit(1.0)))
+          LlmOps.pround4(($"n_runs".cast("double") - er) / sqrt(vr))
+        }).as("z_stat"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_runs_test" -> aggRunsTest,
     "win_macd" -> winMacd,
     "agg_abc_analysis" -> aggAbcAnalysis,
     "agg_price_elasticity" -> aggPriceElasticity,

@@ -489,6 +489,23 @@ object GraphOracle {
         |    * 10000.0 + 0.5) / 10000.0 AS reciprocity
         |FROM n, r""".stripMargin,
 
+    "graph_local_bridges" ->
+      s"""WITH $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |s AS (
+         |  SELECT cp.a AS a, cp.b AS b, count(*) AS sup
+         |  FROM cp
+         |  JOIN e2 x ON x.a = cp.a
+         |  JOIN e2 y ON y.a = cp.b AND y.b = x.b
+         |  GROUP BY 1, 2)
+         |SELECT count(*) AS n_edges,
+         |  CAST(sum(CASE WHEN s.sup IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_local_bridges,
+         |  floor(CAST(sum(CASE WHEN s.sup IS NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
+         |    / 10000.0 AS bridge_share
+         |FROM cp LEFT JOIN s ON cp.a = s.a AND cp.b = s.b""".stripMargin,
+
     "graph_pref_attachment" ->
       s"""WITH $edgesCte,
          |pdeg AS (SELECT dst, count(*) AS pd FROM e GROUP BY 1),

@@ -1642,6 +1642,84 @@ object LlmOracle {
         |    AS out_h
         |FROM dims ORDER BY doc_id""".stripMargin,
 
+    "llm_filter_funnel" ->
+      """WITH per AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(max(c) AS BIGINT) AS maxc,
+        |    CAST(sum(lensum) AS BIGINT) AS sumlen
+        |  FROM (
+        |    SELECT doc_id, tok, count(*) AS c,
+        |      CAST(sum(len(tok)) AS BIGINT) AS lensum
+        |    FROM (SELECT doc_id,
+        |            unnest(string_split(text, ' ')) AS tok
+        |          FROM documents) t
+        |    GROUP BY 1, 2) u
+        |  GROUP BY 1),
+        |flags AS (
+        |  SELECT d.doc_id, md5(lower(trim(text))) AS h,
+        |    n_tokens >= 10 AS f1,
+        |    n_tokens >= 10 AND maxc * 5 <= n_tokens AS f2,
+        |    n_tokens >= 10 AND maxc * 5 <= n_tokens AND
+        |      sumlen >= n_tokens * 3 AND sumlen <= n_tokens * 10 AS f3
+        |  FROM documents d JOIN per ON d.doc_id = per.doc_id),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM flags WHERE f3 GROUP BY h),
+        |agg AS (
+        |  SELECT count(*) AS s0,
+        |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM keep)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s4
+        |  FROM flags),
+        |rows_ AS (
+        |  SELECT 0 AS stage, 'all' AS gate, s0 AS n_docs, s0 FROM agg
+        |  UNION ALL SELECT 1, 'min_length', s1, s0 FROM agg
+        |  UNION ALL SELECT 2, 'token_dominance', s2, s0 FROM agg
+        |  UNION ALL SELECT 3, 'word_length', s3, s0 FROM agg
+        |  UNION ALL SELECT 4, 'exact_dedup', s4, s0 FROM agg)
+        |SELECT CAST(stage AS BIGINT) AS stage, gate, n_docs,
+        |  floor(CAST(n_docs AS DOUBLE) / CAST(s0 AS DOUBLE) * 10000.0
+        |    + 0.5) / 10000.0 AS survival
+        |FROM rows_ ORDER BY stage""".stripMargin,
+
+    "llm_embed_drift" ->
+      """WITH q AS (
+        |  SELECT label < 5 AS isa, i AS pos,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings,
+        |    UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |s AS (
+        |  SELECT pos,
+        |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN isa THEN q ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN isa THEN q * q ELSE 0 END) AS BIGINT)
+        |      AS qa,
+        |    CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN isa THEN 0 ELSE q END) AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN isa THEN 0 ELSE q * q END) AS BIGINT)
+        |      AS qb
+        |  FROM q GROUP BY 1),
+        |w AS (
+        |  SELECT pos, na, sa, nb, sb,
+        |    CAST(na * qa - sa * sa AS DOUBLE) /
+        |      (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * 1.0e8) /
+        |      CAST(na AS DOUBLE) +
+        |    CAST(nb * qb - sb * sb AS DOUBLE) /
+        |      (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * 1.0e8) /
+        |      CAST(nb AS DOUBLE) AS v2
+        |  FROM s)
+        |SELECT CAST(pos AS BIGINT) AS pos,
+        |  CAST(sa AS DOUBLE) / (CAST(na AS DOUBLE) * 10000.0) AS mean_a,
+        |  CAST(sb AS DOUBLE) / (CAST(nb AS DOUBLE) * 10000.0) AS mean_b,
+        |  CASE WHEN na > 1 AND nb > 1 AND v2 > 0 THEN
+        |    floor((CAST(sa AS DOUBLE) / (CAST(na AS DOUBLE) * 10000.0) -
+        |      CAST(sb AS DOUBLE) / (CAST(nb AS DOUBLE) * 10000.0)) /
+        |      sqrt(v2) * 10000.0 + 0.5) / 10000.0
+        |  END AS drift_z
+        |FROM w ORDER BY pos""".stripMargin,
+
     "llm_cdc_dedup" ->
       """WITH tok AS (
         |  SELECT doc_id, source, i AS p, ts[i] AS tok,

@@ -2586,6 +2586,43 @@ object OracleSql {
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         |ORDER BY c_custkey""".stripMargin,
 
+    "agg_runs_test" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |dl AS (
+        |  SELECT d, v - lag(v, 1) OVER (ORDER BY d) AS delta FROM daily),
+        |sg AS (
+        |  SELECT d, CASE WHEN delta > 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM dl WHERE delta IS NOT NULL AND delta <> 0),
+        |pv AS (
+        |  SELECT sgn, lag(sgn, 1) OVER (ORDER BY d) AS prev FROM sg),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_up,
+        |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_down,
+        |    CAST(1 + sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |  FROM pv)
+        |SELECT n_up, n_down, n_runs,
+        |  CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1 THEN
+        |    floor((CAST(n_runs AS DOUBLE) -
+        |      (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) /
+        |        (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) + 1.0)) /
+        |      sqrt((2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) *
+        |        (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) -
+        |          CAST(n_up AS DOUBLE) - CAST(n_down AS DOUBLE))) /
+        |        ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) *
+        |          (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) *
+        |          (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) - 1.0)))
+        |      * 10000.0 + 0.5) / 10000.0
+        |  END AS z_stat
+        |FROM agg""".stripMargin,
+
     "win_macd" ->
       """WITH daily AS (
         |  SELECT epoch_ms(o_orderdate) // 86400000 AS d,

@@ -1440,7 +1440,34 @@ object GraphOps {
           $"n_edges".cast("double")).as("bridge_share"))
   }
 
+  /** Small-world index σ = (C/C_rand)/(L/L_rand) — Watts–Strogatz's "is
+    * this graph clustered AND short?" composed from two already-graded
+    * scalars: the global clustering coefficient ([[graphClusteringCoeff]],
+    * reused verbatim) and the landmark mean path length
+    * ([[graphAvgPathLength]]); the Erdős–Rényi baselines C_r = k̄/n and
+    * L_r = ln n / ln k̄ come from exact node/edge counts. Composition of
+    * deterministic quantized inputs → σ is itself hash-checkable.
+    */
+  val graphSmallWorld: Q = (s, dir) => {
+    import s.implicits._
+    val cc = graphClusteringCoeff(s, dir).select($"global_cc")
+    val apl = graphAvgPathLength(s, dir).select($"mean_hops")
+    val cp = copurchase(s, dir).select($"a", $"b").cp()
+    val nm = cp.select(explode(array($"a", $"b")).as("v"))
+      .agg(countDistinct($"v").as("n"))
+      .crossJoin(broadcast(cp.agg(count(lit(1)).as("m"))))
+    nm.crossJoin(broadcast(cc)).crossJoin(broadcast(apl))
+      .withColumn("kbar", lit(2.0) * $"m".cast("double") /
+        $"n".cast("double"))
+      .select($"n", $"m", $"global_cc", $"mean_hops",
+        LlmOps.pround4(
+          ($"global_cc" / ($"kbar" / $"n".cast("double"))) /
+            ($"mean_hops" / (log($"n".cast("double")) / log($"kbar"))))
+          .as("sigma"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_small_world" -> graphSmallWorld,
     "graph_local_bridges" -> graphLocalBridges,
     "graph_reciprocity" -> graphReciprocity,
     "graph_pref_attachment" -> graphPrefAttachment,

@@ -3082,7 +3082,58 @@ object LlmOps {
       .orderBy($"pos")
   }
 
+  /** Held-out bigram cross-entropy — the eval-set language-model score
+    * behind every "did the corpus change" regression: an add-1-smoothed
+    * bigram LM fit on the train slice (source ≠ src0) scores the src0
+    * slice. Bigrams come from the banded position self-join (fan-out 1,
+    * never quadratic); each held-out TYPE's log-probability is
+    * nano-quantized once and weighted by its exact count, so the
+    * cross-entropy sum is an exact BIGINT fold; H and the perplexity
+    * exp(H) are one guarded double tree each (pround4 absorbs the last-
+    * ulp libm exp divergence the same way the cosine ops do).
+    */
+  val llmBigramPerplexity: Q = (s, dir) => {
+    import s.implicits._
+    val pos = Tables.documents(s, dir)
+      .select($"source", $"doc_id",
+        posexplode(split($"text", " ")).as(Seq("p", "tok")))
+      .select($"source", $"doc_id", $"p".cast("long").as("p"), $"tok")
+      .cp() // both sides of the banded bigram join share the tokenize
+    val bg = pos.as("a").join(pos.as("b"),
+      $"a.doc_id" === $"b.doc_id" && $"b.p" - $"a.p" === 1)
+      .select($"a.source".as("source"), $"a.tok".as("w1"),
+        $"b.tok".as("w2"))
+      .cp() // train counts and held-out counts share the bigram pass
+    val train = bg.filter($"source" =!= "src0")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cb")).cp()
+    val ctx = train.groupBy($"w1").agg(sum($"cb").as("cw"))
+    val vocab = train.select($"w2").distinct()
+      .agg(count(lit(1)).as("vv"))
+    val held = bg.filter($"source" === "src0")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("nh"))
+    val scored = held
+      .join(train, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select($"nh",
+        (coalesce($"cb", lit(0L)) + 1).as("num"),
+        (coalesce($"cw", lit(0L)) + $"vv").as("den"))
+      .select($"nh", ($"nh" * floor(log($"num".cast("double") /
+        $"den".cast("double")) * lit(1.0e9) + lit(0.5)).cast("long"))
+        .as("t"))
+    scored.crossJoin(broadcast(vocab))
+      .groupBy($"vv").agg(sum($"nh").as("n_bigrams"), sum($"t").as("st"))
+      .select($"n_bigrams", $"vv".as("vocab"),
+        when($"n_bigrams" > 0, pround4(-$"st".cast("double") /
+          ($"n_bigrams".cast("double") * lit(1.0e9))))
+          .as("cross_entropy"),
+        when($"n_bigrams" > 0, pround4(exp(-$"st".cast("double") /
+          ($"n_bigrams".cast("double") * lit(1.0e9)))))
+          .as("perplexity"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_bigram_perplexity" -> llmBigramPerplexity,
     "llm_filter_funnel" -> llmFilterFunnel,
     "llm_embed_drift" -> llmEmbedDrift,
     "llm_cdc_dedup" -> llmCdcDedup,

@@ -4075,7 +4075,105 @@ object Relational {
         }).as("z_stat"))
   }
 
+  /** One-way ANOVA F-test of order value across day-of-week groups —
+    * "does the weekday move the money?" with the variance decomposition
+    * a t-test can't give. Group power sums (n, Σx, Σx²) are exact
+    * BIGINTs from one shuffle; the float SSB/SSW group terms are then
+    * summed by a SORTED-ARRAY FOLD (`aggregate` over sort_array ↔
+    * DuckDB list_reduce over list_sort — both engines add the ≤7 group
+    * terms in the identical order), eliminating float-sum order drift
+    * without quantization. F is one fixed double tree.
+    */
+  val aggAnova: Q = (s, dir) => {
+    import s.implicits._
+    val rows = Tables.orders(s, dir)
+      .select(((tsMs($"o_orderdate".cast("timestamp")) /
+        lit(86400000L)).cast("long") % 7).as("g"),
+        round($"o_totalprice" * 100).cast("long").as("v"))
+    val grp = rows.groupBy($"g")
+      .agg(count(lit(1)).as("ng"), sum($"v").as("sg"),
+        sum($"v" * $"v").as("qg"))
+    val tot = rows.agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val terms = grp.crossJoin(broadcast(tot))
+      .withColumn("mg", $"sg".cast("double") / $"ng".cast("double"))
+      .withColumn("m", $"s".cast("double") / $"n".cast("double"))
+      .select($"g", $"n",
+        ($"ng".cast("double") * ($"mg" - $"m") * ($"mg" - $"m"))
+          .as("ssb"),
+        ($"qg".cast("double") - $"sg".cast("double") *
+          $"sg".cast("double") / $"ng".cast("double")).as("ssw"))
+    terms.groupBy($"n")
+      .agg(count(lit(1)).as("k"),
+        sort_array(collect_list(struct($"g", $"ssb", $"ssw"))).as("arr"))
+      .select($"n", $"k",
+        expr("aggregate(arr, 0D, (acc, x) -> acc + x.ssb)").as("ssbt"),
+        expr("aggregate(arr, 0D, (acc, x) -> acc + x.ssw)").as("sswt"))
+      .select($"n", $"k",
+        LlmOps.pround4(($"ssbt" / ($"k" - 1).cast("double")) /
+          ($"sswt" / ($"n" - $"k").cast("double"))).as("f_stat"))
+  }
+
+  /** Hampel outlier filter on the per-type daily value series — the
+    * robust despiking every metrics pipeline runs before alerting
+    * (mean/σ break under the very outliers being hunted): rolling
+    * 7-day window, flag when |x − median| > 3·MAD. EVERYTHING is exact
+    * integer arithmetic — window median and MAD are order statistics
+    * picked from the sorted windowed array (`sort_array` +
+    * `element_at`, lower-median rule), the flag is a cross-multiplied
+    * BIGINT compare — no float enters the decision at all.
+    */
+  val winHampel: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type", (tsMs($"ts") / lit(86400000L)).cast("long")
+        .as("d"), round($"value" * lit(10000)).cast("long").as("v"))
+      .groupBy($"event_type", $"d").agg(sum($"v").as("v"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("arr", sort_array(collect_list($"v").over(w)))
+      .withColumn("med",
+        expr("element_at(arr, cast((size(arr) + 1) div 2 as int))"))
+      .withColumn("mad", expr(
+        "element_at(sort_array(transform(arr, x -> abs(x - med)))," +
+          " cast((size(arr) + 1) div 2 as int))"))
+      .select($"event_type", $"d",
+        ($"v".cast("double") / lit(10000.0)).as("value"),
+        ($"med".cast("double") / lit(10000.0)).as("med7"),
+        ($"mad".cast("double") / lit(10000.0)).as("mad7"),
+        (abs($"v" - $"med") > $"mad" * 3).as("is_outlier"))
+      .orderBy($"event_type", $"d")
+  }
+
+  /** Hill tail-index estimator over the top-100 order prices — "how
+    * heavy is the revenue tail?" (α ≈ 1 Zipf, α large ≈ thin): the k+1
+    * order statistics come from a TakeOrdered top-101 (no global sort);
+    * each ln(x_i/x_{k+1}) is nano-quantized then BIGINT-summed over the
+    * constant-sized frame, and α = k/Σ is one division. The
+    * heavy-tail companion to [[aggPareto]]/[[aggGini]].
+    */
+  val aggHillTail: Q = (s, dir) => {
+    import s.implicits._
+    val top = Tables.orders(s, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("v"))
+      .orderBy($"v".desc).limit(101)
+    val xk = top.agg(min($"v").as("xk"))
+    // all 101 rows enter the sum: the x_{k+1} row and any tie with it
+    // contribute ln(1) = 0, so k stays the fixed 100 of the estimator
+    top.crossJoin(broadcast(xk))
+      .select(floor(log($"v".cast("double") / $"xk".cast("double")) *
+        lit(1.0e9) + lit(0.5)).cast("long").as("t"), $"xk")
+      .groupBy($"xk").agg(sum($"t").as("st"))
+      .select(lit(100L).as("k"),
+        ($"xk".cast("double") / lit(100.0)).as("threshold_price"),
+        when($"st" > 0, LlmOps.pround4(lit(100.0) /
+          ($"st".cast("double") / lit(1.0e9)))).as("alpha"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_anova" -> aggAnova,
+    "win_hampel" -> winHampel,
+    "agg_hill_tail" -> aggHillTail,
     "agg_runs_test" -> aggRunsTest,
     "win_macd" -> winMacd,
     "agg_abc_analysis" -> aggAbcAnalysis,

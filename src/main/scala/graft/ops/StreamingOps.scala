@@ -810,7 +810,52 @@ object StreamingOps {
     throttleCore(counts).orderBy($"user_id")
   }
 
+  /** Windowed-count anomaly alerts — the detector every on-call feed
+    * runs over its stream sink: per-type 5-minute counts (the SAME
+    * incremental stage [[topkCountsStream]] already proves live) scored
+    * against the per-type window-count distribution; a window alerts
+    * when |n − mean| > 2σ, decided by the EXACT integer
+    * cross-multiplication A² > 4·B (A = n·W − Σn, B = W·Σn² − (Σn)²) —
+    * no float touches the alert decision; z is display-only.
+    */
+  private def anomalyCore(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
+    // per-type stats as a PARTITIONED window (frame = observed windows
+    // per type — time-bounded at any volume), not a self-join: a memory
+    // -sink view joined with its own aggregate trips Spark's conflicting
+    // -reference resolution, and the window spelling is one pass anyway
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+    counts
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sn", sum($"n").over(w))
+      .withColumn("qn", sum($"n" * $"n").over(w))
+      .withColumn("a", $"n" * $"nw" - $"sn")
+      .withColumn("b", $"nw" * $"qn" - $"sn" * $"sn")
+      .filter($"a" * $"a" > $"b" * 4 && $"b" > 0)
+      .select($"ws_ms", $"event_type", $"n",
+        graft.ops.LlmOps.pround4($"a".cast("double") /
+          sqrt($"b".cast("double"))).as("z"))
+  }
+
+  /** The stateless finish of [[streamAnomaly]] exposed for the live
+    * spec, mirroring [[topkFinish]].
+    */
+  private[graft] def anomalyFinish(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
+    anomalyCore(counts).orderBy($"event_type", $"ws_ms")
+  }
+
+  val streamAnomaly: Q = (s, dir) => {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"w.start").as("ws_ms"), $"event_type", $"n")
+    anomalyFinish(counts)
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_anomaly" -> streamAnomaly,
     "stream_throttle" -> streamThrottle,
     "stream_topk" -> streamTopk,
     "stream_tumbling" -> streamTumbling,

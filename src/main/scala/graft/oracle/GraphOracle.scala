@@ -168,6 +168,30 @@ object GraphOracle {
     * graph_closeness, graph_eccentricity and graph_hop_histogram so all
     * three derive from the identical traversal.
     */
+  /** Full statements shared between their own map rows and the
+    * graph_small_world composition.
+    */
+  private lazy val clusteringCoeffSql: String =
+    s"""WITH $copurchaseCte,
+       |bdir AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+       |deg AS (SELECT a, count(*) AS d FROM bdir GROUP BY a),
+       |tri AS (
+       |  SELECT count(*) AS n_triangles FROM cp e1
+       |    JOIN cp e2 ON e2.a = e1.b
+       |    JOIN cp e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |wed AS (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg)
+       |SELECT n_triangles, n_wedges,
+       |  floor(3 * n_triangles / n_wedges * 10000.0 + 0.5) / 10000.0 AS global_cc
+       |FROM tri, wed""".stripMargin
+
+  private lazy val avgPathLengthSql: String =
+    s"""$landmarkBfsCtes
+       |SELECT count(*) AS n_pairs, CAST(sum(d) AS BIGINT) AS sum_hops,
+       |  CAST(max(d) AS BIGINT) AS diameter_lb,
+       |  floor(CAST(sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    * 10000.0 + 0.5) / 10000.0 AS mean_hops
+       |FROM md WHERE d > 0""".stripMargin
+
   private val landmarkBfsCtes: String =
     s"""WITH RECURSIVE $copurchaseCte,
        |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
@@ -408,13 +432,7 @@ object GraphOracle {
          |    * 10000.0 + 0.5) / 10000.0 AS mass_share
          |FROM hist, tot ORDER BY w""".stripMargin,
 
-    "graph_avg_path_length" ->
-      s"""$landmarkBfsCtes
-         |SELECT count(*) AS n_pairs, CAST(sum(d) AS BIGINT) AS sum_hops,
-         |  CAST(max(d) AS BIGINT) AS diameter_lb,
-         |  floor(CAST(sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-         |    * 10000.0 + 0.5) / 10000.0 AS mean_hops
-         |FROM md WHERE d > 0""".stripMargin,
+    "graph_avg_path_length" -> avgPathLengthSql,
 
     "graph_closeness" ->
       s"""$landmarkBfsCtes
@@ -723,18 +741,23 @@ object GraphOracle {
          |JOIN deg d2 ON pairs.p2 = d2.p
          |ORDER BY jac DESC, pairs.p1, pairs.p2 LIMIT 20""".stripMargin,
 
-    "graph_clustering_coeff" ->
-      s"""WITH $copurchaseCte,
-         |bdir AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
-         |deg AS (SELECT a, count(*) AS d FROM bdir GROUP BY a),
-         |tri AS (
-         |  SELECT count(*) AS n_triangles FROM cp e1
-         |    JOIN cp e2 ON e2.a = e1.b
-         |    JOIN cp e3 ON e3.a = e1.a AND e3.b = e2.b),
-         |wed AS (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg)
-         |SELECT n_triangles, n_wedges,
-         |  floor(3 * n_triangles / n_wedges * 10000.0 + 0.5) / 10000.0 AS global_cc
-         |FROM tri, wed""".stripMargin,
+    "graph_clustering_coeff" -> clusteringCoeffSql,
+
+    "graph_small_world" ->
+      s"""WITH cc AS (SELECT global_cc FROM ($clusteringCoeffSql) t1),
+         |apl AS (SELECT mean_hops FROM ($avgPathLengthSql) t2),
+         |$copurchaseCte,
+         |nm AS (
+         |  SELECT (SELECT count(DISTINCT v) FROM (
+         |     SELECT a AS v FROM cp UNION ALL SELECT b FROM cp) u) AS n,
+         |    (SELECT count(*) FROM cp) AS m)
+         |SELECT n, m, global_cc, mean_hops,
+         |  floor((global_cc / ((2.0 * CAST(m AS DOUBLE) /
+         |    CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) /
+         |    (mean_hops / (ln(CAST(n AS DOUBLE)) /
+         |      ln(2.0 * CAST(m AS DOUBLE) / CAST(n AS DOUBLE))))
+         |    * 10000.0 + 0.5) / 10000.0 AS sigma
+         |FROM nm, cc, apl""".stripMargin,
 
     "graph_assortativity" ->
       s"""WITH $copurchaseCte,

@@ -1642,6 +1642,49 @@ object LlmOracle {
         |    AS out_h
         |FROM dims ORDER BY doc_id""".stripMargin,
 
+    "llm_bigram_perplexity" ->
+      """WITH pos AS (
+        |  SELECT source, doc_id, i AS p, ts[i] AS tok
+        |  FROM (SELECT source, doc_id, string_split(text, ' ') AS ts
+        |        FROM documents) t,
+        |    UNNEST(range(1, len(ts) + 1)) AS u(i)),
+        |bg AS (
+        |  SELECT a.source, a.tok AS w1, b.tok AS w2
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.p - a.p = 1),
+        |train AS (
+        |  SELECT w1, w2, count(*) AS cb FROM bg
+        |  WHERE source <> 'src0' GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw
+        |  FROM train GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT w2) AS vv FROM train),
+        |held AS (
+        |  SELECT w1, w2, count(*) AS nh FROM bg
+        |  WHERE source = 'src0' GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT nh,
+        |    CAST(nh * CAST(floor(ln(
+        |      CAST(coalesce(cb, 0) + 1 AS DOUBLE) /
+        |      CAST(coalesce(cw, 0) + vv AS DOUBLE)) * 1.0e9 + 0.5)
+        |      AS BIGINT) AS BIGINT) AS t
+        |  FROM held
+        |  LEFT JOIN train USING (w1, w2)
+        |  LEFT JOIN ctx USING (w1), vocab),
+        |agg AS (
+        |  SELECT vv, CAST(sum(nh) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(t) AS BIGINT) AS st
+        |  FROM scored, vocab GROUP BY vv)
+        |SELECT n_bigrams, vv AS vocab,
+        |  CASE WHEN n_bigrams > 0 THEN
+        |    floor(-CAST(st AS DOUBLE) /
+        |      (CAST(n_bigrams AS DOUBLE) * 1.0e9) * 10000.0 + 0.5)
+        |      / 10000.0 END AS cross_entropy,
+        |  CASE WHEN n_bigrams > 0 THEN
+        |    floor(exp(-CAST(st AS DOUBLE) /
+        |      (CAST(n_bigrams AS DOUBLE) * 1.0e9)) * 10000.0 + 0.5)
+        |      / 10000.0 END AS perplexity
+        |FROM agg""".stripMargin,
+
     "llm_filter_funnel" ->
       """WITH per AS (
         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,

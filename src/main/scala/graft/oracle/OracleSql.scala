@@ -2586,6 +2586,85 @@ object OracleSql {
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         |ORDER BY c_custkey""".stripMargin,
 
+    "agg_anova" ->
+      """WITH r AS (
+        |  SELECT (epoch_ms(o_orderdate) // 86400000) % 7 AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |grp AS (
+        |  SELECT g, count(*) AS ng, CAST(sum(v) AS BIGINT) AS sg,
+        |    CAST(sum(v * v) AS BIGINT) AS qg
+        |  FROM r GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+        |  FROM r),
+        |terms AS (
+        |  SELECT g, n,
+        |    CAST(ng AS DOUBLE) *
+        |      (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) -
+        |        CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) -
+        |        CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ssb,
+        |    CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) *
+        |      CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS ssw
+        |  FROM grp, tot),
+        |folded AS (
+        |  SELECT n, count(*) AS k,
+        |    list_sort(list({'g': g, 'ssb': ssb, 'ssw': ssw})) AS arr
+        |  FROM terms GROUP BY n)
+        |SELECT n, k,
+        |  floor((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(arr, x -> x.ssb)), (acc, x) -> acc + x) /
+        |      CAST(k - 1 AS DOUBLE)) /
+        |    (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(arr, x -> x.ssw)), (acc, x) -> acc + x) /
+        |      CAST(n - k AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+        |    AS f_stat
+        |FROM folded""".stripMargin,
+
+    "win_hampel" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, d, v,
+        |    list_sort(list(v) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, d, v, arr,
+        |    arr[(len(arr) + 1) // 2] AS med
+        |  FROM f),
+        |h AS (
+        |  SELECT event_type, d, v, med,
+        |    list_sort(list_transform(arr, x -> abs(x - med)))
+        |      [(len(arr) + 1) // 2] AS mad
+        |  FROM m)
+        |SELECT event_type, d,
+        |  CAST(v AS DOUBLE) / 10000.0 AS value,
+        |  CAST(med AS DOUBLE) / 10000.0 AS med7,
+        |  CAST(mad AS DOUBLE) / 10000.0 AS mad7,
+        |  abs(v - med) > mad * 3 AS is_outlier
+        |FROM h ORDER BY event_type, d""".stripMargin,
+
+    "agg_hill_tail" ->
+      """WITH top AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders ORDER BY v DESC LIMIT 101),
+        |xk AS (SELECT min(v) AS xk FROM top),
+        |t AS (
+        |  SELECT CAST(floor(ln(CAST(v AS DOUBLE) / CAST(xk AS DOUBLE))
+        |    * 1.0e9 + 0.5) AS BIGINT) AS t, xk
+        |  FROM top, xk)
+        |SELECT CAST(100 AS BIGINT) AS k,
+        |  CAST(xk AS DOUBLE) / 100.0 AS threshold_price,
+        |  CASE WHEN sum(t) > 0 THEN
+        |    floor(100.0 / (CAST(CAST(sum(t) AS BIGINT) AS DOUBLE)
+        |      / 1.0e9) * 10000.0 + 0.5) / 10000.0
+        |  END AS alpha
+        |FROM t GROUP BY xk""".stripMargin,
+
     "agg_runs_test" ->
       """WITH daily AS (
         |  SELECT epoch_ms(o_orderdate) // 86400000 AS d,

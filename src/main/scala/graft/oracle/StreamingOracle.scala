@@ -15,6 +15,26 @@ object StreamingOracle {
     s"CAST(sum(CAST(round(($expr) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0"
 
   val sql: Map[String, String] = Map(
+    "stream_anomaly" ->
+      """WITH c AS (
+        |  SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS nw, CAST(sum(n) AS BIGINT)
+        |      AS sn,
+        |    CAST(sum(n * n) AS BIGINT) AS qn
+        |  FROM c GROUP BY 1),
+        |j AS (
+        |  SELECT c.ws_ms, c.event_type, c.n,
+        |    c.n * st.nw - st.sn AS a, st.nw * st.qn - st.sn * st.sn AS b
+        |  FROM c JOIN st ON c.event_type = st.event_type)
+        |SELECT ws_ms, event_type, CAST(n AS BIGINT) AS n,
+        |  floor(CAST(a AS DOUBLE) / sqrt(CAST(b AS DOUBLE)) * 10000.0
+        |    + 0.5) / 10000.0 AS z
+        |FROM j WHERE a * a > b * 4 AND b > 0
+        |ORDER BY event_type, ws_ms""".stripMargin,
+
     "stream_throttle" ->
       """WITH c AS (
         |  SELECT (epoch_ms(ts) // 60000) * 60000 AS ws_ms, user_id,

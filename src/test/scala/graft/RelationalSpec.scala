@@ -15,10 +15,20 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("registry: declared counts match the registry (drift guard)") {
-    // update alongside SURVEY.md §2 / BASELINE.md prose — the r2 VERDICT
-    // caught a silent 116-vs-117 drift in the documented count
-    assert(SparkEntry.queries.size === 334, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size === 326, s"oracles: ${SparkEntry.oracleSql.size}")
+    // the r2 VERDICT caught a silent 116-vs-117 drift between the
+    // documented count and the registry; since r11 the declared side is
+    // parsed FROM SURVEY.md §2 itself, so the guard pins the actual
+    // contract (every §2 key row ↔ exactly one registry entry) instead
+    // of a hand-maintained number
+    val surveyKeys = scala.io.Source.fromFile("/root/repo/SURVEY.md", "UTF-8")
+      .getLines()
+      .flatMap("""^\| `([a-z0-9_]+)`""".r.findFirstMatchIn(_))
+      .map(_.group(1)).toSet
+    val registry = SparkEntry.queries.keySet
+    assert(surveyKeys === registry,
+      s"survey-only: ${surveyKeys.diff(registry)}; " +
+        s"registry-only: ${registry.diff(surveyKeys)}")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(registry))
   }
 
   test("registry: no oracle projection rounds a transcendental (cross-libm ulp guard)") {

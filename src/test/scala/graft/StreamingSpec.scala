@@ -312,6 +312,12 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(StreamingOps.topkFinish(live)) === sortedRows(batch))
   }
 
+  test("stream_anomaly: live windowed counts + alert finish equal the batch twin") {
+    val batch = SparkEntry.queries("stream_anomaly")(spark, sf)
+    val live = runStream(StreamingOps.topkCountsStream(spark, sf), OutputMode.Complete)
+    assert(sortedRows(StreamingOps.anomalyFinish(live)) === sortedRows(batch))
+  }
+
   test("stream_throttle: incremental windowed counts + stateless finish equal the batch twin") {
     val batch = SparkEntry.queries("stream_throttle")(spark, sf)
     val live = runStream(StreamingOps.throttleCountsStream(spark, sf), OutputMode.Complete)

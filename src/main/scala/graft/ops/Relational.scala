@@ -4170,7 +4170,108 @@ object Relational {
           ($"st".cast("double") / lit(1.0e9)))).as("alpha"))
   }
 
+  /** Bag-semantics INTERSECT ALL — the multiset twin the set family
+    * lacked: customers ordering in BOTH the pre-1998 and 1998+ periods,
+    * with multiplicity min(n₁, n₂) preserved (the "how many REPEAT
+    * transactions overlap" question DISTINCT erases). Spark plans
+    * `intersectAll` as a counted-replication aggregate — one shuffle per
+    * side, no row explosion beyond the answer.
+    */
+  val setIntersectAll: Q = (s, dir) => {
+    import s.implicits._
+    val a = Tables.orders(s, dir)
+      .filter(tsMs($"o_orderdate".cast("timestamp")) < lit(883612800000L))
+      .select($"o_custkey")
+    val b = Tables.orders(s, dir)
+      .filter(tsMs($"o_orderdate".cast("timestamp")) >= lit(883612800000L))
+      .select($"o_custkey")
+    a.intersectAll(b).orderBy($"o_custkey")
+  }
+
+  /** Bag-semantics EXCEPT ALL — multiplicity-preserving difference:
+    * each pre-1998 order of a customer survives unless matched 1:1 by a
+    * 1998+ order (n₁ − n₂ copies remain). The churn-weighted set
+    * difference DISTINCT flattens away.
+    */
+  val setExceptAll: Q = (s, dir) => {
+    import s.implicits._
+    val a = Tables.orders(s, dir)
+      .filter(tsMs($"o_orderdate".cast("timestamp")) < lit(883612800000L))
+      .select($"o_custkey")
+    val b = Tables.orders(s, dir)
+      .filter(tsMs($"o_orderdate".cast("timestamp")) >= lit(883612800000L))
+      .select($"o_custkey")
+    a.exceptAll(b).orderBy($"o_custkey")
+  }
+
+  /** Count–min sketch with a PORTABLE hash family — the sketch
+    * demonstrated against its own ground truth: d=4 rows × w=64 buckets
+    * keyed by md5(i:key), per-type estimate = min over rows of the
+    * bucket count, reported NEXT TO the exact count so the one-sided
+    * overcount (CMS never undercounts) is visible and hash-checked. The
+    * update stream is d× the fact table (the honest CMS cost), fully
+    * map-side-combining into 256 cells.
+    */
+  val aggCmsEstimate: Q = (s, dir) => {
+    import s.implicits._
+    def bucket(i: Column, key: Column): Column =
+      expr("cast(conv(substring(md5(concat(cast(__i as string), ':'," +
+        " __k)), 1, 8), 16, 10) as bigint) % 64")
+    val ev = Tables.events(s, dir).select($"event_type").cp()
+    val cells = ev
+      .select($"event_type".as("__k"),
+        explode(sequence(lit(0), lit(3))).as("__i"))
+      .select($"__i", bucket($"__i", $"__k").as("bucket"))
+      .groupBy($"__i", $"bucket").agg(count(lit(1)).as("c"))
+    val keyBuckets = ev.distinct()
+      .select($"event_type", $"event_type".as("__k"),
+        explode(sequence(lit(0), lit(3))).as("__i"))
+      .select($"event_type", $"__i", bucket($"__i", $"__k").as("bucket"))
+    val est = keyBuckets.join(broadcast(cells), Seq("__i", "bucket"))
+      .groupBy($"event_type").agg(min($"c").as("cms_est"))
+    ev.groupBy($"event_type").agg(count(lit(1)).as("exact"))
+      .join(est, "event_type")
+      .select($"event_type", $"exact", $"cms_est",
+        ($"cms_est" - $"exact").as("overcount"))
+      .orderBy($"event_type")
+  }
+
+  /** A/B sample-size (power) analysis on order value — "how many orders
+    * per arm to detect a 2% lift at 80% power / 5% α": the 16σ²/δ²
+    * rule-of-thumb evaluated from EXACT cents power sums (population σ²,
+    * δ = 2% of the mean), so the only floats are one fixed tree and a
+    * ceil. The experiment-planning op that belongs beside
+    * [[aggSrmCheck]]/[[aggTtest]].
+    */
+  val aggPowerAnalysis: Q = (s, dir) => {
+    import s.implicits._
+    // mean from exact CENTS; the second moment from exact DOLLAR ints
+    // (a cents² power sum overflows BIGINT at ~15k orders) — var_c
+    // rescales by 1e4, and the whole tail is one fixed double tree
+    Tables.orders(s, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("vc"),
+        round($"o_totalprice").cast("long").as("vd"))
+      .agg(count(lit(1)).as("n"), sum($"vc").as("s"),
+        sum($"vd").as("sd"), sum($"vd" * $"vd").as("qd"))
+      .withColumn("mean_c", $"s".cast("double") / $"n".cast("double"))
+      .withColumn("var_c",
+        ($"qd".cast("double") / $"n".cast("double") -
+          ($"sd".cast("double") / $"n".cast("double")) *
+            ($"sd".cast("double") / $"n".cast("double"))) * lit(10000.0))
+      .select($"n".as("n_orders"),
+        LlmOps.pround4($"mean_c" / lit(100.0)).as("mean_price"),
+        LlmOps.pround4(sqrt($"var_c") / lit(100.0)).as("sd_price"),
+        lit(2.0).as("mde_pct"),
+        ceil(lit(16.0) * $"var_c" /
+          (lit(0.02) * $"mean_c" * (lit(0.02) * $"mean_c")))
+          .cast("long").as("n_per_arm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "set_intersect_all" -> setIntersectAll,
+    "set_except_all" -> setExceptAll,
+    "agg_cms_estimate" -> aggCmsEstimate,
+    "agg_power_analysis" -> aggPowerAnalysis,
     "agg_anova" -> aggAnova,
     "win_hampel" -> winHampel,
     "agg_hill_tail" -> aggHillTail,

@@ -854,7 +854,24 @@ object StreamingOps {
     anomalyFinish(counts)
   }
 
+  /** Point-in-time lookup over the SCD2 dimension — the feature-store /
+    * warehouse "as the world looked at T" read (training-serving skew
+    * dies here): the [[stateScd2]] interval frame filtered to the
+    * version whose [valid_from, valid_to) covers 2024-01-15T00:00Z, open
+    * intervals included. Pure composition of a graded frame + one
+    * pushdown-able predicate — no extra shuffle beyond the SCD2 build.
+    */
+  val statePitLookup: Q = (s, dir) => {
+    import s.implicits._
+    val T = 1705276800000L // 2024-01-15T00:00:00Z, inside the feed window
+    stateScd2(s, dir)
+      .filter($"valid_from" <= T && ($"valid_to" === -1L || $"valid_to" > T))
+      .select($"user_id", $"event_type", $"version", $"valid_from")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "state_pit_lookup" -> statePitLookup,
     "stream_anomaly" -> streamAnomaly,
     "stream_throttle" -> streamThrottle,
     "stream_topk" -> streamTopk,

@@ -2586,6 +2586,73 @@ object OracleSql {
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         |ORDER BY c_custkey""".stripMargin,
 
+    "set_intersect_all" ->
+      """SELECT o_custkey FROM orders
+        |WHERE epoch_ms(o_orderdate) < 883612800000
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders
+        |WHERE epoch_ms(o_orderdate) >= 883612800000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT o_custkey FROM orders
+        |WHERE epoch_ms(o_orderdate) < 883612800000
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders
+        |WHERE epoch_ms(o_orderdate) >= 883612800000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "agg_cms_estimate" ->
+      """WITH ev AS (SELECT event_type FROM events),
+        |cells AS (
+        |  SELECT i,
+        |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+        |      event_type), 1, 8) AS BIGINT) % 64 AS bucket,
+        |    count(*) AS c
+        |  FROM ev, UNNEST(range(0, 4)) AS u(i)
+        |  GROUP BY 1, 2),
+        |kb AS (
+        |  SELECT event_type, i,
+        |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+        |      event_type), 1, 8) AS BIGINT) % 64 AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM ev) k,
+        |    UNNEST(range(0, 4)) AS u(i)),
+        |est AS (
+        |  SELECT event_type, CAST(min(c) AS BIGINT) AS cms_est
+        |  FROM kb JOIN cells ON kb.i = cells.i AND kb.bucket = cells.bucket
+        |  GROUP BY 1),
+        |ex AS (SELECT event_type, count(*) AS exact FROM ev GROUP BY 1)
+        |SELECT ex.event_type, exact, cms_est,
+        |  CAST(cms_est - exact AS BIGINT) AS overcount
+        |FROM ex JOIN est ON ex.event_type = est.event_type
+        |ORDER BY ex.event_type""".stripMargin,
+
+    "agg_power_analysis" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS s,
+        |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS sd,
+        |    CAST(sum(CAST(round(o_totalprice) AS BIGINT) *
+        |      CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS qd
+        |  FROM orders),
+        |t AS (
+        |  SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        |    (CAST(qd AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))) * 10000.0
+        |      AS var_c
+        |  FROM s)
+        |SELECT n AS n_orders,
+        |  floor(mean_c / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_price,
+        |  floor(sqrt(var_c) / 100.0 * 10000.0 + 0.5) / 10000.0
+        |    AS sd_price,
+        |  CAST(2.0 AS DOUBLE) AS mde_pct,
+        |  CAST(ceil(16.0 * var_c /
+        |    ((0.02 * mean_c) * (0.02 * mean_c))) AS BIGINT) AS n_per_arm
+        |FROM t""".stripMargin,
+
     "agg_anova" ->
       """WITH r AS (
         |  SELECT (epoch_ms(o_orderdate) // 86400000) % 7 AS g,

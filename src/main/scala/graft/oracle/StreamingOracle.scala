@@ -14,6 +14,22 @@ object StreamingOracle {
   private def msum(expr: String): String =
     s"CAST(sum(CAST(round(($expr) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0"
 
+  /** Shared between its own map row and the state_pit_lookup wrapper. */
+  private val scd2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, event_type, tms, event_id FROM e
+      |  WHERE prev IS NULL OR event_type <> prev)
+      |SELECT user_id, event_type,
+      |  CAST(tms AS BIGINT) AS valid_from,
+      |  CAST(coalesce(lead(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id), -1) AS BIGINT) AS valid_to,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY tms, event_id) AS BIGINT) AS version
+      |FROM chg
+      |ORDER BY user_id, version""".stripMargin
+
   val sql: Map[String, String] = Map(
     "stream_anomaly" ->
       """WITH c AS (
@@ -166,20 +182,14 @@ object StreamingOracle {
          |WHERE a.n IS NULL OR b.n <> a.n
          |ORDER BY b.user_id, b.item""".stripMargin,
 
-    "state_scd2" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
-        |  FROM events),
-        |chg AS (
-        |  SELECT user_id, event_type, tms, event_id FROM e
-        |  WHERE prev IS NULL OR event_type <> prev)
-        |SELECT user_id, event_type,
-        |  CAST(tms AS BIGINT) AS valid_from,
-        |  CAST(coalesce(lead(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id), -1) AS BIGINT) AS valid_to,
-        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY tms, event_id) AS BIGINT) AS version
-        |FROM chg
-        |ORDER BY user_id, version""".stripMargin,
+    "state_scd2" -> scd2Sql,
+
+    "state_pit_lookup" ->
+      s"""SELECT user_id, event_type, version, valid_from
+         |FROM ($scd2Sql) t
+         |WHERE valid_from <= 1705276800000
+         |  AND (valid_to = -1 OR valid_to > 1705276800000)
+         |ORDER BY user_id""".stripMargin,
 
     "stream_enrich" ->
       s"""SELECT (epoch_ms(e.ts) // 3600000) * 3600000 AS ws_ms,

@@ -286,7 +286,10 @@ class ScaleSpec extends SparkSpec {
     // as a DistScan range-partitioned scan, never Window.orderBy with an
     // empty partitionSpec (a one-partition sort of the whole frame)
     val keys = Seq("agg_rfm", "agg_repeat_purchase", "win_skyline",
-      "win_interval_union", "llm_perplexity_filter", "llm_dataset_card")
+      "win_interval_union", "llm_perplexity_filter", "llm_dataset_card",
+      // r11: the KS ECDFs and the ABC revenue cumulative are DistScan
+      // prefix sums over value-collapsed frames — same posture contract
+      "agg_ks_test", "agg_abc_analysis")
     for (k <- keys) {
       val df = SparkEntry.queries(k)(spark, sf)
       val offenders = df.queryExecution.optimizedPlan.collect {

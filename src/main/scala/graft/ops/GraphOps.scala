@@ -1466,7 +1466,35 @@ object GraphOps {
           .as("sigma"))
   }
 
+  /** Gini coefficient of the degree distribution — "how hub-dominated
+    * is the graph?" in one number (0 = regular, →1 = star). The
+    * [[graft.ops.Relational.aggGini]] rank formula evaluated
+    * VALUE-COLLAPSED: distinct degree values carry their multiplicities
+    * (frame ≤ |distinct degrees| ≤ max degree — bounded by topology,
+    * not |V|), each value's rank-weighted mass d·(cb·m + m(m+1)/2) is
+    * exact BIGINT arithmetic, and G is one double tree.
+    */
+  val graphDegreeGini: Q = (s, dir) => {
+    import s.implicits._
+    val deg = copurchaseBoth(s, dir)
+      .groupBy($"a").agg(count(lit(1)).as("d"))
+    val byVal = deg.groupBy($"d").agg(count(lit(1)).as("m"))
+    val w = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("cb", coalesce(sum($"m").over(w), lit(0L)))
+      .agg(sum($"m").as("n"), sum($"d" * $"m").as("sx"),
+        sum(expr("d * (cb * m + (m * (m + 1)) div 2)")).as("six"))
+      .select($"n".as("n_nodes"),
+        LlmOps.pround4($"sx".cast("double") / $"n".cast("double"))
+          .as("mean_degree"),
+        LlmOps.pround4((lit(2.0) * $"six".cast("double") -
+          ($"n" + 1).cast("double") * $"sx".cast("double")) /
+          ($"n".cast("double") * $"sx".cast("double"))).as("degree_gini"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_degree_gini" -> graphDegreeGini,
     "graph_small_world" -> graphSmallWorld,
     "graph_local_bridges" -> graphLocalBridges,
     "graph_reciprocity" -> graphReciprocity,

@@ -3132,7 +3132,64 @@ object LlmOps {
           .as("perplexity"))
   }
 
+  /** Balanced output-shard planning — which of 8 shards each document
+    * lands in so shard token totals stay even (the writer-side step
+    * before a distillation/training dump): documents rank globally by
+    * token count (a [[graft.api.DistScan]] range-partitioned rank, no
+    * single-partition sort) and deal round-robin — longest-first
+    * dealing keeps the spread within one document of optimal. Output is
+    * the 8-row shard manifest with the realized balance.
+    */
+  val llmShardPlan: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("nt"))
+    val ranked = graft.api.DistScan.withGlobalRank(docs, "rk",
+      $"nt".desc, $"doc_id")
+    val shards = ranked
+      .withColumn("shard", ($"rk" - 1) % 8)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("total_tokens"))
+      .cp() // the grand total reads it again for the share column
+    val tot = shards.agg(sum($"total_tokens").as("tt"))
+    shards.crossJoin(broadcast(tot))
+      .select($"shard", $"n_docs", $"total_tokens",
+        pround4($"total_tokens".cast("double") / $"tt".cast("double"))
+          .as("token_share"))
+      .orderBy($"shard")
+  }
+
+  /** Payload checksum audit — the transfer-integrity gate every binary
+    * ingest runs: manifest checksums (sha256 at "ingest" time) recomputed
+    * after a transfer that bit-rots a deterministic md5-coin subset
+    * (1/16 of payloads — the fault injection is the test fixture, the
+    * detection path is the real operator). Mismatches surface per
+    * source with exact counts; payload bytes never shuffle (the
+    * comparison is a map-side expression).
+    */
+  val mmChecksumAudit: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"text",
+        sha2($"text", 256).as("manifest"))
+    val received = base.withColumn("payload",
+      when(substring(md5($"doc_id".cast("string")), 1, 1) === "0",
+        concat($"text", lit(" "))).otherwise($"text"))
+    received
+      .select($"source",
+        (sha2($"payload", 256) =!= $"manifest").as("bad"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(when($"bad", 1L).otherwise(0L)).as("n_corrupt"))
+      .select($"source", $"n_payloads", $"n_corrupt",
+        pround4($"n_corrupt".cast("double") /
+          $"n_payloads".cast("double")).as("corrupt_rate"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_shard_plan" -> llmShardPlan,
+    "mm_checksum_audit" -> mmChecksumAudit,
     "llm_bigram_perplexity" -> llmBigramPerplexity,
     "llm_filter_funnel" -> llmFilterFunnel,
     "llm_embed_drift" -> llmEmbedDrift,

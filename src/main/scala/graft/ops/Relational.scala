@@ -4267,7 +4267,50 @@ object Relational {
           .cast("long").as("n_per_arm"))
   }
 
+  /** Join-key skew report across the three hot fact keys — the
+    * diagnostic a cluster operator reads BEFORE choosing salt factors
+    * and AQE skew thresholds: per key column, the max single-key share
+    * and the p99/median frequency ratio, computed from the
+    * frequency-of-frequencies (per-key counts collapse to ≤|distinct
+    * counts| rows per column — the window never sees the fact table).
+    * The operational companion to [[Skew.saltedJoin]].
+    */
+  val aggSkewReport: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val keys = li.select(lit("l_partkey").as("col"),
+        $"l_partkey".as("k"))
+      .unionAll(li.select(lit("l_suppkey").as("col"), $"l_suppkey"))
+      .unionAll(Tables.orders(s, dir)
+        .select(lit("o_custkey").as("col"), $"o_custkey"))
+    val perKey = keys.groupBy($"col", $"k").agg(count(lit(1)).as("c"))
+    val ff = perKey.groupBy($"col", $"c").agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy($"col").orderBy($"c")
+    val cum = ff
+      .withColumn("cum", sum($"m").over(w))
+      .withColumn("nk", sum($"m").over(Window.partitionBy($"col")))
+      .withColumn("rows", sum($"c" * $"m").over(Window.partitionBy($"col")))
+      .cp() // med and p99 crossings both read it
+    def crossing(at: Column, name: String) = cum
+      .filter($"cum" >= at)
+      .groupBy($"col").agg(min($"c").as(name))
+    val med = crossing(expr("(nk + 1) DIV 2"), "med_c")
+    val p99 = crossing(expr("(99 * nk + 99) DIV 100"), "p99_c")
+    cum.groupBy($"col")
+      .agg(max($"nk").as("n_keys"), max($"rows").as("n_rows"),
+        max($"c").as("max_c"))
+      .join(broadcast(med), "col").join(broadcast(p99), "col")
+      .select($"col", $"n_keys", $"n_rows", $"max_c",
+        LlmOps.pround4($"max_c".cast("double") / $"n_rows".cast("double"))
+          .as("max_share"),
+        $"med_c", $"p99_c",
+        LlmOps.pround4($"p99_c".cast("double") / $"med_c".cast("double"))
+          .as("p99_over_med"))
+      .orderBy($"col")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_skew_report" -> aggSkewReport,
     "set_intersect_all" -> setIntersectAll,
     "set_except_all" -> setExceptAll,
     "agg_cms_estimate" -> aggCmsEstimate,

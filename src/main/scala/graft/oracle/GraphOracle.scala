@@ -507,6 +507,32 @@ object GraphOracle {
         |    * 10000.0 + 0.5) / 10000.0 AS reciprocity
         |FROM n, r""".stripMargin,
 
+    "graph_degree_gini" ->
+      s"""WITH $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |deg AS (SELECT a, count(*) AS d FROM e2 GROUP BY 1),
+         |bv AS (SELECT d, count(*) AS m FROM deg GROUP BY 1),
+         |c AS (
+         |  SELECT d, m,
+         |    CAST(coalesce(sum(m) OVER (ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cb
+         |  FROM bv),
+         |agg AS (
+         |  SELECT CAST(sum(m) AS BIGINT) AS n,
+         |    CAST(sum(d * m) AS BIGINT) AS sx,
+         |    CAST(sum(d * (cb * m + (m * (m + 1)) // 2)) AS BIGINT)
+         |      AS six
+         |  FROM c)
+         |SELECT n AS n_nodes,
+         |  floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0 + 0.5)
+         |    / 10000.0 AS mean_degree,
+         |  floor((2.0 * CAST(six AS DOUBLE) -
+         |    CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) /
+         |    (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) * 10000.0 + 0.5)
+         |    / 10000.0 AS degree_gini
+         |FROM agg""".stripMargin,
+
     "graph_local_bridges" ->
       s"""WITH $copurchaseCte,
          |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),

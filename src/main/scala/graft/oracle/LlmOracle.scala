@@ -1642,6 +1642,39 @@ object LlmOracle {
         |    AS out_h
         |FROM dims ORDER BY doc_id""".stripMargin,
 
+    "llm_shard_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      AS nt
+        |  FROM documents),
+        |r AS (
+        |  SELECT nt,
+        |    (row_number() OVER (ORDER BY nt DESC, doc_id) - 1) % 8
+        |      AS shard
+        |  FROM d),
+        |s AS (
+        |  SELECT shard, count(*) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS total_tokens
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS tt FROM s)
+        |SELECT CAST(shard AS BIGINT) AS shard, n_docs, total_tokens,
+        |  floor(CAST(total_tokens AS DOUBLE) / CAST(tt AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS token_share
+        |FROM s, t ORDER BY shard""".stripMargin,
+
+    "mm_checksum_audit" ->
+      """WITH r AS (
+        |  SELECT source,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS bad
+        |  FROM documents)
+        |SELECT source, count(*) AS n_payloads,
+        |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  floor(CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS corrupt_rate
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
     "llm_bigram_perplexity" ->
       """WITH pos AS (
         |  SELECT source, doc_id, i AS p, ts[i] AS tok

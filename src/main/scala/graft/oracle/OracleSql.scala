@@ -2586,6 +2586,37 @@ object OracleSql {
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         |ORDER BY c_custkey""".stripMargin,
 
+    "agg_skew_report" ->
+      """WITH keys AS (
+        |  SELECT 'l_partkey' AS col, l_partkey AS k FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+        |  UNION ALL SELECT 'o_custkey', o_custkey FROM orders),
+        |pk AS (SELECT col, k, count(*) AS c FROM keys GROUP BY 1, 2),
+        |ff AS (SELECT col, c, count(*) AS m FROM pk GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT col, c, m,
+        |    CAST(sum(m) OVER (PARTITION BY col ORDER BY c) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(m) OVER (PARTITION BY col) AS BIGINT) AS nk,
+        |    CAST(sum(c * m) OVER (PARTITION BY col) AS BIGINT) AS rows_
+        |  FROM ff),
+        |med AS (SELECT col, min(c) AS med_c FROM cum
+        |  WHERE cum >= (nk + 1) // 2 GROUP BY 1),
+        |p99 AS (SELECT col, min(c) AS p99_c FROM cum
+        |  WHERE cum >= (99 * nk + 99) // 100 GROUP BY 1),
+        |s AS (
+        |  SELECT col, max(nk) AS n_keys, max(rows_) AS n_rows,
+        |    max(c) AS max_c
+        |  FROM cum GROUP BY 1)
+        |SELECT s.col, n_keys, n_rows, CAST(max_c AS BIGINT) AS max_c,
+        |  floor(CAST(max_c AS DOUBLE) / CAST(n_rows AS DOUBLE) * 10000.0
+        |    + 0.5) / 10000.0 AS max_share,
+        |  CAST(med_c AS BIGINT) AS med_c, CAST(p99_c AS BIGINT) AS p99_c,
+        |  floor(CAST(p99_c AS DOUBLE) / CAST(med_c AS DOUBLE) * 10000.0
+        |    + 0.5) / 10000.0 AS p99_over_med
+        |FROM s JOIN med ON s.col = med.col JOIN p99 ON s.col = p99.col
+        |ORDER BY s.col""".stripMargin,
+
     "set_intersect_all" ->
       """SELECT o_custkey FROM orders
         |WHERE epoch_ms(o_orderdate) < 883612800000

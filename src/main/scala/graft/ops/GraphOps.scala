@@ -1493,7 +1493,30 @@ object GraphOps {
           ($"n".cast("double") * $"sx".cast("double"))).as("degree_gini"))
   }
 
+  /** Butterfly ((2,2)-biclique) census of the bipartite customer–part
+    * graph — THE cohesion count for bipartite networks (the triangle's
+    * bipartite cousin; Sanei-Mehri et al.'s BFC): every butterfly has
+    * exactly one part-pair diagonal, so butterflies =
+    * Σ_{p1<p2} C(common_customers, 2) over the same gated Σdeg²
+    * candidate stream as [[graphAdamicAdar]]. Exact BIGINT fold, one
+    * summary row.
+    */
+  val graphButterflies: Q = (s, dir) => {
+    import s.implicits._
+    val adj = edges(s, dir).select($"src", $"dst").cp()
+    val g1 = graft.api.PairBudget.gate(adj, Seq($"src"),
+      "graph_butterflies", "graph_common_neighbors_approx")
+    g1.as("e1")
+      .join(adj.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
+      .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
+      .agg(count(lit(1)).as("cn"))
+      .agg(count(lit(1)).as("n_part_pairs"),
+        sum(expr("(cn * (cn - 1)) div 2")).as("n_butterflies"),
+        max($"cn").as("max_common"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_butterflies" -> graphButterflies,
     "graph_degree_gini" -> graphDegreeGini,
     "graph_small_world" -> graphSmallWorld,
     "graph_local_bridges" -> graphLocalBridges,

@@ -3187,7 +3187,41 @@ object LlmOps {
       .orderBy($"source")
   }
 
+  /** Deterministic greedy generation from the corpus bigram LM — the
+    * "does the index actually continue text" smoke test an LM-data
+    * pipeline runs end-to-end: start from the corpus's most frequent
+    * token, take 10 argmax steps over the bigram counts (ties to the
+    * lexicographically first continuation). Each step is one broadcast
+    * join of the 1-row frontier against the counted bigram frame — the
+    * [[graphRandomWalk]] iteration shape pointed at a language model.
+    */
+  val llmLmGenerate: Q = (s, dir) => {
+    import s.implicits._
+    val pos = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "tok")))
+      .select($"doc_id", $"p".cast("long").as("p"), $"tok")
+      .cp()
+    val bg = pos.as("a").join(pos.as("b"),
+      $"a.doc_id" === $"b.doc_id" && $"b.p" - $"a.p" === 1)
+      .groupBy($"a.tok".as("w1"), $"b.tok".as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .cp() // 10 frontier joins read it
+    val seed = pos.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .agg(min(struct(-$"c", $"tok")).as("m"))
+      .select($"m.tok".as("tok"))
+    var cur = seed.cp()
+    var out = cur.withColumn("step", lit(0L))
+    for (step <- 1 to 10) {
+      cur = bg.join(broadcast(cur.select($"tok".as("w1"))), "w1")
+        .agg(min(struct(-$"c", $"w2")).as("m"))
+        .select($"m.w2".as("tok")).cp()
+      out = out.unionAll(cur.withColumn("step", lit(step.toLong)))
+    }
+    out.select($"step", $"tok").orderBy($"step")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_lm_generate" -> llmLmGenerate,
     "llm_shard_plan" -> llmShardPlan,
     "mm_checksum_audit" -> mmChecksumAudit,
     "llm_bigram_perplexity" -> llmBigramPerplexity,

@@ -4309,7 +4309,84 @@ object Relational {
       .orderBy($"col")
   }
 
+  /** One-step-ahead Holt backtest — the honesty check behind
+    * [[winHolt]]'s forecast: for every day, the model fit on the user's
+    * PRIOR days only (prefix fold over the windowed list — the same
+    * token-identical double-smoothing tree as win_holt, so prefix i
+    * reproduces the recursion's state i exactly) predicts the next
+    * value; MAE/MAPE aggregate per-row errors QUANTIZED to 1e-6 BIGINTs
+    * so the global average is order-independent. Prefix folds are O(n²)
+    * per user with n = observed days — calendar-bounded.
+    */
+  val winForecastBacktest: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long")
+        .as("d"), $"value")
+      .groupBy($"user_id", $"d").agg(msum($"value").as("v"))
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("vs", collect_list($"v").over(w))
+      .filter(size($"vs") >= 1)
+      .withColumn("st", expr(
+        "aggregate(slice(vs, 2, size(vs) - 1)," +
+          " named_struct('l', element_at(vs, 1), 't', cast(0.0 as double))," +
+          " (acc, e) -> named_struct(" +
+          "'l', 0.5 * e + 0.5 * (acc.l + acc.t)," +
+          "'t', 0.5 * ((0.5 * e + 0.5 * (acc.l + acc.t)) - acc.l)" +
+          " + 0.5 * acc.t))"))
+      .withColumn("fc", $"st.l" + $"st.t")
+      .select(
+        floor(abs($"v" - $"fc") * lit(1.0e6) + lit(0.5)).cast("long")
+          .as("errq"),
+        when(abs($"v") > 0, floor(abs($"v" - $"fc") / abs($"v") *
+          lit(1.0e6) + lit(0.5)).cast("long")).as("apeq"))
+      .agg(count(lit(1)).as("n_forecasts"), sum($"errq").as("se"),
+        count($"apeq").as("na"), sum($"apeq").as("sa"))
+      .select($"n_forecasts",
+        LlmOps.pround4($"se".cast("double") /
+          ($"n_forecasts".cast("double") * lit(1.0e6))).as("mae"),
+        LlmOps.pround4($"sa".cast("double") /
+          ($"na".cast("double") * lit(1.0e6)) * lit(100.0))
+          .as("mape_pct"))
+  }
+
+  /** Leave-one-out target encoding of return flag by order-line price —
+    * the leakage-safe categorical feature every tabular-ML pipeline
+    * ships: enc(row) = (Σ_group − x)/(n_group − 1). Encodings are
+    * audited per group by count, group mean, and the VARIANCE of the
+    * encodings (the leakage signal — LOO variance shrinks as 1/(n−1)²),
+    * with per-row encodings quantized to integer cents so the power
+    * sums are exact BIGINTs.
+    */
+  val aggTargetEncodeLoo: Q = (s, dir) => {
+    import s.implicits._
+    val rows = Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        round($"l_extendedprice" * 100).cast("long").as("x"))
+    val g = rows.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    rows.join(broadcast(g), "l_returnflag")
+      .withColumn("encq", floor(($"s" - $"x").cast("double") /
+        ($"n" - 1).cast("double") + lit(0.5)).cast("long"))
+      .groupBy($"l_returnflag")
+      .agg(max($"n").as("n"), max($"s").as("s"),
+        sum($"encq").as("se"), sum($"encq" * $"encq").as("sq"))
+      .select($"l_returnflag", $"n",
+        LlmOps.pround4($"s".cast("double") / $"n".cast("double") /
+          lit(100.0)).as("mean_price"),
+        LlmOps.pround4(
+          ($"sq".cast("double") / $"n".cast("double") -
+            ($"se".cast("double") / $"n".cast("double")) *
+              ($"se".cast("double") / $"n".cast("double"))) /
+            lit(10000.0)).as("enc_variance"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_forecast_backtest" -> winForecastBacktest,
+    "agg_target_encode_loo" -> aggTargetEncodeLoo,
     "agg_skew_report" -> aggSkewReport,
     "set_intersect_all" -> setIntersectAll,
     "set_except_all" -> setExceptAll,

@@ -507,6 +507,17 @@ object GraphOracle {
         |    * 10000.0 + 0.5) / 10000.0 AS reciprocity
         |FROM n, r""".stripMargin,
 
+    "graph_butterflies" ->
+      s"""WITH $edgesCte,
+         |c AS (
+         |  SELECT e1.dst AS p1, e2.dst AS p2, count(*) AS cn
+         |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2)
+         |SELECT count(*) AS n_part_pairs,
+         |  CAST(sum((cn * (cn - 1)) // 2) AS BIGINT) AS n_butterflies,
+         |  CAST(max(cn) AS BIGINT) AS max_common
+         |FROM c""".stripMargin,
+
     "graph_degree_gini" ->
       s"""WITH $copurchaseCte,
          |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),

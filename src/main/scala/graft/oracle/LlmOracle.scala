@@ -80,6 +80,36 @@ object LlmOracle {
       |    GROUP BY 1, 2) t
       |  WHERE rn = 1)""".stripMargin
 
+  /** Unrolled 10-step greedy bigram generation — the
+    * [[GraphOracle]] unrolled-CTE trick pointed at a language model:
+    * each step picks argmax count (ties lexicographic) among the
+    * continuations of the previous step's token.
+    */
+  private val lmGenerateSql: String = {
+    val base =
+      """WITH pos AS (
+        |  SELECT doc_id, i AS p, ts[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+        |        FROM documents) t,
+        |    UNNEST(range(1, len(ts) + 1)) AS u(i)),
+        |bg AS (
+        |  SELECT a.tok AS w1, b.tok AS w2, count(*) AS c
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.p - a.p = 1
+        |  GROUP BY 1, 2),
+        |s0 AS (SELECT tok FROM (
+        |  SELECT tok, count(*) AS c FROM pos GROUP BY 1)
+        |  ORDER BY c DESC, tok LIMIT 1)""".stripMargin
+    val steps = (1 to 10).map { i =>
+      s"""s$i AS (SELECT w2 AS tok FROM bg JOIN s${i - 1}
+         |  ON bg.w1 = s${i - 1}.tok ORDER BY c DESC, w2 LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to 10)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, tok FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"$base,\n$steps\n$sel\nORDER BY step"
+  }
+
   val sql: Map[String, String] = Map(
     "llm_ngram_coverage" ->
       """WITH tri AS (
@@ -1641,6 +1671,8 @@ object LlmOracle {
         |      (64.0 / CAST(greatest(w, h) AS DOUBLE))) AS BIGINT)) END
         |    AS out_h
         |FROM dims ORDER BY doc_id""".stripMargin,
+
+    "llm_lm_generate" -> lmGenerateSql,
 
     "llm_shard_plan" ->
       """WITH d AS (

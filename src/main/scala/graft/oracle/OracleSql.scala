@@ -2586,6 +2586,70 @@ object OracleSql {
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         |ORDER BY c_custkey""".stripMargin,
 
+    "win_forecast_backtest" ->
+      ("""WITH RECURSIVE daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    """ + "CAST(sum(CAST(round((value) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0" + """ AS v
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT user_id, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS i
+        |  FROM daily),
+        |rec(user_id, i, l, t) AS (
+        |  SELECT user_id, i, v, CAST(0.0 AS DOUBLE)
+        |  FROM ranked WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.user_id, d.i,
+        |    0.5 * d.v + 0.5 * (r.l + r.t),
+        |    0.5 * ((0.5 * d.v + 0.5 * (r.l + r.t)) - r.l) + 0.5 * r.t
+        |  FROM rec r JOIN ranked d
+        |    ON d.user_id = r.user_id AND d.i = r.i + 1),
+        |err AS (
+        |  SELECT
+        |    CAST(floor(abs(d.v - (r.l + r.t)) * 1.0e6 + 0.5) AS BIGINT)
+        |      AS errq,
+        |    CASE WHEN abs(d.v) > 0 THEN
+        |      CAST(floor(abs(d.v - (r.l + r.t)) / abs(d.v) * 1.0e6 + 0.5)
+        |        AS BIGINT) END AS apeq
+        |  FROM rec r JOIN ranked d
+        |    ON d.user_id = r.user_id AND d.i = r.i + 1)
+        |SELECT count(*) AS n_forecasts,
+        |  floor(CAST(CAST(sum(errq) AS BIGINT) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * 1.0e6) * 10000.0 + 0.5)
+        |    / 10000.0 AS mae,
+        |  floor(CAST(CAST(sum(apeq) AS BIGINT) AS DOUBLE) /
+        |    (CAST(count(apeq) AS DOUBLE) * 1.0e6) * 100.0 * 10000.0
+        |    + 0.5) / 10000.0 AS mape_pct
+        |FROM err""").stripMargin,
+
+    "agg_target_encode_loo" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, count(*) AS n, CAST(sum(x) AS BIGINT)
+        |      AS s
+        |  FROM r GROUP BY 1),
+        |e AS (
+        |  SELECT r.l_returnflag, n, s,
+        |    CAST(floor(CAST(s - x AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |      + 0.5) AS BIGINT) AS encq
+        |  FROM r JOIN g ON r.l_returnflag = g.l_returnflag),
+        |a AS (
+        |  SELECT l_returnflag, max(n) AS n, max(s) AS s,
+        |    CAST(sum(encq) AS BIGINT) AS se,
+        |    CAST(sum(encq * encq) AS BIGINT) AS sq
+        |  FROM e GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 * 10000.0
+        |    + 0.5) / 10000.0 AS mean_price,
+        |  floor((CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    (CAST(se AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (CAST(se AS DOUBLE) / CAST(n AS DOUBLE))) / 10000.0
+        |    * 10000.0 + 0.5) / 10000.0 AS enc_variance
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
     "agg_skew_report" ->
       """WITH keys AS (
         |  SELECT 'l_partkey' AS col, l_partkey AS k FROM lineitem

@@ -177,6 +177,103 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("agg_anova equals a plain-Scala ANOVA over collected order values") {
+    import spark.implicits._
+    val rows = Tables.orders(spark, sf)
+      .select(unix_millis($"o_orderdate".cast("timestamp")).as("ms"),
+        $"o_totalprice")
+      .collect()
+      .map(r => ((r.getLong(0) / 86400000L % 7), math.round(r.getDouble(1) * 100)))
+    val groups = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.map(_._2.toDouble) }
+    val n = rows.length.toDouble
+    val m = rows.map(_._2).sum.toDouble / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - m, 2)).sum
+    val ssw = groups.map(g => g.map(x => math.pow(x - g.sum / g.length, 2)).sum).sum
+    val k = groups.size
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val got = q("agg_anova").collect().head
+    assert(got.getLong(0) === rows.length.toLong)
+    assert(got.getLong(1) === k.toLong)
+    // independent float paths + the op's 1e-4 quantization: exactness is
+    // the oracle's job, this witnesses the statistic itself
+    assert(math.abs(got.getDouble(2) - f) < 1e-4 + 1e-6 * f)
+  }
+
+  test("win_hampel flags exactly the |x - med| > 3 MAD rows of a JVM replay") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", unix_millis($"ts").as("ms"), $"value").collect()
+      .map(r => ((r.getString(0), r.getLong(1) / 86400000L), math.round(r.getDouble(2) * 10000)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .map { case ((t, d), v) => (t, d, v) }.sortBy(r => (r._1, r._2))
+    val byType = daily.groupBy(_._1)
+    val want = byType.flatMap { case (t, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.indices.map { i =>
+        val win = sorted.slice(math.max(0, i - 6), i + 1).map(_._3).sorted
+        val med = win((win.length + 1) / 2 - 1)
+        val mad = win.map(x => math.abs(x - med)).sorted.apply((win.length + 1) / 2 - 1)
+        ((t, sorted(i)._2), math.abs(sorted(i)._3 - med) > 3 * mad)
+      }
+    }.toMap
+    val got = q("win_hampel").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getBoolean(5) === want((r.getString(0), r.getLong(1))),
+        s"${r.getString(0)} day ${r.getLong(1)}")
+    }
+  }
+
+  test("llm_lm_generate replays the greedy argmax chain in plain Scala") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getString(1).split(" ", -1))
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    docs.foreach { toks =>
+      toks.foreach(t => uni(t) += 1)
+      toks.sliding(2).filter(_.length == 2).foreach(p => bi((p(0), p(1))) += 1)
+    }
+    var cur = uni.toSeq.minBy { case (t, c) => (-c, t) }._1
+    val want = scala.collection.mutable.ArrayBuffer((0L, cur))
+    for (step <- 1 to 10) {
+      cur = bi.toSeq.filter(_._1._1 == cur)
+        .minBy { case ((_, w2), c) => (-c, w2) }._1._2
+      want += ((step.toLong, cur))
+    }
+    val got = q("llm_lm_generate").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === want.toSeq)
+  }
+
+  test("graph_butterflies equals the direct biclique count on collected edges") {
+    import spark.implicits._
+    val e = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cn = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    e.groupBy(_._1).values.foreach { rs =>
+      val ps = rs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) cn((ps(i), ps(j))) += 1
+    }
+    val butterflies = cn.values.map(c => c * (c - 1) / 2).sum
+    val got = q("graph_butterflies").collect().head
+    assert(got.getLong(0) === cn.size.toLong, "n_part_pairs")
+    assert(got.getLong(1) === butterflies, "n_butterflies")
+    assert(got.getLong(2) === cn.values.max, "max_common")
+  }
+
+  test("agg_cms_estimate never undercounts and is exact when no bucket collides") {
+    val rows = q("agg_cms_estimate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"${r.getString(0)}: CMS undercounted")
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+  }
+
   test("win_rsi values stay in [0, 100] and flat-market rows are NULL") {
     val rows = q("win_rsi").collect()
     assert(rows.nonEmpty)

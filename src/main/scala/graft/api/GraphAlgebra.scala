@@ -491,6 +491,166 @@ object GraphAlgebra {
     labels.select(col("id"), col("lbl").as("comp"))
   }
 
+  /** Directed min-label reach fixpoint: labels flow `from` → `to` along
+    * `flow` rows until no label improves. With flow = reversed edges this
+    * computes fwd(v) = min id forward-REACHABLE from v; with flow = the
+    * edges themselves it computes bwd(v) = min id that REACHES v — the two
+    * halves of the SCC coloring below. Same frontier gating as
+    * [[connectedComponentsDf]] (labels are monotone non-increasing, so a
+    * vertex whose label did not change last round has already been
+    * min-folded into every flow successor), same broadcast row gate;
+    * pointer jumping is omitted because the backbone graphs this serves
+    * are diameter-bounded sketches (the CC variant keeps it because whole
+    * co-purchase components can be chain-shaped).
+    */
+  private def minReachLabels(vertices: DataFrame, flow: DataFrame,
+                             broadcastMaxRows: Long): DataFrame = {
+    val fl = Ckpt.cpByKey(flow.select(col("from"), col("to")), col("to"))
+    var labels = vertices.select(col("id"), col("id").as("lbl")).cp()
+    val nV = labels.count()
+    var frontier = labels
+    var frontierRows = nV
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = fl.join(hinted(frontier, frontierRows, broadcastMaxRows),
+          col("from") === col("id"))
+        .groupBy(col("to").as("nid")).agg(min(col("lbl")).as("nmin"))
+      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .cp()
+      frontier = next.filter(col("lbl") < col("prev"))
+        .select(col("id"), col("lbl"))
+      frontierRows = frontier.count()
+      changed = frontierRows
+      labels = next.select(col("id"), col("lbl"))
+    }
+    labels
+  }
+
+  /** Strongly connected components of a DIRECTED (src, dst) edge frame —
+    * iterated forward/backward min-label coloring. Each outer round runs
+    * two [[minReachLabels]] fixpoints over the still-unassigned subgraph:
+    * fwd(v) = min id v can reach, bwd(v) = min id that can reach v. A
+    * vertex with fwd(v) = bwd(v) = c both reaches c and is reached by c,
+    * so it sits in c's SCC and is labeled `scc = c` — and because every
+    * member of one SCC sees identical fwd/bwd over the same remaining
+    * graph, whole SCCs retire atomically with c = the SCC's minimum id
+    * (c is forward-reachable from all members, so c ≤ min; c is a member,
+    * so c = min). The remaining-graph minimum always satisfies the
+    * predicate, so ≥ 1 SCC retires per round — the round cap is a
+    * convergence assertion, not a semantics knob.
+    *
+    * Scale shape: every per-round frame is vertex- or edge-sized, the
+    * label joins are broadcast-GATED on measured row counts, and the
+    * subgraph restriction is two semi-joins on the retired set — nothing
+    * materializes pairs. Worst-case outer rounds = the condensation's
+    * chain length (a long path of singleton SCCs); the intended callers
+    * feed diameter-bounded backbone sketches where both loops close in a
+    * handful of rounds.
+    */
+  def stronglyConnectedComponents(vertices: DataFrame, edges: DataFrame,
+                                  broadcastMaxRows: Long = BroadcastMaxRows,
+                                  maxRounds: Int = 64): DataFrame = {
+    var remV = vertices.select(col("id")).cp()
+    var remE = edges.select(col("src"), col("dst")).cp()
+    var out: DataFrame = null
+    var nRem = remV.count()
+    var round = 0
+    while (nRem > 0) {
+      round += 1
+      require(round <= maxRounds,
+        s"SCC coloring did not converge in $maxRounds rounds")
+      val fwd = minReachLabels(remV,
+        remE.select(col("dst").as("from"), col("src").as("to")),
+        broadcastMaxRows)
+      val bwd = minReachLabels(remV,
+        remE.select(col("src").as("from"), col("dst").as("to")),
+        broadcastMaxRows)
+      val done = fwd.as("f").join(bwd.as("b"), col("f.id") === col("b.id"))
+        .filter(col("f.lbl") === col("b.lbl"))
+        .select(col("f.id").as("id"), col("f.lbl").as("scc"))
+        .cp()
+      out = if (out == null) done else out.unionAll(done)
+      remV = remV.join(done.select(col("id")), Seq("id"), "left_anti").cp()
+      nRem = remV.count()
+      if (nRem > 0) {
+        remE = remE
+          .join(remV.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(remV.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .cp()
+      }
+    }
+    if (out == null) vertices.select(col("id"), col("id").as("scc"))
+    else out
+  }
+
+  /** Transitive closure of a seed set along directed (from, to) flow rows:
+    * returns the ids reachable from ANY seed, INCLUDING the seeds
+    * themselves. Plain frontier expansion — per hop one join of the
+    * frontier into the checkpointed flow, anti-joined against the visited
+    * set so each vertex is expanded exactly once; the frontier side is
+    * broadcast-GATED on its (already-counted) row count. Total work =
+    * O(|reached edges|) across all hops — the same shape as [[bfsHops]]
+    * but set-seeded and distance-free.
+    */
+  def reachClosure(seeds: DataFrame, flow: DataFrame,
+                   broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
+    val fl = Ckpt.cpByKey(flow.select(col("from"), col("to")), col("from"))
+    var visited = seeds.select(col("id")).distinct().cp()
+    var frontier = visited
+    var frontierRows = frontier.count()
+    while (frontierRows > 0) {
+      val next = fl.join(hinted(frontier, frontierRows, broadcastMaxRows),
+          col("from") === col("id"))
+        .select(col("to").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .cp()
+      frontierRows = next.count()
+      if (frontierRows > 0) {
+        visited = visited.unionAll(next).cp()
+        frontier = next
+      }
+    }
+    visited
+  }
+
+  /** Longest-path levels of a DAG given as (src, dst) rows: level(v) = 0
+    * for sources, else 1 + max level over predecessors — the topological
+    * depth used to schedule/stage a condensation. Iterative relaxation to
+    * fixpoint (levels are monotone non-decreasing and bounded by the DAG
+    * depth, so ≤ depth+1 rounds); each round is one join + max-agg on the
+    * edge frame, broadcast-gated like every other label loop here. The
+    * caller must pass a DAG — on a cycle the loop would not converge, so
+    * the round cap doubles as a cycle assertion.
+    */
+  def dagLevels(vertices: DataFrame, edges: DataFrame,
+                broadcastMaxRows: Long = BroadcastMaxRows,
+                maxRounds: Int = 256): DataFrame = {
+    val ed = Ckpt.cpByKey(edges.select(col("src"), col("dst")), col("src"))
+    var levels = vertices.select(col("id"), lit(0L).as("lvl")).cp()
+    val nV = levels.count()
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      require(round <= maxRounds,
+        s"dagLevels did not converge in $maxRounds rounds — cycle in input?")
+      val cand = ed.join(hinted(levels, nV, broadcastMaxRows),
+          col("src") === col("id"))
+        .groupBy(col("dst").as("nid"))
+        .agg((max(col("lvl")) + 1L).as("nlvl"))
+      val next = levels.join(cand, col("id") === col("nid"), "left")
+        .select(col("id"), col("lvl").as("prev"),
+          greatest(col("lvl"), coalesce(col("nlvl"), col("lvl"))).as("lvl"))
+        .cp()
+      changed = next.filter(col("lvl") > col("prev")).count()
+      levels = next.select(col("id"), col("lvl"))
+    }
+    levels
+  }
+
   /** Bounded BFS WITHOUT GraphX: frontier expansion in pure DataFrames —
     * per hop one broadcast join of the (small) frontier into the
     * checkpointed adjacency, anti-join against the visited set, stop early

@@ -1515,7 +1515,145 @@ object GraphOps {
         max($"cn").as("max_common"))
   }
 
+  /** Strongly connected components of the product-TRANSITION backbone —
+    * the directed sibling of `graph_cc_df` ("which products circulate in
+    * closed purchase loops?"). The directed graph: within each order,
+    * consecutive lineitems (by l_linenumber) emit a part→part transition;
+    * parts are hash-coarsened to 512 cells (a fixed-size sketch graph at
+    * ANY data scale) and only repeated transitions (w ≥ 2) survive — the
+    * heavy-transition backbone. SCC labels = min cell id per component via
+    * [[graft.api.GraphAlgebra.stronglyConnectedComponents]]'s iterated
+    * forward/backward min-label coloring.
+    *
+    * Scale shape: transitions come from ONE lead() window partitioned by
+    * l_orderkey (per-order frames are lineitem-count-bounded — no
+    * self-join, no global sort); everything after the w ≥ 2 filter
+    * operates on a ≤ 512-vertex sketch, so the iterative coloring costs
+    * the same at 100 TB as at sf0.01 — the 100× growth lands entirely in
+    * the one well-keyed fact-table shuffle.
+    */
+  /** The directed product-TRANSITION backbone shared by graph_scc /
+    * graph_bowtie / graph_condensation: within each order, lineitems
+    * adjacent in (linenumber, cell) order emit a part-cell → part-cell
+    * transition ("consecutive" = adjacent in sort order — the generated
+    * data has gaps AND duplicates in l_linenumber, so ln+1 equality would
+    * miss transitions and a bare ln sort would be tie-nondeterministic;
+    * equal (ln, p) rows are interchangeable because the p→p
+    * self-transition is dropped). Cells = l_partkey % 512 (fixed-size
+    * sketch at ANY data scale); only repeated transitions (w ≥ 2) survive.
+    */
+  private def transitionBackbone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lp = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"),
+        ($"l_partkey" % 512).as("p"))
+    val nxt = Window.partitionBy($"ok").orderBy($"ln", $"p")
+    lp.withColumn("np", lead($"p", 1).over(nxt))
+      .filter($"np".isNotNull && $"np" =!= $"p")
+      .groupBy($"p".as("src"), $"np".as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2).select($"src", $"dst")
+  }
+
+  val graphScc: Q = (s, dir) => {
+    import s.implicits._
+    val e = transitionBackbone(s, dir)
+    // explode, not a self-union: two projections of the same checkpointed
+    // frame trip Catalyst's union constraint rewrite (shared expr ids)
+    val verts = e.select(explode(array($"src", $"dst")).as("id")).distinct()
+    graft.api.GraphAlgebra.stronglyConnectedComponents(verts, e)
+      .select($"id".as("part"), $"scc")
+      .orderBy($"part")
+  }
+
+  /** Bow-tie decomposition of the transition backbone (the Broder web-map
+    * read: how much of the graph flows INTO the giant recurrent core, how
+    * much flows OUT, what never touches it): CORE = the largest SCC
+    * (ties → min label), IN = reaches the core but is not in it, OUT =
+    * reached from the core, OTHER = tendrils/tubes/disconnected. Answers
+    * "is the product-flow graph one big cycle hub or a loose archipelago?"
+    *
+    * Scale shape: one fact-table pass builds the ≤512-cell backbone
+    * (transitionBackbone); SCC + two [[graft.api.GraphAlgebra.reachClosure]]
+    * sweeps all run on the sketch, so cost is data-size-independent past
+    * the first shuffle. The core pick is an aggregate over SCC labels —
+    * no window, no collect.
+    */
+  val graphBowtie: Q = (s, dir) => {
+    import s.implicits._
+    val e = transitionBackbone(s, dir).cp()
+    // explode, not a self-union: two projections of the same checkpointed
+    // frame trip Catalyst's union constraint rewrite (shared expr ids)
+    val verts = e.select(explode(array($"src", $"dst")).as("id")).distinct()
+    val scc = graft.api.GraphAlgebra.stronglyConnectedComponents(verts, e)
+      .cp() // consumed by the core pick AND the per-vertex classification
+    // largest SCC, ties broken by min label — struct max is (size, -scc)
+    val core = scc.groupBy($"scc").agg(count(lit(1)).as("sz"))
+      .agg(max(struct($"sz", (-$"scc").as("neg"))).as("m"))
+      .select((-$"m.neg").as("core_lbl"))
+    val coreLbl = broadcast(core.select($"core_lbl"))
+    val coreMembers = scc.join(coreLbl, scc("scc") === col("core_lbl"))
+      .select($"id")
+    val toCore = graft.api.GraphAlgebra.reachClosure(coreMembers,
+      e.select($"dst".as("from"), $"src".as("to")))
+    val fromCore = graft.api.GraphAlgebra.reachClosure(coreMembers,
+      e.select($"src".as("from"), $"dst".as("to")))
+    scc.crossJoin(coreLbl)
+      .join(toCore.withColumnRenamed("id", "tid"), $"id" === $"tid", "left")
+      .join(fromCore.withColumnRenamed("id", "fid"), $"id" === $"fid", "left")
+      .select($"id".as("part"),
+        when($"scc" === $"core_lbl", "core")
+          .when($"tid".isNotNull, "in")
+          .when($"fid".isNotNull, "out")
+          .otherwise("other").as("cls"))
+      .groupBy($"cls").agg(count(lit(1)).as("n_cells"),
+        min($"part").as("min_cell"))
+      .orderBy($"cls")
+  }
+
+  /** Condensation DAG of the transition backbone: contract every SCC to
+    * one node (label = the SCC's min cell id), keep distinct cross-SCC
+    * edges, and read off each node's member count, longest-path level
+    * ([[graft.api.GraphAlgebra.dagLevels]] — the stage a scheduler would
+    * run it in), and distinct-successor count. The condensation is the
+    * acyclic "what feeds what" summary a pipeline planner consumes.
+    *
+    * Scale shape: same one-fact-pass + sketch-sized-everything posture as
+    * graph_scc; the condensation frames are ≤ |SCCs| ≤ 512 rows and the
+    * level loop is DAG-depth-bounded (cycle ⇒ the loop's round cap fires,
+    * which doubles as a correctness assertion on the SCC contraction).
+    */
+  val graphCondensation: Q = (s, dir) => {
+    import s.implicits._
+    val e = transitionBackbone(s, dir).cp()
+    // explode, not a self-union: two projections of the same checkpointed
+    // frame trip Catalyst's union constraint rewrite (shared expr ids)
+    val verts = e.select(explode(array($"src", $"dst")).as("id")).distinct()
+    val scc = graft.api.GraphAlgebra.stronglyConnectedComponents(verts, e)
+      .cp()
+    val members = scc.groupBy($"scc").agg(count(lit(1)).as("n_members"))
+    val ce = e
+      .join(scc.select($"id".as("src"), $"scc".as("s_scc")), Seq("src"))
+      .join(scc.select($"id".as("dst"), $"scc".as("d_scc")), Seq("dst"))
+      .filter($"s_scc" =!= $"d_scc")
+      .select($"s_scc".as("src"), $"d_scc".as("dst")).distinct()
+      .cp() // levels loop + out-degree rollup both consume it
+    val lvls = graft.api.GraphAlgebra.dagLevels(
+      members.select($"scc".as("id")), ce)
+    val outDeg = ce.groupBy($"src".as("oid"))
+      .agg(count(lit(1)).as("n_succ"))
+    members
+      .join(lvls, $"scc" === $"id")
+      .join(outDeg, $"scc" === $"oid", "left")
+      .select($"scc", $"n_members", $"lvl".as("level"),
+        coalesce($"n_succ", lit(0L)).as("n_succ"))
+      .orderBy($"scc")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_scc" -> graphScc,
+    "graph_bowtie" -> graphBowtie,
+    "graph_condensation" -> graphCondensation,
     "graph_butterflies" -> graphButterflies,
     "graph_degree_gini" -> graphDegreeGini,
     "graph_small_world" -> graphSmallWorld,

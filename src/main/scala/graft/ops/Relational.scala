@@ -4384,7 +4384,376 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** CUPED variance reduction for the user_id-parity A/B frame — the
+    * experimentation-platform adjustment that shrinks metric variance with
+    * PRE-period behavior (θ = cov(x,y)/var(x), y′ = y − θ(x − x̄)). Pre =
+    * spend before 2024-01-16 UTC, post = spend after, both BIGINT cents
+    * per user (absent period ⇒ 0 — every user keeps a row, the unbiased
+    * spelling). θ and the pooled moments come from ONE exact integer
+    * aggregate (n, Σx, Σy, Σxy, Σx², Σy² — widen to DECIMAL(38,0) past
+    * ~1e18 cent² mass); per-arm means are integer sums; the adjusted mean
+    * and the variance-reduction ratio θ²·var(x)/var(y) are one double
+    * tree over those exact inputs, mirrored token-for-token in the
+    * oracle. Two shuffles total (user rollup, arm rollup) — the pooled
+    * moments ride a broadcast scalar attach.
+    */
+  val aggCuped: Q = (s, dir) => {
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .select($"user_id",
+        (tsMs($"ts") < lit(1705363200000L)).as("pre"), // 2024-01-16 UTC
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"user_id")
+      .agg(sum(when($"pre", $"cents").otherwise(0L)).as("x"),
+        sum(when(!$"pre", $"cents").otherwise(0L)).as("y"))
+      .select($"user_id", ($"user_id" % 2).as("arm"), $"x", $"y")
+      .cp() // pooled moments and per-arm rollup both consume it
+    val pooled = perUser.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+    // constant pre- or post-series ⇒ NULL θ / reduction, not an ANSI
+    // divide-by-zero (the agg_autocorr guard discipline)
+    val theta = pooled.select($"n", $"sx", $"sy",
+      when($"n" * $"sxx" - $"sx" * $"sx" > 0,
+        ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("theta"),
+      when(($"n" * $"sxx" - $"sx" * $"sx" > 0) &&
+          ($"n" * $"syy" - $"sy" * $"sy" > 0),
+        ($"n" * $"sxy" - $"sx" * $"sy").cast("double") *
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double"))).as("var_red"))
+    perUser.groupBy($"arm")
+      .agg(count(lit(1)).as("n_users"), sum($"x").as("ax"),
+        sum($"y").as("ay"))
+      .crossJoin(broadcast(theta))
+      .select($"arm", $"n_users",
+        LlmOps.pround4($"ay".cast("double") / $"n_users".cast("double") /
+          lit(100.0)).as("mean_post"),
+        LlmOps.pround4(($"ay".cast("double") / $"n_users".cast("double") -
+          $"theta" * ($"ax".cast("double") / $"n_users".cast("double") -
+            $"sx".cast("double") / $"n".cast("double"))) /
+          lit(100.0)).as("mean_adj"),
+        LlmOps.pround4($"theta").as("theta"),
+        LlmOps.pround4($"var_red").as("var_reduction"))
+      .orderBy($"arm")
+  }
+
+  /** Theil–Sen robust trend per event type — the slope estimator that
+    * shrugs off outlier days (median of all pairwise day-slopes, 29.3%
+    * breakdown point vs OLS's zero). Series = daily event counts keyed by
+    * epoch-day; the pair frame self-joins on event_type with d1 < d2 —
+    * fan-out is |days|² PER TYPE, i.e. bounded by the calendar, not the
+    * fact table (a decade of days is ~6.6M pairs/type at any data scale).
+    * Each slope is one IEEE divide of exact integers (identical on both
+    * engines); the exact even/odd median uses the repo's value-collapsed
+    * 2-rank pattern — cum window over ≤ |distinct slopes| rows,
+    * partitioned by type (never a global sort).
+    */
+  val winTheilSen: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("c"))
+      .cp() // both sides of the pair self-join read it
+    val slopes = daily.as("x").join(daily.as("y"),
+        $"x.event_type" === $"y.event_type" && $"x.d" < $"y.d")
+      .select($"x.event_type".as("event_type"),
+        (($"y.c" - $"x.c").cast("double") /
+          ($"y.d" - $"x.d").cast("double")).as("slope"))
+    val byVal = slopes.groupBy($"event_type", $"slope")
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy($"event_type").orderBy($"slope")
+    val totW = Window.partitionBy($"event_type")
+    byVal
+      .withColumn("cum", sum($"cnt").over(cumW))
+      .withColumn("m", sum($"cnt").over(totW))
+      .groupBy($"event_type")
+      .agg(max($"m").as("n_pairs"),
+        min(when($"cum" >= floor(($"m" + 1) / lit(2.0)), $"slope")).as("lo"),
+        min(when($"cum" >= floor($"m" / lit(2.0)) + 1, $"slope")).as("hi"))
+      .join(daily.groupBy($"event_type").agg(count(lit(1)).as("n_days")),
+        Seq("event_type"))
+      .select($"event_type", $"n_days", $"n_pairs",
+        LlmOps.pround4(($"lo" + $"hi") / lit(2.0)).as("sen_slope"))
+      .orderBy($"event_type")
+  }
+
+  /** Z-order clustering audit over lineitem (quantity × price) — the
+    * data-layout op behind multi-dimensional data skipping: interleave 8
+    * normalized bits of each dimension into a 16-bit Morton code, cluster
+    * on the top 6 bits, and report each cluster's row count and per-
+    * dimension min/max envelope. Tight envelopes = a scan filtered on
+    * EITHER dimension prunes most clusters — exactly what a 100 TB table
+    * Z-ordered at write time buys. Normalization pins to the global
+    * min/max (two broadcast scalars); all bit surgery is integer shifts
+    * and masks (engine-exact); one shuffle for the ≤ 64-cluster rollup.
+    */
+  val sortZorder: Q = (s, dir) => {
+    import s.implicits._
+    val rows = Tables.lineitem(s, dir)
+      .select($"l_quantity".cast("long").as("x"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+    val mm = rows.agg(min($"x").as("xmin"), max($"x").as("xmax"),
+      min($"y").as("ymin"), max($"y").as("ymax"))
+    val scaled = rows.crossJoin(broadcast(mm))
+      .select($"x", $"y",
+        expr("((x - xmin) * 256) div (xmax - xmin + 1)").as("x8"),
+        expr("((y - ymin) * 256) div (ymax - ymin + 1)").as("y8"))
+    val z = (0 until 8).map { i =>
+      (shiftleft(shiftright($"x8", i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright($"y8", i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+    scaled.withColumn("cluster", shiftright(z, 10))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n"), min($"x").as("qty_min"),
+        max($"x").as("qty_max"), min($"y").as("cents_min"),
+        max($"y").as("cents_max"))
+      .orderBy($"cluster")
+  }
+
+  /** Sequential probability ratio test on daily purchase conversion —
+    * the always-valid sequential A/B stop rule (Wald boundaries log 19 ≈
+    * α = β = 0.05 testing p₁ = 0.5 vs p₀ = 0.4). Trials = (day, user)
+    * cells ordered by arrival; success = the user purchased that day.
+    * Each trial's log-likelihood increment is a HARDCODED nano-quantized
+    * BIGINT constant (ln 1.25 → 223143551, ln ⅚ → −182321557 — pinned
+    * literals, not engine ln calls, so the running sum is exact and
+    * order-independent); the cumulative trace and trial index come from
+    * two DistScan prefix folds (no single-partition window), and the
+    * first boundary crossing is a min-over-filter, all scale-safe.
+    */
+  val aggSprt: Q = (s, dir) => {
+    import s.implicits._
+    val trials = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"user_id", ($"event_type" === "purchase").as("hit"))
+      .groupBy($"d", $"user_id")
+      .agg(max(when($"hit", 1L).otherwise(0L)).as("success"))
+      .select(($"d" * lit(1000000000000L) + $"user_id").as("k"), $"success",
+        when($"success" === 1L, lit(223143551L))
+          .otherwise(lit(-182321557L)).as("llr_q"))
+    val cum = DistScan.withPrefixAgg(
+      DistScan.withPrefixAgg(trials, "pl", $"llr_q", "sum", $"k"),
+      "pn", lit(1L), "sum", $"k")
+      .select($"k", $"success",
+        (coalesce($"pl", lit(0L)) + $"llr_q").as("cum"),
+        (coalesce($"pn", lit(0L)) + lit(1L)).as("rn"))
+      .cp() // totals and the two crossing scans all consume it
+    val bound = 2944438979L // ln(19) nano-quantized, pinned
+    val cross = cum.agg(
+      min(when($"cum" >= bound, $"rn")).as("first_h1"),
+      min(when($"cum" <= -bound, $"rn")).as("first_h0"),
+      count(lit(1)).as("n_trials"), sum($"success").as("n_success"),
+      max(struct($"rn", $"cum")).as("last"))
+    cross.select($"n_trials", $"n_success",
+      LlmOps.pround4($"last.cum".cast("double") / lit(1.0e9))
+        .as("llr_final"),
+      when($"first_h1".isNotNull &&
+          ($"first_h0".isNull || $"first_h1" <= $"first_h0"), "accept_h1")
+        .when($"first_h0".isNotNull, "accept_h0")
+        .otherwise("continue").as("decision"),
+      // least skips NULLs on both engines (Postgres semantics), so this
+      // is "earliest crossing, NULL when neither boundary is hit"
+      least($"first_h1", $"first_h0").as("n_at_decision"))
+  }
+
+  /** Exact Shapley channel attribution over the pinned 4-channel taxonomy
+    * (click/error/signup/view; conversion = a purchase the same session-
+    * day) — the game-theoretic split of conversion credit that last-touch/
+    * linear rules (win_attribution) approximate. Sessions are (user, day)
+    * cells (per-user lifetime masks saturate — nearly every user touches
+    * every channel eventually; the daily grain is where exposure actually
+    * varies). Coalition value v(S) = conversion rate of sessions whose
+    * exposure set ⊆ S; with n = 4 the whole computation collapses to a
+    * 16-row coalition table: per-session bitmask (one fact shuffle), exact
+    * session/conversion counts per mask, subset-sum via a broadcast
+    * (mask & S) = mask join of 16×16 literal rows, then φᵢ =
+    * Σ_S w(|S|)(v(S∪i) − v(S)) with the 8 S-terms summed by an S-ordered
+    * array fold (both engines add identical doubles in identical order —
+    * the agg_anova discipline). Nothing past the first shuffle grows with
+    * data.
+    */
+  val aggShapley: Q = (s, dir) => {
+    import s.implicits._
+    val chan = Seq("click", "error", "signup", "view")
+    val bit = chan.zipWithIndex.map { case (c, i) =>
+      when(max(when($"event_type" === c, 1L).otherwise(0L)) === 1L,
+        lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    val perUser = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("day"),
+        $"event_type")
+      .groupBy($"user_id", $"day")
+      .agg(bit.as("mask"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+    val byMask = perUser.groupBy($"mask")
+      .agg(count(lit(1)).as("nu"), sum($"conv").as("nc"))
+      .cp() // the coalition subset-sum and the exposure rollup both read it
+    val coalitions = s.range(16).select($"id".as("co"))
+    // v(S): conversion rate among users with exposure ⊆ S, 0 when empty
+    val v = coalitions.join(broadcast(byMask),
+        $"mask".bitwiseAND($"co") === $"mask", "left")
+      .groupBy($"co")
+      .agg(coalesce(sum($"nu"), lit(0L)).as("du"),
+        coalesce(sum($"nc"), lit(0L)).as("dc"))
+      .select($"co", when($"du" > 0,
+        $"dc".cast("double") / $"du".cast("double"))
+        .otherwise(lit(0.0)).as("v"))
+      .cp() // joined twice per channel term below
+    val w = typedLit(Seq(0.25, 1.0 / 12.0, 1.0 / 12.0, 0.25)) // s!(3-s)!/4!
+    val terms = chan.zipWithIndex.map { case (c, i) =>
+      val b = 1L << i
+      v.as("s0").join(v.as("s1"),
+          col("s0.co") + lit(b) === col("s1.co"))
+        .filter(col("s0.co").bitwiseAND(lit(b)) === 0L)
+        .select(lit(c).as("channel"), col("s0.co").as("co"),
+          (element_at(w, bit_count(col("s0.co")).cast("int") + 1) *
+            (col("s1.v") - col("s0.v"))).as("term"))
+    }.reduce(_ unionAll _)
+    // per-channel exposure counts from the 16-row mask table, not the users
+    val exposed = byMask
+      .crossJoin(broadcast(s.range(4).select($"id".as("ci"))))
+      .filter(expr("(mask >> cast(ci as int)) & 1").cast("long") === 1L)
+      .groupBy($"ci").agg(sum($"nu").as("n_exposed"))
+      .select(element_at(typedLit(chan), $"ci".cast("int") + 1).as("channel"),
+        $"n_exposed")
+    terms.groupBy($"channel")
+      .agg(sort_array(collect_list(struct($"co", $"term"))).as("ts"))
+      .select($"channel", LlmOps.pround4(expr(
+        "aggregate(ts, cast(0.0 as double), (acc, e) -> acc + e.term)"))
+        .as("phi"))
+      .join(exposed, Seq("channel"), "left")
+      .select($"channel", coalesce($"n_exposed", lit(0L)).as("n_exposed"),
+        $"phi")
+      .orderBy($"channel")
+  }
+
+  /** Market-basket association rules over part brands co-occurring in an
+    * order (the retail "what sells with what" readout): for brand pairs
+    * a < b, support = n(a,b)/N, confidence(a→b) = n(a,b)/n(a), lift =
+    * n(a,b)·N / (n(a)·n(b)); top 10 by lift (min co-count 5, brand-pair
+    * tiebreak). The basket build is one broadcast join into the ≤25-brand
+    * part dim + a per-order distinct; the pair frame self-joins WITHIN
+    * the order key (fan-out ≤ C(25,2) per order — order-bounded, never
+    * quadratic in facts); counts collapse to ≤ 300 brand-pair rows before
+    * any division, and every rate is one IEEE divide of exact BIGINTs.
+    */
+  val aggMarketBasket: Q = (s, dir) => {
+    import s.implicits._
+    val baskets = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("b")).distinct()
+      .cp() // pair self-join + both marginals read it
+    // N stays IN the plan as a broadcast 1-row scalar — no driver action
+    val nOrders = baskets.agg(
+      countDistinct($"ok").cast("double").as("n_orders"))
+    val pair = baskets.as("x").join(baskets.as("y"),
+        $"x.ok" === $"y.ok" && $"x.b" < $"y.b")
+      .groupBy($"x.b".as("a"), $"y.b".as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 5)
+    val single = baskets.groupBy($"b".as("k")).agg(count(lit(1)).as("n1"))
+    pair
+      .join(broadcast(single.select($"k".as("a"), $"n1".as("n_a"))), Seq("a"))
+      .join(broadcast(single.select($"k".as("b"), $"n1".as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(nOrders))
+      .select($"a", $"b", $"n_ab",
+        LlmOps.pround4($"n_ab".cast("double") / $"n_orders").as("support"),
+        LlmOps.pround4($"n_ab".cast("double") / $"n_a".cast("double"))
+          .as("confidence"),
+        LlmOps.pround4($"n_ab".cast("double") * $"n_orders" /
+          ($"n_a".cast("double") * $"n_b".cast("double"))).as("lift"))
+      .orderBy($"lift".desc, $"a", $"b")
+      .limit(10)
+  }
+
+  /** 1-D Kalman filter over each event type's daily revenue (random-walk
+    * state, pinned Q = 25, R = 400 dollar² noise): the optimal recursive
+    * smoother ops teams run before alerting on a level shift. The
+    * recursion is inherently sequential, so it runs as ONE portable fold
+    * per type over the day-ordered value array (`aggregate` ↔ a DuckDB
+    * recursive CTE with token-identical update arithmetic — the win_holt
+    * discipline); series length is calendar-bounded, types are few, and
+    * the daily rollup partial-combines before its single shuffle. Inputs
+    * enter as exact cents and cast to dollars once; innovation sum of
+    * squares rides the same fold, so the final (x̂, P, RMSE) triple is
+    * bit-stable across engines.
+    */
+  val winKalman: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type",
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .groupBy($"event_type", $"d").agg(msum($"value").as("v"))
+    daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"d", $"v"))).as("fr"),
+        count(lit(1)).as("n_days"))
+      .withColumn("vs", expr("transform(fr, x -> x.v)"))
+      .withColumn("st", expr(
+        "aggregate(slice(vs, 2, size(vs) - 1)," +
+          " named_struct('x', element_at(vs, 1)," +
+          " 'p', cast(400.0 as double), 'ssi', cast(0.0 as double))," +
+          " (acc, e) -> named_struct(" +
+          "'x', acc.x + ((acc.p + 25.0) / (acc.p + 25.0 + 400.0))" +
+          " * (e - acc.x)," +
+          "'p', (1.0 - (acc.p + 25.0) / (acc.p + 25.0 + 400.0))" +
+          " * (acc.p + 25.0)," +
+          "'ssi', acc.ssi + (e - acc.x) * (e - acc.x)))"))
+      .select($"event_type", $"n_days",
+        LlmOps.pround4($"st.x").as("x_hat"),
+        LlmOps.pround4($"st.p").as("p_final"),
+        LlmOps.pround4(sqrt($"st.ssi" /
+          greatest($"n_days" - 1, lit(1L)).cast("double"))).as("innov_rmse"))
+      .orderBy($"event_type")
+  }
+
+  /** Winsorized mean of event value per type (clamp at the exact p05/p95
+    * order statistics, then average — the robust mean that survives fat
+    * tails without dropping rows like a trimmed mean does). Cutoffs come
+    * from the value-collapsed cumulative-count crossing (windows over
+    * ≤ |distinct cents values| rows per type, never the fact table);
+    * clamped sums stay exact BIGINT cents to one final divide. The
+    * before/after mean pair is the standard outlier-impact readout.
+    */
+  val aggWinsorize: Q = (s, dir) => {
+    import s.implicits._
+    val cents = Tables.events(s, dir)
+      .select($"event_type", round($"value" * 100).cast("long").as("c"))
+    val byVal = cents.groupBy($"event_type", $"c").agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy($"event_type").orderBy($"c")
+    val totW = Window.partitionBy($"event_type")
+    val cuts = byVal
+      .withColumn("cum", sum($"cnt").over(cumW))
+      .withColumn("n", sum($"cnt").over(totW))
+      .groupBy($"event_type")
+      .agg(min(when($"cum" * 20 >= $"n", $"c")).as("lo"),
+        min(when($"cum" * 20 >= $"n" * 19, $"c")).as("hi"))
+    cents.join(broadcast(cuts), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum($"c").cast("double") / count(lit(1)).cast("double") /
+          lit(100.0)).as("mean_raw_u"),
+        (sum(greatest(least($"c", $"hi"), $"lo")).cast("double") /
+          count(lit(1)).cast("double") / lit(100.0)).as("mean_wins_u"),
+        (max($"lo").cast("double") / lit(100.0)).as("lo_cut"),
+        (max($"hi").cast("double") / lit(100.0)).as("hi_cut"))
+      .select($"event_type", $"n", LlmOps.pround4($"mean_raw_u").as("mean_raw"),
+        LlmOps.pround4($"mean_wins_u").as("mean_winsorized"),
+        $"lo_cut", $"hi_cut")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_shapley" -> aggShapley,
+    "agg_market_basket" -> aggMarketBasket,
+    "win_kalman" -> winKalman,
+    "agg_winsorize" -> aggWinsorize,
+    "agg_cuped" -> aggCuped,
+    "win_theil_sen" -> winTheilSen,
+    "sort_zorder" -> sortZorder,
+    "agg_sprt" -> aggSprt,
     "win_forecast_backtest" -> winForecastBacktest,
     "agg_target_encode_loo" -> aggTargetEncodeLoo,
     "agg_skew_report" -> aggSkewReport,

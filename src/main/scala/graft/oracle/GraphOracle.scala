@@ -414,7 +414,81 @@ object GraphOracle {
        |ORDER BY score_scaled DESC, part LIMIT 20""".stripMargin
   }
 
+  /** Shared CTE prefix of the graph_scc / graph_bowtie / graph_condensation
+    * family: the directed transition backbone (lead over (ln, p) within
+    * each order, hash-coarsened to 512 cells, w ≥ 2), full pairwise
+    * reachability, and the min-mutual-reach SCC labeling `sccl(v, scc)`.
+    */
+  private val sccCtes: String =
+    """WITH RECURSIVE lp AS (
+      |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+      |    l_partkey % 512 AS p
+      |  FROM lineitem),
+      |t AS (
+      |  SELECT p, lead(p) OVER (PARTITION BY ok ORDER BY ln, p) AS np
+      |  FROM lp),
+      |e0 AS (
+      |  SELECT p AS s, np AS d, count(*) AS w
+      |  FROM t WHERE np IS NOT NULL AND np <> p
+      |  GROUP BY 1, 2),
+      |e AS (SELECT s, d FROM e0 WHERE w >= 2),
+      |reach(s, d) AS (
+      |  SELECT s, d FROM e
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+      |mutual AS (
+      |  SELECT a.s AS v, a.d AS m
+      |  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s),
+      |verts AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+      |sccl AS (
+      |  SELECT v.v,
+      |    coalesce(min(CASE WHEN mu.m < v.v THEN mu.m END), v.v) AS scc
+      |  FROM verts v LEFT JOIN mutual mu ON mu.v = v.v
+      |  GROUP BY 1)""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "graph_scc" ->
+      s"""$sccCtes
+         |SELECT v AS part, scc FROM sccl ORDER BY part""".stripMargin,
+
+    "graph_bowtie" ->
+      s"""$sccCtes,
+         |core AS (
+         |  SELECT scc FROM (SELECT scc, count(*) AS sz FROM sccl GROUP BY 1)
+         |  ORDER BY sz DESC, scc LIMIT 1),
+         |cls AS (
+         |  SELECT s.v AS part,
+         |    CASE WHEN s.scc = (SELECT scc FROM core) THEN 'core'
+         |      WHEN EXISTS (SELECT 1 FROM reach r JOIN sccl c ON c.v = r.d
+         |        WHERE r.s = s.v AND c.scc = (SELECT scc FROM core))
+         |        THEN 'in'
+         |      WHEN EXISTS (SELECT 1 FROM reach r JOIN sccl c ON c.v = r.s
+         |        WHERE r.d = s.v AND c.scc = (SELECT scc FROM core))
+         |        THEN 'out'
+         |      ELSE 'other' END AS cls
+         |  FROM sccl s)
+         |SELECT cls, count(*) AS n_cells, min(part) AS min_cell
+         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_condensation" ->
+      s"""$sccCtes,
+         |ce AS (
+         |  SELECT DISTINCT a.scc AS src, b.scc AS dst
+         |  FROM e JOIN sccl a ON a.v = e.s JOIN sccl b ON b.v = e.d
+         |  WHERE a.scc <> b.scc),
+         |nodes AS (SELECT scc, count(*) AS n_members FROM sccl GROUP BY 1),
+         |lvl(node, l) AS (
+         |  SELECT scc, 0 FROM nodes
+         |  UNION
+         |  SELECT ce.dst, r.l + 1 FROM lvl r JOIN ce ON ce.src = r.node),
+         |lev AS (SELECT node, max(l) AS level FROM lvl GROUP BY 1),
+         |od AS (SELECT src, count(*) AS n_succ FROM ce GROUP BY 1)
+         |SELECT n.scc, n.n_members, CAST(lev.level AS BIGINT) AS level,
+         |  coalesce(od.n_succ, CAST(0 AS BIGINT)) AS n_succ
+         |FROM nodes n JOIN lev ON lev.node = n.scc
+         |LEFT JOIN od ON od.src = n.scc
+         |ORDER BY n.scc""".stripMargin,
+
     "graph_eccentricity" ->
       s"""$landmarkBfsCtes
          |SELECT node AS part, count(*) AS n_sources,

@@ -459,6 +459,268 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "agg_shapley" ->
+      """WITH pu AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS mask,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |bm AS (
+        |  SELECT mask, count(*) AS nu, CAST(sum(conv) AS BIGINT) AS nc
+        |  FROM pu GROUP BY 1),
+        |co AS (SELECT range AS co FROM range(16)),
+        |v AS (
+        |  SELECT co.co,
+        |    CASE WHEN coalesce(sum(bm.nu), 0) > 0
+        |      THEN CAST(coalesce(sum(bm.nc), 0) AS DOUBLE)
+        |        / CAST(sum(bm.nu) AS DOUBLE)
+        |      ELSE 0.0 END AS v
+        |  FROM co LEFT JOIN bm ON (bm.mask & co.co) = bm.mask
+        |  GROUP BY 1),
+        |ch(channel, b) AS (
+        |  VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)),
+        |terms AS (
+        |  SELECT ch.channel, s0.co,
+        |    (CASE bit_count(s0.co) WHEN 0 THEN 0.25 WHEN 1 THEN 1.0 / 12.0
+        |      WHEN 2 THEN 1.0 / 12.0 ELSE 0.25 END) * (s1.v - s0.v) AS term
+        |  FROM ch JOIN v s0 ON (s0.co & ch.b) = 0
+        |  JOIN v s1 ON s1.co = s0.co + ch.b),
+        |phi AS (
+        |  SELECT channel,
+        |    floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(list_sort(list({'co': co, 'term': term})),
+        |          x -> x.term)), (acc, x) -> acc + x)
+        |      * 10000.0 + 0.5) / 10000.0 AS phi
+        |  FROM terms GROUP BY 1),
+        |expo AS (
+        |  SELECT ch.channel,
+        |    CAST(coalesce(sum(bm.nu), 0) AS BIGINT) AS n_exposed
+        |  FROM ch LEFT JOIN bm ON (bm.mask & ch.b) = ch.b
+        |  GROUP BY 1)
+        |SELECT phi.channel, expo.n_exposed, phi.phi
+        |FROM phi JOIN expo ON expo.channel = phi.channel
+        |ORDER BY phi.channel""".stripMargin,
+
+    "agg_market_basket" ->
+      """WITH bsk AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS br
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |nn AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_orders
+        |  FROM bsk),
+        |pr AS (
+        |  SELECT x.br AS a, y.br AS b, count(*) AS n_ab
+        |  FROM bsk x JOIN bsk y ON x.ok = y.ok AND x.br < y.br
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sgl AS (SELECT br AS k, count(*) AS n1 FROM bsk GROUP BY 1)
+        |SELECT pr.a, pr.b, pr.n_ab,
+        |  floor(CAST(pr.n_ab AS DOUBLE) / nn.n_orders * 10000.0 + 0.5)
+        |    / 10000.0 AS support,
+        |  floor(CAST(pr.n_ab AS DOUBLE) / CAST(sa.n1 AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS confidence,
+        |  floor(CAST(pr.n_ab AS DOUBLE) * nn.n_orders
+        |    / (CAST(sa.n1 AS DOUBLE) * CAST(sb.n1 AS DOUBLE))
+        |    * 10000.0 + 0.5) / 10000.0 AS lift
+        |FROM pr JOIN sgl sa ON sa.k = pr.a JOIN sgl sb ON sb.k = pr.b, nn
+        |ORDER BY lift DESC, a, b LIMIT 10""".stripMargin,
+
+    "win_kalman" ->
+      ("""WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+        |    """ + msum("value") + """ AS v
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |rec(event_type, i, x, p, ssi) AS (
+        |  SELECT event_type, i, v, CAST(400.0 AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE)
+        |  FROM ranked WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.event_type, d.i,
+        |    r.x + ((r.p + 25.0) / (r.p + 25.0 + 400.0)) * (d.v - r.x),
+        |    (1.0 - (r.p + 25.0) / (r.p + 25.0 + 400.0)) * (r.p + 25.0),
+        |    r.ssi + (d.v - r.x) * (d.v - r.x)
+        |  FROM rec r JOIN ranked d
+        |    ON d.event_type = r.event_type AND d.i = r.i + 1)
+        |SELECT rec.event_type, n AS n_days,
+        |  floor(x * 10000.0 + 0.5) / 10000.0 AS x_hat,
+        |  floor(p * 10000.0 + 0.5) / 10000.0 AS p_final,
+        |  floor(sqrt(ssi / CAST(greatest(n - 1, 1) AS DOUBLE))
+        |    * 10000.0 + 0.5) / 10000.0 AS innov_rmse
+        |FROM rec JOIN ranked ON rec.event_type = ranked.event_type
+        |  AND rec.i = ranked.i
+        |WHERE rec.i = n
+        |ORDER BY rec.event_type""").stripMargin,
+
+    "agg_winsorize" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |bv AS (SELECT event_type, c, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT event_type, c,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM bv),
+        |cuts AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum * 20 >= n THEN c END) AS lo,
+        |    min(CASE WHEN cum * 20 >= n * 19 THEN c END) AS hi
+        |  FROM cw GROUP BY 1)
+        |SELECT c.event_type, count(*) AS n,
+        |  floor(CAST(sum(c.c) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_raw,
+        |  floor(CAST(sum(greatest(least(c.c, cuts.hi), cuts.lo)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+        |    AS mean_winsorized,
+        |  CAST(max(cuts.lo) AS DOUBLE) / 100.0 AS lo_cut,
+        |  CAST(max(cuts.hi) AS DOUBLE) / 100.0 AS hi_cut
+        |FROM c JOIN cuts ON cuts.event_type = c.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    CAST(sum(CASE WHEN epoch_ms(ts) < 1705363200000
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN epoch_ms(ts) < 1705363200000
+        |      THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pooled AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pu),
+        |th AS (
+        |  SELECT n, sx, sy,
+        |    CASE WHEN n * sxx - sx * sx > 0 THEN
+        |      CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+        |    CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |      THEN CAST(n * sxy - sx * sy AS DOUBLE) *
+        |        CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |          CAST(n * syy - sy * sy AS DOUBLE)) END AS var_red
+        |  FROM pooled)
+        |SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |  floor(CAST(sum(y) AS DOUBLE) / count(*) / 100.0 * 10000.0
+        |    + 0.5) / 10000.0 AS mean_post,
+        |  floor((CAST(sum(y) AS DOUBLE) / count(*) -
+        |    any_value(theta) * (CAST(sum(x) AS DOUBLE) / count(*) -
+        |      CAST(any_value(sx) AS DOUBLE) / any_value(n))) / 100.0 *
+        |    10000.0 + 0.5) / 10000.0 AS mean_adj,
+        |  floor(any_value(theta) * 10000.0 + 0.5) / 10000.0 AS theta,
+        |  floor(any_value(var_red) * 10000.0 + 0.5) / 10000.0
+        |    AS var_reduction
+        |FROM pu, th GROUP BY arm ORDER BY arm""".stripMargin,
+
+    "win_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT x.event_type,
+        |    CAST(y.c - x.c AS DOUBLE) / CAST(y.d - x.d AS DOUBLE)
+        |      AS slope
+        |  FROM daily x JOIN daily y
+        |    ON x.event_type = y.event_type AND x.d < y.d),
+        |byval AS (
+        |  SELECT event_type, slope, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM slopes GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, slope, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY slope)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        |  FROM byval),
+        |med AS (
+        |  SELECT event_type, max(m) AS n_pairs,
+        |    min(CASE WHEN cum >= floor((m + 1) / 2.0) THEN slope END)
+        |      AS lo,
+        |    min(CASE WHEN cum >= floor(m / 2.0) + 1 THEN slope END)
+        |      AS hi
+        |  FROM cum GROUP BY 1),
+        |nd AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT med.event_type, n_days, n_pairs,
+        |  floor((lo + hi) / 2.0 * 10000.0 + 0.5) / 10000.0 AS sen_slope
+        |FROM med JOIN nd ON med.event_type = nd.event_type
+        |ORDER BY med.event_type""".stripMargin,
+
+    "sort_zorder" ->
+      """WITH r AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |mm AS (SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin,
+        |  max(y) AS ymax FROM r),
+        |s AS (
+        |  SELECT x, y,
+        |    ((x - xmin) * 256) // (xmax - xmin + 1) AS x8,
+        |    ((y - ymin) * 256) // (ymax - ymin + 1) AS y8
+        |  FROM r, mm),
+        |z AS (
+        |  SELECT x, y,
+        |    (((x8 >> 0) & 1) << 0) + (((y8 >> 0) & 1) << 1) +
+        |    (((x8 >> 1) & 1) << 2) + (((y8 >> 1) & 1) << 3) +
+        |    (((x8 >> 2) & 1) << 4) + (((y8 >> 2) & 1) << 5) +
+        |    (((x8 >> 3) & 1) << 6) + (((y8 >> 3) & 1) << 7) +
+        |    (((x8 >> 4) & 1) << 8) + (((y8 >> 4) & 1) << 9) +
+        |    (((x8 >> 5) & 1) << 10) + (((y8 >> 5) & 1) << 11) +
+        |    (((x8 >> 6) & 1) << 12) + (((y8 >> 6) & 1) << 13) +
+        |    (((x8 >> 7) & 1) << 14) + (((y8 >> 7) & 1) << 15) AS zv
+        |  FROM s)
+        |SELECT zv >> 10 AS cluster, CAST(count(*) AS BIGINT) AS n,
+        |  min(x) AS qty_min, max(x) AS qty_max,
+        |  min(y) AS cents_min, max(y) AS cents_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_sprt" ->
+      """WITH t AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d, user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS success
+        |  FROM events GROUP BY 1, 2),
+        |q AS (
+        |  SELECT d * 1000000000000 + user_id AS k, success,
+        |    CASE WHEN success = 1 THEN 223143551
+        |      ELSE -182321557 END AS llr_q
+        |  FROM t),
+        |c AS (
+        |  SELECT k, success,
+        |    CAST(sum(llr_q) OVER (ORDER BY k) AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rn
+        |  FROM q),
+        |x AS (
+        |  SELECT min(CASE WHEN cum >= 2944438979 THEN rn END)
+        |      AS first_h1,
+        |    min(CASE WHEN cum <= -2944438979 THEN rn END) AS first_h0,
+        |    CAST(count(*) AS BIGINT) AS n_trials,
+        |    CAST(sum(success) AS BIGINT) AS n_success,
+        |    max_by(cum, rn) AS llr_last
+        |  FROM c)
+        |SELECT n_trials, n_success,
+        |  floor(CAST(llr_last AS DOUBLE) / 1.0e9 * 10000.0 + 0.5)
+        |    / 10000.0 AS llr_final,
+        |  CASE WHEN first_h1 IS NOT NULL AND (first_h0 IS NULL OR
+        |      first_h1 <= first_h0) THEN 'accept_h1'
+        |    WHEN first_h0 IS NOT NULL THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision,
+        |  least(first_h1, first_h0) AS n_at_decision
+        |FROM x""".stripMargin,
+
     "agg_sample_stratified" ->
       """WITH c AS (
         |  SELECT c_custkey, c_mktsegment,

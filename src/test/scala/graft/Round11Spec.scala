@@ -284,4 +284,345 @@ class Round11Spec extends SparkSpec {
       }
     }
   }
+
+  /** JVM replay of the transition backbone + Kosaraju SCC, shared by the
+    * graph_scc / graph_bowtie / graph_condensation cross-checks:
+    * (edges, sorted vertex list, scc label per vertex with min-id labels).
+    */
+  private lazy val sccReplay: (Seq[(Long, Long)], Seq[Long], Map[Long, Long]) = {
+    import spark.implicits._
+    val lp = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey" % 512)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val edges = lp.groupBy(_._1).values.flatMap { lines =>
+      val s = lines.sortBy(l => (l._2, l._3))
+      s.zip(s.tail).collect { case (a, b) if a._3 != b._3 => (a._3, b._3) }
+    }.toSeq.groupBy(identity).iterator // iterator: a Map.collect of pairs
+      .collect { case (e, os) if os.size >= 2 => e } // would dedup by src
+      .toSeq
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val fwd = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val rev = edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    // Kosaraju: forward finish order, then reverse-graph sweeps
+    val visited = scala.collection.mutable.Set[Long]()
+    val order = scala.collection.mutable.ArrayBuffer[Long]()
+    def dfs1(v: Long): Unit = if (visited.add(v)) {
+      fwd.getOrElse(v, Nil).foreach(dfs1); order += v
+    }
+    verts.foreach(dfs1)
+    val label = scala.collection.mutable.Map[Long, Long]()
+    def dfs2(v: Long, members: scala.collection.mutable.ArrayBuffer[Long]): Unit =
+      if (!label.contains(v)) {
+        label(v) = -1L; members += v
+        rev.getOrElse(v, Nil).foreach(dfs2(_, members))
+      }
+    order.reverseIterator.foreach { v =>
+      if (!label.contains(v)) {
+        val members = scala.collection.mutable.ArrayBuffer[Long]()
+        dfs2(v, members)
+        val m = members.min
+        members.foreach(label(_) = m)
+      }
+    }
+    (edges, verts, label.toMap)
+  }
+
+  test("graph_scc equals a JVM Kosaraju SCC over the collected backbone") {
+    val (_, verts, label) = sccReplay
+    val got = q("graph_scc").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.map(_._1).toSeq === verts, "vertex set")
+    got.foreach { case (v, s) => assert(s === label(v), s"scc of $v") }
+  }
+
+  test("graph_bowtie classes match a JVM reachability replay") {
+    val (edges, verts, label) = sccReplay
+    val sizes = label.groupBy(_._2).map { case (l, m) => l -> m.size }
+    val coreLbl = sizes.toSeq.map { case (l, n) => (n, -l) }.max match {
+      case (_, negL) => -negL
+    }
+    val coreMembers = verts.filter(label(_) == coreLbl).toSet
+    def closure(seeds: Set[Long], adj: Map[Long, Seq[Long]]): Set[Long] = {
+      var vis = seeds; var frontier = seeds
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Nil)) -- vis
+        vis ++= next; frontier = next
+      }
+      vis
+    }
+    val fwd = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val rev = edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    val reachesCore = closure(coreMembers, rev)
+    val fromCore = closure(coreMembers, fwd)
+    val expect = verts.map { v =>
+      if (label(v) == coreLbl) "core"
+      else if (reachesCore(v)) "in"
+      else if (fromCore(v)) "out"
+      else "other"
+    }.zip(verts).groupBy(_._1).map { case (c, vs) =>
+      c -> (vs.size.toLong, vs.map(_._2).min)
+    }
+    val got = q("graph_bowtie").collect()
+    assert(got.map(_.getString(0)).toSet === expect.keySet, "class set")
+    got.foreach { r =>
+      val (n, mn) = expect(r.getString(0))
+      assert(r.getLong(1) === n, s"n_cells of ${r.getString(0)}")
+      assert(r.getLong(2) === mn, s"min_cell of ${r.getString(0)}")
+    }
+  }
+
+  test("graph_condensation matches JVM longest-path levels on the SCC DAG") {
+    val (edges, verts, label) = sccReplay
+    val ce = edges.map { case (s, d) => (label(s), label(d)) }
+      .filter { case (a, b) => a != b }.distinct
+    val nodes = verts.map(label).distinct.sorted
+    val preds = ce.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    val memo = scala.collection.mutable.Map[Long, Long]()
+    def lvl(v: Long): Long = memo.getOrElseUpdate(v,
+      preds.get(v).map(_.map(lvl).max + 1L).getOrElse(0L))
+    val outDeg = ce.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val members = verts.groupBy(label).map { case (l, vs) => l -> vs.size.toLong }
+    val got = q("graph_condensation").collect()
+    assert(got.map(_.getLong(0)).toSeq === nodes, "scc node set")
+    got.foreach { r =>
+      val n = r.getLong(0)
+      assert(r.getLong(1) === members(n), s"n_members of $n")
+      assert(r.getLong(2) === lvl(n), s"level of $n")
+      assert(r.getLong(3) === outDeg.getOrElse(n, 0L), s"n_succ of $n")
+    }
+  }
+
+  test("agg_cuped equals the brute-force CUPED adjustment over collected events") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_millis($"ts"), $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) < 1705363200000L,
+        math.round(r.getDouble(2) * 100)))
+    val per = ev.groupBy(_._1).toSeq.map { case (u, rs) =>
+      (u, rs.filter(_._2).map(_._3).sum, rs.filterNot(_._2).map(_._3).sum)
+    }
+    val n = per.size.toLong
+    val sx = per.map(_._2).sum; val sy = per.map(_._3).sum
+    val sxy = per.map(r => r._2 * r._3).sum
+    val sxx = per.map(r => r._2 * r._2).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val got = q("agg_cuped").collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      val arm = r.getLong(0)
+      val grp = per.filter(_._1 % 2 == arm)
+      assert(r.getLong(1) === grp.size.toLong, "n_users")
+      val meanAdj = (grp.map(_._3).sum.toDouble / grp.size -
+        theta * (grp.map(_._2).sum.toDouble / grp.size -
+          sx.toDouble / n)) / 100.0
+      assert(r.getDouble(3) === math.floor(meanAdj * 10000.0 + 0.5) / 10000.0,
+        s"mean_adj arm $arm")
+      assert(r.getDouble(4) === math.floor(theta * 10000.0 + 0.5) / 10000.0)
+    }
+  }
+
+  test("win_theil_sen equals the brute-force pairwise-slope median") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", unix_millis($"ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400000L))
+      .groupBy(identity).map { case ((t, d), rs) => (t, d, rs.size.toLong) }
+      .toSeq
+    val got = q("win_theil_sen").collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      val series = daily.filter(_._1 == t).map(x => (x._2, x._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- series.indices; j <- (i + 1) until series.length
+      } yield (series(j)._2 - series(i)._2).toDouble /
+          (series(j)._1 - series(i)._1).toDouble).sorted
+      val m = slopes.length
+      assert(r.getLong(1) === series.length.toLong, "n_days")
+      assert(r.getLong(2) === m.toLong, "n_pairs")
+      val med = (slopes((m - 1) / 2) + slopes(m / 2)) / 2.0
+      assert(r.getDouble(3) === math.floor(med * 10000.0 + 0.5) / 10000.0, t)
+    }
+  }
+
+  test("sort_zorder envelopes partition the data and counts total correctly") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_quantity".cast("long"),
+        org.apache.spark.sql.functions.round($"l_extendedprice" * 100)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val xmin = rows.map(_._1).min; val xmax = rows.map(_._1).max
+    val ymin = rows.map(_._2).min; val ymax = rows.map(_._2).max
+    def z(x: Long, y: Long): Long = {
+      val x8 = (x - xmin) * 256 / (xmax - xmin + 1)
+      val y8 = (y - ymin) * 256 / (ymax - ymin + 1)
+      (0 until 8).map(i =>
+        (((x8 >> i) & 1L) << (2 * i)) + (((y8 >> i) & 1L) << (2 * i + 1))).sum
+    }
+    val expect = rows.groupBy { case (x, y) => z(x, y) >> 10 }
+    val got = q("sort_zorder").collect()
+    assert(got.map(_.getLong(1)).sum === rows.length.toLong, "total rows")
+    got.foreach { r =>
+      val c = r.getLong(0); val grp = expect(c)
+      assert(r.getLong(1) === grp.size.toLong, s"n of cluster $c")
+      assert(r.getLong(2) === grp.map(_._1).min, "qty_min")
+      assert(r.getLong(3) === grp.map(_._1).max, "qty_max")
+      assert(r.getLong(4) === grp.map(_._2).min, "cents_min")
+      assert(r.getLong(5) === grp.map(_._2).max, "cents_max")
+    }
+    assert(got.map(_.getLong(0)).toSet === expect.keySet, "cluster ids")
+  }
+
+  private def p4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+
+  test("agg_shapley matches a brute-force power-set computation") {
+    import spark.implicits._
+    val chan = Seq("click", "error", "signup", "view")
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / 86400000L).cast("long"),
+        $"event_type")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+    val cells = ev.groupBy(_._1).values.map { rs =>
+      val types = rs.map(_._2).toSet
+      val mask = chan.zipWithIndex.collect {
+        case (c, i) if types(c) => 1 << i
+      }.sum
+      (mask, if (types("purchase")) 1L else 0L)
+    }.toSeq
+    val byMask = cells.groupBy(_._1).map { case (m, rs) =>
+      m -> (rs.size.toLong, rs.map(_._2).sum)
+    }
+    def v(s: Int): Double = {
+      val sub = byMask.filter { case (m, _) => (m & s) == m }.values
+      val du = sub.map(_._1).sum
+      if (du > 0) sub.map(_._2).sum.toDouble / du.toDouble else 0.0
+    }
+    val w = Seq(0.25, 1.0 / 12.0, 1.0 / 12.0, 0.25)
+    val got = q("agg_shapley").collect()
+    assert(got.length === 4)
+    got.zip(chan).foreach { case (r, c) =>
+      assert(r.getString(0) === c)
+      val i = chan.indexOf(c); val b = 1 << i
+      val exp = byMask.filter { case (m, _) => (m & b) == b }
+        .values.map(_._1).sum
+      assert(r.getLong(1) === exp, s"n_exposed of $c")
+      val phi = (0 until 16).filter(s => (s & b) == 0).sorted
+        .foldLeft(0.0) { (acc, s) =>
+          acc + w(Integer.bitCount(s)) * (v(s | b) - v(s))
+        }
+      assert(r.getDouble(2) === p4(phi), s"phi of $c")
+    }
+  }
+
+  test("agg_market_basket matches a brute-force rule computation") {
+    import spark.implicits._
+    val brandOf = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baskets = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), brandOf(r.getLong(1)))).distinct
+    val nOrders = baskets.map(_._1).distinct.length.toDouble
+    val single = baskets.groupBy(_._2).map { case (b, rs) => b -> rs.length }
+    val pairs = baskets.groupBy(_._1).values.flatMap { rs =>
+      val bs = rs.map(_._2).sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.length) yield (bs(i), bs(j))
+    }.toSeq.groupBy(identity).iterator
+      .collect { case (e, os) if os.size >= 5 => (e, os.size) }.toSeq
+    val rules = pairs.map { case ((a, b), nab) =>
+      (a, b, nab.toLong, p4(nab / nOrders),
+        p4(nab.toDouble / single(a).toDouble),
+        p4(nab.toDouble * nOrders / (single(a).toDouble * single(b).toDouble)))
+    }.sortBy(r => (-r._6, r._1, r._2)).take(10)
+    val gotByName = q("agg_market_basket").collect().map(r =>
+      (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("n_ab"),
+        r.getAs[Double]("support"), r.getAs[Double]("confidence"),
+        r.getAs[Double]("lift")))
+    assert(gotByName.toSeq === rules, "top-10 rules")
+  }
+
+  test("win_kalman equals the plain-Scala filter recursion") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", (unix_millis($"ts") / 86400000L).cast("long"),
+        $"value")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .map { case ((t, d), rs) =>
+        (t, d, rs.map(x => math.round(x._2 * 10000)).sum.toDouble / 10000.0)
+      }
+    val got = q("win_kalman").collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      val vs = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
+      assert(r.getLong(1) === vs.length.toLong, "n_days")
+      var x = vs.head; var p = 400.0; var ssi = 0.0
+      vs.tail.foreach { e =>
+        val k = (p + 25.0) / (p + 25.0 + 400.0)
+        val nx = x + k * (e - x)
+        val np = (1.0 - k) * (p + 25.0)
+        ssi += (e - x) * (e - x)
+        x = nx; p = np
+      }
+      assert(r.getDouble(2) === p4(x), s"x_hat of $t")
+      assert(r.getDouble(3) === p4(p), s"p_final of $t")
+      assert(r.getDouble(4) ===
+        p4(math.sqrt(ssi / math.max(vs.length - 1, 1).toDouble)),
+        s"innov_rmse of $t")
+    }
+  }
+
+  test("agg_winsorize clamps at the exact p05/p95 order statistics") {
+    import spark.implicits._
+    val cents = Tables.events(spark, sf)
+      .select($"event_type",
+        org.apache.spark.sql.functions.round($"value" * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = q("agg_winsorize").collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      val vs = cents.filter(_._1 == t).map(_._2).sorted
+      val n = vs.length
+      // smallest v whose cumulative count reaches 5% / 95% of n
+      val lo = vs(math.ceil(n / 20.0).toInt - 1)
+      val hi = vs(math.ceil(n * 19 / 20.0).toInt - 1)
+      assert(r.getLong(1) === n.toLong, "n")
+      assert(r.getDouble(4) === lo.toDouble / 100.0, s"lo_cut of $t")
+      assert(r.getDouble(5) === hi.toDouble / 100.0, s"hi_cut of $t")
+      assert(r.getDouble(2) === p4(vs.sum.toDouble / n.toDouble / 100.0))
+      val cl = vs.map(v => math.max(math.min(v, hi), lo))
+      assert(r.getDouble(3) === p4(cl.sum.toDouble / n.toDouble / 100.0))
+    }
+  }
+
+  test("agg_sprt equals the brute-force sequential LLR scan") {
+    import spark.implicits._
+    val trials = Tables.events(spark, sf)
+      .select((unix_millis($"ts") / 86400000L).cast("long"),
+        $"user_id", $"event_type")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2) == "purchase"))
+      .groupBy(_._1).toSeq
+      .map { case (k, rs) => (k, rs.exists(_._2)) }
+      .sortBy(_._1)
+    var cum = 0L
+    var firstH1 = Option.empty[Long]; var firstH0 = Option.empty[Long]
+    trials.zipWithIndex.foreach { case ((_, hit), i) =>
+      cum += (if (hit) 223143551L else -182321557L)
+      if (cum >= 2944438979L && firstH1.isEmpty) firstH1 = Some(i + 1L)
+      if (cum <= -2944438979L && firstH0.isEmpty) firstH0 = Some(i + 1L)
+    }
+    val got = q("agg_sprt").collect().head
+    assert(got.getLong(0) === trials.size.toLong, "n_trials")
+    assert(got.getLong(1) === trials.count(_._2).toLong, "n_success")
+    assert(got.getDouble(2) ===
+      math.floor(cum.toDouble / 1.0e9 * 10000.0 + 0.5) / 10000.0, "llr_final")
+    val expectDecision =
+      if (firstH1.exists(a => firstH0.forall(a <= _))) "accept_h1"
+      else if (firstH0.nonEmpty) "accept_h0" else "continue"
+    assert(got.getString(3) === expectDecision, "decision")
+    val expectN = (firstH1.toSeq ++ firstH0.toSeq).sorted.headOption
+    if (expectN.isEmpty) assert(got.isNullAt(4))
+    else assert(got.getLong(4) === expectN.get, "n_at_decision")
+  }
 }

@@ -3220,7 +3220,83 @@ object LlmOps {
     out.select($"step", $"tok").orderBy($"step")
   }
 
+  /** Flesch reading-ease profile per language — the classic readability
+    * gate a curation pipeline applies before style filtering: flesch =
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * sentences = [.!?]+ runs (min 1) and syllables approximated by
+    * [aeiouy]+ vowel groups (the standard dictionary-free heuristic —
+    * declared as the op's semantics, not an approximation of one). Each
+    * per-doc score quantizes to a scaled BIGINT before the language
+    * rollup, so the mean is an exact integer sum — no float-order drift;
+    * one fact shuffle on the ≤|langs| key.
+    */
+  val llmReadability: Q = (s, dir) => {
+    import s.implicits._
+    val per = Tables.documents(s, dir)
+      .select($"lang",
+        size(split(trim($"text"), " ")).cast("long").as("w"),
+        greatest(size(regexp_extract_all($"text", lit("[.!?]+"), lit(0))), lit(1))
+          .cast("long").as("sent"),
+        size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("syl"))
+      .select($"lang", $"w", $"sent", $"syl",
+        // floor(x·1e4 + 0.5), not round(): identical on negatives in both
+        // engines (round() half-away semantics differ corner-to-corner)
+        floor((lit(206.835) -
+          lit(1.015) * ($"w".cast("double") / $"sent".cast("double")) -
+          lit(84.6) * ($"syl".cast("double") / $"w".cast("double"))) *
+          lit(10000.0) + lit(0.5)).cast("long").as("f4"),
+        round($"w".cast("double") / $"sent".cast("double") * lit(10000.0))
+          .cast("long").as("wps4"))
+    per.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"f4").cast("double") / count(lit(1)).cast("double") /
+          lit(10000.0)).as("avg_flesch_u"),
+        (sum($"wps4").cast("double") / count(lit(1)).cast("double") /
+          lit(10000.0)).as("avg_wps_u"))
+      .select($"lang", $"n_docs",
+        // pround4's floor form is sign-safe: floor(x·1e4 + 0.5) is the
+        // identical double op on both engines for negative scores too
+        LlmOps.pround4($"avg_flesch_u").as("avg_flesch"),
+        LlmOps.pround4($"avg_wps_u").as("avg_words_per_sentence"))
+      .orderBy($"lang")
+  }
+
+  /** Term burstiness over the corpus (Church–Gale: bursty terms
+    * concentrate in few docs — the signal that separates topical words
+    * from function words, and the prior behind every df-weighted
+    * retrieval score): for the 20 highest-df whitespace terms, VMR =
+    * variance/mean of the per-doc count INCLUDING zero docs, computed
+    * entirely from exact power sums as (N·Σc² − (Σc)²) / (N·Σc) — the
+    * products widen to DECIMAL(38,0) so fact-scale token counts cannot
+    * overflow; one divide per term at the end. Gram counts shuffle on
+    * the term key; the top-20 pick is a TakeOrdered, not a global sort.
+    */
+  val llmBurstiness: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val perDoc = docs
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("c"))
+    perDoc.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"c").as("sc"),
+        sum($"c" * $"c").as("sq"))
+      .crossJoin(broadcast(nDocs))
+      .select($"term", $"df", $"sc".as("total_count"),
+        LlmOps.pround4((($"nd".cast("decimal(38,0)") *
+          $"sq".cast("decimal(38,0)") -
+          $"sc".cast("decimal(38,0)") * $"sc".cast("decimal(38,0)"))
+          .cast("double") /
+          ($"nd".cast("decimal(38,0)") * $"sc".cast("decimal(38,0)"))
+          .cast("double"))).as("vmr"))
+      .orderBy($"df".desc, $"term")
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_readability" -> llmReadability,
+    "llm_burstiness" -> llmBurstiness,
     "llm_lm_generate" -> llmLmGenerate,
     "llm_shard_plan" -> llmShardPlan,
     "mm_checksum_audit" -> mmChecksumAudit,

@@ -4745,7 +4745,89 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Stochastic oscillator (14-day %K, 3-day %D) on each type's daily
+    * revenue — the bounded momentum readout quants run beside MACD/RSI:
+    * %K locates today inside the trailing 14-day range, %D smooths it.
+    * Both windows partition by event_type and order by day over the
+    * calendar-bounded daily frame; a flat 14-day range yields NULL %K
+    * (guarded — no ANSI divide-by-zero), which avg() then skips in %D on
+    * both engines. Output = each type's final-day snapshot via one
+    * max-struct aggregate, no extra pass.
+    */
+  val winStochastic: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type",
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+      .groupBy($"event_type", $"d").agg(msum($"value").as("v"))
+    val w14 = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(-13, 0)
+    val w3 = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(-2, 0)
+    val wAll = Window.partitionBy($"event_type")
+    daily
+      .withColumn("mn", min($"v").over(w14))
+      .withColumn("mx", max($"v").over(w14))
+      .withColumn("k", when($"mx" > $"mn",
+        ($"v" - $"mn") / ($"mx" - $"mn") * lit(100.0)))
+      .withColumn("dd", avg($"k").over(w3))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .groupBy($"event_type")
+      .agg(max($"n_days").as("n_days"),
+        max(struct($"d", $"k", $"dd")).as("at"))
+      .select($"event_type", $"n_days", $"at.d".as("last_day"),
+        LlmOps.pround4($"at.k").as("pct_k"),
+        LlmOps.pround4($"at.dd").as("pct_d"))
+      .orderBy($"event_type")
+  }
+
+  /** Laspeyres / Paasche / Fisher price indices for 1997 vs the 1996 base
+    * year over parts traded in BOTH years — the canonical basket-weighted
+    * "how much did prices really move" economics readout. Per (part,
+    * year): exact BIGINT quantity and cents sums → unit value quantized
+    * to 1e-4 dollars (identical doubles on both engines); each index term
+    * p·q then re-quantizes to a scaled BIGINT so the cross-part summation
+    * is EXACT and order-free (float Σ over millions of parts would be
+    * partition-order-dependent); each index is one divide of two BIGINTs,
+    * Fisher one sqrt. Part-keyed shuffles only; the year frames meet in
+    * one part-keyed join.
+    */
+  val aggPriceIndex: Q = (s, dir) => {
+    import s.implicits._
+    def yr(y: Int) = Tables.lineitem(s, dir)
+      .filter(year($"l_shipdate") === y) // ship year — no orders join needed
+      .groupBy($"l_partkey".as("pk"))
+      .agg(sum($"l_quantity".cast("long")).as("q"),
+        sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+      .select($"pk", $"q",
+        LlmOps.pround4($"cents".cast("double") / $"q".cast("double") /
+          lit(100.0)).as("p"))
+    val j = yr(1996).select($"pk", $"q".as("q0"), $"p".as("p0"))
+      .join(yr(1997).select($"pk", $"q".as("q1"), $"p".as("p1")), Seq("pk"))
+      .select($"pk",
+        round($"p0" * $"q0".cast("double") * lit(10000.0)).cast("long")
+          .as("p0q0"),
+        round($"p1" * $"q0".cast("double") * lit(10000.0)).cast("long")
+          .as("p1q0"),
+        round($"p0" * $"q1".cast("double") * lit(10000.0)).cast("long")
+          .as("p0q1"),
+        round($"p1" * $"q1".cast("double") * lit(10000.0)).cast("long")
+          .as("p1q1"))
+    j.agg(count(lit(1)).as("n_parts"), sum($"p0q0").as("s00"),
+        sum($"p1q0").as("s10"), sum($"p0q1").as("s01"),
+        sum($"p1q1").as("s11"))
+      .select($"n_parts",
+        LlmOps.pround4($"s10".cast("double") / $"s00".cast("double"))
+          .as("laspeyres"),
+        LlmOps.pround4($"s11".cast("double") / $"s01".cast("double"))
+          .as("paasche"),
+        LlmOps.pround4(sqrt(($"s10".cast("double") / $"s00".cast("double")) *
+          ($"s11".cast("double") / $"s01".cast("double")))).as("fisher"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_price_index" -> aggPriceIndex,
+    "win_stochastic" -> winStochastic,
     "agg_shapley" -> aggShapley,
     "agg_market_basket" -> aggMarketBasket,
     "win_kalman" -> winKalman,

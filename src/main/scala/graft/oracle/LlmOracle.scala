@@ -111,6 +111,53 @@ object LlmOracle {
   }
 
   val sql: Map[String, String] = Map(
+    "llm_readability" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS sent,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syl
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |    CAST(floor((206.835
+        |      - 1.015 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE))
+        |      - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)))
+        |      * 10000.0 + 0.5) AS BIGINT) AS f4,
+        |    CAST(round(CAST(w AS DOUBLE) / CAST(sent AS DOUBLE) * 10000.0)
+        |      AS BIGINT) AS wps4
+        |  FROM per)
+        |SELECT lang, count(*) AS n_docs,
+        |  floor((CAST(sum(f4) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 10000.0) * 10000.0 + 0.5) / 10000.0 AS avg_flesch,
+        |  floor((CAST(sum(wps4) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 10000.0) * 10000.0 + 0.5) / 10000.0
+        |    AS avg_words_per_sentence
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_burstiness" ->
+      """WITH nd AS (SELECT count(*) AS nd FROM documents),
+        |pd AS (
+        |  SELECT term, doc_id, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |      unnest(string_split(trim(text), ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT term, count(*) AS df, CAST(sum(c) AS BIGINT) AS sc,
+        |    CAST(sum(c * c) AS BIGINT) AS sq
+        |  FROM pd GROUP BY 1)
+        |SELECT term, df, sc AS total_count,
+        |  floor(CAST(CAST(nd AS DECIMAL(38,0)) * CAST(sq AS DECIMAL(38,0))
+        |      - CAST(sc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0))
+        |      AS DOUBLE)
+        |    / CAST(CAST(nd AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0))
+        |      AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS vmr
+        |FROM agg, nd
+        |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
     "llm_ngram_coverage" ->
       """WITH tri AS (
         |  SELECT source,

@@ -459,6 +459,69 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "agg_price_index" ->
+      """WITH yr AS (
+        |  SELECT year(l_shipdate) AS y, l_partkey AS pk,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |up AS (
+        |  SELECT y, pk, q,
+        |    floor(CAST(cents AS DOUBLE) / CAST(q AS DOUBLE) / 100.0
+        |      * 10000.0 + 0.5) / 10000.0 AS p
+        |  FROM yr),
+        |j AS (
+        |  SELECT a.pk,
+        |    CAST(round(a.p * CAST(a.q AS DOUBLE) * 10000.0) AS BIGINT)
+        |      AS p0q0,
+        |    CAST(round(b.p * CAST(a.q AS DOUBLE) * 10000.0) AS BIGINT)
+        |      AS p1q0,
+        |    CAST(round(a.p * CAST(b.q AS DOUBLE) * 10000.0) AS BIGINT)
+        |      AS p0q1,
+        |    CAST(round(b.p * CAST(b.q AS DOUBLE) * 10000.0) AS BIGINT)
+        |      AS p1q1
+        |  FROM up a JOIN up b ON a.pk = b.pk AND a.y = 1996 AND b.y = 1997)
+        |SELECT count(*) AS n_parts,
+        |  floor(CAST(sum(p1q0) AS DOUBLE) / CAST(sum(p0q0) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS laspeyres,
+        |  floor(CAST(sum(p1q1) AS DOUBLE) / CAST(sum(p0q1) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS paasche,
+        |  floor(sqrt((CAST(sum(p1q0) AS DOUBLE) / CAST(sum(p0q0) AS DOUBLE))
+        |    * (CAST(sum(p1q1) AS DOUBLE) / CAST(sum(p0q1) AS DOUBLE)))
+        |    * 10000.0 + 0.5) / 10000.0 AS fisher
+        |FROM j""".stripMargin,
+
+    "win_stochastic" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+        |    """ + msum("value") + """ AS v
+        |  FROM events GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, d, v,
+        |    min(v) OVER w14 AS mn, max(v) OVER w14 AS mx,
+        |    count(*) OVER (PARTITION BY event_type) AS n_days
+        |  FROM daily
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |kk AS (
+        |  SELECT event_type, d, n_days,
+        |    CASE WHEN mx > mn THEN (v - mn) / (mx - mn) * 100.0 END AS k
+        |  FROM base),
+        |dd AS (
+        |  SELECT event_type, d, n_days, k,
+        |    avg(k) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS dv
+        |  FROM kk),
+        |lst AS (SELECT event_type, max(d) AS d FROM dd GROUP BY 1)
+        |SELECT dd.event_type, n_days, dd.d AS last_day,
+        |  floor(k * 10000.0 + 0.5) / 10000.0 AS pct_k,
+        |  floor(dv * 10000.0 + 0.5) / 10000.0 AS pct_d
+        |FROM dd JOIN lst ON lst.event_type = dd.event_type
+        |  AND lst.d = dd.d
+        |ORDER BY dd.event_type""").stripMargin,
+
     "agg_shapley" ->
       """WITH pu AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,

@@ -595,6 +595,121 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("win_stochastic equals a plain-Scala oscillator replay") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", (unix_millis($"ts") / 86400000L).cast("long"),
+        $"value")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .map { case ((t, d), rs) =>
+        (t, d, rs.map(x => math.round(x._2 * 10000)).sum.toDouble / 10000.0)
+      }
+    val got = q("win_stochastic").collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      val series = daily.filter(_._1 == t).sortBy(_._2)
+      val vs = series.map(_._3)
+      assert(r.getLong(1) === vs.length.toLong, "n_days")
+      assert(r.getLong(2) === series.last._2, "last_day")
+      def kAt(i: Int): Option[Double] = {
+        val win = vs.slice(math.max(0, i - 13), i + 1)
+        val (mn, mx) = (win.min, win.max)
+        if (mx > mn) Some((vs(i) - mn) / (mx - mn) * 100.0) else None
+      }
+      val i = vs.length - 1
+      val kLast = kAt(i)
+      val dWin = (math.max(0, i - 2) to i).flatMap(kAt)
+      kLast match {
+        case Some(k) => assert(r.getDouble(3) === p4(k), s"pct_k of $t")
+        case None    => assert(r.isNullAt(3), s"pct_k of $t")
+      }
+      if (dWin.isEmpty) assert(r.isNullAt(4), s"pct_d of $t")
+      else assert(r.getDouble(4) === p4(dWin.sum / dWin.size), s"pct_d of $t")
+    }
+  }
+
+  test("agg_price_index equals a plain-Scala basket computation") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.year($"l_shipdate"),
+        $"l_partkey", $"l_quantity".cast("long"),
+        org.apache.spark.sql.functions.round($"l_extendedprice" * 100)
+          .cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    def unit(y: Int): Map[Long, (Long, Double)] =
+      rows.filter(_._1 == y).groupBy(_._2).map { case (pk, rs) =>
+        val q = rs.map(_._3).sum; val c = rs.map(_._4).sum
+        pk -> (q, p4(c.toDouble / q.toDouble / 100.0))
+      }
+    val y0 = unit(1996); val y1 = unit(1997)
+    val both = y0.keySet.intersect(y1.keySet).toSeq
+    def s(f: Long => Long): Long = both.map(f).sum
+    val s00 = s(pk => math.round(y0(pk)._2 * y0(pk)._1.toDouble * 10000.0))
+    val s10 = s(pk => math.round(y1(pk)._2 * y0(pk)._1.toDouble * 10000.0))
+    val s01 = s(pk => math.round(y0(pk)._2 * y1(pk)._1.toDouble * 10000.0))
+    val s11 = s(pk => math.round(y1(pk)._2 * y1(pk)._1.toDouble * 10000.0))
+    val got = q("agg_price_index").collect().head
+    assert(got.getLong(0) === both.length.toLong, "n_parts")
+    assert(got.getDouble(1) === p4(s10.toDouble / s00.toDouble), "laspeyres")
+    assert(got.getDouble(2) === p4(s11.toDouble / s01.toDouble), "paasche")
+    assert(got.getDouble(3) === p4(math.sqrt(
+      (s10.toDouble / s00.toDouble) * (s11.toDouble / s01.toDouble))),
+      "fisher")
+  }
+
+  test("llm_readability equals a plain-Scala Flesch replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val per = docs.map { case (lang, text) =>
+      val w = text.trim.split(" ", -1).length.toLong
+      val sent = math.max("[.!?]+".r.findAllIn(text).size, 1).toLong
+      val syl = "[aeiouy]+".r.findAllIn(text.toLowerCase).size.toLong
+      val f = 206.835 - 1.015 * (w.toDouble / sent.toDouble) -
+        84.6 * (syl.toDouble / w.toDouble)
+      (lang, math.floor(f * 10000.0 + 0.5).toLong,
+        math.round(w.toDouble / sent.toDouble * 10000.0))
+    }
+    val got = q("llm_readability").collect()
+    got.foreach { r =>
+      val grp = per.filter(_._1 == r.getString(0))
+      assert(r.getLong(1) === grp.length.toLong, "n_docs")
+      assert(r.getDouble(2) ===
+        p4(grp.map(_._2).sum.toDouble / grp.length / 10000.0), "avg_flesch")
+      assert(r.getDouble(3) ===
+        p4(grp.map(_._3).sum.toDouble / grp.length / 10000.0), "avg_wps")
+    }
+  }
+
+  test("llm_burstiness equals a plain-Scala VMR replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nd = docs.length.toLong
+    val perDoc = docs.flatMap { case (id, text) =>
+      text.trim.split(" ", -1).map(t => (t, id))
+    }.groupBy(identity).map { case ((t, id), os) => (t, id, os.length.toLong) }
+    val agg = perDoc.groupBy(_._1).map { case (t, rs) =>
+      t -> (rs.size.toLong, rs.map(_._3).sum, rs.map(x => x._3 * x._3).sum)
+    }
+    val top = agg.toSeq.map { case (t, (df, _, _)) => (-df, t) }.sorted
+      .take(20).map(_._2)
+    val got = q("llm_burstiness").collect()
+    assert(got.map(_.getString(0)).toSeq === top, "top-20 terms by df")
+    got.foreach { r =>
+      val (df, sc, sq) = agg(r.getString(0))
+      assert(r.getLong(1) === df, "df")
+      assert(r.getLong(2) === sc, "total_count")
+      val vmr = (nd.toDouble * sq.toDouble - sc.toDouble * sc.toDouble) /
+        (nd.toDouble * sc.toDouble)
+      assert(r.getDouble(3) === p4(vmr), s"vmr of ${r.getString(0)}")
+    }
+  }
+
   test("agg_sprt equals the brute-force sequential LLR scan") {
     import spark.implicits._
     val trials = Tables.events(spark, sf)

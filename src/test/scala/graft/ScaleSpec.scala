@@ -289,7 +289,9 @@ class ScaleSpec extends SparkSpec {
       "win_interval_union", "llm_perplexity_filter", "llm_dataset_card",
       // r11: the KS ECDFs and the ABC revenue cumulative are DistScan
       // prefix sums over value-collapsed frames — same posture contract
-      "agg_ks_test", "agg_abc_analysis")
+      "agg_ks_test", "agg_abc_analysis",
+      // r11 wave 8: the SPRT trial trace is two DistScan prefix folds
+      "agg_sprt")
     for (k <- keys) {
       val df = SparkEntry.queries(k)(spark, sf)
       val offenders = df.queryExecution.optimizedPlan.collect {

@@ -1611,6 +1611,39 @@ object GraphOps {
       .orderBy($"cls")
   }
 
+  /** Directed 3-node motif census of the transition backbone — the
+    * network-science fingerprint that separates hierarchy from feedback:
+    * feed-forward loops (a→b→c plus the a→c shortcut) dominate curated /
+    * pipeline-like flows, 3-cycles mark churn, reciprocal pairs measure
+    * bidirectional flow. Counts: FFL once per role-assignment (roles are
+    * distinct), 3-cycles once per cycle (canonicalized on the minimum
+    * vertex), reciprocal pairs once per unordered pair. Two hash joins of
+    * the ≤512-cell sketch against itself per motif — candidate paths ∝
+    * Σ deg_in·deg_out of the sketch, data-size-independent past the one
+    * fact shuffle in transitionBackbone.
+    */
+  val graphMotifs: Q = (s, dir) => {
+    import s.implicits._
+    val e = transitionBackbone(s, dir).cp()
+    val path2 = e.as("x").join(e.as("y"),
+        $"x.dst" === $"y.src" && $"x.src" =!= $"y.dst")
+      .select($"x.src".as("a"), $"x.dst".as("b"), $"y.dst".as("c"))
+      .cp() // the FFL close and the cycle close both probe it
+    val ffl = path2.join(e.as("z"),
+        $"a" === $"z.src" && $"c" === $"z.dst", "left_semi")
+      .agg(count(lit(1)).as("n_ffl"))
+    val cyc = path2.filter($"a" < $"b" && $"a" < $"c")
+      .join(e.as("z"), $"c" === $"z.src" && $"a" === $"z.dst", "left_semi")
+      .agg(count(lit(1)).as("n_cycle3"))
+    val rec = e.as("x").join(e.as("y"),
+        $"x.src" === $"y.dst" && $"x.dst" === $"y.src" &&
+          $"x.src" < $"x.dst", "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val tot = e.agg(count(lit(1)).as("n_edges"))
+    tot.crossJoin(broadcast(ffl)).crossJoin(broadcast(cyc))
+      .crossJoin(broadcast(rec))
+  }
+
   /** Condensation DAG of the transition backbone: contract every SCC to
     * one node (label = the SCC's min cell id), keep distinct cross-SCC
     * edges, and read off each node's member count, longest-path level
@@ -1654,6 +1687,7 @@ object GraphOps {
     "graph_scc" -> graphScc,
     "graph_bowtie" -> graphBowtie,
     "graph_condensation" -> graphCondensation,
+    "graph_motifs" -> graphMotifs,
     "graph_butterflies" -> graphButterflies,
     "graph_degree_gini" -> graphDegreeGini,
     "graph_small_world" -> graphSmallWorld,

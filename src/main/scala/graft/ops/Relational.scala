@@ -4825,7 +4825,116 @@ object Relational {
           ($"s11".cast("double") / $"s01".cast("double")))).as("fisher"))
   }
 
+  /** Hilbert-curve clustering audit over the same (quantity × price)
+    * plane as `sort_zorder` — the locality-preserving alternative layout:
+    * Hilbert d never jumps across the plane the way Morton does at
+    * quadrant seams, so envelopes are tighter for range scans. The
+    * classic xy2d bit walk unrolls into 8 fixed integer steps (reflect +
+    * swap per bit, operands masked to the live low bits so no negative
+    * intermediate appears — two's-complement portability is then moot);
+    * identical CASE arithmetic in the oracle. Same broadcast-min/max
+    * normalization and 64-cluster envelope rollup as sort_zorder, so the
+    * two ops read side-by-side as a layout bake-off.
+    */
+  val sortHilbert: Q = (s, dir) => {
+    import s.implicits._
+    val rows = Tables.lineitem(s, dir)
+      .select($"l_quantity".cast("long").as("x"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+    val mm = rows.agg(min($"x").as("xmin"), max($"x").as("xmax"),
+      min($"y").as("ymin"), max($"y").as("ymax"))
+    var df = rows.crossJoin(broadcast(mm))
+      .select($"x", $"y",
+        expr("((x - xmin) * 256) div (xmax - xmin + 1)").as("hx"),
+        expr("((y - ymin) * 256) div (ymax - ymin + 1)").as("hy"),
+        lit(0L).as("d"))
+    for (bit <- 7 to 0 by -1) {
+      val sv = 1L << bit
+      df = df
+        .withColumn("rx", expr(s"(hx div $sv) % 2"))
+        .withColumn("ry", expr(s"(hy div $sv) % 2"))
+        .withColumn("xm", expr(s"hx % $sv"))
+        .withColumn("ym", expr(s"hy % $sv"))
+        .select($"x", $"y",
+          when($"ry" === 0,
+            when($"rx" === 1, lit(sv - 1) - $"ym").otherwise($"ym"))
+            .otherwise($"xm").as("hx"),
+          when($"ry" === 0,
+            when($"rx" === 1, lit(sv - 1) - $"xm").otherwise($"xm"))
+            .otherwise($"ym").as("hy"),
+          ($"d" + lit(sv * sv) *
+            when($"rx" === 1 && $"ry" === 0, 3L)
+              .when($"rx" === 1 && $"ry" === 1, 2L)
+              .when($"rx" === 0 && $"ry" === 1, 1L)
+              .otherwise(0L)).as("d"))
+    }
+    df.withColumn("cluster", expr("d div 1024"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n"), min($"x").as("qty_min"),
+        max($"x").as("qty_max"), min($"y").as("cents_min"),
+        max($"y").as("cents_max"))
+      .orderBy($"cluster")
+  }
+
+  /** Parquet row-group / column-chunk audit of the lineitem journal — the
+    * physical-layout read an engineer does before trusting data skipping:
+    * per (row group, column) the value count, compressed and uncompressed
+    * bytes, and the compression ratio. Small ratios on a filter column
+    * mean dictionary/RLE is working and min/max pruning will bite; a
+    * bloated row group flags a writer misconfiguration. The FILE LISTING
+    * is one driver-side metadata RPC (the Tables.eventsTsUnit posture);
+    * the footer READS fan out over executors via mapPartitions — at 100 TB
+    * that is thousands of footers read in parallel, never data pages.
+    * No DuckDB oracle: the harness oracle runs over table VIEWS and
+    * cannot address the physical file (declared no-oracle; Round11Spec
+    * cross-checks against a direct JVM footer read + the n_values ≡
+    * row-count invariant).
+    */
+  val srcRowgroupStats: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$dir/lineitem.parquet")
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val files = scala.collection.mutable.ArrayBuffer[String]()
+    if (fs.getFileStatus(root).isDirectory) {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          files += f.toString
+      }
+    } else files += root.toString
+    val nSlices = math.min(files.size, 32)
+    s.createDataset(files.toSeq).repartition(nSlices)
+      .mapPartitions { paths =>
+        import scala.jdk.CollectionConverters._
+        val conf = new org.apache.hadoop.conf.Configuration()
+        paths.flatMap { p =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(p), conf))
+          try {
+            r.getFooter.getBlocks.asScala.toList.zipWithIndex.flatMap {
+              case (blk, rg) =>
+                blk.getColumns.asScala.toList.map { cc =>
+                  (rg.toLong, cc.getPath.toDotString, cc.getValueCount,
+                    cc.getTotalSize, cc.getTotalUncompressedSize)
+                }
+            }
+          } finally r.close()
+        }
+      }
+      .toDF("row_group", "column_name", "n_values", "compressed_bytes",
+        "uncompressed_bytes")
+      .withColumn("ratio", LlmOps.pround4(
+        $"compressed_bytes".cast("double") /
+          $"uncompressed_bytes".cast("double")))
+      .orderBy($"row_group", $"column_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "src_rowgroup_stats" -> srcRowgroupStats,
+    "sort_hilbert" -> sortHilbert,
     "agg_price_index" -> aggPriceIndex,
     "win_stochastic" -> winStochastic,
     "agg_shapley" -> aggShapley,

@@ -451,6 +451,37 @@ object GraphOracle {
       s"""$sccCtes
          |SELECT v AS part, scc FROM sccl ORDER BY part""".stripMargin,
 
+    "graph_motifs" ->
+      """WITH lp AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    l_partkey % 512 AS p
+        |  FROM lineitem),
+        |t AS (
+        |  SELECT p, lead(p) OVER (PARTITION BY ok ORDER BY ln, p) AS np
+        |  FROM lp),
+        |e0 AS (
+        |  SELECT p AS s, np AS d, count(*) AS w
+        |  FROM t WHERE np IS NOT NULL AND np <> p
+        |  GROUP BY 1, 2),
+        |e AS (SELECT s, d FROM e0 WHERE w >= 2),
+        |p2 AS (
+        |  SELECT x.s AS a, x.d AS b, y.d AS c
+        |  FROM e x JOIN e y ON x.d = y.s AND x.s <> y.d),
+        |ffl AS (
+        |  SELECT count(*) AS n_ffl FROM p2
+        |  WHERE EXISTS (SELECT 1 FROM e z WHERE z.s = p2.a AND z.d = p2.c)),
+        |cyc AS (
+        |  SELECT count(*) AS n_cycle3 FROM p2
+        |  WHERE a < b AND a < c AND EXISTS
+        |    (SELECT 1 FROM e z WHERE z.s = p2.c AND z.d = p2.a)),
+        |rcp AS (
+        |  SELECT count(*) AS n_reciprocal FROM e x
+        |  WHERE x.s < x.d AND EXISTS
+        |    (SELECT 1 FROM e y WHERE y.s = x.d AND y.d = x.s)),
+        |tot AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_edges, n_ffl, n_cycle3, n_reciprocal
+        |FROM tot, ffl, cyc, rcp""".stripMargin,
+
     "graph_bowtie" ->
       s"""$sccCtes,
          |core AS (

@@ -722,6 +722,48 @@ object OracleSql {
         |FROM med JOIN nd ON med.event_type = nd.event_type
         |ORDER BY med.event_type""".stripMargin,
 
+    "sort_hilbert" -> {
+      // mirror of Relational.sortHilbert's unrolled xy2d bit walk — the
+      // chained CTEs are generated by the same loop shape as the op
+      val steps = (7 to 0 by -1).map { bit =>
+        val sv = 1L << bit
+        val src = if (bit == 7) "base" else s"h${bit + 1}"
+        s"""h$bit AS (
+           |  SELECT x, y,
+           |    CASE WHEN (hy // $sv) % 2 = 0 THEN
+           |      CASE WHEN (hx // $sv) % 2 = 1
+           |        THEN ${sv - 1} - (hy % $sv) ELSE hy % $sv END
+           |      ELSE hx % $sv END AS hx,
+           |    CASE WHEN (hy // $sv) % 2 = 0 THEN
+           |      CASE WHEN (hx // $sv) % 2 = 1
+           |        THEN ${sv - 1} - (hx % $sv) ELSE hx % $sv END
+           |      ELSE hy % $sv END AS hy,
+           |    d + ${sv * sv} * (CASE
+           |      WHEN (hx // $sv) % 2 = 1 AND (hy // $sv) % 2 = 0 THEN 3
+           |      WHEN (hx // $sv) % 2 = 1 AND (hy // $sv) % 2 = 1 THEN 2
+           |      WHEN (hx // $sv) % 2 = 0 AND (hy // $sv) % 2 = 1 THEN 1
+           |      ELSE 0 END) AS d
+           |  FROM $src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH r AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+         |  FROM lineitem),
+         |mm AS (SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin,
+         |  max(y) AS ymax FROM r),
+         |base AS (
+         |  SELECT x, y,
+         |    ((x - xmin) * 256) // (xmax - xmin + 1) AS hx,
+         |    ((y - ymin) * 256) // (ymax - ymin + 1) AS hy,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM r, mm),
+         |$steps
+         |SELECT d // 1024 AS cluster, CAST(count(*) AS BIGINT) AS n,
+         |  min(x) AS qty_min, max(x) AS qty_max,
+         |  min(y) AS cents_min, max(y) AS cents_max
+         |FROM h0 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "sort_zorder" ->
       """WITH r AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS x,

@@ -710,6 +710,99 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("graph_motifs equals a brute-force triple census") {
+    val (edges, _, _) = sccReplay
+    val eset = edges.toSet
+    val bySrc = edges.groupBy(_._1)
+    val p2 = edges.flatMap { case (a, b) =>
+      bySrc.getOrElse(b, Nil).collect { case (_, c) if c != a => (a, b, c) }
+    }
+    val ffl = p2.count { case (a, _, c) => eset((a, c)) }
+    val cyc = p2.count { case (a, b, c) =>
+      a < b && a < c && eset((c, a))
+    }
+    val rec = edges.count { case (s, d) => s < d && eset((d, s)) }
+    val got = q("graph_motifs").collect().head
+    assert(got.getLong(0) === edges.length.toLong, "n_edges")
+    assert(got.getLong(1) === ffl.toLong, "n_ffl")
+    assert(got.getLong(2) === cyc.toLong, "n_cycle3")
+    assert(got.getLong(3) === rec.toLong, "n_reciprocal")
+  }
+
+  test("sort_hilbert equals a plain-Scala xy2d walk and partitions the data") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_quantity".cast("long"),
+        org.apache.spark.sql.functions.round($"l_extendedprice" * 100)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val xmin = rows.map(_._1).min; val xmax = rows.map(_._1).max
+    val ymin = rows.map(_._2).min; val ymax = rows.map(_._2).max
+    def hilbert(x0: Long, y0: Long): Long = {
+      var hx = (x0 - xmin) * 256 / (xmax - xmin + 1)
+      var hy = (y0 - ymin) * 256 / (ymax - ymin + 1)
+      var d = 0L
+      for (bit <- 7 to 0 by -1) {
+        val sv = 1L << bit
+        val rx = (hx / sv) % 2; val ry = (hy / sv) % 2
+        d += sv * sv * (if (rx == 1 && ry == 0) 3L
+          else if (rx == 1 && ry == 1) 2L
+          else if (rx == 0 && ry == 1) 1L else 0L)
+        val xm = hx % sv; val ym = hy % sv
+        val nx = if (ry == 0) { if (rx == 1) sv - 1 - ym else ym } else xm
+        val ny = if (ry == 0) { if (rx == 1) sv - 1 - xm else xm } else ym
+        hx = nx; hy = ny
+      }
+      d
+    }
+    val expect = rows.groupBy { case (x, y) => hilbert(x, y) / 1024 }
+    val got = q("sort_hilbert").collect()
+    assert(got.map(_.getLong(1)).sum === rows.length.toLong, "total rows")
+    assert(got.map(_.getLong(0)).toSet === expect.keySet, "cluster ids")
+    got.foreach { r =>
+      val grp = expect(r.getLong(0))
+      assert(r.getLong(1) === grp.size.toLong, s"n of ${r.getLong(0)}")
+      assert(r.getLong(2) === grp.map(_._1).min, "qty_min")
+      assert(r.getLong(3) === grp.map(_._1).max, "qty_max")
+      assert(r.getLong(4) === grp.map(_._2).min, "cents_min")
+      assert(r.getLong(5) === grp.map(_._2).max, "cents_max")
+    }
+    // Hilbert adjacency sanity: consecutive d cells are plane-adjacent, so
+    // the 64-cluster envelopes should tile at least as tightly as Morton's
+    assert(got.length <= 64, "cluster count bounded")
+  }
+
+  test("src_rowgroup_stats matches a direct footer read and the row-count invariant") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(s"$sf/lineitem.parquet")
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    val expect = try {
+      r.getFooter.getBlocks.asScala.toList.zipWithIndex.flatMap {
+        case (blk, rg) => blk.getColumns.asScala.toList.map { cc =>
+          (rg.toLong, cc.getPath.toDotString) ->
+            (cc.getValueCount, cc.getTotalSize, cc.getTotalUncompressedSize)
+        }
+      }.toMap
+    } finally r.close()
+    val nRows = Tables.lineitem(spark, sf).count()
+    val got = q("src_rowgroup_stats").collect()
+    assert(got.length === expect.size, "chunk count")
+    got.foreach { row =>
+      val k = (row.getLong(0), row.getString(1))
+      val (nv, cb, ub) = expect(k)
+      assert(row.getLong(2) === nv, s"n_values of $k")
+      assert(row.getLong(3) === cb, s"compressed of $k")
+      assert(row.getLong(4) === ub, s"uncompressed of $k")
+    }
+    // every column's value count across row groups must equal the table
+    val perCol = got.groupBy(_.getString(1))
+      .map { case (_, rs) => rs.map(_.getLong(2)).sum }
+    perCol.foreach(v => assert(v === nRows, "n_values == row count"))
+  }
+
   test("agg_sprt equals the brute-force sequential LLR scan") {
     import spark.implicits._
     val trials = Tables.events(spark, sf)

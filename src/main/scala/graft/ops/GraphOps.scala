@@ -1644,6 +1644,56 @@ object GraphOps {
       .crossJoin(broadcast(rec))
   }
 
+  /** SimRank similarity over the coarsened co-purchase sketch — the
+    * classic "two nodes are similar if their neighbors are similar"
+    * recursion every graph database ships next to Jaccard/Adamic-Adar
+    * (which only see DIRECT overlap; SimRank propagates through the
+    * graph). Cells = part % 64, undirected w ≥ 2 edges; 3 iterations of
+    * s(a,b) = C/(nₐn_b)·ΣΣ s(i,j) with C = 4/5, carried ENTIRELY in
+    * scaled-BIGINT integer arithmetic — update = (4·Σsq) div (5·nₐ·n_b)
+    * on 1e-9-quantized scores, so the float-sum order problem never
+    * exists and both engines produce bit-identical scores. State is the
+    * SPARSE nonzero pair set (≤ 64² rows, zero rows dropped each round — and the e⋈s⋈e candidate stage is ≤ |state|·deg², which 64 cells caps at ~16M rows at ANY data scale; 256 cells already blew past 4e9 on the dense sf0.01 sketch);
+    * every frame past the one fact shuffle is sketch-sized. Top-20
+    * (a < b) pairs by score via TakeOrdered.
+    */
+  val graphSimrank: Q = (s, dir) => {
+    import s.implicits._
+    val scale = 1000000000L
+    val lp = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), ($"l_partkey" % 64).as("p")).distinct()
+    val und = lp.as("x").join(lp.as("y"), $"x.ok" === $"y.ok" && $"x.p" < $"y.p")
+      .groupBy($"x.p".as("a"), $"y.p".as("b"))
+      .agg(count(lit(1)).as("w")).filter($"w" >= 2)
+      .select($"a", $"b")
+    val e = graft.api.Ckpt.cpByKey(
+      und.select($"a".as("src"), $"b".as("dst"))
+        .unionAll(und.select($"b".as("src"), $"a".as("dst"))), col("dst"))
+    val deg = e.groupBy($"src".as("v")).agg(count(lit(1)).as("n")).cp()
+    val verts = deg.select($"v".as("id"))
+    var sk = verts.select($"id".as("a"), $"id".as("b"),
+      lit(scale).as("sq")).cp()
+    for (_ <- 1 to 3) {
+      val nxt = e.select($"src".as("x"), $"dst".as("i"))
+        .join(sk, $"i" === $"a")
+        .join(e.select($"src".as("y"), $"dst".as("j")), $"j" === $"b")
+        .filter($"x" =!= $"y")
+        .groupBy($"x", $"y").agg(sum($"sq").as("ssum"))
+        .join(broadcast(deg.select($"v".as("x"), $"n".as("nx"))), Seq("x"))
+        .join(broadcast(deg.select($"v".as("y"), $"n".as("ny"))), Seq("y"))
+        .select($"x".as("a"), $"y".as("b"),
+          expr("(4 * ssum) div (5 * nx * ny)").as("sq"))
+        .filter($"sq" > 0) // absent = exact zero: state stays sparse
+      sk = nxt.unionAll(verts.select($"id".as("a"), $"id".as("b"),
+        lit(scale).as("sq"))).cp()
+    }
+    sk.filter($"a" < $"b")
+      .select($"a", $"b",
+        ($"sq".cast("double") / lit(scale.toDouble)).as("simrank"))
+      .orderBy($"simrank".desc, $"a", $"b")
+      .limit(20)
+  }
+
   /** Condensation DAG of the transition backbone: contract every SCC to
     * one node (label = the SCC's min cell id), keep distinct cross-SCC
     * edges, and read off each node's member count, longest-path level
@@ -1688,6 +1738,7 @@ object GraphOps {
     "graph_bowtie" -> graphBowtie,
     "graph_condensation" -> graphCondensation,
     "graph_motifs" -> graphMotifs,
+    "graph_simrank" -> graphSimrank,
     "graph_butterflies" -> graphButterflies,
     "graph_degree_gini" -> graphDegreeGini,
     "graph_small_world" -> graphSmallWorld,

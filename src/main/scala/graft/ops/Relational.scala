@@ -4932,7 +4932,105 @@ object Relational {
       .orderBy($"row_group", $"column_name")
   }
 
+  /** Lead–lag cross-correlation between the daily view and purchase
+    * series (lags −7..+7): "do views predict purchases, and by how many
+    * days?" — the discovery step before any attribution model. Both
+    * series densify onto the calendar spine (missing days are real
+    * zeros, not dropped rows — a correlation over gappy days is biased);
+    * each lag's Pearson r comes from exact BIGINT power sums with the
+    * cross products widened to DECIMAL(38,0) (day-count × fact-scale
+    * sums overflow BIGINT), one guarded double tree per lag — the
+    * agg_autocorr discipline. The 15-lag fan-out multiplies the
+    * CALENDAR-sized spine, never the fact table.
+    */
+  val aggCrossCorr: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_type",
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+      .groupBy($"d")
+      .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("v"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("p"))
+    val span = daily.agg(min($"d").as("d0"), max($"d").as("d1"))
+    val spine = span.select(explode(sequence($"d0", $"d1")).as("d"))
+      .join(daily, Seq("d"), "left")
+      .select($"d", coalesce($"v", lit(0L)).as("v"),
+        coalesce($"p", lit(0L)).as("p"))
+      .cp() // both sides of the lag join read it
+    val lags = s.range(-7, 8).select($"id".as("lag"))
+    val pairs = spine.as("x").crossJoin(broadcast(lags))
+      .join(spine.as("y"), $"y.d" === $"x.d" + $"lag")
+      .select($"lag", $"x.v".as("xv"), $"y.p".as("yp"))
+    pairs.groupBy($"lag")
+      .agg(count(lit(1)).as("n_days"), sum($"xv").as("sx"),
+        sum($"yp").as("sy"), sum($"xv" * $"yp").as("sxy"),
+        sum($"xv" * $"xv").as("sxx"), sum($"yp" * $"yp").as("syy"))
+      .select($"lag", $"n_days",
+        when(($"n_days".cast("decimal(38,0)") * $"sxx".cast("decimal(38,0)") -
+            $"sx".cast("decimal(38,0)") * $"sx".cast("decimal(38,0)") > 0) &&
+          ($"n_days".cast("decimal(38,0)") * $"syy".cast("decimal(38,0)") -
+            $"sy".cast("decimal(38,0)") * $"sy".cast("decimal(38,0)") > 0),
+          LlmOps.pround4(
+            ($"n_days".cast("decimal(38,0)") * $"sxy".cast("decimal(38,0)") -
+              $"sx".cast("decimal(38,0)") * $"sy".cast("decimal(38,0)"))
+              .cast("double") /
+            sqrt(($"n_days".cast("decimal(38,0)") *
+              $"sxx".cast("decimal(38,0)") -
+              $"sx".cast("decimal(38,0)") * $"sx".cast("decimal(38,0)"))
+              .cast("double") *
+              ($"n_days".cast("decimal(38,0)") *
+                $"syy".cast("decimal(38,0)") -
+                $"sy".cast("decimal(38,0)") * $"sy".cast("decimal(38,0)"))
+                .cast("double")))).as("r"))
+      .orderBy($"lag")
+  }
+
+  /** 1-D earth mover's distance between the view and purchase value
+    * distributions — the drift metric that, unlike PSI/KS (agg_psi,
+    * agg_ks_test), weights HOW FAR mass moved, not just that it moved:
+    * EMD = ∫|F_A − F_B| over the value axis. Exact at full resolution:
+    * values collapse to distinct cents (value-DOMAIN-bounded, ≪ facts),
+    * both cumulatives come from DistScan prefix sums (no single-partition
+    * window), the inter-value gap from a global-rank self-join (rk+1 —
+    * a join, not a lead window), and each segment's term
+    * |cumA·nB − cumB·nA|·gap accumulates in DECIMAL(38,0) — one divide by
+    * nA·nB at the end. Bit-identical across engines.
+    */
+  val aggEmd: Q = (s, dir) => {
+    import s.implicits._
+    val vals = Tables.events(s, dir)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_type", round($"value" * 100).cast("long").as("c"))
+      .groupBy($"c")
+      .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("ca"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("cb"))
+    val tot = vals.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+    val scanned = DistScan.withPrefixAgg(
+      DistScan.withPrefixAgg(vals, "pa", $"ca", "sum", $"c"),
+      "pb", $"cb", "sum", $"c")
+      .select($"c", (coalesce($"pa", lit(0L)) + $"ca").as("cuma"),
+        (coalesce($"pb", lit(0L)) + $"cb").as("cumb"))
+    val ranked = DistScan.withGlobalRank(scanned, "rk", $"c").cp()
+    ranked.as("l")
+      .join(ranked.as("r").select($"rk".as("rk2"), $"c".as("cnext")),
+        $"rk2" === $"rk" + 1, "left")
+      .crossJoin(broadcast(tot))
+      .agg(max($"na").as("n_view"), max($"nb").as("n_purchase"),
+        count(lit(1)).as("n_values"),
+        sum(abs($"cuma".cast("decimal(38,0)") * $"nb".cast("decimal(38,0)") -
+          $"cumb".cast("decimal(38,0)") * $"na".cast("decimal(38,0)")) *
+          coalesce($"cnext" - $"c", lit(0L)).cast("decimal(38,0)"))
+          .as("tsum"))
+      .select($"n_view", $"n_purchase", $"n_values",
+        LlmOps.pround4($"tsum".cast("double") /
+          ($"n_view".cast("double") * $"n_purchase".cast("double")) /
+          lit(100.0)).as("emd"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_cross_corr" -> aggCrossCorr,
+    "agg_emd" -> aggEmd,
     "src_rowgroup_stats" -> srcRowgroupStats,
     "sort_hilbert" -> sortHilbert,
     "agg_price_index" -> aggPriceIndex,

@@ -451,6 +451,40 @@ object GraphOracle {
       s"""$sccCtes
          |SELECT v AS part, scc FROM sccl ORDER BY part""".stripMargin,
 
+    "graph_simrank" -> {
+      // 3 unrolled iterations of the integer-quantized SimRank update —
+      // generated by the same loop shape as GraphOps.graphSimrank
+      val its = (1 to 3).map { k =>
+        s"""s$k AS (
+           |  SELECT q.x AS a, q.y AS b,
+           |    (4 * q.ssum) // (5 * dx.n * dy.n) AS sq
+           |  FROM (SELECT ex.src AS x, ey.src AS y, sum(sp.sq) AS ssum
+           |        FROM e ex JOIN s${k - 1} sp ON sp.a = ex.dst
+           |        JOIN e ey ON ey.dst = sp.b
+           |        WHERE ex.src <> ey.src GROUP BY 1, 2) q
+           |  JOIN deg dx ON dx.v = q.x JOIN deg dy ON dy.v = q.y
+           |  WHERE (4 * q.ssum) // (5 * dx.n * dy.n) > 0
+           |  UNION ALL
+           |  SELECT v, v, CAST(1000000000 AS BIGINT) FROM deg)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lp AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey % 64 AS p
+         |  FROM lineitem),
+         |und AS (
+         |  SELECT x.p AS a, y.p AS b
+         |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS (SELECT a AS src, b AS dst FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |deg AS (SELECT src AS v, count(*) AS n FROM e GROUP BY 1),
+         |s0 AS (SELECT v AS a, v AS b, CAST(1000000000 AS BIGINT) AS sq
+         |  FROM deg),
+         |$its
+         |SELECT a, b, CAST(sq AS DOUBLE) / 1000000000.0 AS simrank
+         |FROM s3 WHERE a < b
+         |ORDER BY simrank DESC, a, b LIMIT 20""".stripMargin
+    },
+
     "graph_motifs" ->
       """WITH lp AS (
         |  SELECT l_orderkey AS ok, l_linenumber AS ln,

@@ -459,6 +459,76 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "agg_cross_corr" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+        |cal AS (
+        |  SELECT unnest(generate_series(d0, d1)) AS d FROM span),
+        |spine AS (
+        |  SELECT cal.d, coalesce(daily.v, 0) AS v,
+        |    coalesce(daily.p, 0) AS p
+        |  FROM cal LEFT JOIN daily ON daily.d = cal.d),
+        |lags AS (SELECT range AS lag FROM range(-7, 8)),
+        |pw AS (
+        |  SELECT lag, count(*) AS n_days,
+        |    CAST(sum(x.v) AS BIGINT) AS sx, CAST(sum(y.p) AS BIGINT) AS sy,
+        |    CAST(sum(x.v * y.p) AS BIGINT) AS sxy,
+        |    CAST(sum(x.v * x.v) AS BIGINT) AS sxx,
+        |    CAST(sum(y.p * y.p) AS BIGINT) AS syy
+        |  FROM spine x, lags
+        |  JOIN spine y ON y.d = x.d + lag
+        |  GROUP BY 1)
+        |SELECT lag, n_days,
+        |  CASE WHEN CAST(n_days AS DECIMAL(38,0)) * CAST(sxx AS
+        |      DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS
+        |      DECIMAL(38,0)) > 0
+        |    AND CAST(n_days AS DECIMAL(38,0)) * CAST(syy AS
+        |      DECIMAL(38,0)) - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS
+        |      DECIMAL(38,0)) > 0 THEN
+        |    floor(CAST(CAST(n_days AS DECIMAL(38,0)) * CAST(sxy AS
+        |        DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS
+        |        DECIMAL(38,0)) AS DOUBLE) /
+        |      sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * CAST(sxx AS
+        |        DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS
+        |        DECIMAL(38,0)) AS DOUBLE) *
+        |        CAST(CAST(n_days AS DECIMAL(38,0)) * CAST(syy AS
+        |        DECIMAL(38,0)) - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS
+        |        DECIMAL(38,0)) AS DOUBLE))
+        |      * 10000.0 + 0.5) / 10000.0 END AS r
+        |FROM pw ORDER BY lag""".stripMargin,
+
+    "agg_emd" ->
+      """WITH vals AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM vals),
+        |cum AS (
+        |  SELECT c, sum(ca) OVER (ORDER BY c) AS cuma,
+        |    sum(cb) OVER (ORDER BY c) AS cumb,
+        |    lead(c) OVER (ORDER BY c) AS cnext
+        |  FROM vals)
+        |SELECT na AS n_view, nb AS n_purchase, count(*) AS n_values,
+        |  floor(CAST(sum(abs(CAST(cuma AS DECIMAL(38,0)) * CAST(nb AS
+        |      DECIMAL(38,0)) - CAST(cumb AS DECIMAL(38,0)) * CAST(na AS
+        |      DECIMAL(38,0))) * CAST(coalesce(cnext - c, 0) AS
+        |      DECIMAL(38,0))) AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS emd
+        |FROM cum, tot GROUP BY na, nb""".stripMargin,
+
     "agg_price_index" ->
       """WITH yr AS (
         |  SELECT year(l_shipdate) AS y, l_partkey AS pk,

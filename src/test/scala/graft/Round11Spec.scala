@@ -803,6 +803,103 @@ class Round11Spec extends SparkSpec {
     perCol.foreach(v => assert(v === nRows, "n_values == row count"))
   }
 
+  test("graph_simrank equals a plain-Scala integer-quantized iteration") {
+    import spark.implicits._
+    val scale = 1000000000L
+    val lp = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey" % 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val und = lp.groupBy(_._1).values.flatMap { ps =>
+      val cells = ps.map(_._2).sorted
+      for (i <- cells.indices; j <- (i + 1) until cells.length
+           if cells(i) != cells(j)) yield (cells(i), cells(j))
+    }.toSeq.groupBy(identity).iterator
+      .collect { case (e, os) if os.size >= 2 => e }.toSeq
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val verts = adj.keys.toSeq.sorted
+    var sk: Map[(Long, Long), Long] =
+      verts.map(v => (v, v) -> scale).toMap
+    for (_ <- 1 to 3) {
+      val nxt = scala.collection.mutable.Map[(Long, Long), Long]()
+      for (x <- verts; y <- verts if x != y) {
+        val ssum = (for (i <- adj(x); j <- adj(y)) yield
+          sk.getOrElse((i, j), 0L)).sum
+        val sq = (4L * ssum) / (5L * adj(x).size * adj(y).size)
+        if (sq > 0) nxt((x, y)) = sq
+      }
+      sk = nxt.toMap ++ verts.map(v => (v, v) -> scale).toMap
+    }
+    val expect = sk.toSeq.collect { case ((a, b), sq) if a < b =>
+      (a, b, sq.toDouble / scale.toDouble)
+    }.sortBy { case (a, b, sr) => (-sr, a, b) }.take(20)
+    val got = q("graph_simrank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === expect, "top-20 simrank pairs")
+  }
+
+  test("agg_cross_corr equals a plain-Scala dense-spine correlation") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_type", (unix_millis($"ts") / 86400000L).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byDay = ev.groupBy(_._2).map { case (d, rs) =>
+      d -> (rs.count(_._1 == "view").toLong,
+        rs.count(_._1 == "purchase").toLong)
+    }
+    val d0 = byDay.keys.min; val d1 = byDay.keys.max
+    val spine = (d0 to d1).map(d => byDay.getOrElse(d, (0L, 0L)))
+    val got = q("agg_cross_corr").collect()
+    assert(got.length === 15)
+    got.foreach { r =>
+      val lag = r.getLong(0).toInt
+      val pairs = (d0 to d1).flatMap { d =>
+        val d2 = d + lag
+        if (d2 >= d0 && d2 <= d1)
+          Some((spine((d - d0).toInt)._1, spine((d2 - d0).toInt)._2))
+        else None
+      }
+      val n = pairs.length.toLong
+      assert(r.getLong(1) === n, s"n_days at lag $lag")
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+      if (dx > 0 && dy > 0) {
+        val rr = (n * sxy - sx * sy).toDouble /
+          math.sqrt(dx.toDouble * dy.toDouble)
+        assert(r.getDouble(2) === p4(rr), s"r at lag $lag")
+      } else assert(r.isNullAt(2), s"r at lag $lag")
+    }
+  }
+
+  test("agg_emd equals a plain-Scala CDF-area computation") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_type",
+        org.apache.spark.sql.functions.round($"value" * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val values = ev.map(_._2).distinct.sorted
+    val na = ev.count(_._1 == "view").toLong
+    val nb = ev.count(_._1 == "purchase").toLong
+    var cuma = 0L; var cumb = 0L; var tsum = BigInt(0)
+    values.zipWithIndex.foreach { case (v, i) =>
+      cuma += ev.count(e => e._1 == "view" && e._2 == v)
+      cumb += ev.count(e => e._1 == "purchase" && e._2 == v)
+      val gap = if (i + 1 < values.length) values(i + 1) - v else 0L
+      tsum += (BigInt(cuma) * nb - BigInt(cumb) * na).abs * gap
+    }
+    val got = q("agg_emd").collect().head
+    assert(got.getLong(0) === na, "n_view")
+    assert(got.getLong(1) === nb, "n_purchase")
+    assert(got.getLong(2) === values.length.toLong, "n_values")
+    val emd = tsum.toDouble / (na.toDouble * nb.toDouble) / 100.0
+    assert(got.getDouble(3) === p4(emd), "emd")
+  }
+
   test("agg_sprt equals the brute-force sequential LLR scan") {
     import spark.implicits._
     val trials = Tables.events(spark, sf)

@@ -5028,7 +5028,63 @@ object Relational {
           lit(100.0)).as("emd"))
   }
 
+  /** Top user journeys: the 10 most common event-type PATHS within a
+    * (user, day) session — the product-analytics "what do people actually
+    * do" readout that funnels (which pre-suppose an order) cannot give.
+    * The path string concatenates event types in (ts, event_id) order —
+    * event_id breaks timestamp ties so both engines serialize identical
+    * strings. One fact shuffle to the session key, a path-keyed count,
+    * TakeOrdered 10; the share divides exact counts. Session frames are
+    * user-day-bounded, never corpus-sized.
+    */
+  val aggTopPaths: Q = (s, dir) => {
+    import s.implicits._
+    val sess = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        tsMs($"ts").as("ms"), $"event_id", $"event_type")
+      .groupBy($"user_id", $"d")
+      .agg(array_join(expr("transform(" +
+        "array_sort(collect_list(struct(ms, event_id, event_type)))," +
+        " x -> x.event_type)"), ">").as("path"))
+    val tot = sess.agg(count(lit(1)).as("n_sessions"))
+    sess.groupBy($"path").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select($"path", $"n",
+        LlmOps.pround4($"n".cast("double") / $"n_sessions".cast("double"))
+          .as("share"))
+      .orderBy($"n".desc, $"path")
+      .limit(10)
+  }
+
+  /** Session entry→exit matrix: how sessions START vs how they END (the
+    * Sankey endpoints product teams read before drawing the middle):
+    * per (user, day) the first and last event type in (ts, event_id)
+    * order via one min-struct/max-struct aggregate — no window at all —
+    * then an exact count + share per (entry, exit) cell; output is
+    * ≤ |types|² rows. agg_markov gives the step-to-step middle; this
+    * gives the endpoints.
+    */
+  val aggEntryExit: Q = (s, dir) => {
+    import s.implicits._
+    val sess = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        tsMs($"ts").as("ms"), $"event_id", $"event_type")
+      .groupBy($"user_id", $"d")
+      .agg(min(struct($"ms", $"event_id", $"event_type")).as("fst"),
+        max(struct($"ms", $"event_id", $"event_type")).as("lst"))
+      .select($"fst.event_type".as("entry"), $"lst.event_type".as("exit"))
+    val tot = sess.agg(count(lit(1)).as("n_sessions"))
+    sess.groupBy($"entry", $"exit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select($"entry", $"exit", $"n",
+        LlmOps.pround4($"n".cast("double") / $"n_sessions".cast("double"))
+          .as("share"))
+      .orderBy($"entry", $"exit")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_top_paths" -> aggTopPaths,
+    "agg_entry_exit" -> aggEntryExit,
     "agg_cross_corr" -> aggCrossCorr,
     "agg_emd" -> aggEmd,
     "src_rowgroup_stats" -> srcRowgroupStats,

@@ -459,6 +459,40 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "agg_top_paths" ->
+      """WITH sess AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    string_agg(event_type, '>'
+        |      ORDER BY epoch_ms(ts), event_id) AS path
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT count(*) AS n_sessions FROM sess)
+        |SELECT path, count(*) AS n,
+        |  floor(CAST(count(*) AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS share
+        |FROM sess, tot GROUP BY path, n_sessions
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    "agg_entry_exit" ->
+      """WITH ranked AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d, event_type,
+        |    row_number() OVER (PARTITION BY user_id,
+        |      epoch_ms(ts) // 86400000
+        |      ORDER BY epoch_ms(ts), event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id,
+        |      epoch_ms(ts) // 86400000) AS cnt
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, d,
+        |    min(CASE WHEN rn = 1 THEN event_type END) AS entry,
+        |    min(CASE WHEN rn = cnt THEN event_type END) AS exit
+        |  FROM ranked GROUP BY 1, 2),
+        |tot AS (SELECT count(*) AS n_sessions FROM sess)
+        |SELECT entry, "exit", count(*) AS n,
+        |  floor(CAST(count(*) AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS share
+        |FROM sess, tot GROUP BY entry, "exit", n_sessions
+        |ORDER BY entry, "exit"""".stripMargin,
+
     "agg_cross_corr" ->
       """WITH daily AS (
         |  SELECT epoch_ms(ts) // 86400000 AS d,

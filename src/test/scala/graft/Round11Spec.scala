@@ -900,6 +900,38 @@ class Round11Spec extends SparkSpec {
     assert(got.getDouble(3) === p4(emd), "emd")
   }
 
+  test("agg_top_paths and agg_entry_exit equal a plain-Scala session replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_millis($"ts"), $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sessions = ev.groupBy(e => (e._1, e._2 / 86400000L)).values.map { rs =>
+      rs.sortBy(e => (e._2, e._3)).map(_._4)
+    }.toSeq
+    val nS = sessions.length.toLong
+    val topPaths = sessions.map(_.mkString(">"))
+      .groupBy(identity).toSeq
+      .map { case (p, os) => (p, os.size.toLong) }
+      .sortBy { case (p, n) => (-n, p) }.take(10)
+    val gotP = q("agg_top_paths").collect()
+    gotP.zip(topPaths).foreach { case (r, (p, n)) =>
+      assert(r.getString(0) === p, "path")
+      assert(r.getLong(1) === n, s"n of $p")
+      assert(r.getDouble(2) === p4(n.toDouble / nS.toDouble), s"share of $p")
+    }
+    val entryExit = sessions.map(s => (s.head, s.last))
+      .groupBy(identity).map { case (k, os) => k -> os.size.toLong }
+    val gotE = q("agg_entry_exit").collect()
+    assert(gotE.map(r => (r.getString(0), r.getString(1))).toSet ===
+      entryExit.keySet, "cell set")
+    gotE.foreach { r =>
+      val n = entryExit((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === n)
+      assert(r.getDouble(3) === p4(n.toDouble / nS.toDouble))
+    }
+  }
+
   test("agg_sprt equals the brute-force sequential LLR scan") {
     import spark.implicits._
     val trials = Tables.events(spark, sf)

@@ -5082,7 +5082,176 @@ object Relational {
       .orderBy($"entry", $"exit")
   }
 
+  /** Return-rate league table by part brand (l_returnflag = 'R' share) —
+    * the merchandising quality readout: which brands come back. Exact
+    * integer counts per brand off one broadcast dim join + one brand-keyed
+    * rollup (≤25 groups), volume floor of 50 lines so tiny brands don't
+    * top the table on noise, rate = one quantized divide, top-10 by rate
+    * with brand tiebreak via TakeOrdered.
+    */
+  val aggReturns: Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("n_returned"))
+      .filter($"n_lines" >= 50)
+      .select($"p_brand", $"n_lines", $"n_returned",
+        LlmOps.pround4($"n_returned".cast("double") /
+          $"n_lines".cast("double")).as("return_rate"))
+      .orderBy($"return_rate".desc, $"p_brand")
+      .limit(10)
+  }
+
+  /** Weibull fit of the user-lifetime survival curve — the parametric
+    * summary on top of agg_survival_km's non-parametric one (shape k < 1:
+    * churn hazard falls with tenure — retention compounds; k > 1: wear-out).
+    * Linearization: ln(−ln S(t)) = k·ln t − k·ln λ over the KM points with
+    * t ≥ 1 and 0 < S < 1; both logs micro-quantize to exact BIGINTs
+    * (§2.9 — the llm_zipf_slope discipline) so the least-squares sums are
+    * order-free, then shape/scale are one double tree + exp. The KM frame
+    * is lifetime-domain-bounded; nothing here scales with facts.
+    */
+  val aggWeibullFit: Q = (s, dir) => {
+    import s.implicits._
+    val spans = Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+      .groupBy($"user_id").agg(min($"d").as("fd"), max($"d").as("ld"))
+    val maxd = spans.agg(max($"ld").as("maxd"))
+    val lt = spans.crossJoin(broadcast(maxd))
+      .select(($"ld" - $"fd").as("life"), ($"ld" === $"maxd").as("censored"))
+      .cp() // at-risk counts and death counts share the frame
+    val deaths = lt.filter(!$"censored")
+      .groupBy($"life".as("t")).agg(count(lit(1)).as("d"))
+    val atRisk = deaths.as("dt").join(lt.as("l"), $"l.life" >= $"dt.t")
+      .groupBy($"t", $"d").agg(count(lit(1)).as("n_risk"))
+    val km = atRisk
+      .withColumn("f", lit(1.0) - $"d".cast("double") / $"n_risk".cast("double"))
+      .agg(sort_array(collect_list(struct($"t", $"f"))).as("fs"))
+      .select(posexplode($"fs").as(Seq("i", "x")), $"fs")
+      .select($"x.t".as("t"),
+        expr("aggregate(slice(transform(fs, e -> e.f), 1, i + 1)," +
+          " cast(1.0 as double), (acc, f) -> acc * f)").as("surv"))
+    val pts = km.filter($"t" >= 1 && $"surv" > 0.0 && $"surv" < 1.0)
+      .select(
+        floor(log($"t".cast("double")) * 1.0e6 + 0.5).cast("long").as("x"),
+        floor(log(-log($"surv")) * 1.0e6 + 0.5).cast("long").as("y"))
+    // a degenerate point set (≤1 usable KM point, or identical ln t) has
+    // no fit: NULL, not an ANSI divide-by-zero (agg_autocorr discipline);
+    // the shape=0 fit (flat hazard line) likewise has no finite scale
+    pts.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .select($"n".as("n_points"),
+        when($"n" * $"sxx" - $"sx" * $"sx" > 0,
+          LlmOps.pround4(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))).as("shape"),
+        when(($"n" * $"sxx" - $"sx" * $"sx" > 0) &&
+            ($"n" * $"sxy" - $"sx" * $"sy" =!= 0),
+          LlmOps.pround4(exp(-(($"sy".cast("double") -
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+              $"sx".cast("double")) / $"n".cast("double") / lit(1.0e6)) /
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"n" * $"sxx" - $"sx" * $"sx").cast("double")))))
+          .as("scale_days"))
+  }
+
+  /** Gzip-compressed CSV source — codec coverage on the ingest surface
+    * (every warehouse has a legacy gzip-CSV feed): customer round-trips
+    * through .csv.gz scratch (one gzip member per part-file — splittable
+    * formats beat gzip at 100 TB, which is the POINT of reading it once
+    * and landing parquet; noted, not hidden), read back with the explicit
+    * schema, aggregated per nation. Oracle reads the original tables —
+    * the codec must be lossless.
+    */
+  val srcCsvGzip: Q = (s, dir) => {
+    import s.implicits._
+    val out = srcArtifact("src_csv_gzip", dir, "customer.parquet") { p =>
+      Tables.customer(s, dir).write.option("header", "true")
+        .option("compression", "gzip").mode("overwrite")
+        .csv(s"$p/customer")
+    } + "/customer"
+    val c = s.read.option("header", "true")
+      .schema(Tables.customer(s, dir).schema).csv(out)
+    c.join(broadcast(Tables.nation(s, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"), msum($"c_acctbal").as("bal"))
+      .orderBy($"n_name")
+  }
+
+  /** The end-to-end data-skipping bake-off: write lineitem scratch TWICE —
+    * hash-scattered on l_orderkey (the pruning-hostile default) vs
+    * directory-partitioned by the 8-way Morton z-bucket from sort_zorder's
+    * key — then read BOTH layouts' parquet footers back (the
+    * src_rowgroup_stats machinery) and report each layout's mean per-file
+    * (qty, price) envelope SHARE of the global span. Clustered envelopes
+    * collapse toward 1/8; scattered ones sit near 1 — the number that
+    * justifies z-ordering a 100 TB table at write time. Both layouts are
+    * deterministic (hash partitioning and directory partitioning — no
+    * sampled range boundaries). No DuckDB oracle (physical-file op, same
+    * declaration as src_rowgroup_stats); Round11Spec pins the invariants
+    * and the clustered ≤ scattered envelope ordering.
+    */
+  val sinkClusteredWrite: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = srcArtifact("sink_clustered_write", dir, "lineitem.parquet") { p =>
+      val rows = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity".cast("long").as("x"),
+          round($"l_extendedprice" * 100).cast("long").as("y"))
+      val mm = rows.agg(min($"x").as("xmin"), max($"x").as("xmax"),
+        min($"y").as("ymin"), max($"y").as("ymax"))
+      val z = (0 until 8).map { i =>
+        (shiftleft(shiftright($"x8", i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright($"y8", i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ + _)
+      val keyed = rows.crossJoin(broadcast(mm))
+        .select($"l_orderkey", $"x", $"y",
+          expr("((x - xmin) * 256) div (xmax - xmin + 1)").as("x8"),
+          expr("((y - ymin) * 256) div (ymax - ymin + 1)").as("y8"))
+        .withColumn("zv", z)
+        .withColumn("zb", expr("zv div 8192")) // 16-bit Morton → 8 buckets
+        .select($"l_orderkey", $"x", $"y", $"zb")
+        .cp() // both layout writes consume it
+      keyed.repartition(8, $"l_orderkey").write.mode("overwrite")
+        .parquet(s"$p/scattered")
+      keyed.write.partitionBy("zb").mode("overwrite")
+        .parquet(s"$p/clustered")
+    }
+    // per-FILE envelopes via input_file_name on a 2-column pruned scan —
+    // format-agnostic (no page-stats parsing) and one task per file
+    def env(sub: String): DataFrame =
+      s.read.parquet(s"$base/$sub")
+        .select($"x", $"y",
+          input_file_name().as("f"))
+        .groupBy($"f")
+        .agg((max($"x") - min($"x")).as("xspan"),
+          (max($"y") - min($"y")).as("yspan"))
+        .agg(count(lit(1)).as("n_files"),
+          avg($"xspan".cast("double")).as("xs"),
+          avg($"yspan".cast("double")).as("ys"))
+    val g = Tables.lineitem(s, dir)
+      .select($"l_quantity".cast("long").as("x"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+      .agg((max($"x") - min($"x")).as("gx"), (max($"y") - min($"y")).as("gy"))
+    env("scattered").select(lit("scattered").as("layout"), $"n_files", $"xs", $"ys")
+      .unionAll(env("clustered")
+        .select(lit("clustered").as("layout"), $"n_files", $"xs", $"ys"))
+      .crossJoin(broadcast(g))
+      .select($"layout", $"n_files",
+        LlmOps.pround4($"xs" / $"gx".cast("double")).as("qty_span_share"),
+        LlmOps.pround4($"ys" / $"gy".cast("double")).as("price_span_share"))
+      .orderBy($"layout")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sink_clustered_write" -> sinkClusteredWrite,
+    "agg_returns" -> aggReturns,
+    "agg_weibull_fit" -> aggWeibullFit,
+    "src_csv_gzip" -> srcCsvGzip,
     "agg_top_paths" -> aggTopPaths,
     "agg_entry_exit" -> aggEntryExit,
     "agg_cross_corr" -> aggCrossCorr,

@@ -459,6 +459,75 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "agg_returns" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returned,
+        |  floor(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS return_rate
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 HAVING count(*) >= 50
+        |ORDER BY return_rate DESC, p_brand LIMIT 10""".stripMargin,
+
+    "agg_weibull_fit" ->
+      """WITH spans AS (
+        |  SELECT user_id, min(epoch_ms(ts) // 86400000) AS fd,
+        |    max(epoch_ms(ts) // 86400000) AS ld
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(ld) AS maxd FROM spans),
+        |lt AS (
+        |  SELECT ld - fd AS life, ld = maxd AS censored FROM spans, mx),
+        |deaths AS (
+        |  SELECT life AS t, count(*) AS d FROM lt
+        |  WHERE NOT censored GROUP BY 1),
+        |ar AS (
+        |  SELECT t, d, count(*) AS n_risk
+        |  FROM deaths JOIN lt ON lt.life >= deaths.t
+        |  GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT list_sort(list(
+        |    {'t': t, 'f': 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)}))
+        |    AS fs
+        |  FROM ar),
+        |km AS (
+        |  SELECT fs[i].t AS t,
+        |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |      list_transform(fs[1:CAST(i AS INTEGER)], e -> e.f)),
+        |      (acc, f) -> acc * f) AS surv
+        |  FROM fl, UNNEST(range(1, len(fs) + 1)) AS u(i)),
+        |pts AS (
+        |  SELECT CAST(floor(ln(CAST(t AS DOUBLE)) * 1.0e6 + 0.5) AS BIGINT)
+        |      AS x,
+        |    CAST(floor(ln(-ln(surv)) * 1.0e6 + 0.5) AS BIGINT) AS y
+        |  FROM km WHERE t >= 1 AND surv > 0.0 AND surv < 1.0),
+        |sums AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pts)
+        |SELECT n AS n_points,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    END AS shape,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * sxy - sx * sy <> 0 THEN
+        |    floor(exp(-((CAST(sy AS DOUBLE) -
+        |        (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |          CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |        / CAST(n AS DOUBLE) / 1.0e6) /
+        |      (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE)))
+        |      * 10000.0 + 0.5) / 10000.0 END AS scale_days
+        |FROM sums""".stripMargin,
+
+    "src_csv_gzip" ->
+      ("""SELECT n_name, count(*) AS n_customers,
+        |  """ + msum("c_acctbal") + """ AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""").stripMargin,
+
     "agg_top_paths" ->
       """WITH sess AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,

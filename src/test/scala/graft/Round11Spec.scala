@@ -932,6 +932,93 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("agg_returns equals a plain-Scala brand rollup") {
+    import spark.implicits._
+    val brandOf = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lines = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_returnflag").collect()
+      .map(r => (brandOf(r.getLong(0)), r.getString(1) == "R"))
+    val expect = lines.groupBy(_._1).toSeq
+      .map { case (b, rs) => (b, rs.length.toLong, rs.count(_._2).toLong) }
+      .filter(_._2 >= 50)
+      .map { case (b, n, nr) => (b, n, nr, p4(nr.toDouble / n.toDouble)) }
+      .sortBy { case (b, _, _, rate) => (-rate, b) }.take(10)
+    val got = q("agg_returns").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === expect)
+  }
+
+  test("agg_weibull_fit equals a plain-Scala KM + regression replay") {
+    import spark.implicits._
+    val spans = Tables.events(spark, sf)
+      .select($"user_id", (unix_millis($"ts") / 86400000L).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.toSeq.map { rs => // values: a Map.map of
+        (rs.map(_._2).min, rs.map(_._2).max)  // (fd, ld) pairs would
+      }                                       // dedup users by fd
+    val maxd = spans.map(_._2).max
+    val lt = spans.map { case (fd, ld) => (ld - fd, ld == maxd) }
+    val deaths = lt.filterNot(_._2).groupBy(_._1)
+      .map { case (t, rs) => t -> rs.size.toLong }
+    val pts = deaths.keys.toSeq.sorted.scanLeft((0L, 1.0)) { case ((_, s), t) =>
+      val nRisk = lt.count(_._1 >= t).toLong
+      (t, s * (1.0 - deaths(t).toDouble / nRisk.toDouble))
+    }.tail.filter { case (t, s) => t >= 1 && s > 0.0 && s < 1.0 }
+      .map { case (t, s) =>
+        (math.floor(math.log(t.toDouble) * 1.0e6 + 0.5).toLong,
+          math.floor(math.log(-math.log(s)) * 1.0e6 + 0.5).toLong)
+      }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val got = q("agg_weibull_fit").collect().head
+    assert(got.getLong(0) === n, "n_points")
+    if (n * sxx - sx * sx > 0) {
+      val k = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      assert(got.getDouble(1) === p4(k), "shape")
+      if (n * sxy - sx * sy != 0) {
+        val lam = math.exp(-((sy.toDouble - k * sx.toDouble) / n.toDouble /
+          1.0e6) / k)
+        assert(got.getDouble(2) === p4(lam), "scale_days")
+      } else assert(got.isNullAt(2), "degenerate scale is NULL")
+    } else {
+      assert(got.isNullAt(1), "degenerate shape is NULL")
+      assert(got.isNullAt(2), "degenerate scale is NULL")
+    }
+  }
+
+  test("src_csv_gzip round-trips customer losslessly through gzip CSV") {
+    import spark.implicits._
+    val expect = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        graft.ops.Relational.msum($"c_acctbal").as("bal"))
+      .orderBy($"n_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = q("src_csv_gzip").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === expect.toSeq)
+  }
+
+  test("sink_clustered_write: z-partitioned files have tighter envelopes") {
+    val got = q("sink_clustered_write").collect()
+    assert(got.length === 2)
+    val byLayout = got.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (cn, cq, cp_) = byLayout("clustered")
+    val (sn, sq, sp) = byLayout("scattered")
+    assert(cn === 8L && sn === 8L, "8 files per layout")
+    Seq(cq, cp_, sq, sp).foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // the entire point of the op: clustering shrinks per-file envelopes
+    assert(cq < sq, s"qty envelope: clustered $cq !< scattered $sq")
+    assert(cp_ < sp, s"price envelope: clustered ${cp_} !< scattered $sp")
+  }
+
   test("agg_sprt equals the brute-force sequential LLR scan") {
     import spark.implicits._
     val trials = Tables.events(spark, sf)

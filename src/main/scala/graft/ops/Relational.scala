@@ -5247,7 +5247,47 @@ object Relational {
       .orderBy($"layout")
   }
 
+  /** Mann–Kendall trend test per event type — the significance TEST that
+    * pairs with win_theil_sen's slope ESTIMATE (same pair frame, same
+    * robustness): S = Σ_{i<j} sign(c_j − c_i) over the daily count
+    * series, tie-corrected variance 18·Var = n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5), Z with the ±1 continuity correction — S and the
+    * variance numerator are EXACT BIGINTs (counts and day counts), Z one
+    * guarded double tree. The pair join is calendar² per type, never
+    * fact-quadratic; tie groups collapse to ≤|distinct counts| rows.
+    */
+  val winMannKendall: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type",
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("c"))
+      .cp() // pair join (twice) + tie rollup read it
+    val sStat = daily.as("x").join(daily.as("y"),
+        $"x.event_type" === $"y.event_type" && $"x.d" < $"y.d")
+      .groupBy($"x.event_type".as("event_type"))
+      .agg(sum(signum(($"y.c" - $"x.c").cast("double")).cast("long"))
+        .as("s_stat"), count(lit(1)).as("n_pairs"))
+    val ties = daily.groupBy($"event_type", $"c")
+      .agg(count(lit(1)).as("t"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_groups"), sum($"t").as("n_days"),
+        sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)).as("tie_term"))
+    sStat.join(ties, Seq("event_type"))
+      .select($"event_type", $"n_days", $"s_stat",
+        ($"n_days" * ($"n_days" - 1) * (lit(2) * $"n_days" + 5) -
+          $"tie_term").as("var18"))
+      .select($"event_type", $"n_days", $"s_stat", $"var18",
+        when($"var18" > 0, LlmOps.pround4(
+          when($"s_stat" > 0, ($"s_stat" - 1).cast("double"))
+            .when($"s_stat" < 0, ($"s_stat" + 1).cast("double"))
+            .otherwise(lit(0.0)) /
+          sqrt($"var18".cast("double") / lit(18.0)))).as("z"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_mann_kendall" -> winMannKendall,
     "sink_clustered_write" -> sinkClusteredWrite,
     "agg_returns" -> aggReturns,
     "agg_weibull_fit" -> aggWeibullFit,

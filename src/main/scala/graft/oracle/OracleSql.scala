@@ -459,6 +459,37 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "win_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT x.event_type,
+        |    CAST(sum(CAST(sign(CAST(y.c - x.c AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT) AS s_stat
+        |  FROM daily x JOIN daily y
+        |    ON x.event_type = y.event_type AND x.d < y.d
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type, c, count(*) AS t FROM daily
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT st.event_type, n_days, s_stat,
+        |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+        |  FROM st JOIN ties ON ties.event_type = st.event_type)
+        |SELECT event_type, n_days, s_stat, var18,
+        |  CASE WHEN var18 > 0 THEN
+        |    floor((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |        WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |        ELSE 0.0 END /
+        |      sqrt(CAST(var18 AS DOUBLE) / 18.0)) * 10000.0 + 0.5)
+        |      / 10000.0 END AS z
+        |FROM v ORDER BY event_type""".stripMargin,
+
     "agg_returns" ->
       """SELECT p_brand, count(*) AS n_lines,
         |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)

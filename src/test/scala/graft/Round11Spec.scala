@@ -1019,6 +1019,37 @@ class Round11Spec extends SparkSpec {
     assert(cp_ < sp, s"price envelope: clustered ${cp_} !< scattered $sp")
   }
 
+  test("win_mann_kendall equals the O(n²) sign-pair count") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", (unix_millis($"ts") / 86400000L).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, d), rs) => (t, d, rs.size.toLong) }
+      .toSeq
+    val got = q("win_mann_kendall").collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      val series = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
+      val n = series.length.toLong
+      var s = 0L
+      for (i <- series.indices; j <- (i + 1) until series.length)
+        s += java.lang.Long.signum(series(j) - series(i))
+      val tieTerm = series.groupBy(identity).values
+        .map { g => val tk = g.size.toLong; tk * (tk - 1) * (2 * tk + 5) }
+        .sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tieTerm
+      assert(r.getLong(1) === n, s"n_days of $t")
+      assert(r.getLong(2) === s, s"s_stat of $t")
+      assert(r.getLong(3) === var18, s"var18 of $t")
+      if (var18 > 0) {
+        val num = if (s > 0) (s - 1).toDouble
+          else if (s < 0) (s + 1).toDouble else 0.0
+        assert(r.getDouble(4) === p4(num / math.sqrt(var18.toDouble / 18.0)),
+          s"z of $t")
+      } else assert(r.isNullAt(4))
+    }
+  }
+
   test("agg_sprt equals the brute-force sequential LLR scan") {
     import spark.implicits._
     val trials = Tables.events(spark, sf)

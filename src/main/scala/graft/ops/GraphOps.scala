@@ -1694,6 +1694,37 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Temporal evolution of the co-purchase graph: per ship-month, the
+    * distinct-edge count, active-vertex count, and realized density
+    * 2E/(V(V−1)) — "is the product network thickening or fragmenting
+    * quarter over quarter", the first longitudinal read of any graph.
+    * Month-scoped pair fan-out stays order-bounded (pairs form WITHIN an
+    * order); edges/vertices collapse per month before the ≤|months|-row
+    * density arithmetic — exact integers to one guarded quantized divide.
+    */
+  val graphTemporalDensity: Q = (s, dir) => {
+    import s.implicits._
+    val lp = Tables.lineitem(s, dir)
+      .select((year($"l_shipdate") * 100 +
+        month($"l_shipdate")).cast("long").as("ym"),
+        $"l_orderkey".as("ok"), $"l_partkey".as("p"))
+      .distinct()
+      .cp() // pair self-join + the active-vertex rollup read it
+    val edges = lp.as("x").join(lp.as("y"),
+        $"x.ym" === $"y.ym" && $"x.ok" === $"y.ok" && $"x.p" < $"y.p")
+      .select($"x.ym".as("ym"), $"x.p".as("a"), $"y.p".as("b")).distinct()
+      .groupBy($"ym").agg(count(lit(1)).as("n_edges"))
+    val verts = lp.select($"ym", $"p").distinct()
+      .groupBy($"ym").agg(count(lit(1)).as("n_parts"))
+    verts.join(edges, Seq("ym"), "left")
+      .select($"ym", $"n_parts", coalesce($"n_edges", lit(0L)).as("n_edges"),
+        when($"n_parts" > 1, LlmOps.pround4(
+          lit(2.0) * coalesce($"n_edges", lit(0L)).cast("double") /
+            ($"n_parts".cast("double") * ($"n_parts" - 1).cast("double"))))
+          .as("density"))
+      .orderBy($"ym")
+  }
+
   /** Condensation DAG of the transition backbone: contract every SCC to
     * one node (label = the SCC's min cell id), keep distinct cross-SCC
     * edges, and read off each node's member count, longest-path level
@@ -1739,6 +1770,7 @@ object GraphOps {
     "graph_condensation" -> graphCondensation,
     "graph_motifs" -> graphMotifs,
     "graph_simrank" -> graphSimrank,
+    "graph_temporal_density" -> graphTemporalDensity,
     "graph_butterflies" -> graphButterflies,
     "graph_degree_gini" -> graphDegreeGini,
     "graph_small_world" -> graphSmallWorld,

@@ -5286,7 +5286,42 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Odds ratio with a 95% Wald CI for conversion by experiment arm (the
+    * user-parity arms shared with agg_cuped/agg_srm_check) — the effect
+    * size an A/B readout reports next to the t-test's difference: OR =
+    * ad/bc from the four EXACT cell counts of the 2×2 table, log-OR SE =
+    * √(1/a+1/b+1/c+1/d), CI = exp(ln OR ± 1.96·SE) as one double tree.
+    * Any empty cell → NULL OR/CI (the Wald form is undefined there), not
+    * an ANSI error. One fact shuffle to users; everything after is a
+    * 1-row frame.
+    */
+  val aggOddsRatio: Q = (s, dir) => {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(($"user_id" % 2).as("arm"), $"conv")
+      .agg(
+        sum(when($"arm" === 1 && $"conv" === 1, 1L).otherwise(0L)).as("a"),
+        sum(when($"arm" === 1 && $"conv" === 0, 1L).otherwise(0L)).as("b"),
+        sum(when($"arm" === 0 && $"conv" === 1, 1L).otherwise(0L)).as("c"),
+        sum(when($"arm" === 0 && $"conv" === 0, 1L).otherwise(0L)).as("d"))
+    val or = ($"a".cast("double") * $"d".cast("double")) /
+      ($"b".cast("double") * $"c".cast("double"))
+    val se = sqrt(lit(1.0) / $"a".cast("double") +
+      lit(1.0) / $"b".cast("double") + lit(1.0) / $"c".cast("double") +
+      lit(1.0) / $"d".cast("double"))
+    val ok = $"a" > 0 && $"b" > 0 && $"c" > 0 && $"d" > 0
+    cells.select($"a".as("n_conv_t"), $"b".as("n_nonconv_t"),
+      $"c".as("n_conv_c"), $"d".as("n_nonconv_c"),
+      when(ok, LlmOps.pround4(or)).as("odds_ratio"),
+      when(ok, LlmOps.pround4(exp(log(or) - lit(1.96) * se))).as("ci_lo"),
+      when(ok, LlmOps.pround4(exp(log(or) + lit(1.96) * se))).as("ci_hi"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_odds_ratio" -> aggOddsRatio,
     "win_mann_kendall" -> winMannKendall,
     "sink_clustered_write" -> sinkClusteredWrite,
     "agg_returns" -> aggReturns,

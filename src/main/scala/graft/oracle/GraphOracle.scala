@@ -451,6 +451,28 @@ object GraphOracle {
       s"""$sccCtes
          |SELECT v AS part, scc FROM sccl ORDER BY part""".stripMargin,
 
+    "graph_temporal_density" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT year(l_shipdate) * 100 + month(l_shipdate)
+        |      AS ym,
+        |    l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.ym, x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y
+        |    ON x.ym = y.ym AND x.ok = y.ok AND x.p < y.p),
+        |ec AS (SELECT ym, count(*) AS n_edges FROM e GROUP BY 1),
+        |vc AS (
+        |  SELECT ym, count(*) AS n_parts
+        |  FROM (SELECT DISTINCT ym, p FROM lp) GROUP BY 1)
+        |SELECT vc.ym, n_parts, coalesce(n_edges, 0) AS n_edges,
+        |  CASE WHEN n_parts > 1 THEN
+        |    floor(2.0 * CAST(coalesce(n_edges, 0) AS DOUBLE) /
+        |      (CAST(n_parts AS DOUBLE) * CAST(n_parts - 1 AS DOUBLE))
+        |      * 10000.0 + 0.5) / 10000.0 END AS density
+        |FROM vc LEFT JOIN ec ON ec.ym = vc.ym
+        |ORDER BY vc.ym""".stripMargin,
+
     "graph_simrank" -> {
       // 3 unrolled iterations of the integer-quantized SimRank update —
       // generated by the same loop shape as GraphOps.graphSimrank

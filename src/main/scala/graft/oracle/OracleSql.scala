@@ -459,6 +459,43 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "agg_odds_ratio" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM u)
+        |SELECT a AS n_conv_t, b AS n_nonconv_t, c AS n_conv_c,
+        |  d AS n_nonconv_c,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    floor((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)) /
+        |      (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) * 10000.0 + 0.5)
+        |      / 10000.0 END AS odds_ratio,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    floor(exp(ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)) /
+        |        (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) -
+        |      1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |        + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)))
+        |      * 10000.0 + 0.5) / 10000.0 END AS ci_lo,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    floor(exp(ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)) /
+        |        (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) +
+        |      1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |        + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)))
+        |      * 10000.0 + 0.5) / 10000.0 END AS ci_hi
+        |FROM cells""".stripMargin,
+
     "win_mann_kendall" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS d,

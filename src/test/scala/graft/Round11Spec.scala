@@ -1050,6 +1050,58 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("graph_temporal_density equals a plain-Scala monthly census") {
+    import spark.implicits._
+    val lp = Tables.lineitem(spark, sf)
+      .select((org.apache.spark.sql.functions.year($"l_shipdate") * 100 +
+        org.apache.spark.sql.functions.month($"l_shipdate")).cast("long"),
+        $"l_orderkey", $"l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).distinct
+    val byYm = lp.groupBy(_._1)
+    val got = q("graph_temporal_density").collect()
+    assert(got.map(_.getLong(0)).toSeq === byYm.keys.toSeq.sorted, "months")
+    got.foreach { r =>
+      val rows = byYm(r.getLong(0))
+      val nParts = rows.map(_._3).distinct.length.toLong
+      val edges = rows.groupBy(_._2).values.flatMap { os =>
+        val ps = os.map(_._3).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length)
+          yield (ps(i), ps(j))
+      }.toSet
+      assert(r.getLong(1) === nParts, s"n_parts ${r.getLong(0)}")
+      assert(r.getLong(2) === edges.size.toLong, s"n_edges ${r.getLong(0)}")
+      if (nParts > 1)
+        assert(r.getDouble(3) === p4(2.0 * edges.size.toDouble /
+          (nParts.toDouble * (nParts - 1).toDouble)))
+      else assert(r.isNullAt(3))
+    }
+  }
+
+  test("agg_odds_ratio equals a plain-Scala 2x2 computation") {
+    import spark.implicits._
+    // .toSeq BEFORE the map — a Map.map of (arm, conv) pairs would dedup
+    val cells = Tables.events(spark, sf)
+      .select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).toSeq.map { case (u, rs) =>
+        (u % 2, rs.exists(_._2 == "purchase"))
+      }
+    val a = cells.count(x => x._1 == 1 && x._2).toLong
+    val b = cells.count(x => x._1 == 1 && !x._2).toLong
+    val c = cells.count(x => x._1 == 0 && x._2).toLong
+    val d = cells.count(x => x._1 == 0 && !x._2).toLong
+    val got = q("agg_odds_ratio").collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      === ((a, b, c, d)), "2x2 cells")
+    if (a > 0 && b > 0 && c > 0 && d > 0) {
+      val or = a.toDouble * d.toDouble / (b.toDouble * c.toDouble)
+      val se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+      assert(got.getDouble(4) === p4(or), "odds_ratio")
+      assert(got.getDouble(5) === p4(math.exp(math.log(or) - 1.96 * se)))
+      assert(got.getDouble(6) === p4(math.exp(math.log(or) + 1.96 * se)))
+    } else (4 to 6).foreach(i => assert(got.isNullAt(i)))
+  }
+
   test("agg_sprt equals the brute-force sequential LLR scan") {
     import spark.implicits._
     val trials = Tables.events(spark, sf)

@@ -1725,6 +1725,47 @@ object GraphOps {
       .orderBy($"ym")
   }
 
+  /** Targeted-attack tolerance of the co-purchase graph (the Albert–
+    * Barabási robustness read): remove the 8 highest-degree hubs and
+    * report how much of the giant component survives. Scale-free networks
+    * shatter under hub removal while random failures barely dent them —
+    * this is the one-number summary of that exposure. Two
+    * [[graft.api.GraphAlgebra.connectedComponentsDf]] fixpoints (before /
+    * after) over the w ≥ 2 edge set; hub pick is a TakeOrdered-style
+    * limit(8) with (degree desc, id) determinism; giant sizes are two
+    * max-of-count aggregates, the share one guarded quantized divide.
+    */
+  val graphAttackTolerance: Q = (s, dir) => {
+    import s.implicits._
+    val und = copurchase(s, dir).filter($"w" >= 2).select($"a", $"b").cp()
+    val verts = und.select(explode(array($"a", $"b")).as("part")).distinct()
+      .cp() // degree pick + both CC runs read it
+    val hubs = und.select(explode(array($"a", $"b")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+      .orderBy($"deg".desc, $"v").limit(8)
+      .select($"v")
+    val afterE = und
+      .join(hubs.select($"v".as("a")), Seq("a"), "left_anti")
+      .join(hubs.select($"v".as("b")), Seq("b"), "left_anti")
+      .select($"a", $"b")
+    val afterV = verts.join(hubs.select($"v".as("part")), Seq("part"),
+      "left_anti")
+    def giant(v: DataFrame, e: DataFrame): DataFrame =
+      graft.api.GraphAlgebra.connectedComponentsDf(v, e)
+        .groupBy($"comp").agg(count(lit(1)).as("sz"))
+        .agg(max($"sz").as("g"))
+    val before = giant(verts, und)
+    val after = giant(afterV, afterE)
+    verts.agg(count(lit(1)).as("n_vertices"))
+      .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(before.select($"g".as("giant_before"))))
+      .crossJoin(broadcast(after.select($"g".as("giant_after"))))
+      .select($"n_vertices", $"n_edges", $"giant_before", $"giant_after",
+        when($"giant_before" > 0, LlmOps.pround4(
+          $"giant_after".cast("double") / $"giant_before".cast("double")))
+          .as("retained_share"))
+  }
+
   /** Condensation DAG of the transition backbone: contract every SCC to
     * one node (label = the SCC's min cell id), keep distinct cross-SCC
     * edges, and read off each node's member count, longest-path level
@@ -1771,6 +1812,7 @@ object GraphOps {
     "graph_motifs" -> graphMotifs,
     "graph_simrank" -> graphSimrank,
     "graph_temporal_density" -> graphTemporalDensity,
+    "graph_attack_tolerance" -> graphAttackTolerance,
     "graph_butterflies" -> graphButterflies,
     "graph_degree_gini" -> graphDegreeGini,
     "graph_small_world" -> graphSmallWorld,

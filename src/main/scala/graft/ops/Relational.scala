@@ -5320,7 +5320,73 @@ object Relational {
       when(ok, LlmOps.pround4(exp(log(or) + lit(1.96) * se))).as("ci_hi"))
   }
 
+  /** Net revenue retention triangle by signup cohort — the SaaS metric
+    * next to agg_retention's user counts and agg_cohort_ltv's cumulative
+    * value: NRR(cohort, month) = that month's cohort revenue / the
+    * cohort's FIRST-month revenue (>1 = expansion beats churn). Cohort =
+    * each user's first active (year, month); revenue cells are exact
+    * BIGINT cents off one user-month shuffle; the base-month frame joins
+    * back broadcast (≤ |months| rows) and the ratio is one guarded
+    * quantized divide. Triangle ≤ |months|² rows at any scale.
+    */
+  val aggNrr: Q = (s, dir) => {
+    import s.implicits._
+    val um = Tables.events(s, dir)
+      .select($"user_id",
+        (year($"ts") * 100 + month($"ts")).cast("long").as("ym"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"user_id", $"ym").agg(sum($"cents").as("c"))
+      .cp() // cohort pick and revenue cells share it
+    val cohort = um.groupBy($"user_id").agg(min($"ym").as("cohort"))
+    val cells = um.join(cohort, Seq("user_id"))
+      .groupBy($"cohort", $"ym").agg(sum($"c").as("rev"))
+      .cp() // consumed as both the triangle and its own base row
+    val base = cells.filter($"ym" === $"cohort")
+      .select($"cohort".as("bc"), $"rev".as("base_rev"))
+    cells.join(broadcast(base), $"cohort" === $"bc")
+      .select($"cohort", $"ym",
+        LlmOps.pround4($"rev".cast("double") / lit(100.0)).as("revenue"),
+        when($"base_rev" > 0, LlmOps.pround4(
+          $"rev".cast("double") / $"base_rev".cast("double"))).as("nrr"))
+      .orderBy($"cohort", $"ym")
+  }
+
+  /** Ulcer index of each type's daily revenue — the drawdown-based risk
+    * metric (unlike σ it only punishes DOWNSIDE, and deeper/longer
+    * drawdowns quadratically): UI = √(mean dd²), dd = percent below the
+    * running peak of cumulative revenue. Cumulative and running peak ride
+    * one type-partitioned calendar-bounded window; each dd² quantizes to
+    * a scaled BIGINT before the per-type mean so the sum is exact and
+    * partition-order-free; one sqrt at the end.
+    */
+  val winUlcer: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type",
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"d").agg(sum($"cents").as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    daily
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("peak", max($"cum").over(w))
+      // peak > 0 guard: an all-zero prefix would otherwise ANSI-error
+      .select($"event_type",
+        when($"peak" > 0,
+          round((($"cum" - $"peak").cast("double") / $"peak".cast("double") *
+            lit(100.0)) * (($"cum" - $"peak").cast("double") /
+            $"peak".cast("double") * lit(100.0)) * lit(1.0e6)).cast("long"))
+          .otherwise(0L).as("dd2q"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        LlmOps.pround4(sqrt(sum($"dd2q").cast("double") /
+          count(lit(1)).cast("double") / lit(1.0e6))).as("ulcer_index"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_nrr" -> aggNrr,
+    "win_ulcer" -> winUlcer,
     "agg_odds_ratio" -> aggOddsRatio,
     "win_mann_kendall" -> winMannKendall,
     "sink_clustered_write" -> sinkClusteredWrite,

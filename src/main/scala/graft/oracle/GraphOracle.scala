@@ -451,6 +451,57 @@ object GraphOracle {
       s"""$sccCtes
          |SELECT v AS part, scc FROM sccl ORDER BY part""".stripMargin,
 
+    "graph_attack_tolerance" ->
+      s"""WITH RECURSIVE $copurchaseCte,
+         |und AS (SELECT a, b FROM cp WHERE w >= 2),
+         |-- DISTINCT over UNION ALL, not bare UNION: under WITH RECURSIVE
+         |-- DuckDB 1.0 treats a two-branch UNION CTE as recursive-shaped
+         |-- and skips the dedup (measured 2x vertex count)
+         |verts AS (SELECT DISTINCT v FROM (
+         |  SELECT a AS v FROM und UNION ALL SELECT b FROM und)),
+         |deg AS (
+         |  SELECT v, count(*) AS dg FROM (
+         |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY 1),
+         |hubs AS (SELECT v FROM deg ORDER BY dg DESC, v LIMIT 8),
+         |e1 AS (SELECT a, b FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |r1(node, label) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e1.b, r1.label FROM r1 JOIN e1 ON e1.a = r1.node),
+         |g1 AS (
+         |  SELECT max(cnt) AS giant_before FROM (
+         |    SELECT count(*) AS cnt FROM (
+         |      SELECT node, min(label) AS comp FROM r1 GROUP BY node)
+         |    GROUP BY comp)),
+         |und2 AS (
+         |  SELECT a, b FROM und
+         |  WHERE a NOT IN (SELECT v FROM hubs)
+         |    AND b NOT IN (SELECT v FROM hubs)),
+         |v2 AS (SELECT v FROM verts WHERE v NOT IN (SELECT v FROM hubs)),
+         |e2 AS (SELECT a, b FROM und2
+         |  UNION ALL SELECT b, a FROM und2),
+         |r2(node, label) AS (
+         |  SELECT v, v FROM v2
+         |  UNION
+         |  SELECT e2.b, r2.label FROM r2 JOIN e2 ON e2.a = r2.node),
+         |g2 AS (
+         |  SELECT max(cnt) AS giant_after FROM (
+         |    SELECT count(*) AS cnt FROM (
+         |      SELECT node, min(label) AS comp FROM r2 GROUP BY node)
+         |    GROUP BY comp)),
+         |nv AS (SELECT count(*) AS n_vertices FROM verts),
+         |ne AS (SELECT count(*) AS n_edges FROM und)
+         |SELECT n_vertices, n_edges,
+         |  CAST(giant_before AS BIGINT) AS giant_before,
+         |  CAST(giant_after AS BIGINT) AS giant_after,
+         |  CASE WHEN giant_before > 0 THEN
+         |    floor(CAST(giant_after AS DOUBLE) /
+         |      CAST(giant_before AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |    END AS retained_share
+         |FROM nv, ne, g1, g2""".stripMargin,
+
     "graph_temporal_density" ->
       """WITH lp AS (
         |  SELECT DISTINCT year(l_shipdate) * 100 + month(l_shipdate)

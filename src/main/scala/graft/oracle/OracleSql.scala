@@ -459,6 +459,57 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "agg_nrr" ->
+      """WITH um AS (
+        |  SELECT user_id, year(ts) * 100 + month(ts) AS ym,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ch AS (SELECT user_id, min(ym) AS cohort FROM um GROUP BY 1),
+        |cells AS (
+        |  SELECT cohort, ym, CAST(sum(c) AS BIGINT) AS rev
+        |  FROM um JOIN ch ON ch.user_id = um.user_id
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT cohort AS bc, rev AS base_rev FROM cells
+        |  WHERE ym = cohort)
+        |SELECT cohort, ym,
+        |  floor(CAST(rev AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+        |    AS revenue,
+        |  CASE WHEN base_rev > 0 THEN
+        |    floor(CAST(rev AS DOUBLE) / CAST(base_rev AS DOUBLE)
+        |      * 10000.0 + 0.5) / 10000.0 END AS nrr
+        |FROM cells JOIN base ON bc = cohort
+        |ORDER BY cohort, ym""".stripMargin,
+
+    "win_ulcer" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT event_type, d,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS cum
+        |  FROM daily),
+        |cp_ AS (
+        |  SELECT event_type, cum,
+        |    CAST(max(cum) OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS peak
+        |  FROM c1),
+        |dd AS (
+        |  SELECT event_type,
+        |    CASE WHEN peak > 0 THEN
+        |      CAST(round((CAST(cum - peak AS DOUBLE) /
+        |        CAST(peak AS DOUBLE) * 100.0) *
+        |        (CAST(cum - peak AS DOUBLE) /
+        |        CAST(peak AS DOUBLE) * 100.0) * 1.0e6) AS BIGINT)
+        |      ELSE 0 END AS dd2q
+        |  FROM cp_)
+        |SELECT event_type, count(*) AS n_days,
+        |  floor(sqrt(CAST(sum(dd2q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1.0e6) * 10000.0 + 0.5) / 10000.0 AS ulcer_index
+        |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "agg_odds_ratio" ->
       """WITH u AS (
         |  SELECT user_id % 2 AS arm,

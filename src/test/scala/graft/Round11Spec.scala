@@ -1102,6 +1102,103 @@ class Round11Spec extends SparkSpec {
     } else (4 to 6).foreach(i => assert(got.isNullAt(i)))
   }
 
+  test("graph_attack_tolerance equals a plain-Scala hub-removal replay") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = li.groupBy(_._1).values.flatMap { rs =>
+      val ps = rs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).iterator
+      .collect { case (e, os) if os.size >= 2 => e }.toSeq
+    val verts = und.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, os) => v -> os.size }
+    val hubs = deg.toSeq.sortBy { case (v, d) => (-d, v) }.take(8)
+      .map(_._1).toSet
+    def giant(vs: Seq[Long], es: Seq[(Long, Long)]): Long = {
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2) }
+      val seen = scala.collection.mutable.Set[Long]()
+      var g = 0L
+      vs.foreach { v =>
+        if (!seen(v)) {
+          var frontier = Set(v); seen += v; var sz = 1L
+          while (frontier.nonEmpty) {
+            val nxt = frontier.flatMap(adj.getOrElse(_, Nil))
+              .filterNot(seen)
+            seen ++= nxt; sz += nxt.size; frontier = nxt
+          }
+          g = math.max(g, sz)
+        }
+      }
+      g
+    }
+    val gb = giant(verts, und)
+    val v2 = verts.filterNot(hubs)
+    val e2 = und.filterNot(e => hubs(e._1) || hubs(e._2))
+    val ga = giant(v2, e2)
+    val got = q("graph_attack_tolerance").collect().head
+    assert(got.getLong(0) === verts.length.toLong, "n_vertices")
+    assert(got.getLong(1) === und.length.toLong, "n_edges")
+    assert(got.getLong(2) === gb, "giant_before")
+    assert(got.getLong(3) === ga, "giant_after")
+    assert(got.getDouble(4) === p4(ga.toDouble / gb.toDouble), "share")
+  }
+
+  test("agg_nrr equals a plain-Scala cohort-revenue replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"user_id",
+        (org.apache.spark.sql.functions.year($"ts") * 100 +
+          org.apache.spark.sql.functions.month($"ts")).cast("long"),
+        org.apache.spark.sql.functions.round($"value" * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val um = ev.groupBy(e => (e._1, e._2)).toSeq
+      .map { case ((u, ym), rs) => (u, ym, rs.map(_._3).sum) }
+    val cohort = um.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).min }
+    val cells = um.groupBy(r => (cohort(r._1), r._2)).toSeq
+      .map { case ((c, ym), rs) => (c, ym, rs.map(_._3).sum) }
+      .sortBy(r => (r._1, r._2))
+    val base = cells.collect { case (c, ym, rev) if c == ym => c -> rev }.toMap
+    val got = q("agg_nrr").collect()
+    assert(got.length === cells.length)
+    got.zip(cells).foreach { case (r, (c, ym, rev)) =>
+      assert((r.getLong(0), r.getLong(1)) === ((c, ym)))
+      assert(r.getDouble(2) === p4(rev.toDouble / 100.0), "revenue")
+      if (base(c) > 0)
+        assert(r.getDouble(3) === p4(rev.toDouble / base(c).toDouble), "nrr")
+      else assert(r.isNullAt(3))
+    }
+  }
+
+  test("win_ulcer equals a plain-Scala drawdown replay") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", (unix_millis($"ts") / 86400000L).cast("long"),
+        org.apache.spark.sql.functions.round($"value" * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(e => (e._1, e._2)).toSeq
+      .map { case ((t, d), rs) => (t, d, rs.map(_._3).sum) }
+    val got = q("win_ulcer").collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      val series = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
+      var cum = 0L; var peak = 0L; var sum2 = 0L
+      series.foreach { c =>
+        cum += c; peak = math.max(peak, cum)
+        val dd = if (peak > 0)
+          (cum - peak).toDouble / peak.toDouble * 100.0 else 0.0
+        sum2 += math.round(dd * dd * 1.0e6)
+      }
+      assert(r.getLong(1) === series.length.toLong, s"n_days of $t")
+      assert(r.getDouble(2) === p4(math.sqrt(
+        sum2.toDouble / series.length.toDouble / 1.0e6)), s"ulcer of $t")
+    }
+  }
+
   test("agg_sprt equals the brute-force sequential LLR scan") {
     import spark.implicits._
     val trials = Tables.events(spark, sf)

@@ -45,21 +45,24 @@ object EventAnalytics {
     * `num/den` share of Σ value, with dense rank and cumulative share.
     * The cut is exact integer arithmetic (`cum·den ≤ total·num`) over
     * scaled-long sums — no float threshold; `value` is scaled by 1e4
-    * (money-style) before accumulation. The global window runs over the
-    * per-key aggregate (dim-sized), never the input.
+    * (money-style) before accumulation. Keys grow with the data (parts,
+    * suppliers, users all scale linearly), so the global rank and running
+    * sum over the per-key rollup are [[DistScan.withGlobalRank]] +
+    * [[DistScan.withPrefixAgg]] range-partitioned scans — never a
+    * single-partition window.
     */
   def paretoShare(df: DataFrame, key: Column, value: Column,
                   num: Int = 4, den: Int = 5): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       s"paretoShare needs a share in (0, 1]: got $num/$den")
-    import org.apache.spark.sql.expressions.Window
     val rev = df.groupBy(key.as("p"))
       .agg(sum(round(value * lit(10000)).cast("long")).as("r"))
     val tot = rev.agg(sum(col("r")).as("t"))
-    val ord = Window.orderBy(col("r").desc, col("p"))
-    rev.withColumn("rn", row_number().over(ord).cast("long"))
-      .withColumn("cum", sum(col("r")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = DistScan.withGlobalRank(rev, "rn", col("r").desc, col("p"))
+    val scanned = DistScan.withPrefixAgg(ranked, "__prev", col("r"), "sum",
+      col("r").desc, col("p"))
+    scanned
+      .withColumn("cum", coalesce(col("__prev"), lit(0L)) + col("r"))
       .crossJoin(broadcast(tot))
       .filter(col("cum") * den <= col("t") * num)
       .select(col("p"), (col("r").cast("double") / 10000.0).as("revenue"), col("rn"),

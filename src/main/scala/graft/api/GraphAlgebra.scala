@@ -420,6 +420,87 @@ object GraphAlgebra {
     labels.select(col("id"), col("lbl").as("community"))
   }
 
+  /** One level of deterministic synchronous Louvain node moves over a
+    * WEIGHTED canonical (a, b, w) pair list — the modularity-OPTIMIZING
+    * community step beyond [[labelPropagation]] (LPA votes on label
+    * frequency; Louvain moves a node to the neighbor community with the
+    * largest positive ΔQ). Each of the fixed `rounds` sweeps evaluates
+    * EVERY node simultaneously against the PREVIOUS sweep's assignment —
+    * a finite deterministic dataflow like the fixed-round LPA, so it is
+    * oracle-checkable as an unrolled CTE chain (the classic sequential
+    * Louvain's result depends on visit order and can't hash-match across
+    * engines).
+    *
+    * Move rule per node i (current community a, weighted degree k_i,
+    * community weighted-degree totals tot_c, i→c adjacent weight k_ic):
+    * ΔQ(i→c) ∝ 2m·(k_ic − k_ia) − k_i·(tot_c − tot_a + k_i), all exact
+    * BIGINTs widened to DECIMAL(38,0) for the products (2m·k grows past
+    * BIGINT at fact scale; DuckDB mirrors via HUGEINT). Move to the
+    * gain-maximal neighbor community when the gain is strictly positive,
+    * ties to the SMALLEST community id; otherwise stay. ΔQ(a→a) is 0 by
+    * construction, so "stay" is the correct no-positive-gain fixpoint.
+    *
+    * Scale shape: per round one join of the |V| label frame into the
+    * checkpointed both-direction |E| adjacency (broadcast-gated on |V|),
+    * one (i, c) hash agg, one |V|-sized tot rollup joined back broadcast-
+    * gated, and a max(struct) argmax — all clustered on the vertex key,
+    * no sort-window, no pair materialization.
+    */
+  def louvainMoves(vertices: DataFrame, pairs: DataFrame, rounds: Int,
+                   broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
+    require(rounds >= 1, s"louvainMoves needs rounds >= 1 (got $rounds)")
+    val cp = pairs.select(col("a"), col("b"), col("w"))
+    val both = Ckpt.cpByKey(
+      cp.unionAll(cp.select(col("b").as("a"), col("a").as("b"), col("w"))),
+      col("a"))
+    // weighted degree k_i and 2m are round-invariant
+    val deg = both.groupBy(col("a").as("id")).agg(sum(col("w")).as("k")).cp()
+    val m2 = cp.agg((sum(col("w")) * 2).as("m2"))
+    var labels = vertices.select(col("part").as("id"), col("part").as("c"))
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), col("c"), coalesce(col("k"), lit(0L)).as("k"))
+      .cp()
+    val nV = labels.count()
+    val dec = (x: Column) => x.cast("decimal(19,0)")
+    for (_ <- 1 to rounds) {
+      val tot = labels.groupBy(col("c")).agg(sum(col("k")).as("tot"))
+      // k_ic: weight from i into each adjacent community (prev sweep)
+      val kic = both
+        .join(hinted(labels.select(col("id").as("b"), col("c").as("nc")),
+          nV, broadcastMaxRows), Seq("b"))
+        .groupBy(col("a").as("id"), col("nc"))
+        .agg(sum(col("w")).as("kic"))
+      val cand = kic
+        .join(hinted(labels, nV, broadcastMaxRows), Seq("id"))
+        .join(hinted(tot.select(col("c").as("nc"), col("tot").as("tot_c")),
+          nV, broadcastMaxRows), Seq("nc"))
+        .join(hinted(tot.select(col("c"), col("tot").as("tot_a")),
+          nV, broadcastMaxRows), Seq("c"))
+      // k_ia = weight into the CURRENT community (0 when no neighbor
+      // shares it) — pulled from the same kic frame via the nc = c row
+      val kia = kic.join(hinted(labels, nV, broadcastMaxRows), Seq("id"))
+        .filter(col("nc") === col("c"))
+        .select(col("id"), col("kic").as("kia"))
+      // gain in exact decimal: 2m·(k_ic − k_ia) − k_i·(tot_c − tot_a + k_i)
+      val scored = cand
+        .join(kia, Seq("id"), "left")
+        .crossJoin(broadcast(m2))
+        .withColumn("kia", coalesce(col("kia"), lit(0L)))
+        .filter(col("nc") =!= col("c"))
+        .withColumn("gain",
+          dec(col("m2")) * (dec(col("kic")) - dec(col("kia"))) -
+            dec(col("k")) * (dec(col("tot_c")) - dec(col("tot_a")) + dec(col("k"))))
+        .filter(col("gain") > 0)
+        .groupBy(col("id"))
+        .agg(max(struct(col("gain"), (-col("nc")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("newc"))
+      labels = labels.join(scored, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newc"), col("c")).as("c"), col("k"))
+        .cp()
+    }
+    labels.select(col("id"), col("c").as("community"))
+  }
+
   /** Connected components WITHOUT GraphX: min-label propagation iterated to
     * the fixpoint in pure DataFrames (labels lineage-truncated per round,
     * convergence = zero changed labels). Labels = min vertex id per
@@ -545,9 +626,11 @@ object GraphAlgebra {
     * label joins are broadcast-GATED on measured row counts, and the
     * subgraph restriction is two semi-joins on the retired set — nothing
     * materializes pairs. Worst-case outer rounds = the condensation's
-    * chain length (a long path of singleton SCCs); the intended callers
-    * feed diameter-bounded backbone sketches where both loops close in a
-    * handful of rounds.
+    * chain length (a long path of singleton SCCs) ≤ |V|, so the effective
+    * cap is derived from the input's vertex count (maxRounds is only a
+    * floor) — a valid input can exhaust patience, never trip a
+    * require(); the assertion fires solely on a genuine non-convergence
+    * bug.
     */
   def stronglyConnectedComponents(vertices: DataFrame, edges: DataFrame,
                                   broadcastMaxRows: Long = BroadcastMaxRows,
@@ -556,11 +639,13 @@ object GraphAlgebra {
     var remE = edges.select(col("src"), col("dst")).cp()
     var out: DataFrame = null
     var nRem = remV.count()
+    // ≥ 1 SCC retires per round ⇒ ≤ |V| rounds suffice for ANY input
+    val roundCap = math.max(maxRounds.toLong, nRem)
     var round = 0
     while (nRem > 0) {
       round += 1
-      require(round <= maxRounds,
-        s"SCC coloring did not converge in $maxRounds rounds")
+      require(round <= roundCap,
+        s"SCC coloring did not converge in $roundCap rounds")
       val fwd = minReachLabels(remV,
         remE.select(col("dst").as("from"), col("src").as("to")),
         broadcastMaxRows)
@@ -620,10 +705,12 @@ object GraphAlgebra {
     * for sources, else 1 + max level over predecessors — the topological
     * depth used to schedule/stage a condensation. Iterative relaxation to
     * fixpoint (levels are monotone non-decreasing and bounded by the DAG
-    * depth, so ≤ depth+1 rounds); each round is one join + max-agg on the
-    * edge frame, broadcast-gated like every other label loop here. The
-    * caller must pass a DAG — on a cycle the loop would not converge, so
-    * the round cap doubles as a cycle assertion.
+    * depth, so ≤ depth+1 rounds, and depth < |V|); each round is one join
+    * + max-agg on the edge frame, broadcast-gated like every other label
+    * loop here. The effective round cap is derived from the input's
+    * vertex count (maxRounds is only a floor), so a chain-shaped DAG of
+    * any length converges legitimately — the require() fires only on a
+    * true cycle, where levels keep rising past every possible DAG depth.
     */
   def dagLevels(vertices: DataFrame, edges: DataFrame,
                 broadcastMaxRows: Long = BroadcastMaxRows,
@@ -631,12 +718,14 @@ object GraphAlgebra {
     val ed = Ckpt.cpByKey(edges.select(col("src"), col("dst")), col("src"))
     var levels = vertices.select(col("id"), lit(0L).as("lvl")).cp()
     val nV = levels.count()
+    // a DAG's depth < |V| ⇒ ≤ |V|+1 rounds reach fixpoint on ANY valid DAG
+    val roundCap = math.max(maxRounds.toLong, nV + 1L)
     var changed = 1L
     var round = 0
     while (changed > 0) {
       round += 1
-      require(round <= maxRounds,
-        s"dagLevels did not converge in $maxRounds rounds — cycle in input?")
+      require(round <= roundCap,
+        s"dagLevels did not converge in $roundCap rounds — cycle in input?")
       val cand = ed.join(hinted(levels, nV, broadcastMaxRows),
           col("src") === col("id"))
         .groupBy(col("dst").as("nid"))

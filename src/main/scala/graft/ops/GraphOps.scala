@@ -1148,6 +1148,47 @@ object GraphOps {
       .orderBy($"community")
   }
 
+  /** One-level deterministic Louvain communities over the co-purchase
+    * graph, scored like [[graphModularity]] — the modularity-OPTIMIZING
+    * step beyond LPA's frequency vote: 3 fixed synchronous sweeps of
+    * [[graft.api.GraphAlgebra.louvainMoves]] (each node moves to the
+    * neighbor community with the largest strictly-positive exact-integer
+    * ΔQ, ties to the smallest id), then the same per-community
+    * Q-decomposition rollup (Q = Σ_c [in_c/m − (D_c/2m)²], exact BIGINT
+    * inputs, nano-quantized contribution). GraphSpec asserts Σ q_contrib
+    * here ≥ the LPA partition's Q on the identical graph — the "was the
+    * optimizer better than the vote" check. The fixed sweep count keeps
+    * the whole computation a finite deterministic dataflow, so the oracle
+    * is the same unrolled-CTE chain as graph_lpa's.
+    */
+  val graphLouvain: Q = (s, dir) => {
+    import s.implicits._
+    val lbl = graft.api.GraphAlgebra.louvainMoves(
+        partVertices(s, dir).toDF("part"), copurchase(s, dir), rounds = 3)
+      .select($"id", $"community").cp()
+    val cp = copurchase(s, dir).cp()
+    val m2 = cp.agg((sum($"w") * 2).as("m2"))
+    val deg = cp.select($"a".as("v"), $"w")
+      .unionAll(cp.select($"b".as("v"), $"w"))
+      .groupBy($"v").agg(sum($"w").as("d"))
+    val degC = deg.join(lbl, $"v" === $"id")
+      .groupBy($"community").agg(sum($"d").as("dc"), count(lit(1)).as("n_nodes"))
+    val inC = cp
+      .join(lbl.select($"id".as("a"), $"community".as("ca")), "a")
+      .join(lbl.select($"id".as("b"), $"community".as("cb")), "b")
+      .filter($"ca" === $"cb")
+      .groupBy($"ca".as("community")).agg(sum($"w").as("iw"))
+    degC.join(inC, Seq("community"), "left")
+      .withColumn("iw", coalesce($"iw", lit(0L)))
+      .crossJoin(broadcast(m2))
+      .select($"community", $"n_nodes", $"iw".as("in_w"), $"dc".as("deg_w"),
+        (floor((($"iw" * 2).cast("double") / $"m2".cast("double") -
+          ($"dc".cast("double") / $"m2".cast("double")) *
+            ($"dc".cast("double") / $"m2".cast("double"))) * lit(1.0e9) +
+          lit(0.5)).cast("long").cast("double") / lit(1.0e9)).as("q_contrib"))
+      .orderBy($"community")
+  }
+
   /** Rich-club coefficient curve φ(k) for k ∈ {2,4,8,16} over the
     * co-purchase graph: among nodes of degree ≥ k, how dense are the
     * edges between them vs the complete graph. Degrees and club-edge
@@ -1827,6 +1868,7 @@ object GraphOps {
     "graph_knn_degree" -> graphKnnDegree,
     "graph_rich_club" -> graphRichClub,
     "graph_modularity" -> graphModularity,
+    "graph_louvain" -> graphLouvain,
     "graph_eccentricity" -> graphEccentricity,
     "graph_closeness" -> graphCloseness,
     "graph_betweenness" -> graphBetweenness,

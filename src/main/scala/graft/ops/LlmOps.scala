@@ -2702,7 +2702,11 @@ object LlmOps {
     * (distance 1 → 2, distance 2 → 1), so the rollup is an exact BIGINT
     * fold; the position self-join is banded by construction (j−i ∈
     * {1,2} — fan-out ≤ 2 per token, never a quadratic pair join).
-    * Top-30 pairs with deterministic tie-break.
+    * Top-30 pairs with deterministic tie-break: distinct (w1, w2) pair
+    * types grow with the corpus, so the pick is `orderBy().limit(30)` —
+    * Spark plans TakeOrderedAndProject (per-partition heaps, no
+    * single-partition sort); the residual rank window runs over the
+    * already-selected ≤ 30 rows, bounded by the fixed k.
     */
   val llmSkipgramPairs: Q = (s, dir) => {
     import s.implicits._
@@ -2716,11 +2720,13 @@ object LlmOps {
           ($"b.p" - $"a.p" === 1 || $"b.p" - $"a.p" === 2))
       .select($"a.tok".as("w1"), $"b.tok".as("w2"),
         when($"b.p" - $"a.p" === 1, 2L).otherwise(1L).as("wt"))
-    val w = Window.orderBy($"wt_sum".desc, $"w1", $"w2")
-    pairs.groupBy($"w1", $"w2")
+    val top = pairs.groupBy($"w1", $"w2")
       .agg(count(lit(1)).as("n"), sum($"wt").as("wt_sum"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 30)
+      .orderBy($"wt_sum".desc, $"w1", $"w2")
+      .limit(30)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"wt_sum".desc, $"w1", $"w2")).cast("long"))
       .select($"rank", $"w1", $"w2", $"n",
         ($"wt_sum".cast("double") / lit(2.0)).as("weight"))
       .orderBy($"rank")

@@ -1266,11 +1266,12 @@ object Relational {
     * revenue") — the concentration profile every catalog team runs.
     * Revenue accumulates as exact scaled longs; the 80% cut is the
     * INTEGER comparison `cum·5 ≤ total·4` (no float threshold can drift
-    * between engines); the share column is display-only rounding. The
-    * global window runs over the PER-PART aggregate, not the fact table —
-    * |parts| rows (20k at sf0.1, ~10⁶ at 100 TB), so the single-partition
-    * window sort is bounded by the dimension size, never the 100 TB scan;
-    * the heavy lifting (fact-table agg) shuffles on l_partkey as usual.
+    * between engines); the share column is display-only rounding. Parts
+    * grow LINEARLY with the fact table (tens of billions at 100 TB), so
+    * the global rank and running sum over the per-part rollup are spelled
+    * as [[DistScan.withGlobalRank]] + [[DistScan.withPrefixAgg]]
+    * range-partitioned scans — never a single-partition window; the heavy
+    * lifting (fact-table agg) shuffles on l_partkey as usual.
     */
   val winPareto: Q = (s, dir) => {
     import s.implicits._
@@ -1278,10 +1279,11 @@ object Relational {
       .groupBy($"l_partkey".as("p"))
       .agg(sum(scaled($"l_extendedprice" * (lit(1) - $"l_discount"))).as("r"))
     val tot = rev.agg(sum($"r").as("t"))
-    val ord = Window.orderBy($"r".desc, $"p")
-    rev.withColumn("rn", row_number().over(ord).cast("long"))
-      .withColumn("cum", sum($"r").over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = DistScan.withGlobalRank(rev, "rn", $"r".desc, $"p")
+    val scanned = DistScan.withPrefixAgg(ranked, "prev", $"r", "sum",
+      $"r".desc, $"p")
+    scanned
+      .withColumn("cum", coalesce($"prev", lit(0L)) + $"r")
       .crossJoin(broadcast(tot))
       .filter($"cum" * 5 <= $"t" * 4)
       .select($"p", ($"r".cast("double") / 10000.0).as("revenue"), $"rn",
@@ -2422,9 +2424,14 @@ object Relational {
 
   /** Lorenz curve of supplier revenue in deciles — the inequality curve
     * agg_gini summarizes to a scalar, kept as plottable points. Suppliers
-    * rank ascending by exact cents revenue (suppkey tie-break), ntile(10)
-    * deciles, then one cumulative window over 10 rows; every sum is a
-    * BIGINT and only the cumulative share is a (quantized) double.
+    * grow linearly with data, so the ascending rank (exact cents revenue,
+    * suppkey tie-break) is a [[DistScan.withGlobalRank]] range-partitioned
+    * scan and the decile is [[DistScan.ntileOfRank]] arithmetic — no
+    * single-partition window over the supplier rollup. The cumulative
+    * over the 10 DECILE rows is a broadcast triangular self-join (the
+    * DistScan offset-fold idiom — ≤ 100 pairs at any scale), so the whole
+    * plan is window-free; every sum is a BIGINT and only the cumulative
+    * share is a (quantized) double.
     */
   val aggLorenz: Q = (s, dir) => {
     import s.implicits._
@@ -2433,15 +2440,21 @@ object Relational {
         round($"l_extendedprice" * (lit(1) - $"l_discount") * lit(100))
           .cast("long").as("cents"))
       .groupBy($"l_suppkey").agg(sum($"cents").as("r"))
-    val dec = rev
+    val ranked = DistScan.withGlobalRank(rev, "__rk", $"r", $"l_suppkey")
+    val n = ranked.agg(max($"__rk").as("__n"))
+    val dec = ranked.crossJoin(broadcast(n))
       .withColumn("decile",
-        ntile(10).over(Window.orderBy($"r", $"l_suppkey")).cast("long"))
+        DistScan.ntileOfRank($"__rk", $"__n", 10).cast("long"))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_suppliers"), sum($"r").as("rc"))
-    dec
-      .withColumn("cum", sum($"rc").over(Window.orderBy($"decile")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum($"rc").over(Window.partitionBy()))
+    val tot = dec.agg(sum($"rc").as("tot"))
+    dec.as("a")
+      .join(broadcast(dec.select($"decile".as("bd"), $"rc".as("brc"))),
+        $"bd" <= $"a.decile")
+      .groupBy($"a.decile".as("decile"))
+      .agg(max($"a.n_suppliers").as("n_suppliers"), max($"a.rc").as("rc"),
+        sum($"brc").as("cum"))
+      .crossJoin(broadcast(tot))
       .select($"decile", $"n_suppliers",
         ($"rc".cast("double") / lit(100.0)).as("revenue"),
         (floor($"cum".cast("double") / $"tot".cast("double") * lit(10000.0) +
@@ -3812,8 +3825,10 @@ object Relational {
     * (conditional aggs, exact scaled cents + counts); the rolling frame
     * is a rows-between window over the DAY dimension — bounded by the
     * calendar, never by event volume (the repo's documented-bounded
-    * window class). All five window sums are exact BIGINTs; r is one
-    * guarded double tree per day.
+    * window class). The per-day totals are exact BIGINTs, but a DAY'S
+    * squared revenue exceeds a BIGINT at fact scale, so the second-moment
+    * products are cast to DECIMAL(38,0) before the window sums (DuckDB
+    * mirrors via HUGEINT); r is one guarded double tree per day.
     */
   val winRollingCorr: Q = (s, dir) => {
     import s.implicits._
@@ -3824,21 +3839,26 @@ object Relational {
       .agg(sum(when($"event_type" === "purchase",
         round($"value" * 10000).cast("long")).otherwise(0L)).as("x"),
         sum(when($"event_type" === "click", 1L).otherwise(0L)).as("y"))
+    val dx = $"x".cast("decimal(19,0)")
+    val dy = $"y".cast("decimal(19,0)")
     val w = Window.orderBy($"d").rowsBetween(-6, 0)
+    val nwD = $"nw".cast("decimal(19,0)")
+    val sxD = $"sx".cast("decimal(19,0)")
+    val syD = $"sy".cast("decimal(19,0)")
     daily
       .withColumn("nw", count(lit(1)).over(w))
       .withColumn("sx", sum($"x").over(w))
       .withColumn("sy", sum($"y").over(w))
-      .withColumn("sxx", sum($"x" * $"x").over(w))
-      .withColumn("syy", sum($"y" * $"y").over(w))
-      .withColumn("sxy", sum($"x" * $"y").over(w))
+      .withColumn("sxx", sum(dx * dx).over(w))
+      .withColumn("syy", sum(dy * dy).over(w))
+      .withColumn("sxy", sum(dx * dy).over(w))
       .select($"d", $"nw".as("n_win"),
-        when(($"nw" * $"sxx" - $"sx" * $"sx") > 0 &&
-          ($"nw" * $"syy" - $"sy" * $"sy") > 0,
+        when((nwD * $"sxx" - sxD * sxD) > 0 &&
+          (nwD * $"syy" - syD * syD) > 0,
           LlmOps.pround4(
-            ($"nw" * $"sxy" - $"sx" * $"sy").cast("double") /
-              sqrt(($"nw" * $"sxx" - $"sx" * $"sx").cast("double") *
-                ($"nw" * $"syy" - $"sy" * $"sy").cast("double"))))
+            (nwD * $"sxy" - sxD * syD).cast("double") /
+              sqrt((nwD * $"sxx" - sxD * sxD).cast("double") *
+                (nwD * $"syy" - syD * syD).cast("double"))))
           .as("corr_7d"))
       .orderBy($"d")
   }
@@ -4215,8 +4235,8 @@ object Relational {
   val aggCmsEstimate: Q = (s, dir) => {
     import s.implicits._
     def bucket(i: Column, key: Column): Column =
-      expr("cast(conv(substring(md5(concat(cast(__i as string), ':'," +
-        " __k)), 1, 8), 16, 10) as bigint) % 64")
+      conv(substring(md5(concat(i.cast("string"), lit(":"), key)), 1, 8),
+        16, 10).cast("long") % 64
     val ev = Tables.events(s, dir).select($"event_type").cp()
     val cells = ev
       .select($"event_type".as("__k"),
@@ -4390,8 +4410,10 @@ object Relational {
     * spend before 2024-01-16 UTC, post = spend after, both BIGINT cents
     * per user (absent period ⇒ 0 — every user keeps a row, the unbiased
     * spelling). θ and the pooled moments come from ONE exact integer
-    * aggregate (n, Σx, Σy, Σxy, Σx², Σy² — widen to DECIMAL(38,0) past
-    * ~1e18 cent² mass); per-arm means are integer sums; the adjusted mean
+    * aggregate (n, Σx, Σy, Σxy, Σx², Σy² — the second-moment products are
+    * cast to DECIMAL(38,0) BEFORE the sum, so neither the per-row product
+    * nor the accumulated mass can overflow a BIGINT at fact scale; DuckDB
+    * mirrors via its HUGEINT sum); per-arm means are integer sums; the adjusted mean
     * and the variance-reduction ratio θ²·var(x)/var(y) are one double
     * tree over those exact inputs, mirrored token-for-token in the
     * oracle. Two shuffles total (user rollup, arm rollup) — the pooled
@@ -4408,21 +4430,28 @@ object Relational {
         sum(when(!$"pre", $"cents").otherwise(0L)).as("y"))
       .select($"user_id", ($"user_id" % 2).as("arm"), $"x", $"y")
       .cp() // pooled moments and per-arm rollup both consume it
+    val dx = $"x".cast("decimal(19,0)")
+    val dy = $"y".cast("decimal(19,0)")
     val pooled = perUser.agg(count(lit(1)).as("n"),
-      sum($"x").as("sx"), sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
-      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      sum($"x").as("sx"), sum($"y").as("sy"), sum(dx * dy).as("sxy"),
+      sum(dx * dx).as("sxx"), sum(dy * dy).as("syy"))
     // constant pre- or post-series ⇒ NULL θ / reduction, not an ANSI
     // divide-by-zero (the agg_autocorr guard discipline)
+    // cross terms widen the same way: n·Σx² and (Σx)² both exceed BIGINT
+    // at fact scale, so every product runs in decimal before the double
+    val nD = $"n".cast("decimal(19,0)")
+    val sxD = $"sx".cast("decimal(19,0)")
+    val syD = $"sy".cast("decimal(19,0)")
     val theta = pooled.select($"n", $"sx", $"sy",
-      when($"n" * $"sxx" - $"sx" * $"sx" > 0,
-        ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-          ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("theta"),
-      when(($"n" * $"sxx" - $"sx" * $"sx" > 0) &&
-          ($"n" * $"syy" - $"sy" * $"sy" > 0),
-        ($"n" * $"sxy" - $"sx" * $"sy").cast("double") *
-          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-          (($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
-            ($"n" * $"syy" - $"sy" * $"sy").cast("double"))).as("var_red"))
+      when(nD * $"sxx" - sxD * sxD > 0,
+        (nD * $"sxy" - sxD * syD).cast("double") /
+          (nD * $"sxx" - sxD * sxD).cast("double")).as("theta"),
+      when((nD * $"sxx" - sxD * sxD > 0) &&
+          (nD * $"syy" - syD * syD > 0),
+        (nD * $"sxy" - sxD * syD).cast("double") *
+          (nD * $"sxy" - sxD * syD).cast("double") /
+          ((nD * $"sxx" - sxD * sxD).cast("double") *
+            (nD * $"syy" - syD * syD).cast("double"))).as("var_red"))
     perUser.groupBy($"arm")
       .agg(count(lit(1)).as("n_users"), sum($"x").as("ax"),
         sum($"y").as("ay"))
@@ -5353,8 +5382,11 @@ object Relational {
 
   /** Ulcer index of each type's daily revenue — the drawdown-based risk
     * metric (unlike σ it only punishes DOWNSIDE, and deeper/longer
-    * drawdowns quadratically): UI = √(mean dd²), dd = percent below the
-    * running peak of cumulative revenue. Cumulative and running peak ride
+    * drawdowns quadratically): UI = √(mean dd²), dd = percent the daily
+    * revenue LEVEL sits below its running peak. The level series rises
+    * and falls day to day (a cumulative sum of positive dailies never
+    * declines and would make every dd zero — the series must be
+    * price-like), so the drawdowns are real. Level and running peak ride
     * one type-partitioned calendar-bounded window; each dd² quantizes to
     * a scaled BIGINT before the per-type mean so the sum is exact and
     * partition-order-free; one sqrt at the end.
@@ -5368,13 +5400,12 @@ object Relational {
       .groupBy($"event_type", $"d").agg(sum($"cents").as("c"))
     val w = Window.partitionBy($"event_type").orderBy($"d")
     daily
-      .withColumn("cum", sum($"c").over(w))
-      .withColumn("peak", max($"cum").over(w))
+      .withColumn("peak", max($"c").over(w))
       // peak > 0 guard: an all-zero prefix would otherwise ANSI-error
       .select($"event_type",
         when($"peak" > 0,
-          round((($"cum" - $"peak").cast("double") / $"peak".cast("double") *
-            lit(100.0)) * (($"cum" - $"peak").cast("double") /
+          round((($"c" - $"peak").cast("double") / $"peak".cast("double") *
+            lit(100.0)) * (($"c" - $"peak").cast("double") /
             $"peak".cast("double") * lit(100.0)) * lit(1.0e6)).cast("long"))
           .otherwise(0L).as("dd2q"))
       .groupBy($"event_type")

@@ -274,6 +274,80 @@ object GraphOracle {
        |    AS BIGINT) AS DOUBLE) / 1.0e9 AS q_contrib
        |FROM fin ORDER BY community""".stripMargin
 
+  /** Unrolled 3-sweep deterministic Louvain (the graph_lpa trick applied
+    * to modularity-optimizing moves): per sweep, community degree totals,
+    * per-node adjacent-community weights, exact HUGEINT move gains
+    * 2m·(k_ic − k_ia) − k_i·(tot_c − tot_a + k_i) (the Spark side widens
+    * to DECIMAL(38,0) — identical integer values), best strictly-positive
+    * gain wins with ties to the smallest community id. The tail is
+    * [[modularitySql]]'s Q decomposition over the final labels.
+    */
+  private val louvainSql: String = {
+    // every multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain
+    // CTEs per reference, and the 5 references/sweep to l{i-1} would
+    // otherwise re-evaluate the whole chain exponentially (the probe ran
+    // >15 min at sf0.01 un-materialized, <5 s materialized)
+    val base =
+      s"""WITH $copurchaseCte,
+         |cpm AS MATERIALIZED (SELECT a, b, w FROM cp),
+         |bdir AS MATERIALIZED (
+         |  SELECT a, b, w FROM cpm UNION ALL SELECT b, a, w FROM cpm),
+         |degk AS MATERIALIZED (SELECT a AS id, CAST(sum(w) AS BIGINT) AS k
+         |  FROM bdir GROUP BY 1),
+         |m2t AS MATERIALIZED (
+         |  SELECT CAST(sum(w) * 2 AS BIGINT) AS m2 FROM cpm),
+         |l0 AS MATERIALIZED (SELECT p.p_partkey AS id, p.p_partkey AS c,
+         |    coalesce(degk.k, 0) AS k
+         |  FROM part p LEFT JOIN degk ON degk.id = p.p_partkey)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""tot$i AS MATERIALIZED (SELECT c, CAST(sum(k) AS BIGINT) AS tot
+         |  FROM l${i - 1} GROUP BY 1),
+         |kic$i AS MATERIALIZED (SELECT bdir.a AS id, l.c AS nc,
+         |    CAST(sum(w) AS BIGINT) AS kic
+         |  FROM bdir JOIN l${i - 1} l ON bdir.b = l.id GROUP BY 1, 2),
+         |kia$i AS MATERIALIZED (SELECT kc.id, kc.kic AS kia
+         |  FROM kic$i kc JOIN l${i - 1} l ON kc.id = l.id AND kc.nc = l.c),
+         |cand$i AS MATERIALIZED (
+         |  SELECT kc.id, kc.nc,
+         |    CAST(m2 AS HUGEINT) * (kc.kic - coalesce(ka.kia, 0))
+         |      - CAST(l.k AS HUGEINT) * (tc.tot - ta.tot + l.k) AS gain
+         |  FROM kic$i kc
+         |  JOIN l${i - 1} l ON kc.id = l.id
+         |  JOIN tot$i tc ON tc.c = kc.nc
+         |  JOIN tot$i ta ON ta.c = l.c
+         |  LEFT JOIN kia$i ka ON ka.id = kc.id
+         |  CROSS JOIN m2t
+         |  WHERE kc.nc <> l.c),
+         |best$i AS MATERIALIZED (SELECT id, nc FROM (
+         |  SELECT id, nc,
+         |    row_number() OVER (PARTITION BY id ORDER BY gain DESC, nc) AS rn
+         |  FROM cand$i WHERE gain > 0) x WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT l.id, coalesce(b.nc, l.c) AS c, l.k
+         |  FROM l${i - 1} l LEFT JOIN best$i b ON l.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds,
+       |lbl AS MATERIALIZED (SELECT id, c AS community FROM l3),
+       |deg AS (SELECT v, CAST(sum(w) AS BIGINT) AS d FROM (
+       |  SELECT a AS v, w FROM cpm UNION ALL SELECT b, w FROM cpm) u
+       |  GROUP BY 1),
+       |degc AS (SELECT community, CAST(sum(d) AS BIGINT) AS dc,
+       |    count(*) AS n_nodes
+       |  FROM deg JOIN lbl ON v = id GROUP BY 1),
+       |inc AS (SELECT la.community AS community, CAST(sum(w) AS BIGINT) AS iw
+       |  FROM cpm JOIN lbl la ON cpm.a = la.id JOIN lbl lb ON cpm.b = lb.id
+       |  WHERE la.community = lb.community GROUP BY 1),
+       |fin AS (SELECT degc.community AS community, n_nodes,
+       |    coalesce(iw, 0) AS iw, dc, m2
+       |  FROM degc LEFT JOIN inc ON degc.community = inc.community, m2t)
+       |SELECT community, n_nodes, iw AS in_w, dc AS deg_w,
+       |  CAST(CAST(floor((CAST(iw * 2 AS DOUBLE) / CAST(m2 AS DOUBLE)
+       |    - (CAST(dc AS DOUBLE) / CAST(m2 AS DOUBLE)) *
+       |      (CAST(dc AS DOUBLE) / CAST(m2 AS DOUBLE))) * 1.0e9 + 0.5)
+       |    AS BIGINT) AS DOUBLE) / 1.0e9 AS q_contrib
+       |FROM fin ORDER BY community""".stripMargin
+  }
+
   /** Generated k-level traversal oracle — the khop_2/khop_3 shape with the
     * level chain unrolled to any k (matches the frontier-expansion
     * `GraphAlgebra.khopK`, whose min-hop labeling is identical to this
@@ -791,6 +865,7 @@ object GraphOracle {
     "graph_ppr_batch" -> pprBatchSql,
     "graph_lpa" -> lpaSql,
     "graph_modularity" -> modularitySql,
+    "graph_louvain" -> louvainSql,
 
     "graph_bfs_tree" ->
       s"""WITH $copurchaseCte,

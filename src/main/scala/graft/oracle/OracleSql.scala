@@ -486,22 +486,17 @@ object OracleSql {
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
         |  FROM events GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT event_type, d,
-        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY d)
-        |      AS BIGINT) AS cum
-        |  FROM daily),
         |cp_ AS (
-        |  SELECT event_type, cum,
-        |    CAST(max(cum) OVER (PARTITION BY event_type ORDER BY d)
+        |  SELECT event_type, c,
+        |    CAST(max(c) OVER (PARTITION BY event_type ORDER BY d)
         |      AS BIGINT) AS peak
-        |  FROM c1),
+        |  FROM daily),
         |dd AS (
         |  SELECT event_type,
         |    CASE WHEN peak > 0 THEN
-        |      CAST(round((CAST(cum - peak AS DOUBLE) /
+        |      CAST(round((CAST(c - peak AS DOUBLE) /
         |        CAST(peak AS DOUBLE) * 100.0) *
-        |        (CAST(cum - peak AS DOUBLE) /
+        |        (CAST(c - peak AS DOUBLE) /
         |        CAST(peak AS DOUBLE) * 100.0) * 1.0e6) AS BIGINT)
         |      ELSE 0 END AS dd2q
         |  FROM cp_)

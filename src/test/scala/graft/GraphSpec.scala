@@ -533,6 +533,47 @@ class GraphSpec extends SparkSpec {
     assert(q0 >= -0.5 && q0 <= 1.0, s"modularity $q0")
   }
 
+  test("graph_louvain: optimizer beats (or ties) the LPA vote on modularity, and Q recomputes") {
+    import spark.implicits._
+    val rows = q("graph_louvain").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(rows.nonEmpty)
+    // the decomposition must recompute from the louvainMoves labels —
+    // same replay as the graph_modularity spec, different partition
+    val lbl = graft.api.GraphAlgebra.louvainMoves(
+        spark.read.parquet(s"$sf/part.parquet").select($"p_partkey".as("part")),
+        graft.ops.GraphOps.copurchase(spark, sf), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.ops.GraphOps.copurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m2 = edges.map(_._3).sum * 2
+    val deg = (edges.map(e => e._1 -> e._3) ++ edges.map(e => e._2 -> e._3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val degC = deg.toSeq.map { case (v, d) => lbl(v) -> d }.groupBy(_._1)
+      .view.mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val inC = edges.filter(e => lbl(e._1) == lbl(e._2))
+      .groupBy(e => lbl(e._1)).view.mapValues(_.map(_._3).sum).toMap
+    assert(rows.keySet === degC.keySet)
+    rows.foreach { case (c, (nNodes, inW, degW, qc)) =>
+      val (en, ed) = degC(c)
+      assert(nNodes === en, s"community $c n_nodes")
+      assert(degW === ed, s"community $c deg_w")
+      assert(inW === inC.getOrElse(c, 0L), s"community $c in_w")
+      val tree = ((inW * 2).toDouble / m2.toDouble -
+        (degW.toDouble / m2.toDouble) * (degW.toDouble / m2.toDouble))
+      assert(qc === math.floor(tree * 1.0e9 + 0.5) / 1.0e9, s"community $c q")
+    }
+    // the point of the op: the gain-driven moves reach at least the Q of
+    // the LPA frequency vote on the identical graph
+    val qLouvain = rows.values.map(_._4).sum
+    val qLpa = q("graph_modularity").collect().map(_.getDouble(4)).sum
+    assert(qLouvain >= qLpa,
+      s"louvain Q $qLouvain < LPA Q $qLpa — the optimizer lost to the vote")
+    // and it found real structure, not one blob / all singletons
+    assert(rows.size > 1 && rows.size < lbl.size)
+  }
+
   /** In-JVM reference Brandes with the op's EXACT quantized arithmetic:
     * level-synchronous BFS σ counts, then backward micro-quantized δ via
     * the identical double tree floor(σv/σw·(1e6+δw)+0.5).

@@ -20,7 +20,10 @@ class RelationalSpec extends SparkSpec {
     // parsed FROM SURVEY.md §2 itself, so the guard pins the actual
     // contract (every §2 key row ↔ exactly one registry entry) instead
     // of a hand-maintained number
-    val surveyKeys = scala.io.Source.fromFile("/root/repo/SURVEY.md", "UTF-8")
+    // resolve relative to the working directory (sbt runs tests from the
+    // project root) so the guard works on any checkout location
+    val surveyPath = new java.io.File(sys.props("user.dir"), "SURVEY.md")
+    val surveyKeys = scala.io.Source.fromFile(surveyPath, "UTF-8")
       .getLines()
       .flatMap("""^\| `([a-z0-9_]+)`""".r.findFirstMatchIn(_))
       .map(_.group(1)).toSet

@@ -1186,13 +1186,17 @@ class Round11Spec extends SparkSpec {
     got.foreach { r =>
       val t = r.getString(0)
       val series = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
-      var cum = 0L; var peak = 0L; var sum2 = 0L
+      var peak = 0L; var sum2 = 0L; var nonzero = 0
       series.foreach { c =>
-        cum += c; peak = math.max(peak, cum)
+        peak = math.max(peak, c)
         val dd = if (peak > 0)
-          (cum - peak).toDouble / peak.toDouble * 100.0 else 0.0
+          (c - peak).toDouble / peak.toDouble * 100.0 else 0.0
+        if (dd != 0.0) nonzero += 1
         sum2 += math.round(dd * dd * 1.0e6)
       }
+      // the metric must not be vacuous: a level series that fluctuates
+      // has real drawdown days (the cum-sum formulation had zero)
+      assert(nonzero > 0, s"degenerate ulcer series for $t")
       assert(r.getLong(1) === series.length.toLong, s"n_days of $t")
       assert(r.getDouble(2) === p4(math.sqrt(
         sum2.toDouble / series.length.toDouble / 1.0e6)), s"ulcer of $t")

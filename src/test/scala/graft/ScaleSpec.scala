@@ -291,7 +291,12 @@ class ScaleSpec extends SparkSpec {
       // prefix sums over value-collapsed frames — same posture contract
       "agg_ks_test", "agg_abc_analysis",
       // r11 wave 8: the SPRT trial trace is two DistScan prefix folds
-      "agg_sprt")
+      "agg_sprt",
+      // r12: parts and suppliers grow with the fact table — the Pareto
+      // rank/cumsum and the Lorenz decile rank are DistScan scans (the
+      // Lorenz decile cumulative is a broadcast triangular join, so the
+      // whole plan is window-free)
+      "win_pareto", "agg_lorenz")
     for (k <- keys) {
       val df = SparkEntry.queries(k)(spark, sf)
       val offenders = df.queryExecution.optimizedPlan.collect {
@@ -300,5 +305,18 @@ class ScaleSpec extends SparkSpec {
       assert(offenders.isEmpty,
         s"$k plans ${offenders.size} unpartitioned Window node(s)")
     }
+    // llm_skipgram_pairs: the top-30 pick must be a TakeOrdered limit, so
+    // the only unpartitioned window permitted is the rank over the
+    // already-limited ≤ 30-row frame — every such window must sit above a
+    // Limit in its own subtree
+    import org.apache.spark.sql.catalyst.plans.logical.GlobalLimit
+    val sk = SparkEntry.queries("llm_skipgram_pairs")(spark, sf)
+    val unbounded = sk.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.collect { case g: GlobalLimit => g }.isEmpty => w
+    }
+    assert(unbounded.isEmpty,
+      s"llm_skipgram_pairs plans ${unbounded.size} unpartitioned Window " +
+        "node(s) over an unlimited frame")
   }
 }

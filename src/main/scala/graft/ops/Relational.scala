@@ -3401,22 +3401,35 @@ object Relational {
     * any engine), each replicate's mean is an exact cents-sum ratio, and
     * the CI picks the p05/p95 replicate means by the [[aggPercentiles]]
     * rank rule. The replicate frame is 32 rows by construction — its
-    * ordering is constant-sized, never data-sized; the expansion join is
-    * 32× the fact table, the honest cost of resampling (at 100 TB the
-    * swap is per-partition replicate partials, same estimator).
+    * ordering is constant-sized, never data-sized. The resampling runs as
+    * PER-PARTITION REPLICATE PARTIALS: one scan with 64 conditional
+    * aggregates (Σv + count per replicate, each gated by its md5 coin),
+    * so no 32× row expansion ever exists — each partition carries exactly
+    * 64 accumulators to the final agg, and the wide row unstacks to the
+    * 32 replicate rows afterward. The per-row cost (32 md5 coins) is the
+    * estimator's own definition; the row blow-up was not.
     */
   val aggSubsampleCi: Q = (s, dir) => {
     import s.implicits._
-    val reps = Tables.orders(s, dir)
+    def coin(r: Int): Column =
+      conv(substring(md5(concat(lit(r.toString), lit("_"),
+        $"o_orderkey".cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 2 === 0
+    // each replicate's Σv and count share their md5 coin via aggregate
+    // subexpression elimination (measured: materializing the 32 booleans
+    // as a projection was ~1.6× SLOWER — the wide intermediate row cost
+    // more than the dedup saved)
+    val aggCols = (0 until 32).flatMap { r =>
+      Seq(sum(when(coin(r), $"v")).as(s"sv$r"),
+        count(when(coin(r), lit(1))).as(s"m$r"))
+    }
+    val wide = Tables.orders(s, dir)
       .select($"o_orderkey",
         round($"o_totalprice" * 100).cast("long").as("v"))
-      .select($"o_orderkey", $"v",
-        explode(sequence(lit(0L), lit(31L))).as("r"))
-      .filter(expr(
-        "cast(conv(substring(md5(concat(cast(r as string), '_'," +
-          " cast(o_orderkey as string))), 1, 4), 16, 10) as bigint) % 2 = 0"))
-      .groupBy($"r")
-      .agg(count(lit(1)).as("m"), sum($"v").as("sv"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = (0 until 32).map(r => s"${r}L, sv$r, m$r").mkString(", ")
+    val reps = wide
+      .select(expr(s"stack(32, $stackArgs) AS (r, sv, m)"))
       .select($"r", ($"sv".cast("double") / $"m".cast("double")).as("mean"))
     val ranked = reps.withColumn("rn",
       row_number().over(Window.orderBy($"mean", $"r")).cast("long"))

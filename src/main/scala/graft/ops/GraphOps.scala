@@ -837,6 +837,100 @@ object GraphOps {
     */
   val graphKcore: Q = (s, dir) => kcoreFixed(s, dir, k = 68, rounds = 6)
 
+  /** Core-number (coreness) profile over the co-purchase graph: for each
+    * part, the highest level in {16, 48, 64, 72} whose k-core still
+    * contains it (0 = not even in the 16-core) — the standard "how deep in the
+    * cohesive structure does this node sit" serving query one level up
+    * from a single-k [[graphKcore]]. The four peels are NESTED: the
+    * k'-core (k' > k) is a subgraph of the k-core, so each level peels
+    * the PREVIOUS level's survivor-induced edges, not the full graph —
+    * total work is one full peel plus three rapidly-shrinking ones.
+    * 6 fixed rounds per level (deterministic dataflow; GraphSpec pins
+    * convergence on the fixture data the kcore way); edges are
+    * lineage-truncated between levels. The ladder is fixture-calibrated
+    * like graph_kcore's k=68 (this generator's co-purchase graph is
+    * near-regular — its degeneracy band sits at ~64-80); a real corpus
+    * would re-pick levels from its own degree profile. Output
+    * (part, core_level) for every graph vertex.
+    */
+  val graphCoreNumber: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).select($"a", $"b").cp()
+    val verts = cp.select($"a".as("id"))
+      .unionAll(cp.select($"b".as("id"))).distinct()
+    var pairs = cp
+    val levels = Seq(16, 48, 64, 72).map { k =>
+      val surv = graft.api.GraphAlgebra.kcore(pairs, k, rounds = 6)
+        .select($"part".as("id")).cp()
+      pairs = pairs
+        .join(surv.select($"id".as("a")), Seq("a"), "left_semi")
+        .join(surv.select($"id".as("b")), Seq("b"), "left_semi")
+        .cp()
+      surv.withColumn("lvl", lit(k.toLong))
+    }
+    val lvl = levels.reduce(_ unionAll _)
+      .groupBy($"id").agg(max($"lvl").as("core_level"))
+    verts.join(lvl, Seq("id"), "left")
+      .select($"id".as("part"), coalesce($"core_level", lit(0L)).as("core_level"))
+      .orderBy($"part")
+  }
+
+  /** Joint degree histogram (degree–degree mixing matrix) of the
+    * co-purchase graph: every edge contributes one cell (bucket(deg_lo),
+    * bucket(deg_hi)) where the bucket is the exact power-of-two floor
+    * (⌊log₂ d⌋ via a broadcast powers-table join — no float log, so no
+    * libm drift; the §2.9 transcendental rule). The matrix is what
+    * [[graphAssortativity]] summarizes to one scalar — kept as plottable
+    * cells, ≤ ⌈log₂ max_deg⌉² rows at any scale. One degree rollup
+    * joined to both endpoints broadcast, one cell agg.
+    */
+  val graphDegreeJoint: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).select($"a", $"b").cp()
+    val deg = cp.select($"a".as("v")).unionAll(cp.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    val powers = s.range(0, 31)
+      .select($"id".cast("long").as("p"), expr("cast(1 as bigint) << id").as("pw"))
+    val bucketed = deg.join(broadcast(powers), $"pw" <= $"d")
+      .groupBy($"v", $"d").agg(max($"p").as("bkt"))
+    cp.join(bucketed.select($"v".as("a"), $"bkt".as("ba")), "a")
+      .join(bucketed.select($"v".as("b"), $"bkt".as("bb")), "b")
+      .groupBy(least($"ba", $"bb").as("bucket_lo"),
+        greatest($"ba", $"bb").as("bucket_hi"))
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy($"bucket_lo", $"bucket_hi")
+  }
+
+  /** Edge embeddedness — top-20 co-purchase edges by neighborhood
+    * Jaccard (|N(a)∩N(b)| / |N(a)∪N(b)\{a,b}|): the tie-strength metric
+    * (Granovetter — embedded edges are strong ties, embeddedness-0 edges
+    * are the local bridges [[graphLocalBridges]] reports). Support rides
+    * the [[graphTriangles]] adjacency-array + `array_intersect` shape
+    * (work ∝ Σdeg per edge, never the Σdeg² wedge shuffle); the Jaccard
+    * is quantized by exact integer division (ppm) so ordering can't
+    * drift; top-20 via TakeOrderedAndProject.
+    */
+  val graphEdgeEmbeddedness: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).select($"a", $"b").cp()
+    val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
+    val adj = both.groupBy($"a".as("v"))
+      .agg(sort_array(collect_list($"b")).as("ns"),
+        count(lit(1)).as("d"))
+    cp.join(adj.select($"v".as("a"), $"ns".as("na"), $"d".as("da")), "a")
+      .join(adj.select($"v".as("b"), $"ns".as("nb"), $"d".as("db")), "b")
+      .select($"a", $"b",
+        size(array_intersect($"na", $"nb")).cast("long").as("common"),
+        $"da", $"db")
+      .withColumn("denom", $"da" + $"db" - lit(2L) - $"common")
+      .withColumn("jac_ppm",
+        when($"denom" > 0, expr("common * 1000000L div denom"))
+          .otherwise(lit(1000000L)))
+      .select($"a", $"b", $"common", $"da", $"db", $"jac_ppm")
+      .orderBy($"jac_ppm".desc, $"a", $"b")
+      .limit(20)
+  }
+
   private[graft] def kcoreFixed(s: SparkSession, dir: String, k: Int, rounds: Int): DataFrame =
     kcorePeel(copurchase(s, dir).select(col("a"), col("b")), k, rounds)
 
@@ -1908,6 +2002,9 @@ object GraphOps {
     "graph_edge_filter" -> graphEdgeFilter,
     "graph_trending" -> graphTrending,
     "graph_kcore" -> graphKcore,
+    "graph_core_number" -> graphCoreNumber,
+    "graph_degree_joint" -> graphDegreeJoint,
+    "graph_edge_embeddedness" -> graphEdgeEmbeddedness,
     "graph_ego_net" -> graphEgoNet,
     "graph_adamic_adar" -> graphAdamicAdar,
     "graph_hits" -> graphHits,

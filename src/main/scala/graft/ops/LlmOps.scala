@@ -1784,6 +1784,152 @@ object LlmOps {
       .orderBy($"keeper")
   }
 
+  /** Stopword-ratio profile per source — the function-word density check
+    * a quality pipeline runs next to [[llmQualityScore]] (real prose
+    * carries a stable stopword share; keyword-stuffed or template text
+    * does not). Fixed broadcast stopword list, one tokenize pass, pure
+    * integer counts, one quantized ratio per source.
+    */
+  val llmStopwordProfile: Q = (s, dir) => {
+    import s.implicits._
+    val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as")
+    Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"tok".isin(stops: _*), 1L).otherwise(0L)).as("n_stop"))
+      .select($"source", $"n_tokens", $"n_stop",
+        pround4($"n_stop".cast("double") / $"n_tokens".cast("double"))
+          .as("stop_ratio"))
+      .orderBy($"source")
+  }
+
+  /** Suffix-frequency boilerplate detector — the FOOTER twin of
+    * [[llmPrefixDedup]]'s header groups: the 20 most common 16-char
+    * document suffixes (sign-offs, license tails, template chrome) with
+    * doc and distinct-source counts. The 16-char suffix is the group key
+    * (bounded payload, never the document); top-20 via
+    * TakeOrderedAndProject.
+    */
+  val llmSuffixFreq: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(length($"text") >= 16)
+      .select($"source",
+        expr("substring(text, length(text) - 15, 16)").as("suffix"))
+      .groupBy($"suffix")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"n_docs".desc, $"suffix")
+      .limit(20)
+  }
+
+  /** IDF drift between the eval slice (source = src0) and the training
+    * corpus — the top-20 terms whose rarity changed most (|Δ idf|, idf =
+    * ln((N+1)/(df+1))): the vocabulary-shift audit run before trusting a
+    * held-out slice as "same distribution". Document frequencies are
+    * exact distinct-doc counts per slice; Δ is ONE fixed double tree
+    * nano-quantized to a BIGINT (the §2.9 transcendental form), so the
+    * top-20 ordering is an exact integer sort — TakeOrdered, no global
+    * window.
+    */
+  val llmIdfDrift: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", $"source" === "src0", explode(split($"text", " ")))
+      .toDF("doc_id", "is_eval", "tok")
+      .distinct()
+      .cp() // df rollup + the two slice doc counts share it
+    val nE = toks.filter($"is_eval").agg(countDistinct($"doc_id").as("ne"))
+    val nT = toks.filter(!$"is_eval").agg(countDistinct($"doc_id").as("nt"))
+    val df = toks.groupBy($"tok")
+      .agg(sum(when($"is_eval", 1L).otherwise(0L)).as("df_eval"),
+        sum(when(!$"is_eval", 1L).otherwise(0L)).as("df_train"))
+      .filter($"df_eval" > 0 && $"df_train" > 0)
+    df.crossJoin(broadcast(nE)).crossJoin(broadcast(nT))
+      .withColumn("dq", floor((
+        log(($"ne".cast("double") + lit(1.0)) /
+          ($"df_eval".cast("double") + lit(1.0))) -
+        log(($"nt".cast("double") + lit(1.0)) /
+          ($"df_train".cast("double") + lit(1.0)))) * lit(1.0e9) + lit(0.5))
+        .cast("long"))
+      .orderBy(abs($"dq").desc, $"tok")
+      .limit(20)
+      .select($"tok", $"df_eval", $"df_train",
+        ($"dq".cast("double") / lit(1.0e9)).as("idf_delta"))
+  }
+
+  /** Lexical compressibility score — distinct word-trigram types over
+    * total trigrams per document, bottom-20 (the most repetitive /
+    * template-like documents: a low ratio is exactly what gzip would
+    * exploit, measured without a codec). The ratio is exact integer
+    * basis-point division so the ranking can't drift; one tokenize pass,
+    * trigram hashes (never text) as the distinct key.
+    */
+  val llmCompressibility: Q = (s, dir) => {
+    import s.implicits._
+    val tri = Tables.documents(s, dir)
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id", explode(sequence(lit(1), size($"ts") - 2)).as("i"),
+        $"ts")
+      .select($"doc_id", md5(concat_ws(" ",
+        element_at($"ts", $"i"), element_at($"ts", $"i" + 1),
+        element_at($"ts", $"i" + 2))).as("h"))
+    tri.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        countDistinct($"h").as("n_distinct"))
+      .withColumn("ratio_bp", expr("n_distinct * 10000L div n_trigrams"))
+      .orderBy($"ratio_bp", $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"n_trigrams", $"n_distinct",
+        ($"ratio_bp".cast("double") / lit(10000.0)).as("distinct_ratio"))
+  }
+
+  /** Near-dup cluster SIZE histogram — the dataset-card rollup of
+    * [[llmDedupCluster]]'s components ("how much of the corpus sits in
+    * 2-doc pairs vs 50-doc template families"): cluster sizes from the
+    * same signature-index CC labels, then one tiny size-frequency agg.
+    * The histogram is the number a dedup run reports BEFORE deleting
+    * anything.
+    */
+  val llmDupClusterSizes: Q = (s, dir) => {
+    import s.implicits._
+    llmDedupCluster(s, dir)
+      .groupBy($"keep_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+      .orderBy($"sz")
+  }
+
+  /** Per-document unigram entropy, bottom-20 — the information-content
+    * template detector next to [[llmCompressibility]]'s trigram ratio
+    * (low H = few distinct tokens dominating). H = ln(n) − Σc·ln(c)/n;
+    * each transcendental term is nano-quantized to a BIGINT at the ROW
+    * (the [[graft.ops.Relational.aggTheil]] discipline), so H_scaled =
+    * n·⌊ln(n)·1e9⌉ − Σ⌊c·ln(c)·1e9⌉ is an EXACT integer; the ranking key
+    * H = H_scaled/n is ONE IEEE division of those exact integers —
+    * identical on both engines — and TakeOrdered picks on (H, doc_id).
+    */
+  val llmEntropyOutliers: Q = (s, dir) => {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    tf.groupBy($"doc_id")
+      .agg(sum($"c").as("n"), count(lit(1)).as("n_types"),
+        sum(floor($"c".cast("double") * log($"c".cast("double")) *
+          lit(1.0e9) + lit(0.5)).cast("long")).as("sq"))
+      .withColumn("hs",
+        floor(log($"n".cast("double")) * lit(1.0e9) + lit(0.5)).cast("long") *
+          $"n" - $"sq")
+      .withColumn("entropy",
+        $"hs".cast("double") / ($"n".cast("double") * lit(1.0e9)))
+      .orderBy($"entropy", $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"n".as("n_tokens"), $"n_types", $"entropy")
+  }
+
   /** Hard-negative mining for contrastive training — per document, the
     * most lexically similar document from a DIFFERENT source (similar
     * surface, different provenance: exactly the negatives that teach a
@@ -3380,6 +3526,12 @@ object LlmOps {
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_dedup_minhash_idx" -> llmDedupMinhashIdx,
     "llm_dedup_cluster" -> llmDedupCluster,
+    "llm_dup_cluster_sizes" -> llmDupClusterSizes,
+    "llm_stopword_profile" -> llmStopwordProfile,
+    "llm_suffix_freq" -> llmSuffixFreq,
+    "llm_idf_drift" -> llmIdfDrift,
+    "llm_compressibility" -> llmCompressibility,
+    "llm_entropy_outliers" -> llmEntropyOutliers,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_decontaminate_bloom" -> llmDecontaminateBloom,
     "llm_collocations" -> llmCollocations,

@@ -1734,6 +1734,176 @@ object Relational {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** Quantile treatment effect (QTE) between the user_id-parity A/B arms
+    * at p25/p50/p75 of order value — the distributional readout a mean
+    * shift hides (a treatment can move the median and the tail in
+    * opposite directions). Per-arm ranks come from ONE
+    * [[DistScan.withGlobalRank]] over (arm, cents, key) — the total order
+    * groups the arms into contiguous rank ranges, so rank-in-arm is the
+    * global rank minus a 2-row broadcast arm offset (never a
+    * data-proportional window partition); the pN pick is the exact
+    * [[aggPercentiles]] rank rule; the shift is exact cents with one
+    * quantized relative column.
+    */
+  val aggQuantileShift: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select(($"o_custkey" % 2).as("arm"),
+        round($"o_totalprice" * 100).cast("long").as("cents"), $"o_orderkey")
+    val ranked = DistScan.withGlobalRank(o, "grn", $"arm", $"cents", $"o_orderkey")
+    val counts = o.groupBy($"arm").agg(count(lit(1)).as("n"))
+    val offs = counts.as("a")
+      .join(counts.as("b"), $"b.arm" < $"a.arm", "left")
+      .groupBy($"a.arm".as("arm"), $"a.n".as("n"))
+      .agg(coalesce(sum($"b.n"), lit(0L)).as("off"))
+    val picks = ranked.join(broadcast(offs), "arm")
+      .withColumn("rin", $"grn" - $"off")
+      .select($"arm", $"cents", $"rin", $"n",
+        explode(array(lit(25L), lit(50L), lit(75L))).as("p"))
+      .filter($"rin" === expr("(p * n + 99) DIV 100"))
+      .select($"arm", $"p", $"cents")
+      .cp() // both arm sides of the pivot read it
+    val qa = picks.filter($"arm" === 0).select($"p", $"cents".as("ca"))
+    val qb = picks.filter($"arm" === 1).select($"p", $"cents".as("cb"))
+    qa.join(qb, "p")
+      .select($"p",
+        ($"ca".cast("double") / lit(100.0)).as("value_a"),
+        ($"cb".cast("double") / lit(100.0)).as("value_b"),
+        (($"cb" - $"ca").cast("double") / lit(100.0)).as("shift"),
+        when($"ca" > 0, LlmOps.pround4(
+          ($"cb" - $"ca").cast("double") / $"ca".cast("double")))
+          .as("shift_rel"))
+      .orderBy($"p")
+  }
+
+  /** Bayesian A/B conversion readout (user_id-parity arms, purchase =
+    * conversion): per arm the Beta(1,1)-posterior mean and variance of
+    * the conversion rate in closed form (mean = (c+1)/(n+2), var =
+    * m(1−m)/(n+3)), and the normal-approximation z-score of the arm
+    * difference — the "probability B beats A" stops one erf short of a
+    * probability BECAUSE erf is libm-unportable (§2.9); z carries the
+    * same decision information monotonically. Two shuffles (per-user
+    * conversion fold, 2-row arm rollup); every float is a fixed double
+    * tree over exact integers, mirrored in the oracle.
+    */
+  val aggBayesAb: Q = (s, dir) => {
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .select($"user_id", ($"user_id" % 2).as("arm"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("hit"))
+      .groupBy($"arm", $"user_id").agg(max($"hit").as("conv"))
+    val arms = perUser.groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"conv").as("c"))
+    def pm(n: Column, c: Column): Column =
+      (c.cast("double") + lit(1.0)) / (n.cast("double") + lit(2.0))
+    def pv(n: Column, c: Column): Column =
+      pm(n, c) * (lit(1.0) - pm(n, c)) / (n.cast("double") + lit(3.0))
+    val a = arms.filter($"arm" === 0)
+      .select($"n".as("n_a"), $"c".as("conv_a"))
+    val b = arms.filter($"arm" === 1)
+      .select($"n".as("n_b"), $"c".as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .select($"n_a", $"conv_a", $"n_b", $"conv_b",
+        LlmOps.pround4(pm($"n_a", $"conv_a")).as("post_mean_a"),
+        LlmOps.pround4(pm($"n_b", $"conv_b")).as("post_mean_b"),
+        LlmOps.pround4(
+          (pm($"n_b", $"conv_b") - pm($"n_a", $"conv_a")) /
+            sqrt(pv($"n_a", $"conv_a") + pv($"n_b", $"conv_b")))
+          .as("z_score"))
+  }
+
+  /** Bootstrap CI on the DIFFERENCE of arm means (user_id-parity arms on
+    * order value) — the error bar on the A/B headline delta, same
+    * deterministic md5 half-sample coins as [[aggSubsampleCi]] and the
+    * same PER-PARTITION REPLICATE PARTIALS plan: one scan, 128
+    * conditional aggregates (Σv + count × 32 replicates × 2 arms), wide
+    * row unstacked to 32 replicate diffs, p05/p95 by the exact rank rule
+    * over the constant 32-row frame. No row expansion at any scale.
+    */
+  val aggBootstrapDiffCi: Q = (s, dir) => {
+    import s.implicits._
+    def coin(r: Int): Column =
+      conv(substring(md5(concat(lit(r.toString), lit("_"),
+        $"o_orderkey".cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 2 === 0
+    val aggCols = (0 until 32).flatMap { r =>
+      Seq(sum(when(coin(r) && $"arm" === 0, $"v")).as(s"sa$r"),
+        count(when(coin(r) && $"arm" === 0, lit(1))).as(s"ca$r"),
+        sum(when(coin(r) && $"arm" === 1, $"v")).as(s"sb$r"),
+        count(when(coin(r) && $"arm" === 1, lit(1))).as(s"cb$r"))
+    }
+    val wide = Tables.orders(s, dir)
+      .select($"o_orderkey", ($"o_custkey" % 2).as("arm"),
+        round($"o_totalprice" * 100).cast("long").as("v"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs =
+      (0 until 32).map(r => s"${r}L, sa$r, ca$r, sb$r, cb$r").mkString(", ")
+    val reps = wide
+      .select(expr(s"stack(32, $stackArgs) AS (r, sa, ca, sb, cb)"))
+      .select($"r", ($"sa".cast("double") / $"ca".cast("double") -
+        $"sb".cast("double") / $"cb".cast("double")).as("diff"))
+    val ranked = reps.withColumn("rn",
+      row_number().over(Window.orderBy($"diff", $"r")).cast("long"))
+    val lo = ranked.filter($"rn" === lit((5 * 32 + 99) / 100))
+      .select($"diff".as("lo"))
+    val hi = ranked.filter($"rn" === lit((95 * 32 + 99) / 100))
+      .select($"diff".as("hi"))
+    val base = Tables.orders(s, dir)
+      .select(($"o_custkey" % 2).as("arm"),
+        round($"o_totalprice" * 100).cast("long").as("v"))
+      .groupBy($"arm").agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    val ma = base.filter($"arm" === 0)
+      .select(($"sv".cast("double") / $"n".cast("double")).as("ma"))
+    val mb = base.filter($"arm" === 1)
+      .select(($"sv".cast("double") / $"n".cast("double")).as("mb"))
+    ma.crossJoin(broadcast(mb))
+      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(
+        (floor($"ma" - $"mb" + lit(0.5)).cast("double") / lit(100.0))
+          .as("diff_mean"),
+        (floor($"lo" + lit(0.5)).cast("double") / lit(100.0)).as("ci_lo"),
+        (floor($"hi" + lit(0.5)).cast("double") / lit(100.0)).as("ci_hi"))
+  }
+
+  /** Standardized effect size (Cohen's d + Hedges' g) for every event-
+    * type pair — the "is the significant difference MEANINGFUL" readout
+    * next to [[aggTtest]]'s t-stat (t grows with √n; d does not). Shares
+    * the exact integer moment machinery: pooled sd from the two exact
+    * variance trees, g = d · (1 − 3/(4(na+nb)−9)) small-sample
+    * correction, all fixed double trees over six exact scalars per pair.
+    */
+  val aggEffectSize: Q = (s, dir) => {
+    import s.implicits._
+    val mom = Tables.events(s, dir)
+      .select($"event_type", round($"value" * 10000).cast("long").as("q"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"q").as("s1"),
+        sum(($"q".cast("decimal(19,0)") * $"q".cast("decimal(19,0)")))
+          .as("s2"))
+      .cp()
+    def v(n: Column, s1: Column, s2: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") /
+        n.cast("double")) / (n.cast("double") - lit(1.0))
+    val a = mom.select($"event_type".as("type_a"), $"n".as("na"),
+      $"s1".as("s1a"), $"s2".as("s2a"))
+    val b = mom.select($"event_type".as("type_b"), $"n".as("nb"),
+      $"s1".as("s1b"), $"s2".as("s2b"))
+    a.crossJoin(b).filter($"type_a" < $"type_b")
+      .withColumn("ma", $"s1a".cast("double") / $"na".cast("double"))
+      .withColumn("mb", $"s1b".cast("double") / $"nb".cast("double"))
+      .withColumn("sp2",
+        (($"na".cast("double") - lit(1.0)) * v($"na", $"s1a", $"s2a") +
+          ($"nb".cast("double") - lit(1.0)) * v($"nb", $"s1b", $"s2b")) /
+          ($"na".cast("double") + $"nb".cast("double") - lit(2.0)))
+      .withColumn("d", ($"ma" - $"mb") / sqrt($"sp2"))
+      .select($"type_a", $"type_b", $"na".as("n_a"), $"nb".as("n_b"),
+        LlmOps.pround4($"d").as("cohen_d"),
+        LlmOps.pround4($"d" * (lit(1.0) - lit(3.0) /
+          (lit(4.0) * ($"na".cast("double") + $"nb".cast("double")) -
+            lit(9.0)))).as("hedges_g"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** One-sided CUSUM drift score (reference K = 100, bounded 16-row frame)
     * — the change-point screen ("has this user's value level drifted above
     * baseline recently?") that complements [[winZscore]]'s point outliers.
@@ -5450,6 +5620,10 @@ object Relational {
     "win_kalman" -> winKalman,
     "agg_winsorize" -> aggWinsorize,
     "agg_cuped" -> aggCuped,
+    "agg_quantile_shift" -> aggQuantileShift,
+    "agg_bayes_ab" -> aggBayesAb,
+    "agg_bootstrap_diff_ci" -> aggBootstrapDiffCi,
+    "agg_effect_size" -> aggEffectSize,
     "win_theil_sen" -> winTheilSen,
     "sort_zorder" -> sortZorder,
     "agg_sprt" -> aggSprt,

@@ -431,6 +431,84 @@ object GraphOracle {
        |FROM v$rounds v LEFT JOIN df ON v.id = df.id ORDER BY part""".stripMargin
   }
 
+  /** Nested unrolled peels for the core-number profile: level L peels the
+    * PREVIOUS level's survivor-induced canonical edges at k ∈
+    * {16,48,64,72}, 6 rounds each — the [[kcoreSql]] round shape chained, every
+    * multiply-referenced frame MATERIALIZED.
+    */
+  private val coreNumberSql: String = {
+    val ks = Seq(16, 48, 64, 72)
+    val levels = ks.zipWithIndex.map { case (k, li) =>
+      val l = li + 1
+      val rounds = (1 to 6).map { i =>
+        s"""d${l}_$i AS (SELECT e.a AS id, count(*) AS deg
+           |  FROM b$l e JOIN sv${l}_${i - 1} x ON e.a = x.id
+           |  JOIN sv${l}_${i - 1} y ON e.b = y.id GROUP BY 1),
+           |sv${l}_$i AS MATERIALIZED (SELECT id FROM d${l}_$i WHERE deg >= $k)""".stripMargin
+      }.mkString(",\n")
+      s"""b$l AS MATERIALIZED (
+         |  SELECT a, b FROM cp$li UNION ALL SELECT b, a FROM cp$li),
+         |sv${l}_0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM b$l),
+         |$rounds,
+         |cp$l AS MATERIALIZED (SELECT c.a, c.b FROM cp$li c
+         |  JOIN sv${l}_6 x ON c.a = x.id JOIN sv${l}_6 y ON c.b = y.id)""".stripMargin
+    }.mkString(",\n")
+    val lvlUnion = ks.zipWithIndex.map { case (k, li) =>
+      s"SELECT id, CAST($k AS BIGINT) AS lvl FROM sv${li + 1}_6"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH $copurchaseCte,
+       |cp0 AS MATERIALIZED (SELECT a, b FROM cp),
+       |verts AS MATERIALIZED (SELECT DISTINCT a AS id FROM
+       |  (SELECT a FROM cp0 UNION ALL SELECT b FROM cp0) u(a)),
+       |$levels,
+       |lv AS ($lvlUnion),
+       |mx AS (SELECT id, max(lvl) AS core_level FROM lv GROUP BY 1)
+       |SELECT verts.id AS part, coalesce(mx.core_level, 0) AS core_level
+       |FROM verts LEFT JOIN mx ON verts.id = mx.id ORDER BY part""".stripMargin
+  }
+
+  /** Joint power-of-two degree histogram: the bucket is an exact
+    * powers-table join (no float log2 — libm drift), cells keyed
+    * (lo, hi).
+    */
+  private val degreeJointSql: String =
+    s"""WITH $copurchaseCte,
+       |cpm AS MATERIALIZED (SELECT a, b FROM cp),
+       |deg AS MATERIALIZED (SELECT v, count(*) AS d FROM (
+       |  SELECT a AS v FROM cpm UNION ALL SELECT b FROM cpm) u GROUP BY 1),
+       |powers AS (SELECT CAST(range AS BIGINT) AS p,
+       |  CAST(1 AS BIGINT) << range AS pw FROM range(0, 31)),
+       |bucketed AS MATERIALIZED (SELECT v, max(p) AS bkt
+       |  FROM deg JOIN powers ON pw <= d GROUP BY 1)
+       |SELECT least(ba.bkt, bb.bkt) AS bucket_lo,
+       |  greatest(ba.bkt, bb.bkt) AS bucket_hi, count(*) AS n_edges
+       |FROM cpm JOIN bucketed ba ON cpm.a = ba.v
+       |JOIN bucketed bb ON cpm.b = bb.v
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-edge embeddedness via the wedge join (the ktruss oracle's
+    * semantic spec for common-neighbor support), exact integer ppm
+    * Jaccard, top-20.
+    */
+  private val edgeEmbeddednessSql: String =
+    s"""WITH $copurchaseCte,
+       |cpm AS MATERIALIZED (SELECT a, b FROM cp),
+       |bdir AS MATERIALIZED (SELECT a, b FROM cpm UNION ALL SELECT b, a FROM cpm),
+       |deg AS MATERIALIZED (SELECT a AS v, count(*) AS d FROM bdir GROUP BY 1),
+       |supp AS (SELECT cpm.a, cpm.b, count(*) AS common
+       |  FROM cpm JOIN bdir x ON x.a = cpm.a JOIN bdir y ON y.a = cpm.b
+       |    AND y.b = x.b
+       |  GROUP BY 1, 2),
+       |alle AS (SELECT cpm.a, cpm.b, coalesce(supp.common, 0) AS common,
+       |    da.d AS da, db.d AS db
+       |  FROM cpm LEFT JOIN supp ON cpm.a = supp.a AND cpm.b = supp.b
+       |  JOIN deg da ON cpm.a = da.v JOIN deg db ON cpm.b = db.v)
+       |SELECT a, b, common, da, db,
+       |  CASE WHEN da + db - 2 - common > 0
+       |    THEN common * 1000000 // (da + db - 2 - common)
+       |    ELSE 1000000 END AS jac_ppm
+       |FROM alle ORDER BY jac_ppm DESC, a, b LIMIT 20""".stripMargin
+
   /** Unrolled 6-iteration integer HITS (hubs & authorities on the
     * bipartite purchase graph): each half-step max-normalizes by a
     * truncating division — identical floor semantics on both engines, so
@@ -745,6 +823,9 @@ object GraphOracle {
     "graph_hits" -> hitsSql,
     "graph_eigencentrality" -> eigenSql,
     "graph_kcore" -> kcoreSql(68, 6),
+    "graph_core_number" -> coreNumberSql,
+    "graph_degree_joint" -> degreeJointSql,
+    "graph_edge_embeddedness" -> edgeEmbeddednessSql,
     "graph_ktruss" -> ktrussSql(12, 3),
 
     "graph_ego_net" ->

@@ -1503,6 +1503,108 @@ object LlmOracle {
          |SELECT node AS doc_id, min(label) AS keep_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
+    "llm_dup_cluster_sizes" ->
+      s"""WITH RECURSIVE $jaccardPairs,
+         |e2 AS (
+         |  SELECT d1 AS a, d2 AS b FROM jac WHERE j >= 0.6
+         |  UNION ALL SELECT d2, d1 FROM jac WHERE j >= 0.6),
+         |reach(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e2.b, reach.label FROM reach JOIN e2 ON e2.a = reach.node),
+         |cl AS (SELECT node AS doc_id, min(label) AS keep_id
+         |  FROM reach GROUP BY node),
+         |szs AS (SELECT keep_id, count(*) AS sz FROM cl GROUP BY 1)
+         |SELECT sz, count(*) AS n_clusters FROM szs
+         |GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "llm_stopword_profile" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN tok IN ('the','a','an','and','or','of','to',
+        |    'in','is','it','that','for','on','with','as')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        |  floor(CAST(sum(CASE WHEN tok IN ('the','a','an','and','or','of',
+        |    'to','in','is','it','that','for','on','with','as')
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS stop_ratio
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_suffix_freq" ->
+      """SELECT substr(text, length(text) - 15, 16) AS suffix,
+        |  count(*) AS n_docs, count(DISTINCT source) AS n_sources
+        |FROM documents WHERE length(text) >= 16
+        |GROUP BY 1 ORDER BY n_docs DESC, suffix LIMIT 20""".stripMargin,
+
+    "llm_idf_drift" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, source = 'src0' AS is_eval,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |ne AS (SELECT count(DISTINCT doc_id) AS ne FROM toks WHERE is_eval),
+        |nt AS (SELECT count(DISTINCT doc_id) AS nt FROM toks
+        |  WHERE NOT is_eval),
+        |df AS (
+        |  SELECT tok,
+        |    CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS df_eval,
+        |    CAST(sum(CASE WHEN NOT is_eval THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS df_train
+        |  FROM toks GROUP BY 1),
+        |dd AS (
+        |  SELECT tok, df_eval, df_train,
+        |    CAST(floor((ln((CAST(ne AS DOUBLE) + 1.0) /
+        |      (CAST(df_eval AS DOUBLE) + 1.0)) -
+        |      ln((CAST(nt AS DOUBLE) + 1.0) /
+        |      (CAST(df_train AS DOUBLE) + 1.0))) * 1.0e9 + 0.5) AS BIGINT)
+        |      AS dq
+        |  FROM df, ne, nt WHERE df_eval > 0 AND df_train > 0)
+        |SELECT tok, df_eval, df_train,
+        |  CAST(dq AS DOUBLE) / 1.0e9 AS idf_delta
+        |FROM dd ORDER BY abs(dq) DESC, tok LIMIT 20""".stripMargin,
+
+    "llm_compressibility" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT doc_id,
+        |    md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS h
+        |  FROM d, UNNEST(range(1, len(ts) - 1)) AS t(i)),
+        |r AS (
+        |  SELECT doc_id, count(*) AS n_trigrams,
+        |    count(DISTINCT h) AS n_distinct
+        |  FROM tri GROUP BY 1),
+        |q AS (SELECT doc_id, n_trigrams, n_distinct,
+        |  n_distinct * 10000 // n_trigrams AS ratio_bp FROM r)
+        |SELECT doc_id, n_trigrams, n_distinct,
+        |  CAST(ratio_bp AS DOUBLE) / 10000.0 AS distinct_ratio
+        |FROM q ORDER BY ratio_bp, doc_id LIMIT 20""".stripMargin,
+
+    "llm_entropy_outliers" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types,
+        |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |      * 1.0e9 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM tf GROUP BY 1),
+        |h AS (
+        |  SELECT doc_id, n, n_types,
+        |    (CAST(floor(ln(CAST(n AS DOUBLE)) * 1.0e9 + 0.5) AS BIGINT) * n
+        |      - sq) AS hs
+        |  FROM agg),
+        |e AS (SELECT doc_id, n, n_types,
+        |  CAST(hs AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e9) AS entropy
+        |  FROM h)
+        |SELECT doc_id, n AS n_tokens, n_types, entropy
+        |FROM e ORDER BY entropy, doc_id LIMIT 20""".stripMargin,
+
     "llm_decontaminate" ->
       s"""WITH $jaccardPairs,
          |src AS (SELECT doc_id, source FROM documents),

@@ -2434,6 +2434,124 @@ object OracleSql {
         |  ON a.user_id < b.user_id AND a.st < b.en AND b.st < a.en
         |ORDER BY u1, s1, u2, s2""".stripMargin,
 
+    "agg_quantile_shift" ->
+      """WITH o AS (
+        |  SELECT o_custkey % 2 AS arm,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT arm, cents,
+        |    row_number() OVER (PARTITION BY arm ORDER BY cents, o_orderkey)
+        |      AS rin,
+        |    count(*) OVER (PARTITION BY arm) AS n
+        |  FROM o),
+        |picks AS (
+        |  SELECT arm, CAST(p AS BIGINT) AS p, cents
+        |  FROM r CROSS JOIN (VALUES (25), (50), (75)) v(p)
+        |  WHERE rin = (p * n + 99) // 100)
+        |SELECT a.p AS p,
+        |  CAST(a.cents AS DOUBLE) / 100.0 AS value_a,
+        |  CAST(b.cents AS DOUBLE) / 100.0 AS value_b,
+        |  CAST(b.cents - a.cents AS DOUBLE) / 100.0 AS shift,
+        |  CASE WHEN a.cents > 0 THEN
+        |    floor(CAST(b.cents - a.cents AS DOUBLE) /
+        |      CAST(a.cents AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |  END AS shift_rel
+        |FROM picks a JOIN picks b ON a.p = b.p AND a.arm = 0 AND b.arm = 1
+        |ORDER BY p""".stripMargin,
+
+    "agg_bayes_ab" ->
+      """WITH pu AS (
+        |  SELECT user_id % 2 AS arm, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |arms AS (SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c
+        |  FROM pu GROUP BY 1),
+        |ab AS (
+        |  SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b,
+        |    (CAST(a.c AS DOUBLE) + 1.0) / (CAST(a.n AS DOUBLE) + 2.0) AS pa,
+        |    (CAST(b.c AS DOUBLE) + 1.0) / (CAST(b.n AS DOUBLE) + 2.0) AS pb,
+        |    CAST(a.n AS DOUBLE) AS nad, CAST(b.n AS DOUBLE) AS nbd
+        |  FROM arms a, arms b WHERE a.arm = 0 AND b.arm = 1)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  floor(pa * 10000.0 + 0.5) / 10000.0 AS post_mean_a,
+        |  floor(pb * 10000.0 + 0.5) / 10000.0 AS post_mean_b,
+        |  floor((pb - pa) / sqrt(pa * (1.0 - pa) / (nad + 3.0)
+        |    + pb * (1.0 - pb) / (nbd + 3.0)) * 10000.0 + 0.5) / 10000.0
+        |    AS z_score
+        |FROM ab""".stripMargin,
+
+    "agg_bootstrap_diff_ci" ->
+      """WITH x AS (
+        |  SELECT o_orderkey, o_custkey % 2 AS arm,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v, u.r
+        |  FROM orders, UNNEST(range(0, 32)) AS u(r)),
+        |reps AS (
+        |  SELECT r,
+        |    CAST(sum(CASE WHEN arm = 0 THEN v END) AS BIGINT) AS sa,
+        |    count(CASE WHEN arm = 0 THEN 1 END) AS ca,
+        |    CAST(sum(CASE WHEN arm = 1 THEN v END) AS BIGINT) AS sb,
+        |    count(CASE WHEN arm = 1 THEN 1 END) AS cb
+        |  FROM x
+        |  WHERE CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '_' ||
+        |    CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % 2 = 0
+        |  GROUP BY 1),
+        |diffs AS (SELECT r, CAST(sa AS DOUBLE) / CAST(ca AS DOUBLE)
+        |    - CAST(sb AS DOUBLE) / CAST(cb AS DOUBLE) AS diff
+        |  FROM reps),
+        |rk AS (SELECT diff,
+        |  row_number() OVER (ORDER BY diff, r) AS rn FROM diffs),
+        |lo AS (SELECT diff AS lo FROM rk WHERE rn = 2),
+        |hi AS (SELECT diff AS hi FROM rk WHERE rn = 31),
+        |base AS (SELECT o_custkey % 2 AS arm, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sv
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT
+        |    (SELECT CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) FROM base
+        |      WHERE arm = 0) AS ma,
+        |    (SELECT CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) FROM base
+        |      WHERE arm = 1) AS mb)
+        |SELECT floor(ma - mb + 0.5) / 100.0 AS diff_mean,
+        |  floor(lo + 0.5) / 100.0 AS ci_lo,
+        |  floor(hi + 0.5) / 100.0 AS ci_hi
+        |FROM m, lo, hi""".stripMargin,
+
+    "agg_effect_size" ->
+      """WITH mom AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS s2
+        |  FROM (SELECT event_type,
+        |          CAST(round(value * 10000) AS BIGINT) AS q FROM events)
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.n AS na, a.s1 AS s1a, a.s2 AS s2a,
+        |    b.n AS nb, b.s1 AS s1b, b.s2 AS s2b
+        |  FROM mom a JOIN mom b ON a.event_type < b.event_type),
+        |d AS (
+        |  SELECT type_a, type_b, na, nb,
+        |    CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va,
+        |    (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb
+        |  FROM p),
+        |dd AS (
+        |  SELECT type_a, type_b, na, nb,
+        |    (ma - mb) / sqrt(((CAST(na AS DOUBLE) - 1.0) * va
+        |      + (CAST(nb AS DOUBLE) - 1.0) * vb) /
+        |      (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0)) AS d
+        |  FROM d)
+        |SELECT type_a, type_b, na AS n_a, nb AS n_b,
+        |  floor(d * 10000.0 + 0.5) / 10000.0 AS cohen_d,
+        |  floor(d * (1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE)
+        |    + CAST(nb AS DOUBLE)) - 9.0)) * 10000.0 + 0.5) / 10000.0
+        |    AS hedges_g
+        |FROM dd ORDER BY type_a, type_b""".stripMargin,
+
     "agg_ttest" ->
       """WITH mom AS (
         |  SELECT event_type, count(*) AS n,

@@ -217,6 +217,37 @@ class GraphSpec extends SparkSpec {
     assert(r6.forall { case (v, d) => deg.getOrElse(v, 0L) == d && d >= 68L })
   }
 
+  test("graph_core_number: levels are the true nested fixpoints, verified by a JVM peel") {
+    import spark.implicits._
+    val got = q("graph_core_number").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    val cp = GraphOps.copurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // JVM reference: peel each level to its TRUE fixpoint (nested, like
+    // the op) — also pins that 4 fixed rounds per level converged
+    var pairs = cp
+    var expect = cp.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(_ -> 0L).toMap
+    for (k <- Seq(16, 48, 64, 72)) {
+      var alive = pairs.flatMap(e => Seq(e._1, e._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = pairs.filter(e => alive(e._1) && alive(e._2))
+          .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .map { case (v, xs) => (v, xs.length) }
+        val next = alive.filter(v => deg.getOrElse(v, 0) >= k)
+        changed = next != alive
+        alive = next
+      }
+      pairs = pairs.filter(e => alive(e._1) && alive(e._2))
+      alive.foreach(v => expect += v -> k.toLong)
+    }
+    assert(got === expect, "core levels must match the nested JVM fixpoints")
+    // the profile found real stratification on this graph
+    assert(got.values.toSet.size > 1, "all nodes at one level — degenerate")
+  }
+
   test("kcorePeel equals a JVM brute-force peel on random graphs (3 seeds)") {
     import spark.implicits._
     for (seed <- Seq(7L, 42L, 1234L)) {

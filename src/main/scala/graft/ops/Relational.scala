@@ -2005,6 +2005,111 @@ object Relational {
       .orderBy($"user_id", $"h")
   }
 
+  /** Average True Range over the corpus-wide daily revenue OHLC — the
+    * volatility gauge next to [[winBollinger]]'s σ bands (TR folds the
+    * overnight gap in: max(high−low, |high−prev_close|, |low−prev_close|)
+    * — pure integer cents via greatest/abs), ATR = 14-day rolling mean of
+    * TR as an exact BIGINT window sum over the DAY dimension
+    * (calendar-bounded — the documented-bounded window class) divided
+    * once. Open/close use the deterministic min/max-struct first/last
+    * pick.
+    */
+  val winAtr: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        tsMs($"ts").as("ms"), $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"d")
+      .agg(min($"cents").as("low"), max($"cents").as("high"),
+        max(struct($"ms", $"event_id", $"cents")).getField("cents")
+          .as("close"))
+    val w = Window.orderBy($"d")
+    val daily2 = daily
+      .withColumn("pc", lag($"close", 1).over(w))
+      .withColumn("tr", when($"pc".isNull, $"high" - $"low")
+        .otherwise(greatest($"high" - $"low", abs($"high" - $"pc"),
+          abs($"low" - $"pc"))))
+    daily2
+      .withColumn("nf", count(lit(1)).over(w.rowsBetween(-13, 0)))
+      .withColumn("trs", sum($"tr").over(w.rowsBetween(-13, 0)))
+      .select($"d", ($"tr".cast("double") / lit(100.0)).as("true_range"),
+        LlmOps.pround4($"trs".cast("double") / $"nf".cast("double") /
+          lit(100.0)).as("atr_14"))
+      .orderBy($"d")
+  }
+
+  /** Donchian channel (20-day rolling high/low of daily revenue) with
+    * breakout flags — the turtle-trader band on the same calendar-bounded
+    * daily frame as [[winAtr]]: channel bounds are exact integer window
+    * extrema over the PRECEDING 20 days (end-exclusive frame, so a
+    * breakout compares today against yesterday's channel — no
+    * self-inclusion), flags are integer comparisons.
+    */
+  val winDonchian: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"d").agg(sum($"cents").as("rev"))
+    val w = Window.orderBy($"d").rowsBetween(-20, -1)
+    daily
+      .withColumn("hi20", max($"rev").over(w))
+      .withColumn("lo20", min($"rev").over(w))
+      .filter($"hi20".isNotNull)
+      .select($"d", ($"rev".cast("double") / lit(100.0)).as("revenue"),
+        ($"hi20".cast("double") / lit(100.0)).as("channel_hi"),
+        ($"lo20".cast("double") / lit(100.0)).as("channel_lo"),
+        ($"rev" > $"hi20").as("breakout_up"),
+        ($"rev" < $"lo20").as("breakout_down"))
+      .orderBy($"d")
+  }
+
+  /** Month-over-month revenue growth per event type — the BI staple
+    * ("which segments accelerated"): one (type, month) rollup in exact
+    * cents, lag() on the type-partitioned month frame (≤ |months| rows
+    * per type — calendar-bounded), growth one guarded quantized divide.
+    */
+  val winMomGrowth: Q = (s, dir) => {
+    import s.implicits._
+    val m = Tables.events(s, dir)
+      .select($"event_type",
+        (year($"ts") * 100 + month($"ts")).cast("long").as("ym"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"ym").agg(sum($"cents").as("rev"))
+    val w = Window.partitionBy($"event_type").orderBy($"ym")
+    m.withColumn("prev", lag($"rev", 1).over(w))
+      .select($"event_type", $"ym",
+        ($"rev".cast("double") / lit(100.0)).as("revenue"),
+        when($"prev" > 0, LlmOps.pround4(
+          ($"rev" - $"prev").cast("double") / $"prev".cast("double")))
+          .as("mom_growth"))
+      .orderBy($"event_type", $"ym")
+  }
+
+  /** Year-over-year revenue growth per return flag on lineitem — the
+    * multi-year twin of [[winMomGrowth]] over the 1992-1998 ship
+    * calendar: exact cents yearly rollup, lag on the flag-partitioned
+    * year frame, one guarded quantized divide.
+    */
+  val winYoyGrowth: Q = (s, dir) => {
+    import s.implicits._
+    val y = Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        year($"l_shipdate".cast("timestamp")).cast("long").as("yr"),
+        round($"l_extendedprice" * (lit(1) - $"l_discount") * lit(100))
+          .cast("long").as("cents"))
+      .groupBy($"l_returnflag", $"yr").agg(sum($"cents").as("rev"))
+    val w = Window.partitionBy($"l_returnflag").orderBy($"yr")
+    y.withColumn("prev", lag($"rev", 1).over(w))
+      .select($"l_returnflag", $"yr",
+        ($"rev".cast("double") / lit(100.0)).as("revenue"),
+        when($"prev" > 0, LlmOps.pround4(
+          ($"rev" - $"prev").cast("double") / $"prev".cast("double")))
+          .as("yoy_growth"))
+      .orderBy($"l_returnflag", $"yr")
+  }
+
   /** As-of join WITH TOLERANCE — the staleness-bounded variant every
     * feature-serving join actually ships (a click older than 1 h must NOT
     * feed the purchase's features; an unbounded as-of silently serves
@@ -5394,6 +5499,38 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** Opaque-payload ingest via Spark's `binaryFile` source — the exact
+    * path an image/audio corpus enters a lakehouse (one blob per file,
+    * metadata columns from the FileSystem, content as `binary`). The
+    * fixture build materializes each document's text as a `.bin` payload
+    * file from the EXECUTORS (foreachPartition — parallel, no driver
+    * loop; a cluster run points `binaryFile` at the shared store the
+    * corpus already lives on). The audit output is (doc_id, byte length,
+    * md5 digest) recomputed FROM THE BYTES — proving the round trip bit
+    * for bit; the oracle recomputes both from the source column. The
+    * artifact is memoized per (dir, fingerprint) like every src_* scratch
+    * build.
+    */
+  val srcBinaryfile: Q = (s, dir) => {
+    import s.implicits._
+    val p = srcArtifact("src_binaryfile", dir, "documents.parquet") { out =>
+      new java.io.File(out).mkdirs()
+      Tables.documents(s, dir).select($"doc_id", $"text")
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"doc_${r.getLong(0)}%08d.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        }
+    }
+    s.read.format("binaryFile").load(p)
+      .select(regexp_extract(element_at(split($"path", "/"), -1),
+        "doc_(\\d+)", 1).cast("long").as("doc_id"),
+        $"length", md5($"content").as("digest"))
+      .orderBy($"doc_id")
+  }
+
   /** The end-to-end data-skipping bake-off: write lineitem scratch TWICE —
     * hash-scattered on l_orderkey (the pruning-hostile default) vs
     * directory-partitioned by the 8-way Morton z-bucket from sort_zorder's
@@ -5607,6 +5744,7 @@ object Relational {
     "agg_returns" -> aggReturns,
     "agg_weibull_fit" -> aggWeibullFit,
     "src_csv_gzip" -> srcCsvGzip,
+    "src_binaryfile" -> srcBinaryfile,
     "agg_top_paths" -> aggTopPaths,
     "agg_entry_exit" -> aggEntryExit,
     "agg_cross_corr" -> aggCrossCorr,
@@ -5621,6 +5759,10 @@ object Relational {
     "agg_winsorize" -> aggWinsorize,
     "agg_cuped" -> aggCuped,
     "agg_quantile_shift" -> aggQuantileShift,
+    "win_atr" -> winAtr,
+    "win_donchian" -> winDonchian,
+    "win_mom_growth" -> winMomGrowth,
+    "win_yoy_growth" -> winYoyGrowth,
     "agg_bayes_ab" -> aggBayesAb,
     "agg_bootstrap_diff_ci" -> aggBootstrapDiffCi,
     "agg_effect_size" -> aggEffectSize,

@@ -459,6 +459,84 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "win_atr" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d,
+        |    CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS low,
+        |    CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS high,
+        |    max({'ms': epoch_ms(ts), 'event_id': event_id,
+        |      'c': CAST(round(value * 100) AS BIGINT)}).c AS close
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT d,
+        |    CASE WHEN lag(close) OVER (ORDER BY d) IS NULL
+        |      THEN high - low
+        |      ELSE greatest(high - low,
+        |        abs(high - lag(close) OVER (ORDER BY d)),
+        |        abs(low - lag(close) OVER (ORDER BY d))) END AS tr
+        |  FROM daily),
+        |w AS (
+        |  SELECT d, tr,
+        |    count(*) OVER (ORDER BY d ROWS BETWEEN 13 PRECEDING
+        |      AND CURRENT ROW) AS nf,
+        |    CAST(sum(tr) OVER (ORDER BY d ROWS BETWEEN 13 PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS trs
+        |  FROM tr)
+        |SELECT d, CAST(tr AS DOUBLE) / 100.0 AS true_range,
+        |  floor(CAST(trs AS DOUBLE) / CAST(nf AS DOUBLE) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS atr_14
+        |FROM w ORDER BY d""".stripMargin,
+
+    "win_donchian" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT d, rev,
+        |    CAST(max(rev) OVER (ORDER BY d ROWS BETWEEN 20 PRECEDING
+        |      AND 1 PRECEDING) AS BIGINT) AS hi20,
+        |    CAST(min(rev) OVER (ORDER BY d ROWS BETWEEN 20 PRECEDING
+        |      AND 1 PRECEDING) AS BIGINT) AS lo20
+        |  FROM daily)
+        |SELECT d, CAST(rev AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(hi20 AS DOUBLE) / 100.0 AS channel_hi,
+        |  CAST(lo20 AS DOUBLE) / 100.0 AS channel_lo,
+        |  rev > hi20 AS breakout_up, rev < lo20 AS breakout_down
+        |FROM w WHERE hi20 IS NOT NULL ORDER BY d""".stripMargin,
+
+    "win_mom_growth" ->
+      """WITH m AS (
+        |  SELECT event_type, year(ts) * 100 + month(ts) AS ym,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, ym, rev,
+        |    lag(rev) OVER (PARTITION BY event_type ORDER BY ym) AS prev
+        |  FROM m)
+        |SELECT event_type, ym, CAST(rev AS DOUBLE) / 100.0 AS revenue,
+        |  CASE WHEN prev > 0 THEN
+        |    floor(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+        |      * 10000.0 + 0.5) / 10000.0 END AS mom_growth
+        |FROM w ORDER BY event_type, ym""".stripMargin,
+
+    "win_yoy_growth" ->
+      """WITH y AS (
+        |  SELECT l_returnflag, year(CAST(l_shipdate AS TIMESTAMP)) AS yr,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT l_returnflag, yr, rev,
+        |    lag(rev) OVER (PARTITION BY l_returnflag ORDER BY yr) AS prev
+        |  FROM y)
+        |SELECT l_returnflag, CAST(yr AS BIGINT) AS yr,
+        |  CAST(rev AS DOUBLE) / 100.0 AS revenue,
+        |  CASE WHEN prev > 0 THEN
+        |    floor(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+        |      * 10000.0 + 0.5) / 10000.0 END AS yoy_growth
+        |FROM w ORDER BY l_returnflag, yr""".stripMargin,
+
     "agg_nrr" ->
       """WITH um AS (
         |  SELECT user_id, year(ts) * 100 + month(ts) AS ym,
@@ -635,6 +713,12 @@ object OracleSql {
         |        CAST(n * sxx - sx * sx AS DOUBLE)))
         |      * 10000.0 + 0.5) / 10000.0 END AS scale_days
         |FROM sums""".stripMargin,
+
+    "src_binaryfile" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS length,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "src_csv_gzip" ->
       ("""SELECT n_name, count(*) AS n_customers,

@@ -1784,6 +1784,57 @@ object LlmOps {
       .orderBy($"keeper")
   }
 
+  /** Pairwise source VOCABULARY overlap (set Jaccard over distinct
+    * tokens) — the set-membership companion to [[llmJsDivergence]]'s
+    * distribution distance: two sources can share every word yet weight
+    * them apart (high venn, high JSD) or barely overlap at all. The
+    * (source, token) frame is Heaps-law bounded (vocabulary, not corpus);
+    * the pair join keys on the token, fan-out ≤ |sources|² per token;
+    * the Jaccard is one quantized divide over exact set counts.
+    */
+  val llmVocabVenn: Q = (s, dir) => {
+    import s.implicits._
+    val v = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .distinct()
+      .cp() // sizes and the pair join share the vocab frame
+    val sz = v.groupBy($"source").agg(count(lit(1)).as("n"))
+    val common = v.as("a").join(v.as("b"),
+        $"a.tok" === $"b.tok" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sz.select($"source".as("source_a"), $"n".as("n_a"))),
+        "source_a")
+      .join(broadcast(sz.select($"source".as("source_b"), $"n".as("n_b"))),
+        "source_b")
+      .select($"source_a", $"source_b", $"n_a", $"n_b", $"common",
+        pround4($"common".cast("double") /
+          ($"n_a" + $"n_b" - $"common").cast("double")).as("jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  /** Embedding L2-norm histogram per label — the normalization audit a
+    * vector store runs at ingest (a cosine index assumes unit-ish norms;
+    * a bimodal norm histogram means two incompatible encoders fed one
+    * corpus). Each squared norm is a per-ELEMENT nano-quantized BIGINT
+    * sum (the [[llmEmbedOutliers]] discipline — order-free, engine-exact),
+    * bucketed by integer division into 0.01-wide norm² cells.
+    */
+  val llmEmbedNorms: Q = (s, dir) => {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"vec_id", $"label",
+        floor($"v".cast("double") * $"v".cast("double") * lit(1.0e9) +
+          lit(0.5)).cast("long").as("q"))
+      .groupBy($"vec_id", $"label").agg(sum($"q").as("n2q"))
+      .groupBy($"label", expr("n2q * 100 div 1000000000").as("norm2_bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy($"label", $"norm2_bucket")
+  }
+
   /** Stopword-ratio profile per source — the function-word density check
     * a quality pipeline runs next to [[llmQualityScore]] (real prose
     * carries a stable stopword share; keyword-stuffed or template text
@@ -3528,6 +3579,8 @@ object LlmOps {
     "llm_dedup_cluster" -> llmDedupCluster,
     "llm_dup_cluster_sizes" -> llmDupClusterSizes,
     "llm_stopword_profile" -> llmStopwordProfile,
+    "llm_vocab_venn" -> llmVocabVenn,
+    "llm_embed_norms" -> llmEmbedNorms,
     "llm_suffix_freq" -> llmSuffixFreq,
     "llm_idf_drift" -> llmIdfDrift,
     "llm_compressibility" -> llmCompressibility,

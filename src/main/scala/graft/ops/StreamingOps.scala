@@ -62,6 +62,22 @@ object StreamingOps {
       .select(unix_millis($"w.start").as("ws_ms"), $"event_type", $"n", $"sum_value")
   }
 
+  /** EXACT distinct users per 10-minute tumbling window — the streaming-
+    * legal spelling: `countDistinct` cannot run incrementally, so the core
+    * is dropDuplicates(window, user) → count, which Structured Streaming
+    * executes as watermark-expired dedup state + a windowed count (two
+    * chained stateful operators — bounded state, the exact twin of
+    * [[stream_distinct_approx]]'s HLL sketch). Batch and stream share
+    * this one dataflow.
+    */
+  private def distinctExactCore(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select(window($"ts", "10 minutes").as("w"), $"user_id")
+      .dropDuplicates("w", "user_id")
+      .groupBy($"w").agg(count(lit(1)).as("n_users"))
+      .select(unix_millis($"w.start").as("ws_ms"), $"n_users")
+  }
+
   /** 10-minute windows sliding every 5 — each event lands in 2 windows. */
   private def slidingCore(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
@@ -94,6 +110,11 @@ object StreamingOps {
   val streamSession: Q = (s, dir) => {
     import s.implicits._
     sessionCore(Tables.events(s, dir)).orderBy($"user_id", $"start_ms")
+  }
+
+  val streamDistinctExact: Q = (s, dir) => {
+    import s.implicits._
+    distinctExactCore(Tables.events(s, dir)).orderBy($"ws_ms")
   }
 
   /** Watermarked-dedup batch twin: one row per (user_id, event_type) with
@@ -651,6 +672,9 @@ object StreamingOps {
   def slidingStream(s: SparkSession, dir: String): DataFrame =
     slidingCore(eventsStream(s, dir).withWatermark("ts", "10 minutes"))
 
+  def distinctExactStream(s: SparkSession, dir: String): DataFrame =
+    distinctExactCore(eventsStream(s, dir).withWatermark("ts", "10 minutes"))
+
   def sessionStream(s: SparkSession, dir: String): DataFrame =
     sessionCore(eventsStream(s, dir).withWatermark("ts", "30 minutes"))
 
@@ -891,6 +915,7 @@ object StreamingOps {
     "stream_outer_join" -> streamOuterJoin,
     "stream_enrich" -> streamEnrich,
     "stream_distinct_approx" -> streamDistinctApprox,
+    "stream_distinct_exact" -> streamDistinctExact,
     "stream_late_data" -> streamLateData
   )
 }

@@ -1518,6 +1518,38 @@ object LlmOracle {
          |SELECT sz, count(*) AS n_clusters FROM szs
          |GROUP BY sz ORDER BY sz""".stripMargin,
 
+    "llm_vocab_venn" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+        |c AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS common
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, common,
+        |  floor(CAST(common AS DOUBLE) /
+        |    CAST(sa.n + sb.n - common AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS jaccard
+        |FROM c JOIN sz sa ON c.source_a = sa.source
+        |JOIN sz sb ON c.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "llm_embed_norms" ->
+      """WITH px AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |n2 AS (
+        |  SELECT vec_id, label,
+        |    CAST(sum(CAST(floor(v * v * 1.0e9 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS n2q
+        |  FROM px GROUP BY 1, 2)
+        |SELECT label, n2q * 100 // 1000000000 AS norm2_bucket,
+        |  count(*) AS n_vecs
+        |FROM n2 GROUP BY 1, 2 ORDER BY label, norm2_bucket""".stripMargin,
+
     "llm_stopword_profile" ->
       """WITH t AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok

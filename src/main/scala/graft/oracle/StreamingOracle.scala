@@ -79,6 +79,13 @@ object StreamingOracle {
          |  count(*) AS n, ${msum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY ws_ms, event_type""".stripMargin,
 
+    "stream_distinct_exact" ->
+      """WITH wu AS (
+        |  SELECT (epoch_ms(ts) // 600000) * 600000 AS ws_ms, user_id
+        |  FROM events GROUP BY 1, 2)
+        |SELECT ws_ms, count(*) AS n_users FROM wu
+        |GROUP BY 1 ORDER BY ws_ms""".stripMargin,
+
     "stream_sliding" ->
       """SELECT (epoch_ms(ts) // 300000 - k) * 300000 AS ws_ms, event_type,
         |  count(*) AS n

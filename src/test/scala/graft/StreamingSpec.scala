@@ -40,6 +40,13 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("stream_distinct_exact: streaming dedup-then-count equals batch twin") {
+    val batch = SparkEntry.queries("stream_distinct_exact")(spark, sf)
+    val stream = runStream(
+      StreamingOps.distinctExactStream(spark, sf), OutputMode.Complete)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
   test("stream_dedup: streaming dedup keeps exactly the twin's key set") {
     val batch = SparkEntry.queries("stream_dedup")(spark, sf)
       .select("user_id", "event_type")

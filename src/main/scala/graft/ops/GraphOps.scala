@@ -948,7 +948,17 @@ object GraphOps {
       cp.unionAll(cp.select($"b".as("a"), $"a".as("b"))), $"a")
     var surv = both.select($"a".as("id")).distinct().cp()
     var nSurv = surv.count()
-    for (_ <- 1 to rounds) {
+    // result-identical early exit: peeling is MONOTONE (survivors only
+    // shrink), so an unchanged survivor COUNT means an unchanged set and
+    // every later round is a no-op — stopping early returns exactly the
+    // fixed-round answer. The count is already paid for the broadcast
+    // gate; the nested core-number peels (24 budgeted rounds) converge in
+    // a handful, so this trims the action count without touching results.
+    var prev = -1L
+    var r = 0
+    while (r < rounds && nSurv != prev) {
+      r += 1
+      prev = nSurv
       val alive = graft.api.GraphAlgebra.hintedFrame(surv, nSurv)
       val deg = both
         .join(alive.select($"id".as("a")), Seq("a"), "left_semi")

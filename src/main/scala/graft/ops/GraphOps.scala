@@ -875,6 +875,44 @@ object GraphOps {
       .orderBy($"part")
   }
 
+  /** Shortest-path TRACE — the actual vertex sequence from part 1 to the
+    * farthest-id reachable part (≤ 6 hops), not just the distance: the
+    * serving query a graph store answers with "show me HOW these connect"
+    * (distances alone can't render the route). BFS hop labels come from
+    * the shared frontier machinery; each vertex's parent is its MINIMUM-id
+    * neighbor one hop closer (deterministic tie-break, so exactly one
+    * path is the answer on both engines); the walk back from the target
+    * is ≤ 6 one-row broadcast joins — path length is diameter-bounded,
+    * never data-sized. Output (step, part) from source to target.
+    */
+  val graphPathTrace: Q = (s, dir) => {
+    import s.implicits._
+    val adj = copurchaseBoth(s, dir).cp()
+    val dist = graft.api.GraphAlgebra.bfsHops(adj, src = 1L, maxHops = 6).cp()
+    // deterministic target: the largest-id reachable vertex. ONE driver
+    // row (the documented two-pass probe pattern — the walk's step count
+    // is this row's dist, needed to bound the loop)
+    val t = dist.orderBy($"id".desc).limit(1).collect()(0)
+    val (tid, td) = (t.getLong(0), t.getLong(1))
+    // parent(v) = min neighbor u with dist(u) = dist(v) − 1
+    val parents = adj
+      .join(dist.select($"id".as("b"), $"dist".as("db")), "b")
+      .join(dist.select($"id".as("a"), $"dist".as("da")), "a")
+      .filter($"da" === $"db" - 1)
+      .groupBy($"b".as("v"), $"db".as("dv")).agg(min($"a").as("parent"))
+      .cp() // consumed once per walk step
+    var cur = Seq((tid, td)).toDF("part", "step")
+    var out = cur
+    // ≤ maxHops one-row hops: each join probes the checkpointed parent
+    // frame with a single-row broadcast — path length is diameter-bounded
+    for (_ <- 1L to td) {
+      cur = cur.join(parents, $"part" === $"v" && $"step" === $"dv")
+        .select($"parent".as("part"), ($"step" - 1).as("step"))
+      out = out.unionAll(cur)
+    }
+    out.orderBy($"step")
+  }
+
   /** Joint degree histogram (degree–degree mixing matrix) of the
     * co-purchase graph: every edge contributes one cell (bucket(deg_lo),
     * bucket(deg_hi)) where the bucket is the exact power-of-two floor
@@ -2013,6 +2051,7 @@ object GraphOps {
     "graph_trending" -> graphTrending,
     "graph_kcore" -> graphKcore,
     "graph_core_number" -> graphCoreNumber,
+    "graph_path_trace" -> graphPathTrace,
     "graph_degree_joint" -> graphDegreeJoint,
     "graph_edge_embeddedness" -> graphEdgeEmbeddedness,
     "graph_ego_net" -> graphEgoNet,

@@ -649,6 +649,63 @@ object LlmOps {
     * within its own cluster (top-5). The assignment pass + cluster-local
     * search is the 100 TB ANN shape (scan cost /= n_clusters).
     */
+  /** Product-quantization ANN (PQ + ADC) — THE 100 TB vector-search
+    * compression: the 64-dim space splits into 4 subspaces of 16 dims,
+    * each with a fixed 8-entry sub-codebook (the first 8 vectors'
+    * sub-vectors — the [[llmAnnIvf]] fixed-codebook convention, so the
+    * whole computation is oracle-checkable where trained codebooks are
+    * not); every vector compresses to 4 one-byte codes (16× smaller than
+    * the floats), and probe 42 searches by Asymmetric Distance
+    * Computation — one 4×8 distance table, approx dist = Σ_m
+    * table[m, code_m(v)]. Every distance is a per-ELEMENT nano-quantized
+    * BIGINT sum (the [[llmEmbedNorms]] discipline — order-free,
+    * engine-exact), so code assignment, the ADC ranking, and the
+    * true-distance error column are all exact integer arithmetic. Work:
+    * one posexplode, an 8-way broadcast centroid join, two hash aggs —
+    * the codes and the table are the only shuffled state.
+    */
+  val llmAnnPq: Q = (s, dir) => {
+    import s.implicits._
+    val px = Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("p", "v")))
+      .select($"vec_id", ($"p" / 16).cast("long").as("m"), $"p",
+        $"v".cast("double").as("v"))
+      .cp() // codes, the probe table, and the true distance all read it
+    val cx = px.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"m", $"p", $"v".as("cv"))
+    // exact per-(vector, subspace, centroid) squared distance
+    val d2 = px.join(broadcast(cx), Seq("m", "p"))
+      .select($"vec_id", $"m", $"cid",
+        floor(($"v" - $"cv") * ($"v" - $"cv") * lit(1.0e9) + lit(0.5))
+          .cast("long").as("q"))
+      .groupBy($"vec_id", $"m", $"cid").agg(sum($"q").as("d2q"))
+      .cp() // codes and the probe's ADC table share it
+    val codes = d2.groupBy($"vec_id", $"m")
+      .agg(min(struct($"d2q", $"cid")).as("mn"))
+      .select($"vec_id", $"m", $"mn.cid".as("code"))
+    val dtab = d2.filter($"vec_id" === 42)
+      .select($"m".as("tm"), $"cid".as("tcid"), $"d2q".as("td2q"))
+    val adist = codes.join(broadcast(dtab),
+        $"m" === $"tm" && $"code" === $"tcid")
+      .groupBy($"vec_id").agg(sum($"td2q").as("aq"))
+    // exact true distance to the probe for the PQ-error column
+    val probe = px.filter($"vec_id" === 42)
+      .select($"p".as("pp"), $"v".as("pv"))
+    val tdist = px.join(broadcast(probe), $"p" === $"pp")
+      .select($"vec_id",
+        floor(($"v" - $"pv") * ($"v" - $"pv") * lit(1.0e9) + lit(0.5))
+          .cast("long").as("q"))
+      .groupBy($"vec_id").agg(sum($"q").as("tq"))
+    adist.join(tdist, "vec_id")
+      .filter($"vec_id" =!= 42)
+      .select($"vec_id",
+        ($"aq".cast("double") / lit(1.0e9)).as("approx_d2"),
+        ($"tq".cast("double") / lit(1.0e9)).as("true_d2"))
+      .orderBy($"aq", $"vec_id")
+      .limit(10)
+      .select($"vec_id", $"approx_d2", $"true_d2")
+  }
+
   val llmAnnIvf: Q = (s, dir) => {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
@@ -1782,6 +1839,52 @@ object LlmOps {
         countDistinct($"fh").as("n_distinct_bodies"))
       .filter($"n_docs" >= 2)
       .orderBy($"keeper")
+  }
+
+  /** RAKE keyphrase extraction — the classic unsupervised keyword miner:
+    * candidate phrases are maximal stopword-free token runs (the
+    * gaps-and-islands trick per document: island key = pos − rank over
+    * non-stop tokens), kept at 2-4 words; each word scores
+    * degree/frequency over the candidate corpus (degree = Σ phrase length
+    * over occurrences — co-occurrence weight); a phrase scores the sum of
+    * its member word scores. Word scores are nano-quantized BIGINTs so
+    * the phrase sum and the top-20 ordering are exact integers; identical
+    * phrase texts across documents share one row with an occurrence
+    * count (their per-occurrence scores are equal by construction —
+    * integer-division recovery is exact).
+    */
+  val llmKeyphraseRake: Q = (s, dir) => {
+    import s.implicits._
+    val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"p")
+    val phrases = toks.filter(!$"tok".isin(stops: _*))
+      .withColumn("isl", $"p" - row_number().over(w))
+      .groupBy($"doc_id", $"isl")
+      .agg(count(lit(1)).as("len"),
+        array_join(transform(array_sort(collect_list(struct($"p", $"tok"))),
+          x => x.getField("tok")), " ").as("phrase"),
+        collect_list($"tok").as("words"))
+      .filter($"len".between(2, 4))
+      .cp() // word stats and the phrase-score join both read it
+    val pw = phrases.select($"doc_id", $"isl", $"phrase", $"len",
+      explode($"words").as("wd"))
+    val wstats = pw.groupBy($"wd")
+      .agg(count(lit(1)).as("freq"), sum($"len").as("deg"))
+      .select($"wd", floor($"deg".cast("double") / $"freq".cast("double") *
+        lit(1.0e9) + lit(0.5)).cast("long").as("wq"))
+    val occScores = pw.join(broadcast(wstats), "wd")
+      .groupBy($"doc_id", $"isl", $"phrase", $"len")
+      .agg(sum($"wq").as("sc"))
+    occScores.groupBy($"phrase")
+      .agg(max($"len").as("n_words"), count(lit(1)).as("n_occurrences"),
+        max($"sc").as("scq"))
+      .orderBy($"scq".desc, $"phrase")
+      .limit(20)
+      .select($"phrase", $"n_words", $"n_occurrences",
+        ($"scq".cast("double") / lit(1.0e9)).as("score"))
   }
 
   /** Pairwise source VOCABULARY overlap (set Jaccard over distinct
@@ -3580,6 +3683,7 @@ object LlmOps {
     "llm_dup_cluster_sizes" -> llmDupClusterSizes,
     "llm_stopword_profile" -> llmStopwordProfile,
     "llm_vocab_venn" -> llmVocabVenn,
+    "llm_keyphrase_rake" -> llmKeyphraseRake,
     "llm_embed_norms" -> llmEmbedNorms,
     "llm_suffix_freq" -> llmSuffixFreq,
     "llm_idf_drift" -> llmIdfDrift,
@@ -3597,6 +3701,7 @@ object LlmOps {
     "llm_sim_search" -> llmSimSearch,
     "llm_sim_join" -> llmSimJoin,
     "llm_ann_ivf" -> llmAnnIvf,
+    "llm_ann_pq" -> llmAnnPq,
     "llm_ann_kmeans" -> llmAnnKmeans,
     "llm_ann_lsh" -> llmAnnLsh,
     "llm_text_stats" -> llmTextStats,

@@ -2005,6 +2005,89 @@ object Relational {
       .orderBy($"user_id", $"h")
   }
 
+  /** Column-level data profile of the orders table — the DESCRIBE-style
+    * audit every catalog/quality tool runs at ingest: per column its row
+    * count, null count, distinct count, and min/max in a column-specific
+    * EXACT integer domain (keys as-is, money in cents, dates in epoch
+    * days; the one string column reports distincts with NULL bounds —
+    * floats/strings as min/max text would not be engine-portable). One
+    * scan, a fixed block of conditional aggregates, a constant-width
+    * unpivot — profile cost never exceeds one pass at any scale.
+    */
+  val aggColumnProfile: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("price_c"),
+        (tsMs($"o_orderdate".cast("timestamp")) / lit(86400000L))
+          .cast("long").as("date_d"),
+        $"o_orderpriority")
+    val wide = o.agg(
+      count(lit(1)).as("n"),
+      sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("nn_ok"),
+      countDistinct($"o_orderkey").as("nd_ok"),
+      min($"o_orderkey").as("mn_ok"), max($"o_orderkey").as("mx_ok"),
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("nn_ck"),
+      countDistinct($"o_custkey").as("nd_ck"),
+      min($"o_custkey").as("mn_ck"), max($"o_custkey").as("mx_ck"),
+      sum(when($"price_c".isNull, 1L).otherwise(0L)).as("nn_pr"),
+      countDistinct($"price_c").as("nd_pr"),
+      min($"price_c").as("mn_pr"), max($"price_c").as("mx_pr"),
+      sum(when($"date_d".isNull, 1L).otherwise(0L)).as("nn_dt"),
+      countDistinct($"date_d").as("nd_dt"),
+      min($"date_d").as("mn_dt"), max($"date_d").as("mx_dt"),
+      sum(when($"o_orderpriority".isNull, 1L).otherwise(0L)).as("nn_op"),
+      countDistinct($"o_orderpriority").as("nd_op"))
+    wide.select(expr(
+      "stack(5," +
+        " 'o_orderkey', n, nn_ok, nd_ok, mn_ok, mx_ok," +
+        " 'o_custkey', n, nn_ck, nd_ck, mn_ck, mx_ck," +
+        " 'o_totalprice_cents', n, nn_pr, nd_pr, mn_pr, mx_pr," +
+        " 'o_orderdate_epochday', n, nn_dt, nd_dt, mn_dt, mx_dt," +
+        " 'o_orderpriority', n, nn_op, nd_op, cast(null as bigint)," +
+        " cast(null as bigint))" +
+        " AS (col, n_rows, n_null, n_distinct, min_v, max_v)"))
+      .orderBy($"col")
+  }
+
+  /** Declarative data-quality checks over the fact tables — the
+    * deequ-style constraint suite a pipeline gates a load on: primary-key
+    * uniqueness, two referential-integrity checks, a value-domain check,
+    * and a date-bounds check, each one exact violation COUNT (a gate
+    * needs the number, not a sample). Every check is a conditional
+    * aggregate or an anti-join count — no check costs more than one scan
+    * of its table, and the FK anti-joins broadcast the dimension side.
+    */
+  val aggDqChecks: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.orders(s, dir).cp()
+    val pkDup = o.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1).agg(coalesce(sum($"c"), lit(0L)).as("v"))
+      .select(lit("pk_orders_unique").as("check"), $"v".as("n_violations"))
+    val fkCust = o.join(
+        broadcast(Tables.customer(s, dir).select($"c_custkey")),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("fk_orders_customer").as("check"), $"v".as("n_violations"))
+    val fkLine = Tables.lineitem(s, dir).select($"l_orderkey")
+      .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey",
+        "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("fk_lineitem_orders").as("check"), $"v".as("n_violations"))
+    val nonneg = o.agg(
+        sum(when($"o_totalprice" < 0, 1L).otherwise(0L)).as("v"))
+      .select(lit("nonneg_totalprice").as("check"), $"v".as("n_violations"))
+    val dates = o.agg(sum(when(
+        year($"o_orderdate".cast("timestamp")) < 1992 ||
+          year($"o_orderdate".cast("timestamp")) > 1998, 1L)
+        .otherwise(0L)).as("v"))
+      .select(lit("orderdate_in_1992_1998").as("check"),
+        $"v".as("n_violations"))
+    pkDup.unionAll(fkCust).unionAll(fkLine).unionAll(nonneg).unionAll(dates)
+      .withColumn("pass", $"n_violations" === 0L)
+      .orderBy($"check")
+  }
+
   /** Average True Range over the corpus-wide daily revenue OHLC — the
     * volatility gauge next to [[winBollinger]]'s σ bands (TR folds the
     * overnight gap in: max(high−low, |high−prev_close|, |low−prev_close|)
@@ -5760,6 +5843,8 @@ object Relational {
     "agg_cuped" -> aggCuped,
     "agg_quantile_shift" -> aggQuantileShift,
     "win_atr" -> winAtr,
+    "agg_column_profile" -> aggColumnProfile,
+    "agg_dq_checks" -> aggDqChecks,
     "win_donchian" -> winDonchian,
     "win_mom_growth" -> winMomGrowth,
     "win_yoy_growth" -> winYoyGrowth,

@@ -467,6 +467,33 @@ object GraphOracle {
        |FROM verts LEFT JOIN mx ON verts.id = mx.id ORDER BY part""".stripMargin
   }
 
+  /** BFS + min-parent pointers + a recursive walk back from the
+    * largest-id reachable vertex — the path-TRACE oracle (the op's
+    * deterministic min-id parent rule makes exactly one path the answer).
+    */
+  private val pathTraceSql: String =
+    s"""WITH RECURSIVE $copurchaseCte,
+       |e2 AS MATERIALIZED (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+       |bfs(node, d) AS (
+       |  SELECT CAST(1 AS BIGINT), 0
+       |  UNION
+       |  SELECT e2.b, bfs.d + 1 FROM bfs JOIN e2 ON e2.a = bfs.node
+       |  WHERE bfs.d < 6),
+       |md AS MATERIALIZED (SELECT node, min(d) AS d FROM bfs GROUP BY 1),
+       |tgt AS (SELECT max(node) AS tid FROM md),
+       |par AS MATERIALIZED (
+       |  SELECT db.node AS v, db.d AS dv, min(e2.a) AS parent
+       |  FROM e2 JOIN md db ON e2.b = db.node JOIN md da ON e2.a = da.node
+       |  WHERE da.d = db.d - 1 GROUP BY 1, 2),
+       |walk(part, step) AS (
+       |  SELECT tid, (SELECT d FROM md WHERE node = tid) FROM tgt
+       |  UNION ALL
+       |  SELECT par.parent, walk.step - 1
+       |  FROM walk JOIN par ON par.v = walk.part AND par.dv = walk.step
+       |  WHERE walk.step > 0)
+       |SELECT part, CAST(step AS BIGINT) AS step FROM walk
+       |ORDER BY step""".stripMargin
+
   /** Joint power-of-two degree histogram: the bucket is an exact
     * powers-table join (no float log2 — libm drift), cells keyed
     * (lo, hi).
@@ -824,6 +851,7 @@ object GraphOracle {
     "graph_eigencentrality" -> eigenSql,
     "graph_kcore" -> kcoreSql(68, 6),
     "graph_core_number" -> coreNumberSql,
+    "graph_path_trace" -> pathTraceSql,
     "graph_degree_joint" -> degreeJointSql,
     "graph_edge_embeddedness" -> edgeEmbeddednessSql,
     "graph_ktruss" -> ktrussSql(12, 3),

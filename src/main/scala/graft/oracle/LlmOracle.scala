@@ -1225,6 +1225,42 @@ object LlmOracle {
         |WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= 0.3
         |ORDER BY p1, p2""".stripMargin,
 
+    "llm_ann_pq" ->
+      """WITH px AS MATERIALIZED (
+        |  SELECT vec_id, (i - 1) // 16 AS m, i - 1 AS p,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |cx AS MATERIALIZED (
+        |  SELECT vec_id AS cid, m, p, v AS cv FROM px WHERE vec_id < 8),
+        |d2 AS MATERIALIZED (
+        |  SELECT px.vec_id, px.m, cx.cid,
+        |    CAST(sum(CAST(floor((px.v - cx.cv) * (px.v - cx.cv) * 1.0e9
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS d2q
+        |  FROM px JOIN cx ON px.m = cx.m AND px.p = cx.p
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, m, cid AS code FROM (
+        |    SELECT vec_id, m, cid,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY d2q, cid) AS rn
+        |    FROM d2) x WHERE rn = 1),
+        |dtab AS (SELECT m AS tm, cid AS tcid, d2q AS td2q FROM d2
+        |  WHERE vec_id = 42),
+        |adist AS (
+        |  SELECT vec_id, CAST(sum(td2q) AS BIGINT) AS aq
+        |  FROM codes JOIN dtab ON codes.m = dtab.tm AND codes.code = dtab.tcid
+        |  GROUP BY 1),
+        |probe AS (SELECT p AS pp, v AS pv FROM px WHERE vec_id = 42),
+        |tdist AS (
+        |  SELECT vec_id, CAST(sum(CAST(floor((v - pv) * (v - pv) * 1.0e9
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS tq
+        |  FROM px JOIN probe ON px.p = probe.pp GROUP BY 1)
+        |SELECT a.vec_id, CAST(aq AS DOUBLE) / 1.0e9 AS approx_d2,
+        |  CAST(tq AS DOUBLE) / 1.0e9 AS true_d2
+        |FROM adist a JOIN tdist t ON a.vec_id = t.vec_id
+        |WHERE a.vec_id <> 42
+        |ORDER BY aq, a.vec_id LIMIT 10""".stripMargin,
+
     "llm_ann_ivf" ->
       """WITH cent AS (
         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 10),
@@ -1517,6 +1553,42 @@ object LlmOracle {
          |szs AS (SELECT keep_id, count(*) AS sz FROM cl GROUP BY 1)
          |SELECT sz, count(*) AS n_clusters FROM szs
          |GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "llm_keyphrase_rake" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS p, l[i] AS tok FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS l FROM documents) d,
+        |  UNNEST(range(1, len(l) + 1)) AS t(i)),
+        |cand AS (
+        |  SELECT doc_id, p, tok,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        |  FROM toks
+        |  WHERE tok NOT IN ('the','a','an','and','or','of','to','in','is',
+        |    'it','that','for','on','with','as')),
+        |phrases AS MATERIALIZED (
+        |  SELECT doc_id, isl, count(*) AS len,
+        |    string_agg(tok, ' ' ORDER BY p) AS phrase,
+        |    list(tok ORDER BY p) AS words
+        |  FROM cand GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 4),
+        |pw AS MATERIALIZED (
+        |  SELECT doc_id, isl, phrase, len, unnest(words) AS wd
+        |  FROM phrases),
+        |wstats AS (
+        |  SELECT wd,
+        |    CAST(floor(CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      * 1.0e9 + 0.5) AS BIGINT) AS wq
+        |  FROM pw GROUP BY 1),
+        |occ AS (
+        |  SELECT doc_id, isl, phrase, len, CAST(sum(wq) AS BIGINT) AS sc
+        |  FROM pw JOIN wstats USING (wd) GROUP BY 1, 2, 3, 4),
+        |top AS (
+        |  SELECT phrase, max(len) AS n_words, count(*) AS n_occurrences,
+        |    CAST(max(sc) AS BIGINT) AS scq
+        |  FROM occ GROUP BY 1)
+        |SELECT phrase, n_words, n_occurrences,
+        |  CAST(scq AS DOUBLE) / 1.0e9 AS score
+        |FROM top ORDER BY scq DESC, phrase LIMIT 20""".stripMargin,
 
     "llm_vocab_venn" ->
       """WITH v AS MATERIALIZED (

@@ -459,6 +459,73 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    "agg_column_profile" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS date_d,
+        |    o_orderpriority
+        |  FROM orders),
+        |w AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ok,
+        |  count(DISTINCT o_orderkey) AS nd_ok,
+        |  min(o_orderkey) AS mn_ok, max(o_orderkey) AS mx_ok,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ck,
+        |  count(DISTINCT o_custkey) AS nd_ck,
+        |  min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+        |  CAST(sum(CASE WHEN price_c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_pr,
+        |  count(DISTINCT price_c) AS nd_pr,
+        |  min(price_c) AS mn_pr, max(price_c) AS mx_pr,
+        |  CAST(sum(CASE WHEN date_d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_dt,
+        |  count(DISTINCT date_d) AS nd_dt,
+        |  min(date_d) AS mn_dt, max(date_d) AS mx_dt,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_op,
+        |  count(DISTINCT o_orderpriority) AS nd_op
+        |  FROM o)
+        |SELECT u.col, w.n AS n_rows, u.n_null, u.n_distinct, u.min_v, u.max_v
+        |FROM w, LATERAL (VALUES
+        |  ('o_orderkey', nn_ok, nd_ok, mn_ok, mx_ok),
+        |  ('o_custkey', nn_ck, nd_ck, mn_ck, mx_ck),
+        |  ('o_totalprice_cents', nn_pr, nd_pr, mn_pr, mx_pr),
+        |  ('o_orderdate_epochday', nn_dt, nd_dt, mn_dt, mx_dt),
+        |  ('o_orderpriority', nn_op, nd_op, CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT))
+        |) u(col, n_null, n_distinct, min_v, max_v)
+        |ORDER BY col""".stripMargin,
+
+    "agg_dq_checks" ->
+      """WITH pk AS (
+        |  SELECT 'pk_orders_unique' AS check_name,
+        |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n_violations
+        |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+        |        HAVING count(*) > 1) d),
+        |fkc AS (
+        |  SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_custkey IS NULL),
+        |fkl AS (
+        |  SELECT 'fk_lineitem_orders', CAST(count(*) AS BIGINT)
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderkey IS NULL),
+        |nn AS (
+        |  SELECT 'nonneg_totalprice',
+        |    CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders),
+        |dt AS (
+        |  SELECT 'orderdate_in_1992_1998',
+        |    CAST(sum(CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) < 1992
+        |      OR year(CAST(o_orderdate AS TIMESTAMP)) > 1998
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders),
+        |allc AS (
+        |  SELECT * FROM pk UNION ALL SELECT * FROM fkc
+        |  UNION ALL SELECT * FROM fkl UNION ALL SELECT * FROM nn
+        |  UNION ALL SELECT * FROM dt)
+        |SELECT check_name AS "check", n_violations,
+        |  n_violations = 0 AS pass
+        |FROM allc ORDER BY check_name""".stripMargin,
+
     "win_atr" ->
       """WITH daily AS (
         |  SELECT epoch_ms(ts) // 86400000 AS d,

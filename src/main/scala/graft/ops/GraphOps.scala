@@ -939,6 +939,40 @@ object GraphOps {
       .orderBy($"bucket_lo", $"bucket_hi")
   }
 
+  /** Per-vertex LOCAL clustering coefficient, top-20 — the node-level
+    * refinement of [[graphClusteringCoeff]]'s one global number ("whose
+    * neighborhood is a clique"). Triangles at v come from the edge
+    * supports ([[graphTriangles]] adjacency-array machinery — work ∝ Σdeg
+    * per edge): each triangle at v contributes 2 to the support sum of
+    * v's incident edges, so cc(v) = Σ_{e∋v} sup(e) / (deg(v)·(deg(v)−1))
+    * exactly. The ratio is integer-ppm division, so the top-20 ordering
+    * cannot drift.
+    */
+  val graphLocalCc: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).select($"a", $"b").cp()
+    val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
+    val adj = both.groupBy($"a".as("v"))
+      .agg(sort_array(collect_list($"b")).as("ns"), count(lit(1)).as("d"))
+      .cp() // support join (twice) + degree attach share it
+    val sup = cp
+      .join(adj.select($"v".as("a"), $"ns".as("na")), "a")
+      .join(adj.select($"v".as("b"), $"ns".as("nb")), "b")
+      .select($"a", $"b",
+        size(array_intersect($"na", $"nb")).cast("long").as("sup"))
+    val perV = sup.select($"a".as("v"), $"sup")
+      .unionAll(sup.select($"b".as("v"), $"sup"))
+      .groupBy($"v").agg(sum($"sup").as("s2")) // = 2 × triangles at v
+    perV.join(adj.select($"v", $"d"), "v")
+      .filter($"d" >= 2)
+      .withColumn("cc_ppm", expr("s2 * 1000000L div (d * (d - 1))"))
+      .select($"v".as("part"), $"d".as("degree"),
+        ($"s2" / 2).cast("long").as("n_triangles"),
+        $"cc_ppm")
+      .orderBy($"cc_ppm".desc, $"part")
+      .limit(20)
+  }
+
   /** Edge embeddedness — top-20 co-purchase edges by neighborhood
     * Jaccard (|N(a)∩N(b)| / |N(a)∪N(b)\{a,b}|): the tie-strength metric
     * (Granovetter — embedded edges are strong ties, embeddedness-0 edges
@@ -2054,6 +2088,7 @@ object GraphOps {
     "graph_path_trace" -> graphPathTrace,
     "graph_degree_joint" -> graphDegreeJoint,
     "graph_edge_embeddedness" -> graphEdgeEmbeddedness,
+    "graph_local_cc" -> graphLocalCc,
     "graph_ego_net" -> graphEgoNet,
     "graph_adamic_adar" -> graphAdamicAdar,
     "graph_hits" -> graphHits,

@@ -1841,6 +1841,27 @@ object LlmOps {
       .orderBy($"keeper")
   }
 
+  /** Tokenizer fertility per language — chars consumed per
+    * whitespace-token (the tokenizer-efficiency number that decides
+    * training cost per byte across languages; a BPE tokenizer's fertility
+    * drift per language is THE multilingual budget input). Exact integer
+    * char/token/whitespace counts off one pass (n_chars is the declared
+    * column, whitespace = tokens − 1 per doc), one quantized ratio.
+    */
+  val llmTokenFertility: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang", $"n_chars",
+        size(split($"text", " ")).cast("long").as("n_toks"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
+        sum($"n_toks").as("n_tokens"))
+      .select($"lang", $"n_docs", $"n_chars", $"n_tokens",
+        pround4($"n_chars".cast("double") / $"n_tokens".cast("double"))
+          .as("chars_per_token"))
+      .orderBy($"lang")
+  }
+
   /** RAKE keyphrase extraction — the classic unsupervised keyword miner:
     * candidate phrases are maximal stopword-free token runs (the
     * gaps-and-islands trick per document: island key = pos − rank over
@@ -3684,6 +3705,7 @@ object LlmOps {
     "llm_stopword_profile" -> llmStopwordProfile,
     "llm_vocab_venn" -> llmVocabVenn,
     "llm_keyphrase_rake" -> llmKeyphraseRake,
+    "llm_token_fertility" -> llmTokenFertility,
     "llm_embed_norms" -> llmEmbedNorms,
     "llm_suffix_freq" -> llmSuffixFreq,
     "llm_idf_drift" -> llmIdfDrift,

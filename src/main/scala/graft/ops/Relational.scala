@@ -580,6 +580,34 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** MERGEABLE distinct-count sketches — the property that makes
+    * approximate distincts work at 100 TB: one Datasketches HLL sketch
+    * per DAY (`hll_sketch_agg`), merged with `hll_union_agg` into the
+    * month estimate, reported next to the exact distinct and the naive
+    * (WRONG) sum of daily distincts. Pre-aggregated daily sketches are
+    * what a lakehouse stores: the month/quarter/year rollup then never
+    * rescans the facts — union of the stored binaries is exact-sketch
+    * equivalent to sketching the raw union. Sketch binaries are
+    * engine-specific ⇒ declared no-oracle; the spec asserts the union
+    * estimate matches a whole-corpus sketch and brackets the exact count.
+    */
+  val aggHllMerge: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"), $"user_id")
+    val daily = ev.groupBy($"d")
+      .agg(hll_sketch_agg($"user_id").as("sk"),
+        countDistinct($"user_id").as("exact_daily"))
+    val merged = daily.agg(
+      hll_sketch_estimate(hll_union_agg($"sk")).as("merged_estimate"),
+      sum($"exact_daily").as("naive_sum_of_dailies"),
+      count(lit(1)).as("n_days"))
+    val exact = ev.agg(countDistinct($"user_id").as("exact_distinct"))
+    merged.crossJoin(broadcast(exact))
+      .select($"n_days", $"merged_estimate", $"exact_distinct",
+        $"naive_sum_of_dailies")
+  }
+
   /** ROLLUP with grouping_id disambiguation; group keys coalesced to a
     * sentinel so the oracle never sorts NULLs (Spark and DuckDB default
     * NULL order differs).
@@ -5844,6 +5872,7 @@ object Relational {
     "agg_quantile_shift" -> aggQuantileShift,
     "win_atr" -> winAtr,
     "agg_column_profile" -> aggColumnProfile,
+    "agg_hll_merge" -> aggHllMerge,
     "agg_dq_checks" -> aggDqChecks,
     "win_donchian" -> winDonchian,
     "win_mom_growth" -> winMomGrowth,

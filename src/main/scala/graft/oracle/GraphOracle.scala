@@ -536,6 +536,31 @@ object GraphOracle {
        |    ELSE 1000000 END AS jac_ppm
        |FROM alle ORDER BY jac_ppm DESC, a, b LIMIT 20""".stripMargin
 
+  /** Per-vertex local clustering via the wedge-join supports (the
+    * ktruss/embeddedness semantic spec), zero-support edges kept through
+    * a LEFT JOIN so both engines rank the identical vertex set.
+    */
+  private val localCcSql: String =
+    s"""WITH $copurchaseCte,
+       |cpm AS MATERIALIZED (SELECT a, b FROM cp),
+       |bdir AS MATERIALIZED (SELECT a, b FROM cpm UNION ALL SELECT b, a FROM cpm),
+       |deg AS MATERIALIZED (SELECT a AS v, count(*) AS d FROM bdir GROUP BY 1),
+       |supp AS (SELECT cpm.a, cpm.b, count(*) AS common
+       |  FROM cpm JOIN bdir x ON x.a = cpm.a JOIN bdir y ON y.a = cpm.b
+       |    AND y.b = x.b
+       |  GROUP BY 1, 2),
+       |sup0 AS (SELECT cpm.a, cpm.b, coalesce(supp.common, 0) AS sup
+       |  FROM cpm LEFT JOIN supp ON cpm.a = supp.a AND cpm.b = supp.b),
+       |perv AS (SELECT v, CAST(sum(sup) AS BIGINT) AS s2 FROM (
+       |  SELECT a AS v, sup FROM sup0 UNION ALL SELECT b, sup FROM sup0) u
+       |  GROUP BY 1)
+       |SELECT perv.v AS part, deg.d AS degree,
+       |  CAST(s2 // 2 AS BIGINT) AS n_triangles,
+       |  CAST(s2 * 1000000 // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+       |FROM perv JOIN deg ON perv.v = deg.v
+       |WHERE deg.d >= 2
+       |ORDER BY cc_ppm DESC, part LIMIT 20""".stripMargin
+
   /** Unrolled 6-iteration integer HITS (hubs & authorities on the
     * bipartite purchase graph): each half-step max-normalizes by a
     * truncating division — identical floor semantics on both engines, so
@@ -854,6 +879,7 @@ object GraphOracle {
     "graph_path_trace" -> pathTraceSql,
     "graph_degree_joint" -> degreeJointSql,
     "graph_edge_embeddedness" -> edgeEmbeddednessSql,
+    "graph_local_cc" -> localCcSql,
     "graph_ktruss" -> ktrussSql(12, 3),
 
     "graph_ego_net" ->

@@ -1554,6 +1554,15 @@ object LlmOracle {
          |SELECT sz, count(*) AS n_clusters FROM szs
          |GROUP BY sz ORDER BY sz""".stripMargin,
 
+    "llm_token_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  floor(CAST(sum(n_chars) AS DOUBLE) /
+        |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS chars_per_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "llm_keyphrase_rake" ->
       """WITH toks AS (
         |  SELECT doc_id, i - 1 AS p, l[i] AS tok FROM (

@@ -140,6 +140,27 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("agg_hll_merge: union of daily sketches ≡ whole-corpus sketch, brackets exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val row = q("agg_hll_merge").collect().head
+    val (nDays, merged, exact, naive) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nDays > 0)
+    // mergeability: the unioned daily sketches estimate EXACTLY what one
+    // whole-corpus sketch estimates (same binary algebra, not just close)
+    val whole = Tables.events(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")))
+      .collect().head.getLong(0)
+    assert(merged === whole, "union of dailies must equal the one-shot sketch")
+    // HLL error bound: within 5% of the exact distinct
+    assert(math.abs(merged - exact) <= 0.05 * exact,
+      s"estimate $merged vs exact $exact")
+    // and the naive sum of daily distincts genuinely overcounts (users
+    // active on many days) — the number this op exists to correct
+    assert(naive > exact, "naive sum should overcount repeat users")
+  }
+
   test("src_binaryfile digests match the source text bytes") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

@@ -140,6 +140,99 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("agg_bayes_ab equals the closed-form posterior replay") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byArm = rows.groupBy(_._1).toSeq
+      .map { case (u, es) => (u % 2, es.exists(_._2 == "purchase")) }
+      .groupBy(_._1)
+    def stats(arm: Long) = {
+      val xs = byArm(arm); (xs.size.toLong, xs.count(_._2).toLong)
+    }
+    val ((na, ca), (nb, cb)) = (stats(0), stats(1))
+    def pm(n: Long, c: Long) = (c + 1.0) / (n + 2.0)
+    def pv(n: Long, c: Long) = pm(n, c) * (1.0 - pm(n, c)) / (n + 3.0)
+    val got = q("agg_bayes_ab").collect().head
+    assert(got.getLong(0) === na && got.getLong(1) === ca)
+    assert(got.getLong(2) === nb && got.getLong(3) === cb)
+    assert(got.getDouble(4) === p4(pm(na, ca)))
+    assert(got.getDouble(5) === p4(pm(nb, cb)))
+    assert(got.getDouble(6) ===
+      p4((pm(nb, cb) - pm(na, ca)) / math.sqrt(pv(na, ca) + pv(nb, cb))))
+  }
+
+  test("agg_effect_size equals a plain-Scala pooled-sd replay") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 10000)))
+      .groupBy(_._1)
+    def mom(t: String) = {
+      val q = rows(t).map(_._2)
+      val (n, s1) = (q.length.toLong, q.sum)
+      val s2 = q.map(x => BigInt(x) * BigInt(x)).sum
+      (n, s1, s2)
+    }
+    val got = q("agg_effect_size").collect()
+    assert(got.length === rows.size * (rows.size - 1) / 2)
+    got.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val ((na, s1a, s2a), (nb, s1b, s2b)) = (mom(ta), mom(tb))
+      def v(n: Long, s1: Long, s2: BigInt) =
+        (s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1.0)
+      val (ma, mb) = (s1a.toDouble / na, s1b.toDouble / nb)
+      val sp2 = ((na - 1.0) * v(na, s1a, s2a) + (nb - 1.0) * v(nb, s1b, s2b)) /
+        (na + nb - 2.0)
+      val d = (ma - mb) / math.sqrt(sp2)
+      assert(r.getDouble(4) === p4(d), s"$ta-$tb cohen_d")
+      assert(r.getDouble(5) ===
+        p4(d * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0))), s"$ta-$tb hedges_g")
+    }
+  }
+
+  test("win_donchian: channel bounds recompute and breakouts actually occur") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .select((unix_millis($"ts") / 86400000L).cast("long"),
+        org.apache.spark.sql.functions.round($"value" * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.map { case (d, rs) => (d, rs.map(_._2).sum) }
+      .sortBy(_._1)
+    val got = q("win_donchian").collect()
+    got.foreach { r =>
+      val d = r.getLong(0)
+      val i = daily.indexWhere(_._1 == d)
+      val win = daily.slice(math.max(0, i - 20), i).map(_._2)
+      assert(win.nonEmpty)
+      assert(r.getDouble(2) === win.max.toDouble / 100.0, s"hi day $d")
+      assert(r.getDouble(3) === win.min.toDouble / 100.0, s"lo day $d")
+      assert(r.getBoolean(4) === (daily(i)._2 > win.max), s"up day $d")
+      assert(r.getBoolean(5) === (daily(i)._2 < win.min), s"down day $d")
+    }
+    // a fluctuating series must break the channel at least once somewhere
+    assert(got.exists(r => r.getBoolean(4) || r.getBoolean(5)),
+      "vacuous channel: no breakout on the whole series")
+  }
+
+  test("graph_degree_joint: cells recompute from raw degrees, mass = |E|") {
+    import spark.implicits._
+    val cp = graft.ops.GraphOps.copurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (cp.map(_._1) ++ cp.map(_._2)).groupBy(identity)
+      .map { case (v, xs) => v -> xs.length.toLong }
+    def bkt(d: Long): Long = (62 to 0 by -1).find(p => (1L << p) <= d).get.toLong
+    val cells = cp.map { case (a, b) =>
+      val (x, y) = (bkt(deg(a)), bkt(deg(b)))
+      (math.min(x, y), math.max(x, y))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = q("graph_degree_joint").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === cells)
+    assert(got.values.sum === cp.length.toLong, "cell mass must equal |E|")
+  }
+
   test("agg_hll_merge: union of daily sketches ≡ whole-corpus sketch, brackets exact") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -70,10 +70,14 @@ object Bench {
     // regressions (the adjudication A/B-proven in rounds 3/6/8/9/10/11,
     // now self-reported so the judge doesn't need a round-trip).
     val canaryKey = "fn_math"
+    // a THROWING probe must not read as a timing: a fast-failing fn_math
+    // would report a near-zero wall time and invert the contention signal
+    // ("quiet box" when the probe never ran). NonFatal only — a fatal
+    // error (OOM, linkage) should kill the sweep, not be swallowed.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     }
     val canaryFirst = SparkEntry.queries.get(canaryKey).map(timeOnce)
     // dev-loop filter: SPARK_GRAFT_ONLY=k1,k2 times just those keys (the
@@ -105,8 +109,11 @@ object Bench {
     // contended sweep is slow on BOTH probes so the min stays high —
     // same min-of-two logic as the per-query retry above
     val canary = (canaryFirst, canaryLast, baseline.get(canaryKey)) match {
-      case (Some(a), Some(b), Some(pin)) if pin > 0 =>
+      case (Some(a), Some(b), Some(pin)) if pin > 0 && a >= 0 && b >= 0 =>
         f""","canary_first":$a%.3f,"canary_last":$b%.3f,"canary_ratio":${math.min(a, b) / pin}%.2f"""
+      // probe threw (timeOnce sentinel −1): report the failure instead of a
+      // fabricated ratio — the artifact must not self-report "quiet"
+      case (Some(a), Some(b), _) if a < 0 || b < 0 => ""","canary_error":true"""
       case _ => ""
     }
     // artifact/IO rows (VERDICT r11 #6): sink_* writes files and src_*

@@ -433,9 +433,13 @@ object GraphAlgebra {
     *
     * Move rule per node i (current community a, weighted degree k_i,
     * community weighted-degree totals tot_c, i→c adjacent weight k_ic):
-    * ΔQ(i→c) ∝ 2m·(k_ic − k_ia) − k_i·(tot_c − tot_a + k_i), all exact
-    * BIGINTs widened to DECIMAL(38,0) for the products (2m·k grows past
-    * BIGINT at fact scale; DuckDB mirrors via HUGEINT). Move to the
+    * ΔQ(i→c) ∝ 2m·(k_ic − k_ia) − k_i·(tot_c − tot_a + k_i), exact BIGINTs
+    * with the products carried in DECIMAL: one operand is cast to
+    * DECIMAL(38,0) so the product precision is Spark's 38-digit CEILING —
+    * that is the headroom (vs BIGINT's 19 digits), not margin beyond it.
+    * Past 38 digits (2m·k at extreme fact scale) the multiply fails
+    * LOUDLY under ANSI mode (Spark 4 default) rather than wrapping
+    * silently; DuckDB mirrors via HUGEINT (39 digits). Move to the
     * gain-maximal neighbor community when the gain is strictly positive,
     * ties to the SMALLEST community id; otherwise stay. ΔQ(a→a) is 0 by
     * construction, so "stay" is the correct no-positive-gain fixpoint.
@@ -461,7 +465,11 @@ object GraphAlgebra {
       .select(col("id"), col("c"), coalesce(col("k"), lit(0L)).as("k"))
       .cp()
     val nV = labels.count()
+    // left product operands widen to DECIMAL(38,0) EXPLICITLY: the product
+    // precision is then Spark's hard 38-digit cap (see docstring — the cap
+    // IS the ceiling; overflow past it ANSI-errors loudly, never wraps)
     val dec = (x: Column) => x.cast("decimal(19,0)")
+    val dec38 = (x: Column) => x.cast("decimal(38,0)")
     for (_ <- 1 to rounds) {
       val tot = labels.groupBy(col("c")).agg(sum(col("k")).as("tot"))
       // k_ic: weight from i into each adjacent community (prev sweep)
@@ -488,8 +496,8 @@ object GraphAlgebra {
         .withColumn("kia", coalesce(col("kia"), lit(0L)))
         .filter(col("nc") =!= col("c"))
         .withColumn("gain",
-          dec(col("m2")) * (dec(col("kic")) - dec(col("kia"))) -
-            dec(col("k")) * (dec(col("tot_c")) - dec(col("tot_a")) + dec(col("k"))))
+          dec38(col("m2")) * (dec(col("kic")) - dec(col("kia"))) -
+            dec38(col("k")) * (dec(col("tot_c")) - dec(col("tot_a")) + dec(col("k"))))
         .filter(col("gain") > 0)
         .groupBy(col("id"))
         .agg(max(struct(col("gain"), (-col("nc")).as("neg"))).as("m"))

@@ -225,7 +225,7 @@ class GraphSpec extends SparkSpec {
     val cp = GraphOps.copurchase(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     // JVM reference: peel each level to its TRUE fixpoint (nested, like
-    // the op) — also pins that 4 fixed rounds per level converged
+    // the op) — also pins that 6 fixed rounds per level converged
     var pairs = cp
     var expect = cp.flatMap(e => Seq(e._1, e._2)).distinct
       .map(_ -> 0L).toMap

@@ -40,11 +40,26 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
-  test("stream_distinct_exact: streaming dedup-then-count equals batch twin") {
+  test("stream_distinct_exact: Append-mode run equals batch twin on closed windows") {
+    import spark.implicits._
+    // Append is the mode the op's docstring claims for production (the
+    // multi-stateful dedup→agg chain Spark documents FOR append); Complete
+    // leaned on engine behavior only the finite replay validated (ADVICE
+    // r12). Append emits exactly the windows the watermark closed, so:
+    // emitted ⊆ batch twin, and the only missing rows are trailing windows
+    // whose end is still past max(ts) − the 10-minute watermark delay.
     val batch = SparkEntry.queries("stream_distinct_exact")(spark, sf)
     val stream = runStream(
-      StreamingOps.distinctExactStream(spark, sf), OutputMode.Complete)
-    assert(sortedRows(stream) === sortedRows(batch))
+      StreamingOps.distinctExactStream(spark, sf), OutputMode.Append)
+    val got = sortedRows(stream).toSet
+    val want = sortedRows(batch).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(want))
+    val wmMs = Tables.events(spark, sf)
+      .agg(max(unix_millis($"ts"))).first().getLong(0) - 600000L
+    val stillOpen = (want -- got).map(_.split('|')(0).toLong)
+    assert(stillOpen.forall(_ + 600000L > wmMs),
+      s"closed windows missing from the Append output: $stillOpen (wm=$wmMs)")
   }
 
   test("stream_dedup: streaming dedup keeps exactly the twin's key set") {

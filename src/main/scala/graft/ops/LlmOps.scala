@@ -2895,6 +2895,67 @@ object LlmOps {
       .orderBy($"rank")
   }
 
+  /** Full BPE tokenizer TRAINING loop — the iterative capability
+    * [[llmBpePairStats]] (one stats pass) and [[llmBpeFirstMerge]] (one
+    * decision) only sketch: 20 ranked merges, each round recounting
+    * adjacent-symbol pairs on the corpus RE-SEGMENTED by every earlier
+    * merge. Trainer state is the DISTINCT-word frame (word, multiplicity)
+    * — Heaps-law sublinear in corpus size — so the 100 TB corpus is
+    * scanned exactly ONCE (the initial word count); each merge round is
+    * one map-side-combined pair agg over that small frame plus a
+    * broadcast 1-row decision applied in place (no second corpus pass,
+    * ever). Segmentations ride a sentinel encoding — every symbol
+    * terminated by `_` (assumed outside the corpus alphabet, the classic
+    * end-of-word-marker convention), symbols separated by one space, a
+    * leading space — so applying a merge is ONE engine-portable
+    * `replace(seg, ' l_ r_', ' lr_')`: the left-to-right non-overlapping
+    * scan IS greedy BPE application, because the search consumes no
+    * trailing boundary (back-to-back sites " a_ b_ a_ b_ " merge in the
+    * same pass, and an l=r run " a_ a_ a_ " merges every other site —
+    * exactly the greedy result, pinned by LlmSpec's JVM replay of every
+    * merge). Ties: max count, then smallest (l, r). The fixed merge
+    * count keeps the whole trainer a finite deterministic dataflow, so
+    * the oracle is a 20-level materialized-CTE chain (the graph_louvain
+    * pattern).
+    */
+  val llmBpeTrain: Q = (s, dir) => {
+    import s.implicits._
+    val mergeRounds = 20
+    var words = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "), regexp_replace($"w", "(.)", "$1_ ")).as("seg"),
+        $"cnt")
+      .cp()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (k <- 1 to mergeRounds) {
+      val best = words
+        .select($"cnt", split(trim($"seg"), " ").as("a"))
+        .filter(size($"a") >= 2)
+        .select($"cnt", $"a",
+          explode(sequence(lit(1), size($"a") - 1)).as("i"))
+        .select(element_at($"a", $"i").as("l"),
+          element_at($"a", $"i" + 1).as("r"), $"cnt")
+        .groupBy($"l", $"r").agg(sum($"cnt").as("n"))
+        .orderBy($"n".desc, $"l", $"r").limit(1)
+        .cp()
+      merges += best.select(lit(k.toLong).as("rank"), $"l", $"r", $"n")
+      words = words.crossJoin(broadcast(best.select($"l", $"r")))
+        .select(expr("replace(seg, concat(' ', l, ' ', r), " +
+          "concat(' ', replace(l, '_', ''), r))").as("seg"), $"cnt")
+        .cp()
+    }
+    merges.reduce(_ unionAll _)
+      .select($"rank",
+        translate($"l", "_", "").as("lhs"),
+        translate($"r", "_", "").as("rhs"),
+        concat(translate($"l", "_", ""), translate($"r", "_", ""))
+          .as("merged"),
+        $"n")
+      .orderBy($"rank")
+  }
+
   /** Feature hashing (the hashing trick): tokens bucketed into a 64-dim
     * count vector per document via md5, with the ±1 sign bit drawn from
     * the hash's next nibble — the collision-tolerant featurization that
@@ -3646,6 +3707,7 @@ object LlmOps {
     "llm_hash_embed" -> llmHashEmbed,
     "fn_codec" -> fnCodec,
     "llm_bpe_first_merge" -> llmBpeFirstMerge,
+    "llm_bpe_train" -> llmBpeTrain,
     "llm_spatial_grid" -> llmSpatialGrid,
     "llm_template_detect" -> llmTemplateDetect,
     "llm_min_token_freq" -> llmMinTokenFreq,

@@ -110,7 +110,50 @@ object LlmOracle {
     s"$base,\n$steps\n$sel\nORDER BY step"
   }
 
+  /** Unrolled 20-merge BPE trainer (the graph_louvain materialized-CTE
+    * pattern): per level, weighted adjacent-symbol pair counts over the
+    * previous level's segmentation, the deterministic argmax (count DESC,
+    * then smallest raw (l, r) — identical to the stripped order because
+    * '_' sorts below every lowercase letter), and the single-`replace`
+    * greedy merge application on the sentinel encoding (see the op's
+    * docstring for why one non-overlapping left-to-right replace IS
+    * greedy BPE). MATERIALIZED throughout — DuckDB inlines plain CTEs per
+    * reference and the chain is 20 levels deep.
+    */
+  private val bpeTrainSql: String = {
+    val base =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT ' ' || regexp_replace(w, '(.)', '\1_ ', 'g') AS seg,
+        |    count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE w <> ''
+        |  GROUP BY 1)""".stripMargin
+    val levels = (1 to 20).map { k =>
+      s"""b$k AS MATERIALIZED (
+         |  SELECT l, r, CAST(n AS BIGINT) AS n FROM (
+         |    SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS n
+         |    FROM (SELECT string_split(trim(seg), ' ') AS syms, cnt
+         |          FROM w${k - 1}) t,
+         |      UNNEST(range(1, len(syms))) AS u(i)
+         |    WHERE len(syms) >= 2
+         |    GROUP BY 1, 2) p
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT replace(seg, ' ' || b.l || ' ' || b.r,
+         |    ' ' || replace(b.l, '_', '') || b.r) AS seg, cnt
+         |  FROM w${k - 1}, b$k b)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to 20).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, replace(l, '_', '') AS lhs,
+         |  replace(r, '_', '') AS rhs,
+         |  replace(l, '_', '') || replace(r, '_', '') AS merged, n
+         |FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"$base,\n$levels\n$sel\nORDER BY rank"
+  }
+
   val sql: Map[String, String] = Map(
+    "llm_bpe_train" -> bpeTrainSql,
     "llm_readability" ->
       """WITH per AS (
         |  SELECT lang,

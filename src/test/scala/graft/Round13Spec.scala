@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Independent JVM cross-checks for round-13 operators — plain-Scala
+  * replays from raw collected inputs (the SURVEY.md §5 two-witness
+  * discipline, same as Round11Spec/Round12Spec).
+  */
+class Round13Spec extends SparkSpec {
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("llm_bpe_train: every merge equals a plain-Scala greedy BPE trainer") {
+    import spark.implicits._
+    // reference trainer: distinct words with multiplicity, 20 rounds of
+    // (count adjacent pairs) -> (argmax, ties to smallest pair) ->
+    // (greedy left-to-right merge application per word)
+    var words: Map[Vector[String], Long] = Tables.documents(spark, sf)
+      .select($"text").collect().iterator
+      .flatMap(_.getString(0).split(" ").iterator.filter(_.nonEmpty))
+      .toSeq.groupBy(identity)
+      .map { case (w, xs) => w.map(_.toString).toVector -> xs.length.toLong }
+    val expect = (1 to 20).map { k =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, cnt) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
+      val ((l, r), n) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      words = words.groupMapReduce { case (syms, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }(_._2)(_ + _)
+      (k.toLong, l, r, l + r, n)
+    }
+    val got = q("llm_bpe_train").collect()
+      .map(rw => (rw.getLong(0), rw.getString(1), rw.getString(2),
+        rw.getString(3), rw.getLong(4))).toSeq
+    assert(got === expect)
+    // the trainer actually RE-SEGMENTS: some later merge must consume an
+    // earlier merge's output symbol (multi-char lhs or rhs)
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1))
+  }
+}

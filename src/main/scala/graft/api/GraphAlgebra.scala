@@ -449,17 +449,41 @@ object GraphAlgebra {
     * one (i, c) hash agg, one |V|-sized tot rollup joined back broadcast-
     * gated, and a max(struct) argmax — all clustered on the vertex key,
     * no sort-window, no pair materialization.
+    *
+    * `selfLoops` (id, s) is the multi-level hook: a COARSENED graph's
+    * supernode carries its community-internal weight as a self-loop,
+    * which contributes 2s to the node's weighted degree k_i and 2s to 2m
+    * but is NOT an adjacency (it moves with the node, so it cancels in
+    * every ΔQ difference — exactly classical Louvain's aggregated-graph
+    * algebra). Pass the self-loop frame separately; `pairs` must then
+    * hold only a ≠ b edges.
     */
   def louvainMoves(vertices: DataFrame, pairs: DataFrame, rounds: Int,
-                   broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
+                   broadcastMaxRows: Long = BroadcastMaxRows,
+                   selfLoops: Option[DataFrame] = None): DataFrame = {
     require(rounds >= 1, s"louvainMoves needs rounds >= 1 (got $rounds)")
     val cp = pairs.select(col("a"), col("b"), col("w"))
     val both = Ckpt.cpByKey(
       cp.unionAll(cp.select(col("b").as("a"), col("a").as("b"), col("w"))),
       col("a"))
-    // weighted degree k_i and 2m are round-invariant
-    val deg = both.groupBy(col("a").as("id")).agg(sum(col("w")).as("k")).cp()
-    val m2 = cp.agg((sum(col("w")) * 2).as("m2"))
+    // weighted degree k_i and 2m are round-invariant; self-loops add 2s
+    // to their node's degree and 2·Σs to 2m (coarsening invariant: the
+    // coarse graph's 2m equals the original's)
+    val degPairs = both.groupBy(col("a").as("id")).agg(sum(col("w")).as("k"))
+    val deg = (selfLoops match {
+      case None => degPairs
+      case Some(sl) =>
+        degPairs.join(sl.select(col("id"), col("s")), Seq("id"), "full")
+          .select(col("id"), (coalesce(col("k"), lit(0L)) +
+            lit(2L) * coalesce(col("s"), lit(0L))).as("k"))
+    }).cp()
+    val m2 = selfLoops match {
+      case None => cp.agg((sum(col("w")) * 2).as("m2"))
+      case Some(sl) =>
+        cp.agg(coalesce(sum(col("w")), lit(0L)).as("pw"))
+          .crossJoin(sl.agg(coalesce(sum(col("s")), lit(0L)).as("sw")))
+          .select(((col("pw") + col("sw")) * 2).as("m2"))
+    }
     var labels = vertices.select(col("part").as("id"), col("part").as("c"))
       .join(deg, Seq("id"), "left")
       .select(col("id"), col("c"), coalesce(col("k"), lit(0L)).as("k"))

@@ -1365,6 +1365,72 @@ object GraphOps {
       .orderBy($"community")
   }
 
+  /** Multi-level Louvain — the classic AGGREGATION phase on top of
+    * [[graphLouvain]]'s one-level moves: level-1 labels from 3
+    * synchronous [[graft.api.GraphAlgebra.louvainMoves]] sweeps, then the
+    * graph coarsens by community (one supernode per community,
+    * inter-community weights summed, intra-community weight carried as a
+    * SELF-LOOP) and 3 more sweeps run on the coarse graph through the
+    * same exact-integer algebra — the self-loop feeds k_i (2s) and 2m
+    * via louvainMoves' multi-level hook, which is precisely classical
+    * Louvain's aggregated-graph bookkeeping (2m is invariant under
+    * coarsening). Coarse labels project back and each level reports its
+    * partition quality ON THE ORIGINAL GRAPH: Q = Σ_c [2·in_c/2m −
+    * (D_c/2m)²], every community contribution nano-quantized to BIGINT
+    * BEFORE the cross-community sum so the total is order-free exact
+    * (never a float sum). GraphSpec asserts Q(level 2) ≥ Q(level 1).
+    * 100 TB shape: level 2 runs on the community graph — orders of
+    * magnitude smaller than |E| — so the extra cost over one-level
+    * Louvain is a single coarsening shuffle; the level-1 sweeps dominate.
+    */
+  val graphLouvainMulti: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).cp()
+    val l1 = graft.api.GraphAlgebra.louvainMoves(
+        partVertices(s, dir).toDF("part"), cp, rounds = 3)
+      .select($"id", $"community").cp()
+    val mapped = cp
+      .join(l1.select($"id".as("a"), $"community".as("ca")), "a")
+      .join(l1.select($"id".as("b"), $"community".as("cb")), "b")
+      .cp() // inter edges, self-loops, and the level-1 Q all read it
+    val inter = mapped.filter($"ca" =!= $"cb")
+      .select(least($"ca", $"cb").as("a"), greatest($"ca", $"cb").as("b"),
+        $"w")
+      .groupBy($"a", $"b").agg(sum($"w").as("w"))
+    val self = mapped.filter($"ca" === $"cb")
+      .groupBy($"ca".as("id")).agg(sum($"w").as("s"))
+    val verts2 = l1.select($"community".as("part")).distinct()
+    val l2c = graft.api.GraphAlgebra.louvainMoves(verts2, inter, rounds = 3,
+        selfLoops = Some(self))
+      .select($"id".as("c1"), $"community".as("c2"))
+    val l2 = l1.join(l2c, $"community" === $"c1")
+      .select($"id", $"c2".as("community"))
+    val m2 = cp.agg((sum($"w") * 2).as("m2"))
+    val degv = cp.select($"a".as("v"), $"w")
+      .unionAll(cp.select($"b".as("v"), $"w"))
+      .groupBy($"v").agg(sum($"w").as("d")).cp()
+    def qOf(lbl: DataFrame, level: Long): DataFrame = {
+      val degC = degv.join(lbl, $"v" === $"id")
+        .groupBy($"community").agg(sum($"d").as("dc"))
+      val inC = cp
+        .join(lbl.select($"id".as("a"), $"community".as("ca")), "a")
+        .join(lbl.select($"id".as("b"), $"community".as("cb")), "b")
+        .filter($"ca" === $"cb")
+        .groupBy($"ca".as("community")).agg(sum($"w").as("iw"))
+      degC.join(inC, Seq("community"), "left")
+        .withColumn("iw", coalesce($"iw", lit(0L)))
+        .crossJoin(broadcast(m2))
+        .select(floor((($"iw" * 2).cast("double") / $"m2".cast("double") -
+          ($"dc".cast("double") / $"m2".cast("double")) *
+            ($"dc".cast("double") / $"m2".cast("double"))) * lit(1.0e9) +
+          lit(0.5)).cast("long").as("qn"))
+        .agg(count(lit(1)).as("n_communities"), sum($"qn").as("qn"))
+        .select(lit(level).as("level"), $"n_communities",
+          ($"qn".cast("double") / lit(1.0e9)).as("q"))
+    }
+    qOf(l1, 1L).unionAll(qOf(l2, 2L)).orderBy($"level")
+  }
+
   /** Rich-club coefficient curve φ(k) for k ∈ {2,4,8,16} over the
     * co-purchase graph: among nodes of degree ≥ k, how dense are the
     * edges between them vs the complete graph. Degrees and club-edge
@@ -2045,6 +2111,7 @@ object GraphOps {
     "graph_rich_club" -> graphRichClub,
     "graph_modularity" -> graphModularity,
     "graph_louvain" -> graphLouvain,
+    "graph_louvain_multi" -> graphLouvainMulti,
     "graph_eccentricity" -> graphEccentricity,
     "graph_closeness" -> graphCloseness,
     "graph_betweenness" -> graphBetweenness,

@@ -282,7 +282,7 @@ object GraphOracle {
     * gain wins with ties to the smallest community id. The tail is
     * [[modularitySql]]'s Q decomposition over the final labels.
     */
-  private val louvainSql: String = {
+  private val louvainLevel1Ctes: String = {
     // every multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain
     // CTEs per reference, and the 5 references/sweep to l{i-1} would
     // otherwise re-evaluate the whole chain exponentially (the probe ran
@@ -327,7 +327,11 @@ object GraphOracle {
     }.mkString(",\n")
     s"""$base,
        |$rounds,
-       |lbl AS MATERIALIZED (SELECT id, c AS community FROM l3),
+       |lbl AS MATERIALIZED (SELECT id, c AS community FROM l3)""".stripMargin
+  }
+
+  private val louvainSql: String =
+    s"""$louvainLevel1Ctes,
        |deg AS (SELECT v, CAST(sum(w) AS BIGINT) AS d FROM (
        |  SELECT a AS v, w FROM cpm UNION ALL SELECT b, w FROM cpm) u
        |  GROUP BY 1),
@@ -346,6 +350,97 @@ object GraphOracle {
        |      (CAST(dc AS DOUBLE) / CAST(m2 AS DOUBLE))) * 1.0e9 + 0.5)
        |    AS BIGINT) AS DOUBLE) / 1.0e9 AS q_contrib
        |FROM fin ORDER BY community""".stripMargin
+
+  /** Multi-level Louvain: [[louvainLevel1Ctes]]'s labels, then the graph
+    * coarsens by community (inter-community edges + intra weight as a
+    * self-loop), 3 more unrolled sweeps run on the coarse graph (the
+    * self-loop feeds 2s into the supernode degree; 2m is coarsening-
+    * invariant so m2t carries over verbatim), labels project back, and
+    * both levels report the ORIGINAL-graph partition Q with per-community
+    * contributions nano-quantized to BIGINT before the exact sum.
+    */
+  private val louvainMultiSql: String = {
+    val coarsen =
+      s"""cmap AS MATERIALIZED (
+         |  SELECT la.community AS ca, lb.community AS cb, w
+         |  FROM cpm JOIN lbl la ON cpm.a = la.id JOIN lbl lb ON cpm.b = lb.id),
+         |inter AS MATERIALIZED (
+         |  SELECT least(ca, cb) AS a, greatest(ca, cb) AS b,
+         |    CAST(sum(w) AS BIGINT) AS w
+         |  FROM cmap WHERE ca <> cb GROUP BY 1, 2),
+         |selfw AS MATERIALIZED (
+         |  SELECT ca AS id, CAST(sum(w) AS BIGINT) AS s
+         |  FROM cmap WHERE ca = cb GROUP BY 1),
+         |bdir2 AS MATERIALIZED (
+         |  SELECT a, b, w FROM inter UNION ALL SELECT b, a, w FROM inter),
+         |degk2 AS MATERIALIZED (
+         |  SELECT coalesce(p.id, selfw.id) AS id,
+         |    CAST(coalesce(p.pk, 0) + 2 * coalesce(selfw.s, 0) AS BIGINT) AS k
+         |  FROM (SELECT a AS id, CAST(sum(w) AS BIGINT) AS pk
+         |        FROM bdir2 GROUP BY 1) p
+         |  FULL JOIN selfw ON p.id = selfw.id),
+         |g0 AS MATERIALIZED (
+         |  SELECT v.part AS id, v.part AS c, coalesce(degk2.k, 0) AS k
+         |  FROM (SELECT DISTINCT community AS part FROM lbl) v
+         |  LEFT JOIN degk2 ON degk2.id = v.part)""".stripMargin
+    val rounds2 = (1 to 3).map { i =>
+      s"""t2_$i AS MATERIALIZED (SELECT c, CAST(sum(k) AS BIGINT) AS tot
+         |  FROM g${i - 1} GROUP BY 1),
+         |kc2_$i AS MATERIALIZED (SELECT bdir2.a AS id, l.c AS nc,
+         |    CAST(sum(w) AS BIGINT) AS kic
+         |  FROM bdir2 JOIN g${i - 1} l ON bdir2.b = l.id GROUP BY 1, 2),
+         |ka2_$i AS MATERIALIZED (SELECT kc.id, kc.kic AS kia
+         |  FROM kc2_$i kc JOIN g${i - 1} l ON kc.id = l.id AND kc.nc = l.c),
+         |cd2_$i AS MATERIALIZED (
+         |  SELECT kc.id, kc.nc,
+         |    CAST(m2 AS HUGEINT) * (kc.kic - coalesce(ka.kia, 0))
+         |      - CAST(l.k AS HUGEINT) * (tc.tot - ta.tot + l.k) AS gain
+         |  FROM kc2_$i kc
+         |  JOIN g${i - 1} l ON kc.id = l.id
+         |  JOIN t2_$i tc ON tc.c = kc.nc
+         |  JOIN t2_$i ta ON ta.c = l.c
+         |  LEFT JOIN ka2_$i ka ON ka.id = kc.id
+         |  CROSS JOIN m2t
+         |  WHERE kc.nc <> l.c),
+         |bs2_$i AS MATERIALIZED (SELECT id, nc FROM (
+         |  SELECT id, nc,
+         |    row_number() OVER (PARTITION BY id ORDER BY gain DESC, nc) AS rn
+         |  FROM cd2_$i WHERE gain > 0) x WHERE rn = 1),
+         |g$i AS MATERIALIZED (SELECT l.id, coalesce(b.nc, l.c) AS c, l.k
+         |  FROM g${i - 1} l LEFT JOIN bs2_$i b ON l.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    def qCte(name: String, lblCte: String): String =
+      s"""$name AS (
+         |  SELECT CAST(floor((CAST(coalesce(iw, 0) * 2 AS DOUBLE)
+         |      / CAST(m2 AS DOUBLE)
+         |    - (CAST(dc AS DOUBLE) / CAST(m2 AS DOUBLE)) *
+         |      (CAST(dc AS DOUBLE) / CAST(m2 AS DOUBLE))) * 1.0e9 + 0.5)
+         |    AS BIGINT) AS qn
+         |  FROM (SELECT community, CAST(sum(d) AS BIGINT) AS dc
+         |        FROM degv JOIN $lblCte ON v = id GROUP BY 1) degc
+         |  LEFT JOIN (SELECT la.community AS community,
+         |        CAST(sum(w) AS BIGINT) AS iw
+         |      FROM cpm JOIN $lblCte la ON cpm.a = la.id
+         |        JOIN $lblCte lb ON cpm.b = lb.id
+         |      WHERE la.community = lb.community GROUP BY 1) inc
+         |    ON degc.community = inc.community, m2t)""".stripMargin
+    s"""$louvainLevel1Ctes,
+       |$coarsen,
+       |$rounds2,
+       |lbl2 AS MATERIALIZED (
+       |  SELECT lbl.id, g3.c AS community FROM lbl JOIN g3 ON lbl.community = g3.id),
+       |degv AS MATERIALIZED (SELECT v, CAST(sum(w) AS BIGINT) AS d FROM (
+       |  SELECT a AS v, w FROM cpm UNION ALL SELECT b, w FROM cpm) u
+       |  GROUP BY 1),
+       |${qCte("q1", "lbl")},
+       |${qCte("q2", "lbl2")}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS level, count(*) AS n_communities,
+       |    CAST(CAST(sum(qn) AS BIGINT) AS DOUBLE) / 1.0e9 AS q FROM q1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), count(*),
+       |    CAST(CAST(sum(qn) AS BIGINT) AS DOUBLE) / 1.0e9 FROM q2) f
+       |ORDER BY level""".stripMargin
   }
 
   /** Generated k-level traversal oracle — the khop_2/khop_3 shape with the
@@ -1001,6 +1096,7 @@ object GraphOracle {
     "graph_lpa" -> lpaSql,
     "graph_modularity" -> modularitySql,
     "graph_louvain" -> louvainSql,
+    "graph_louvain_multi" -> louvainMultiSql,
 
     "graph_bfs_tree" ->
       s"""WITH $copurchaseCte,

@@ -605,6 +605,26 @@ class GraphSpec extends SparkSpec {
     assert(rows.size > 1 && rows.size < lbl.size)
   }
 
+  test("graph_louvain_multi: level 2 improves (or ties) level 1's Q and compresses") {
+    val rows = q("graph_louvain_multi").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet === Set(1L, 2L))
+    val (n1, q1) = rows(1L)
+    val (n2, q2) = rows(2L)
+    // the aggregation phase's point: coarse-graph moves may only merge
+    // communities whose union raises Q — never lose ground
+    assert(q2 >= q1, s"level-2 Q $q2 < level-1 Q $q1")
+    assert(n2 <= n1, s"level 2 has MORE communities ($n2) than level 1 ($n1)")
+    // level 1 must agree with the one-level op's decomposition exactly
+    val oneLevel = q("graph_louvain").collect()
+    assert(n1 === oneLevel.length.toLong)
+    val q1FromOp = oneLevel.map(_.getDouble(4)).sum
+    assert(math.abs(q1 - q1FromOp) < 1e-6,
+      s"level-1 Q $q1 != one-level op's decomposition sum $q1FromOp")
+    // and the second level actually found structure on this graph
+    assert(q2 > -0.5 && q2 <= 1.0)
+  }
+
   /** In-JVM reference Brandes with the op's EXACT quantized arithmetic:
     * level-synchronous BFS σ counts, then backward micro-quantized δ via
     * the identical double tree floor(σv/σw·(1e6+δw)+0.5).

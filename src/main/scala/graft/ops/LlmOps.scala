@@ -729,6 +729,106 @@ object LlmOps {
       .limit(5)
   }
 
+  /** Composed IVF+PQ residual index with exact refinement — production
+    * ANN's 100 TB serving shape (FAISS IVFPQ + RefineFlat): a coarse
+    * quantizer prunes the scan to nprobe cells, Product Quantization
+    * compresses each RESIDUAL (vector − its cell centroid) to 16
+    * four-bit codes (8 bytes vs 256 — 32×) searched via per-cell ADC
+    * tables, and the ADC SHORTLIST (top 50) is re-ranked by the exact
+    * distance — a 50-row gather at any corpus size, which is what makes
+    * sampled (untrained) codebooks serviceable on unclustered data.
+    * Fixed codebooks keep every step oracle-checkable (the [[llmAnnIvf]]
+    * / [[llmAnnPq]] convention): coarse centroids = vectors 0–3, shared
+    * sub-codebooks = the residuals of vectors 8–23 split into 16×4-dim
+    * subspaces (one codebook across cells — the classic IVFPQ layout).
+    * Probe 42 visits its nprobe=2 nearest cells and builds one 16×16
+    * ADC table per visited cell from ITS residual against that cell.
+    * Every distance is a per-element nano-quantized BIGINT sum (the
+    * [[llmAnnPq]] discipline — order-free, engine-exact), so assignment,
+    * codes, the ADC shortlist, the exact re-rank, AND the `in_exact10`
+    * recall flag (is this candidate in the brute-force L2 top-10 — the
+    * [[llmAnnRecall]] audit wired into the graded output) all
+    * hash-match; LlmSpec pins recall ≥ the plain-IVF row's. Work: one
+    * posexplode, broadcast centroid/codebook joins, hash aggs — codes
+    * plus two 256-entry tables are the only per-probe state; scan cost
+    * ∝ the probed cells' share of the corpus.
+    */
+  val llmAnnIvfPq: Q = (s, dir) => {
+    import s.implicits._
+    val px = Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("p", "v")))
+      .select($"vec_id", ($"p" / 4).cast("long").as("m"), $"p",
+        $"v".cast("double").as("v"))
+      .cp() // assignment, residuals, probe table, true distance share it
+    val coarse = px.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"p", $"v".as("cv"))
+    val cd2 = px.join(broadcast(coarse), Seq("p"))
+      .select($"vec_id", $"cid",
+        floor(($"v" - $"cv") * ($"v" - $"cv") * lit(1.0e9) + lit(0.5))
+          .cast("long").as("q"))
+      .groupBy($"vec_id", $"cid").agg(sum($"q").as("d2q"))
+      .cp() // the assignment argmin and the probe's nprobe pick share it
+    val assign = cd2.groupBy($"vec_id")
+      .agg(min(struct($"d2q", $"cid")).as("mn"))
+      .select($"vec_id", $"mn.cid".as("cell"))
+    val res = px.join(assign, "vec_id")
+      .join(broadcast(coarse.select($"cid".as("cell"), $"p", $"cv")),
+        Seq("cell", "p"))
+      .select($"vec_id", $"cell", $"m", $"p", ($"v" - $"cv").as("r"))
+      .cp() // codebook entries and code assignment both read it
+    val ent = res.filter($"vec_id" >= 8 && $"vec_id" < 24)
+      .select(($"vec_id" - 8).as("j"), $"m", $"p", $"r".as("e"))
+    val rd2 = res.join(broadcast(ent), Seq("m", "p"))
+      .select($"vec_id", $"cell", $"m", $"j",
+        floor(($"r" - $"e") * ($"r" - $"e") * lit(1.0e9) + lit(0.5))
+          .cast("long").as("q"))
+      .groupBy($"vec_id", $"cell", $"m", $"j").agg(sum($"q").as("d2q"))
+    val codes = rd2.groupBy($"vec_id", $"cell", $"m")
+      .agg(min(struct($"d2q", $"j")).as("mn"))
+      .select($"vec_id", $"cell", $"m", $"mn.j".as("code"))
+    val pcells = cd2.filter($"vec_id" === 42)
+      .orderBy($"d2q", $"cid").limit(2)
+      .select($"cid".as("pcell"))
+    val ptab = px.filter($"vec_id" === 42)
+      .crossJoin(broadcast(pcells))
+      .join(broadcast(coarse.select($"cid".as("pcell"), $"p", $"cv")),
+        Seq("pcell", "p"))
+      .select($"pcell", $"m", $"p", ($"v" - $"cv").as("pr"))
+      .join(broadcast(ent), Seq("m", "p"))
+      .select($"pcell", $"m".as("tm"), $"j".as("tj"),
+        floor(($"pr" - $"e") * ($"pr" - $"e") * lit(1.0e9) + lit(0.5))
+          .cast("long").as("q"))
+      .groupBy($"pcell", $"tm", $"tj").agg(sum($"q").as("td2q"))
+    val adist = codes.join(broadcast(ptab),
+        $"cell" === $"pcell" && $"m" === $"tm" && $"code" === $"tj")
+      .groupBy($"vec_id", $"cell").agg(sum($"td2q").as("aq"))
+    val probe = px.filter($"vec_id" === 42)
+      .select($"p".as("pp"), $"v".as("pv"))
+    val tdist = px.join(broadcast(probe), $"p" === $"pp")
+      .select($"vec_id",
+        floor(($"v" - $"pv") * ($"v" - $"pv") * lit(1.0e9) + lit(0.5))
+          .cast("long").as("q"))
+      .groupBy($"vec_id").agg(sum($"q").as("tq"))
+      .cp() // the error column and the exact-top-10 flag share it
+    val exact10 = tdist.filter($"vec_id" =!= 42)
+      .orderBy($"tq", $"vec_id").limit(10).select($"vec_id".as("xv"))
+    // ADC shortlist (top 50 by approx distance), then the exact re-rank —
+    // the refinement step that pays one 50-row exact gather for the jump
+    // in recall (at 100 TB the shortlist is the ONLY place true vectors
+    // are touched at query time)
+    val shortlist = adist.filter($"vec_id" =!= 42)
+      .orderBy($"aq", $"vec_id").limit(50)
+    shortlist
+      .join(tdist, "vec_id")
+      .join(broadcast(exact10), $"vec_id" === $"xv", "left")
+      .select($"vec_id", $"cell".cast("long").as("cell"),
+        ($"aq".cast("double") / lit(1.0e9)).as("approx_d2"),
+        ($"tq".cast("double") / lit(1.0e9)).as("true_d2"),
+        when($"xv".isNotNull, 1L).otherwise(0L).as("in_exact10"), $"tq")
+      .orderBy($"tq", $"vec_id").limit(10)
+      .select($"vec_id", $"cell", $"approx_d2", $"true_d2", $"in_exact10")
+  }
+
   /** IVF ANN with a TRAINED codebook: k-means|| (MLlib, fixed seed, 5
     * Lloyd iterations) learns 8 centroids, vectors are assigned by max
     * cosine, and probe 42 searches its 2 nearest clusters (nprobe=2 — the
@@ -3786,6 +3886,7 @@ object LlmOps {
     "llm_sim_join" -> llmSimJoin,
     "llm_ann_ivf" -> llmAnnIvf,
     "llm_ann_pq" -> llmAnnPq,
+    "llm_ann_ivfpq" -> llmAnnIvfPq,
     "llm_ann_kmeans" -> llmAnnKmeans,
     "llm_ann_lsh" -> llmAnnLsh,
     "llm_text_stats" -> llmTextStats,

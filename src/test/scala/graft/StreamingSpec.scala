@@ -87,6 +87,21 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("stream_degree_topk: incremental multi-batch store read equals batch replay") {
+    // the event-sourced graph metric made live: the SAME edge fold runs
+    // once as a batch replay (the oracle-checked registry entry) and once
+    // incrementally — 3 micro-batches foreachBatch-upserted into a keyed
+    // delta store — and the degree top-k read must agree exactly
+    val batch = SparkEntry.queries("stream_degree_topk")(spark, sf)
+    val store = StreamingOps.edgeStateStoreRun(spark, sf, chunks = 3)
+    val incremental = StreamingOps.degreeTopkRead(
+      StreamingOps.edgeStateStoreRead(spark, store))
+    assert(sortedRows(incremental) === sortedRows(batch))
+    // and it really ran incrementally: >1 micro-batch reached the store
+    assert(spark.read.parquet(store).select("batch_seq")
+      .distinct().count() >= 2)
+  }
+
   test("state_asof: prefix replay equals a declarative prefix aggregation") {
     import spark.implicits._
     val asof = SparkEntry.queries("state_asof")(spark, sf)

@@ -969,4 +969,77 @@ object GraphAlgebra {
       .orderBy(col("score").desc, col("item"))
       .limit(k)
   }
+
+  /** Pattern-match bindings over a (src, dst, w) adjacency — the
+    * graph-DB query surface a serving store exposes (MATCH-style small
+    * templates: paths, triangles, fans), generalized from the motif
+    * census's hand-built joins. Each [[EdgePattern]] names its endpoint
+    * VARIABLES and optionally constrains the edge (`pred` over the edge
+    * frame's columns) and exports its weight (`keepW`). Variables shared
+    * between template edges become equi-join keys; each template edge
+    * must share at least one variable with the earlier ones (connected
+    * patterns only — a disconnected edge would be a cross product).
+    * `distinctVars` (the default) enforces injective bindings: every
+    * newly bound variable filters ≠ against all earlier ones AT BIND
+    * TIME, so the pruning happens inside the join pipeline, not on the
+    * blown-up result. Returns one row per binding with one column per
+    * variable plus the kept weights.
+    *
+    * Scale shape: template size is capped at 3 edges, so a match is at
+    * most 2 equi-joins over the edge frame, each keyed on a bound
+    * variable — the same worst case as the 2-path frame the motif census
+    * builds; per-edge `pred` filters run BEFORE the joins (candidate
+    * streams shrink first), and every intermediate is
+    * variable-bound-columns only, never payloads.
+    */
+  def matchPattern(edges: DataFrame, pattern: Seq[EdgePattern],
+                   distinctVars: Boolean = true): DataFrame = {
+    require(pattern.nonEmpty && pattern.size <= 3,
+      s"matchPattern supports 1-3 edge templates (got ${pattern.size})")
+    val base = edges.select(col("src"), col("dst"), col("w"))
+    var acc: DataFrame = null
+    var bound = List.empty[String]
+    pattern.zipWithIndex.foreach { case (pe, i) =>
+      require(pe.from != pe.to,
+        s"pattern edge $i binds one variable to both endpoints")
+      val e = base.filter(pe.pred)
+        .select(col("src").as("__f"), col("dst").as("__t"),
+          col("w").as("__w"))
+      if (acc == null) {
+        val cols = Seq(col("__f").as(pe.from), col("__t").as(pe.to)) ++
+          pe.keepW.map(n => col("__w").as(n))
+        acc = e.select(cols: _*)
+        if (distinctVars) acc = acc.filter(col(pe.from) =!= col(pe.to))
+        bound = List(pe.from, pe.to)
+      } else {
+        val fB = bound.contains(pe.from)
+        val tB = bound.contains(pe.to)
+        require(fB || tB,
+          s"pattern edge $i shares no variable with the earlier edges")
+        var cond: Column = lit(true)
+        if (fB) cond = cond && acc(pe.from) === e("__f")
+        if (tB) cond = cond && acc(pe.to) === e("__t")
+        var j = acc.join(e, cond)
+        for ((v, nw) <- Seq(pe.from -> "__f", pe.to -> "__t")
+             if !bound.contains(v)) {
+          j = j.withColumn(v, col(nw))
+          if (distinctVars)
+            bound.foreach(b => j = j.filter(col(b) =!= col(v)))
+          bound = bound :+ v
+        }
+        pe.keepW.foreach(n => j = j.withColumn(n, col("__w")))
+        acc = j.drop("__f", "__t", "__w")
+      }
+    }
+    acc
+  }
 }
+
+/** One template edge of a [[GraphAlgebra.matchPattern]] query: endpoint
+  * variable names, an optional predicate over the edge frame's columns
+  * (e.g. `col("w") >= 3`), and an optional output name for the matched
+  * edge's weight.
+  */
+case class EdgePattern(from: String, to: String,
+                       pred: Column = lit(true),
+                       keepW: Option[String] = None)

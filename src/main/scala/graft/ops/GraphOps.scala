@@ -1825,7 +1825,11 @@ object GraphOps {
     * self-transition is dropped). Cells = l_partkey % 512 (fixed-size
     * sketch at ANY data scale); only repeated transitions (w ≥ 2) survive.
     */
-  private def transitionBackbone(s: SparkSession, dir: String): DataFrame = {
+  /** Weighted variant of [[transitionBackbone]] — (src, dst, w) with the
+    * same w ≥ 2 floor; the pattern-match op's per-edge predicates select
+    * on top of it.
+    */
+  private def transitionBackboneW(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lp = Tables.lineitem(s, dir)
       .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"),
@@ -1835,7 +1839,36 @@ object GraphOps {
       .filter($"np".isNotNull && $"np" =!= $"p")
       .groupBy($"p".as("src"), $"np".as("dst"))
       .agg(count(lit(1)).as("w"))
-      .filter($"w" >= 2).select($"src", $"dst")
+      .filter($"w" >= 2)
+  }
+
+  private def transitionBackbone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    transitionBackboneW(s, dir).select($"src", $"dst")
+  }
+
+  /** Declarative graph pattern match — the MATCH-style template query a
+    * graph database serves, over the weighted transition backbone via
+    * [[graft.api.GraphAlgebra.matchPattern]]: the heavy feed-forward
+    * loop a →(w≥3) b →(w≥2) c with the closing a → c edge, per-edge
+    * weight predicates, injective bindings, each edge's weight exported.
+    * Top-20 bindings by total weight (ties to the (a, b, c) triple).
+    * The oracle replays the template as explicit SQL joins — the API and
+    * the hand-written query must agree binding-for-binding. Scale: two
+    * equi-joins on the ≤512-cell backbone sketch; predicates filter each
+    * candidate stream BEFORE its join (see matchPattern's docstring).
+    */
+  val graphMatchPattern: Q = (s, dir) => {
+    import s.implicits._
+    import graft.api.EdgePattern
+    val e = transitionBackboneW(s, dir).cp()
+    graft.api.GraphAlgebra.matchPattern(e, Seq(
+        EdgePattern("a", "b", col("w") >= 3, keepW = Some("w_ab")),
+        EdgePattern("b", "c", col("w") >= 2, keepW = Some("w_bc")),
+        EdgePattern("a", "c", keepW = Some("w_ac"))))
+      .select($"a", $"b", $"c", $"w_ab", $"w_bc", $"w_ac",
+        ($"w_ab" + $"w_bc" + $"w_ac").as("w_total"))
+      .orderBy($"w_total".desc, $"a", $"b", $"c").limit(20)
   }
 
   val graphScc: Q = (s, dir) => {
@@ -2112,6 +2145,7 @@ object GraphOps {
     "graph_modularity" -> graphModularity,
     "graph_louvain" -> graphLouvain,
     "graph_louvain_multi" -> graphLouvainMulti,
+    "graph_match_pattern" -> graphMatchPattern,
     "graph_eccentricity" -> graphEccentricity,
     "graph_closeness" -> graphCloseness,
     "graph_betweenness" -> graphBetweenness,

@@ -25,6 +25,45 @@ class ApiSpec extends SparkSpec {
     assert(tri.getLong(0) === 1L && tri.getLong(1) === 3L)
   }
 
+  test("GraphAlgebra.matchPattern on a hand-built graph: bindings, predicates, injectivity") {
+    import spark.implicits._
+    import graft.api.EdgePattern
+    // 1->2 (w5), 2->3 (w4), 1->3 (w1), 3->1 (w2), 2->4 (w1), 4->2 (w9)
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 4L), (1L, 3L, 1L), (3L, 1L, 2L),
+      (2L, 4L, 1L), (4L, 2L, 9L)).toDF("src", "dst", "w")
+    // triangle template a->b->c with closing a->c, w(ab) >= 3
+    val tri = GraphAlgebra.matchPattern(e, Seq(
+        EdgePattern("a", "b", col("w") >= 3, keepW = Some("wab")),
+        EdgePattern("b", "c", keepW = Some("wbc")),
+        EdgePattern("a", "c")))
+      .select($"a", $"b", $"c", $"wab", $"wbc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // only 1->2->3 closes with 1->3; 4->2->3 has no 4->3; 2->3->1 has no 2->1
+    assert(tri === Set((1L, 2L, 3L, 5L, 4L)))
+    // plain 2-path template, no predicate: every a->b->c with a != c
+    val p2 = GraphAlgebra.matchPattern(e, Seq(
+        EdgePattern("a", "b"), EdgePattern("b", "c")))
+      .select($"a", $"b", $"c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(p2 === Set((1L, 2L, 3L), (1L, 2L, 4L), (2L, 3L, 1L),
+      (3L, 1L, 2L), (4L, 2L, 3L), (1L, 3L, 1L), (2L, 4L, 2L), (3L, 1L, 3L),
+      (4L, 2L, 4L)).filter(t => t._1 != t._3))
+    // injectivity off: the cyclic walks (a = c) come back
+    val walks = GraphAlgebra.matchPattern(e, Seq(
+        EdgePattern("a", "b"), EdgePattern("b", "c")),
+      distinctVars = false)
+      .select($"a", $"b", $"c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(walks.contains((1L, 3L, 1L)) && walks.contains((2L, 4L, 2L)))
+    assert((walks -- p2).forall(t => t._1 == t._3))
+    // disconnected templates are rejected loudly
+    assertThrows[IllegalArgumentException] {
+      GraphAlgebra.matchPattern(e, Seq(
+        EdgePattern("a", "b"), EdgePattern("x", "y")))
+    }
+  }
+
   test("GraphAlgebra.commonNeighbors over the purchase adjacency equals the registry op") {
     import spark.implicits._
     val inc = Tables.orders(spark, sf)

@@ -1848,22 +1848,25 @@ object GraphOps {
   }
 
   /** Declarative graph pattern match — the MATCH-style template query a
-    * graph database serves, over the weighted transition backbone via
-    * [[graft.api.GraphAlgebra.matchPattern]]: the heavy feed-forward
-    * loop a →(w≥3) b →(w≥2) c with the closing a → c edge, per-edge
-    * weight predicates, injective bindings, each edge's weight exported.
+    * graph database serves, over the canonical co-purchase pair graph
+    * via [[graft.api.GraphAlgebra.matchPattern]]: the HEAVY TRIANGLE
+    * a—b—c (a < b < c by the canonical pair orientation) with per-edge
+    * weight predicates on the two path edges (w ≥ 2 — prunes the
+    * candidate streams 12–40,000× across SFs before any join), the
+    * closing a—c edge unconstrained, every edge weight exported.
     * Top-20 bindings by total weight (ties to the (a, b, c) triple).
     * The oracle replays the template as explicit SQL joins — the API and
     * the hand-written query must agree binding-for-binding. Scale: two
-    * equi-joins on the ≤512-cell backbone sketch; predicates filter each
-    * candidate stream BEFORE its join (see matchPattern's docstring).
+    * equi-joins, predicate filters BEFORE each join (see matchPattern's
+    * docstring); the pair graph itself is order-bounded (per-order k²).
     */
   val graphMatchPattern: Q = (s, dir) => {
     import s.implicits._
     import graft.api.EdgePattern
-    val e = transitionBackboneW(s, dir).cp()
+    val e = copurchase(s, dir)
+      .select($"a".as("src"), $"b".as("dst"), $"w").cp()
     graft.api.GraphAlgebra.matchPattern(e, Seq(
-        EdgePattern("a", "b", col("w") >= 3, keepW = Some("w_ab")),
+        EdgePattern("a", "b", col("w") >= 2, keepW = Some("w_ab")),
         EdgePattern("b", "c", col("w") >= 2, keepW = Some("w_bc")),
         EdgePattern("a", "c", keepW = Some("w_ac"))))
       .select($"a", $"b", $"c", $"w_ab", $"w_bc", $"w_ac",

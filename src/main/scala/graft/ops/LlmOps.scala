@@ -3018,18 +3018,25 @@ object LlmOps {
     * the oracle is a 20-level materialized-CTE chain (the graph_louvain
     * pattern).
     */
-  val llmBpeTrain: Q = (s, dir) => {
+  /** The trainer loop shared by [[llmBpeTrain]] (reads the merge table)
+    * and [[llmBpeEncode]] (reads the final segmentation): returns
+    * (merges(rank, l, r, n) — raw sentinel symbols, finalWords(w, seg,
+    * cnt)). The original word rides along so the encoder can join the
+    * final segmentation back to per-language occurrence counts.
+    */
+  private def bpeTrain(s: SparkSession, dir: String,
+                       rounds: Int): (DataFrame, DataFrame) = {
     import s.implicits._
-    val mergeRounds = 20
     var words = Tables.documents(s, dir)
       .select(explode(split($"text", " ")).as("w"))
       .filter($"w" =!= "")
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(" "), regexp_replace($"w", "(.)", "$1_ ")).as("seg"),
+      .select($"w",
+        concat(lit(" "), regexp_replace($"w", "(.)", "$1_ ")).as("seg"),
         $"cnt")
       .cp()
     val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (k <- 1 to mergeRounds) {
+    for (k <- 1 to rounds) {
       val best = words
         .select($"cnt", split(trim($"seg"), " ").as("a"))
         .filter(size($"a") >= 2)
@@ -3042,11 +3049,16 @@ object LlmOps {
         .cp()
       merges += best.select(lit(k.toLong).as("rank"), $"l", $"r", $"n")
       words = words.crossJoin(broadcast(best.select($"l", $"r")))
-        .select(expr("replace(seg, concat(' ', l, ' ', r), " +
+        .select($"w", expr("replace(seg, concat(' ', l, ' ', r), " +
           "concat(' ', replace(l, '_', ''), r))").as("seg"), $"cnt")
         .cp()
     }
-    merges.reduce(_ unionAll _)
+    (merges.reduce(_ unionAll _), words)
+  }
+
+  val llmBpeTrain: Q = (s, dir) => {
+    import s.implicits._
+    bpeTrain(s, dir, rounds = 20)._1
       .select($"rank",
         translate($"l", "_", "").as("lhs"),
         translate($"r", "_", "").as("rhs"),
@@ -3054,6 +3066,39 @@ object LlmOps {
           .as("merged"),
         $"n")
       .orderBy($"rank")
+  }
+
+  /** ENCODE with the trained tokenizer — [[llmBpeTrain]]'s other half:
+    * the 20-merge loop's FINAL segmentation (tokens per distinct word)
+    * joins back to per-language word occurrences, yielding the
+    * tokenizer-efficiency report every multilingual training budget
+    * reads: whitespace tokens, BPE tokens, characters, chars-per-token
+    * (trained fertility — [[llmTokenFertility]] measured the whitespace
+    * baseline), and tokens-per-word, per language. The corpus is scanned
+    * twice in total (once by the trainer's word count, once for the
+    * per-language counts); everything else is distinct-word-frame work,
+    * Heaps-law sublinear at 100 TB, and the encode join is keyed on the
+    * word itself.
+    */
+  val llmBpeEncode: Q = (s, dir) => {
+    import s.implicits._
+    val fin = bpeTrain(s, dir, rounds = 20)._2
+      .select($"w", size(split(trim($"seg"), " ")).cast("long").as("n_bpe"))
+    val langw = Tables.documents(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("cnt"))
+    langw.join(fin, "w")
+      .groupBy($"lang")
+      .agg(sum($"cnt").as("ws_tokens"),
+        sum($"cnt" * $"n_bpe").as("bpe_tokens"),
+        sum($"cnt" * length($"w")).as("n_chars"))
+      .select($"lang", $"ws_tokens", $"bpe_tokens", $"n_chars",
+        pround4($"n_chars".cast("double") / $"bpe_tokens".cast("double"))
+          .as("chars_per_token"),
+        pround4($"bpe_tokens".cast("double") / $"ws_tokens".cast("double"))
+          .as("tokens_per_word"))
+      .orderBy($"lang")
   }
 
   /** Feature hashing (the hashing trick): tokens bucketed into a 64-dim
@@ -3808,6 +3853,7 @@ object LlmOps {
     "fn_codec" -> fnCodec,
     "llm_bpe_first_merge" -> llmBpeFirstMerge,
     "llm_bpe_train" -> llmBpeTrain,
+    "llm_bpe_encode" -> llmBpeEncode,
     "llm_spatial_grid" -> llmSpatialGrid,
     "llm_template_detect" -> llmTemplateDetect,
     "llm_min_token_freq" -> llmMinTokenFreq,

@@ -1101,26 +1101,17 @@ object GraphOracle {
     // the matchPattern template replayed as explicit joins: per-edge
     // predicates, injective bindings, weights exported per template edge
     "graph_match_pattern" ->
-      """WITH lp AS (
-        |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey % 512 AS p
-        |  FROM lineitem),
-        |t AS (
-        |  SELECT p, lead(p) OVER (PARTITION BY ok ORDER BY ln, p) AS np
-        |  FROM lp),
-        |e0 AS (
-        |  SELECT p AS src, np AS dst, count(*) AS w
-        |  FROM t WHERE np IS NOT NULL AND np <> p
-        |  GROUP BY 1, 2),
-        |e AS MATERIALIZED (
-        |  SELECT src, dst, CAST(w AS BIGINT) AS w FROM e0 WHERE w >= 2)
-        |SELECT x.src AS a, x.dst AS b, y.dst AS c,
-        |  x.w AS w_ab, y.w AS w_bc, z.w AS w_ac,
-        |  x.w + y.w + z.w AS w_total
-        |FROM e x
-        |JOIN e y ON y.src = x.dst AND x.w >= 3 AND y.w >= 2
-        |JOIN e z ON z.src = x.src AND z.dst = y.dst
-        |WHERE x.src <> x.dst AND y.dst <> x.src AND y.dst <> x.dst
-        |ORDER BY w_total DESC, a, b, c LIMIT 20""".stripMargin,
+      s"""WITH $copurchaseCte,
+         |e AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, CAST(w AS BIGINT) AS w FROM cp)
+         |SELECT x.src AS a, x.dst AS b, y.dst AS c,
+         |  x.w AS w_ab, y.w AS w_bc, z.w AS w_ac,
+         |  x.w + y.w + z.w AS w_total
+         |FROM e x
+         |JOIN e y ON y.src = x.dst AND x.w >= 2 AND y.w >= 2
+         |JOIN e z ON z.src = x.src AND z.dst = y.dst
+         |WHERE x.src <> x.dst AND y.dst <> x.src AND y.dst <> x.dst
+         |ORDER BY w_total DESC, a, b, c LIMIT 20""".stripMargin,
 
     "graph_bfs_tree" ->
       s"""WITH $copurchaseCte,

@@ -120,10 +120,14 @@ object LlmOracle {
     * greedy BPE). MATERIALIZED throughout — DuckDB inlines plain CTEs per
     * reference and the chain is 20 levels deep.
     */
-  private val bpeTrainSql: String = {
+  /** The 20-level trainer chain shared by llm_bpe_train and
+    * llm_bpe_encode (the word rides along so the encoder can join the
+    * final segmentation back to per-language counts).
+    */
+  private val bpeChainCtes: String = {
     val base =
       """WITH w0 AS MATERIALIZED (
-        |  SELECT ' ' || regexp_replace(w, '(.)', '\1_ ', 'g') AS seg,
+        |  SELECT w, ' ' || regexp_replace(w, '(.)', '\1_ ', 'g') AS seg,
         |    count(*) AS cnt
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
         |  WHERE w <> ''
@@ -139,21 +143,48 @@ object LlmOracle {
          |    GROUP BY 1, 2) p
          |  ORDER BY n DESC, l, r LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT replace(seg, ' ' || b.l || ' ' || b.r,
+         |  SELECT w, replace(seg, ' ' || b.l || ' ' || b.r,
          |    ' ' || replace(b.l, '_', '') || b.r) AS seg, cnt
          |  FROM w${k - 1}, b$k b)""".stripMargin
     }.mkString(",\n")
+    s"$base,\n$levels"
+  }
+
+  private val bpeTrainSql: String = {
     val sel = (1 to 20).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS rank, replace(l, '_', '') AS lhs,
          |  replace(r, '_', '') AS rhs,
          |  replace(l, '_', '') || replace(r, '_', '') AS merged, n
          |FROM b$k""".stripMargin
     }.mkString("\nUNION ALL ")
-    s"$base,\n$levels\n$sel\nORDER BY rank"
+    s"$bpeChainCtes\n$sel\nORDER BY rank"
   }
+
+  private val bpeEncodeSql: String =
+    s"""$bpeChainCtes,
+       |enc AS (SELECT w,
+       |    CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_bpe
+       |  FROM w20),
+       |langw AS (
+       |  SELECT lang, w, count(*) AS cnt FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) t
+       |  WHERE w <> '' GROUP BY 1, 2)
+       |SELECT lang, CAST(sum(cnt) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(cnt * n_bpe) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars,
+       |  floor(CAST(sum(cnt * length(w)) AS DOUBLE)
+       |    / CAST(sum(cnt * n_bpe) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       |    AS chars_per_token,
+       |  floor(CAST(sum(cnt * n_bpe) AS DOUBLE)
+       |    / CAST(sum(cnt) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       |    AS tokens_per_word
+       |FROM langw JOIN enc USING (w)
+       |GROUP BY 1 ORDER BY lang""".stripMargin
 
   val sql: Map[String, String] = Map(
     "llm_bpe_train" -> bpeTrainSql,
+    "llm_bpe_encode" -> bpeEncodeSql,
     "llm_readability" ->
       """WITH per AS (
         |  SELECT lang,

@@ -48,6 +48,54 @@ class Round13Spec extends SparkSpec {
     assert(got.exists(m => m._2.length > 1 || m._3.length > 1))
   }
 
+  test("llm_bpe_encode: per-language stats equal a plain-Scala encode replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts: Map[String, Long] = docs.iterator
+      .flatMap(_._2.split(" ").iterator.filter(_.nonEmpty))
+      .toSeq.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    // reference trainer to the FINAL segmentation (same rule as the
+    // llm_bpe_train replay, tracked per original word)
+    var segOf: Map[String, Vector[String]] =
+      counts.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    for (_ <- 1 to 20) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- segOf; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) =
+          pc.getOrElse((syms(i), syms(i + 1)), 0L) + counts(w)
+      val ((l, r), _) = pc.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+      segOf = segOf.map { case (w, syms) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    def p4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val expect = docs.iterator
+      .flatMap { case (lang, t) =>
+        t.split(" ").iterator.filter(_.nonEmpty).map(lang -> _) }
+      .toSeq.groupBy(_._1).toSeq.map { case (lang, ws) =>
+        val wsTok = ws.length.toLong
+        val bpe = ws.iterator.map(x => segOf(x._2).length.toLong).sum
+        val ch = ws.iterator.map(_._2.length.toLong).sum
+        (lang, wsTok, bpe, ch, p4(ch.toDouble / bpe), p4(bpe.toDouble / wsTok))
+      }.sortBy(_._1)
+    val got = q("llm_bpe_encode").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === expect)
+    // BPE must actually compress: fewer chars per corpus than char-level,
+    // i.e. chars_per_token > 1 somewhere after 20 merges
+    assert(got.exists(_._5 > 1.0))
+  }
+
   test("llm_ann_ivfpq: refined recall beats the plain-IVF row, ranking is exact") {
     val rows = q("llm_ann_ivfpq").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),

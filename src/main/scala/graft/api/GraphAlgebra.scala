@@ -920,6 +920,35 @@ object GraphAlgebra {
     resolved
   }
 
+  /** Per-EDGE Brandes credits over a resolved ([[multiBfsSigma]],
+    * [[brandesDeltas]]) pair — the Girvan–Newman edge-betweenness
+    * ingredient: every shortest-path DAG edge v→w (dist_s(w) =
+    * dist_s(v)+1) earns `floor(σv/σw · (1e6 + δw) + 0.5)` micro-credits
+    * from source s — the IDENTICAL fixed double tree the node pass sums,
+    * so node and edge scores share one quantization discipline. Returns
+    * one row per (src, va, wb) with the credit; callers fold to
+    * canonical undirected edges. One three-way join, no new traversal —
+    * the forward σ and backward δ frames are reused as-is.
+    */
+  def brandesEdgeCredits(edgesBoth: DataFrame, sigmaState: DataFrame,
+                         deltas: DataFrame): DataFrame = {
+    val st = sigmaState.cp()
+    val adj = edgesBoth.select(col("a"), col("b")).cp()
+    val v = st.select(col("src"), col("id").as("va"),
+      col("sigma").as("vsigma"), col("dist").as("vdist"))
+    val w = deltas.select(col("src"), col("id"), col("dist"), col("delta"))
+      .join(st.select(col("src"), col("id"), col("sigma")), Seq("src", "id"))
+      .select(col("src"), col("id").as("wb"), col("sigma").as("wsigma"),
+        col("delta").as("wdelta"), col("dist").as("wdist"))
+    adj.join(v, adj("a") === v("va"))
+      .join(w, adj("b") === w("wb") && v("src") === w("src") &&
+        w("wdist") === v("vdist") + lit(1L))
+      .select(v("src").as("src"), col("va"), col("wb"),
+        floor(col("vsigma").cast("double") / col("wsigma").cast("double") *
+          (lit(1000000L) + col("wdelta")).cast("double") + lit(0.5))
+          .cast("long").as("c"))
+  }
+
   def bfsHops(edgesBoth: DataFrame, src: Long, maxHops: Int,
               broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     val s = edgesBoth.sparkSession

@@ -1266,6 +1266,36 @@ object GraphOps {
       .orderBy($"part")
   }
 
+  /** Landmark EDGE betweenness — the Girvan–Newman community-cutting
+    * score, sharing [[graphBetweenness]]'s whole machinery: the same 8
+    * landmarks, the same 6-hop multi-source σ forward pass and
+    * micro-quantized δ backward pass, then ONE extra three-way join
+    * ([[graft.api.GraphAlgebra.brandesEdgeCredits]]) credits every
+    * shortest-path DAG edge with the identical fixed double tree
+    * floor(σv/σw·(1e6+δw)+0.5) — node and edge scores stay in one
+    * quantization discipline and BIGINT-sum order-free. Credits fold to
+    * canonical undirected edges; top-20 by micro-credit (ties to the
+    * edge key). The bridges between communities surface first — the
+    * read a graph DB serves before an edge-removal clustering pass. At
+    * 100 TB: sampled landmarks bound the traversal exactly like the
+    * node-betweenness op; the credit join is shuffle-keyed on the
+    * vertex, never all-pairs.
+    */
+  val graphEdgeBetweenness: Q = (s, dir) => {
+    import s.implicits._
+    val lm = partVertices(s, dir)
+      .orderBy($"p_partkey").limit(8).select($"p_partkey".as("src"))
+    val both = copurchaseBoth(s, dir)
+    val sigma = graft.api.GraphAlgebra.multiBfsSigma(both, lm, maxHops = 6)
+    val deltas = graft.api.GraphAlgebra.brandesDeltas(both, sigma)
+    graft.api.GraphAlgebra.brandesEdgeCredits(both, sigma, deltas)
+      .groupBy(least($"va", $"wb").as("a"), greatest($"va", $"wb").as("b"))
+      .agg(count(lit(1)).as("n_contribs"), sum($"c").as("eb_micro"))
+      .select($"a", $"b", $"n_contribs", $"eb_micro",
+        ($"eb_micro".cast("double") / lit(1.0e6)).as("edge_betweenness"))
+      .orderBy($"eb_micro".desc, $"a", $"b").limit(20)
+  }
+
   /** Landmark eccentricity lower bound — max hop distance from any of the
     * 8 landmark sources (the standard diameter/eccentricity estimator:
     * ecc(v) ≥ max over landmarks d(l,v), tight when landmarks are spread).
@@ -1696,6 +1726,77 @@ object GraphOps {
       out = out.unionAll(cur.withColumn("step", lit(step.toLong)))
     }
     out.select($"walk", $"step", $"node").orderBy($"walk", $"step")
+  }
+
+  /** Neighborhood PROPERTY rollup — the property-graph read every
+    * serving store exposes ("aggregate an attribute over my neighbors"):
+    * per part, the co-purchase neighbor count, total co-purchase weight,
+    * and the neighbors' retail-price sum/mean/max pulled from the vertex
+    * property table. The sum rides the scaled-long msum discipline and
+    * the mean is one quantized divide of the exact cent total — no
+    * float-sum order anywhere; max needs no quantization (order-free).
+    * Scale: one both-direction edge shuffle keyed on the neighbor, a
+    * broadcast-able property dim, one hash agg on the vertex key.
+    */
+  val graphNeighborProps: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir)
+    val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b"), $"w"))
+    val price = Tables.part(s, dir)
+      .select($"p_partkey".as("b"), $"p_retailprice")
+    both.join(price, "b")
+      .groupBy($"a".as("part"))
+      .agg(count(lit(1)).as("n_neighbors"), sum($"w").as("w_total"),
+        Relational.msum($"p_retailprice").as("price_sum"),
+        sum(round($"p_retailprice" * lit(100)).cast("long")).as("cs"),
+        max($"p_retailprice").as("price_max"))
+      .select($"part", $"n_neighbors", $"w_total", $"price_sum",
+        (floor($"cs".cast("double") /
+          (lit(100.0) * $"n_neighbors".cast("double")) * lit(10000.0) +
+          lit(0.5)).cast("double") / lit(10000.0)).as("price_mean"),
+        $"price_max")
+      .orderBy($"part")
+  }
+
+  /** DeepWalk/node2vec TRAINING-PAIR generation — the Spark half of a
+    * graph-embedding pipeline (walk generation + skip-gram pairing; the
+    * gradient side is the GPU's job): 2 deterministic walks from each of
+    * the top-8 hubs, 6 steps each, stepping to the md5-argmin neighbor
+    * ([[graphRandomWalk]]'s hash-randomness discipline — reproducible on
+    * any engine/cluster, no RNG state), then every within-walk
+    * skip-gram pair at distance ≤ 2, canonically folded and counted;
+    * top-20 co-occurring pairs. At 100 TB walks fan out per seed
+    * partition and the pair self-join is keyed on the walk id (7-row
+    * groups — bounded). Oracle unrolls the 6 steps as argmin CTEs.
+    */
+  val graphWalkPairs: Q = (s, dir) => {
+    import s.implicits._
+    val both = copurchaseBoth(s, dir).cp() // 6 step joins + the seed scan
+    val seeds = both.groupBy($"a").agg(count(lit(1)).as("d"))
+      .orderBy($"d".desc, $"a").limit(8).select($"a".as("seed"))
+    var cur = seeds.crossJoin(Seq(0, 1).toDF("widx"))
+      .select(concat($"seed".cast("string"), lit("_"),
+        $"widx".cast("string")).as("walk"), $"seed".as("node"))
+      .cp()
+    var out = cur.withColumn("step", lit(0L))
+    for (step <- 1 to 6) {
+      cur = both
+        .join(broadcast(cur.select($"walk", $"node".as("a"))), "a")
+        .select($"walk", $"b",
+          md5(concat($"walk", lit("_"), lit(step.toString), lit("_"),
+            $"b".cast("string"))).as("h"))
+        .groupBy($"walk").agg(min(struct($"h", $"b")).as("m"))
+        .select($"walk", $"m.b".as("node")).cp()
+      out = out.unionAll(cur.withColumn("step", lit(step.toLong)))
+    }
+    val o = out.cp() // both sides of the skip-gram self-join
+    o.as("x").join(o.as("y"), $"x.walk" === $"y.walk" &&
+        $"y.step" > $"x.step" && $"y.step" <= $"x.step" + 2)
+      .select(least($"x.node", $"y.node").as("a"),
+        greatest($"x.node", $"y.node").as("b"))
+      .filter($"a" =!= $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"n_pairs".desc, $"a", $"b").limit(20)
   }
 
   /** Local bridges (Granovetter's weak-tie structure): co-purchase edges
@@ -2139,6 +2240,8 @@ object GraphOps {
     "graph_reciprocity" -> graphReciprocity,
     "graph_pref_attachment" -> graphPrefAttachment,
     "graph_random_walk" -> graphRandomWalk,
+    "graph_walk_pairs" -> graphWalkPairs,
+    "graph_neighbor_props" -> graphNeighborProps,
     "graph_hop_histogram" -> graphHopHistogram,
     "graph_bfs_tree" -> graphBfsTree,
     "graph_triangle_sample" -> graphTriangleSample,
@@ -2152,6 +2255,7 @@ object GraphOps {
     "graph_eccentricity" -> graphEccentricity,
     "graph_closeness" -> graphCloseness,
     "graph_betweenness" -> graphBetweenness,
+    "graph_edge_betweenness" -> graphEdgeBetweenness,
     "graph_build_edges" -> graphBuildEdges,
     "graph_tag_profile" -> graphTagProfile,
     "graph_degree" -> graphDegree,

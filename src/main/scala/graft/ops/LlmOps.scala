@@ -3101,6 +3101,30 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** The trained tokenizer's VOCABULARY — the artifact a tokenizer
+    * release actually ships: the top-30 symbols of [[bpeTrain]]'s final
+    * segmentation with exact corpus frequencies (strip of the sentinel
+    * is injective — every raw symbol carries exactly one trailing `_`).
+    * Multi-char rows are the learned merges surviving in actual use;
+    * single chars are the residual alphabet. TakeOrdered head + a ≤30-row
+    * residual rank window (the llm_skipgram_pairs move) — vocabulary
+    * domains are Heaps-law sublinear, but the global window is still
+    * avoided on principle.
+    */
+  val llmBpeVocab: Q = (s, dir) => {
+    import s.implicits._
+    val v = bpeTrain(s, dir, rounds = 20)._2
+      .select(explode(split(trim($"seg"), " ")).as("sy"), $"cnt")
+      .groupBy(translate($"sy", "_", "").as("token"))
+      .agg(sum($"cnt").as("freq"))
+      .orderBy($"freq".desc, $"token").limit(30)
+    val w = Window.orderBy($"freq".desc, $"token")
+    v.withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"token", $"freq",
+        length($"token").cast("long").as("tok_len"))
+      .orderBy($"rank")
+  }
+
   /** Feature hashing (the hashing trick): tokens bucketed into a 64-dim
     * count vector per document via md5, with the ±1 sign bit drawn from
     * the hash's next nibble — the collision-tolerant featurization that
@@ -3854,6 +3878,7 @@ object LlmOps {
     "llm_bpe_first_merge" -> llmBpeFirstMerge,
     "llm_bpe_train" -> llmBpeTrain,
     "llm_bpe_encode" -> llmBpeEncode,
+    "llm_bpe_vocab" -> llmBpeVocab,
     "llm_spatial_grid" -> llmSpatialGrid,
     "llm_template_detect" -> llmTemplateDetect,
     "llm_min_token_freq" -> llmMinTokenFreq,

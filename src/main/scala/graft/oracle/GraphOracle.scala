@@ -210,7 +210,11 @@ object GraphOracle {
     * tree as the Spark op (`floor(σv/σw · (1e6+δw) + 0.5)`), summed in
     * BIGINT so accumulation order can't drift.
     */
-  private val betweennessSql: String = {
+  /** Shared by graph_betweenness and graph_edge_betweenness: landmark
+    * BFS, σ forward chain s0..s6, micro-quantized δ backward chain
+    * d6..d1 (see [[betweennessSql]]'s docstring for the arithmetic).
+    */
+  private val brandesCtes: String = {
     val sigma = (1 to 6).map { h =>
       s"""s$h AS (
          |  SELECT md.src, md.node, CAST(sum(sp.sigma) AS BIGINT) AS sigma
@@ -236,19 +240,86 @@ object GraphOracle {
          |  FROM s$h sv LEFT JOIN c$h c
          |    ON c.src = sv.src AND c.v = sv.node)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to 6).map(h =>
-      s"SELECT src, node, delta FROM d$h").mkString("\n|  UNION ALL ")
     s"""$landmarkBfsCtes,
        |s0 AS (SELECT src, src AS node, CAST(1 AS BIGINT) AS sigma FROM lm),
        |$sigma,
        |d6 AS (SELECT src, node, CAST(0 AS BIGINT) AS delta
        |  FROM md WHERE d = 6),
-       |$deltas,
+       |$deltas""".stripMargin
+  }
+
+  private val betweennessSql: String = {
+    val union = (1 to 6).map(h =>
+      s"SELECT src, node, delta FROM d$h").mkString("\n|  UNION ALL ")
+    s"""$brandesCtes,
        |allv AS ($union)
        |SELECT node AS part, count(*) AS n_sources,
        |  CAST(sum(delta) AS BIGINT) AS bt_micro,
        |  CAST(CAST(sum(delta) AS BIGINT) AS DOUBLE) / 1.0e6 AS betweenness
        |FROM allv GROUP BY 1 ORDER BY part""".stripMargin
+  }
+
+  /** Girvan–Newman edge betweenness over the same Brandes frames: every
+    * shortest-path DAG edge v→w (level h → h+1, h = 0..5) earns the
+    * identical micro-quantized credit floor(σv/σw·(1e6+δw)+0.5), folded
+    * to canonical undirected edges, top-20.
+    */
+  private val edgeBetweennessSql: String = {
+    val credits = (0 to 5).map { h =>
+      s"""ec$h AS (
+         |  SELECT sv.src, e2.a AS va, e2.b AS wb,
+         |    CAST(floor(CAST(sv.sigma AS DOUBLE) /
+         |      CAST(sw.sigma AS DOUBLE) *
+         |      CAST(1000000 + dw.delta AS DOUBLE) + 0.5) AS BIGINT) AS c
+         |  FROM e2
+         |  JOIN s$h sv ON sv.node = e2.a
+         |  JOIN s${h + 1} sw ON sw.src = sv.src AND sw.node = e2.b
+         |  JOIN d${h + 1} dw ON dw.src = sv.src AND dw.node = sw.node)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to 5).map(h =>
+      s"SELECT va, wb, c FROM ec$h").mkString("\n|  UNION ALL ")
+    s"""$brandesCtes,
+       |$credits,
+       |alle AS ($union)
+       |SELECT least(va, wb) AS a, greatest(va, wb) AS b,
+       |  count(*) AS n_contribs, CAST(sum(c) AS BIGINT) AS eb_micro,
+       |  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 1.0e6 AS edge_betweenness
+       |FROM alle GROUP BY 1, 2
+       |ORDER BY eb_micro DESC, a, b LIMIT 20""".stripMargin
+  }
+
+  /** Unrolled 6-step md5-argmin walks (2 per top-8 hub) + the distance-≤2
+    * skip-gram pair fold — graph_walk_pairs' oracle.
+    */
+  private val walkPairsSql: String = {
+    val steps = (1 to 6).map { t =>
+      s"""s$t AS (SELECT walk, node FROM (
+         |  SELECT w.walk, e2.b AS node,
+         |    row_number() OVER (PARTITION BY w.walk
+         |      ORDER BY md5(w.walk || '_${t}_' || CAST(e2.b AS VARCHAR)),
+         |        e2.b) AS rn
+         |  FROM s${t - 1} w JOIN e2 ON e2.a = w.node) x
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to 6).map(t =>
+      s"SELECT walk, CAST($t AS BIGINT) AS step, node FROM s$t")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH $copurchaseCte,
+       |e2 AS MATERIALIZED (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+       |deg AS (SELECT a, count(*) AS d FROM e2 GROUP BY 1),
+       |seeds AS (SELECT a AS seed FROM deg ORDER BY d DESC, a LIMIT 8),
+       |s0 AS (SELECT CAST(seed AS VARCHAR) || '_' || CAST(widx AS VARCHAR)
+       |    AS walk, seed AS node
+       |  FROM seeds, (SELECT unnest([0, 1]) AS widx) t),
+       |$steps,
+       |allw AS MATERIALIZED ($union)
+       |SELECT least(x.node, y.node) AS a, greatest(x.node, y.node) AS b,
+       |  count(*) AS n_pairs
+       |FROM allw x JOIN allw y ON x.walk = y.walk
+       |  AND y.step > x.step AND y.step <= x.step + 2
+       |WHERE x.node <> y.node
+       |GROUP BY 1, 2
+       |ORDER BY n_pairs DESC, a, b LIMIT 20""".stripMargin
   }
 
   private val modularitySql: String =
@@ -933,6 +1004,24 @@ object GraphOracle {
          |FROM md GROUP BY 1 ORDER BY part""".stripMargin,
 
     "graph_betweenness" -> betweennessSql,
+    "graph_edge_betweenness" -> edgeBetweennessSql,
+    "graph_walk_pairs" -> walkPairsSql,
+
+    // neighborhood property rollup: scaled-long price sum, one quantized
+    // divide for the mean, order-free max
+    "graph_neighbor_props" ->
+      s"""WITH $copurchaseCte,
+         |bothd AS (SELECT a, b, w FROM cp UNION ALL SELECT b, a, w FROM cp)
+         |SELECT a AS part, count(*) AS n_neighbors,
+         |  CAST(sum(w) AS BIGINT) AS w_total,
+         |  CAST(sum(CAST(round(p_retailprice * 10000) AS BIGINT)) AS DOUBLE)
+         |    / 10000.0 AS price_sum,
+         |  floor(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+         |      AS DOUBLE) / (100.0 * CAST(count(*) AS DOUBLE))
+         |    * 10000.0 + 0.5) / 10000.0 AS price_mean,
+         |  max(p_retailprice) AS price_max
+         |FROM bothd JOIN part ON p_partkey = b
+         |GROUP BY 1 ORDER BY part""".stripMargin,
 
     "graph_weight_dist" ->
       s"""WITH $copurchaseCte,

@@ -182,9 +182,24 @@ object LlmOracle {
        |FROM langw JOIN enc USING (w)
        |GROUP BY 1 ORDER BY lang""".stripMargin
 
+  private val bpeVocabSql: String =
+    s"""$bpeChainCtes,
+       |sym AS (SELECT unnest(string_split(trim(seg), ' ')) AS sy, cnt
+       |  FROM w20),
+       |v AS (SELECT replace(sy, '_', '') AS token,
+       |    CAST(sum(cnt) AS BIGINT) AS freq
+       |  FROM sym GROUP BY 1),
+       |r AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, token)
+       |    AS BIGINT) AS rank, token, freq,
+       |    CAST(length(token) AS BIGINT) AS tok_len
+       |  FROM v)
+       |SELECT rank, token, freq, tok_len FROM r WHERE rank <= 30
+       |ORDER BY rank""".stripMargin
+
   val sql: Map[String, String] = Map(
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_encode" -> bpeEncodeSql,
+    "llm_bpe_vocab" -> bpeVocabSql,
     "llm_readability" ->
       """WITH per AS (
         |  SELECT lang,

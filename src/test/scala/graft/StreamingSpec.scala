@@ -102,6 +102,21 @@ class StreamingSpec extends SparkSpec {
       .distinct().count() >= 2)
   }
 
+  test("stream_degree_topk: store upsert is idempotent under batch replay") {
+    import spark.implicits._
+    // exactly-once-on-top-of-at-least-once: re-delivering a micro-batch
+    // (same batch_seq — the foreachBatch replay case after a sink retry)
+    // must not change the merge-on-read state
+    val store = StreamingOps.edgeStateStoreRun(spark, sf, chunks = 2)
+    val before = sortedRows(StreamingOps.edgeStateStoreRead(spark, store))
+    val last = spark.read.parquet(store)
+    val maxSeq = last.agg(max($"batch_seq")).first().getLong(0)
+    last.filter($"batch_seq" === maxSeq)
+      .write.mode("append").parquet(store)
+    val after = sortedRows(StreamingOps.edgeStateStoreRead(spark, store))
+    assert(after === before)
+  }
+
   test("state_asof: prefix replay equals a declarative prefix aggregation") {
     import spark.implicits._
     val asof = SparkEntry.queries("state_asof")(spark, sf)

@@ -319,4 +319,31 @@ class ScaleSpec extends SparkSpec {
       s"llm_skipgram_pairs plans ${unbounded.size} unpartitioned Window " +
         "node(s) over an unlimited frame")
   }
+
+  test("round-13 ops: condition-less joins are bounded scalar attaches; windows bounded") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, Window => LWindow}
+    // the r13 surface must never plan an unbounded cross product: every
+    // condition-less join needs a side Catalyst can PROVE small (a
+    // grouping-free Aggregate, a Limit, a literal relation), and every
+    // unpartitioned Window must sit above a Limit in its own subtree
+    val keys = Seq("graph_match_pattern", "llm_ann_ivfpq",
+      "stream_degree_topk", "graph_walk_pairs", "graph_neighbor_props",
+      "llm_bpe_train", "llm_bpe_encode", "llm_bpe_vocab",
+      "graph_edge_betweenness", "graph_louvain_multi")
+    for (k <- keys) {
+      val plan = SparkEntry.queries(k)(spark, sf).queryExecution.optimizedPlan
+      plan.collect { case j: Join if j.condition.isEmpty => j }.foreach { j =>
+        val bounded = Seq(j.left, j.right).exists(_.maxRows.exists(_ <= 8L))
+        assert(bounded, s"$k plans a condition-less join with no " +
+          s"provably-bounded side:\n$j")
+      }
+      val unboundedW = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.collect { case g: GlobalLimit => g }.isEmpty => w
+      }
+      assert(unboundedW.isEmpty,
+        s"$k plans ${unboundedW.size} unpartitioned Window node(s) over " +
+          "an unlimited frame")
+    }
+  }
 }

@@ -3101,6 +3101,44 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** Temperature-based source rebalancing — the multilingual sampling
+    * formula every large corpus mix uses (p_i ∝ n_i^α flattens the
+    * source distribution so low-resource sources are over-sampled), at
+    * α = 1/2: q_i = sqrt(n_i), a CORRECTLY-ROUNDED IEEE primitive, so
+    * unlike exp/pow it is bit-identical on every libm and the whole op
+    * stays oracle-checkable (nano-quantized q_i, exact integer share
+    * arithmetic `target_i = (1000·q_i) div Σq`). Selection inside each
+    * source is the salted-md5 coin rank ([[llmDatasetSplit]]'s
+    * discipline) — reproducible on any engine/cluster, no RNG. Emits the
+    * per-source audit: raw count, quantized weight, target, selected
+    * count, selected char volume. One doc scan + a source-sized
+    * broadcast; the rank window is per-source.
+    */
+  val llmSampleTemperature: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"n_chars").cp() // counts + selection
+    val per = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("q_sqrt",
+        floor(sqrt($"n_docs".cast("double")) * lit(1.0e9) + lit(0.5))
+          .cast("long"))
+    val tot = per.agg(sum($"q_sqrt").as("qt"))
+    val tgt = per.crossJoin(broadcast(tot))
+      .withColumn("target_n", expr("(1000 * q_sqrt) div qt"))
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val sel = docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(tgt.select($"source", $"target_n")), "source")
+      .filter($"rn" <= $"target_n")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_selected"), sum($"n_chars").as("sel_chars"))
+    tgt.join(sel, Seq("source"), "left")
+      .select($"source", $"n_docs", $"q_sqrt", $"target_n",
+        coalesce($"n_selected", lit(0L)).as("n_selected"),
+        coalesce($"sel_chars", lit(0L)).as("sel_chars"))
+      .orderBy($"source")
+  }
+
   /** The trained tokenizer's VOCABULARY — the artifact a tokenizer
     * release actually ships: the top-30 symbols of [[bpeTrain]]'s final
     * segmentation with exact corpus frequencies (strip of the sentinel
@@ -3879,6 +3917,7 @@ object LlmOps {
     "llm_bpe_train" -> llmBpeTrain,
     "llm_bpe_encode" -> llmBpeEncode,
     "llm_bpe_vocab" -> llmBpeVocab,
+    "llm_sample_temperature" -> llmSampleTemperature,
     "llm_spatial_grid" -> llmSpatialGrid,
     "llm_template_detect" -> llmTemplateDetect,
     "llm_min_token_freq" -> llmMinTokenFreq,

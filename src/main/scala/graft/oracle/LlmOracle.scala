@@ -200,6 +200,38 @@ object LlmOracle {
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_encode" -> bpeEncodeSql,
     "llm_bpe_vocab" -> bpeVocabSql,
+
+    // alpha=1/2 temperature sampler: sqrt is correctly-rounded IEEE on
+    // every libm, shares are exact integer arithmetic, selection is the
+    // per-source md5-coin rank
+    "llm_sample_temperature" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |q AS (
+        |  SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1.0e9 + 0.5)
+        |      AS BIGINT) AS q_sqrt
+        |  FROM per),
+        |tot AS (SELECT CAST(sum(q_sqrt) AS BIGINT) AS qt FROM q),
+        |tgt AS (
+        |  SELECT source, n_docs, q_sqrt,
+        |    CAST((1000 * q_sqrt) // qt AS BIGINT) AS target_n
+        |  FROM q, tot),
+        |rk AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents),
+        |sel AS (
+        |  SELECT rk.source, count(*) AS n_selected,
+        |    CAST(sum(n_chars) AS BIGINT) AS sel_chars
+        |  FROM rk JOIN tgt ON rk.source = tgt.source
+        |  WHERE rn <= target_n GROUP BY 1)
+        |SELECT tgt.source, n_docs, q_sqrt, target_n,
+        |  CAST(coalesce(n_selected, 0) AS BIGINT) AS n_selected,
+        |  CAST(coalesce(sel_chars, 0) AS BIGINT) AS sel_chars
+        |FROM tgt LEFT JOIN sel ON tgt.source = sel.source
+        |ORDER BY tgt.source""".stripMargin,
     "llm_readability" ->
       """WITH per AS (
         |  SELECT lang,

@@ -96,6 +96,28 @@ class Round13Spec extends SparkSpec {
     assert(got.exists(_._5 > 1.0))
   }
 
+  test("llm_sample_temperature: alpha=1/2 actually flattens the source mix") {
+    val rows = q("llm_sample_temperature").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // budget respected and selection exact: n_selected = min(target, n)
+    assert(rows.map(_._4).sum <= 1000L)
+    rows.foreach { case (s, n, _, t, sel, _) =>
+      assert(sel === math.min(t, n), s"source $s selected $sel of target $t")
+    }
+    // the sampler's point: the smallest source gets a LARGER sampling
+    // rate (target/n) than the largest — the alpha<1 flattening
+    val smallest = rows.minBy(_._2)
+    val largest = rows.maxBy(_._2)
+    if (smallest._2 < largest._2) {
+      val rs = smallest._4.toDouble / smallest._2
+      val rl = largest._4.toDouble / largest._2
+      assert(rs >= rl,
+        s"smallest source rate $rs < largest source rate $rl — not flattened")
+    }
+  }
+
   test("graph_edge_betweenness machinery equals in-JVM edge Brandes on a fixture") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{greatest, least}

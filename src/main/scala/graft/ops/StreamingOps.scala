@@ -338,6 +338,35 @@ object StreamingOps {
       .orderBy($"user_id", $"item")
   }
 
+  /** Temporal GRAPH delta — "whose neighborhood changed in the last
+    * hour": [[stateDiff]]'s snapshot pair read as a graph METRIC. Both
+    * snapshots (T1 = max − 2 h, T2 = max − 1 h, literal-pushed prefix
+    * replays through the [[streamEdgeUpsert]] fold) roll up to per-user
+    * distinct-item DEGREE and event counts; emit only users whose degree
+    * or event count moved (new users report zeros), with the deltas.
+    * At 100 TB the same monoid argument as state_diff applies: the
+    * date-partitioned journal serves this from the (T1, T2] window plus
+    * the stored T1 state. One fold per snapshot + two user-keyed aggs.
+    */
+  val graphDegreeDelta: Q = (s, dir) => {
+    import s.implicits._
+    val mx = Tables.events(s, dir)
+      .agg(max(unix_millis($"ts"))).first().getLong(0)
+    def degOf(tMs: Long): DataFrame =
+      edgeStateAsOf(s, dir, tMs)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("d"), sum($"n_events").as("n"))
+    val a = degOf(mx - 7200000L).select($"user_id", $"d".as("d_t1"), $"n".as("n_t1"))
+    val b = degOf(mx - 3600000L).select($"user_id", $"d".as("d_t2"), $"n".as("n_t2"))
+    b.join(a, Seq("user_id"), "left")
+      .filter($"d_t1".isNull || $"d_t2" =!= $"d_t1" || $"n_t2" =!= $"n_t1")
+      .select($"user_id",
+        coalesce($"d_t1", lit(0L)).as("d_t1"), $"d_t2",
+        ($"d_t2" - coalesce($"d_t1", lit(0L))).as("d_delta"),
+        coalesce($"n_t1", lit(0L)).as("n_t1"), $"n_t2")
+      .orderBy($"user_id")
+  }
+
   /** SCD-2 dimension build from the event journal — "track each user's
     * event-type history as validity intervals": change detection (an event
     * opens a new version only when its type differs from the previous
@@ -994,6 +1023,7 @@ object StreamingOps {
     "stream_compact_latest" -> streamCompactLatest,
     "state_gc_tombstones" -> stateGcTombstones,
     "state_diff" -> stateDiff,
+    "graph_degree_delta" -> graphDegreeDelta,
     "state_scd2" -> stateScd2,
     "stream_join" -> streamJoin,
     "stream_outer_join" -> streamOuterJoin,

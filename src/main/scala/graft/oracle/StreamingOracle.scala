@@ -122,6 +122,32 @@ object StreamingOracle {
 
     // degree read over the folded edge state: per-edge scaled-long weight
     // accumulators sum exactly per user (one divide at the end)
+    // snapshot-pair degree delta: per-user distinct-item degree + event
+    // count at T1/T2 prefixes, emit only moved users
+    "graph_degree_delta" ->
+      """WITH m AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
+        |ea AS (SELECT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    count(*) AS n
+        |  FROM events, m WHERE epoch_ms(ts) <= m.mx - 7200000
+        |  GROUP BY 1, 2),
+        |eb AS (SELECT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    count(*) AS n
+        |  FROM events, m WHERE epoch_ms(ts) <= m.mx - 3600000
+        |  GROUP BY 1, 2),
+        |a AS (SELECT user_id, count(*) AS d, CAST(sum(n) AS BIGINT) AS n
+        |  FROM ea GROUP BY 1),
+        |b AS (SELECT user_id, count(*) AS d, CAST(sum(n) AS BIGINT) AS n
+        |  FROM eb GROUP BY 1)
+        |SELECT b.user_id,
+        |  CAST(coalesce(a.d, 0) AS BIGINT) AS d_t1, b.d AS d_t2,
+        |  CAST(b.d - coalesce(a.d, 0) AS BIGINT) AS d_delta,
+        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_t1, b.n AS n_t2
+        |FROM b LEFT JOIN a ON b.user_id = a.user_id
+        |WHERE a.d IS NULL OR b.d <> a.d OR b.n <> a.n
+        |ORDER BY b.user_id""".stripMargin,
+
     "stream_degree_topk" ->
       """WITH st AS (
         |  SELECT user_id,

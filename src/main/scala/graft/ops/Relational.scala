@@ -5510,6 +5510,34 @@ object Relational {
       .orderBy($"entry", $"exit")
   }
 
+  /** Value-at-Risk + CVaR (expected shortfall) of daily revenue — the
+    * tail-risk pair next to [[winDrawdown]]/[[winUlcer]]'s path risk:
+    * VaR(5%) = the k-th worst day's revenue with k = ⌈0.05·n⌉ in exact
+    * integer arithmetic, CVaR = the mean of the k worst days. Daily
+    * revenue accumulates as scale-to-cents BIGINTs (the msum discipline),
+    * the tail pick is one rank over the BOUNDED day spine (calendar
+    * domain — the win_rsi posture), and the only divides are two
+    * quantized ones at the end. One fact scan, one day rollup.
+    */
+  val aggVarCvar: Q = (s, dir) => {
+    import s.implicits._
+    val days = Tables.lineitem(s, dir)
+      .groupBy($"l_shipdate".as("day"))
+      .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") *
+        lit(100)).cast("long")).as("cents"))
+    val w = Window.orderBy($"cents", $"day")
+    days.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(days.agg(count(lit(1)).as("n_days"))))
+      .withColumn("k", expr("(n_days * 5 + 99) div 100"))
+      .filter($"rk" <= $"k")
+      .agg(max($"n_days").as("n_days"), max($"k").as("k_tail"),
+        (max(when($"rk" === $"k", $"cents")).cast("double") / lit(100.0))
+          .as("var_rev"),
+        LlmOps.pround4(sum($"cents").cast("double") /
+          (lit(100.0) * max($"k").cast("double"))).as("cvar_rev"),
+        (min($"cents").cast("double") / lit(100.0)).as("min_rev"))
+  }
+
   /** Return-rate league table by part brand (l_returnflag = 'R' share) —
     * the merchandising quality readout: which brands come back. Exact
     * integer counts per brand off one broadcast dim join + one brand-keyed
@@ -5853,6 +5881,7 @@ object Relational {
     "win_mann_kendall" -> winMannKendall,
     "sink_clustered_write" -> sinkClusteredWrite,
     "agg_returns" -> aggReturns,
+    "agg_var_cvar" -> aggVarCvar,
     "agg_weibull_fit" -> aggWeibullFit,
     "src_csv_gzip" -> srcCsvGzip,
     "src_binaryfile" -> srcBinaryfile,

@@ -718,6 +718,31 @@ object OracleSql {
         |      / 10000.0 END AS z
         |FROM v ORDER BY event_type""".stripMargin,
 
+    // daily revenue as exact cents; k = ceil(5% of days) integer-side;
+    // two quantized divides at the end
+    "agg_var_cvar" ->
+      """WITH days AS (
+        |  SELECT l_shipdate AS day,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |nn AS (SELECT count(*) AS n_days FROM days),
+        |rk AS (SELECT day, cents,
+        |    row_number() OVER (ORDER BY cents, day) AS rk FROM days),
+        |kk AS (SELECT n_days,
+        |    CAST((n_days * 5 + 99) // 100 AS BIGINT) AS k FROM nn),
+        |tail AS (SELECT rk.rk, rk.cents, kk.n_days, kk.k
+        |  FROM rk, kk WHERE rk.rk <= kk.k)
+        |SELECT CAST(max(n_days) AS BIGINT) AS n_days,
+        |  max(k) AS k_tail,
+        |  CAST(max(CASE WHEN rk = k THEN cents END) AS DOUBLE) / 100.0
+        |    AS var_rev,
+        |  floor(CAST(sum(cents) AS DOUBLE)
+        |    / (100.0 * CAST(max(k) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+        |    AS cvar_rev,
+        |  CAST(min(cents) AS DOUBLE) / 100.0 AS min_rev
+        |FROM tail""".stripMargin,
+
     "agg_returns" ->
       """SELECT p_brand, count(*) AS n_lines,
         |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)

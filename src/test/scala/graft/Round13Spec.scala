@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{get_json_object, unix_millis}
 
 /** Independent JVM cross-checks for round-13 operators — plain-Scala
   * replays from raw collected inputs (the SURVEY.md §5 two-witness
@@ -94,6 +95,52 @@ class Round13Spec extends SparkSpec {
     // BPE must actually compress: fewer chars per corpus than char-level,
     // i.e. chars_per_token > 1 somewhere after 20 merges
     assert(got.exists(_._5 > 1.0))
+  }
+
+  test("agg_var_cvar equals a plain-Scala tail computation") {
+    import spark.implicits._
+    val cents = Tables.lineitem(spark, sf)
+      .select($"l_shipdate".cast("string"), $"l_extendedprice", $"l_discount")
+      .collect()
+      .map(r => r.getString(0) ->
+        math.round(r.getDouble(1) * (1 - r.getDouble(2)) * 100))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val sorted = cents.toSeq.sortBy { case (d, c) => (c, d) }
+    val n = sorted.length.toLong
+    val k = ((n * 5 + 99) / 100).toInt
+    val tail = sorted.take(k)
+    val row = q("agg_var_cvar").collect().head
+    assert(row.getLong(0) === n && row.getLong(1) === k.toLong)
+    assert(row.getDouble(2) === tail.last._2.toDouble / 100.0)
+    val cvar = math.floor(tail.map(_._2).sum.toDouble /
+      (100.0 * k) * 10000.0 + 0.5) / 10000.0
+    assert(row.getDouble(3) === cvar)
+    assert(row.getDouble(4) === tail.head._2.toDouble / 100.0)
+  }
+
+  test("graph_degree_delta equals a plain-Scala two-snapshot degree diff") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", get_json_object($"props", "$.k").cast("long"),
+        unix_millis($"ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mx = ev.map(_._3).max
+    def snap(cut: Long): Map[Long, (Long, Long)] =
+      ev.filter(_._3 <= cut).groupBy(_._1).map { case (u, xs) =>
+        u -> (xs.map(_._2).distinct.length.toLong, xs.length.toLong)
+      }
+    val a = snap(mx - 7200000L)
+    val b = snap(mx - 3600000L)
+    val expect = b.toSeq.flatMap { case (u, (d2, n2)) =>
+      val (d1, n1) = a.getOrElse(u, (0L, 0L))
+      if (!a.contains(u) || d2 != d1 || n2 != n1)
+        Some((u, d1, d2, d2 - d1, n1, n2))
+      else None
+    }.sortBy(_._1)
+    val got = q("graph_degree_delta").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect)
   }
 
   test("llm_sample_temperature: alpha=1/2 actually flattens the source mix") {

@@ -5874,7 +5874,213 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Kruskal–Wallis rank test across the 5 event types — "do the value
+    * distributions differ anywhere?", the k-group generalization of
+    * [[aggMannwhitney]] (same value-collapsed rank machinery: values
+    * quantize to 1e4-scale BIGINTs, average ranks ride ONE window over the
+    * DISTINCT-value spine, bounded by the value domain, never |rows|).
+    * 2×avg-rank per tied block is the exact integer 2(cum−c)+c+1; per-group
+    * rank sums and the tie term Σ(t³−t) accumulate in BIGINT; H, the tie
+    * correction, and ε² (the rank effect size) are a final double tree over
+    * the k=5 per-group terms, folded order-free via a sorted-array
+    * aggregate (the [[aggAnova]] discipline).
+    */
+  val aggKruskalWallis: Q = (s, dir) => {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select($"event_type".as("g"),
+        round($"value" * 10000).cast("long").as("q"))
+    // one (q, g) rollup feeds BOTH the distinct-value spine and the
+    // per-group rank sums — cp() so the fact scan runs once
+    val byQG = rows.groupBy($"q", $"g").agg(count(lit(1)).as("c")).cp()
+    val r2f = byQG.groupBy($"q").agg(sum($"c").as("ct"))
+      .withColumn("cum", sum($"ct").over(Window.orderBy($"q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("r2", lit(2L) * ($"cum" - $"ct") + $"ct" + 1)
+    val perG = byQG.join(r2f, "q")
+      .groupBy($"g").agg(sum($"c").as("ng"), sum($"c" * $"r2").as("r2g"))
+    val tot = r2f.agg(sum($"ct").as("n"),
+      sum($"ct" * $"ct" * $"ct" - $"ct").as("tiesum"))
+    perG.crossJoin(broadcast(tot))
+      .select($"n", $"tiesum",
+        struct($"g",
+          ($"r2g".cast("double") * $"r2g".cast("double") /
+            (lit(4.0) * $"ng".cast("double"))).as("term")).as("st"))
+      .groupBy($"n", $"tiesum")
+      .agg(count(lit(1)).as("k"),
+        sort_array(collect_list($"st")).as("arr"))
+      .withColumn("rsum", expr("aggregate(arr, 0D, (acc, x) -> acc + x.term)"))
+      .withColumn("h",
+        lit(12.0) / ($"n".cast("double") * ($"n".cast("double") + 1.0)) *
+          $"rsum" - lit(3.0) * ($"n".cast("double") + 1.0))
+      .withColumn("cadj",
+        lit(1.0) - $"tiesum".cast("double") /
+          ($"n".cast("double") * $"n".cast("double") * $"n".cast("double") -
+            $"n".cast("double")))
+      .select($"n", $"k",
+        LlmOps.pround4($"h").as("h_stat"),
+        LlmOps.pround4($"h" / $"cadj").as("h_tie_adj"),
+        LlmOps.pround4(($"h" - $"k".cast("double") + 1.0) /
+          ($"n".cast("double") - $"k".cast("double"))).as("epsilon_sq"))
+  }
+
+  /** Brown–Forsythe (median-centered Levene) homogeneity-of-variance test
+    * across the 5 event types — the guard you run BEFORE trusting
+    * [[aggAnova]]'s equal-variance assumption. Per-group LOWER weighted
+    * median off the value-collapsed (g, q, c) frame (one group-partitioned
+    * cum window over the distinct-value spine); deviations z = |q − med_g|
+    * stay exact BIGINTs; the weighted one-way ANOVA on z accumulates Σc·z
+    * in BIGINT and Σc·z² in DECIMAL(38,0) (z² alone can pass 2⁶³ at the
+    * 100 TB row count — DuckDB mirrors in HUGEINT; both convert the same
+    * exact integer to double at the end). F is a final double tree over
+    * k=5 per-group terms, folded order-free (the [[aggAnova]] discipline).
+    */
+  val aggLevene: Q = (s, dir) => {
+    import s.implicits._
+    val byQG = Tables.events(s, dir)
+      .select($"event_type".as("g"),
+        round($"value" * 10000).cast("long").as("q"))
+      .groupBy($"g", $"q").agg(count(lit(1)).as("c")).cp()
+    val ngf = byQG.groupBy($"g").agg(sum($"c").as("ng"))
+    val med = byQG
+      .withColumn("cum", sum($"c").over(Window.partitionBy($"g")
+        .orderBy($"q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(ngf), "g")
+      .filter(lit(2L) * $"cum" >= $"ng")
+      .groupBy($"g").agg(min($"q").as("med"))
+    val z = byQG.join(broadcast(med), "g")
+      .select($"g", $"c", abs($"q" - $"med").as("z"))
+    val perG = z.groupBy($"g")
+      .agg(sum($"c").as("ng"), sum($"c" * $"z").as("sz"),
+        sum($"c".cast("decimal(38,0)") * $"z" * $"z").as("szz"))
+    val tot = z.agg(sum($"c").as("n"), sum($"c" * $"z").as("s"))
+    perG.crossJoin(broadcast(tot))
+      .withColumn("mg", $"sz".cast("double") / $"ng".cast("double"))
+      .withColumn("m", $"s".cast("double") / $"n".cast("double"))
+      .select($"n",
+        struct($"g",
+          ($"ng".cast("double") * ($"mg" - $"m") * ($"mg" - $"m")).as("ssb"),
+          ($"szz".cast("double") - $"sz".cast("double") *
+            $"sz".cast("double") / $"ng".cast("double")).as("ssw")).as("st"))
+      .groupBy($"n")
+      .agg(count(lit(1)).as("k"),
+        sort_array(collect_list($"st")).as("arr"))
+      .select($"n", $"k",
+        LlmOps.pround4(
+          (expr("aggregate(arr, 0D, (acc, x) -> acc + x.ssb)") /
+            ($"k" - 1).cast("double")) /
+            (expr("aggregate(arr, 0D, (acc, x) -> acc + x.ssw)") /
+              ($"n" - $"k").cast("double"))).as("f_stat"))
+  }
+
+  /** Jarque–Bera normality test on each type's daily revenue RETURNS —
+    * "can I use z-tables on this series?": JB = n/6·(g₁² + g₂²/4) from the
+    * return series' skewness and excess kurtosis. Returns are exact
+    * integer micro-quantized ((Δcents·10⁶) div prev — no float until the
+    * moment tree), power sums Σr³/Σr⁴ accumulate in DECIMAL(38,0) (r⁴
+    * passes 2⁶³ whenever a day 10×es — DuckDB mirrors in HUGEINT), and the
+    * central-moment/JB arithmetic is one final double tree per group (the
+    * [[aggSkewKurt]] e-moment expansion). One fact scan, one (type, day)
+    * rollup, one type-partitioned lag over the bounded calendar spine.
+    */
+  val aggJarqueBera: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val daily = Tables.events(s, dir)
+      .select($"event_type".as("g"),
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"g", $"d").agg(sum($"cents").as("c"))
+    val r = daily
+      .withColumn("pc", lag($"c", 1).over(
+        Window.partitionBy($"g").orderBy($"d")))
+      .filter($"pc" > 0)
+      .select($"g", expr("((c - pc) * 1000000) div pc").as("r"))
+    r.groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"r").as("s1"),
+        sum($"r".cast("decimal(38,0)") * $"r").as("s2"),
+        sum($"r".cast("decimal(38,0)") * $"r" * $"r").as("s3"),
+        sum($"r".cast("decimal(38,0)") * $"r" * $"r" * $"r").as("s4"))
+      .withColumn("m", d($"s1") / d($"n"))
+      .withColumn("e2", d($"s2") / d($"n"))
+      .withColumn("e3", d($"s3") / d($"n"))
+      .withColumn("e4", d($"s4") / d($"n"))
+      .withColumn("m2", $"e2" - $"m" * $"m")
+      .withColumn("m3",
+        $"e3" - lit(3.0) * $"m" * $"e2" + lit(2.0) * $"m" * $"m" * $"m")
+      .withColumn("m4",
+        $"e4" - lit(4.0) * $"m" * $"e3" + lit(6.0) * $"m" * $"m" * $"e2" -
+          lit(3.0) * $"m" * $"m" * $"m" * $"m")
+      .withColumn("g1", $"m3" / ($"m2" * sqrt($"m2")))
+      .withColumn("g2", $"m4" / ($"m2" * $"m2") - lit(3.0))
+      .withColumn("jb", d($"n") / lit(6.0) *
+        ($"g1" * $"g1" + $"g2" * $"g2" / lit(4.0)))
+      .select($"g".as("event_type"), $"n".as("n_returns"),
+        LlmOps.pround4($"g1").as("skew"),
+        LlmOps.pround4($"g2").as("kurt_excess"),
+        LlmOps.pround4($"jb").as("jb_stat"),
+        ($"jb" < lit(5.991)).as("normal_at_5pct"))
+      .orderBy($"event_type")
+  }
+
+  /** Newey–West (HAC) long-run variance of daily revenue — the
+    * autocorrelation-robust σ² behind any honest mean-revenue confidence
+    * interval: LRV = γ₀ + 2·Σ_{l≤5} (1−l/6)·γ_l (Bartlett weights, L=5
+    * calendar-day lags). Each lag's cross-products Σx_t·x_{t+l} accumulate
+    * in DECIMAL(38,0) off ONE self-join of the bounded day spine on
+    * d+l (the frame is |days|·6 rows at any fact scale — DuckDB mirrors in
+    * HUGEINT); demeaning expands algebraically (γ_l = (sxy − m(sl+sr) +
+    * cnt·m²)/n) so no second pass touches the facts. The 6 lag terms fold
+    * order-free via a sorted-array aggregate; ratio > 1 reads "the naive
+    * iid SE understates the truth by √ratio".
+    */
+  val aggNeweyWest: Q = (s, dir) => {
+    import s.implicits._
+    val days = Tables.lineitem(s, dir)
+      .groupBy((tsMs($"l_shipdate".cast("timestamp")) /
+        lit(86400000L)).cast("long").as("d"))
+      .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") *
+        lit(100)).cast("long")).as("x"))
+      .cp() // totals + the 6-lag self-join share the day rollup
+    val tot = days.agg(count(lit(1)).as("n"), sum($"x").as("s1"))
+    val lags = days
+      .select($"d", $"x", explode(sequence(lit(0L), lit(5L))).as("l"))
+      .join(days.select($"d".as("d2"), $"x".as("x2")),
+        $"d" + $"l" === $"d2")
+      .groupBy($"l")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"x".cast("decimal(38,0)") * $"x2").as("sxy"),
+        sum($"x").as("sl"), sum($"x2").as("sr"))
+    lags.crossJoin(broadcast(tot))
+      .withColumn("m", $"s1".cast("double") / $"n".cast("double"))
+      .withColumn("gamma",
+        ($"sxy".cast("double") - $"m" * ($"sl" + $"sr").cast("double") +
+          $"cnt".cast("double") * $"m" * $"m") /
+          ($"n".cast("double") * lit(1.0e4)))
+      .select($"n",
+        struct($"l",
+          when($"l" === 0, $"gamma")
+            .otherwise(lit(2.0) * (lit(1.0) - $"l".cast("double") / 6.0) *
+              $"gamma").as("term"),
+          when($"l" === 0, $"gamma").otherwise(lit(0.0)).as("g0")).as("st"))
+      .groupBy($"n")
+      .agg(sort_array(collect_list($"st")).as("arr"))
+      .withColumn("g0", expr("aggregate(arr, 0D, (acc, x) -> acc + x.g0)"))
+      .withColumn("lrv", expr("aggregate(arr, 0D, (acc, x) -> acc + x.term)"))
+      .select($"n".as("n_days"),
+        LlmOps.pround4($"g0").as("gamma0"),
+        LlmOps.pround4($"lrv").as("lrv"),
+        LlmOps.pround4($"lrv" / $"g0").as("lrv_ratio"),
+        LlmOps.pround4(sqrt(abs($"lrv") / $"n".cast("double")))
+          .as("nw_se_mean"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_kruskal_wallis" -> aggKruskalWallis,
+    "agg_levene" -> aggLevene,
+    "agg_jarque_bera" -> aggJarqueBera,
+    "agg_newey_west" -> aggNeweyWest,
     "agg_nrr" -> aggNrr,
     "win_ulcer" -> winUlcer,
     "agg_odds_ratio" -> aggOddsRatio,

@@ -459,6 +459,192 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    // value-collapsed average ranks (2r exact integer), BIGINT rank sums,
+    // sorted-struct fold for the k-term double sum — the MW/anova dialect
+    "agg_kruskal_wallis" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(round(value * 10000) AS BIGINT) AS q
+        |  FROM events),
+        |bqg AS (SELECT q, g, count(*) AS c FROM e GROUP BY 1, 2),
+        |r2f AS (
+        |  SELECT q, ct, 2 * (cum - ct) + ct + 1 AS r2 FROM (
+        |    SELECT q, CAST(sum(c) AS BIGINT) AS ct,
+        |      CAST(sum(sum(c)) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |    FROM bqg GROUP BY q)),
+        |perg AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+        |    CAST(sum(c * r2) AS BIGINT) AS r2g
+        |  FROM bqg JOIN r2f USING (q) GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS n,
+        |    CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tiesum
+        |  FROM r2f),
+        |folded AS (
+        |  SELECT n, tiesum, count(*) AS k,
+        |    list_sort(list({'g': g,
+        |      'term': CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE) /
+        |        (4.0 * CAST(ng AS DOUBLE))})) AS arr
+        |  FROM perg, tot GROUP BY n, tiesum),
+        |hs AS (
+        |  SELECT n, tiesum, k,
+        |    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) *
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(arr, x -> x.term)), (acc, x) -> acc + x)
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+        |    1.0 - CAST(tiesum AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+        |        CAST(n AS DOUBLE)) AS cadj
+        |  FROM folded)
+        |SELECT n, k,
+        |  floor(h * 10000.0 + 0.5) / 10000.0 AS h_stat,
+        |  floor(h / cadj * 10000.0 + 0.5) / 10000.0 AS h_tie_adj,
+        |  floor((h - CAST(k AS DOUBLE) + 1.0) /
+        |    (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) * 10000.0 + 0.5)
+        |    / 10000.0 AS epsilon_sq
+        |FROM hs""".stripMargin,
+
+    // lower weighted median per group, exact |q-med| deviations, HUGEINT
+    // z^2 sums (mirrors Spark's DECIMAL(38,0)), sorted-struct F fold
+    "agg_levene" ->
+      """WITH bqg AS (
+        |  SELECT event_type AS g, CAST(round(value * 10000) AS BIGINT) AS q,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ngf AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM bqg GROUP BY 1),
+        |med AS (
+        |  SELECT g, min(q) AS med FROM (
+        |    SELECT g, q, c,
+        |      CAST(sum(c) OVER (PARTITION BY g ORDER BY q ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |    FROM bqg) JOIN ngf USING (g)
+        |  WHERE 2 * cum >= ng GROUP BY 1),
+        |z AS (
+        |  SELECT bqg.g, c, abs(q - med) AS z
+        |  FROM bqg JOIN med ON bqg.g = med.g),
+        |perg AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+        |    CAST(sum(c * z) AS BIGINT) AS sz,
+        |    sum(CAST(c AS HUGEINT) * z * z) AS szz
+        |  FROM z GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(c * z) AS BIGINT) AS s FROM z),
+        |terms AS (
+        |  SELECT g, n,
+        |    CAST(ng AS DOUBLE) *
+        |      (CAST(sz AS DOUBLE) / CAST(ng AS DOUBLE) -
+        |        CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(sz AS DOUBLE) / CAST(ng AS DOUBLE) -
+        |        CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ssb,
+        |    CAST(CAST(szz AS VARCHAR) AS DOUBLE) - CAST(sz AS DOUBLE) *
+        |      CAST(sz AS DOUBLE) / CAST(ng AS DOUBLE) AS ssw
+        |  FROM perg, tot),
+        |folded AS (
+        |  SELECT n, count(*) AS k,
+        |    list_sort(list({'g': g, 'ssb': ssb, 'ssw': ssw})) AS arr
+        |  FROM terms GROUP BY n)
+        |SELECT n, k,
+        |  floor((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(arr, x -> x.ssb)), (acc, x) -> acc + x) /
+        |      CAST(k - 1 AS DOUBLE)) /
+        |    (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(arr, x -> x.ssw)), (acc, x) -> acc + x) /
+        |      CAST(n - k AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS f_stat
+        |FROM folded""".stripMargin,
+
+    // micro-quantized returns ((dc*1e6) // prev — // truncates toward zero
+    // like Spark's div), HUGEINT power sums, skew_kurt e-moment tree
+    "agg_jarque_bera" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |lagd AS (
+        |  SELECT g, c, lag(c, 1) OVER (PARTITION BY g ORDER BY d) AS pc
+        |  FROM daily),
+        |r AS (
+        |  SELECT g, ((c - pc) * 1000000) // pc AS r
+        |  FROM lagd WHERE pc > 0),
+        |sums AS (
+        |  SELECT g, count(*) AS n, CAST(sum(r) AS BIGINT) AS s1,
+        |    sum(CAST(r AS HUGEINT) * r) AS s2,
+        |    sum(CAST(r AS HUGEINT) * r * r) AS s3,
+        |    sum(CAST(r AS HUGEINT) * r * r * r) AS s4
+        |  FROM r GROUP BY 1),
+        |mom AS (
+        |  SELECT g, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        |    CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        |    CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+        |  FROM sums),
+        |cm AS (
+        |  SELECT g, n, e2 - m * m AS m2,
+        |    e3 - 3.0 * m * e2 + 2.0 * m * m * m AS m3,
+        |    e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m AS m4
+        |  FROM mom),
+        |st AS (
+        |  SELECT g, n, m3 / (m2 * sqrt(m2)) AS g1,
+        |    m4 / (m2 * m2) - 3.0 AS g2
+        |  FROM cm),
+        |jb AS (
+        |  SELECT g, n, g1, g2,
+        |    CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0) AS jb
+        |  FROM st)
+        |SELECT g AS event_type, n AS n_returns,
+        |  floor(g1 * 10000.0 + 0.5) / 10000.0 AS skew,
+        |  floor(g2 * 10000.0 + 0.5) / 10000.0 AS kurt_excess,
+        |  floor(jb * 10000.0 + 0.5) / 10000.0 AS jb_stat,
+        |  jb < 5.991 AS normal_at_5pct
+        |FROM jb ORDER BY event_type""".stripMargin,
+
+    // Bartlett-weighted HAC variance: HUGEINT lag cross-products over the
+    // day-spine self-join, algebraic demeaning, sorted 6-term fold
+    "agg_newey_west" ->
+      """WITH days AS (
+        |  SELECT epoch_ms(l_shipdate) // 86400000 AS d,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s1
+        |  FROM days),
+        |lags AS (
+        |  SELECT l, count(*) AS cnt,
+        |    sum(CAST(a.x AS HUGEINT) * b.x) AS sxy,
+        |    CAST(sum(a.x) AS BIGINT) AS sl, CAST(sum(b.x) AS BIGINT) AS sr
+        |  FROM days a, (SELECT UNNEST(range(0, 6)) AS l) ls, days b
+        |  WHERE a.d + l = b.d GROUP BY 1),
+        |g AS (
+        |  SELECT l, n,
+        |    (CAST(CAST(sxy AS VARCHAR) AS DOUBLE) -
+        |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        CAST(sl + sr AS DOUBLE) +
+        |      CAST(cnt AS DOUBLE) *
+        |        (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) /
+        |      (CAST(n AS DOUBLE) * 10000.0) AS gamma
+        |  FROM lags, tot),
+        |folded AS (
+        |  SELECT n, list_sort(list({'l': l,
+        |    'term': CASE WHEN l = 0 THEN gamma
+        |      ELSE 2.0 * (1.0 - CAST(l AS DOUBLE) / 6.0) * gamma END,
+        |    'g0': CASE WHEN l = 0 THEN gamma ELSE 0.0 END})) AS arr
+        |  FROM g GROUP BY n),
+        |fin AS (
+        |  SELECT n,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(arr, x -> x.g0)), (acc, x) -> acc + x) AS g0,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(arr, x -> x.term)), (acc, x) -> acc + x) AS lrv
+        |  FROM folded)
+        |SELECT n AS n_days,
+        |  floor(g0 * 10000.0 + 0.5) / 10000.0 AS gamma0,
+        |  floor(lrv * 10000.0 + 0.5) / 10000.0 AS lrv,
+        |  floor(lrv / g0 * 10000.0 + 0.5) / 10000.0 AS lrv_ratio,
+        |  floor(sqrt(abs(lrv) / CAST(n AS DOUBLE)) * 10000.0 + 0.5)
+        |    / 10000.0 AS nw_se_mean
+        |FROM fin""".stripMargin,
+
     "agg_column_profile" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey,

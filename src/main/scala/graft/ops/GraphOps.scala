@@ -2225,7 +2225,107 @@ object GraphOps {
       .orderBy($"scc")
   }
 
+  /** Truncated Katz centrality on the co-purchase graph — influence as
+    * ATTENUATED WALK COUNTS (β=1, α=1/4, horizon 4), the
+    * damped-path-counting complement of [[graphEigencentrality]]'s
+    * dominant-eigenvector limit: katz₄ = Σ_{k≤4} α^k·(walks of length k
+    * into the node). Multiplying through by 4⁴ makes it EXACT integer
+    * arithmetic — katz_scaled = 256 + 64·p₁ + 16·p₂ + 4·p₃ + p₄ with
+    * pₖ₊₁ = Σ_{j∈N(i)} pₖ(j), four checkpointed |E|-stream join+agg rounds
+    * (the eigencentrality shape: pre-partitioned on the group key, score
+    * side broadcast-gated) and NO division anywhere. p₄ ≤ d_max⁴ — at an
+    * extreme-hub 100 TB graph the accumulator would widen to
+    * DECIMAL(38,0); BIGINT here, overflow fails loudly under ANSI.
+    */
+  val graphKatz: Q = (s, dir) => {
+    import s.implicits._
+    val both = graft.api.Ckpt.cpByKey(copurchaseBoth(s, dir), $"a")
+    var p = both.select($"a".as("id")).distinct()
+      .withColumn("p", lit(1L)).cp()
+    val nV = p.count() // gates the per-round score-side broadcast hints
+    var acc = p.select($"id", lit(256L).as("acc"))
+    for (wk <- Seq(64L, 16L, 4L, 1L)) {
+      p = both.join(graft.api.GraphAlgebra.hintedFrame(
+          p.withColumnRenamed("id", "b"), nV), "b")
+        .groupBy($"a".as("id")).agg(sum($"p").as("p"))
+        .cp()
+      acc = acc.join(graft.api.GraphAlgebra.hintedFrame(p, nV), "id")
+        .select($"id", ($"acc" + lit(wk) * $"p").as("acc"))
+        .cp()
+    }
+    acc.orderBy($"acc".desc, $"id").limit(20)
+      .select($"id".as("part"), $"acc".as("katz_scaled"))
+  }
+
+  /** Overlap coefficient + cosine similarity over the shared-customer
+    * pair stream — the two classic link-prediction scores
+    * [[graphJaccardNodes]] doesn't emit (overlap = common/min(d₁,d₂)
+    * finds CONTAINMENT — a niche part inside a hub's audience — where
+    * Jaccard penalizes the size gap; cosine = common/√(d₁d₂) is the
+    * degree-normalized middle ground). Same deg²-bounded blocked
+    * self-join, same [[graft.api.PairBudget]] fail-fast gate, degrees
+    * attached BEFORE pairing (one broadcast join over |E|, not two over
+    * |pairs|); both scores are single quantized divides off exact
+    * integers.
+    */
+  val graphOverlap: Q = (s, dir) => {
+    import s.implicits._
+    val adj = edges(s, dir).select($"src", $"dst").cp()
+    val deg = adj.groupBy($"dst".as("p")).agg(count(lit(1)).as("d"))
+    val adjd = adj.join(broadcast(deg), $"dst" === $"p")
+      .select($"src", $"dst", $"d")
+    val g1 = graft.api.PairBudget.gate(adjd, Seq($"src"),
+      "graph_overlap", "graph_jaccard_approx")
+    g1.as("e1")
+      .join(adjd.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
+      .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
+      .agg(count(lit(1)).as("common"),
+        max($"e1.d").as("d1"), max($"e2.d").as("d2"))
+      .filter($"common" >= 3)
+      .select($"p1", $"p2", $"common",
+        graft.ops.LlmOps.pround4($"common".cast("double") /
+          least($"d1", $"d2").cast("double")).as("overlap"),
+        graft.ops.LlmOps.pround4($"common".cast("double") /
+          sqrt($"d1".cast("double") * $"d2".cast("double"))).as("cosine"))
+      .orderBy($"overlap".desc, $"cosine".desc, $"p1", $"p2")
+      .limit(20)
+  }
+
+  /** Time-respecting influence reach on the event graph — "who touches
+    * items that OTHERS then touch within a week": user A reaches user B
+    * iff A's FIRST touch of some item precedes B's first touch of the
+    * same item by ≤ 7 days (time-respecting paths are what temporal
+    * graphs add over static ones — a later touch cannot influence an
+    * earlier one). The pair stream is blocked per item and bounded by
+    * distinct (user, item) FIRST touches (multi-touch collapses before
+    * pairing), guarded by the [[graft.api.PairBudget]] fail-fast gate;
+    * reach = distinct users influenced, top-20.
+    */
+  val graphTemporalReach: Q = (s, dir) => {
+    import s.implicits._
+    val tx = Tables.events(s, dir)
+      .select($"user_id".as("u"),
+        get_json_object($"props", "$.k").cast("long").as("item"),
+        unix_millis($"ts").as("ms"))
+      .filter($"item".isNotNull)
+      .groupBy($"item", $"u").agg(min($"ms").as("ms"))
+      .cp() // gated left side + pair right side share the rollup
+    val g1 = graft.api.PairBudget.gate(tx, Seq($"item"),
+      "graph_temporal_reach", "graph_temporal_density")
+    g1.as("a")
+      .join(tx.as("b"), $"a.item" === $"b.item" &&
+        $"b.ms" > $"a.ms" && $"b.ms" <= $"a.ms" + 604800000L &&
+        $"a.u" =!= $"b.u")
+      .groupBy($"a.u".as("user_id"))
+      .agg(countDistinct($"b.u").as("reach"), count(lit(1)).as("n_paths"))
+      .orderBy($"reach".desc, $"n_paths".desc, $"user_id")
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_temporal_reach" -> graphTemporalReach,
+    "graph_katz" -> graphKatz,
+    "graph_overlap" -> graphOverlap,
     "graph_scc" -> graphScc,
     "graph_bowtie" -> graphBowtie,
     "graph_condensation" -> graphCondensation,

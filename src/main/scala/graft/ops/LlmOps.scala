@@ -3889,7 +3889,180 @@ object LlmOps {
       .limit(20)
   }
 
+  /** PII scrub over the customer text surface (name ∥ account balance as
+    * text ∥ segment) — the redaction pass every training-data pipeline
+    * runs before text leaves the enclave: three ORDERED regex classes
+    * (financial amounts `d+.dd`, account ids `Customer#…`, residual digit
+    * runs ≥3 — order matters, the later classes must not re-match inside
+    * earlier replacements) detected with `regexp_extract_all` and removed
+    * with `regexp_replace`, all codegen'd in one projection pass; per
+    * nation: row/hit counts, exact chars removed, redaction ratio. The
+    * patterns are plain character-class regexes — identical semantics in
+    * Java regex and DuckDB's RE2 (DuckDB needs the explicit 'g' flag;
+    * Spark replaces all matches by default) — and the double→text cast is
+    * shortest-round-trip decimal in both engines over the acctbal range.
+    */
+  val llmPiiScrub: Q = (s, dir) => {
+    import s.implicits._
+    val amount = "[0-9]+\\.[0-9][0-9]"
+    val custid = "Customer#[0-9]+"
+    val digits = "[0-9]{3,}"
+    val rows = Tables.customer(s, dir)
+      .select($"c_nationkey",
+        concat_ws(" ", $"c_name", $"c_acctbal".cast("string"),
+          $"c_mktsegment").as("blob"))
+      .withColumn("r1", regexp_replace($"blob", amount, "[AMOUNT]"))
+      .withColumn("r2", regexp_replace($"r1", custid, "[ID]"))
+      .withColumn("r3", regexp_replace($"r2", digits, "[NUM]"))
+      .select($"c_nationkey",
+        size(regexp_extract_all($"blob", lit(amount), lit(0))).cast("long")
+          .as("na"),
+        size(regexp_extract_all($"r1", lit(custid), lit(0))).cast("long")
+          .as("ni"),
+        size(regexp_extract_all($"r2", lit(digits), lit(0))).cast("long")
+          .as("nd"),
+        length($"blob").cast("long").as("lb"),
+        (length($"blob") - length($"r3")).cast("long").as("removed"))
+    rows
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_rows"), sum($"na").as("n_amount"),
+        sum($"ni").as("n_id"), sum($"nd").as("n_digit_runs"),
+        sum($"removed").as("chars_removed"),
+        pround4(sum($"removed").cast("double") / sum($"lb").cast("double"))
+          .as("redact_ratio"))
+      .orderBy($"n_name")
+  }
+
+  /** Top principal component of the embedding corpus by exact-integer
+    * power iteration — the direction dominating the vectors (the "rogue
+    * dimension"/ABTT readout; a high explained-variance ratio says the
+    * embeddings are anisotropic and similarity search wants centering):
+    * values micro-quantize to 1e6-scale BIGINTs, the centered Gram matrix
+    * n·S_jk − s_j·s_k accumulates EXACTLY off one id-co-partitioned
+    * dimension self-join (n·d² stream — the inherent covariance cost,
+    * partial-aggregated map-side), a fixed ÷10⁹ pre-scale bounds the
+    * 3 power-iteration products, and each round max-|w|-renormalizes by
+    * truncating division (the graph_eigencentrality discipline — Spark
+    * `div` ≡ DuckDB `//`, toward zero, verified on negatives). λ and the
+    * explained-variance ratio are one double tree off exact integers at
+    * the end. Output: 64 scaled loadings + ev_ratio.
+    */
+  val llmEmbedPca: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("j", "v")))
+      .select($"vec_id", $"j".cast("long").as("j"),
+        round($"v".cast("double") * 1000000).cast("long").as("q"))
+      .cp() // sums + the Gram self-join share the explode
+    val n = e.select($"vec_id").distinct().count()
+    val sj = e.groupBy($"j").agg(sum($"q").as("s"))
+    val gram = e.join(e.select($"vec_id", $"j".as("k"), $"q".as("qk")),
+        "vec_id")
+      .groupBy($"j", $"k").agg(sum($"q" * $"qk").as("sjk"))
+      .join(sj, "j")
+      .join(sj.select($"j".as("k"), $"s".as("sk")), "k")
+      .select($"j", $"k",
+        // DECIMAL(38,0) head-room: n·S_jk brushes 2⁶³ already at sf0.1;
+        // the ÷10⁹ pre-scale brings c back to BIGINT for the iterations
+        expr(s"(CAST($n AS DECIMAL(38,0)) * sjk - CAST(s AS DECIMAL(38,0))" +
+          " * sk) div 1000000000").as("c"))
+      .cp() // consumed by 3 iterations + the trace/lambda rollup
+    var v = gram.select($"j").distinct().withColumn("x", lit(1000000L)).cp()
+    for (_ <- 1 to 3) {
+      val w = gram.join(broadcast(v.select($"j".as("k"), $"x")), "k")
+        .groupBy($"j").agg(sum($"c" * $"x").as("w"))
+      val q = w.agg(expr("greatest(CAST(1 AS BIGINT)," +
+        " max(abs(w)) div 1000000)").as("q"))
+      v = w.crossJoin(broadcast(q))
+        .select($"j", expr("w div q").as("x")).cp()
+    }
+    // λ numerator vᵀCv accumulates EXACTLY in DECIMAL(38,0) (a 4096-term
+    // double sum would be reduction-order-dependent); one double tree at
+    // the end, conversions correctly rounded on both engines (§2.9 item 7)
+    val lam = gram.join(broadcast(v.select($"j".as("k"), $"x".as("xk"))), "k")
+      .join(broadcast(v), "j")
+      .agg(sum(($"x" * $"xk").cast("decimal(38,0)") * $"c").as("num"))
+    val den = v.agg(sum($"x" * $"x").as("den"))
+    val tr = gram.filter($"j" === $"k").agg(sum($"c").as("tr"))
+    v.crossJoin(broadcast(lam)).crossJoin(broadcast(den))
+      .crossJoin(broadcast(tr))
+      .select($"j".as("pos"), $"x".as("loading_scaled"),
+        pround4($"num".cast("double") / $"den".cast("double") /
+          $"tr".cast("double")).as("ev_ratio"))
+      .orderBy($"pos")
+  }
+
+  /** Interpolated Kneser–Ney bigram probabilities (d=0.75) — the smoothing
+    * that actually works for language models, next to
+    * [[llmBigramLogprob]]'s add-one baseline: the discount mass routes to
+    * CONTINUATION counts (how many contexts a word completes, not how
+    * often it occurs — "francisco" is frequent but only follows "san").
+    * With d=3/4 the whole formula clears denominators exactly:
+    * p·(4·c(w1)·N) = (4·c(w1,w2)−3)·N + 3·N₁₊(w1·)·N₁₊(·w2), all BIGINT
+    * off ONE bigram rollup (context totals and continuation counts are
+    * two cheap regroupings of it); one quantized divide per row, top-20
+    * by probability. c(w1,w2) ≥ 1 keeps the discount positive — no max()
+    * branch needed.
+    */
+  val llmKneserNey: Q = (s, dir) => {
+    import s.implicits._
+    val bi = Tables.documents(s, dir)
+      .filter(size(split(trim($"text"), " ")) >= 2)
+      .select(split(trim($"text"), " ").as("toks"))
+      .select($"toks", explode(sequence(lit(1), size($"toks") - 1)).as("i"))
+      .select(element_at($"toks", $"i").as("w1"),
+        element_at($"toks", $"i" + 1).as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+      .cp() // context totals, continuation counts, N all regroup this
+    val ctx = bi.groupBy($"w1")
+      .agg(sum($"cb").as("cw1"), count(lit(1)).as("n1p"))
+    val cont = bi.groupBy($"w2").agg(count(lit(1)).as("cont"))
+    val ntot = bi.agg(count(lit(1)).as("nt"))
+    bi.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(ntot))
+      .select($"w1", $"w2", $"cb",
+        pround4(((lit(4L) * $"cb" - 3L) * $"nt" +
+          lit(3L) * $"n1p" * $"cont").cast("double") /
+          (lit(4L) * $"cw1" * $"nt").cast("double")).as("p_kn"))
+      .orderBy($"p_kn".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
+  /** Statistical watermark detection (the green-list scheme): a seeded
+    * hash splits the vocabulary into green/red halves — green(t) = first
+    * md5 nibble of (seed ∥ t) < 8, P(green)=½ under the null — and a
+    * watermarked generator over-samples green tokens, so per document the
+    * one-proportion z = (2g − n)/√n separates clean text (z ≈ 0) from
+    * marked text (z ≫ 0). md5 is byte-identical on both engines (the
+    * llm_fingerprint discipline); counts exact; z one fixed double tree;
+    * flag at z > 2 (≈2.3% false-positive). One tokenize pass, one per-doc
+    * rollup — embarrassingly parallel at any corpus size.
+    */
+  val llmWatermarkDetect: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .select($"doc_id",
+        when(substring(md5(concat(lit("wm1"), $"tok")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(0L)
+          .as("green"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"green").as("n_green"))
+      .select($"doc_id", $"n_tokens", $"n_green",
+        pround4((lit(2L) * $"n_green" - $"n_tokens").cast("double") /
+          sqrt($"n_tokens".cast("double"))).as("z_green"),
+        ((lit(2L) * $"n_green" - $"n_tokens").cast("double") /
+          sqrt($"n_tokens".cast("double")) > lit(2.0)).as("watermarked"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_watermark_detect" -> llmWatermarkDetect,
+    "llm_pii_scrub" -> llmPiiScrub,
+    "llm_embed_pca" -> llmEmbedPca,
+    "llm_kneser_ney" -> llmKneserNey,
     "llm_readability" -> llmReadability,
     "llm_burstiness" -> llmBurstiness,
     "llm_lm_generate" -> llmLmGenerate,

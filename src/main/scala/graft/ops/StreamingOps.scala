@@ -31,6 +31,16 @@ case class CompactEv(user_id: Long, ts_ms: Long, event_id: Long,
 
 case class CompactState(ms: Long, eid: Long, ty: String, vScaled: Long)
 
+/** One view/purchase observation for the CEP sequence fold. */
+case class CepEv(user_id: Long, ts_ms: Long, event_id: Long,
+                 event_type: String)
+
+/** CEP fold state: latest view ts + running pattern counters (O(1) per
+  * user — the whole point of streaming CEP vs journal re-scans).
+  */
+case class CepState(lastView: Long, nV: Long, nP: Long, nM: Long,
+                    sumGap: Long)
+
 /** Streaming surface (SURVEY.md §2.8), modeled on Structured Streaming over
   * the `events` table. Each windowing/dedup/stateful operator exists twice:
   *
@@ -1006,7 +1016,96 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** CEP sequence detection — "view followed by purchase within 30
+    * minutes", per user: the complex-event-pattern read every funnel
+    * alerting system runs on the live stream. One stateful fold keyed on
+    * user carries only the LATEST view timestamp across events (state is
+    * O(1) per user — the CEP point: no journal retention); each purchase
+    * matches iff a view precedes it within the window, in strict
+    * (ts, event_id) order. The fold SORTS its per-invocation slice (order
+    * sensitivity is inherent to sequence patterns; per-user event counts
+    * are bounded), so batch replay ≡ incremental run — asserted in
+    * StreamingSpec via [[cepSequenceStream]]. Gap sums stay exact BIGINT
+    * milliseconds.
+    */
+  private def cepCore(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.filter($"event_type".isin("view", "purchase"))
+      .select($"user_id", unix_millis($"ts").as("ts_ms"), $"event_id",
+        $"event_type")
+      .as[CepEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepState, (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, events, state) =>
+        val init = state.getOption
+          .getOrElse(CepState(Long.MinValue, 0L, 0L, 0L, 0L))
+        val folded = events.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          .foldLeft(init) { (st, e) =>
+            if (e.event_type == "view")
+              st.copy(lastView = e.ts_ms, nV = st.nV + 1)
+            else {
+              val hit = st.lastView != Long.MinValue &&
+                e.ts_ms - st.lastView <= 1800000L
+              st.copy(nP = st.nP + 1,
+                nM = if (hit) st.nM + 1 else st.nM,
+                sumGap =
+                  if (hit) st.sumGap + (e.ts_ms - st.lastView) else st.sumGap)
+            }
+          }
+        state.update(folded)
+        Iterator((uid, folded.nV, folded.nP, folded.nM, folded.sumGap))
+      }
+      .toDF("user_id", "n_views", "n_purchases", "n_matched", "sum_gap_ms")
+  }
+
+  val streamCepSequence: Q = (s, dir) => {
+    import s.implicits._
+    cepCore(Tables.events(s, dir)).orderBy($"user_id")
+  }
+
+  def cepSequenceStream(s: SparkSession, dir: String): DataFrame =
+    cepCore(eventsStream(s, dir))
+
+  /** Bitemporal as-of read — the axis [[statePitLookup]] doesn't have:
+    * VALID time (when the fact was true: `ts`) × TRANSACTION time (when
+    * the system learned it: arrival order, stamped by `event_id` — the
+    * journal's monotone sequence). The 2×2 cutoff grid (tx = half/full of
+    * the id domain, valid = 14d/7d before the horizon) broadcasts as 4
+    * rows onto the journal (a bounded BNLJ — the sanctioned tiny-frame
+    * pattern); per cell: visible events, users with state, and the exact
+    * scaled sum of each user's LATEST-valid value. Reading the tx=half
+    * column next to tx=full at the same valid cutoff shows late-arriving
+    * revisions — the readout bitemporal stores exist for.
+    */
+  val stateBitemporal: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+        round($"value" * 10000).cast("long").as("vs"))
+    val grid = ev
+      .agg(max($"event_id").as("mid"), max($"ms").as("mms"))
+      .select(explode(array(
+        struct(lit("tx_half").as("txl"), expr("mid div 2").as("txc")),
+        struct(lit("tx_full").as("txl"), $"mid".as("txc")))).as("tx"),
+        $"mms")
+      .select($"tx.txl", $"tx.txc", explode(array(
+        struct(lit("v_14d").as("vl"), ($"mms" - 1209600000L).as("vc")),
+        struct(lit("v_7d").as("vl"), ($"mms" - 604800000L).as("vc"))))
+        .as("v"))
+      .select($"txl", $"txc", $"v.vl", $"v.vc")
+    ev.join(broadcast(grid), $"event_id" <= $"txc" && $"ms" <= $"vc")
+      .groupBy($"txl", $"vl", $"user_id")
+      .agg(count(lit(1)).as("n"),
+        max(struct($"ms", $"event_id", $"vs")).getField("vs").as("lastv"))
+      .groupBy($"txl", $"vl")
+      .agg(count(lit(1)).as("n_users"), sum($"n").as("visible_events"),
+        (sum($"lastv").cast("double") / lit(10000.0)).as("sum_last_value"))
+      .orderBy($"txl", $"vl")
+  }
+
   val queries: Map[String, Q] = Map(
+    "state_bitemporal" -> stateBitemporal,
+    "stream_cep_sequence" -> streamCepSequence,
     "state_pit_lookup" -> statePitLookup,
     "stream_anomaly" -> streamAnomaly,
     "stream_throttle" -> streamThrottle,

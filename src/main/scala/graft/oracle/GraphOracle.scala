@@ -821,6 +821,66 @@ object GraphOracle {
       s"""$sccCtes
          |SELECT v AS part, scc FROM sccl ORDER BY part""".stripMargin,
 
+    // exact-integer truncated Katz: 4 unrolled walk-count rounds (the
+    // eigencentrality CTE shape), katz*256 = 256 + 64p1 + 16p2 + 4p3 + p4
+    "graph_katz" ->
+      s"""WITH $copurchaseCte,
+         |e2 AS MATERIALIZED (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |p0 AS MATERIALIZED (SELECT DISTINCT a AS id, CAST(1 AS BIGINT) AS p FROM e2),
+         |p1 AS MATERIALIZED (SELECT e2.a AS id, CAST(sum(p.p) AS BIGINT) AS p
+         |  FROM e2 JOIN p0 p ON e2.b = p.id GROUP BY 1),
+         |p2 AS MATERIALIZED (SELECT e2.a AS id, CAST(sum(p.p) AS BIGINT) AS p
+         |  FROM e2 JOIN p1 p ON e2.b = p.id GROUP BY 1),
+         |p3 AS MATERIALIZED (SELECT e2.a AS id, CAST(sum(p.p) AS BIGINT) AS p
+         |  FROM e2 JOIN p2 p ON e2.b = p.id GROUP BY 1),
+         |p4 AS MATERIALIZED (SELECT e2.a AS id, CAST(sum(p.p) AS BIGINT) AS p
+         |  FROM e2 JOIN p3 p ON e2.b = p.id GROUP BY 1)
+         |SELECT p0.id AS part,
+         |  CAST(256 + 64 * p1.p + 16 * p2.p + 4 * p3.p + p4.p AS BIGINT)
+         |    AS katz_scaled
+         |FROM p0 JOIN p1 ON p0.id = p1.id JOIN p2 ON p0.id = p2.id
+         |  JOIN p3 ON p0.id = p3.id JOIN p4 ON p0.id = p4.id
+         |ORDER BY katz_scaled DESC, part LIMIT 20""".stripMargin,
+
+    // first-touch collapse before pairing; time-respecting 7-day band
+    "graph_temporal_reach" ->
+      """WITH tx AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    user_id AS u, min(epoch_ms(ts)) AS ms
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT a.u AS user_id, count(DISTINCT b.u) AS reach,
+        |  count(*) AS n_paths
+        |FROM tx a JOIN tx b ON a.item = b.item
+        |  AND b.ms > a.ms AND b.ms <= a.ms + 604800000
+        |  AND a.u <> b.u
+        |GROUP BY 1 ORDER BY reach DESC, n_paths DESC, user_id
+        |LIMIT 20""".stripMargin,
+
+    // overlap/cosine link scores on the jaccard pair stream; >= 3 common
+    // floor keeps the leaderboard off single-cooccurrence noise
+    "graph_overlap" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT dst AS p, count(*) AS d FROM e GROUP BY dst),
+         |pairs AS (
+         |  SELECT e1.dst AS p1, e2.dst AS p2, count(*) AS common
+         |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2)
+         |SELECT pairs.p1, pairs.p2, common,
+         |  floor(CAST(common AS DOUBLE) /
+         |    CAST(least(d1.d, d2.d) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |    AS overlap,
+         |  floor(CAST(common AS DOUBLE) /
+         |    sqrt(CAST(d1.d AS DOUBLE) * CAST(d2.d AS DOUBLE))
+         |    * 10000.0 + 0.5) / 10000.0 AS cosine
+         |FROM pairs
+         |JOIN deg d1 ON pairs.p1 = d1.p
+         |JOIN deg d2 ON pairs.p2 = d2.p
+         |WHERE common >= 3
+         |ORDER BY overlap DESC, cosine DESC, pairs.p1, pairs.p2
+         |LIMIT 20""".stripMargin,
+
     "graph_attack_tolerance" ->
       s"""WITH RECURSIVE $copurchaseCte,
          |und AS (SELECT a, b FROM cp WHERE w >= 2),

@@ -201,6 +201,135 @@ object LlmOracle {
     "llm_bpe_encode" -> bpeEncodeSql,
     "llm_bpe_vocab" -> bpeVocabSql,
 
+    // seeded md5 green list, one-proportion z; md5 byte-identical on both
+    // engines (the llm_fingerprint discipline)
+    "llm_watermark_detect" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS tok
+        |  FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(t)
+        |  WHERE t <> ''),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(concat('wm1', tok)), 1, 1) IN
+        |      ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END AS green
+        |  FROM toks),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(green) AS BIGINT) AS n_green
+        |  FROM g GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_green,
+        |  floor(CAST(2 * n_green - n_tokens AS DOUBLE) /
+        |    sqrt(CAST(n_tokens AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+        |    AS z_green,
+        |  CAST(2 * n_green - n_tokens AS DOUBLE) /
+        |    sqrt(CAST(n_tokens AS DOUBLE)) > 2.0 AS watermarked
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // three ordered redaction classes; DuckDB RE2 needs the explicit 'g'
+    // flag where Java regexp_replace is global by default
+    "llm_pii_scrub" ->
+      """WITH rows AS (
+        |  SELECT c_nationkey,
+        |    concat_ws(' ', c_name, CAST(c_acctbal AS VARCHAR),
+        |      c_mktsegment) AS blob
+        |  FROM customer),
+        |red AS (
+        |  SELECT c_nationkey, blob,
+        |    regexp_replace(blob,
+        |      '[0-9]+\.[0-9][0-9]', '[AMOUNT]', 'g') AS r1
+        |  FROM rows),
+        |red2 AS (
+        |  SELECT c_nationkey, blob, r1,
+        |    regexp_replace(r1, 'Customer#[0-9]+', '[ID]', 'g') AS r2
+        |  FROM red),
+        |red3 AS (
+        |  SELECT c_nationkey, blob, r1, r2,
+        |    regexp_replace(r2, '[0-9]{3,}', '[NUM]', 'g') AS r3
+        |  FROM red2),
+        |cnt AS (
+        |  SELECT c_nationkey,
+        |    len(regexp_extract_all(blob, '[0-9]+\.[0-9][0-9]')) AS na,
+        |    len(regexp_extract_all(r1, 'Customer#[0-9]+')) AS ni,
+        |    len(regexp_extract_all(r2, '[0-9]{3,}')) AS nd,
+        |    len(blob) AS lb, len(blob) - len(r3) AS removed
+        |  FROM red3)
+        |SELECT n_name, count(*) AS n_rows,
+        |  CAST(sum(na) AS BIGINT) AS n_amount,
+        |  CAST(sum(ni) AS BIGINT) AS n_id,
+        |  CAST(sum(nd) AS BIGINT) AS n_digit_runs,
+        |  CAST(sum(removed) AS BIGINT) AS chars_removed,
+        |  floor(CAST(sum(removed) AS DOUBLE) / CAST(sum(lb) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS redact_ratio
+        |FROM cnt JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+    // exact-integer power iteration on the /1e9-prescaled centered Gram;
+    // HUGEINT mirrors DECIMAL(38,0), >2^53 conversions via VARCHAR
+    "llm_embed_pca" ->
+      """WITH e AS (
+        |  SELECT vec_id, i - 1 AS j,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |nn AS (SELECT count(DISTINCT vec_id) AS n FROM e),
+        |sj AS (SELECT j, CAST(sum(q) AS BIGINT) AS s FROM e GROUP BY 1),
+        |sjk AS (
+        |  SELECT a.j AS j, b.j AS k, CAST(sum(a.q * b.q) AS BIGINT) AS sjk
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |gram AS MATERIALIZED (
+        |  SELECT sjk.j, sjk.k,
+        |    CAST((CAST(n AS HUGEINT) * sjk.sjk
+        |      - CAST(s1.s AS HUGEINT) * s2.s) // 1000000000 AS BIGINT) AS c
+        |  FROM sjk JOIN sj s1 ON sjk.j = s1.j JOIN sj s2 ON sjk.k = s2.j,
+        |    nn),
+        |v0 AS (SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS x FROM gram),
+        |w1 AS (SELECT g.j, CAST(sum(g.c * v.x) AS BIGINT) AS w
+        |  FROM gram g JOIN v0 v ON g.k = v.j GROUP BY 1),
+        |q1 AS (SELECT greatest(CAST(1 AS BIGINT),
+        |  CAST(max(abs(w)) // 1000000 AS BIGINT)) AS q FROM w1),
+        |v1 AS (SELECT j, CAST(w // q AS BIGINT) AS x FROM w1, q1),
+        |w2 AS (SELECT g.j, CAST(sum(g.c * v.x) AS BIGINT) AS w
+        |  FROM gram g JOIN v1 v ON g.k = v.j GROUP BY 1),
+        |q2 AS (SELECT greatest(CAST(1 AS BIGINT),
+        |  CAST(max(abs(w)) // 1000000 AS BIGINT)) AS q FROM w2),
+        |v2 AS (SELECT j, CAST(w // q AS BIGINT) AS x FROM w2, q2),
+        |w3 AS (SELECT g.j, CAST(sum(g.c * v.x) AS BIGINT) AS w
+        |  FROM gram g JOIN v2 v ON g.k = v.j GROUP BY 1),
+        |q3 AS (SELECT greatest(CAST(1 AS BIGINT),
+        |  CAST(max(abs(w)) // 1000000 AS BIGINT)) AS q FROM w3),
+        |v3 AS MATERIALIZED (SELECT j, CAST(w // q AS BIGINT) AS x
+        |  FROM w3, q3),
+        |lam AS (SELECT sum(CAST(vj.x * vk.x AS HUGEINT) * g.c) AS num
+        |  FROM gram g JOIN v3 vk ON g.k = vk.j JOIN v3 vj ON g.j = vj.j),
+        |den AS (SELECT CAST(sum(x * x) AS BIGINT) AS den FROM v3),
+        |tr AS (SELECT CAST(sum(c) AS BIGINT) AS tr FROM gram WHERE j = k)
+        |SELECT v3.j AS pos, v3.x AS loading_scaled,
+        |  floor(CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(den AS DOUBLE)
+        |    / CAST(tr AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ev_ratio
+        |FROM v3, lam, den, tr ORDER BY pos""".stripMargin,
+
+    // d=3/4 clears denominators exactly: p·(4·c(w1)·N) =
+    // (4·cb−3)·N + 3·N1+(w1·)·N1+(·w2), all BIGINT
+    "llm_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT string_split(trim(text), ' ') AS ts FROM documents
+        |  WHERE len(string_split(trim(text), ' ')) >= 2),
+        |bi AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS cb
+        |  FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+        |  GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1,
+        |  count(*) AS n1p FROM bi GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS cont FROM bi GROUP BY 1),
+        |ntot AS (SELECT count(*) AS nt FROM bi)
+        |SELECT bi.w1, bi.w2, CAST(cb AS BIGINT) AS cb,
+        |  floor(CAST((4 * cb - 3) * nt + 3 * n1p * cont AS DOUBLE) /
+        |    CAST(4 * cw1 * nt AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS p_kn
+        |FROM bi JOIN ctx ON bi.w1 = ctx.w1 JOIN cont ON bi.w2 = cont.w2,
+        |  ntot
+        |ORDER BY p_kn DESC, bi.w1, bi.w2 LIMIT 20""".stripMargin,
+
     // alpha=1/2 temperature sampler: sqrt is correctly-rounded IEEE on
     // every libm, shares are exact integer arithmetic, selection is the
     // per-source md5-coin rank

@@ -459,6 +459,213 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    // jarque_bera-style quantized returns, per-day |r|/vol as 1e9-scale
+    // BIGINT before the mean (order-free)
+    "win_amihud" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev,
+        |    count(*) AS vol
+        |  FROM events GROUP BY 1, 2),
+        |lagd AS (
+        |  SELECT g, rev, vol,
+        |    lag(rev) OVER (PARTITION BY g ORDER BY d) AS pr
+        |  FROM daily),
+        |am AS (
+        |  SELECT g,
+        |    ((abs((rev - pr) * 1000000) // pr) * 1000) // vol AS amq
+        |  FROM lagd WHERE pr > 0)
+        |SELECT g AS event_type, count(*) AS n_days,
+        |  floor(CAST(sum(amq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1000000000.0 * 10000.0 + 0.5) / 10000.0 AS illiq,
+        |  floor(CAST(max(amq) AS DOUBLE) / 1000000000.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS illiq_max
+        |FROM am GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // ln enters once per day, nano-quantized before the mean (the
+    // agg_chisq discipline); atr-style OHLC rollup
+    "win_range_vol" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS low,
+        |    CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS high,
+        |    min({'ms': epoch_ms(ts), 'event_id': event_id,
+        |      'c': CAST(round(value * 100) AS BIGINT)}).c AS open,
+        |    max({'ms': epoch_ms(ts), 'event_id': event_id,
+        |      'c': CAST(round(value * 100) AS BIGINT)}).c AS close
+        |  FROM events GROUP BY 1, 2),
+        |lt AS (
+        |  SELECT g, ln(CAST(high AS DOUBLE) / CAST(low AS DOUBLE)) AS lhl,
+        |    ln(CAST(close AS DOUBLE) / CAST(open AS DOUBLE)) AS lco
+        |  FROM daily WHERE low > 0 AND open > 0),
+        |terms AS (
+        |  SELECT g,
+        |    CAST(floor(lhl * lhl * 1000000000.0 + 0.5) AS BIGINT) AS hl2q,
+        |    CAST(floor(lco * lco * 1000000000.0 + 0.5) AS BIGINT) AS co2q
+        |  FROM lt),
+        |m AS (
+        |  SELECT g, count(*) AS n_days,
+        |    CAST(sum(hl2q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      / 1000000000.0 AS mhl,
+        |    CAST(sum(co2q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      / 1000000000.0 AS mco
+        |  FROM terms GROUP BY 1)
+        |SELECT g AS event_type, n_days,
+        |  floor(sqrt(mhl / (4.0 * ln(2.0))) * 10000.0 + 0.5) / 10000.0
+        |    AS sigma_parkinson,
+        |  floor(sqrt(greatest(0.0,
+        |    0.5 * mhl - (2.0 * ln(2.0) - 1.0) * mco)) * 10000.0 + 0.5)
+        |    / 10000.0 AS sigma_gk
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // R'/sqrt(V') per full block (all exact until the one sqrt),
+    // nano-quantized means, 3-point slope = (ln m64 - ln m16)/(2 ln 2)
+    "agg_hurst" ->
+      """WITH days AS (
+        |  SELECT epoch_ms(l_shipdate) // 86400000 AS d,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |spine AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |  FROM days),
+        |rows_ AS (
+        |  SELECT rn, x, bn, (rn - 1) // bn AS blk,
+        |    ((rn - 1) % bn) + 1 AS k
+        |  FROM spine, (SELECT UNNEST([CAST(16 AS BIGINT), 32, 64]) AS bn)),
+        |stats AS (
+        |  SELECT bn, blk, count(*) AS nb, CAST(sum(x) AS BIGINT) AS sb,
+        |    sum(CAST(x AS HUGEINT) * x) AS sq
+        |  FROM rows_ GROUP BY 1, 2 HAVING count(*) = max(bn)),
+        |cums AS (
+        |  SELECT r.bn, r.blk, r.k, s.sb, s.sq,
+        |    CAST(sum(r.x) OVER (PARTITION BY r.bn, r.blk ORDER BY r.rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM rows_ r JOIN stats s ON r.bn = s.bn AND r.blk = s.blk),
+        |blocks AS (
+        |  SELECT bn, blk, max(bn * cum - k * sb) AS zmax,
+        |    min(bn * cum - k * sb) AS zmin,
+        |    max(sq) AS sqb, max(sb) AS sbb
+        |  FROM cums GROUP BY 1, 2),
+        |rs AS (
+        |  SELECT bn,
+        |    CAST(floor(CAST(zmax - zmin AS DOUBLE) /
+        |      sqrt(CAST(CAST(CAST(bn AS HUGEINT) * sqb
+        |        - CAST(sbb AS HUGEINT) * sbb AS VARCHAR) AS DOUBLE))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS rsq
+        |  FROM blocks
+        |  WHERE CAST(bn AS HUGEINT) * sqb - CAST(sbb AS HUGEINT) * sbb > 0),
+        |pern AS (
+        |  SELECT bn, count(*) AS n_blocks,
+        |    CAST(sum(rsq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      / 1000000000.0 AS mean_rs
+        |  FROM rs GROUP BY 1),
+        |h AS (
+        |  SELECT (ln(max(CASE WHEN bn = 64 THEN mean_rs END)) -
+        |    ln(max(CASE WHEN bn = 16 THEN mean_rs END))) /
+        |    (2.0 * ln(2.0)) AS hurst
+        |  FROM pern)
+        |SELECT bn AS block_days, n_blocks,
+        |  floor(mean_rs * 10000.0 + 0.5) / 10000.0 AS mean_rs,
+        |  floor(hurst * 10000.0 + 0.5) / 10000.0 AS hurst
+        |FROM pern, h ORDER BY block_days""".stripMargin,
+
+    // signed volume off a type-partitioned lag, OBV a running BIGINT sum
+    "win_obv" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev,
+        |    count(*) AS vol
+        |  FROM events GROUP BY 1, 2),
+        |sv AS (
+        |  SELECT g, d, rev, vol,
+        |    CASE WHEN lag(rev) OVER w IS NULL
+        |        OR rev = lag(rev) OVER w THEN 0
+        |      WHEN rev > lag(rev) OVER w THEN vol
+        |      ELSE -vol END AS sv
+        |  FROM daily WINDOW w AS (PARTITION BY g ORDER BY d))
+        |SELECT g AS event_type, d, CAST(rev AS DOUBLE) / 100.0 AS revenue,
+        |  vol AS volume,
+        |  CAST(sum(sv) OVER (PARTITION BY g ORDER BY d ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+        |FROM sv ORDER BY event_type, d""".stripMargin,
+
+    // midpoints carried x2/x4 so the cloud verdict is an integer compare;
+    // the 26-day forward shifts are lags over the day spine
+    "win_ichimoku" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS p
+        |  FROM orders GROUP BY 1),
+        |mids AS (
+        |  SELECT d, p,
+        |    max(p) OVER w9 + min(p) OVER w9 AS conv2,
+        |    max(p) OVER w26 + min(p) OVER w26 AS base2,
+        |    max(p) OVER w52 + min(p) OVER w52 AS sb2raw
+        |  FROM daily WINDOW
+        |    w9 AS (ORDER BY d ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |    w26 AS (ORDER BY d ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+        |    w52 AS (ORDER BY d ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)),
+        |sh AS (
+        |  SELECT d, p, conv2, base2,
+        |    lag(conv2 + base2, 26) OVER (ORDER BY d) AS span_a4,
+        |    lag(sb2raw, 26) OVER (ORDER BY d) AS span_b2,
+        |    lag(p, 26) OVER (ORDER BY d) AS p26
+        |  FROM mids)
+        |SELECT d, CAST(p AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(conv2 AS DOUBLE) / 200.0 AS conversion,
+        |  CAST(base2 AS DOUBLE) / 200.0 AS base,
+        |  CAST(span_a4 AS DOUBLE) / 400.0 AS span_a,
+        |  CAST(span_b2 AS DOUBLE) / 200.0 AS span_b,
+        |  4 * p > greatest(span_a4, 2 * span_b2) AS above_cloud,
+        |  p > p26 AS chikou_bull
+        |FROM sh WHERE span_a4 IS NOT NULL AND p26 IS NOT NULL
+        |ORDER BY d""".stripMargin,
+
+    // atr-style daily OHLC, rows-framed ATR mean, EMA(20) as the macd-style
+    // truncated list_reduce fold; identical double trees on both engines
+    "win_keltner" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d,
+        |    CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS low,
+        |    CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS high,
+        |    max({'ms': epoch_ms(ts), 'event_id': event_id,
+        |      'c': CAST(round(value * 100) AS BIGINT)}).c AS close
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT d, close,
+        |    CASE WHEN lag(close) OVER (ORDER BY d) IS NULL
+        |      THEN high - low
+        |      ELSE greatest(high - low,
+        |        abs(high - lag(close) OVER (ORDER BY d)),
+        |        abs(low - lag(close) OVER (ORDER BY d))) END AS tr
+        |  FROM daily),
+        |w AS (
+        |  SELECT d, close,
+        |    CAST(sum(tr) OVER w10 AS DOUBLE) /
+        |      CAST(count(*) OVER w10 AS DOUBLE) AS atr,
+        |    list(CAST(close AS DOUBLE)) OVER w20 AS vs
+        |  FROM tr WINDOW
+        |    w10 AS (ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+        |    w20 AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |e AS (
+        |  SELECT d, close, atr,
+        |    list_reduce(vs, (acc, x) -> acc * 19.0 / 21.0 + x * 2.0 / 21.0)
+        |      AS ema
+        |  FROM w),
+        |b AS (
+        |  SELECT d, close, atr, ema,
+        |    ema + 2.0 * atr AS upper, ema - 2.0 * atr AS lower
+        |  FROM e)
+        |SELECT d, CAST(close AS DOUBLE) / 100.0 AS close,
+        |  ema / 100.0 AS ema20, atr / 100.0 AS atr10,
+        |  upper / 100.0 AS band_upper, lower / 100.0 AS band_lower,
+        |  CAST(close AS DOUBLE) > upper AS break_up,
+        |  CAST(close AS DOUBLE) < lower AS break_down
+        |FROM b ORDER BY d""".stripMargin,
+
     // value-collapsed average ranks (2r exact integer), BIGINT rank sums,
     // sorted-struct fold for the k-term double sum — the MW/anova dialect
     "agg_kruskal_wallis" ->

@@ -31,6 +31,58 @@ object StreamingOracle {
       |ORDER BY user_id, version""".stripMargin
 
   val sql: Map[String, String] = Map(
+    // 2x2 (transaction x valid) cutoff grid over the journal; latest-valid
+    // per user via max-struct, exact scaled sums
+    "state_bitemporal" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CAST(round(value * 10000) AS BIGINT) AS vs
+        |  FROM events),
+        |bounds AS (SELECT max(event_id) AS mid, max(ms) AS mms FROM ev),
+        |grid AS (
+        |  SELECT 'tx_half' AS txl, mid // 2 AS txc, 'v_14d' AS vl,
+        |    mms - 1209600000 AS vc FROM bounds
+        |  UNION ALL SELECT 'tx_half', mid // 2, 'v_7d',
+        |    mms - 604800000 FROM bounds
+        |  UNION ALL SELECT 'tx_full', mid, 'v_14d',
+        |    mms - 1209600000 FROM bounds
+        |  UNION ALL SELECT 'tx_full', mid, 'v_7d',
+        |    mms - 604800000 FROM bounds),
+        |peru AS (
+        |  SELECT txl, vl, user_id, count(*) AS n,
+        |    max({'ms': ms, 'event_id': event_id, 'vs': vs}).vs AS lastv
+        |  FROM ev JOIN grid ON event_id <= txc AND ms <= vc
+        |  GROUP BY 1, 2, 3)
+        |SELECT txl, vl, count(*) AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS visible_events,
+        |  CAST(sum(lastv) AS DOUBLE) / 10000.0 AS sum_last_value
+        |FROM peru GROUP BY 1, 2 ORDER BY txl, vl""".stripMargin,
+
+    // the CEP walk relationalized: "latest view strictly before me" is the
+    // 1-PRECEDING running max over the (ts, event_id)-ordered user stream
+    "stream_cep_sequence" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (
+        |  SELECT user_id, ms, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN ms END) OVER
+        |      (PARTITION BY user_id ORDER BY ms, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_views,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' AND lv IS NOT NULL
+        |    AND ms - lv <= 1800000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matched,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' AND lv IS NOT NULL
+        |    AND ms - lv <= 1800000 THEN ms - lv ELSE 0 END) AS BIGINT)
+        |    AS sum_gap_ms
+        |FROM w GROUP BY 1 ORDER BY user_id""".stripMargin,
+
     "stream_anomaly" ->
       """WITH c AS (
         |  SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, event_type,

@@ -69,6 +69,18 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("stream_cep_sequence: streaming CEP run equals batch twin") {
+    val batch = SparkEntry.queries("stream_cep_sequence")(spark, sf)
+    val stream = runStream(StreamingOps.cepSequenceStream(spark, sf), OutputMode.Append)
+    assert(sortedRows(stream) === sortedRows(batch))
+    // the pattern must actually fire on real data, and every match is a
+    // purchase (matched <= purchases per user)
+    import spark.implicits._
+    val rows = batch.collect()
+    assert(rows.map(_.getLong(3)).sum > 0)
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(2)))
+  }
+
   test("stream_stateful_fold: incremental fold equals batch fold") {
     val batch = SparkEntry.queries("stream_stateful_fold")(spark, sf)
     val stream = runStream(StreamingOps.statefulFoldStream(spark, sf), OutputMode.Append)

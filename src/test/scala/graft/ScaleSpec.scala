@@ -346,4 +346,33 @@ class ScaleSpec extends SparkSpec {
           "an unlimited frame")
     }
   }
+
+  test("round-13 wave I/II ops: bounded scalar attaches, partitioned windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, Window => LWindow}
+    // same contract as the r13 test above, for the wave-I/II surface.
+    // Excluded by documented exception (global window over a
+    // bounded-by-construction spine, the win_atr/win_macd/agg_mannwhitney
+    // posture): agg_kruskal_wallis (distinct-value spine), win_ichimoku /
+    // win_keltner / agg_hurst (calendar day spine).
+    val keys = Seq("agg_levene", "agg_jarque_bera", "agg_newey_west",
+      "win_obv", "win_amihud", "win_range_vol",
+      "graph_katz", "graph_overlap", "graph_temporal_reach",
+      "llm_pii_scrub", "llm_embed_pca", "llm_kneser_ney",
+      "llm_watermark_detect", "state_bitemporal", "stream_cep_sequence")
+    for (k <- keys) {
+      val plan = SparkEntry.queries(k)(spark, sf).queryExecution.optimizedPlan
+      plan.collect { case j: Join if j.condition.isEmpty => j }.foreach { j =>
+        val bounded = Seq(j.left, j.right).exists(_.maxRows.exists(_ <= 8L))
+        assert(bounded, s"$k plans a condition-less join with no " +
+          s"provably-bounded side:\n$j")
+      }
+      val unboundedW = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.collect { case g: GlobalLimit => g }.isEmpty => w
+      }
+      assert(unboundedW.isEmpty,
+        s"$k plans ${unboundedW.size} unpartitioned Window node(s) over " +
+          "an unlimited frame")
+    }
+  }
 }

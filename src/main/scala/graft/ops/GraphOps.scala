@@ -2328,7 +2328,48 @@ object GraphOps {
       .limit(20)
   }
 
+  /** node2vec-biased deterministic walks — [[graphRandomWalk]]'s
+    * hash-greedy steps with the p/q SECOND-ORDER bias that makes node2vec
+    * node2vec (p=4, q=½ → outward exploration): at each step the
+    * candidate's class ranks out (0) ≺ in-triangle (1) ≺ return (2) —
+    * highest node2vec weight first — and the md5 hash breaks ties inside
+    * a class, so the walk is reproducible anywhere (the declared
+    * deterministic-sampling contract). The in-triangle test is one
+    * equi-join of the candidate frame against the edge set on
+    * (prev, cand); the 4-walk frontier broadcasts, so each step costs one
+    * |E|-probe, never a shuffle of E.
+    */
+  val graphNode2vecWalks: Q = (s, dir) => {
+    import s.implicits._
+    val both = copurchaseBoth(s, dir).cp()
+    val seeds = both.groupBy($"a").agg(count(lit(1)).as("d"))
+      .orderBy($"d".desc, $"a").limit(4)
+      .select($"a".as("walk"))
+    var cur = seeds.select($"walk", $"walk".as("node"), lit(-1L).as("prev"))
+    var out = cur.select($"walk", lit(0L).as("step"), $"node")
+    for (step <- 1 to 4) {
+      val cand = both
+        .join(broadcast(cur.select($"walk", $"node".as("a"), $"prev")), "a")
+        .select($"walk", $"a".as("v"), $"b", $"prev",
+          md5(concat($"walk".cast("string"), lit("_"),
+            lit(step.toString), lit("_"), $"b".cast("string"))).as("h"))
+      val marked = cand
+        .join(both.select($"a".as("pa"), $"b".as("pb")),
+          $"pa" === $"prev" && $"pb" === $"b", "left")
+        .withColumn("cls", when($"b" === $"prev", 2L)
+          .when($"pb".isNotNull, 1L).otherwise(0L))
+      cur = marked.groupBy($"walk")
+        .agg(min(struct($"cls", $"h", $"b")).as("m"), max($"v").as("v"))
+        .select($"walk", $"m.b".as("node"), $"v".as("prev"))
+        .cp()
+      out = out.unionAll(
+        cur.select($"walk", lit(step.toLong).as("step"), $"node"))
+    }
+    out.orderBy($"walk", $"step")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_node2vec_walks" -> graphNode2vecWalks,
     "graph_temporal_reach" -> graphTemporalReach,
     "graph_katz" -> graphKatz,
     "graph_overlap" -> graphOverlap,

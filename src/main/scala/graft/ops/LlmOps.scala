@@ -4058,7 +4058,50 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** ROUGE-L near-duplicate scoring over template-blocked candidate pairs
+    * — the subsequence-aware similarity the shingle family can't see
+    * (LCS credits common tokens IN ORDER with gaps; reordered boilerplate
+    * scores low where bag-of-shingles scores high): candidates block on
+    * the [[llmTemplateDetect]] opening-shape signature (same first-8
+    * token-length sequence), the [[graft.api.PairBudget]] gate bounds the
+    * blocked self-join, and each pair's LCS runs in the native
+    * whole-stage-codegen'd [[graft.expr.TokenLcs]] expression (a UDF
+    * would de-codegen the join; HOFs cannot express the DP row
+    * dependency). F1 = 2·LCS/(n₁+n₂) — exact integers into one quantized
+    * divide; top-20. LCS is not expressible in DuckDB SQL → declared
+    * no-oracle; an exhaustive plain-Scala replay spec is the witness.
+    */
+  val llmRougePairs: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", trim($"text").as("text"),
+        // empty tokens dropped, matching TokenLcs's tokenization (doubled
+        // spaces must not inflate the F1 denominator)
+        size(filter(split(trim($"text"), " "), t => t =!= ""))
+          .cast("long").as("nt"),
+        md5(concat_ws(",",
+          transform(slice(split(trim($"text"), " "), 1, 8),
+            t => length(t).cast("string")))).as("sig"))
+    val g1 = graft.api.PairBudget.gate(docs, Seq($"sig"),
+      "llm_rouge_pairs", "llm_dedup_minhash")
+    g1.as("a")
+      .join(docs.as("b"),
+        $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        GraftSqlBridge.column(graft.expr.TokenLcs(
+          GraftSqlBridge.expression($"a.text"),
+          GraftSqlBridge.expression($"b.text"))).as("lcs"),
+        ($"a.nt" + $"b.nt").as("ntot"))
+      .select($"doc_a", $"doc_b", $"lcs",
+        pround4(lit(2.0) * $"lcs".cast("double") / $"ntot".cast("double"))
+          .as("rouge_l_f1"))
+      .orderBy($"rouge_l_f1".desc, $"doc_a", $"doc_b")
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_rouge_pairs" -> llmRougePairs,
     "llm_watermark_detect" -> llmWatermarkDetect,
     "llm_pii_scrub" -> llmPiiScrub,
     "llm_embed_pca" -> llmEmbedPca,

@@ -6334,7 +6334,157 @@ object Relational {
       .orderBy($"block_days")
   }
 
+  /** Engle–Granger cointegration test between the click and purchase
+    * daily revenue series — "do the two tapes share a long-run
+    * equilibrium?" (correlation says co-move; cointegration says a stable
+    * LINEAR COMBINATION is stationary — the pairs-trading/hedge
+    * precondition): step 1 the exact-sum OLS y = a + b·x (the
+    * [[aggLinreg]] machinery, Σxy/Σx² in DECIMAL(38,0)); step 2 residuals
+    * quantize to centi-cent BIGINTs (a,b come from identical fixed trees
+    * on both engines, so eq is the same integer) and the no-constant
+    * Dickey–Fuller regression Δe = ρ·e₋₁ runs on exact sums over the
+    * day-spine lag; t = ρ/SE against the fixed EG 5% critical −3.34.
+    * One fact scan, one day rollup, one spine lag.
+    */
+  val aggCointegration: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val daily = Tables.events(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type",
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"day")
+      .agg(sum(when($"event_type" === "click", $"cents")).as("x"),
+        sum(when($"event_type" === "purchase", $"cents")).as("y"))
+      .filter($"x".isNotNull && $"y".isNotNull)
+      .cp() // OLS sums + the residual spine share the rollup
+    val ols = daily.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"y").as("sy"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("sxx"),
+      sum($"x".cast("decimal(38,0)") * $"y").as("sxy"))
+      .withColumn("b", (d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+        (d($"n") * d($"sxx") - d($"sx") * d($"sx")))
+      .withColumn("a", (d($"sy") - $"b" * d($"sx")) / d($"n"))
+    val e = daily.crossJoin(broadcast(ols.select($"n", $"a", $"b")))
+      .select($"day", $"n", $"a", $"b",
+        floor((d($"y") - $"a" - $"b" * d($"x")) * lit(100.0) + lit(0.5))
+          .cast("long").as("eq"))
+    val df = e
+      .withColumn("pe", lag($"eq", 1).over(Window.orderBy($"day")))
+      .filter($"pe".isNotNull)
+      .agg(max($"n").as("n"), max($"a").as("a"), max($"b").as("b"),
+        count(lit(1)).as("m"),
+        sum($"pe".cast("decimal(38,0)") * $"pe").as("s1"),
+        sum($"pe".cast("decimal(38,0)") * ($"eq" - $"pe")).as("s2"),
+        sum(($"eq" - $"pe").cast("decimal(38,0)") * ($"eq" - $"pe"))
+          .as("s3"))
+      .withColumn("rho", d($"s2") / d($"s1"))
+      .withColumn("tstat", $"rho" / sqrt(
+        ((d($"s3") - $"rho" * d($"s2")) / (d($"m") - lit(1.0))) / d($"s1")))
+    df.select($"n".as("n_days"),
+      LlmOps.pround4($"b").as("beta"),
+      LlmOps.pround4($"a" / lit(100.0)).as("alpha"),
+      LlmOps.pround4($"rho").as("rho"),
+      LlmOps.pround4($"tstat").as("adf_t"),
+      ($"tstat" < lit(-3.34)).as("cointegrated_5pct"))
+  }
+
+  /** Truncated GARCH(1,1) conditional volatility per event type —
+    * [[winMacd]]'s fold discipline applied to the variance recursion
+    * σ²ₜ = ω + α·r²ₜ₋₁ + β·σ²ₜ₋₁ with the standard (α,β) = (0.1, 0.85)
+    * and ω = 0.05·v̄ targeting the long-run variance (v̄ = the type's
+    * exact mean squared return): a 30-day windowed left fold
+    * (`aggregate` ↔ `list_reduce`, init v̄ prepended) — the declared
+    * TRUNCATED semantics, no unbounded recursion; returns micro-quantize
+    * exactly first (the [[aggJarqueBera]] discipline), Σr² in
+    * DECIMAL(38,0). Emits σₜ and the >2·v̄ vol-regime flag per day.
+    */
+  val winGarch: Q = (s, dir) => {
+    import s.implicits._
+    val r = Tables.events(s, dir)
+      .select($"event_type".as("g"),
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"g", $"d").agg(sum($"cents").as("c"))
+      .withColumn("pc", lag($"c", 1).over(
+        Window.partitionBy($"g").orderBy($"d")))
+      .filter($"pc" > 0)
+      .select($"g", $"d", expr("((c - pc) * 1000000) div pc").as("rq"))
+      .cp() // vbar + the fold windows share the return series
+    val vbar = r.groupBy($"g")
+      .agg((sum($"rq".cast("decimal(38,0)") * $"rq").cast("double") /
+        count(lit(1)).cast("double") / lit(1.0e12)).as("vbar"))
+    val w30 = Window.partitionBy($"g").orderBy($"d").rowsBetween(-29, 0)
+    r.join(broadcast(vbar), "g")
+      .withColumn("vs", collect_list(($"rq".cast("double") / lit(1.0e6)))
+        .over(w30))
+      .withColumn("s2", expr("aggregate(vs, vbar," +
+        " (acc, x) -> 0.05 * vbar + 0.1 * x * x + 0.85 * acc)"))
+      .select($"g".as("event_type"), $"d",
+        LlmOps.pround4(($"rq".cast("double") / lit(1.0e6))).as("ret"),
+        LlmOps.pround4(sqrt($"s2")).as("sigma"),
+        ($"s2" > lit(2.0) * $"vbar").as("high_vol"))
+      .orderBy($"event_type", $"d")
+  }
+
+  /** Chow structural-break test on the daily-revenue time trend — "did
+    * the data-generating process CHANGE at the sample midpoint?": OLS of
+    * revenue on the day index over the full sample and each half, RSS
+    * from exact power sums (Σxy BIGINT, Σy² DECIMAL(38,0) ↔
+    * HUGEINT-via-VARCHAR), F = ((RSSp − RSS₁ − RSS₂)/2) /
+    * ((RSS₁+RSS₂)/(n−4)) as one fixed double tree; the half split is an
+    * integer compare against the broadcast 1-row count. The day index
+    * rides the bounded spine (row_number — the win_atr posture).
+    */
+  val aggChowTest: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val days = Tables.lineitem(s, dir)
+      .groupBy((tsMs($"l_shipdate".cast("timestamp")) /
+        lit(86400000L)).cast("long").as("day"))
+      .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") *
+        lit(100)).cast("long")).as("y"))
+      .withColumn("x", row_number().over(Window.orderBy($"day"))
+        .cast("long"))
+      .cp() // the count probe + the segment sums share the spine
+    val half = days.agg((count(lit(1)) / 2).cast("long").as("h"),
+      count(lit(1)).as("n"))
+    def seg(name: String, cond: Column): Column =
+      struct(sum(when(cond, 1L).otherwise(0L)).as("n"),
+        sum(when(cond, $"x").otherwise(0L)).as("sx"),
+        sum(when(cond, $"y").otherwise(0L)).as("sy"),
+        sum(when(cond, $"x" * $"x").otherwise(0L)).as("sxx"),
+        sum(when(cond, $"x".cast("decimal(38,0)") * $"y").otherwise(0))
+          .as("sxy"),
+        sum(when(cond, $"y".cast("decimal(38,0)") * $"y").otherwise(0))
+          .as("syy")).as(name)
+    val sums = days.crossJoin(broadcast(half))
+      .agg(seg("p", lit(true)), seg("s1", $"x" <= $"h"),
+        seg("s2", $"x" > $"h"))
+    def rss(p: String): Column = {
+      val (n, sx, sy, sxx, sxy, syy) =
+        (d(col(s"$p.n")), d(col(s"$p.sx")), d(col(s"$p.sy")),
+          d(col(s"$p.sxx")), d(col(s"$p.sxy")), d(col(s"$p.syy")))
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = (sy - b * sx) / n
+      syy - a * sy - b * sxy
+    }
+    sums
+      .withColumn("rp", rss("p") / lit(1.0e4))
+      .withColumn("r1", rss("s1") / lit(1.0e4))
+      .withColumn("r2", rss("s2") / lit(1.0e4))
+      .withColumn("f", (($"rp" - $"r1" - $"r2") / lit(2.0)) /
+        (($"r1" + $"r2") / (d($"p.n") - lit(4.0))))
+      .select($"p.n".as("n_days"), $"s1.n".as("n_first_half"),
+        LlmOps.pround4($"f").as("f_stat"),
+        ($"f" > lit(3.0)).as("break_detected"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_cointegration" -> aggCointegration,
+    "win_garch" -> winGarch,
+    "agg_chow_test" -> aggChowTest,
     "win_amihud" -> winAmihud,
     "win_range_vol" -> winRangeVol,
     "agg_hurst" -> aggHurst,

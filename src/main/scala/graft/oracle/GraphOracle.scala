@@ -78,6 +78,33 @@ object GraphOracle {
     * md5-collision-impossible in practice but the ORDER BY carries the
     * same tie key as the Spark max-struct anyway).
     */
+  private val node2vecSql: String = {
+    val base =
+      s"""WITH $copurchaseCte,
+         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |seeds AS (SELECT a AS walk FROM (
+         |  SELECT a, count(*) AS d FROM e2 GROUP BY 1) t
+         |  ORDER BY d DESC, a LIMIT 4),
+         |w0 AS (SELECT walk, walk AS node,
+         |  CAST(-1 AS BIGINT) AS prev FROM seeds)""".stripMargin
+    val steps = (1 to 4).map { i =>
+      s"""w$i AS (SELECT walk, b AS node, v AS prev FROM (
+         |  SELECT w.walk, w.node AS v, e2.b,
+         |    row_number() OVER (PARTITION BY w.walk ORDER BY
+         |      (CASE WHEN e2.b = w.prev THEN 2
+         |            WHEN m.b IS NOT NULL THEN 1 ELSE 0 END),
+         |      md5(CAST(w.walk AS VARCHAR) || '_' || '$i' || '_' ||
+         |        CAST(e2.b AS VARCHAR)), e2.b) AS rn
+         |  FROM w${i - 1} w JOIN e2 ON e2.a = w.node
+         |  LEFT JOIN e2 m ON m.a = w.prev AND m.b = e2.b) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to 4)
+      .map(i => s"SELECT walk, CAST($i AS BIGINT) AS step, node FROM w$i")
+      .mkString("\nUNION ALL ")
+    s"$base,\n$steps\n$sel\nORDER BY walk, step"
+  }
+
   private val randomWalkSql: String = {
     val base =
       s"""WITH $copurchaseCte,
@@ -841,6 +868,10 @@ object GraphOracle {
          |FROM p0 JOIN p1 ON p0.id = p1.id JOIN p2 ON p0.id = p2.id
          |  JOIN p3 ON p0.id = p3.id JOIN p4 ON p0.id = p4.id
          |ORDER BY katz_scaled DESC, part LIMIT 20""".stripMargin,
+
+    // node2vec p/q bias as a class rank (out 0 < in 1 < return 2) ahead of
+    // the hash tiebreak; the in-triangle mark is a LEFT JOIN on (prev, b)
+    "graph_node2vec_walks" -> node2vecSql,
 
     // first-touch collapse before pairing; time-respecting 7-day band
     "graph_temporal_reach" ->

@@ -459,6 +459,178 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    // Engle-Granger: exact-sum OLS, centi-cent quantized residuals, exact
+    // DF sums over the day-spine lag; HUGEINT->double via VARCHAR
+    "agg_cointegration" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1
+        |  HAVING x IS NOT NULL AND y IS NOT NULL),
+        |ols AS (
+        |  SELECT n, sx, sy, b, (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS a
+        |  FROM (
+        |    SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |      CAST(sum(y) AS BIGINT) AS sy,
+        |      (CAST(count(*) AS DOUBLE) *
+        |        CAST(CAST(sum(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE)
+        |        - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) /
+        |      (CAST(count(*) AS DOUBLE) *
+        |        CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE)
+        |        - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) AS b
+        |    FROM daily)),
+        |e AS (
+        |  SELECT day, n, a, b,
+        |    CAST(floor((CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE))
+        |      * 100.0 + 0.5) AS BIGINT) AS eq
+        |  FROM daily, ols),
+        |lagd AS (
+        |  SELECT n, a, b, eq, lag(eq) OVER (ORDER BY day) AS pe
+        |  FROM e),
+        |s AS (
+        |  SELECT max(n) AS n, max(a) AS a, max(b) AS b, count(*) AS m,
+        |    CAST(CAST(sum(CAST(pe AS HUGEINT) * pe) AS VARCHAR) AS DOUBLE)
+        |      AS s1,
+        |    CAST(CAST(sum(CAST(pe AS HUGEINT) * (eq - pe)) AS VARCHAR)
+        |      AS DOUBLE) AS s2,
+        |    CAST(CAST(sum(CAST(eq - pe AS HUGEINT) * (eq - pe)) AS VARCHAR)
+        |      AS DOUBLE) AS s3
+        |  FROM lagd WHERE pe IS NOT NULL),
+        |t AS (
+        |  SELECT n, a, b, s2 / s1 AS rho,
+        |    (s2 / s1) / sqrt(((s3 - (s2 / s1) * s2) /
+        |      (CAST(m AS DOUBLE) - 1.0)) / s1) AS tstat
+        |  FROM s)
+        |SELECT n AS n_days,
+        |  floor(b * 10000.0 + 0.5) / 10000.0 AS beta,
+        |  floor(a / 100.0 * 10000.0 + 0.5) / 10000.0 AS alpha,
+        |  floor(rho * 10000.0 + 0.5) / 10000.0 AS rho,
+        |  floor(tstat * 10000.0 + 0.5) / 10000.0 AS adf_t,
+        |  tstat < -3.34 AS cointegrated_5pct
+        |FROM t""".stripMargin,
+
+    // truncated 30-day variance-recursion fold (list_reduce with the
+    // long-run variance prepended as init), quantized returns
+    "win_garch" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, d, ((c - pc) * 1000000) // pc AS rq
+        |  FROM (SELECT g, d, c, lag(c) OVER (PARTITION BY g ORDER BY d)
+        |    AS pc FROM daily)
+        |  WHERE pc > 0),
+        |vb AS (
+        |  SELECT g,
+        |    CAST(CAST(sum(CAST(rq AS HUGEINT) * rq) AS VARCHAR) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) / 1e12 AS vbar
+        |  FROM r GROUP BY 1),
+        |f AS (
+        |  SELECT r.g, d, rq, vbar,
+        |    list(CAST(rq AS DOUBLE) / 1000000.0) OVER
+        |      (PARTITION BY r.g ORDER BY d ROWS BETWEEN 29 PRECEDING
+        |       AND CURRENT ROW) AS vs
+        |  FROM r JOIN vb ON r.g = vb.g),
+        |s AS (
+        |  SELECT g, d, rq, vbar,
+        |    list_reduce(list_prepend(vbar, vs), (acc, x) ->
+        |      0.05 * vbar + 0.1 * x * x + 0.85 * acc) AS s2
+        |  FROM f)
+        |SELECT g AS event_type, d,
+        |  floor(CAST(rq AS DOUBLE) / 1000000.0 * 10000.0 + 0.5) / 10000.0
+        |    AS ret,
+        |  floor(sqrt(s2) * 10000.0 + 0.5) / 10000.0 AS sigma,
+        |  s2 > 2.0 * vbar AS high_vol
+        |FROM s ORDER BY event_type, d""".stripMargin,
+
+    // segment power sums off one scan (half split vs the broadcast count),
+    // RSS trees and the Chow F fixed doubles
+    "agg_chow_test" ->
+      """WITH days AS (
+        |  SELECT epoch_ms(l_shipdate) // 86400000 AS day,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |spine AS (
+        |  SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS x
+        |  FROM days),
+        |half AS (SELECT count(*) // 2 AS h, count(*) AS n FROM spine),
+        |sums AS (
+        |  SELECT
+        |    count(*) AS pn, CAST(sum(x) AS BIGINT) AS psx,
+        |    CAST(sum(y) AS BIGINT) AS psy,
+        |    CAST(sum(x * x) AS BIGINT) AS psxx,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE)
+        |      AS psxy,
+        |    CAST(CAST(sum(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE)
+        |      AS psyy,
+        |    CAST(sum(CASE WHEN x <= h THEN 1 ELSE 0 END) AS BIGINT) AS an,
+        |    CAST(sum(CASE WHEN x <= h THEN x ELSE 0 END) AS BIGINT) AS asx,
+        |    CAST(sum(CASE WHEN x <= h THEN y ELSE 0 END) AS BIGINT) AS asy,
+        |    CAST(sum(CASE WHEN x <= h THEN x * x ELSE 0 END) AS BIGINT)
+        |      AS asxx,
+        |    CAST(CAST(sum(CASE WHEN x <= h THEN CAST(x AS HUGEINT) * y
+        |      ELSE 0 END) AS VARCHAR) AS DOUBLE) AS asxy,
+        |    CAST(CAST(sum(CASE WHEN x <= h THEN CAST(y AS HUGEINT) * y
+        |      ELSE 0 END) AS VARCHAR) AS DOUBLE) AS asyy,
+        |    CAST(sum(CASE WHEN x > h THEN 1 ELSE 0 END) AS BIGINT) AS bn,
+        |    CAST(sum(CASE WHEN x > h THEN x ELSE 0 END) AS BIGINT) AS bsx,
+        |    CAST(sum(CASE WHEN x > h THEN y ELSE 0 END) AS BIGINT) AS bsy,
+        |    CAST(sum(CASE WHEN x > h THEN x * x ELSE 0 END) AS BIGINT)
+        |      AS bsxx,
+        |    CAST(CAST(sum(CASE WHEN x > h THEN CAST(x AS HUGEINT) * y
+        |      ELSE 0 END) AS VARCHAR) AS DOUBLE) AS bsxy,
+        |    CAST(CAST(sum(CASE WHEN x > h THEN CAST(y AS HUGEINT) * y
+        |      ELSE 0 END) AS VARCHAR) AS DOUBLE) AS bsyy
+        |  FROM spine, half),
+        |rss AS (
+        |  SELECT pn, an,
+        |    (psyy - ((CAST(psy AS DOUBLE) -
+        |      ((CAST(pn AS DOUBLE) * psxy - CAST(psx AS DOUBLE) *
+        |        CAST(psy AS DOUBLE)) / (CAST(pn AS DOUBLE) *
+        |        CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) *
+        |        CAST(psx AS DOUBLE))) * CAST(psx AS DOUBLE)) /
+        |      CAST(pn AS DOUBLE)) * CAST(psy AS DOUBLE) -
+        |      ((CAST(pn AS DOUBLE) * psxy - CAST(psx AS DOUBLE) *
+        |        CAST(psy AS DOUBLE)) / (CAST(pn AS DOUBLE) *
+        |        CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) *
+        |        CAST(psx AS DOUBLE))) * psxy) / 1e4 AS rp,
+        |    (asyy - ((CAST(asy AS DOUBLE) -
+        |      ((CAST(an AS DOUBLE) * asxy - CAST(asx AS DOUBLE) *
+        |        CAST(asy AS DOUBLE)) / (CAST(an AS DOUBLE) *
+        |        CAST(asxx AS DOUBLE) - CAST(asx AS DOUBLE) *
+        |        CAST(asx AS DOUBLE))) * CAST(asx AS DOUBLE)) /
+        |      CAST(an AS DOUBLE)) * CAST(asy AS DOUBLE) -
+        |      ((CAST(an AS DOUBLE) * asxy - CAST(asx AS DOUBLE) *
+        |        CAST(asy AS DOUBLE)) / (CAST(an AS DOUBLE) *
+        |        CAST(asxx AS DOUBLE) - CAST(asx AS DOUBLE) *
+        |        CAST(asx AS DOUBLE))) * asxy) / 1e4 AS r1,
+        |    (bsyy - ((CAST(bsy AS DOUBLE) -
+        |      ((CAST(bn AS DOUBLE) * bsxy - CAST(bsx AS DOUBLE) *
+        |        CAST(bsy AS DOUBLE)) / (CAST(bn AS DOUBLE) *
+        |        CAST(bsxx AS DOUBLE) - CAST(bsx AS DOUBLE) *
+        |        CAST(bsx AS DOUBLE))) * CAST(bsx AS DOUBLE)) /
+        |      CAST(bn AS DOUBLE)) * CAST(bsy AS DOUBLE) -
+        |      ((CAST(bn AS DOUBLE) * bsxy - CAST(bsx AS DOUBLE) *
+        |        CAST(bsy AS DOUBLE)) / (CAST(bn AS DOUBLE) *
+        |        CAST(bsxx AS DOUBLE) - CAST(bsx AS DOUBLE) *
+        |        CAST(bsx AS DOUBLE))) * bsxy) / 1e4 AS r2
+        |  FROM sums),
+        |f AS (
+        |  SELECT pn, an, ((rp - r1 - r2) / 2.0) /
+        |    ((r1 + r2) / (CAST(pn AS DOUBLE) - 4.0)) AS f
+        |  FROM rss)
+        |SELECT pn AS n_days, an AS n_first_half,
+        |  floor(f * 10000.0 + 0.5) / 10000.0 AS f_stat,
+        |  f > 3.0 AS break_detected
+        |FROM f""".stripMargin,
+
     // jarque_bera-style quantized returns, per-day |r|/vol as 1e9-scale
     // BIGINT before the mean (order-free)
     "win_amihud" ->

@@ -354,11 +354,14 @@ class ScaleSpec extends SparkSpec {
     // bounded-by-construction spine, the win_atr/win_macd/agg_mannwhitney
     // posture): agg_kruskal_wallis (distinct-value spine), win_ichimoku /
     // win_keltner / agg_hurst (calendar day spine).
+    // (wave III adds: agg_cointegration / agg_chow_test ride the day-spine
+    // exception like win_ichimoku; the rest join the pinned list)
     val keys = Seq("agg_levene", "agg_jarque_bera", "agg_newey_west",
       "win_obv", "win_amihud", "win_range_vol",
       "graph_katz", "graph_overlap", "graph_temporal_reach",
       "llm_pii_scrub", "llm_embed_pca", "llm_kneser_ney",
-      "llm_watermark_detect", "state_bitemporal", "stream_cep_sequence")
+      "llm_watermark_detect", "state_bitemporal", "stream_cep_sequence",
+      "win_garch", "graph_node2vec_walks", "llm_rouge_pairs")
     for (k <- keys) {
       val plan = SparkEntry.queries(k)(spark, sf).queryExecution.optimizedPlan
       plan.collect { case j: Join if j.condition.isEmpty => j }.foreach { j =>

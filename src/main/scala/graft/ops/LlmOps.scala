@@ -4100,7 +4100,63 @@ object LlmOps {
       .limit(20)
   }
 
+  /** Maximal-marginal-relevance selection over the embedding corpus — the
+    * diversity-aware curation pick (pure top-k by relevance returns k
+    * near-copies of the same winner; MMR's −maxsim term forces coverage):
+    * query = the integer-floored label-0 centroid, relevance = exact
+    * integer dot; a top-64 relevance SHORTLIST (TakeOrdered — the
+    * at-scale pattern: greedy selection runs on a bounded pool, never the
+    * corpus) then 8 greedy rounds of argmax(rel − max_{s∈S} dot(x,s)),
+    * λ=½ cancelled through (both terms on the same 10⁶ quantized scale);
+    * every dot is a BIGINT sum over the dimension join, ties to the
+    * smaller vec_id, so the selection is bit-reproducible anywhere.
+    */
+  val llmMmrSelect: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("j", "v")))
+      .select($"vec_id", $"label", $"j",
+        round($"v".cast("double") * 1000000).cast("long").as("q"))
+      .cp() // centroid, relevance, and the per-round sims share the explode
+    val n0 = e.filter($"label" === 0).select($"vec_id").distinct().count()
+    val qv = e.filter($"label" === 0)
+      .groupBy($"j").agg(expr(s"sum(q) div CAST($n0 AS BIGINT)").as("qj"))
+    val rel = e.join(broadcast(qv), "j")
+      .groupBy($"vec_id").agg(sum($"q" * $"qj").as("rel"))
+    val pool = rel.orderBy($"rel".desc, $"vec_id").limit(64)
+      .join(e.select($"vec_id", $"j", $"q"), "vec_id")
+      .cp() // 64·64 rows drive all 8 greedy rounds
+    var sel = pool.select($"vec_id", $"rel").distinct()
+      .orderBy($"rel".desc, $"vec_id").limit(1)
+      .select($"vec_id", $"rel", lit(0L).as("maxsim"), lit(1L).as("pick"))
+    var out = sel
+    for (round <- 2 to 8) {
+      val selVecs = pool
+        .join(broadcast(out.select($"vec_id".as("sid"))),
+          $"vec_id" === $"sid")
+        .select($"sid", $"j", $"q".as("sq"))
+      val cand = pool
+        .join(broadcast(out.select($"vec_id".as("sid"))),
+          $"vec_id" === $"sid", "left_anti")
+      val sims = cand
+        .join(broadcast(selVecs), "j")
+        .groupBy($"vec_id", $"rel", $"sid")
+        .agg(sum($"q" * $"sq").as("dot"))
+        .groupBy($"vec_id", $"rel").agg(max($"dot").as("maxsim"))
+      sel = sims
+        .orderBy(($"rel" - $"maxsim").desc, $"vec_id").limit(1)
+        .select($"vec_id", $"rel", $"maxsim", lit(round.toLong).as("pick"))
+        .cp()
+      out = out.unionAll(sel)
+    }
+    out.select($"pick", $"vec_id", $"rel".as("rel_scaled"),
+      $"maxsim".as("maxsim_scaled"),
+      ($"rel" - $"maxsim").as("mmr_scaled"))
+      .orderBy($"pick")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_mmr_select" -> llmMmrSelect,
     "llm_rouge_pairs" -> llmRougePairs,
     "llm_watermark_detect" -> llmWatermarkDetect,
     "llm_pii_scrub" -> llmPiiScrub,

@@ -6481,7 +6481,148 @@ object Relational {
         ($"f" > lit(3.0)).as("break_detected"))
   }
 
+  /** Spearman rank correlation between daily revenue and daily activity
+    * volume — the monotone-association readout that survives outliers and
+    * nonlinearity (next to [[aggKendallTau]]'s concordance view): average
+    * ranks with ties as EXACT integers (2·avg-rank = 2·rank + ties − 1,
+    * rank over the bounded day spine, tie counts over the value
+    * partition), then Pearson's formula on the doubled ranks (scale
+    * cancels) with all power sums in BIGINT; the raw-value Pearson r ships
+    * next to ρ so the divergence (nonlinearity/outliers) is one glance.
+    */
+  val aggSpearman: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val daily = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"day")
+      .agg(sum($"cents").as("rev"), count(lit(1)).as("vol"))
+    val ranked = daily
+      .withColumn("ra", lit(2L) * rank().over(Window.orderBy($"rev")) +
+        count(lit(1)).over(Window.partitionBy($"rev")) - 1)
+      .withColumn("rb", lit(2L) * rank().over(Window.orderBy($"vol")) +
+        count(lit(1)).over(Window.partitionBy($"vol")) - 1)
+    val sums = ranked.agg(count(lit(1)).as("n"),
+      sum($"ra").as("sa"), sum($"rb").as("sb"),
+      sum($"ra" * $"ra").as("saa"), sum($"rb" * $"rb").as("sbb"),
+      sum($"ra" * $"rb").as("sab"),
+      sum($"rev").as("sx"), sum($"vol").as("sy"),
+      sum($"rev".cast("decimal(38,0)") * $"rev").as("sxx"),
+      sum($"vol".cast("decimal(38,0)") * $"vol").as("syy"),
+      sum($"rev".cast("decimal(38,0)") * $"vol").as("sxy"))
+    sums.select($"n".as("n_days"),
+      LlmOps.pround4((d($"n") * d($"sab") - d($"sa") * d($"sb")) /
+        sqrt((d($"n") * d($"saa") - d($"sa") * d($"sa")) *
+          (d($"n") * d($"sbb") - d($"sb") * d($"sb")))).as("spearman_rho"),
+      LlmOps.pround4((d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+        sqrt((d($"n") * d($"sxx") - d($"sx") * d($"sx")) *
+          (d($"n") * d($"syy") - d($"sy") * d($"sy")))).as("pearson_r"))
+  }
+
+  /** Friedman test + Kendall's W over the (day × event-type) revenue
+    * blocks — "do the five tapes keep the same daily ORDERING?" (the
+    * repeated-measures sibling of [[aggKruskalWallis]] — blocking by day
+    * removes the day effect KW pools): within-day average ranks as exact
+    * doubled integers over complete blocks only, tie terms Σ(t³−t) per
+    * day, then everything multiplies through so S·4k² = Σ(k·R2ⱼ − ΣR2)²
+    * stays integer-exact to the final divide; W = 12S/(n²k(k²−1) − nΣT),
+    * χ²_F = n(k−1)W against the fixed df=4 5% critical 9.488.
+    */
+  val aggFriedman: Q = (s, dir) => {
+    import s.implicits._
+    val k = 5
+    val cell = Tables.events(s, dir)
+      .select($"event_type".as("g"),
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"day", $"g").agg(sum($"cents").as("v"))
+    val full = cell
+      .withColumn("nk", count(lit(1)).over(Window.partitionBy($"day")))
+      .filter($"nk" === k)
+    val ranked = full
+      .withColumn("r2", lit(2L) * rank().over(
+        Window.partitionBy($"day").orderBy($"v")) +
+        count(lit(1)).over(Window.partitionBy($"day", $"v")) - 1)
+    val ties = ranked
+      .groupBy($"day", $"v").agg(count(lit(1)).as("t"))
+      .groupBy($"day").agg(sum($"t" * $"t" * $"t" - $"t").as("td"))
+      .agg(sum($"td").as("tsum"), count(lit(1)).as("n"))
+    val perG = ranked.groupBy($"g").agg(sum($"r2").as("r2g"))
+    val tot = perG.agg(sum($"r2g").as("r2tot"))
+    val s4 = perG.crossJoin(broadcast(tot))
+      .select((lit(k.toLong) * $"r2g" - $"r2tot") *
+        (lit(k.toLong) * $"r2g" - $"r2tot") as "sq")
+      .agg(sum($"sq").as("s4k2"))
+    s4.crossJoin(broadcast(ties))
+      .withColumn("sexact",
+        $"s4k2".cast("double") / lit(4.0 * k * k))
+      .withColumn("den",
+        ($"n" * $"n" * lit(k.toLong) * lit((k * k - 1).toLong) -
+          $"n" * $"tsum").cast("double"))
+      .withColumn("w", lit(12.0) * $"sexact" / $"den")
+      .withColumn("chi2", $"n".cast("double") * lit((k - 1).toDouble) * $"w")
+      .select($"n".as("n_days"), lit(k.toLong).as("k"),
+        LlmOps.pround4($"w").as("kendall_w"),
+        LlmOps.pround4($"chi2").as("friedman_chi2"),
+        ($"chi2" > lit(9.488)).as("signif_5pct"))
+  }
+
+  /** ADX directional-movement system on the daily event tape — trend
+    * STRENGTH regardless of direction, completing the [[winAtr]] family:
+    * ±DM from day-over-day high/low moves (exact cents), and because the
+    * 14-day smoothing is a plain rows-frame mean the DI ratio collapses to
+    * sums — DI± = 100·Σ±DM/ΣTR and DX = 100·|Σ+−Σ−|/(Σ++Σ−) are single
+    * divides of exact BIGINTs; DX micro-quantizes before the ADX mean
+    * (order-free), declared truncated-frame semantics throughout.
+    */
+  val winAdx: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        tsMs($"ts").as("ms"), $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"d")
+      .agg(min($"cents").as("low"), max($"cents").as("high"),
+        max(struct($"ms", $"event_id", $"cents")).getField("cents")
+          .as("close"))
+    val wl = Window.orderBy($"d")
+    val w14 = wl.rowsBetween(-13, 0)
+    val dm = daily
+      .withColumn("ph", lag($"high", 1).over(wl))
+      .withColumn("pl", lag($"low", 1).over(wl))
+      .withColumn("pc", lag($"close", 1).over(wl))
+      .filter($"ph".isNotNull)
+      .withColumn("up", greatest($"high" - $"ph", lit(0L)))
+      .withColumn("dn", greatest($"pl" - $"low", lit(0L)))
+      .withColumn("dmp", when($"up" > $"dn", $"up").otherwise(0L))
+      .withColumn("dmm", when($"dn" > $"up", $"dn").otherwise(0L))
+      .withColumn("tr", greatest($"high" - $"low",
+        abs($"high" - $"pc"), abs($"low" - $"pc")))
+    val di = dm
+      .withColumn("sp", sum($"dmp").over(w14))
+      .withColumn("sm", sum($"dmm").over(w14))
+      .withColumn("st", sum($"tr").over(w14))
+      .filter($"st" > 0 && $"sp" + $"sm" > 0)
+      .withColumn("dxq", expr(
+        "(abs(sp - sm) * 100000000) div (sp + sm)"))
+    di
+      .withColumn("adxq", sum($"dxq").over(w14).cast("double") /
+        count(lit(1)).over(w14).cast("double"))
+      .select($"d",
+        LlmOps.pround4(lit(100.0) * $"sp".cast("double") /
+          $"st".cast("double")).as("di_plus"),
+        LlmOps.pround4(lit(100.0) * $"sm".cast("double") /
+          $"st".cast("double")).as("di_minus"),
+        LlmOps.pround4($"dxq".cast("double") / lit(1.0e6)).as("dx"),
+        LlmOps.pround4($"adxq" / lit(1.0e6)).as("adx_14"))
+      .orderBy($"d")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_spearman" -> aggSpearman,
+    "agg_friedman" -> aggFriedman,
+    "win_adx" -> winAdx,
     "agg_cointegration" -> aggCointegration,
     "win_garch" -> winGarch,
     "agg_chow_test" -> aggChowTest,

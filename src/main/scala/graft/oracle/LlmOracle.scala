@@ -196,7 +196,59 @@ object LlmOracle {
        |SELECT rank, token, freq, tok_len FROM r WHERE rank <= 30
        |ORDER BY rank""".stripMargin
 
+  /** llm_mmr_select: 8 unrolled greedy rounds — per round the candidate×
+    * selected dot products (exact BIGINT over the dim join), the max-sim
+    * rollup, and the argmax(rel − maxsim) pick with the vec_id tiebreak.
+    */
+  private val mmrSelectSql: String = {
+    val base =
+      """WITH e AS (
+        |  SELECT vec_id, label, i - 1 AS j,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |n0 AS (SELECT count(DISTINCT vec_id) AS n FROM e WHERE label = 0),
+        |qv AS (SELECT j, CAST(sum(q) // n AS BIGINT) AS qj
+        |  FROM e, n0 WHERE label = 0 GROUP BY j, n),
+        |rel AS (SELECT vec_id, CAST(sum(q * qj) AS BIGINT) AS rel
+        |  FROM e JOIN qv USING (j) GROUP BY 1),
+        |pool AS MATERIALIZED (
+        |  SELECT e.vec_id, rel.rel, e.j, e.q
+        |  FROM e JOIN rel ON e.vec_id = rel.vec_id
+        |  WHERE e.vec_id IN
+        |    (SELECT vec_id FROM rel ORDER BY rel DESC, vec_id LIMIT 64)),
+        |s1 AS (SELECT vec_id, rel, CAST(0 AS BIGINT) AS maxsim,
+        |    CAST(1 AS BIGINT) AS pick
+        |  FROM (SELECT DISTINCT vec_id, rel FROM pool)
+        |  ORDER BY rel DESC, vec_id LIMIT 1),
+        |a1 AS (SELECT * FROM s1)""".stripMargin
+    val steps = (2 to 8).map { i =>
+      s"""d$i AS (
+         |  SELECT c.vec_id, c.rel, sv.sid,
+         |    CAST(sum(c.q * sv.sq) AS BIGINT) AS dot
+         |  FROM pool c JOIN (
+         |    SELECT a.vec_id AS sid, p.j, p.q AS sq
+         |    FROM a${i - 1} a JOIN pool p ON p.vec_id = a.vec_id) sv
+         |    ON c.j = sv.j
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM a${i - 1})
+         |  GROUP BY 1, 2, 3),
+         |s$i AS (
+         |  SELECT vec_id, rel, maxsim, CAST($i AS BIGINT) AS pick FROM (
+         |    SELECT vec_id, rel, CAST(max(dot) AS BIGINT) AS maxsim
+         |    FROM d$i GROUP BY 1, 2)
+         |  ORDER BY rel - maxsim DESC, vec_id LIMIT 1),
+         |a$i AS (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM s$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT pick, vec_id, rel AS rel_scaled, maxsim AS maxsim_scaled,
+       |  rel - maxsim AS mmr_scaled
+       |FROM a8 ORDER BY pick""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "llm_mmr_select" -> mmrSelectSql,
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_encode" -> bpeEncodeSql,
     "llm_bpe_vocab" -> bpeVocabSql,

@@ -459,6 +459,144 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    // doubled average ranks (2r + t - 1 exact), Pearson formula on ranks;
+    // raw-value r ships next to rho
+    "agg_spearman" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev,
+        |    count(*) AS vol
+        |  FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT rev, vol,
+        |    2 * rank() OVER (ORDER BY rev) +
+        |      count(*) OVER (PARTITION BY rev) - 1 AS ra,
+        |    2 * rank() OVER (ORDER BY vol) +
+        |      count(*) OVER (PARTITION BY vol) - 1 AS rb
+        |  FROM daily),
+        |s AS (
+        |  SELECT count(*) AS n, CAST(sum(ra) AS BIGINT) AS sa,
+        |    CAST(sum(rb) AS BIGINT) AS sb,
+        |    CAST(sum(ra * ra) AS BIGINT) AS saa,
+        |    CAST(sum(rb * rb) AS BIGINT) AS sbb,
+        |    CAST(sum(ra * rb) AS BIGINT) AS sab,
+        |    CAST(sum(rev) AS BIGINT) AS sx, CAST(sum(vol) AS BIGINT) AS sy,
+        |    CAST(CAST(sum(CAST(rev AS HUGEINT) * rev) AS VARCHAR)
+        |      AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(vol AS HUGEINT) * vol) AS VARCHAR)
+        |      AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(CAST(rev AS HUGEINT) * vol) AS VARCHAR)
+        |      AS DOUBLE) AS sxy
+        |  FROM ranked)
+        |SELECT n AS n_days,
+        |  floor((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) -
+        |        CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) -
+        |        CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+        |    * 10000.0 + 0.5) / 10000.0 AS spearman_rho,
+        |  floor((CAST(n AS DOUBLE) * sxy -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * sxx -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) * syy -
+        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 10000.0 + 0.5) / 10000.0 AS pearson_r
+        |FROM s""".stripMargin,
+
+    // within-day doubled ranks over complete blocks, exact S.4k2 and tie
+    // terms, W and chi2 fixed trees
+    "agg_friedman" ->
+      """WITH cell AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, event_type AS g,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |full_ AS (
+        |  SELECT * FROM (
+        |    SELECT day, g, v, count(*) OVER (PARTITION BY day) AS nk
+        |    FROM cell) WHERE nk = 5),
+        |ranked AS (
+        |  SELECT day, g, v,
+        |    2 * rank() OVER (PARTITION BY day ORDER BY v) +
+        |      count(*) OVER (PARTITION BY day, v) - 1 AS r2
+        |  FROM full_),
+        |ties AS (
+        |  SELECT CAST(sum(td) AS BIGINT) AS tsum, count(*) AS n FROM (
+        |    SELECT day, CAST(sum(t * t * t - t) AS BIGINT) AS td FROM (
+        |      SELECT day, v, count(*) AS t FROM ranked GROUP BY 1, 2)
+        |    GROUP BY 1)),
+        |perg AS (SELECT g, CAST(sum(r2) AS BIGINT) AS r2g
+        |  FROM ranked GROUP BY 1),
+        |tot AS (SELECT CAST(sum(r2g) AS BIGINT) AS r2tot FROM perg),
+        |s4 AS (
+        |  SELECT CAST(sum((5 * r2g - r2tot) * (5 * r2g - r2tot))
+        |    AS BIGINT) AS s4k2
+        |  FROM perg, tot),
+        |fin AS (
+        |  SELECT n, CAST(s4k2 AS DOUBLE) / 100.0 AS sexact,
+        |    CAST(n * n * 5 * 24 - n * tsum AS DOUBLE) AS den
+        |  FROM s4, ties),
+        |w AS (SELECT n, 12.0 * sexact / den AS w,
+        |  CAST(n AS DOUBLE) * 4.0 * (12.0 * sexact / den) AS chi2
+        |  FROM fin)
+        |SELECT n AS n_days, CAST(5 AS BIGINT) AS k,
+        |  floor(w * 10000.0 + 0.5) / 10000.0 AS kendall_w,
+        |  floor(chi2 * 10000.0 + 0.5) / 10000.0 AS friedman_chi2,
+        |  chi2 > 9.488 AS signif_5pct
+        |FROM w""".stripMargin,
+
+    // +-DM/TR rows-frame sums collapse the DI ratio to exact divides; DX
+    // micro-quantized before the ADX mean
+    "win_adx" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d,
+        |    CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS low,
+        |    CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS high,
+        |    max({'ms': epoch_ms(ts), 'event_id': event_id,
+        |      'c': CAST(round(value * 100) AS BIGINT)}).c AS close
+        |  FROM events GROUP BY 1),
+        |dm AS (
+        |  SELECT d, high, low,
+        |    greatest(high - ph, 0) AS up, greatest(pl - low, 0) AS dn,
+        |    greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+        |  FROM (
+        |    SELECT d, high, low,
+        |      lag(high) OVER (ORDER BY d) AS ph,
+        |      lag(low) OVER (ORDER BY d) AS pl,
+        |      lag(close) OVER (ORDER BY d) AS pc
+        |    FROM daily)
+        |  WHERE ph IS NOT NULL),
+        |dmc AS (
+        |  SELECT d,
+        |    CASE WHEN up > dn THEN up ELSE 0 END AS dmp,
+        |    CASE WHEN dn > up THEN dn ELSE 0 END AS dmm, tr
+        |  FROM dm),
+        |di AS (
+        |  SELECT d, sp, sm, st,
+        |    (abs(sp - sm) * 100000000) // (sp + sm) AS dxq
+        |  FROM (
+        |    SELECT d,
+        |      CAST(sum(dmp) OVER w14 AS BIGINT) AS sp,
+        |      CAST(sum(dmm) OVER w14 AS BIGINT) AS sm,
+        |      CAST(sum(tr) OVER w14 AS BIGINT) AS st
+        |    FROM dmc WINDOW w14 AS (ORDER BY d ROWS BETWEEN 13 PRECEDING
+        |      AND CURRENT ROW))
+        |  WHERE st > 0 AND sp + sm > 0)
+        |SELECT d,
+        |  floor(100.0 * CAST(sp AS DOUBLE) / CAST(st AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS di_plus,
+        |  floor(100.0 * CAST(sm AS DOUBLE) / CAST(st AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS di_minus,
+        |  floor(CAST(dxq AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS dx,
+        |  floor(CAST(sum(dxq) OVER w14 AS DOUBLE) /
+        |    CAST(count(*) OVER w14 AS DOUBLE) / 1000000.0
+        |    * 10000.0 + 0.5) / 10000.0 AS adx_14
+        |FROM di WINDOW w14 AS (ORDER BY d ROWS BETWEEN 13 PRECEDING
+        |  AND CURRENT ROW)
+        |ORDER BY d""".stripMargin,
+
     // Engle-Granger: exact-sum OLS, centi-cent quantized residuals, exact
     // DF sums over the day-spine lag; HUGEINT->double via VARCHAR
     "agg_cointegration" ->

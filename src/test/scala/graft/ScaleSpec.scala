@@ -361,7 +361,10 @@ class ScaleSpec extends SparkSpec {
       "graph_katz", "graph_overlap", "graph_temporal_reach",
       "llm_pii_scrub", "llm_embed_pca", "llm_kneser_ney",
       "llm_watermark_detect", "state_bitemporal", "stream_cep_sequence",
-      "win_garch", "graph_node2vec_walks", "llm_rouge_pairs")
+      "win_garch", "graph_node2vec_walks", "llm_rouge_pairs",
+      // wave IV (agg_spearman / win_adx ride the day-spine exception;
+      // agg_friedman's windows are day-partitioned)
+      "agg_friedman", "llm_mmr_select")
     for (k <- keys) {
       val plan = SparkEntry.queries(k)(spark, sf).queryExecution.optimizedPlan
       plan.collect { case j: Join if j.condition.isEmpty => j }.foreach { j =>

@@ -4155,7 +4155,48 @@ object LlmOps {
       .orderBy($"pick")
   }
 
+  /** Exact AUC of a cheap quality signal as a classifier — "how well does
+    * the English-stopword ratio PREDICT that a document is English?", the
+    * evaluation primitive every filter threshold decision needs (AUC is
+    * threshold-free where precision/recall are not): the score quantizes
+    * to an exact integer ratio, AUC computes by the rank formula
+    * AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with tie-averaged doubled ranks over
+    * the DISTINCT-score spine (the [[graft.ops.Relational]] Mann–Whitney
+    * machinery — AUC and U are the same statistic), everything BIGINT to
+    * one quantized divide; Gini = 2·AUC − 1 ships next to it.
+    */
+  val llmScoreAuc: Q = (s, dir) => {
+    import s.implicits._
+    val stop = Seq("the", "of", "and", "to", "in", "a", "is", "that",
+      "for", "it")
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", ($"lang" === "en").as("pos"),
+        split(trim($"text"), " ").as("toks"))
+      .select($"pos",
+        expr(s"size(filter(toks, t -> t IN (${stop.map("'" + _ + "'")
+          .mkString(",")})))").cast("long").as("nstop"),
+        size($"toks").cast("long").as("ntok"))
+      .filter($"ntok" > 0)
+      .select($"pos", expr("(nstop * 1000000) div ntok").as("q"))
+    val byQ = scored.groupBy($"q")
+      .agg(count(lit(1)).as("c"), count(when($"pos", 1)).as("cp"))
+    val r2 = byQ
+      .withColumn("cum", sum($"c").over(Window.orderBy($"q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("r2", lit(2L) * ($"cum" - $"c") + $"c" + 1)
+    r2.agg(sum($"cp").as("npos"), sum($"c" - $"cp").as("nneg"),
+      sum($"cp" * $"r2").as("rpos2"))
+      .select($"npos".as("n_pos"), $"nneg".as("n_neg"),
+        pround4(($"rpos2" - $"npos" * ($"npos" + 1)).cast("double") /
+          (lit(2.0) * $"npos".cast("double") * $"nneg".cast("double")))
+          .as("auc"),
+        pround4(($"rpos2" - $"npos" * ($"npos" + 1)).cast("double") /
+          ($"npos".cast("double") * $"nneg".cast("double")) - lit(1.0))
+          .as("gini"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_score_auc" -> llmScoreAuc,
     "llm_mmr_select" -> llmMmrSelect,
     "llm_rouge_pairs" -> llmRougePairs,
     "llm_watermark_detect" -> llmWatermarkDetect,

@@ -6619,7 +6619,157 @@ object Relational {
       .orderBy($"d")
   }
 
+  /** Empirical tail-dependence coefficients between the click and
+    * purchase daily revenue series — "when one tape has an extreme day,
+    * does the other?" (correlation is a body statistic; portfolios die in
+    * the tails): λ_U = P(Y in its top 5% | X in its top 5%) and the λ_L
+    * mirror, with the 5% thresholds picked by the exact k-th order
+    * statistic (k = ⌈0.05n⌉, the agg_var_cvar integer machinery) over the
+    * bounded day spine; all counts exact, two quantized divides, and the
+    * independence baseline k/n ships next to the estimate.
+    */
+  val aggTailDependence: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type",
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"day")
+      .agg(sum(when($"event_type" === "click", $"cents")).as("x"),
+        sum(when($"event_type" === "purchase", $"cents")).as("y"))
+      .filter($"x".isNotNull && $"y".isNotNull)
+      .cp() // rank windows + the joint counts share the rollup
+    val ranked = daily
+      .withColumn("rxd", row_number().over(Window.orderBy($"x".desc, $"day")))
+      .withColumn("ryd", row_number().over(Window.orderBy($"y".desc, $"day")))
+      .withColumn("rxa", row_number().over(Window.orderBy($"x", $"day")))
+      .withColumn("rya", row_number().over(Window.orderBy($"y", $"day")))
+    ranked
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"))
+        .withColumn("k", expr("(n * 5 + 99) div 100"))))
+      .agg(max($"n").as("n_days"), max($"k").as("k_tail"),
+        sum(when($"rxd" <= $"k" && $"ryd" <= $"k", 1L).otherwise(0L))
+          .as("ju"),
+        sum(when($"rxa" <= $"k" && $"rya" <= $"k", 1L).otherwise(0L))
+          .as("jl"))
+      .select($"n_days", $"k_tail",
+        LlmOps.pround4($"ju".cast("double") / $"k_tail".cast("double"))
+          .as("lambda_upper"),
+        LlmOps.pround4($"jl".cast("double") / $"k_tail".cast("double"))
+          .as("lambda_lower"),
+        LlmOps.pround4($"k_tail".cast("double") / $"n_days".cast("double"))
+          .as("independence_baseline"))
+  }
+
+  /** Transfer entropy between the click and purchase daily return
+    * DIRECTIONS — "does knowing yesterday's click move improve the
+    * purchase forecast beyond purchase's own history?", the
+    * model-free directed-information sibling of [[aggCrossCorr]]:
+    * returns collapse to sign states {−1,0,+1}, the (yₜ, yₜ₋₁, xₜ₋₁)
+    * triple counts are exact, and TE = (1/N)Σ c₃·ln(c₃·c₁/(c₂·c_y)) —
+    * each ln enters once per OBSERVED triple (≤27 of them),
+    * nano-quantized, c₃-weighted in BIGINT (the agg_theil discipline);
+    * both directions ship so the net arrow is one subtraction.
+    */
+  val aggTransferEntropy: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type",
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"day")
+      .agg(sum(when($"event_type" === "click", $"cents")).as("xc"),
+        sum(when($"event_type" === "purchase", $"cents")).as("yc"))
+      .filter($"xc".isNotNull && $"yc".isNotNull)
+    val w = Window.orderBy($"day")
+    val st = daily
+      .withColumn("x", signum($"xc" - lag($"xc", 1).over(w)).cast("long"))
+      .withColumn("y", signum($"yc" - lag($"yc", 1).over(w)).cast("long"))
+      .filter($"x".isNotNull)
+      .withColumn("x1", lag($"x", 1).over(w))
+      .withColumn("y1", lag($"y", 1).over(w))
+      .filter($"x1".isNotNull)
+      .select($"x", $"y", $"x1", $"y1")
+      .cp() // both TE directions regroup the same triple frame
+    def teOf(df: DataFrame, ytc: String, y1c: String, x1c: String) = {
+      val c3 = df.groupBy(col(ytc).as("yt"), col(y1c).as("y1"),
+        col(x1c).as("x1")).agg(count(lit(1)).as("c3"))
+      val c2 = c3.groupBy($"y1", $"x1").agg(sum($"c3").as("c2"))
+      val cy = c3.groupBy($"yt", $"y1").agg(sum($"c3").as("cy"))
+      val c1 = c3.groupBy($"y1").agg(sum($"c3").as("c1"))
+      c3.join(broadcast(c2), Seq("y1", "x1"))
+        .join(broadcast(cy), Seq("yt", "y1"))
+        .join(broadcast(c1), Seq("y1"))
+        .select($"c3",
+          floor(log(($"c3" * $"c1").cast("double") /
+            ($"c2" * $"cy").cast("double")) * lit(1.0e9) + lit(0.5))
+            .cast("long").as("lq"))
+        .agg(sum($"c3").as("n"), sum($"c3" * $"lq").as("teq"))
+    }
+    val xy = teOf(st, "y", "y1", "x1")
+    val yx = teOf(st, "x", "x1", "y1")
+    xy.crossJoin(broadcast(
+        yx.select($"n".as("n2"), $"teq".as("teq2"))))
+      .select($"n".as("n_triples"),
+        LlmOps.pround4($"teq".cast("double") /
+          ($"n".cast("double") * lit(1.0e9))).as("te_click_to_purchase"),
+        LlmOps.pround4($"teq2".cast("double") /
+          ($"n2".cast("double") * lit(1.0e9))).as("te_purchase_to_click"),
+        (($"teq" - $"teq2") > 0).as("click_leads"))
+  }
+
+  /** CAPM regression of each type's daily revenue returns on the whole
+    * tape's return (the "market") — per-type systematic exposure: β > 1
+    * amplifies market days, α the idiosyncratic drift, R² how much of
+    * the type the market explains. Returns micro-quantize exactly
+    * ([[aggJarqueBera]] discipline) on BOTH legs; β/α/R² come from exact
+    * DECIMAL(38,0) cross-sums in one per-type rollup (the market leg
+    * joins back broadcast on the bounded day spine).
+    */
+  val aggCapm: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val daily = Tables.events(s, dir)
+      .select($"event_type".as("g"),
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"g", $"day").agg(sum($"cents").as("c"))
+      .cp() // per-type legs + the market rollup share it
+    val mkt = daily.groupBy($"day").agg(sum($"c").as("mc"))
+      .withColumn("pm", lag($"mc", 1).over(Window.orderBy($"day")))
+      .filter($"pm" > 0)
+      .select($"day", expr("((mc - pm) * 1000000) div pm").as("rm"))
+    val ri = daily
+      .withColumn("pc", lag($"c", 1).over(
+        Window.partitionBy($"g").orderBy($"day")))
+      .filter($"pc" > 0)
+      .select($"g", $"day", expr("((c - pc) * 1000000) div pc").as("ri"))
+    ri.join(broadcast(mkt), "day")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"ri").as("si"), sum($"rm").as("sm"),
+        sum($"rm".cast("decimal(38,0)") * $"rm").as("smm"),
+        sum($"ri".cast("decimal(38,0)") * $"ri").as("sii"),
+        sum($"ri".cast("decimal(38,0)") * $"rm").as("sim"))
+      .withColumn("beta", (d($"n") * d($"sim") - d($"si") * d($"sm")) /
+        (d($"n") * d($"smm") - d($"sm") * d($"sm")))
+      .withColumn("alpha",
+        (d($"si") - $"beta" * d($"sm")) / d($"n") / lit(1.0e6))
+      .withColumn("r", (d($"n") * d($"sim") - d($"si") * d($"sm")) /
+        sqrt((d($"n") * d($"smm") - d($"sm") * d($"sm")) *
+          (d($"n") * d($"sii") - d($"si") * d($"si"))))
+      .select($"g".as("event_type"), $"n".as("n_days"),
+        LlmOps.pround4($"beta").as("beta"),
+        LlmOps.pround4($"alpha").as("alpha_daily"),
+        LlmOps.pround4($"r" * $"r").as("r_squared"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_tail_dependence" -> aggTailDependence,
+    "agg_transfer_entropy" -> aggTransferEntropy,
+    "agg_capm" -> aggCapm,
     "agg_spearman" -> aggSpearman,
     "agg_friedman" -> aggFriedman,
     "win_adx" -> winAdx,

@@ -248,6 +248,39 @@ object LlmOracle {
   }
 
   val sql: Map[String, String] = Map(
+    // rank-formula AUC (AUC == Mann-Whitney U) with tie-averaged doubled
+    // ranks over the distinct-score spine; exact to one quantized divide
+    "llm_score_auc" ->
+      """WITH scored AS (
+        |  SELECT lang = 'en' AS pos,
+        |    (len(list_filter(string_split(trim(text), ' '),
+        |      t -> t IN ('the','of','and','to','in','a','is','that',
+        |        'for','it'))) * 1000000) //
+        |      len(string_split(trim(text), ' ')) AS q
+        |  FROM documents
+        |  WHERE len(string_split(trim(text), ' ')) > 0),
+        |bq AS (
+        |  SELECT q, count(*) AS c, count(CASE WHEN pos THEN 1 END) AS cp
+        |  FROM scored GROUP BY 1),
+        |r2 AS (
+        |  SELECT c, cp, 2 * (cum - c) + c + 1 AS r2 FROM (
+        |    SELECT q, c, cp, CAST(sum(c) OVER (ORDER BY q ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |    FROM bq)),
+        |s AS (
+        |  SELECT CAST(sum(cp) AS BIGINT) AS npos,
+        |    CAST(sum(c - cp) AS BIGINT) AS nneg,
+        |    CAST(sum(cp * r2) AS BIGINT) AS rpos2
+        |  FROM r2)
+        |SELECT npos AS n_pos, nneg AS n_neg,
+        |  floor(CAST(rpos2 - npos * (npos + 1) AS DOUBLE) /
+        |    (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE))
+        |    * 10000.0 + 0.5) / 10000.0 AS auc,
+        |  floor((CAST(rpos2 - npos * (npos + 1) AS DOUBLE) /
+        |    (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) - 1.0)
+        |    * 10000.0 + 0.5) / 10000.0 AS gini
+        |FROM s""".stripMargin,
+
     "llm_mmr_select" -> mmrSelectSql,
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_encode" -> bpeEncodeSql,

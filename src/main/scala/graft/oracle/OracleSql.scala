@@ -459,6 +459,146 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    // exact k-th order-statistic thresholds (k = ceil(0.05n)), joint tail
+    // counts, two quantized divides
+    "agg_tail_dependence" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1 HAVING x IS NOT NULL AND y IS NOT NULL),
+        |ranked AS (
+        |  SELECT
+        |    row_number() OVER (ORDER BY x DESC, day) AS rxd,
+        |    row_number() OVER (ORDER BY y DESC, day) AS ryd,
+        |    row_number() OVER (ORDER BY x, day) AS rxa,
+        |    row_number() OVER (ORDER BY y, day) AS rya
+        |  FROM daily),
+        |nn AS (SELECT count(*) AS n, (count(*) * 5 + 99) // 100 AS k
+        |  FROM daily)
+        |SELECT CAST(max(n) AS BIGINT) AS n_days,
+        |  CAST(max(k) AS BIGINT) AS k_tail,
+        |  floor(CAST(sum(CASE WHEN rxd <= k AND ryd <= k THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(max(k) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS lambda_upper,
+        |  floor(CAST(sum(CASE WHEN rxa <= k AND rya <= k THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(max(k) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS lambda_lower,
+        |  floor(CAST(max(k) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS independence_baseline
+        |FROM ranked, nn""".stripMargin,
+
+    // sign-state triples, nano-quantized ln per OBSERVED triple, exact
+    // c3-weighted BIGINT fold; both directions
+    "agg_transfer_entropy" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS xc,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS yc
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1 HAVING xc IS NOT NULL AND yc IS NOT NULL),
+        |st1 AS (
+        |  SELECT day,
+        |    CAST(sign(xc - lag(xc) OVER (ORDER BY day)) AS BIGINT) AS x,
+        |    CAST(sign(yc - lag(yc) OVER (ORDER BY day)) AS BIGINT) AS y
+        |  FROM daily),
+        |st2 AS (
+        |  SELECT x, y, lag(x) OVER (ORDER BY day) AS x1,
+        |    lag(y) OVER (ORDER BY day) AS y1
+        |  FROM st1 WHERE x IS NOT NULL),
+        |st AS (SELECT x, y, x1, y1 FROM st2 WHERE x1 IS NOT NULL),
+        |cxy3 AS (SELECT y AS yt, y1, x1, count(*) AS c3 FROM st
+        |  GROUP BY 1, 2, 3),
+        |cxy AS (
+        |  SELECT CAST(sum(c3) AS BIGINT) AS n,
+        |    CAST(sum(c3 * CAST(floor(ln(
+        |      CAST(c3 * c1 AS DOUBLE) / CAST(c2 * cy AS DOUBLE))
+        |      * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS teq
+        |  FROM (
+        |    SELECT t.c3, c2.c2, cy.cy, c1.c1 FROM cxy3 t
+        |    JOIN (SELECT y1, x1, CAST(sum(c3) AS BIGINT) AS c2 FROM cxy3
+        |      GROUP BY 1, 2) c2 ON t.y1 = c2.y1 AND t.x1 = c2.x1
+        |    JOIN (SELECT yt, y1, CAST(sum(c3) AS BIGINT) AS cy FROM cxy3
+        |      GROUP BY 1, 2) cy ON t.yt = cy.yt AND t.y1 = cy.y1
+        |    JOIN (SELECT y1, CAST(sum(c3) AS BIGINT) AS c1 FROM cxy3
+        |      GROUP BY 1) c1 ON t.y1 = c1.y1)),
+        |cyx3 AS (SELECT x AS yt, x1 AS y1, y1 AS x1, count(*) AS c3 FROM st
+        |  GROUP BY 1, 2, 3),
+        |cyx AS (
+        |  SELECT CAST(sum(c3) AS BIGINT) AS n2,
+        |    CAST(sum(c3 * CAST(floor(ln(
+        |      CAST(c3 * c1 AS DOUBLE) / CAST(c2 * cy AS DOUBLE))
+        |      * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS teq2
+        |  FROM (
+        |    SELECT t.c3, c2.c2, cy.cy, c1.c1 FROM cyx3 t
+        |    JOIN (SELECT y1, x1, CAST(sum(c3) AS BIGINT) AS c2 FROM cyx3
+        |      GROUP BY 1, 2) c2 ON t.y1 = c2.y1 AND t.x1 = c2.x1
+        |    JOIN (SELECT yt, y1, CAST(sum(c3) AS BIGINT) AS cy FROM cyx3
+        |      GROUP BY 1, 2) cy ON t.yt = cy.yt AND t.y1 = cy.y1
+        |    JOIN (SELECT y1, CAST(sum(c3) AS BIGINT) AS c1 FROM cyx3
+        |      GROUP BY 1) c1 ON t.y1 = c1.y1))
+        |SELECT n AS n_triples,
+        |  floor(CAST(teq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)
+        |    * 10000.0 + 0.5) / 10000.0 AS te_click_to_purchase,
+        |  floor(CAST(teq2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * 1000000000.0)
+        |    * 10000.0 + 0.5) / 10000.0 AS te_purchase_to_click,
+        |  (teq - teq2) > 0 AS click_leads
+        |FROM cxy, cyx""".stripMargin,
+
+    // per-type returns vs the market leg, exact DECIMAL cross-sums
+    "agg_capm" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |mkt AS (
+        |  SELECT day, ((mc - pm) * 1000000) // pm AS rm FROM (
+        |    SELECT day, mc, lag(mc) OVER (ORDER BY day) AS pm FROM (
+        |      SELECT day, CAST(sum(c) AS BIGINT) AS mc FROM daily
+        |      GROUP BY 1))
+        |  WHERE pm > 0),
+        |ri AS (
+        |  SELECT g, day, ((c - pc) * 1000000) // pc AS ri FROM (
+        |    SELECT g, day, c, lag(c) OVER (PARTITION BY g ORDER BY day)
+        |      AS pc FROM daily)
+        |  WHERE pc > 0),
+        |s AS (
+        |  SELECT g, count(*) AS n, CAST(sum(ri) AS BIGINT) AS si,
+        |    CAST(sum(rm) AS BIGINT) AS sm,
+        |    CAST(CAST(sum(CAST(rm AS HUGEINT) * rm) AS VARCHAR) AS DOUBLE)
+        |      AS smm,
+        |    CAST(CAST(sum(CAST(ri AS HUGEINT) * ri) AS VARCHAR) AS DOUBLE)
+        |      AS sii,
+        |    CAST(CAST(sum(CAST(ri AS HUGEINT) * rm) AS VARCHAR) AS DOUBLE)
+        |      AS sim
+        |  FROM ri JOIN mkt USING (day) GROUP BY 1),
+        |b AS (
+        |  SELECT g, n,
+        |    (CAST(n AS DOUBLE) * sim - CAST(si AS DOUBLE) *
+        |      CAST(sm AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * smm - CAST(sm AS DOUBLE) *
+        |      CAST(sm AS DOUBLE)) AS beta,
+        |    (CAST(n AS DOUBLE) * sim - CAST(si AS DOUBLE) *
+        |      CAST(sm AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * smm - CAST(sm AS DOUBLE) *
+        |        CAST(sm AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) * sii - CAST(si AS DOUBLE) *
+        |        CAST(si AS DOUBLE))) AS r,
+        |    si, sm
+        |  FROM s)
+        |SELECT g AS event_type, n AS n_days,
+        |  floor(beta * 10000.0 + 0.5) / 10000.0 AS beta,
+        |  floor((CAST(si AS DOUBLE) - beta * CAST(sm AS DOUBLE)) /
+        |    CAST(n AS DOUBLE) / 1000000.0 * 10000.0 + 0.5) / 10000.0
+        |    AS alpha_daily,
+        |  floor(r * r * 10000.0 + 0.5) / 10000.0 AS r_squared
+        |FROM b ORDER BY event_type""".stripMargin,
+
     // doubled average ranks (2r + t - 1 exact), Pearson formula on ranks;
     // raw-value r ships next to rho
     "agg_spearman" ->

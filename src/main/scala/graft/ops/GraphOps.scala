@@ -2368,7 +2368,48 @@ object GraphOps {
     out.orderBy($"walk", $"step")
   }
 
+  /** Greedy maximal matching by synchronous mutual proposals — the
+    * classic distributed matching round (each unmatched vertex proposes
+    * to its heaviest unmatched neighbor, mutual proposals lock in,
+    * matched vertices leave the graph; 4 fixed rounds): the
+    * assignment-problem workhorse (pairing SKUs for A/B shelf tests,
+    * dedup pairing, load pairing) and the third fixed-round iterative
+    * family next to [[graphLpa]]/[[graphLouvain]]. Proposals are exact
+    * argmax by (w desc, id asc) — min-struct over (−w, u), no float, no
+    * hash; each round is one agg + one self-join on the 4-round shrinking
+    * edge frame, checkpointed (the eigencentrality lineage discipline).
+    */
+  val graphMatchingGreedy: Q = (s, dir) => {
+    import s.implicits._
+    var e2 = copurchase(s, dir)
+      .select($"a", $"b", $"w")
+      .unionAll(copurchase(s, dir).select($"b".as("a"), $"a".as("b"), $"w"))
+      .cp()
+    var out: DataFrame = null
+    for (round <- 1 to 4) {
+      val best = e2.groupBy($"a".as("v"))
+        .agg(min(struct((-$"w").as("nw"), $"b".as("u"))).as("m"))
+        .select($"v", $"m.u".as("u"), (-$"m.nw").as("w"))
+      val matched = best.as("p1")
+        .join(best.as("p2"), $"p1.v" === $"p2.u" && $"p2.v" === $"p1.u" &&
+          $"p1.v" < $"p2.v")
+        .select($"p1.v".as("a"), $"p1.u".as("b"), $"p1.w".as("w"),
+          lit(round.toLong).as("round"))
+        .cp()
+      out = if (out == null) matched else out.unionAll(matched)
+      // no broadcast hint: matched can reach |V|/2 per round — AQE picks
+      // broadcast when it fits, shuffle anti-join when it doesn't
+      val mv = matched.select($"a".as("mv"))
+        .unionAll(matched.select($"b".as("mv")))
+      e2 = e2.join(mv, $"a" === $"mv", "left_anti")
+        .join(mv.select($"mv".as("mv2")), $"b" === $"mv2", "left_anti")
+        .cp()
+    }
+    out.orderBy($"a")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_matching_greedy" -> graphMatchingGreedy,
     "graph_node2vec_walks" -> graphNode2vecWalks,
     "graph_temporal_reach" -> graphTemporalReach,
     "graph_katz" -> graphKatz,

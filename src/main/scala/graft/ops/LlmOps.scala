@@ -4195,7 +4195,71 @@ object LlmOps {
           .as("gini"))
   }
 
+  /** Multinomial Naive Bayes SOURCE classifier trained and evaluated
+    * entirely in the dataflow — the cheap domain classifier curation
+    * pipelines train to route/filter documents (the quality-classifier
+    * pattern), as a declared query: train on alternating 20-doc blocks
+    * ((doc_id div 20) mod 2 — the plain even/odd split would put every
+    * source in exactly one half, the fixture assigns source by
+    * doc_id mod 20), Laplace
+    * token likelihoods over the DENSE train-vocab × source grid (zero
+    * counts get their smoothing row — vocab×|sources| rows, never
+    * corpus-sized), every log nano-quantized once per (token, source)
+    * so per-document score sums are exact BIGINT folds; argmax with ties
+    * to the lexicographically smaller source (min-struct over
+    * (−score, source)); per-source test accuracy is the graded frame.
+    * OOV test tokens drop at the score join (declared semantics).
+    */
+  val llmNbClassify: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", $"source", explode(split(trim($"text"), " "))
+        .as("tok"))
+      .filter($"tok" =!= "")
+      .cp() // train counts + test scoring share the tokenize pass
+    val train = toks.filter(expr("(doc_id div 20) % 2 = 0"))
+    val srcTotals = train.groupBy($"source").agg(count(lit(1)).as("cs"))
+    val vocab = train.select($"tok").distinct().cp()
+    val v = vocab.count() // the Laplace denominator, one metadata-scale job
+    val dense = vocab.crossJoin(broadcast(srcTotals))
+      .join(train.groupBy($"tok", $"source").agg(count(lit(1)).as("cts")),
+        Seq("tok", "source"), "left")
+      .select($"tok", $"source",
+        floor(log((coalesce($"cts", lit(0L)) + 1).cast("double") /
+          ($"cs" + lit(v)).cast("double")) * lit(1.0e9) + lit(0.5))
+          .cast("long").as("tsq"))
+    val trainDocs = Tables.documents(s, dir)
+      .filter(expr("(doc_id div 20) % 2 = 0"))
+      .groupBy($"source").agg(count(lit(1)).as("nd"))
+    val priorQ = trainDocs
+      .crossJoin(broadcast(trainDocs.agg(sum($"nd").as("n"))))
+      .select($"source",
+        floor(log($"nd".cast("double") / $"n".cast("double")) *
+          lit(1.0e9) + lit(0.5)).cast("long").as("pq"))
+    val test = toks.filter(expr("(doc_id div 20) % 2 <> 0"))
+    val pred = test
+      .join(dense.withColumnRenamed("source", "hyp"), "tok")
+      .groupBy($"doc_id", $"hyp").agg(sum($"tsq").as("ts"))
+      .join(broadcast(priorQ.withColumnRenamed("source", "hyp")), "hyp")
+      .select($"doc_id", $"hyp", ($"ts" + $"pq").as("score"))
+      .groupBy($"doc_id")
+      .agg(min(struct((-$"score").as("ns"), $"hyp".as("h"))).as("m"))
+      .select($"doc_id", $"m.h".as("pred"))
+    Tables.documents(s, dir)
+      .filter(expr("(doc_id div 20) % 2 <> 0"))
+      .select($"doc_id", $"source")
+      .join(pred, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"pred" === $"source", 1L).otherwise(0L)).as("n_correct"))
+      .select($"source", $"n_test", $"n_correct",
+        pround4($"n_correct".cast("double") / $"n_test".cast("double"))
+          .as("accuracy"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_nb_classify" -> llmNbClassify,
     "llm_score_auc" -> llmScoreAuc,
     "llm_mmr_select" -> llmMmrSelect,
     "llm_rouge_pairs" -> llmRougePairs,

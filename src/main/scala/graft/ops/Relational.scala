@@ -6766,7 +6766,41 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Right-to-forget purge with audit — the compliance write path every
+    * long-lived store needs: the forget cohort (declared: user_id ≡ 0
+    * mod 97) is deleted from the journal into a purged scratch parquet
+    * (built once per data fingerprint, the [[srcCsvGzip]] artifact
+    * discipline), and the graded frame READS THE PURGED COPY BACK — per
+    * day: surviving rows (from the re-read — a hash match proves the
+    * rewrite dropped exactly the cohort and nothing else), purged rows
+    * and purged users (from the pristine side), on the pristine day
+    * spine so fully-purged days still report. At 100 TB this is the
+    * partition-rewrite delete pattern; the audit is one broadcast join
+    * of two day rollups.
+    */
+  val sinkGdprPurge: Q = (s, dir) => {
+    import s.implicits._
+    val out = srcArtifact("sink_gdpr_purge", dir, "events.parquet") { p =>
+      Tables.events(s, dir).filter($"user_id" % 97 =!= 0)
+        .write.mode("overwrite").parquet(s"$p/journal")
+    } + "/journal"
+    val kept = s.read.parquet(out)
+      .groupBy((tsMs($"ts") / lit(86400000L)).cast("long").as("day"))
+      .agg(count(lit(1)).as("n_kept"))
+    val purged = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("day"),
+        $"user_id", ($"user_id" % 97 === 0).as("f"))
+      .groupBy($"day")
+      .agg(sum(when($"f", 1L).otherwise(0L)).as("n_purged"),
+        countDistinct(when($"f", $"user_id")).as("n_users_purged"))
+    purged.join(kept, Seq("day"), "left")
+      .select($"day", coalesce($"n_kept", lit(0L)).as("n_kept"),
+        $"n_purged", $"n_users_purged")
+      .orderBy($"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sink_gdpr_purge" -> sinkGdprPurge,
     "agg_tail_dependence" -> aggTailDependence,
     "agg_transfer_entropy" -> aggTransferEntropy,
     "agg_capm" -> aggCapm,

@@ -78,6 +78,39 @@ object GraphOracle {
     * md5-collision-impossible in practice but the ORDER BY carries the
     * same tie key as the Spark max-struct anyway).
     */
+  /** graph_matching_greedy: 4 unrolled mutual-proposal rounds; proposals
+    * are row_number argmax by (w DESC, u), matched vertices leave via
+    * NOT IN before the next round.
+    */
+  private val matchingGreedySql: String = {
+    val base =
+      s"""WITH $copurchaseCte,
+         |e0 AS MATERIALIZED (
+         |  SELECT a, b, CAST(w AS BIGINT) AS w FROM cp
+         |  UNION ALL SELECT b, a, CAST(w AS BIGINT) AS w FROM cp)"""
+        .stripMargin
+    val rounds = (1 to 4).map { i =>
+      s"""b$i AS (
+         |  SELECT v, u, w FROM (
+         |    SELECT a AS v, b AS u, w,
+         |      row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+         |    FROM e${i - 1}) WHERE rn = 1),
+         |m$i AS MATERIALIZED (
+         |  SELECT p1.v AS a, p1.u AS b, p1.w AS w,
+         |    CAST($i AS BIGINT) AS round
+         |  FROM b$i p1 JOIN b$i p2
+         |    ON p1.v = p2.u AND p2.v = p1.u AND p1.v < p2.v),
+         |e$i AS MATERIALIZED (
+         |  SELECT * FROM e${i - 1}
+         |  WHERE a NOT IN (SELECT a FROM m$i UNION ALL SELECT b FROM m$i)
+         |    AND b NOT IN (SELECT a FROM m$i UNION ALL SELECT b FROM m$i))"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = (1 to 4).map(i => s"SELECT a, b, w, round FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"$base,\n$rounds\n$sel\nORDER BY a"
+  }
+
   private val node2vecSql: String = {
     val base =
       s"""WITH $copurchaseCte,
@@ -872,6 +905,9 @@ object GraphOracle {
     // node2vec p/q bias as a class rank (out 0 < in 1 < return 2) ahead of
     // the hash tiebreak; the in-triangle mark is a LEFT JOIN on (prev, b)
     "graph_node2vec_walks" -> node2vecSql,
+
+    // 4 synchronous mutual-proposal rounds, argmax by (w DESC, u)
+    "graph_matching_greedy" -> matchingGreedySql,
 
     // first-touch collapse before pairing; time-respecting 7-day band
     "graph_temporal_reach" ->

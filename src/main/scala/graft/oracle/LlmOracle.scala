@@ -248,6 +248,59 @@ object LlmOracle {
   }
 
   val sql: Map[String, String] = Map(
+    // NB train/eval in SQL: dense vocab x source Laplace grid, logs
+    // nano-quantized once per (token, source), exact BIGINT score folds,
+    // min-struct argmax with ties to the smaller source
+    "llm_nb_classify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, t AS tok
+        |  FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(t)
+        |  WHERE t <> ''),
+        |train AS (SELECT * FROM toks WHERE (doc_id // 20) % 2 = 0),
+        |src_totals AS (SELECT source, count(*) AS cs FROM train GROUP BY 1),
+        |vocab AS (SELECT DISTINCT tok FROM train),
+        |vn AS (SELECT count(*) AS v FROM vocab),
+        |cts AS (SELECT tok, source, count(*) AS cts FROM train
+        |  GROUP BY 1, 2),
+        |dense AS MATERIALIZED (
+        |  SELECT vocab.tok, st.source,
+        |    CAST(floor(ln(CAST(coalesce(cts.cts, 0) + 1 AS DOUBLE) /
+        |      CAST(st.cs + vn.v AS DOUBLE)) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS tsq
+        |  FROM vocab CROSS JOIN src_totals st CROSS JOIN vn
+        |  LEFT JOIN cts ON cts.tok = vocab.tok AND cts.source = st.source),
+        |train_docs AS (
+        |  SELECT source, count(*) AS nd FROM documents
+        |  WHERE (doc_id // 20) % 2 = 0 GROUP BY 1),
+        |priorq AS (
+        |  SELECT source,
+        |    CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS pq
+        |  FROM train_docs, (SELECT CAST(sum(nd) AS BIGINT) AS n
+        |    FROM train_docs)),
+        |test AS (SELECT * FROM toks WHERE (doc_id // 20) % 2 <> 0),
+        |scores AS (
+        |  SELECT t.doc_id, d.source AS hyp,
+        |    CAST(sum(d.tsq) AS BIGINT) + max(p.pq) AS score
+        |  FROM test t JOIN dense d ON t.tok = d.tok
+        |  JOIN priorq p ON p.source = d.source
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, hyp AS pred FROM (
+        |    SELECT doc_id, hyp,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, hyp) AS rn
+        |    FROM scores) WHERE rn = 1)
+        |SELECT d.source, count(*) AS n_test,
+        |  CAST(sum(CASE WHEN p.pred = d.source THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  floor(CAST(sum(CASE WHEN p.pred = d.source THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS accuracy
+        |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        |WHERE (d.doc_id // 20) % 2 <> 0
+        |GROUP BY 1 ORDER BY d.source""".stripMargin,
+
     // rank-formula AUC (AUC == Mann-Whitney U) with tie-averaged doubled
     // ranks over the distinct-score spine; exact to one quantized divide
     "llm_score_auc" ->

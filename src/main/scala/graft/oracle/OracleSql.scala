@@ -459,6 +459,20 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    // audit recomputed from the pristine journal — a hash match proves the
+    // purged rewrite dropped exactly the cohort and nothing else
+    "sink_gdpr_purge" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, user_id,
+        |    user_id % 97 = 0 AS f
+        |  FROM events)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+        |  CAST(count(DISTINCT CASE WHEN f THEN user_id END) AS BIGINT)
+        |    AS n_users_purged
+        |FROM e GROUP BY 1 ORDER BY day""".stripMargin,
+
     // exact k-th order-statistic thresholds (k = ceil(0.05n)), joint tail
     // counts, two quantized divides
     "agg_tail_dependence" ->

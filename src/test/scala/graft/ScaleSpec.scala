@@ -364,7 +364,10 @@ class ScaleSpec extends SparkSpec {
       "win_garch", "graph_node2vec_walks", "llm_rouge_pairs",
       // wave IV (agg_spearman / win_adx ride the day-spine exception;
       // agg_friedman's windows are day-partitioned)
-      "agg_friedman", "llm_mmr_select")
+      "agg_friedman", "llm_mmr_select",
+      // waves V/VI (tail_dependence / transfer_entropy / capm / score_auc
+      // ride the day- or value-spine exception)
+      "graph_matching_greedy", "sink_gdpr_purge", "llm_nb_classify")
     for (k <- keys) {
       val plan = SparkEntry.queries(k)(spark, sf).queryExecution.optimizedPlan
       plan.collect { case j: Join if j.condition.isEmpty => j }.foreach { j =>

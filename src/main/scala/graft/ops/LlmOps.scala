@@ -4258,7 +4258,54 @@ object LlmOps {
       .orderBy($"source")
   }
 
+  /** Dunning log-likelihood-ratio collocations — the collocation score
+    * that stays calibrated at LOW counts where PMI explodes (the standard
+    * since Dunning '93): per bigram the 2×2 contingency table (first
+    * token = a × second token = b over the bigram-event space) is exact
+    * integer, LLR = 2·Σ k·ln(k·N/(rowΣ·colΣ)) with each of the ≤4 ln
+    * terms nano-quantized once (zero cells contribute zero — no log of
+    * zero), summed in BIGINT; top-20 by LLR. One bigram rollup + two
+    * broadcast margin joins — the [[llmCollocations]] stream with the
+    * scoring the raw-counts op leaves to the reader.
+    */
+  val llmCollocationsLlr: Q = (s, dir) => {
+    import s.implicits._
+    val bi = Tables.documents(s, dir)
+      .filter(size(split(trim($"text"), " ")) >= 2)
+      .select(split(trim($"text"), " ").as("ts"))
+      .select($"ts", explode(sequence(lit(1), size($"ts") - 1)).as("i"))
+      .select(element_at($"ts", $"i").as("a"),
+        element_at($"ts", $"i" + 1).as("b"))
+      .cp() // pair counts + both margins regroup this
+    val nb = bi.agg(count(lit(1)).as("n"))
+    val ma = bi.groupBy($"a").agg(count(lit(1)).as("ca"))
+    val mb = bi.groupBy($"b").agg(count(lit(1)).as("cb"))
+    val cells = bi.groupBy($"a", $"b").agg(count(lit(1)).as("k11"))
+      .join(ma, "a").join(mb, "b").crossJoin(broadcast(nb))
+      .withColumn("k12", $"ca" - $"k11")
+      .withColumn("k21", $"cb" - $"k11")
+      .withColumn("k22", $"n" - $"ca" - $"cb" + $"k11")
+    def lq(k: Column, row: Column, col: Column): Column =
+      when(k > 0,
+        floor(k.cast("double") *
+          log((k.cast("double") * $"n".cast("double")) /
+            (row.cast("double") * col.cast("double"))) *
+          lit(1.0e9) + lit(0.5)).cast("long"))
+        .otherwise(0L)
+    cells
+      .withColumn("llrq",
+        lit(2L) * (lq($"k11", $"ca", $"cb") +
+          lq($"k12", $"ca", $"n" - $"cb") +
+          lq($"k21", $"n" - $"ca", $"cb") +
+          lq($"k22", $"n" - $"ca", $"n" - $"cb")))
+      .select($"a", $"b", $"k11".as("n_pair"),
+        pround4($"llrq".cast("double") / lit(1.0e9)).as("llr"))
+      .orderBy($"llr".desc, $"a", $"b")
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_collocations_llr" -> llmCollocationsLlr,
     "llm_nb_classify" -> llmNbClassify,
     "llm_score_auc" -> llmScoreAuc,
     "llm_mmr_select" -> llmMmrSelect,

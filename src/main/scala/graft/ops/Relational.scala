@@ -6799,7 +6799,44 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Sortino ratio of each type's daily revenue returns — the risk
+    * measure that only punishes DOWNSIDE deviation (σ penalizes good
+    * surprises too; [[winUlcer]] covers path drawdowns, this covers
+    * per-period downside): returns micro-quantize exactly (the
+    * [[aggJarqueBera]] discipline), downside squares Σmin(r,0)² in
+    * DECIMAL(38,0), Sortino = mean/√(downside mean) one fixed double
+    * tree; the plain Sharpe ships next to it so the skew penalty is one
+    * glance.
+    */
+  val winSortino: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    Tables.events(s, dir)
+      .select($"event_type".as("g"),
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"g", $"day").agg(sum($"cents").as("c"))
+      .withColumn("pc", lag($"c", 1).over(
+        Window.partitionBy($"g").orderBy($"day")))
+      .filter($"pc" > 0)
+      .select($"g", expr("((c - pc) * 1000000) div pc").as("r"))
+      .withColumn("dn", least($"r", lit(0L)))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"r").as("s1"),
+        sum($"r".cast("decimal(38,0)") * $"r").as("s2"),
+        sum($"dn".cast("decimal(38,0)") * $"dn").as("sd2"))
+      .withColumn("m", d($"s1") / d($"n"))
+      .withColumn("sig", sqrt(d($"s2") / d($"n") - $"m" * $"m"))
+      .withColumn("dsig", sqrt(d($"sd2") / d($"n")))
+      .select($"g".as("event_type"), $"n".as("n_days"),
+        LlmOps.pround4($"m" / lit(1.0e6)).as("mean_ret"),
+        LlmOps.pround4($"m" / $"sig").as("sharpe"),
+        when($"sd2" > 0, LlmOps.pround4($"m" / $"dsig")).as("sortino"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_sortino" -> winSortino,
     "sink_gdpr_purge" -> sinkGdprPurge,
     "agg_tail_dependence" -> aggTailDependence,
     "agg_transfer_entropy" -> aggTransferEntropy,

@@ -248,6 +248,49 @@ object LlmOracle {
   }
 
   val sql: Map[String, String] = Map(
+    // 2x2 bigram contingency per pair, each k ln(kN/(row col)) term
+    // nano-quantized once, zero cells contribute zero
+    "llm_collocations_llr" ->
+      """WITH toks AS (
+        |  SELECT string_split(trim(text), ' ') AS ts FROM documents
+        |  WHERE len(string_split(trim(text), ' ')) >= 2),
+        |bi AS (
+        |  SELECT ts[i] AS a, ts[i + 1] AS b
+        |  FROM toks, UNNEST(range(1, len(ts))) AS t(i)),
+        |nb AS (SELECT count(*) AS n FROM bi),
+        |ma AS (SELECT a, count(*) AS ca FROM bi GROUP BY 1),
+        |mb AS (SELECT b, count(*) AS cb FROM bi GROUP BY 1),
+        |cells AS (
+        |  SELECT p.a, p.b, p.k11, ma.ca, mb.cb, nb.n,
+        |    ma.ca - p.k11 AS k12, mb.cb - p.k11 AS k21,
+        |    nb.n - ma.ca - mb.cb + p.k11 AS k22
+        |  FROM (SELECT a, b, count(*) AS k11 FROM bi GROUP BY 1, 2) p
+        |  JOIN ma ON p.a = ma.a JOIN mb ON p.b = mb.b, nb),
+        |sc AS (
+        |  SELECT a, b, k11,
+        |    2 * (
+        |      (CASE WHEN k11 > 0 THEN CAST(floor(CAST(k11 AS DOUBLE) *
+        |        ln((CAST(k11 AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |          (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+        |        * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END) +
+        |      (CASE WHEN k12 > 0 THEN CAST(floor(CAST(k12 AS DOUBLE) *
+        |        ln((CAST(k12 AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |          (CAST(ca AS DOUBLE) * CAST(n - cb AS DOUBLE)))
+        |        * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END) +
+        |      (CASE WHEN k21 > 0 THEN CAST(floor(CAST(k21 AS DOUBLE) *
+        |        ln((CAST(k21 AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |          (CAST(n - ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+        |        * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END) +
+        |      (CASE WHEN k22 > 0 THEN CAST(floor(CAST(k22 AS DOUBLE) *
+        |        ln((CAST(k22 AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |          (CAST(n - ca AS DOUBLE) * CAST(n - cb AS DOUBLE)))
+        |        * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END)) AS llrq
+        |  FROM cells)
+        |SELECT a, b, CAST(k11 AS BIGINT) AS n_pair,
+        |  floor(CAST(llrq AS DOUBLE) / 1000000000.0 * 10000.0 + 0.5)
+        |    / 10000.0 AS llr
+        |FROM sc ORDER BY llr DESC, a, b LIMIT 20""".stripMargin,
+
     // NB train/eval in SQL: dense vocab x source Laplace grid, logs
     // nano-quantized once per (token, source), exact BIGINT score folds,
     // min-struct argmax with ties to the smaller source

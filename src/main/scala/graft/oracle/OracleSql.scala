@@ -459,6 +459,39 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
+    // quantized returns, DECIMAL downside squares, fixed Sharpe/Sortino
+    // trees; HUGEINT->double via VARCHAR
+    "win_sortino" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, ((c - pc) * 1000000) // pc AS r FROM (
+        |    SELECT g, c, lag(c) OVER (PARTITION BY g ORDER BY day) AS pc
+        |    FROM daily)
+        |  WHERE pc > 0),
+        |s AS (
+        |  SELECT g, count(*) AS n, CAST(sum(r) AS BIGINT) AS s1,
+        |    CAST(CAST(sum(CAST(r AS HUGEINT) * r) AS VARCHAR) AS DOUBLE)
+        |      AS s2,
+        |    CAST(CAST(sum(CAST(least(r, 0) AS HUGEINT) * least(r, 0))
+        |      AS VARCHAR) AS DOUBLE) AS sd2
+        |  FROM r GROUP BY 1),
+        |t AS (
+        |  SELECT g, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    sqrt(s2 / CAST(n AS DOUBLE) -
+        |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS sig,
+        |    sqrt(sd2 / CAST(n AS DOUBLE)) AS dsig, sd2
+        |  FROM s)
+        |SELECT g AS event_type, n AS n_days,
+        |  floor(m / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS mean_ret,
+        |  floor(m / sig * 10000.0 + 0.5) / 10000.0 AS sharpe,
+        |  CASE WHEN sd2 > 0
+        |    THEN floor(m / dsig * 10000.0 + 0.5) / 10000.0 END AS sortino
+        |FROM t ORDER BY event_type""".stripMargin,
+
     // audit recomputed from the pristine journal — a hash match proves the
     // purged rewrite dropped exactly the cohort and nothing else
     "sink_gdpr_purge" ->

@@ -67,6 +67,62 @@ class Round13gSpec extends SparkSpec {
     assert(got.map(_._3).sum > 0)
   }
 
+  test("llm_collocations_llr equals a plain-Scala Dunning LLR replay") {
+    import spark.implicits._
+    val bi = Tables.documents(spark, sf).select($"text").collect()
+      .map(_.getString(0).trim.split(" ").toSeq)
+      .filter(_.length >= 2)
+      .flatMap(ts => ts.zip(ts.tail))
+    val n = bi.length.toLong
+    val ma = bi.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val mb = bi.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def lq(k: Long, row: Long, col: Long): Long =
+      if (k > 0)
+        math.floor(k.toDouble *
+          math.log((k.toDouble * n) / (row.toDouble * col.toDouble)) *
+          1.0e9 + 0.5).toLong
+      else 0L
+    val expect = bi.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((a, b), k11) =>
+        val (ca, cb) = (ma(a), mb(b))
+        val llrq = 2 * (lq(k11, ca, cb) + lq(ca - k11, ca, n - cb) +
+          lq(cb - k11, n - ca, cb) + lq(n - ca - cb + k11, n - ca, n - cb))
+        (a, b, k11, p4(llrq.toDouble / 1.0e9))
+      }.sortBy { case (a, b, _, l) => (-l, a, b) }.take(20)
+    val got = q("llm_collocations_llr").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expect)
+    assert(got.head._4 > 0.0)
+  }
+
+  test("win_sortino equals a plain-Scala downside-deviation replay") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", unix_millis($"ts"), $"value").collect()
+      .map(r => ((r.getString(0), r.getLong(1) / 86400000L),
+        math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = daily.keys.map(_._1).toSeq.distinct.sorted.map { g =>
+      val series = daily.collect { case ((gg, d), c) if gg == g => (d, c) }
+        .toSeq.sortBy(_._1).map(_._2)
+      val rs = series.zip(series.tail).collect {
+        case (pc, c) if pc > 0 => (c - pc) * 1000000L / pc
+      }
+      val n = rs.length.toDouble
+      val m = rs.sum.toDouble / n
+      val s2 = rs.map(r => BigInt(r) * r).sum.toDouble
+      val sd2 = rs.map(r => { val d0 = math.min(r, 0L); BigInt(d0) * d0 })
+        .sum.toDouble
+      val sig = math.sqrt(s2 / n - m * m)
+      (g, rs.length.toLong, p4(m / 1.0e6), p4(m / sig),
+        if (sd2 > 0) Some(p4(m / math.sqrt(sd2 / n))) else None)
+    }
+    val got = q("win_sortino").collect().map(r => (r.getString(0),
+      r.getLong(1), r.getDouble(2), r.getDouble(3),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got === expect)
+  }
+
   test("llm_nb_classify equals a plain-Scala Naive Bayes replay") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

@@ -999,44 +999,101 @@ object GraphAlgebra {
       .limit(k)
   }
 
+  /** Bounded-hop min-distance reachability over a (src, dst) edge frame:
+    * one row per (src, dst) pair connected by a directed path of 1 to
+    * `maxHops` edges, with `hops` = the MINIMUM path length. The
+    * variable-length-edge engine under [[matchPattern]] (`-[*1..k]->`).
+    *
+    * Scale shape: classic level-synchronous BFS on pairs — per level one
+    * equi-join of the FRONTIER (pairs first reached last level) into the
+    * edge frame keyed on the mid vertex, a pair-key distinct, and an
+    * anti-join against the already-reached set, each checkpointed so the
+    * plan stays level-sized. The per-level dedup is what keeps this
+    * path-COUNT-free: frames are bounded by reachable pairs (≤ the
+    * transitive closure truncated at k), never by the exponential number
+    * of walks. maxHops is capped at 4 — a pattern edge is a short
+    * template hop, not an unbounded traversal (reachClosure covers that).
+    */
+  def boundedReach(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 4,
+      s"boundedReach supports 1-4 hops (got $maxHops)")
+    val base = edges.select(col("src"), col("dst")).distinct().cp()
+    var reach = base.withColumn("hops", lit(1L))
+    var frontier = base
+    for (h <- 2 to maxHops) {
+      val nxt = frontier.select(col("src"), col("dst").as("m"))
+        .join(base.select(col("src").as("m"), col("dst")), Seq("m"))
+        .select(col("src"), col("dst")).distinct()
+        .join(reach.select(col("src"), col("dst")), Seq("src", "dst"),
+          "left_anti")
+        .cp()
+      reach = reach.unionAll(nxt.withColumn("hops", lit(h.toLong))).cp()
+      frontier = nxt
+    }
+    reach
+  }
+
   /** Pattern-match bindings over a (src, dst, w) adjacency — the
     * graph-DB query surface a serving store exposes (MATCH-style small
-    * templates: paths, triangles, fans), generalized from the motif
-    * census's hand-built joins. Each [[EdgePattern]] names its endpoint
-    * VARIABLES and optionally constrains the edge (`pred` over the edge
-    * frame's columns) and exports its weight (`keepW`). Variables shared
-    * between template edges become equi-join keys; each template edge
-    * must share at least one variable with the earlier ones (connected
-    * patterns only — a disconnected edge would be a cross product).
-    * `distinctVars` (the default) enforces injective bindings: every
-    * newly bound variable filters ≠ against all earlier ones AT BIND
-    * TIME, so the pruning happens inside the join pipeline, not on the
-    * blown-up result. Returns one row per binding with one column per
-    * variable plus the kept weights.
+    * templates: paths, triangles, fans, cycles), generalized from the
+    * motif census's hand-built joins. Each [[EdgePattern]] names its
+    * endpoint VARIABLES and optionally constrains the edge (`pred` over
+    * the edge frame's columns) and exports its weight (`keepW`).
+    * Variables shared between template edges become equi-join keys; each
+    * template edge must share at least one variable with the earlier
+    * ones (connected patterns only — a disconnected edge would be a
+    * cross product). `distinctVars` (the default) enforces injective
+    * bindings: every newly bound variable filters ≠ against all earlier
+    * ones AT BIND TIME, so the pruning happens inside the join pipeline,
+    * not on the blown-up result.
     *
-    * Scale shape: template size is capped at 3 edges, so a match is at
-    * most 2 equi-joins over the edge frame, each keyed on a bound
-    * variable — the same worst case as the 2-path frame the motif census
-    * builds; per-edge `pred` filters run BEFORE the joins (candidate
-    * streams shrink first), and every intermediate is
+    * A template edge with `maxHops > 1` is a VARIABLE-LENGTH edge
+    * (`-[*min..max]->`): it binds endpoint pairs connected by a directed
+    * path of `minHops..maxHops` edges — each edge of the path passing
+    * `pred` — via [[boundedReach]] (min-hop semantics, path-count-free),
+    * exporting the hop distance under `keepHops`. Intermediate path
+    * vertices are NOT pattern variables: they are never bound, so
+    * injectivity does not constrain them (standard MATCH semantics).
+    * Returns one row per binding with one column per variable plus the
+    * kept weights / hop counts.
+    *
+    * Scale shape: template size is capped at 5 edges, so a match is at
+    * most 4 equi-joins over the edge frame, each keyed on a bound
+    * variable; per-edge `pred` filters run BEFORE the joins (candidate
+    * streams shrink first), a var-length edge materializes only its
+    * deduped reachability pairs, and every intermediate is
     * variable-bound-columns only, never payloads.
     */
   def matchPattern(edges: DataFrame, pattern: Seq[EdgePattern],
                    distinctVars: Boolean = true): DataFrame = {
-    require(pattern.nonEmpty && pattern.size <= 3,
-      s"matchPattern supports 1-3 edge templates (got ${pattern.size})")
+    require(pattern.nonEmpty && pattern.size <= 5,
+      s"matchPattern supports 1-5 edge templates (got ${pattern.size})")
     val base = edges.select(col("src"), col("dst"), col("w"))
     var acc: DataFrame = null
     var bound = List.empty[String]
     pattern.zipWithIndex.foreach { case (pe, i) =>
       require(pe.from != pe.to,
         s"pattern edge $i binds one variable to both endpoints")
-      val e = base.filter(pe.pred)
-        .select(col("src").as("__f"), col("dst").as("__t"),
-          col("w").as("__w"))
+      require(pe.minHops >= 1 && pe.maxHops >= pe.minHops,
+        s"pattern edge $i has an empty hop range " +
+          s"[${pe.minHops}..${pe.maxHops}]")
+      require(pe.maxHops == 1 || pe.keepW.isEmpty,
+        s"pattern edge $i is variable-length: a path has no single edge " +
+          "weight — export keepHops instead")
+      val e =
+        if (pe.maxHops == 1)
+          base.filter(pe.pred)
+            .select(col("src").as("__f"), col("dst").as("__t"),
+              col("w").as("__w"))
+        else
+          boundedReach(base.filter(pe.pred), pe.maxHops)
+            .filter(col("hops") >= pe.minHops)
+            .select(col("src").as("__f"), col("dst").as("__t"),
+              col("hops").as("__w"))
+      val exported = if (pe.maxHops == 1) pe.keepW else pe.keepHops
       if (acc == null) {
         val cols = Seq(col("__f").as(pe.from), col("__t").as(pe.to)) ++
-          pe.keepW.map(n => col("__w").as(n))
+          exported.map(n => col("__w").as(n))
         acc = e.select(cols: _*)
         if (distinctVars) acc = acc.filter(col(pe.from) =!= col(pe.to))
         bound = List(pe.from, pe.to)
@@ -1056,7 +1113,7 @@ object GraphAlgebra {
             bound.foreach(b => j = j.filter(col(b) =!= col(v)))
           bound = bound :+ v
         }
-        pe.keepW.foreach(n => j = j.withColumn(n, col("__w")))
+        exported.foreach(n => j = j.withColumn(n, col("__w")))
         acc = j.drop("__f", "__t", "__w")
       }
     }
@@ -1067,8 +1124,15 @@ object GraphAlgebra {
 /** One template edge of a [[GraphAlgebra.matchPattern]] query: endpoint
   * variable names, an optional predicate over the edge frame's columns
   * (e.g. `col("w") >= 3`), and an optional output name for the matched
-  * edge's weight.
+  * edge's weight. `minHops`/`maxHops` > 1 make it a VARIABLE-LENGTH edge
+  * (`-[*min..max]->`): it matches endpoint pairs connected by a directed
+  * path of that many pred-passing edges (min-hop semantics) and exports
+  * the hop distance under `keepHops` (keepW is meaningless for a path
+  * and rejected).
   */
 case class EdgePattern(from: String, to: String,
                        pred: Column = lit(true),
-                       keepW: Option[String] = None)
+                       keepW: Option[String] = None,
+                       minHops: Int = 1,
+                       maxHops: Int = 1,
+                       keepHops: Option[String] = None)

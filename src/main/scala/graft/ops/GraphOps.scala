@@ -1975,6 +1975,38 @@ object GraphOps {
       .orderBy($"w_total".desc, $"a", $"b", $"c").limit(20)
   }
 
+  /** Variable-length pattern match — the MATCH query shape above
+    * [[graphMatchPattern]]'s fixed triangle: a 4-EDGE template with one
+    * VARIABLE-LENGTH edge, `(a)-[w≥3]->(b)-[*1..2 over w≥2]->(c)
+    * -[w≥2]->(d)` closed by an unconstrained `(a)->(d)` edge (a 4-cycle
+    * through a bounded path), over the canonical co-purchase pair graph.
+    * The var edge binds (b, c) pairs connected by 1 or 2 hops of
+    * w ≥ 2 edges with MIN-hop semantics ([[graft.api.GraphAlgebra
+    * .boundedReach]] — per-level pair dedup, path-count-free);
+    * intermediate path vertices are not variables, so injectivity
+    * constrains only a, b, c, d. Top-20 bindings by the summed weight of
+    * the three concrete edges (ties to the (a, b, c, d) tuple). The
+    * oracle replays the template as explicit unrolled-hop SQL joins.
+    * Scale: the w-floor predicates prune every candidate stream BEFORE
+    * its join; the reach frame is two level-joins over the w≥3 subgraph;
+    * the rest is 3 equi-joins keyed on bound variables.
+    */
+  val graphMatchVar: Q = (s, dir) => {
+    import s.implicits._
+    import graft.api.EdgePattern
+    val e = copurchase(s, dir)
+      .select($"a".as("src"), $"b".as("dst"), $"w").cp()
+    graft.api.GraphAlgebra.matchPattern(e, Seq(
+        EdgePattern("a", "b", col("w") >= 3, keepW = Some("w_ab")),
+        EdgePattern("b", "c", col("w") >= 2, minHops = 1, maxHops = 2,
+          keepHops = Some("hops_bc")),
+        EdgePattern("c", "d", col("w") >= 2, keepW = Some("w_cd")),
+        EdgePattern("a", "d", keepW = Some("w_ad"))))
+      .select($"a", $"b", $"c", $"d", $"w_ab", $"hops_bc", $"w_cd", $"w_ad",
+        ($"w_ab" + $"w_cd" + $"w_ad").as("w_total"))
+      .orderBy($"w_total".desc, $"a", $"b", $"c", $"d").limit(20)
+  }
+
   val graphScc: Q = (s, dir) => {
     import s.implicits._
     val e = transitionBackbone(s, dir)
@@ -2440,6 +2472,7 @@ object GraphOps {
     "graph_louvain" -> graphLouvain,
     "graph_louvain_multi" -> graphLouvainMulti,
     "graph_match_pattern" -> graphMatchPattern,
+    "graph_match_var" -> graphMatchVar,
     "graph_eccentricity" -> graphEccentricity,
     "graph_closeness" -> graphCloseness,
     "graph_betweenness" -> graphBetweenness,

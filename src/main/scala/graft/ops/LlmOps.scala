@@ -4208,7 +4208,11 @@ object LlmOps {
     * so per-document score sums are exact BIGINT folds; argmax with ties
     * to the lexicographically smaller source (min-struct over
     * (−score, source)); per-source test accuracy is the graded frame.
-    * OOV test tokens drop at the score join (declared semantics).
+    * OOV test tokens drop at the score join (declared semantics); a test
+    * document whose EVERY token is OOV gets no prediction — it stays in
+    * the denominator via the LEFT join, counts as incorrect, and is
+    * surfaced explicitly in `n_unclassified` (accuracy denominators never
+    * silently shrink).
     */
   val llmNbClassify: Q = (s, dir) => {
     import s.implicits._
@@ -4248,11 +4252,12 @@ object LlmOps {
     Tables.documents(s, dir)
       .filter(expr("(doc_id div 20) % 2 <> 0"))
       .select($"doc_id", $"source")
-      .join(pred, "doc_id")
+      .join(pred, Seq("doc_id"), "left")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_test"),
-        sum(when($"pred" === $"source", 1L).otherwise(0L)).as("n_correct"))
-      .select($"source", $"n_test", $"n_correct",
+        sum(when($"pred" === $"source", 1L).otherwise(0L)).as("n_correct"),
+        sum(when($"pred".isNull, 1L).otherwise(0L)).as("n_unclassified"))
+      .select($"source", $"n_test", $"n_correct", $"n_unclassified",
         pround4($"n_correct".cast("double") / $"n_test".cast("double"))
           .as("accuracy"))
       .orderBy($"source")

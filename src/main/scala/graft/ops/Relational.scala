@@ -5880,10 +5880,14 @@ object Relational {
     * quantize to 1e4-scale BIGINTs, average ranks ride ONE window over the
     * DISTINCT-value spine, bounded by the value domain, never |rows|).
     * 2×avg-rank per tied block is the exact integer 2(cum−c)+c+1; per-group
-    * rank sums and the tie term Σ(t³−t) accumulate in BIGINT; H, the tie
-    * correction, and ε² (the rank effect size) are a final double tree over
-    * the k=5 per-group terms, folded order-free via a sorted-array
-    * aggregate (the [[aggAnova]] discipline).
+    * rank sums Σc·r2 and the tie term Σ(t³−t) accumulate in DECIMAL(38,0)
+    * (r2 ≈ 2·|rows| makes the rank sum O(|rows|²) — past 2⁶³ around ~10⁹⁻¹⁰
+    * rows, far below the 100 TB posture; DuckDB mirrors in HUGEINT, the
+    * [[aggLevene]] szz discipline); H, the tie correction, and the two rank
+    * effect sizes — η²_H = (H−k+1)/(n−k) and ε² = H·(n+1)/(n²−1), both off
+    * the tie-unadjusted H — are a final double tree over the k=5 per-group
+    * terms, folded order-free via a sorted-array aggregate (the [[aggAnova]]
+    * discipline).
     */
   val aggKruskalWallis: Q = (s, dir) => {
     import s.implicits._
@@ -5898,9 +5902,10 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("r2", lit(2L) * ($"cum" - $"ct") + $"ct" + 1)
     val perG = byQG.join(r2f, "q")
-      .groupBy($"g").agg(sum($"c").as("ng"), sum($"c" * $"r2").as("r2g"))
+      .groupBy($"g").agg(sum($"c").as("ng"),
+        sum($"c".cast("decimal(38,0)") * $"r2").as("r2g"))
     val tot = r2f.agg(sum($"ct").as("n"),
-      sum($"ct" * $"ct" * $"ct" - $"ct").as("tiesum"))
+      sum($"ct".cast("decimal(38,0)") * $"ct" * $"ct" - $"ct").as("tiesum"))
     perG.crossJoin(broadcast(tot))
       .select($"n", $"tiesum",
         struct($"g",
@@ -5921,7 +5926,10 @@ object Relational {
         LlmOps.pround4($"h").as("h_stat"),
         LlmOps.pround4($"h" / $"cadj").as("h_tie_adj"),
         LlmOps.pround4(($"h" - $"k".cast("double") + 1.0) /
-          ($"n".cast("double") - $"k".cast("double"))).as("epsilon_sq"))
+          ($"n".cast("double") - $"k".cast("double"))).as("eta_sq"),
+        LlmOps.pround4($"h" * ($"n".cast("double") + 1.0) /
+          ($"n".cast("double") * $"n".cast("double") - 1.0))
+          .as("epsilon_sq"))
   }
 
   /** Brown–Forsythe (median-centered Levene) homogeneity-of-variance test
@@ -6394,11 +6402,14 @@ object Relational {
     * [[winMacd]]'s fold discipline applied to the variance recursion
     * σ²ₜ = ω + α·r²ₜ₋₁ + β·σ²ₜ₋₁ with the standard (α,β) = (0.1, 0.85)
     * and ω = 0.05·v̄ targeting the long-run variance (v̄ = the type's
-    * exact mean squared return): a 30-day windowed left fold
-    * (`aggregate` ↔ `list_reduce`, init v̄ prepended) — the declared
-    * TRUNCATED semantics, no unbounded recursion; returns micro-quantize
-    * exactly first (the [[aggJarqueBera]] discipline), Σr² in
-    * DECIMAL(38,0). Emits σₜ and the >2·v̄ vol-regime flag per day.
+    * exact mean squared return): a windowed left fold over the PRIOR 30
+    * returns (rows −30..−1 — σₜ is the one-step-ahead conditional
+    * volatility known at t−1 and never sees r²ₜ; the first day per type
+    * folds an empty window and emits √v̄) (`aggregate` ↔ `list_reduce`,
+    * init v̄ prepended) — the declared TRUNCATED semantics, no unbounded
+    * recursion; returns micro-quantize exactly first (the
+    * [[aggJarqueBera]] discipline), Σr² in DECIMAL(38,0). Emits σₜ and
+    * the >2·v̄ vol-regime flag per day.
     */
   val winGarch: Q = (s, dir) => {
     import s.implicits._
@@ -6415,7 +6426,7 @@ object Relational {
     val vbar = r.groupBy($"g")
       .agg((sum($"rq".cast("decimal(38,0)") * $"rq").cast("double") /
         count(lit(1)).cast("double") / lit(1.0e12)).as("vbar"))
-    val w30 = Window.partitionBy($"g").orderBy($"d").rowsBetween(-29, 0)
+    val w30 = Window.partitionBy($"g").orderBy($"d").rowsBetween(-30, -1)
     r.join(broadcast(vbar), "g")
       .withColumn("vs", collect_list(($"rq".cast("double") / lit(1.0e6)))
         .over(w30))

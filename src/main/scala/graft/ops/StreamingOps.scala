@@ -1025,8 +1025,18 @@ object StreamingOps {
     * (ts, event_id) order. The fold SORTS its per-invocation slice (order
     * sensitivity is inherent to sequence patterns; per-user event counts
     * are bounded), so batch replay ≡ incremental run — asserted in
-    * StreamingSpec via [[cepSequenceStream]]. Gap sums stay exact BIGINT
-    * milliseconds.
+    * StreamingSpec via [[cepSequenceStream]] — UNDER THE DECLARED
+    * IN-ORDER-ACROSS-BATCHES ASSUMPTION: the sort is per-invocation only,
+    * so micro-batch BOUNDARIES must respect (ts, event_id) order per user
+    * (true for the journal-replay bus, which feeds batches in journal
+    * order; a reordering broker would need an event-time watermark +
+    * buffer stage before this fold, at the cost of bounded emission
+    * delay). An event arriving in a later micro-batch with an earlier
+    * timestamp would match against a newer lastView than a batch replay
+    * would use. Emission is CUMULATIVE per user per invocation (Append
+    * mode re-emits the updated counters each touched micro-batch);
+    * consumers take the LAST row per user — the batch≡stream spec does
+    * exactly that. Gap sums stay exact BIGINT milliseconds.
     */
   private def cepCore(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._

@@ -1329,6 +1329,36 @@ object GraphOracle {
          |WHERE x.src <> x.dst AND y.dst <> x.src AND y.dst <> x.dst
          |ORDER BY w_total DESC, a, b, c LIMIT 20""".stripMargin,
 
+    // the 4-edge / var-length template replayed as unrolled-hop joins:
+    // min-hop reach over the w>=3 subgraph (hop-2 pairs minus hop-1
+    // pairs), then the same bind-order injectivity filters
+    "graph_match_var" ->
+      s"""WITH $copurchaseCte,
+         |e AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, CAST(w AS BIGINT) AS w FROM cp),
+         |b3 AS (SELECT DISTINCT src, dst FROM e WHERE w >= 2),
+         |r2 AS (
+         |  SELECT x.src, y.dst FROM b3 x JOIN b3 y ON y.src = x.dst
+         |  GROUP BY x.src, y.dst),
+         |reach AS (
+         |  SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM b3
+         |  UNION ALL
+         |  SELECT r2.src, r2.dst, CAST(2 AS BIGINT) AS hops FROM r2
+         |  WHERE NOT EXISTS (SELECT 1 FROM b3
+         |    WHERE b3.src = r2.src AND b3.dst = r2.dst))
+         |SELECT e1.src AS a, e1.dst AS b, rv.dst AS c, e3.dst AS d,
+         |  e1.w AS w_ab, rv.hops AS hops_bc, e3.w AS w_cd, e4.w AS w_ad,
+         |  e1.w + e3.w + e4.w AS w_total
+         |FROM e e1
+         |JOIN reach rv ON rv.src = e1.dst
+         |JOIN e e3 ON e3.src = rv.dst AND e3.w >= 2
+         |JOIN e e4 ON e4.src = e1.src AND e4.dst = e3.dst
+         |WHERE e1.w >= 3
+         |  AND e1.src <> e1.dst
+         |  AND rv.dst <> e1.src AND rv.dst <> e1.dst
+         |  AND e3.dst <> e1.src AND e3.dst <> e1.dst AND e3.dst <> rv.dst
+         |ORDER BY w_total DESC, a, b, c, d LIMIT 20""".stripMargin,
+
     "graph_bfs_tree" ->
       s"""WITH $copurchaseCte,
          |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),

@@ -337,10 +337,12 @@ object LlmOracle {
         |SELECT d.source, count(*) AS n_test,
         |  CAST(sum(CASE WHEN p.pred = d.source THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN p.pred IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unclassified,
         |  floor(CAST(sum(CASE WHEN p.pred = d.source THEN 1 ELSE 0 END)
         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
         |    / 10000.0 AS accuracy
-        |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
         |WHERE (d.doc_id // 20) % 2 <> 0
         |GROUP BY 1 ORDER BY d.source""".stripMargin,
 

@@ -839,8 +839,9 @@ object OracleSql {
         |  tstat < -3.34 AS cointegrated_5pct
         |FROM t""".stripMargin,
 
-    // truncated 30-day variance-recursion fold (list_reduce with the
-    // long-run variance prepended as init), quantized returns
+    // truncated variance-recursion fold over the PRIOR 30 returns
+    // (one-step-ahead sigma: rows -30..-1, never the contemporaneous
+    // return; list_reduce with the long-run variance prepended as init)
     "win_garch" ->
       """WITH daily AS (
         |  SELECT event_type AS g, epoch_ms(ts) // 86400000 AS d,
@@ -859,8 +860,8 @@ object OracleSql {
         |f AS (
         |  SELECT r.g, d, rq, vbar,
         |    list(CAST(rq AS DOUBLE) / 1000000.0) OVER
-        |      (PARTITION BY r.g ORDER BY d ROWS BETWEEN 29 PRECEDING
-        |       AND CURRENT ROW) AS vs
+        |      (PARTITION BY r.g ORDER BY d ROWS BETWEEN 30 PRECEDING
+        |       AND 1 PRECEDING) AS vs
         |  FROM r JOIN vb ON r.g = vb.g),
         |s AS (
         |  SELECT g, d, rq, vbar,
@@ -1163,8 +1164,9 @@ object OracleSql {
         |  CAST(close AS DOUBLE) < lower AS break_down
         |FROM b ORDER BY d""".stripMargin,
 
-    // value-collapsed average ranks (2r exact integer), BIGINT rank sums,
-    // sorted-struct fold for the k-term double sum — the MW/anova dialect
+    // value-collapsed average ranks (2r exact integer), HUGEINT rank sums
+    // (mirrors Spark's DECIMAL(38,0) — Σc·r2 is O(|rows|²), past BIGINT at
+    // ~1e9-1e10 rows), sorted-struct fold for the k-term double sum
     "agg_kruskal_wallis" ->
       """WITH e AS (
         |  SELECT event_type AS g, CAST(round(value * 10000) AS BIGINT) AS q
@@ -1178,16 +1180,17 @@ object OracleSql {
         |    FROM bqg GROUP BY q)),
         |perg AS (
         |  SELECT g, CAST(sum(c) AS BIGINT) AS ng,
-        |    CAST(sum(c * r2) AS BIGINT) AS r2g
+        |    sum(CAST(c AS HUGEINT) * r2) AS r2g
         |  FROM bqg JOIN r2f USING (q) GROUP BY 1),
         |tot AS (
         |  SELECT CAST(sum(ct) AS BIGINT) AS n,
-        |    CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tiesum
+        |    sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS tiesum
         |  FROM r2f),
         |folded AS (
         |  SELECT n, tiesum, count(*) AS k,
         |    list_sort(list({'g': g,
-        |      'term': CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE) /
+        |      'term': CAST(CAST(r2g AS VARCHAR) AS DOUBLE) *
+        |        CAST(CAST(r2g AS VARCHAR) AS DOUBLE) /
         |        (4.0 * CAST(ng AS DOUBLE))})) AS arr
         |  FROM perg, tot GROUP BY n, tiesum),
         |hs AS (
@@ -1196,7 +1199,7 @@ object OracleSql {
         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |        list_transform(arr, x -> x.term)), (acc, x) -> acc + x)
         |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
-        |    1.0 - CAST(tiesum AS DOUBLE) /
+        |    1.0 - CAST(CAST(tiesum AS VARCHAR) AS DOUBLE) /
         |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
         |        CAST(n AS DOUBLE)) AS cadj
         |  FROM folded)
@@ -1205,6 +1208,9 @@ object OracleSql {
         |  floor(h / cadj * 10000.0 + 0.5) / 10000.0 AS h_tie_adj,
         |  floor((h - CAST(k AS DOUBLE) + 1.0) /
         |    (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) * 10000.0 + 0.5)
+        |    / 10000.0 AS eta_sq,
+        |  floor(h * (CAST(n AS DOUBLE) + 1.0) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0) * 10000.0 + 0.5)
         |    / 10000.0 AS epsilon_sq
         |FROM hs""".stripMargin,
 

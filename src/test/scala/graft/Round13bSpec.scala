@@ -50,7 +50,10 @@ class Round13bSpec extends SparkSpec {
     assert(row.getLong(0) === n && row.getLong(1) === k.toLong)
     assert(row.getDouble(2) === p4(h))
     assert(row.getDouble(3) === p4(h / cadj))
+    // eta^2_H = (H-k+1)/(n-k); epsilon^2 = H*(n+1)/(n^2-1)
     assert(row.getDouble(4) === p4((h - k + 1.0) / (n.toDouble - k)))
+    assert(row.getDouble(5) === p4(
+      h * (n.toDouble + 1.0) / (n.toDouble * n.toDouble - 1.0)))
     // with 5 groups on real data H must be a positive finite statistic
     assert(row.getDouble(2) > 0.0)
   }

@@ -67,7 +67,8 @@ class Round13dSpec extends SparkSpec {
       val vbar = rs.map(r => BigInt(r._2) * r._2).sum.toDouble /
         rs.length.toDouble / 1.0e12
       rs.indices.map { i =>
-        val win = rs.slice(math.max(0, i - 29), i + 1)
+        // one-step-ahead: fold the PRIOR 30 returns, never rs(i) itself
+        val win = rs.slice(math.max(0, i - 30), i)
           .map(_._2.toDouble / 1.0e6)
         val s2 = win.foldLeft(vbar)((acc, x) =>
           0.05 * vbar + 0.1 * x * x + 0.85 * acc)

@@ -152,14 +152,18 @@ class Round13gSpec extends SparkSpec {
         (-(seen.map(t => tsq((t, s0))).sum + pq(s0)), s0)
       }.min._2)
     }.toMap
-    val expect = test.filter(d => preds.contains(d._1))
+    // all-OOV docs stay in the denominator (no prediction = incorrect)
+    // and are surfaced in n_unclassified
+    val expect = test
       .groupBy(_._2).toSeq.sortBy(_._1).map { case (s0, xs) =>
-        val correct = xs.count(d => preds(d._1) == s0).toLong
-        (s0, xs.length.toLong, correct,
+        val correct = xs.count(d => preds.get(d._1).contains(s0)).toLong
+        val unclassified = xs.count(d => !preds.contains(d._1)).toLong
+        (s0, xs.length.toLong, correct, unclassified,
           p4(correct.toDouble / xs.length.toDouble))
       }
     val got = q("llm_nb_classify").collect().map(r =>
-      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
     assert(got === expect)
     // every source appears in both halves under the block split
     assert(got.length === nd.size)

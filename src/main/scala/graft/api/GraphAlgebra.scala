@@ -533,6 +533,92 @@ object GraphAlgebra {
     labels.select(col("id"), col("c").as("community"))
   }
 
+  /** One Louvain AGGREGATION step: coarsen a weighted pair graph by a
+    * community assignment. Returns (interEdges, selfLoops, vertices) of
+    * the community graph: inter-community weights summed onto canonical
+    * (a < b) supernode pairs, intra-community weight PLUS the carried-in
+    * self-loops of the member nodes folded into the supernode self-loop
+    * (classical Louvain's aggregated-graph bookkeeping — 2m is invariant
+    * under this map), vertices = the distinct communities as `part`.
+    * Scale shape: two label joins into |E| keyed on the endpoints, one
+    * pair rollup, one |V|-sized self-loop rollup — exactly one coarsening
+    * shuffle; every output is community-graph-sized (orders of magnitude
+    * below |E| after level 1).
+    */
+  def louvainCoarsen(pairs: DataFrame, selfLoops: Option[DataFrame],
+                     labels: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val mapped = pairs.select(col("a"), col("b"), col("w"))
+      .join(labels.select(col("id").as("a"), col("community").as("ca")),
+        Seq("a"))
+      .join(labels.select(col("id").as("b"), col("community").as("cb")),
+        Seq("b"))
+      .cp()
+    val inter = mapped.filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val intra = mapped.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("id")).agg(sum(col("w")).as("si"))
+    val self = selfLoops match {
+      case None => intra.select(col("id"), col("si").as("s"))
+      case Some(sl) =>
+        val carried = sl.select(col("id"), col("s").as("sc"))
+          .join(labels, Seq("id"))
+          .groupBy(col("community").as("id")).agg(sum(col("sc")).as("sc"))
+        intra.join(carried, Seq("id"), "full")
+          .select(col("id"), (coalesce(col("si"), lit(0L)) +
+            coalesce(col("sc"), lit(0L))).as("s"))
+    }
+    val verts = labels.select(col("community").as("part")).distinct()
+    (inter, self, verts)
+  }
+
+  /** Multi-level Louvain TO CONVERGENCE with a flattened dendrogram:
+    * `levels` rounds of (synchronous [[louvainMoves]] sweeps → coarsen via
+    * [[louvainCoarsen]]), emitting one row per ORIGINAL vertex with its
+    * community at every level — the community-path output a hierarchy
+    * query serves (`id, c1, c2, …, cL`, each cℓ the vertex's level-ℓ
+    * supernode). Convergence: when a level's sweeps move NOTHING (every
+    * supernode keeps its own label), that level is a FIXPOINT of the move
+    * rule — further sweeps and coarsenings are identity maps — so the
+    * remaining level columns are filled by copying labels forward without
+    * running them. The early stop is therefore output-IDENTICAL to the
+    * fully unrolled computation (and to the unrolled-CTE oracle): it cuts
+    * cost, never results. Schema is fixed at `levels` columns regardless
+    * of where convergence lands, keeping the frame hash-stable.
+    *
+    * Scale shape: level 1 dominates (|E|-sized sweeps); every later level
+    * runs on the community graph. The dendrogram join chain is one
+    * |V|-row frame widened by L−1 broadcast-sized label maps.
+    */
+  def louvainDendrogram(vertices: DataFrame, pairs: DataFrame, levels: Int,
+                        rounds: Int): DataFrame = {
+    require(levels >= 1 && levels <= 4,
+      s"louvainDendrogram supports 1-4 levels (got $levels)")
+    var lbl = louvainMoves(vertices, pairs, rounds).cp()
+    var dendro = lbl.select(col("id"), col("community").as("c1"))
+    var curPairs = pairs.select(col("a"), col("b"), col("w"))
+    var curSelf: Option[DataFrame] = None
+    var converged = false
+    for (l <- 2 to levels) {
+      if (!converged) {
+        val (e2, s2, v2) = louvainCoarsen(curPairs, curSelf, lbl)
+        val l2 = louvainMoves(v2, e2, rounds, selfLoops = Some(s2)).cp()
+        converged = l2.filter(col("community") =!= col("id")).isEmpty
+        dendro = dendro.join(
+          l2.select(col("id").as(s"c${l - 1}"),
+            col("community").as(s"c$l")),
+          Seq(s"c${l - 1}"))
+        curPairs = e2; curSelf = Some(s2); lbl = l2
+      } else {
+        // fixpoint: the level-(l-1) move sweeps kept every label, so
+        // level l's labels are the same frame under an identity coarsen
+        dendro = dendro.withColumn(s"c$l", col(s"c${l - 1}"))
+      }
+    }
+    dendro.select(col("id") +: (1 to levels).map(i => col(s"c$i")): _*)
+  }
+
   /** Connected components WITHOUT GraphX: min-label propagation iterated to
     * the fixpoint in pure DataFrames (labels lineage-truncated per round,
     * convergence = zero changed labels). Labels = min vertex id per

@@ -1461,6 +1461,26 @@ object GraphOps {
     qOf(l1, 1L).unionAll(qOf(l2, 2L)).orderBy($"level")
   }
 
+  /** Three-level Louvain dendrogram over the co-purchase graph — the
+    * hierarchy read [[graphLouvainMulti]]'s per-level Q summary doesn't
+    * expose: one row per part with its community at EVERY level
+    * (`id, c1, c2, c3` — the flattened community path), via
+    * [[graft.api.GraphAlgebra.louvainDendrogram]] (3 synchronous
+    * exact-integer move sweeps per level, coarsen between levels with
+    * self-loop carry, early-stop at the move fixpoint — output-identical
+    * to the fully unrolled chain, which is what the oracle replays).
+    * GraphSpec pins per-level modularity monotonicity Q1 ≤ Q2 ≤ Q3 on
+    * the same graph. Scale: level 1 is the only |E|-sized phase; levels
+    * 2-3 run on the community graph; the output is one |V|-row frame.
+    */
+  val graphLouvainDendro: Q = (s, dir) => {
+    import s.implicits._
+    graft.api.GraphAlgebra.louvainDendrogram(
+        partVertices(s, dir).toDF("part"), copurchase(s, dir),
+        levels = 3, rounds = 3)
+      .orderBy($"id")
+  }
+
   /** Rich-club coefficient curve φ(k) for k ∈ {2,4,8,16} over the
     * co-purchase graph: among nodes of degree ≥ k, how dense are the
     * edges between them vs the complete graph. Degrees and club-edge
@@ -2471,6 +2491,7 @@ object GraphOps {
     "graph_modularity" -> graphModularity,
     "graph_louvain" -> graphLouvain,
     "graph_louvain_multi" -> graphLouvainMulti,
+    "graph_louvain_dendro" -> graphLouvainDendro,
     "graph_match_pattern" -> graphMatchPattern,
     "graph_match_var" -> graphMatchVar,
     "graph_eccentricity" -> graphEccentricity,

@@ -574,6 +574,93 @@ object GraphOracle {
        |ORDER BY level""".stripMargin
   }
 
+  /** Three-level Louvain dendrogram: [[louvainLevel1Ctes]]'s labels, then
+    * TWO coarsen+sweep levels generated from one parameterized template
+    * (coarsen: inter-community edges, intra weight + carried self-loops
+    * folded into the supernode self-loop; sweeps: the rounds2 gain
+    * algebra verbatim, HUGEINT ↔ DECIMAL(38,0)). The early-stop on the
+    * Spark side is output-identical to this fully unrolled chain (a move
+    * fixpoint coarsens and sweeps as the identity). Output = the
+    * flattened community path per original vertex.
+    */
+  private val louvainDendroSql: String = {
+    def coarsen(pfx: String, edges: String, self: Option[String],
+                lblCte: String, lblCol: String): String = {
+      val selfCtes = self match {
+        case None =>
+          s"""sf$pfx AS MATERIALIZED (
+             |  SELECT ca AS id, CAST(sum(w) AS BIGINT) AS s
+             |  FROM cmap$pfx WHERE ca = cb GROUP BY 1)""".stripMargin
+        case Some(sl) =>
+          s"""sfa$pfx AS (SELECT ca AS id, CAST(sum(w) AS BIGINT) AS s
+             |  FROM cmap$pfx WHERE ca = cb GROUP BY 1),
+             |sfc$pfx AS (SELECT l.$lblCol AS id,
+             |    CAST(sum(sl.s) AS BIGINT) AS s
+             |  FROM $sl sl JOIN $lblCte l ON sl.id = l.id GROUP BY 1),
+             |sf$pfx AS MATERIALIZED (
+             |  SELECT coalesce(a.id, c.id) AS id,
+             |    CAST(coalesce(a.s, 0) + coalesce(c.s, 0) AS BIGINT) AS s
+             |  FROM sfa$pfx a FULL JOIN sfc$pfx c ON a.id = c.id)""".stripMargin
+      }
+      s"""cmap$pfx AS MATERIALIZED (
+         |  SELECT la.$lblCol AS ca, lb.$lblCol AS cb, w
+         |  FROM $edges e JOIN $lblCte la ON e.a = la.id
+         |    JOIN $lblCte lb ON e.b = lb.id),
+         |ie$pfx AS MATERIALIZED (
+         |  SELECT least(ca, cb) AS a, greatest(ca, cb) AS b,
+         |    CAST(sum(w) AS BIGINT) AS w
+         |  FROM cmap$pfx WHERE ca <> cb GROUP BY 1, 2),
+         |$selfCtes,
+         |bd$pfx AS MATERIALIZED (
+         |  SELECT a, b, w FROM ie$pfx UNION ALL SELECT b, a, w FROM ie$pfx),
+         |dk$pfx AS MATERIALIZED (
+         |  SELECT coalesce(p.id, s.id) AS id,
+         |    CAST(coalesce(p.pk, 0) + 2 * coalesce(s.s, 0) AS BIGINT) AS k
+         |  FROM (SELECT a AS id, CAST(sum(w) AS BIGINT) AS pk
+         |        FROM bd$pfx GROUP BY 1) p
+         |  FULL JOIN sf$pfx s ON p.id = s.id),
+         |${pfx}0 AS MATERIALIZED (
+         |  SELECT v.part AS id, v.part AS c, coalesce(dk$pfx.k, 0) AS k
+         |  FROM (SELECT DISTINCT $lblCol AS part FROM $lblCte) v
+         |  LEFT JOIN dk$pfx ON dk$pfx.id = v.part)""".stripMargin
+    }
+    def sweeps(pfx: String): String = (1 to 3).map { i =>
+      s"""t$pfx$i AS MATERIALIZED (SELECT c, CAST(sum(k) AS BIGINT) AS tot
+         |  FROM $pfx${i - 1} GROUP BY 1),
+         |kc$pfx$i AS MATERIALIZED (SELECT bd$pfx.a AS id, l.c AS nc,
+         |    CAST(sum(w) AS BIGINT) AS kic
+         |  FROM bd$pfx JOIN $pfx${i - 1} l ON bd$pfx.b = l.id GROUP BY 1, 2),
+         |ka$pfx$i AS MATERIALIZED (SELECT kc.id, kc.kic AS kia
+         |  FROM kc$pfx$i kc JOIN $pfx${i - 1} l
+         |    ON kc.id = l.id AND kc.nc = l.c),
+         |cd$pfx$i AS MATERIALIZED (
+         |  SELECT kc.id, kc.nc,
+         |    CAST(m2 AS HUGEINT) * (kc.kic - coalesce(ka.kia, 0))
+         |      - CAST(l.k AS HUGEINT) * (tc.tot - ta.tot + l.k) AS gain
+         |  FROM kc$pfx$i kc
+         |  JOIN $pfx${i - 1} l ON kc.id = l.id
+         |  JOIN t$pfx$i tc ON tc.c = kc.nc
+         |  JOIN t$pfx$i ta ON ta.c = l.c
+         |  LEFT JOIN ka$pfx$i ka ON ka.id = kc.id
+         |  CROSS JOIN m2t
+         |  WHERE kc.nc <> l.c),
+         |bs$pfx$i AS MATERIALIZED (SELECT id, nc FROM (
+         |  SELECT id, nc,
+         |    row_number() OVER (PARTITION BY id ORDER BY gain DESC, nc) AS rn
+         |  FROM cd$pfx$i WHERE gain > 0) x WHERE rn = 1),
+         |$pfx$i AS MATERIALIZED (SELECT l.id, coalesce(b.nc, l.c) AS c, l.k
+         |  FROM $pfx${i - 1} l LEFT JOIN bs$pfx$i b ON l.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$louvainLevel1Ctes,
+       |${coarsen("g", "cpm", None, "lbl", "community")},
+       |${sweeps("g")},
+       |${coarsen("h", "ieg", Some("sfg"), "g3", "c")},
+       |${sweeps("h")}
+       |SELECT lbl.id AS id, lbl.community AS c1, g3.c AS c2, h3.c AS c3
+       |FROM lbl JOIN g3 ON lbl.community = g3.id JOIN h3 ON g3.c = h3.id
+       |ORDER BY id""".stripMargin
+  }
+
   /** Generated k-level traversal oracle — the khop_2/khop_3 shape with the
     * level chain unrolled to any k (matches the frontier-expansion
     * `GraphAlgebra.khopK`, whose min-hop labeling is identical to this
@@ -1313,6 +1400,7 @@ object GraphOracle {
     "graph_modularity" -> modularitySql,
     "graph_louvain" -> louvainSql,
     "graph_louvain_multi" -> louvainMultiSql,
+    "graph_louvain_dendro" -> louvainDendroSql,
 
     // the matchPattern template replayed as explicit joins: per-edge
     // predicates, injective bindings, weights exported per template edge

@@ -625,6 +625,66 @@ class GraphSpec extends SparkSpec {
     assert(q2 > -0.5 && q2 <= 1.0)
   }
 
+  test("graph_louvain_dendro: valid hierarchy, monotone per-level Q, multi-agreement") {
+    val rows = q("graph_louvain_dendro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // a DENDROGRAM: each level refines the next — c1 determines c2, c2
+    // determines c3 (one parent per child, no crossing)
+    assert(rows.groupBy(_._2).values.forall(_.map(_._3).distinct.length == 1))
+    assert(rows.groupBy(_._3).values.forall(_.map(_._4).distinct.length == 1))
+    // level 1 and 2 agree with graph_louvain_multi's machinery: same
+    // community counts as the 2-level op reports
+    val multi = q("graph_louvain_multi").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._2).distinct.length.toLong === multi(1L))
+    assert(rows.map(_._3).distinct.length.toLong === multi(2L))
+    // per-level modularity is MONOTONE non-decreasing up the hierarchy
+    // (coarse-graph moves only take strictly-positive exact-integer gains)
+    val edges = graft.ops.GraphOps.copurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m2 = edges.map(_._3).sum * 2
+    val deg = (edges.map(e => e._1 -> e._3) ++ edges.map(e => e._2 -> e._3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def qOf(lbl: Map[Long, Long]): Double = {
+      val degC = deg.toSeq.map { case (v, d) => lbl(v) -> d }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      val inC = edges.filter(e => lbl(e._1) == lbl(e._2))
+        .groupBy(e => lbl(e._1)).view.mapValues(_.map(_._3).sum).toMap
+      degC.map { case (c, dc) =>
+        (inC.getOrElse(c, 0L) * 2).toDouble / m2.toDouble -
+          (dc.toDouble / m2.toDouble) * (dc.toDouble / m2.toDouble)
+      }.sum
+    }
+    val q1 = qOf(rows.map(t => t._1 -> t._2).toMap)
+    val q2 = qOf(rows.map(t => t._1 -> t._3).toMap)
+    val q3 = qOf(rows.map(t => t._1 -> t._4).toMap)
+    assert(q2 >= q1 - 1e-12, s"level-2 Q $q2 < level-1 Q $q1")
+    assert(q3 >= q2 - 1e-12, s"level-3 Q $q3 < level-2 Q $q2")
+  }
+
+  test("louvainDendrogram early-stop is output-identical and schema-stable on a fixture") {
+    import spark.implicits._
+    // two disconnected 3-cliques: each collapses to one community in the
+    // level-1 sweeps, then level 2 has no inter edges and no positive
+    // gain — the move FIXPOINT, so levels 3-4 are copy-forward
+    val e = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (4L, 5L, 5L), (4L, 6L, 5L), (5L, 6L, 5L))
+      .toDF("a", "b", "w")
+    val v = (1L to 6L).toDF("part")
+    val d = graft.api.GraphAlgebra.louvainDendrogram(v, e, levels = 4,
+        rounds = 3)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(d.length === 6)
+    // two communities, stable through all four levels (fixpoint copy-
+    // forward keeps the declared schema and the converged labels)
+    val byC1 = d.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byC1.values.toSet === Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L)))
+    assert(d.forall(t => t._3 == t._2 && t._4 == t._2 && t._5 == t._2))
+  }
+
   /** In-JVM reference Brandes with the op's EXACT quantized arithmetic:
     * level-synchronous BFS σ counts, then backward micro-quantized δ via
     * the identical double tree floor(σv/σw·(1e6+δw)+0.5).

@@ -202,6 +202,47 @@ object TextPipeline {
   def loadSignatures(s: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** INCREMENTAL maintenance of the signature artifact: upsert one
+    * micro-batch of documents into a bucket-partitioned signature store —
+    * the 100 TB ingestion reality where dedup is continuous, not a batch
+    * afterthought. The store partitions on `bucket = doc_id mod buckets`;
+    * an upsert computes the batch's signatures, then dynamically
+    * overwrites ONLY the touched bucket partitions with (existing rows of
+    * those buckets minus the batch's doc ids) ∪ (the batch's fresh
+    * signatures) — so a re-delivered document REPLACES its previous row
+    * (replay-idempotent, the foreachBatch at-least-once contract) and
+    * untouched buckets are never rewritten. The merged frame is eagerly
+    * materialized (cp) before the write so the store can be read and
+    * overwritten in one upsert without a self-overwrite conflict.
+    * Scale shape: per batch one signature build over batch-sized input,
+    * one semi-join-pruned read of the touched buckets, one anti-join on
+    * the doc key — cost tracks batch size + touched-bucket size, never
+    * the corpus.
+    */
+  def upsertSignatures(batch: DataFrame, id: Column, text: Column,
+                       path: String, nHashes: Int = 8,
+                       buckets: Int = 16): Unit = {
+    val s = batch.sparkSession
+    val sig = minhashSignatures(batch, id, text, nHashes)
+      .withColumn("bucket", pmod(col("doc_id"), lit(buckets)))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(!_.getPath.getName.startsWith("_"))
+    val merged = (if (exists) {
+      s.read.parquet(path)
+        .join(broadcast(sig.select(col("bucket")).distinct()),
+          Seq("bucket"), "left_semi")
+        .join(sig.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(sig)
+    } else sig).cp()
+    val conf = s.conf
+    val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   /** ONLINE half: serve near-dup pairs FROM the signature artifact.
     * Candidates come from the banded signature self-join (no corpus scan);
     * exact-Jaccard verification re-shingles ONLY candidate documents (a

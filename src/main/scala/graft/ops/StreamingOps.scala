@@ -1113,6 +1113,62 @@ object StreamingOps {
       .orderBy($"txl", $"vl")
   }
 
+  // ===== streaming-maintained MinHash dedup index =====
+
+  /** JVM-wide memo for the incrementally-built signature store, the
+    * [[graft.ops.LlmOps.minhashSigPath]] discipline: keyed on
+    * dir + data fingerprint so a regenerated corpus forces a rebuild.
+    */
+  private val streamIdxPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the MinHash signature store INCREMENTALLY: the corpus staged as
+    * 4 files, a file stream with maxFilesPerTrigger=1 (4 genuine
+    * micro-batches), each batch upserted into the bucket-partitioned
+    * store via [[graft.api.TextPipeline.upsertSignatures]] — the
+    * continuous-ingestion dedup path ([[streamEdgeUpsert]]'s delta-store
+    * discipline married to the persisted index of llm_dedup_minhash_idx).
+    * Returns the store path; StreamingSpec pins store ≡ the one-shot
+    * batch signature build and upsert replay-idempotency.
+    */
+  private[graft] def minhashStreamIdxPath(s: SparkSession, dir: String): String =
+    streamIdxPaths.computeIfAbsent(
+      dir + "#" + graft.Scratch.fingerprint(s"$dir/documents.parquet"), _ => {
+        import s.implicits._
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val in = graft.Scratch.dir(s"minhash_stream_in_$digest")
+        val idx = s"${graft.Scratch.dir(s"minhash_stream_idx_$digest")}/sig"
+        val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        docs.repartition(4, $"doc_id").write.mode("overwrite").parquet(in)
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in)
+          .writeStream.outputMode(OutputMode.Append)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              graft.api.TextPipeline.upsertSignatures(
+                batch, col("doc_id"), col("text"), idx)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        idx
+      })
+
+  /** Near-dup pairs served from the STREAMING-maintained signature store —
+    * bit-identical to llm_dedup_minhash / llm_dedup_minhash_idx (same
+    * signatures, same band join, same exact verification; the store just
+    * arrived one micro-batch at a time), so it shares their oracle.
+    */
+  val streamMinhashIdx: Q = (s, dir) => {
+    import s.implicits._
+    val sig = graft.api.TextPipeline.loadSignatures(
+      s, minhashStreamIdxPath(s, dir))
+    graft.api.TextPipeline.nearDupFromSignatures(
+        sig, Tables.documents(s, dir), $"doc_id", $"text", minJ = 0.5)
+      .orderBy($"d1", $"d2")
+  }
+
   val queries: Map[String, Q] = Map(
     "state_bitemporal" -> stateBitemporal,
     "stream_cep_sequence" -> streamCepSequence,
@@ -1139,6 +1195,8 @@ object StreamingOps {
     "stream_enrich" -> streamEnrich,
     "stream_distinct_approx" -> streamDistinctApprox,
     "stream_distinct_exact" -> streamDistinctExact,
-    "stream_late_data" -> streamLateData
+    "stream_late_data" -> streamLateData,
+    "stream_minhash_idx" -> streamMinhashIdx
   )
+
 }

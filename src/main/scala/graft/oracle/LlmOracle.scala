@@ -1640,6 +1640,9 @@ object LlmOracle {
     // serving from the persisted signature artifact is defined to be
     // bit-identical to the end-to-end run — same oracle text
     "llm_dedup_minhash_idx" -> minhashSql,
+    // the streaming-maintained store serves the identical pair set: same
+    // signatures, same band join, same exact verification (StreamingOps)
+    "stream_minhash_idx" -> minhashSql,
 
     // ===== similarity =====
     "llm_sim_search" ->

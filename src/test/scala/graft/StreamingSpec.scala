@@ -388,6 +388,49 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(StreamingOps.throttleFinish(live)) === sortedRows(batch))
   }
 
+  test("stream_minhash_idx: incremental signature store equals the batch build; upsert is replay-idempotent") {
+    import spark.implicits._
+    import graft.api.TextPipeline
+    // 1) the streaming-built store (4 micro-batch upserts) holds exactly
+    //    the one-shot batch signatures
+    val idxPath = StreamingOps.minhashStreamIdxPath(spark, sf)
+    val stored = TextPipeline.loadSignatures(spark, idxPath)
+    val batch = TextPipeline.minhashSignatures(
+      Tables.documents(spark, sf), $"doc_id", $"text")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("doc_id", "n", "h0", "h3", "h7").collect()
+        .map(_.toString).sorted.toSeq
+    assert(rows(stored) === rows(batch))
+    // the store really is bucket-partitioned (the upsert's dynamic-
+    // overwrite granularity)
+    assert(new java.io.File(idxPath).listFiles()
+      .count(_.getName.startsWith("bucket=")) >= 2)
+    // 2) and the pairs read from it equal the one-shot index op
+    assert(sortedRows(SparkEntry.queries("stream_minhash_idx")(spark, sf)) ===
+      sortedRows(SparkEntry.queries("llm_dedup_minhash_idx")(spark, sf)))
+    // 3) replay idempotency: re-upserting an already-ingested batch (the
+    //    foreachBatch at-least-once reality) leaves the store unchanged
+    val replay = Tables.documents(spark, sf).filter($"doc_id" % 4 === 0)
+    TextPipeline.upsertSignatures(replay, $"doc_id", $"text", idxPath)
+    assert(rows(TextPipeline.loadSignatures(spark, idxPath)) === rows(batch))
+    // 4) a genuine NEW document lands incrementally and only its row moves
+    val extra = Seq((999999L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    TextPipeline.upsertSignatures(extra, $"doc_id", $"text", idxPath)
+    try {
+      val after = TextPipeline.loadSignatures(spark, idxPath)
+      assert(after.count() === batch.count() + 1)
+      assert(after.filter($"doc_id" === 999999L).count() === 1L)
+      assert(rows(after.filter($"doc_id" =!= 999999L)) === rows(batch))
+    } finally {
+      // restore the memoized store (other tests/queries share the JVM memo)
+      import graft.api.Ckpt._
+      val clean = TextPipeline.loadSignatures(spark, idxPath)
+        .filter($"doc_id" =!= 999999L).cp()
+      clean.write.mode("overwrite").partitionBy("bucket").parquet(idxPath)
+    }
+  }
+
   test("EventBus seam: default is the parquet replay; property swaps the source in") {
     import graft.sources.EventBus
     assert(EventBus.active.isInstanceOf[graft.sources.ParquetReplayBus])

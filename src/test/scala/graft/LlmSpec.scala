@@ -95,6 +95,45 @@ class LlmSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(r.fieldIndex("cid"))).distinct.length === 1)
   }
 
+  test("llm_ann_knngraph: recall at least IVFPQ's at the same shortlist, exact cosines, deterministic") {
+    import spark.implicits._
+    val rows = q("llm_ann_knngraph").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.length === 5)
+    // cosines are the EXACT scores, descending with the declared tie order
+    val byScore = rows.map(t => (-t._2, t._1))
+    assert(byScore.zip(byScore.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) })
+    import graft.expr.FloatVec
+    val e = graft.api.VectorIndex.index(
+      Tables.embeddings(spark, sf), $"vec_id", $"embedding")
+    val probe = e.filter($"vec_id" === 42)
+      .select($"embedding".as("pe"), $"nrm".as("pn"))
+    val exact = e.crossJoin(broadcast(probe)).filter($"vec_id" =!= 42)
+      .select($"vec_id", round(FloatVec.floatDot($"embedding", $"pe") /
+        ($"nrm" * $"pn"), 6).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, cos, _) => assert(cos === exact(id)) }
+    // the graph tier's bar: recall@5 vs the exact top-10 at least matches
+    // llm_ann_ivfpq's first-5 shortlist rows on the same corpus
+    val exact10 = exact.toSeq.sortBy(t => (-t._2, t._1)).take(10)
+      .map(_._1).toSet
+    rows.foreach { case (id, _, flag) => assert(flag === exact10(id)) }
+    val recallKnn = rows.count(_._3).toDouble / 5.0
+    val ivfpq5 = q("llm_ann_ivfpq").collect().take(5)
+    val recallIvfPq = ivfpq5.map(r =>
+      r.getLong(r.fieldIndex("in_exact10"))).sum.toDouble / 5.0
+    assert(recallKnn >= recallIvfPq,
+      s"kNN-graph recall $recallKnn < IVFPQ shortlist-5 recall $recallIvfPq")
+    // run-to-run determinism (memoized graph + deterministic beam)
+    assert(q("llm_ann_knngraph").collect().map(_.toString).toSeq ===
+      rows.map(t => s"[${t._1},${t._2},${t._3}]").toSeq)
+    // the memoized graph artifact respects the declared out-degree cap
+    val g = graft.ops.LlmOps.knnGraphFor(spark, sf)
+    val deg = g.groupBy($"src").count().agg(max("count")).head().getLong(0)
+    assert(deg <= 12L)
+  }
+
   test("llm_tfidf_topk: 3 ranked terms per source, scores descending in rank") {
     val rows = q("llm_tfidf_topk").collect()
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>

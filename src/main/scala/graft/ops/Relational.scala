@@ -6810,6 +6810,57 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** GDPR purge ACROSS DERIVED ARTIFACTS — the compliance step
+    * [[sinkGdprPurge]]'s journal rewrite alone misses (r13 VERDICT #6):
+    * a deployment's derived stores (materialized views, per-entity state)
+    * retain the purged subject's key unless swept too. The op builds its
+    * OWN mini deployment once (memoized — journal + per-(user, day)
+    * mview + per-(user, event_type) edge state + a user-LESS windowed
+    * rollup as the must-not-be-touched control), then runs
+    * [[graft.api.Gdpr.purgeArtifacts]] over the whole tree for
+    * user_id % 97 = 0: every store CARRYING user_id is filter-rewritten
+    * in place, the control store is reported untouched. Output = one row
+    * per artifact with before/after counts — fully derivable from the
+    * events table, so the multi-store purge is oracle-graded end to end;
+    * Round14Spec additionally walks the tree and proves no purged key
+    * survives in ANY artifact file. Scale: each rewrite costs that
+    * store's size (the journal dominates); the sweep is schema-driven,
+    * no per-store wiring.
+    */
+  val sinkGdprPurgeDeep: Q = (s, dir) => {
+    import s.implicits._
+    val root = srcArtifact("sink_gdpr_purge_deep", dir, "events.parquet") { p =>
+      val e = Tables.events(s, dir)
+      e.write.mode("overwrite").parquet(s"$p/journal")
+      e.groupBy($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long")
+          .as("day"))
+        .agg(count(lit(1)).as("n"), msum($"value").as("sum_value"))
+        .write.mode("overwrite").parquet(s"$p/mview_user_day")
+      e.groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$p/edge_state")
+      e.groupBy((tsMs($"ts") / lit(3600000L)).cast("long").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$p/mview_hourly")
+      val results = graft.api.Gdpr.purgeArtifacts(s,
+        Seq(s"$p/journal", s"$p/mview_user_day", s"$p/edge_state",
+          s"$p/mview_hourly"),
+        "user_id", k => k % 97 === 0)
+      // persist the sweep report next to the artifacts: the query serves
+      // counts from it, so repeated invocations are read-only
+      val sp = s
+      import sp.implicits._
+      results.map(r => (r.path.split('/').last, r.hadKey, r.nBefore,
+          r.nAfter))
+        .toDF("artifact", "had_key", "n_before", "n_after")
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/purge_report")
+    }
+    s.read.parquet(s"$root/purge_report")
+      .select($"artifact", $"had_key", $"n_before", $"n_after",
+        ($"n_before" - $"n_after").as("n_rows_purged"))
+      .orderBy($"artifact")
+  }
+
   /** Sortino ratio of each type's daily revenue returns — the risk
     * measure that only punishes DOWNSIDE deviation (σ penalizes good
     * surprises too; [[winUlcer]] covers path drawdowns, this covers
@@ -6849,6 +6900,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "win_sortino" -> winSortino,
     "sink_gdpr_purge" -> sinkGdprPurge,
+    "sink_gdpr_purge_deep" -> sinkGdprPurgeDeep,
     "agg_tail_dependence" -> aggTailDependence,
     "agg_transfer_entropy" -> aggTransferEntropy,
     "agg_capm" -> aggCapm,

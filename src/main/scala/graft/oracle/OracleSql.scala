@@ -492,6 +492,39 @@ object OracleSql {
         |    THEN floor(m / dsig * 10000.0 + 0.5) / 10000.0 END AS sortino
         |FROM t ORDER BY event_type""".stripMargin,
 
+    // the multi-artifact sweep's per-store before/after counts, all
+    // derivable from the pristine journal: a hash match proves every
+    // user-keyed derived store dropped exactly the cohort's rows and the
+    // user-less control store was untouched
+    "sink_gdpr_purge_deep" ->
+      """WITH j AS (
+        |  SELECT count(*) AS b,
+        |    sum(CASE WHEN user_id % 97 <> 0 THEN 1 ELSE 0 END) AS a
+        |  FROM events),
+        |ud AS (
+        |  SELECT count(*) AS b,
+        |    sum(CASE WHEN user_id % 97 <> 0 THEN 1 ELSE 0 END) AS a
+        |  FROM (SELECT user_id, epoch_ms(ts) // 86400000 AS day
+        |        FROM events GROUP BY 1, 2)),
+        |es AS (
+        |  SELECT count(*) AS b,
+        |    sum(CASE WHEN user_id % 97 <> 0 THEN 1 ELSE 0 END) AS a
+        |  FROM (SELECT user_id, event_type FROM events GROUP BY 1, 2)),
+        |hh AS (
+        |  SELECT count(*) AS b
+        |  FROM (SELECT epoch_ms(ts) // 3600000 FROM events GROUP BY 1))
+        |SELECT * FROM (
+        |  SELECT 'edge_state' AS artifact, TRUE AS had_key,
+        |    CAST(b AS BIGINT) AS n_before, CAST(a AS BIGINT) AS n_after,
+        |    CAST(b - a AS BIGINT) AS n_rows_purged FROM es
+        |  UNION ALL SELECT 'journal', TRUE, CAST(b AS BIGINT),
+        |    CAST(a AS BIGINT), CAST(b - a AS BIGINT) FROM j
+        |  UNION ALL SELECT 'mview_hourly', FALSE, CAST(b AS BIGINT),
+        |    CAST(b AS BIGINT), CAST(0 AS BIGINT) FROM hh
+        |  UNION ALL SELECT 'mview_user_day', TRUE, CAST(b AS BIGINT),
+        |    CAST(a AS BIGINT), CAST(b - a AS BIGINT) FROM ud)
+        |ORDER BY artifact""".stripMargin,
+
     // audit recomputed from the pristine journal — a hash match proves the
     // purged rewrite dropped exactly the cohort and nothing else
     "sink_gdpr_purge" ->

@@ -265,7 +265,8 @@ object VectorIndex {
         r.getLong(1) -> r.getLong(0)))
       .groupBy(_._1)
       .map { case (u, vs) => u -> vs.map(_._2).distinct.toSeq }
-    val probe = indexed.filter(col("vec_id") === probeId)
+    // limit(1): identity on the unique probe id, but provably bounded
+    val probe = indexed.filter(col("vec_id") === probeId).limit(1)
       .select(col("embedding").as("pe"), col("nrm").as("pn"))
     val scores = scala.collection.mutable.Map[Long, Double]()
     def score(ids: Seq[Long]): Unit = {

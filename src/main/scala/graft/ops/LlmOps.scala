@@ -912,7 +912,9 @@ object LlmOps {
     val g = knnGraphFor(s, dir)
     val top = graft.api.VectorIndex.knnSearch(e, g, probeId = 42L, k = 5,
       beam = 24, rounds = 8, entries = (0L until 500L by 50L))
-    val probe = e.filter($"vec_id" === 42)
+    // limit(1) is identity on the unique probe id but makes the scalar
+    // attach PROVABLY bounded for the plan audit (maxRows = 1)
+    val probe = e.filter($"vec_id" === 42).limit(1)
       .select($"embedding".as("pe"), $"nrm".as("pn"))
     val exact10 = e.crossJoin(broadcast(probe)).filter($"vec_id" =!= 42)
       .select($"vec_id", round(FloatVec.floatDot($"embedding", $"pe") /

@@ -6897,7 +6897,275 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  // ===== round-14 wave A: regression-diagnostics econometrics =====
+
+  /** Durbin–Watson autocorrelation test on the residuals of the daily-
+    * revenue time trend (the [[aggChowTest]] spine and OLS): a, b come
+    * from exact BIGINT/DECIMAL moments (identical doubles both engines),
+    * each residual re-quantizes to integer cents (floor(e + 0.5) — one
+    * fixed double expression per row, no float accumulation), and both
+    * DW sums (Σ(eₜ−eₜ₋₁)², Σeₜ²) accumulate in DECIMAL(38,0) ↔ HUGEINT.
+    * DW ≈ 2(1−ρ); the global window rides the bounded day spine (the
+    * agg_chow_test posture).
+    */
+  val aggDurbinWatson: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val days = Tables.lineitem(s, dir)
+      .groupBy((tsMs($"l_shipdate".cast("timestamp")) /
+        lit(86400000L)).cast("long").as("day"))
+      .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") *
+        lit(100)).cast("long")).as("y"))
+      .withColumn("x", row_number().over(Window.orderBy($"day"))
+        .cast("long"))
+      .cp() // moments + the residual pass share the spine
+    val m = days.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+      sum($"x".cast("decimal(38,0)") * $"y").as("sxy"))
+      .select($"n",
+        ((d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+          (d($"n") * d($"sxx") - d($"sx") * d($"sx"))).as("b"),
+        $"sx", $"sy")
+      .select($"n", $"b",
+        ((d($"sy") - $"b" * d($"sx")) / d($"n")).as("a"))
+    val eq = days.crossJoin(broadcast(m))
+      .select($"n",
+        floor(d($"y") - ($"a" + $"b" * d($"x")) + lit(0.5))
+          .cast("long").as("e"),
+        $"x")
+      .withColumn("pe", lag($"e", 1).over(Window.orderBy($"x")))
+    eq.groupBy($"n")
+      .agg(sum($"e".cast("decimal(38,0)") * $"e").as("see"),
+        sum(when($"pe".isNotNull,
+          ($"e" - $"pe").cast("decimal(38,0)") * ($"e" - $"pe"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("sdd"))
+      .select($"n".as("n_days"),
+        LlmOps.pround4(d($"sdd") / d($"see")).as("dw"),
+        LlmOps.pround4(lit(1.0) - d($"sdd") / d($"see") / lit(2.0))
+          .as("rho_hat"))
+  }
+
+  /** Shared per-type daily micro-return series (the [[aggCapm]] leg). */
+  private def dailyReturns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type".as("g"),
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"g", $"day").agg(sum($"cents").as("c"))
+      .withColumn("pc", lag($"c", 1).over(
+        Window.partitionBy($"g").orderBy($"day")))
+      .filter($"pc" > 0)
+      .select($"g", $"day", expr("((c - pc) * 1000000) div pc").as("r"))
+  }
+
+  /** Ljung–Box portmanteau test (h = 5) per event type on the daily
+    * micro-returns: the "is there ANY residual autocorrelation" gate run
+    * after every model fit. Each ρ̂_k comes from exact ingredients — the
+    * lag-k cross sum Σrₜrₜ₊ₖ in DECIMAL(38,0), the two partial sums and
+    * the global Σr/Σr² as BIGINT/DECIMAL — folded through the standard
+    * single-mean sample-ACF formula as one fixed double tree per k; LB =
+    * n(n+2)Σρ̂²ₖ/(n−k), flagged against the declared χ²₅ 5% critical
+    * value 11.0705. One pass computes all five lags (five lag columns
+    * over the type-partitioned day sort).
+    */
+  val aggLjungBox: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val w = Window.partitionBy($"g").orderBy($"day")
+    var df = dailyReturns(s, dir)
+    for (k <- 1 to 5) df = df.withColumn(s"l$k", lag($"r", k).over(w))
+    val aggs = Seq(count(lit(1)).as("n"), sum($"r").as("sr"),
+      sum($"r".cast("decimal(38,0)") * $"r").as("srr")) ++
+      (1 to 5).flatMap { k =>
+        Seq(sum(when(col(s"l$k").isNotNull,
+            col(s"l$k").cast("decimal(38,0)") * $"r")
+            .otherwise(lit(0).cast("decimal(38,0)"))).as(s"sxy$k"),
+          sum(when(col(s"l$k").isNotNull, col(s"l$k")).otherwise(0L))
+            .as(s"sa$k"),
+          sum(when(col(s"l$k").isNotNull, $"r").otherwise(0L)).as(s"sb$k"))
+      }
+    var out = df.groupBy($"g").agg(aggs.head, aggs.tail: _*)
+      .withColumn("rbar", d($"sr") / d($"n"))
+      .withColumn("den", d($"srr") - d($"n") * $"rbar" * $"rbar")
+    for (k <- 1 to 5)
+      out = out.withColumn(s"rho$k",
+        (d(col(s"sxy$k")) - $"rbar" * (d(col(s"sa$k")) + d(col(s"sb$k"))) +
+          (d($"n") - lit(k.toDouble)) * $"rbar" * $"rbar") / $"den")
+    val lb = (1 to 5).map(k =>
+      col(s"rho$k") * col(s"rho$k") / (d($"n") - lit(k.toDouble)))
+      .reduce(_ + _) * d($"n") * (d($"n") + lit(2.0))
+    out.select($"g".as("event_type"), $"n".as("n_days"),
+      LlmOps.pround4($"rho1").as("rho1"),
+      LlmOps.pround4($"rho2").as("rho2"),
+      LlmOps.pround4($"rho5").as("rho5"),
+      LlmOps.pround4(lb).as("lb_stat"),
+      (lb > lit(11.0705)).as("autocorrelated_5pct"))
+      .orderBy($"event_type")
+  }
+
+  /** Engle's ARCH LM test (1 lag) per event type — "does today's squared
+    * return predict tomorrow's?", the pre-GARCH gate: u = r² (micro
+    * returns squared — BIGINT-safe per row, DECIMAL(38,0) sums), R² of
+    * u on its lag via the exact-moment correlation formula (the
+    * [[aggAutocorr]] algebra on squares), LM = n·R² against the declared
+    * χ²₁ 5% critical value 3.8415.
+    */
+  val aggEngleArch: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val u = dailyReturns(s, dir)
+      .select($"g", $"day", ($"r" * $"r").as("u"))
+      .withColumn("pu", lag($"u", 1).over(
+        Window.partitionBy($"g").orderBy($"day")))
+      .filter($"pu".isNotNull)
+    u.groupBy($"g")
+      .agg(count(lit(1)).as("n"),
+        sum($"pu".cast("decimal(38,0)")).as("sx"),
+        sum($"u".cast("decimal(38,0)")).as("sy"),
+        sum($"pu".cast("decimal(38,0)") * $"pu").as("sxx"),
+        sum($"u".cast("decimal(38,0)") * $"u").as("syy"),
+        sum($"pu".cast("decimal(38,0)") * $"u").as("sxy"))
+      .withColumn("r", (d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+        sqrt((d($"n") * d($"sxx") - d($"sx") * d($"sx")) *
+          (d($"n") * d($"syy") - d($"sy") * d($"sy"))))
+      .withColumn("lm", d($"n") * $"r" * $"r")
+      .select($"g".as("event_type"), $"n".as("n_days"),
+        LlmOps.pround4($"r" * $"r").as("r_squared"),
+        LlmOps.pround4($"lm").as("lm_stat"),
+        ($"lm" > lit(3.8415)).as("arch_5pct"))
+      .orderBy($"event_type")
+  }
+
+  /** Granger causality, view → purchase, on the daily micro-return legs:
+    * unrestricted OLS ry ~ ry₋₁ + rx₋₁ solved from exact centered
+    * moments via the 2×2 normal equations (every raw moment BIGINT /
+    * DECIMAL(38,0), the solve one fixed double tree — no per-row
+    * residuals needed, RSS = Syy − b·S1y − c·S2y), restricted ry ~ ry₋₁,
+    * F = (RSSr − RSSu)/(RSSu/(n−3)) flagged against the declared F(1,∞)
+    * 5% critical value 3.8415. The two legs join on the shared bounded
+    * day spine.
+    */
+  val aggGranger: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val r = dailyReturns(s, dir).cp()
+    val x = r.filter($"g" === "view").select($"day", $"r".as("rx"))
+    val y = r.filter($"g" === "purchase").select($"day", $"r".as("ry"))
+    val joined = y.join(x, "day")
+      .withColumn("z1", lag($"ry", 1).over(Window.orderBy($"day")))
+      .withColumn("z2", lag($"rx", 1).over(Window.orderBy($"day")))
+      .filter($"z1".isNotNull && $"z2".isNotNull)
+    joined.agg(count(lit(1)).as("n"), sum($"ry").as("sy"),
+        sum($"z1").as("s1"), sum($"z2").as("s2"),
+        sum($"z1".cast("decimal(38,0)") * $"z1").as("s11"),
+        sum($"z2".cast("decimal(38,0)") * $"z2").as("s22"),
+        sum($"z1".cast("decimal(38,0)") * $"z2").as("s12"),
+        sum($"z1".cast("decimal(38,0)") * $"ry").as("s1y"),
+        sum($"z2".cast("decimal(38,0)") * $"ry").as("s2y"),
+        sum($"ry".cast("decimal(38,0)") * $"ry").as("syy"))
+      .withColumn("c11", d($"s11") - d($"s1") * d($"s1") / d($"n"))
+      .withColumn("c22", d($"s22") - d($"s2") * d($"s2") / d($"n"))
+      .withColumn("c12", d($"s12") - d($"s1") * d($"s2") / d($"n"))
+      .withColumn("c1y", d($"s1y") - d($"s1") * d($"sy") / d($"n"))
+      .withColumn("c2y", d($"s2y") - d($"s2") * d($"sy") / d($"n"))
+      .withColumn("cyy", d($"syy") - d($"sy") * d($"sy") / d($"n"))
+      .withColumn("det", $"c11" * $"c22" - $"c12" * $"c12")
+      .withColumn("b", ($"c1y" * $"c22" - $"c2y" * $"c12") / $"det")
+      .withColumn("c", ($"c2y" * $"c11" - $"c1y" * $"c12") / $"det")
+      .withColumn("rssu", $"cyy" - $"b" * $"c1y" - $"c" * $"c2y")
+      .withColumn("rssr", $"cyy" - $"c1y" * $"c1y" / $"c11")
+      .withColumn("f", ($"rssr" - $"rssu") / ($"rssu" / (d($"n") - lit(3.0))))
+      .select($"n".as("n_days"),
+        LlmOps.pround4($"b").as("beta_own_lag"),
+        LlmOps.pround4($"c").as("beta_view_lag"),
+        LlmOps.pround4($"f").as("f_stat"),
+        ($"f" > lit(3.8415)).as("granger_5pct"))
+  }
+
+  /** Yule–Walker AR(2) fit per event type on the daily micro-returns:
+    * ρ̂₁/ρ̂₂ through the exact-moment sample ACF (the [[aggLjungBox]]
+    * ingredients), then the closed-form AR(2) solve φ₁ = ρ₁(1−ρ₂)/(1−ρ₁²),
+    * φ₂ = (ρ₂−ρ₁²)/(1−ρ₁²) and the innovation-variance ratio
+    * σ²ₑ/σ² = 1 − φ₁ρ₁ − φ₂ρ₂ — the two-line time-series model every
+    * forecasting pipeline baselines against.
+    */
+  val aggYuleWalker: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val w = Window.partitionBy($"g").orderBy($"day")
+    val df = dailyReturns(s, dir)
+      .withColumn("l1", lag($"r", 1).over(w))
+      .withColumn("l2", lag($"r", 2).over(w))
+    var out = df.groupBy($"g").agg(count(lit(1)).as("n"),
+        sum($"r").as("sr"),
+        sum($"r".cast("decimal(38,0)") * $"r").as("srr"),
+        sum(when($"l1".isNotNull, $"l1".cast("decimal(38,0)") * $"r")
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("sxy1"),
+        sum(when($"l1".isNotNull, $"l1").otherwise(0L)).as("sa1"),
+        sum(when($"l1".isNotNull, $"r").otherwise(0L)).as("sb1"),
+        sum(when($"l2".isNotNull, $"l2".cast("decimal(38,0)") * $"r")
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("sxy2"),
+        sum(when($"l2".isNotNull, $"l2").otherwise(0L)).as("sa2"),
+        sum(when($"l2".isNotNull, $"r").otherwise(0L)).as("sb2"))
+      .withColumn("rbar", d($"sr") / d($"n"))
+      .withColumn("den", d($"srr") - d($"n") * $"rbar" * $"rbar")
+    for (k <- 1 to 2)
+      out = out.withColumn(s"rho$k",
+        (d(col(s"sxy$k")) - $"rbar" * (d(col(s"sa$k")) + d(col(s"sb$k"))) +
+          (d($"n") - lit(k.toDouble)) * $"rbar" * $"rbar") / $"den")
+    out
+      .withColumn("phi1", $"rho1" * (lit(1.0) - $"rho2") /
+        (lit(1.0) - $"rho1" * $"rho1"))
+      .withColumn("phi2", ($"rho2" - $"rho1" * $"rho1") /
+        (lit(1.0) - $"rho1" * $"rho1"))
+      .select($"g".as("event_type"), $"n".as("n_days"),
+        LlmOps.pround4($"rho1").as("rho1"),
+        LlmOps.pround4($"rho2").as("rho2"),
+        LlmOps.pround4($"phi1").as("phi1"),
+        LlmOps.pround4($"phi2").as("phi2"),
+        LlmOps.pround4(lit(1.0) - $"phi1" * $"rho1" - $"phi2" * $"rho2")
+          .as("innov_var_ratio"))
+      .orderBy($"event_type")
+  }
+
+  /** Atkinson inequality index (ε = 1) of per-customer revenue by market
+    * segment — the welfare-weighted complement to [[aggGini]]:
+    * A = 1 − geomean/mean over each segment's customer totals, geomean
+    * via per-customer nano-quantized ln (BIGINT sum, the LLM log-sum
+    * discipline — order-free exact), mean from exact cent sums. Two
+    * rollups: order → customer totals (cents), customer → segment.
+    */
+  val aggAtkinson: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val perCust = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .filter($"cents" > 0)
+    perCust
+      .join(Tables.customer(s, dir)
+        .select($"c_custkey".as("o_custkey"), $"c_mktsegment"), "o_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), sum($"cents").as("sc"),
+        sum(floor(log(d($"cents")) * lit(1.0e9) + lit(0.5)).cast("long"))
+          .as("slnq"))
+      .select($"c_mktsegment", $"n_customers",
+        LlmOps.pround4(d($"sc") / d($"n_customers") / lit(100.0))
+          .as("mean_rev"),
+        LlmOps.pround4(lit(1.0) -
+          exp(d($"slnq") / lit(1.0e9) / d($"n_customers")) /
+            (d($"sc") / d($"n_customers"))).as("atkinson"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_durbin_watson" -> aggDurbinWatson,
+    "agg_ljung_box" -> aggLjungBox,
+    "agg_engle_arch" -> aggEngleArch,
+    "agg_granger" -> aggGranger,
+    "agg_yule_walker" -> aggYuleWalker,
+    "agg_atkinson" -> aggAtkinson,
     "win_sortino" -> winSortino,
     "sink_gdpr_purge" -> sinkGdprPurge,
     "sink_gdpr_purge_deep" -> sinkGdprPurgeDeep,

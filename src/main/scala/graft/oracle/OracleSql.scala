@@ -456,6 +456,66 @@ object OracleSql {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   }
 
+  /** Shared generator for the exact-moment sample-ACF chain (r14 wave A:
+    * agg_ljung_box, agg_yule_walker): per-type daily micro-returns (the
+    * win_garch leg), lag-1..maxLag cross sums in HUGEINT, the
+    * single-mean ACF formula as the identical fixed double tree the
+    * Spark side folds, LB appended when maxLag = 5. `finalSelect` reads
+    * from the generated `rhos` CTE (g, n, rho1..rho{maxLag}[, lb]).
+    */
+  private def ljungBoxStyleSql(maxLag: Int, finalSelect: String): String = {
+    val lagCols = (1 to maxLag).map(k =>
+      s"lag(rq, $k) OVER (PARTITION BY g ORDER BY d) AS l$k")
+      .mkString(",\n    ")
+    val sumCols = (1 to maxLag).map(k =>
+      s"""sum(CASE WHEN l$k IS NOT NULL THEN CAST(l$k AS HUGEINT) * rq
+         |      ELSE 0 END) AS sxy$k,
+         |    CAST(sum(CASE WHEN l$k IS NOT NULL THEN l$k ELSE 0 END)
+         |      AS BIGINT) AS sa$k,
+         |    CAST(sum(CASE WHEN l$k IS NOT NULL THEN rq ELSE 0 END)
+         |      AS BIGINT) AS sb$k""".stripMargin).mkString(",\n    ")
+    val rhoCols = (1 to maxLag).map(k =>
+      s"""(CAST(CAST(sxy$k AS VARCHAR) AS DOUBLE) -
+         |      rbar * (CAST(sa$k AS DOUBLE) + CAST(sb$k AS DOUBLE)) +
+         |      (CAST(n AS DOUBLE) - $k.0) * rbar * rbar) / den AS rho$k"""
+        .stripMargin).mkString(",\n    ")
+    val lbCol = if (maxLag == 5) {
+      val terms = (1 to 5).map(k =>
+        s"rho$k * rho$k / (CAST(n AS DOUBLE) - $k.0)").mkString(" + ")
+      s""",
+         |    ($terms) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+         |      AS lb""".stripMargin
+    } else ""
+    s"""WITH daily AS (
+       |  SELECT event_type AS g, epoch_ms(ts) // 86400000 AS d,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |r AS (
+       |  SELECT g, d, ((c - pc) * 1000000) // pc AS rq
+       |  FROM (SELECT g, d, c, lag(c) OVER (PARTITION BY g ORDER BY d)
+       |    AS pc FROM daily)
+       |  WHERE pc > 0),
+       |lagged AS (
+       |  SELECT g, d, rq,
+       |    $lagCols
+       |  FROM r),
+       |s AS (
+       |  SELECT g, count(*) AS n, CAST(sum(rq) AS BIGINT) AS sr,
+       |    sum(CAST(rq AS HUGEINT) * rq) AS srr,
+       |    $sumCols
+       |  FROM lagged GROUP BY 1),
+       |base AS (
+       |  SELECT *, CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) AS rbar FROM s),
+       |base2 AS (
+       |  SELECT *, CAST(CAST(srr AS VARCHAR) AS DOUBLE) -
+       |    CAST(n AS DOUBLE) * rbar * rbar AS den FROM base),
+       |rhos AS (
+       |  SELECT g, n,
+       |    $rhoCols$lbCol
+       |  FROM base2)
+       |$finalSelect""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "sql_q1" -> Q1,
 
@@ -491,6 +551,206 @@ object OracleSql {
         |  CASE WHEN sd2 > 0
         |    THEN floor(m / dsig * 10000.0 + 0.5) / 10000.0 END AS sortino
         |FROM t ORDER BY event_type""".stripMargin,
+
+    // OLS over the day spine from exact moments, per-row residual
+    // re-quantized to integer cents, HUGEINT DW sums (r14 wave A)
+    "agg_durbin_watson" ->
+      """WITH days AS (
+        |  SELECT epoch_ms(l_shipdate) // 86400000 AS day,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |spine AS (
+        |  SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS x
+        |  FROM days),
+        |m AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM spine),
+        |ab AS (
+        |  SELECT n, sx, sy,
+        |    (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+        |  FROM m),
+        |ab2 AS (SELECT n, b,
+        |  (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    AS a FROM ab),
+        |eq AS (
+        |  SELECT n, x, CAST(floor(CAST(y AS DOUBLE) -
+        |    (a + b * CAST(x AS DOUBLE)) + 0.5) AS BIGINT) AS e
+        |  FROM spine, ab2),
+        |eq2 AS (SELECT n, e, lag(e) OVER (ORDER BY x) AS pe FROM eq),
+        |f AS (
+        |  SELECT n, sum(CAST(e AS HUGEINT) * e) AS see,
+        |    sum(CASE WHEN pe IS NOT NULL
+        |      THEN CAST(e - pe AS HUGEINT) * (e - pe) ELSE 0 END) AS sdd
+        |  FROM eq2 GROUP BY n)
+        |SELECT n AS n_days,
+        |  floor(CAST(CAST(sdd AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(see AS VARCHAR) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS dw,
+        |  floor((1.0 - CAST(CAST(sdd AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(see AS VARCHAR) AS DOUBLE) / 2.0) * 10000.0 + 0.5)
+        |    / 10000.0 AS rho_hat
+        |FROM f""".stripMargin,
+
+    // per-type micro-return series (the win_garch leg), exact-moment
+    // sample ACF at lags 1..5, LB portmanteau vs chi2(5) 5% (r14 wave A)
+    "agg_ljung_box" -> ljungBoxStyleSql(5,
+      """SELECT g AS event_type, n AS n_days,
+        |  floor(rho1 * 10000.0 + 0.5) / 10000.0 AS rho1,
+        |  floor(rho2 * 10000.0 + 0.5) / 10000.0 AS rho2,
+        |  floor(rho5 * 10000.0 + 0.5) / 10000.0 AS rho5,
+        |  floor(lb * 10000.0 + 0.5) / 10000.0 AS lb_stat,
+        |  lb > 11.0705 AS autocorrelated_5pct
+        |FROM rhos ORDER BY event_type""".stripMargin),
+
+    // ACF at lags 1..2 + the closed-form AR(2) Yule-Walker solve
+    "agg_yule_walker" -> ljungBoxStyleSql(2,
+      """SELECT g AS event_type, n AS n_days,
+        |  floor(rho1 * 10000.0 + 0.5) / 10000.0 AS rho1,
+        |  floor(rho2 * 10000.0 + 0.5) / 10000.0 AS rho2,
+        |  floor(phi1 * 10000.0 + 0.5) / 10000.0 AS phi1,
+        |  floor(phi2 * 10000.0 + 0.5) / 10000.0 AS phi2,
+        |  floor((1.0 - phi1 * rho1 - phi2 * rho2) * 10000.0 + 0.5)
+        |    / 10000.0 AS innov_var_ratio
+        |FROM (SELECT g, n, rho1, rho2,
+        |    rho1 * (1.0 - rho2) / (1.0 - rho1 * rho1) AS phi1,
+        |    (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1) AS phi2
+        |  FROM rhos) ORDER BY event_type""".stripMargin),
+
+    // squared micro-returns on their lag: exact-moment correlation, LM =
+    // n R^2 vs chi2(1) 5%
+    "agg_engle_arch" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, d, ((c - pc) * 1000000) // pc AS rq
+        |  FROM (SELECT g, d, c, lag(c) OVER (PARTITION BY g ORDER BY d)
+        |    AS pc FROM daily)
+        |  WHERE pc > 0),
+        |u AS (
+        |  SELECT g, u, pu FROM (
+        |    SELECT g, rq * rq AS u,
+        |      lag(rq * rq) OVER (PARTITION BY g ORDER BY d) AS pu
+        |    FROM r) WHERE pu IS NOT NULL),
+        |s AS (
+        |  SELECT g, count(*) AS n,
+        |    sum(CAST(pu AS HUGEINT)) AS sx, sum(CAST(u AS HUGEINT)) AS sy,
+        |    sum(CAST(pu AS HUGEINT) * pu) AS sxx,
+        |    sum(CAST(u AS HUGEINT) * u) AS syy,
+        |    sum(CAST(pu AS HUGEINT) * u) AS sxy
+        |  FROM u GROUP BY 1),
+        |t AS (
+        |  SELECT g, n,
+        |    (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sx AS VARCHAR) AS DOUBLE) *
+        |        CAST(CAST(sy AS VARCHAR) AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sx AS VARCHAR) AS DOUBLE) *
+        |        CAST(CAST(sx AS VARCHAR) AS DOUBLE)) *
+        |     (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sy AS VARCHAR) AS DOUBLE) *
+        |        CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS r
+        |  FROM s)
+        |SELECT g AS event_type, n AS n_days,
+        |  floor(r * r * 10000.0 + 0.5) / 10000.0 AS r_squared,
+        |  floor(CAST(n AS DOUBLE) * r * r * 10000.0 + 0.5) / 10000.0
+        |    AS lm_stat,
+        |  CAST(n AS DOUBLE) * r * r > 3.8415 AS arch_5pct
+        |FROM t ORDER BY event_type""".stripMargin,
+
+    // view->purchase lagged 2-regressor OLS from exact centered moments,
+    // F vs the declared 3.8415 critical value
+    "agg_granger" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, d, ((c - pc) * 1000000) // pc AS rq
+        |  FROM (SELECT g, d, c, lag(c) OVER (PARTITION BY g ORDER BY d)
+        |    AS pc FROM daily)
+        |  WHERE pc > 0),
+        |xy AS (
+        |  SELECT y.d, y.rq AS ry, x.rq AS rx
+        |  FROM (SELECT d, rq FROM r WHERE g = 'purchase') y
+        |  JOIN (SELECT d, rq FROM r WHERE g = 'view') x ON y.d = x.d),
+        |lagged AS (
+        |  SELECT ry, z1, z2 FROM (
+        |    SELECT ry, lag(ry) OVER (ORDER BY d) AS z1,
+        |      lag(rx) OVER (ORDER BY d) AS z2
+        |    FROM xy) WHERE z1 IS NOT NULL AND z2 IS NOT NULL),
+        |s AS (
+        |  SELECT count(*) AS n, CAST(sum(ry) AS BIGINT) AS sy,
+        |    CAST(sum(z1) AS BIGINT) AS s1, CAST(sum(z2) AS BIGINT) AS s2,
+        |    sum(CAST(z1 AS HUGEINT) * z1) AS s11,
+        |    sum(CAST(z2 AS HUGEINT) * z2) AS s22,
+        |    sum(CAST(z1 AS HUGEINT) * z2) AS s12,
+        |    sum(CAST(z1 AS HUGEINT) * ry) AS s1y,
+        |    sum(CAST(z2 AS HUGEINT) * ry) AS s2y,
+        |    sum(CAST(ry AS HUGEINT) * ry) AS syy
+        |  FROM lagged),
+        |cm AS (
+        |  SELECT n,
+        |    CAST(CAST(s11 AS VARCHAR) AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |      CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS c11,
+        |    CAST(CAST(s22 AS VARCHAR) AS DOUBLE) - CAST(s2 AS DOUBLE) *
+        |      CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c22,
+        |    CAST(CAST(s12 AS VARCHAR) AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |      CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c12,
+        |    CAST(CAST(s1y AS VARCHAR) AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |      CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c1y,
+        |    CAST(CAST(s2y AS VARCHAR) AS DOUBLE) - CAST(s2 AS DOUBLE) *
+        |      CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c2y,
+        |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(sy AS DOUBLE) *
+        |      CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy
+        |  FROM s),
+        |fit AS (
+        |  SELECT n, c1y, c2y, cyy, c11,
+        |    (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b,
+        |    (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS c
+        |  FROM cm),
+        |fin AS (
+        |  SELECT n, b, c, cyy - b * c1y - c * c2y AS rssu,
+        |    cyy - c1y * c1y / c11 AS rssr
+        |  FROM fit)
+        |SELECT n AS n_days,
+        |  floor(b * 10000.0 + 0.5) / 10000.0 AS beta_own_lag,
+        |  floor(c * 10000.0 + 0.5) / 10000.0 AS beta_view_lag,
+        |  floor((rssr - rssu) / (rssu / (CAST(n AS DOUBLE) - 3.0))
+        |    * 10000.0 + 0.5) / 10000.0 AS f_stat,
+        |  (rssr - rssu) / (rssu / (CAST(n AS DOUBLE) - 3.0)) > 3.8415
+        |    AS granger_5pct
+        |FROM fin""".stripMargin,
+
+    // per-customer cent totals, nano-quantized ln sums, Atkinson(eps=1)
+    "agg_atkinson" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1 HAVING sum(CAST(round(o_totalprice * 100)
+        |    AS BIGINT)) > 0),
+        |seg AS (
+        |  SELECT c_mktsegment, count(*) AS n_customers,
+        |    CAST(sum(cents) AS BIGINT) AS sc,
+        |    CAST(sum(CAST(floor(ln(CAST(cents AS DOUBLE)) * 1000000000.0
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS slnq
+        |  FROM pc JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT c_mktsegment, n_customers,
+        |  floor(CAST(sc AS DOUBLE) / CAST(n_customers AS DOUBLE) / 100.0
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_rev,
+        |  floor((1.0 - exp(CAST(slnq AS DOUBLE) / 1000000000.0 /
+        |      CAST(n_customers AS DOUBLE)) /
+        |    (CAST(sc AS DOUBLE) / CAST(n_customers AS DOUBLE)))
+        |    * 10000.0 + 0.5) / 10000.0 AS atkinson
+        |FROM seg ORDER BY c_mktsegment""".stripMargin,
 
     // the multi-artifact sweep's per-store before/after counts, all
     // derivable from the pristine journal: a hash match proves every

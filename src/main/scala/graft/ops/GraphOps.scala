@@ -1481,6 +1481,60 @@ object GraphOps {
       .orderBy($"id")
   }
 
+  /** Global efficiency lower bound over the 8-landmark BFS frame (the
+    * [[graphCloseness]] machinery, globally folded): E = mean of 1/d
+    * over reached (landmark, node) pairs — "how cheaply does information
+    * flow", the network-science complement to [[graphAvgPathLength]].
+    * Each 1/d quantizes EXACTLY via the integer division
+    * (2·10⁹ + d) div (2d) = round(10⁹/d) (no FP accumulation at all);
+    * the mean is one final fixed double. 100 TB: landmark-sampled like
+    * every traversal op — one multi-source BFS, one global rollup.
+    */
+  val graphGlobalEfficiency: Q = (s, dir) => {
+    import s.implicits._
+    val lm = partVertices(s, dir)
+      .orderBy($"p_partkey").limit(8).select($"p_partkey".as("src"))
+    graft.api.GraphAlgebra
+      .multiBfsHops(copurchaseBoth(s, dir), lm, maxHops = 6)
+      .filter($"dist" > 0)
+      .select(expr("(2000000000 + dist) div (2 * dist)").as("qinv"))
+      .agg(count(lit(1)).as("n_pairs"), sum($"qinv").as("s"))
+      .select($"n_pairs",
+        LlmOps.pround4($"s".cast("double") / lit(1.0e9) /
+          $"n_pairs".cast("double")).as("global_efficiency"))
+  }
+
+  /** Bond-percolation profile of the co-purchase graph: connected
+    * components at edge-weight thresholds w ≥ {1, 2, 4} — the robustness
+    * curve ("when do weak ties stop holding the graph together") next to
+    * [[graphAttackTolerance]]'s hub-removal probe. Per threshold one
+    * frontier-gated min-label CC fixpoint over the SHRINKING subgraph
+    * (the [[graphCcDf]] machinery — each run is cheaper than the last;
+    * all parts stay in the vertex spine so isolated nodes count as
+    * singletons), then a 3-row rollup: edges, components, giant size and
+    * share. The oracle replays three recursive min-label closures.
+    */
+  val graphPercolation: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).cp()
+    val verts = partVertices(s, dir).toDF("part").cp()
+    val frames = Seq(1L, 2L, 4L).map { t =>
+      val e = cp.filter($"w" >= t).select($"a", $"b")
+      val sizes = graft.api.GraphAlgebra.connectedComponentsDf(verts, e)
+        .groupBy($"comp").agg(count(lit(1)).as("sz"))
+      sizes
+        .agg(count(lit(1)).as("n_components"), max($"sz").as("giant_size"),
+          sum($"sz").as("n_nodes"))
+        .crossJoin(broadcast(
+          cp.filter($"w" >= t).agg(count(lit(1)).as("n_edges"))))
+        .select(lit(t).as("w_min"), $"n_edges", $"n_components",
+          $"giant_size",
+          LlmOps.pround4($"giant_size".cast("double") /
+            $"n_nodes".cast("double")).as("giant_share"))
+    }
+    frames.reduce(_ unionAll _).orderBy($"w_min")
+  }
+
   /** Rich-club coefficient curve φ(k) for k ∈ {2,4,8,16} over the
     * co-purchase graph: among nodes of degree ≥ k, how dense are the
     * edges between them vs the complete graph. Degrees and club-edge
@@ -2494,6 +2548,8 @@ object GraphOps {
     "graph_louvain_dendro" -> graphLouvainDendro,
     "graph_match_pattern" -> graphMatchPattern,
     "graph_match_var" -> graphMatchVar,
+    "graph_global_efficiency" -> graphGlobalEfficiency,
+    "graph_percolation" -> graphPercolation,
     "graph_eccentricity" -> graphEccentricity,
     "graph_closeness" -> graphCloseness,
     "graph_betweenness" -> graphBetweenness,

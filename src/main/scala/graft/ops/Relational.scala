@@ -7159,7 +7159,137 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  // ===== round-14 wave B: drift / rates / repeated measures / signals =====
+
+  /** Cochran's Q test across the three funnel actions (view / click /
+    * purchase as k = 3 binary "did the subject do it" treatments) with
+    * (user, day) SUBJECTS — the repeated-measures binary test behind "do
+    * the funnel stages differ at all": Q = (k−1)[kΣC²ⱼ − (ΣCⱼ)²] /
+    * [kΣRᵢ − ΣR²ᵢ]. The day granularity is what makes the test
+    * non-degenerate on this journal (every ACTIVE user eventually does
+    * all three actions, so lifetime rows are all-ones and the
+    * denominator collapses to 0 — ANSI would fail loudly); subjects with
+    * none of the three are absent, which leaves Q unchanged (all-zero
+    * rows cancel in both margins). Everything up to the final ratio is
+    * exact BIGINT; flagged against the declared χ²₂ 5% value 5.9915.
+    */
+  val aggCochranQ: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val flags = Tables.events(s, dir)
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .groupBy($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long")
+        .as("day"))
+      .agg(max(when($"event_type" === "view", 1L).otherwise(0L)).as("xv"),
+        max(when($"event_type" === "click", 1L).otherwise(0L)).as("xc"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("xp"))
+    flags
+      .agg(count(lit(1)).as("n"), sum($"xv").as("cv"), sum($"xc").as("cc"),
+        sum($"xp").as("cpu"),
+        sum($"xv" + $"xc" + $"xp").as("sr"),
+        sum(($"xv" + $"xc" + $"xp") * ($"xv" + $"xc" + $"xp")).as("srr"))
+      .withColumn("q",
+        lit(2.0) * (lit(3.0) * (d($"cv") * d($"cv") + d($"cc") * d($"cc") +
+          d($"cpu") * d($"cpu")) -
+          (d($"cv") + d($"cc") + d($"cpu")) *
+            (d($"cv") + d($"cc") + d($"cpu"))) /
+          (lit(3.0) * d($"sr") - d($"srr")))
+      .select($"n".as("n_subjects"), $"cv".as("c_view"),
+        $"cc".as("c_click"), $"cpu".as("c_purchase"),
+        LlmOps.pround4($"q").as("q_stat"),
+        ($"q" > lit(5.9915)).as("differs_5pct"))
+  }
+
+  /** Two-rate Poisson test, views vs purchases over the identical
+    * exposure window: rate ratio + the conditional-binomial normal
+    * z = (n₁−n₂)/√(n₁+n₂), flagged at |z| > 1.96 — the A/B readout for
+    * count metrics. Two exact counts in, one fixed double tree out.
+    */
+  val aggPoissonRate: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    Tables.events(s, dir)
+      .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("nv"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("np"))
+      .withColumn("z", (d($"nv") - d($"np")) / sqrt(d($"nv") + d($"np")))
+      .select($"nv".as("n_view"), $"np".as("n_purchase"),
+        LlmOps.pround4(d($"nv") / d($"np")).as("rate_ratio"),
+        LlmOps.pround4($"z").as("z"),
+        (abs($"z") > lit(1.96)).as("differs_5pct"))
+  }
+
+  /** Page–Hinkley drift detection on the daily-revenue series (δ = 0):
+    * per day the deviation from the RUNNING mean re-quantizes to an
+    * exact micro-cent BIGINT (one fixed double expression per row — the
+    * running mean is an exact cumulative-sum ratio), mₜ = Σ deviations,
+    * PHₜ = mₜ − min_{s≤t} mₛ, reported at its max with the drift day
+    * (ties to the earliest day). The classic streaming change detector,
+    * here as the batch audit over the bounded day spine.
+    */
+  val aggPageHinkley: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val w = Window.orderBy($"rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val days = Tables.lineitem(s, dir)
+      .groupBy((tsMs($"l_shipdate".cast("timestamp")) /
+        lit(86400000L)).cast("long").as("day"))
+      .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") *
+        lit(100)).cast("long")).as("y"))
+      .withColumn("rn", row_number().over(Window.orderBy($"day"))
+        .cast("long"))
+    days
+      .withColumn("cum", sum($"y").over(w))
+      .withColumn("dq",
+        floor((d($"y") - d($"cum") / d($"rn")) * lit(1.0e6) + lit(0.5))
+          .cast("long"))
+      .withColumn("m", sum($"dq").over(w))
+      .withColumn("runmin", min($"m").over(w))
+      .withColumn("ph", $"m" - $"runmin")
+      .agg(count(lit(1)).as("n_days"),
+        max(struct($"ph", (-$"day").as("nd"))).as("mx"))
+      .select($"n_days",
+        LlmOps.pround4($"mx.ph".cast("double") / lit(1.0e8)).as("ph_max"),
+        (-$"mx.nd").as("drift_day"))
+  }
+
+  /** Aroon up/down (14-period) per event type over the daily revenue
+    * series: position-of-extremum window arithmetic — the most recent
+    * 14-window high/low located via lexicographic struct extrema (max
+    * (c, rn) / min (c, −rn): identical tie semantics on Spark structs
+    * and DuckDB ROWs — most recent wins), aroon = (14 − periods-since) ·
+    * 100/14 as one quantized ratio. The trend-age indicator next to
+    * [[winDonchian]]'s channel levels.
+    */
+  val winAroon: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val wr = Window.partitionBy($"g").orderBy($"day")
+    val w14 = wr.rowsBetween(-13, 0)
+    Tables.events(s, dir)
+      .select($"event_type".as("g"),
+        (tsMs($"ts") / lit(86400000L)).cast("long").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"g", $"day").agg(sum($"cents").as("c"))
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("mxrn",
+        max(struct($"c", $"rn")).over(w14).getField("rn"))
+      .withColumn("mnrn",
+        -min(struct($"c", (-$"rn").as("nrn"))).over(w14).getField("nrn"))
+      .select($"g".as("event_type"), $"day",
+        LlmOps.pround4((lit(14.0) - (d($"rn") - d($"mxrn"))) *
+          lit(100.0) / lit(14.0)).as("aroon_up"),
+        LlmOps.pround4((lit(14.0) - (d($"rn") - d($"mnrn"))) *
+          lit(100.0) / lit(14.0)).as("aroon_down"))
+      .withColumn("bullish", $"aroon_up" > $"aroon_down")
+      .orderBy($"event_type", $"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_cochran_q" -> aggCochranQ,
+    "agg_poisson_rate" -> aggPoissonRate,
+    "agg_page_hinkley" -> aggPageHinkley,
+    "win_aroon" -> winAroon,
     "agg_durbin_watson" -> aggDurbinWatson,
     "agg_ljung_box" -> aggLjungBox,
     "agg_engle_arch" -> aggEngleArch,

@@ -1254,6 +1254,16 @@ object GraphOracle {
          |  CAST(sum((2000000000 + d) // (2 * d)) AS BIGINT) AS harmonic_nano
          |FROM md WHERE d > 0 GROUP BY 1 ORDER BY part""".stripMargin,
 
+    // the closeness frame globally folded: exact round(1e9/d) integers,
+    // one final mean (r14 wave B)
+    "graph_global_efficiency" ->
+      s"""$landmarkBfsCtes
+         |SELECT count(*) AS n_pairs,
+         |  floor(CAST(sum((2000000000 + d) // (2 * d)) AS DOUBLE) / 1.0e9
+         |    / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |    AS global_efficiency
+         |FROM md WHERE d > 0""".stripMargin,
+
     "graph_hop_histogram" ->
       s"""$landmarkBfsCtes,
          |h AS (SELECT CAST(d AS BIGINT) AS hop, count(*) AS n_pairs FROM md
@@ -1785,6 +1795,35 @@ object GraphOracle {
         |JOIN lineitem ON l_orderkey = o_orderkey
         |JOIN part ON p_partkey = l_partkey
         |GROUP BY 1, 2 ORDER BY cust, tag""".stripMargin,
+
+    // three recursive min-label closures over shrinking w-thresholded
+    // subgraphs (r14 wave B)
+    "graph_percolation" -> {
+      val per = Seq(1, 2, 4).map { t =>
+        s"""e$t AS (SELECT a, b FROM cp WHERE w >= $t
+           |       UNION ALL SELECT b, a FROM cp WHERE w >= $t),
+           |reach$t(node, label) AS (
+           |  SELECT p_partkey, p_partkey FROM part
+           |  UNION
+           |  SELECT e$t.b, reach$t.label
+           |  FROM reach$t JOIN e$t ON e$t.a = reach$t.node),
+           |comp$t AS (SELECT node, min(label) AS c FROM reach$t GROUP BY 1),
+           |sz$t AS (SELECT c, count(*) AS sz FROM comp$t GROUP BY 1),
+           |row$t AS (
+           |  SELECT CAST($t AS BIGINT) AS w_min,
+           |    (SELECT count(*) FROM cp WHERE w >= $t) AS n_edges,
+           |    count(*) AS n_components,
+           |    CAST(max(sz) AS BIGINT) AS giant_size,
+           |    floor(CAST(max(sz) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)
+           |      * 10000.0 + 0.5) / 10000.0 AS giant_share
+           |  FROM sz$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $copurchaseCte,
+         |$per
+         |SELECT * FROM row1 UNION ALL SELECT * FROM row2
+         |UNION ALL SELECT * FROM row4
+         |ORDER BY w_min""".stripMargin
+    },
 
     "graph_cc" ->
       s"""WITH RECURSIVE $copurchaseCte,

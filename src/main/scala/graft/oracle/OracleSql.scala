@@ -552,6 +552,119 @@ object OracleSql {
         |    THEN floor(m / dsig * 10000.0 + 0.5) / 10000.0 END AS sortino
         |FROM t ORDER BY event_type""".stripMargin,
 
+    // all-integer Cochran Q margins, one fixed double tree (r14 wave B)
+    "agg_cochran_q" ->
+      """WITH flags AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS xv,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS xc,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS xp
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT count(*) AS n, CAST(sum(xv) AS BIGINT) AS cv,
+        |    CAST(sum(xc) AS BIGINT) AS cc, CAST(sum(xp) AS BIGINT) AS cpu,
+        |    CAST(sum(xv + xc + xp) AS BIGINT) AS sr,
+        |    CAST(sum((xv + xc + xp) * (xv + xc + xp)) AS BIGINT) AS srr
+        |  FROM flags),
+        |t AS (
+        |  SELECT n, cv, cc, cpu,
+        |    2.0 * (3.0 * (CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE) +
+        |      CAST(cc AS DOUBLE) * CAST(cc AS DOUBLE) +
+        |      CAST(cpu AS DOUBLE) * CAST(cpu AS DOUBLE)) -
+        |      (CAST(cv AS DOUBLE) + CAST(cc AS DOUBLE) +
+        |        CAST(cpu AS DOUBLE)) *
+        |      (CAST(cv AS DOUBLE) + CAST(cc AS DOUBLE) +
+        |        CAST(cpu AS DOUBLE))) /
+        |    (3.0 * CAST(sr AS DOUBLE) - CAST(srr AS DOUBLE)) AS q
+        |  FROM s)
+        |SELECT n AS n_subjects, cv AS c_view, cc AS c_click,
+        |  cpu AS c_purchase,
+        |  floor(q * 10000.0 + 0.5) / 10000.0 AS q_stat,
+        |  q > 5.9915 AS differs_5pct
+        |FROM t""".stripMargin,
+
+    // two exact counts, conditional-binomial z
+    "agg_poisson_rate" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nv,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np
+        |  FROM events),
+        |t AS (SELECT nv, np,
+        |  (CAST(nv AS DOUBLE) - CAST(np AS DOUBLE)) /
+        |    sqrt(CAST(nv AS DOUBLE) + CAST(np AS DOUBLE)) AS z FROM s)
+        |SELECT nv AS n_view, np AS n_purchase,
+        |  floor(CAST(nv AS DOUBLE) / CAST(np AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS rate_ratio,
+        |  floor(z * 10000.0 + 0.5) / 10000.0 AS z,
+        |  abs(z) > 1.96 AS differs_5pct
+        |FROM t""".stripMargin,
+
+    // running-mean deviations re-quantized to exact micro-cents, cum +
+    // running-min windows over the day spine, argmax via ROW extrema
+    "agg_page_hinkley" ->
+      """WITH days AS (
+        |  SELECT epoch_ms(l_shipdate) // 86400000 AS day,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |spine AS (
+        |  SELECT day, y,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+        |  FROM days),
+        |c AS (
+        |  SELECT *, CAST(sum(y) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM spine),
+        |dq AS (
+        |  SELECT *, CAST(floor((CAST(y AS DOUBLE) -
+        |    CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE)) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS dq FROM c),
+        |m AS (
+        |  SELECT *, CAST(sum(dq) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS m FROM dq),
+        |r AS (
+        |  SELECT *, CAST(min(m) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS runmin FROM m),
+        |p AS (SELECT day, m - runmin AS ph FROM r),
+        |mx AS (SELECT count(*) AS n,
+        |  max({'ph': ph, 'nd': -day}) AS mx FROM p)
+        |SELECT n AS n_days,
+        |  floor(CAST(struct_extract(mx, 'ph') AS DOUBLE) / 1.0e8
+        |    * 10000.0 + 0.5) / 10000.0 AS ph_max,
+        |  CAST(-struct_extract(mx, 'nd') AS BIGINT) AS drift_day
+        |FROM mx""".stripMargin,
+
+    // position-of-extremum via ROW extrema windows (Spark struct max/min
+    // and DuckDB ROW comparisons share lexicographic tie semantics)
+    "win_aroon" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT g, day, c, CAST(row_number() OVER (PARTITION BY g
+        |    ORDER BY day) AS BIGINT) AS rn FROM daily),
+        |ext AS (
+        |  SELECT g, day, rn,
+        |    struct_extract(max({'c': c, 'rn': rn}) OVER w14, 'rn') AS mxrn,
+        |    -struct_extract(min({'c': c, 'nrn': -rn}) OVER w14, 'nrn')
+        |      AS mnrn
+        |  FROM spine WINDOW w14 AS (PARTITION BY g ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |a AS (
+        |  SELECT g, day,
+        |    floor((14.0 - (CAST(rn AS DOUBLE) - CAST(mxrn AS DOUBLE))) *
+        |      100.0 / 14.0 * 10000.0 + 0.5) / 10000.0 AS aroon_up,
+        |    floor((14.0 - (CAST(rn AS DOUBLE) - CAST(mnrn AS DOUBLE))) *
+        |      100.0 / 14.0 * 10000.0 + 0.5) / 10000.0 AS aroon_down
+        |  FROM ext)
+        |SELECT g AS event_type, day, aroon_up, aroon_down,
+        |  aroon_up > aroon_down AS bullish
+        |FROM a ORDER BY event_type, day""".stripMargin,
+
     // OLS over the day spine from exact moments, per-row residual
     // re-quantized to integer cents, HUGEINT DW sums (r14 wave A)
     "agg_durbin_watson" ->

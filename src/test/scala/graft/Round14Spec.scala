@@ -161,12 +161,14 @@ class Round14Spec extends SparkSpec {
 
   test("round-14 ops: condition-less joins bounded, windows bounded or on the day spine") {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, Window => LWindow}
-    // agg_durbin_watson / agg_granger ride the documented day-spine
-    // exception (global window over a bounded-by-construction calendar
-    // spine, the agg_chow_test posture) and are excluded here
+    // agg_durbin_watson / agg_granger / agg_page_hinkley ride the
+    // documented day-spine exception (global window over a bounded-by-
+    // construction calendar spine, the agg_chow_test posture)
     val keys = Seq("agg_ljung_box", "agg_engle_arch", "agg_yule_walker",
       "agg_atkinson", "graph_match_var", "graph_louvain_dendro",
-      "stream_minhash_idx", "sink_gdpr_purge_deep", "llm_ann_knngraph")
+      "stream_minhash_idx", "sink_gdpr_purge_deep", "llm_ann_knngraph",
+      "agg_cochran_q", "agg_poisson_rate", "win_aroon",
+      "graph_global_efficiency", "graph_percolation")
     for (k <- keys) {
       val plan = SparkEntry.queries(k)(spark, sf).queryExecution.optimizedPlan
       plan.collect { case j: Join if j.condition.isEmpty => j }.foreach { j =>

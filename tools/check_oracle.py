@@ -59,7 +59,7 @@ def _init(sf_dir, out_dir, duck_threads):
 # lion's share of the cores; they are scheduled first (longest-SQL-first
 # approximates it) so they overlap the cheap tail instead of following it
 HEAVY = {"graph_edge_betweenness", "graph_betweenness", "llm_mmr_select",
-         "graph_ppr_batch"}
+         "graph_ppr_batch", "graph_percolation"}
 
 
 def check_key(item):

@@ -1535,6 +1535,60 @@ object GraphOps {
     frames.reduce(_ unionAll _).orderBy($"w_min")
   }
 
+  /** Deterministic Luby maximal-independent-set rounds over the w ≥ 2
+    * co-purchase subgraph — THE parallel-graph primitive behind
+    * scheduling/coloring/symmetry-breaking, as 4 synchronous rounds of
+    * the classic hash-priority protocol: a vertex joins the MIS when its
+    * (md5-derived priority, id) beats every ACTIVE neighbor's (isolated
+    * actives join immediately); winners and their neighbors deactivate.
+    * Priorities are portable hashes (conv/md5 ↔ '0x'-cast, the
+    * graph_triangle_sample trick), ties broken by id, so every round is
+    * engine-exact; 4 rounds decide the overwhelming mass (Luby halves
+    * active edges per round in expectation) and the survivors are
+    * reported 'undecided' — the declared truncation, same posture as the
+    * fixed-round LPA. Output: one status row per part. GraphSpec-style
+    * pins live in Round14Spec: independence (no edge inside the MIS) and
+    * maximality over the decided region. Scale: per round one active
+    * semi-join pair, one min-struct rollup keyed on the vertex, one
+    * anti-join — all |E_active|-bounded, monotonically shrinking.
+    */
+  val graphMis: Q = (s, dir) => {
+    import s.implicits._
+    def prio(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    val e = copurchase(s, dir).filter($"w" >= 2).select($"a", $"b")
+    val both = e.unionAll(e.select($"b".as("a"), $"a".as("b"))).cp()
+    val parts = partVertices(s, dir).select($"p_partkey".as("v")).cp()
+    var active = parts
+    var mis = parts.limit(0)
+    for (_ <- 1 to 4) {
+      val nb = both
+        .join(active.select($"v".as("a")), Seq("a"))
+        .join(active.select($"v".as("b")), Seq("b"))
+        .select($"a".as("v"), $"b".as("u"))
+        .cp()
+      val minnb = nb.groupBy($"v")
+        .agg(min(struct(prio($"u").as("p"), $"u".as("u"))).as("mn"))
+      val winners = active.join(minnb, Seq("v"), "left")
+        .filter($"mn".isNull ||
+          struct(prio($"v").as("p"), $"v".as("u")) < $"mn")
+        .select($"v").cp()
+      mis = mis.unionAll(winners)
+      val deact = winners.unionAll(
+        nb.join(winners.select($"v".as("u")), Seq("u")).select($"v"))
+        .distinct()
+      active = active.join(deact, Seq("v"), "left_anti").cp()
+    }
+    val misF = mis.select($"v", lit(true).as("in_mis"))
+    val actF = active.select($"v", lit(true).as("still_active"))
+    parts.join(misF, Seq("v"), "left").join(actF, Seq("v"), "left")
+      .select($"v".as("part"),
+        when($"in_mis", "mis")
+          .when($"still_active", "undecided")
+          .otherwise("dominated").as("status"))
+      .orderBy($"part")
+  }
+
   /** Rich-club coefficient curve φ(k) for k ∈ {2,4,8,16} over the
     * co-purchase graph: among nodes of degree ≥ k, how dense are the
     * edges between them vs the complete graph. Degrees and club-edge
@@ -2549,6 +2603,7 @@ object GraphOps {
     "graph_match_pattern" -> graphMatchPattern,
     "graph_match_var" -> graphMatchVar,
     "graph_global_efficiency" -> graphGlobalEfficiency,
+    "graph_mis" -> graphMis,
     "graph_percolation" -> graphPercolation,
     "graph_eccentricity" -> graphEccentricity,
     "graph_closeness" -> graphCloseness,

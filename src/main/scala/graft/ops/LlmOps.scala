@@ -3594,6 +3594,54 @@ object LlmOps {
       .orderBy($"tok")
   }
 
+  /** Gopher-style quality rule set per source — the published
+    * rule-based curation gate (length band, mean-word-length band,
+    * alphabetic-token share, stop-word presence, repetition cap) as
+    * named per-rule pass counts, the release readout next to
+    * [[llmFilterFunnel]]'s sequential funnel (these rules are
+    * INDEPENDENT — each doc is scored against all five): r_len
+    * 10 ≤ n ≤ 100000; r_wordlen 3n ≤ Σlen ≤ 10n (cross-multiplied, no
+    * division); r_alpha 5·n_alpha ≥ 4·n (alphabetic token instances);
+    * r_stop ≥ 2 distinct of {the, of, and, to, in} (the Gopher
+    * stop-word trick); r_rep max token share ≤ 20% (5·maxc ≤ n). One
+    * tokenize pass, everything exact integers; docs with zero tokens
+    * are absent (declared).
+    */
+  val llmGopherRules: Q = (s, dir) => {
+    import s.implicits._
+    val byTok = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        explode(split(trim($"text"), " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"doc_id", $"source", $"tok").agg(count(lit(1)).as("c"))
+    val per = byTok.groupBy($"doc_id", $"source")
+      .agg(sum($"c").as("n"), max($"c").as("maxc"),
+        sum($"c" * length($"tok")).as("lensum"),
+        sum(when($"tok".rlike("^[a-zA-Z]+$"), $"c").otherwise(0L))
+          .as("nalpha"),
+        sum(when($"tok".isin("the", "of", "and", "to", "in"), 1L)
+          .otherwise(0L)).as("nstop"))
+      .withColumn("r_len", $"n" >= 10 && $"n" <= 100000)
+      .withColumn("r_wordlen",
+        $"lensum" >= $"n" * 3 && $"lensum" <= $"n" * 10)
+      .withColumn("r_alpha", $"nalpha" * 5 >= $"n" * 4)
+      .withColumn("r_stop", $"nstop" >= 2)
+      .withColumn("r_rep", $"maxc" * 5 <= $"n")
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    per.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        cnt($"r_len").as("p_len"), cnt($"r_wordlen").as("p_wordlen"),
+        cnt($"r_alpha").as("p_alpha"), cnt($"r_stop").as("p_stop"),
+        cnt($"r_rep").as("p_rep"),
+        cnt($"r_len" && $"r_wordlen" && $"r_alpha" && $"r_stop" &&
+          $"r_rep").as("n_pass_all"))
+      .select($"source", $"n_docs", $"p_len", $"p_wordlen", $"p_alpha",
+        $"p_stop", $"p_rep", $"n_pass_all",
+        pround4($"n_pass_all".cast("double") / $"n_docs".cast("double"))
+          .as("pass_rate"))
+      .orderBy($"source")
+  }
+
   /** Chunk-level dedup over the CDC chunking — WHY content-defined
     * boundaries matter: chunks hash by their token content
     * (order-pinned sort_array concat, md5), a chunk is duplicated when
@@ -4495,6 +4543,8 @@ object LlmOps {
     "llm_tfidf_topk" -> llmTfidfTopk,
     "llm_token_count" -> llmTokenCount,
     "llm_quality_score" -> llmQualityScore,
+    "llm_gopher_rules" -> llmGopherRules,
+    "llm_gopher_rules" -> llmGopherRules,
     "llm_lang_id" -> llmLangId,
     "llm_fingerprint" -> llmFingerprint,
     "llm_rolling_hash" -> llmRollingHash,

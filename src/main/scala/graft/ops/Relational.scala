@@ -7200,6 +7200,33 @@ object Relational {
         ($"q" > lit(5.9915)).as("differs_5pct"))
   }
 
+  /** McNemar's test on paired (user, day) binaries, view vs click — the
+    * k = 2 companion of [[aggCochranQ]] ("did the same subjects that
+    * viewed also click?"): only the DISCORDANT cells matter, b = view-
+    * only, c = click-only, χ² = (b−c)²/(b+c) (no continuity correction —
+    * declared), vs the χ²₁ 5% value 3.8415. Exact integers to the last
+    * ratio.
+    */
+  val aggMcnemar: Q = (s, dir) => {
+    import s.implicits._
+    def d(c: Column): Column = c.cast("double")
+    val flags = Tables.events(s, dir)
+      .filter($"event_type".isin("view", "click"))
+      .groupBy($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long")
+        .as("day"))
+      .agg(max(when($"event_type" === "view", 1L).otherwise(0L)).as("x"),
+        max(when($"event_type" === "click", 1L).otherwise(0L)).as("y"))
+    flags
+      .agg(count(lit(1)).as("n"),
+        sum(when($"x" === 1 && $"y" === 0, 1L).otherwise(0L)).as("b"),
+        sum(when($"x" === 0 && $"y" === 1, 1L).otherwise(0L)).as("c"))
+      .withColumn("chi2", (d($"b") - d($"c")) * (d($"b") - d($"c")) /
+        (d($"b") + d($"c")))
+      .select($"n".as("n_subjects"), $"b".as("n_view_only"),
+        $"c".as("n_click_only"), LlmOps.pround4($"chi2").as("chi2"),
+        ($"chi2" > lit(3.8415)).as("differs_5pct"))
+  }
+
   /** Two-rate Poisson test, views vs purchases over the identical
     * exposure window: rate ratio + the conditional-binomial normal
     * z = (n₁−n₂)/√(n₁+n₂), flagged at |z| > 1.96 — the A/B readout for
@@ -7287,6 +7314,7 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     "agg_cochran_q" -> aggCochranQ,
+    "agg_mcnemar" -> aggMcnemar,
     "agg_poisson_rate" -> aggPoissonRate,
     "agg_page_hinkley" -> aggPageHinkley,
     "win_aroon" -> winAroon,

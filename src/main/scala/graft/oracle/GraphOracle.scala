@@ -1796,6 +1796,45 @@ object GraphOracle {
         |JOIN part ON p_partkey = l_partkey
         |GROUP BY 1, 2 ORDER BY cust, tag""".stripMargin,
 
+    // four unrolled Luby rounds: portable md5 priorities, min-ROW
+    // neighbor fold, winner+neighbor deactivation (r14 wave C)
+    "graph_mis" -> {
+      def p(col: String): String =
+        s"CAST('0x' || substr(md5(CAST($col AS VARCHAR)), 1, 8) AS BIGINT)"
+      val rounds = (1 to 4).map { r =>
+        s"""nb$r AS MATERIALIZED (
+           |  SELECT e2.a AS v, e2.b AS u FROM e2
+           |  JOIN a${r - 1} x ON e2.a = x.v
+           |  JOIN a${r - 1} y ON e2.b = y.v),
+           |mn$r AS MATERIALIZED (
+           |  SELECT v, min({'p': ${p("u")}, 'u': u}) AS mn
+           |  FROM nb$r GROUP BY 1),
+           |win$r AS MATERIALIZED (
+           |  SELECT x.v FROM a${r - 1} x LEFT JOIN mn$r ON x.v = mn$r.v
+           |  WHERE mn$r.mn IS NULL
+           |    OR {'p': ${p("x.v")}, 'u': x.v} < mn$r.mn),
+           |de$r AS (
+           |  SELECT v FROM win$r
+           |  UNION
+           |  SELECT nb$r.v FROM nb$r JOIN win$r w ON nb$r.u = w.v),
+           |a$r AS MATERIALIZED (
+           |  SELECT v FROM a${r - 1} EXCEPT SELECT v FROM de$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $copurchaseCte,
+         |e AS (SELECT a, b FROM cp WHERE w >= 2),
+         |e2 AS MATERIALIZED (
+         |  SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         |a0 AS MATERIALIZED (SELECT p_partkey AS v FROM part),
+         |$rounds,
+         |mis AS (SELECT v FROM win1 UNION SELECT v FROM win2
+         |  UNION SELECT v FROM win3 UNION SELECT v FROM win4)
+         |SELECT p_partkey AS part,
+         |  CASE WHEN p_partkey IN (SELECT v FROM mis) THEN 'mis'
+         |       WHEN p_partkey IN (SELECT v FROM a4) THEN 'undecided'
+         |       ELSE 'dominated' END AS status
+         |FROM part ORDER BY part""".stripMargin
+    },
+
     // three recursive min-label closures over shrinking w-thresholded
     // subgraphs (r14 wave B)
     "graph_percolation" -> {

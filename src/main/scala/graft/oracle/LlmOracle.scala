@@ -1836,6 +1836,49 @@ object LlmOracle {
         |  CAST(length(text) AS BIGINT) AS n_chars_calc
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // one tokenize pass, five independent integer rule bands (r14 wave C)
+    "llm_gopher_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, t AS tok
+        |  FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(t)
+        |  WHERE t <> ''),
+        |bytok AS (
+        |  SELECT doc_id, source, tok, count(*) AS c
+        |  FROM toks GROUP BY 1, 2, 3),
+        |per AS (
+        |  SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(max(c) AS BIGINT) AS maxc,
+        |    CAST(sum(c * length(tok)) AS BIGINT) AS lensum,
+        |    CAST(sum(CASE WHEN regexp_matches(tok, '^[a-zA-Z]+$')
+        |      THEN c ELSE 0 END) AS BIGINT) AS nalpha,
+        |    CAST(sum(CASE WHEN tok IN ('the', 'of', 'and', 'to', 'in')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nstop
+        |  FROM bytok GROUP BY 1, 2),
+        |flags AS (
+        |  SELECT source,
+        |    n >= 10 AND n <= 100000 AS r_len,
+        |    lensum >= n * 3 AND lensum <= n * 10 AS r_wordlen,
+        |    nalpha * 5 >= n * 4 AS r_alpha,
+        |    nstop >= 2 AS r_stop,
+        |    maxc * 5 <= n AS r_rep
+        |  FROM per)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT) AS p_len,
+        |  CAST(sum(CASE WHEN r_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS p_wordlen,
+        |  CAST(sum(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS p_alpha,
+        |  CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS p_stop,
+        |  CAST(sum(CASE WHEN r_rep THEN 1 ELSE 0 END) AS BIGINT) AS p_rep,
+        |  CAST(sum(CASE WHEN r_len AND r_wordlen AND r_alpha AND r_stop
+        |    AND r_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+        |  floor(CAST(sum(CASE WHEN r_len AND r_wordlen AND r_alpha
+        |      AND r_stop AND r_rep THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS pass_rate
+        |FROM flags GROUP BY 1 ORDER BY source""".stripMargin,
+
     "llm_quality_score" ->
       """WITH q AS (
         |  SELECT doc_id,

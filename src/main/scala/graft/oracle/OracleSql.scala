@@ -584,6 +584,30 @@ object OracleSql {
         |  q > 5.9915 AS differs_5pct
         |FROM t""".stripMargin,
 
+    // discordant (user, day) pairs only — McNemar chi2 (r14 wave C)
+    "agg_mcnemar" ->
+      """WITH flags AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM flags),
+        |t AS (SELECT n, b, c,
+        |  (CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) *
+        |  (CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) /
+        |  (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) AS chi2 FROM s)
+        |SELECT n AS n_subjects, b AS n_view_only, c AS n_click_only,
+        |  floor(chi2 * 10000.0 + 0.5) / 10000.0 AS chi2,
+        |  chi2 > 3.8415 AS differs_5pct
+        |FROM t""".stripMargin,
+
     // two exact counts, conditional-binomial z
     "agg_poisson_rate" ->
       """WITH s AS (

@@ -159,6 +159,35 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("graph_mis: independence, maximality over the decided region, deterministic") {
+    import spark.implicits._
+    val status = q("graph_mis").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mis = status.collect { case (v, "mis") => v }.toSet
+    val undecided = status.collect { case (v, "undecided") => v }.toSet
+    val edges = graft.ops.GraphOps.copurchase(spark, sf)
+      .filter($"w" >= 2).select($"a", $"b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // INDEPENDENCE: no edge joins two MIS vertices
+    assert(!edges.exists(e => mis(e._1) && mis(e._2)),
+      "two adjacent vertices both in the MIS")
+    // MAXIMALITY over the decided region: every dominated vertex has an
+    // MIS neighbor (that is what dominated MEANS under the protocol)
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    status.collect { case (v, "dominated") => v }.foreach { v =>
+      assert(nbrs.getOrElse(v, Set.empty).exists(mis),
+        s"dominated vertex $v has no MIS neighbor")
+    }
+    // the 4 declared rounds decide the overwhelming mass on this graph
+    assert(undecided.size * 20 <= status.size,
+      s"${undecided.size} of ${status.size} undecided after 4 Luby rounds")
+    // vertices untouched by any w>=2 edge are isolated -> always MIS
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    status.collect { case (v, st) if !touched(v) => st }
+      .foreach(st => assert(st === "mis"))
+  }
+
   test("round-14 ops: condition-less joins bounded, windows bounded or on the day spine") {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, Window => LWindow}
     // agg_durbin_watson / agg_granger / agg_page_hinkley ride the
@@ -168,7 +197,8 @@ class Round14Spec extends SparkSpec {
       "agg_atkinson", "graph_match_var", "graph_louvain_dendro",
       "stream_minhash_idx", "sink_gdpr_purge_deep", "llm_ann_knngraph",
       "agg_cochran_q", "agg_poisson_rate", "win_aroon",
-      "graph_global_efficiency", "graph_percolation")
+      "graph_global_efficiency", "graph_percolation",
+      "agg_mcnemar", "llm_gopher_rules", "graph_mis")
     for (k <- keys) {
       val plan = SparkEntry.queries(k)(spark, sf).queryExecution.optimizedPlan
       plan.collect { case j: Join if j.condition.isEmpty => j }.foreach { j =>

@@ -7,8 +7,11 @@ import java.util.Comparator
   * effect (parquet sink round-trip, file-stream input dirs). One fixed
   * directory per operator name, wiped and recreated on each invocation —
   * repeated Verify/Bench runs reuse the same paths instead of accumulating
-  * unbounded /tmp garbage (ADVICE r1). Single-threaded harness assumption:
-  * Verify/Bench run queries sequentially, so per-name reuse cannot race.
+  * unbounded /tmp garbage (ADVICE r1). Concurrency contract (r14: Verify
+  * dumps run on a thread pool): every `name` belongs to exactly ONE
+  * operator and each operator runs at most once per pass, so per-name
+  * reuse cannot race; cross-operator memoized builds serialize through
+  * their ConcurrentHashMap.computeIfAbsent owners.
   */
 object Scratch {
   private val base: Path = Paths.get(

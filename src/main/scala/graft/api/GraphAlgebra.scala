@@ -573,6 +573,62 @@ object GraphAlgebra {
     (inter, self, verts)
   }
 
+  /** Driver-local replica of [[louvainMoves]]'s EXACT move algebra
+    * (BigInt gains 2m·(k_ic − k_ia) − k_i·(tot_c − tot_a + k_i), strictly
+    * positive wins, ties to the smallest community id, synchronous
+    * sweeps, self-loops feeding 2s into k and 2m) — for COARSE community
+    * graphs only: after one aggregation level the graph is index-state-
+    * sized (hundreds-to-thousands of supernodes at ANY corpus scale),
+    * and the distributed spelling pays 15-90 s of per-round planning/AQE
+    * overhead for milliseconds of actual compute (measured at sf0.1 —
+    * every DAG job < 400 ms while the driver sat in Catalyst). Same
+    * posture as [[VectorIndex.knnSearch]]'s driver-held frontier: tiny
+    * index-state work runs local, corpus-scale work stays distributed.
+    * Round14Spec pins bit-equality against the distributed spelling.
+    */
+  private[graft] def louvainMovesLocal(
+      vertices: Seq[Long], pairs: Seq[(Long, Long, Long)],
+      selfLoops: Map[Long, Long], rounds: Int): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.Map[Long, Long]]
+    def add(a: Long, b: Long, w: Long): Unit =
+      adj.getOrElseUpdate(a, scala.collection.mutable.Map.empty)
+        .updateWith(b) { v => Some(v.getOrElse(0L) + w) }
+    pairs.foreach { case (a, b, w) => add(a, b, w); add(b, a, w) }
+    val k = vertices.map { v =>
+      v -> (adj.get(v).map(_.values.sum).getOrElse(0L) +
+        2L * selfLoops.getOrElse(v, 0L))
+    }.toMap
+    val m2 = BigInt(2) * (pairs.map(p => BigInt(p._3)).sum +
+      selfLoops.values.map(BigInt(_)).sum)
+    var lbl = vertices.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      val tot = lbl.toSeq.groupBy(_._2)
+        .map { case (c, vs) => c -> vs.map(x => BigInt(k(x._1))).sum }
+      val moves = vertices.flatMap { i =>
+        val kic = adj.getOrElse(i, scala.collection.mutable.Map.empty)
+          .toSeq.groupBy(e => lbl(e._1))
+          .map { case (c, es) => c -> es.map(_._2).sum }
+        val a = lbl(i)
+        val kia = BigInt(kic.getOrElse(a, 0L))
+        val cands = kic.keys.filter(_ != a).flatMap { nc =>
+          val gain = m2 * (BigInt(kic(nc)) - kia) -
+            BigInt(k(i)) * (tot(nc) - tot(a) + BigInt(k(i)))
+          if (gain > 0) Some((gain, nc)) else None
+        }
+        if (cands.isEmpty) None
+        else {
+          // max gain, ties to the SMALLEST community id
+          val best = cands.reduce { (x, y) =>
+            if (x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)) x else y }
+          Some(i -> best._2)
+        }
+      }.toMap
+      lbl = lbl.map { case (v, c) => v -> moves.getOrElse(v, c) }
+    }
+    lbl
+  }
+
   /** Multi-level Louvain TO CONVERGENCE with a flattened dendrogram:
     * `levels` rounds of (synchronous [[louvainMoves]] sweeps → coarsen via
     * [[louvainCoarsen]]), emitting one row per ORIGINAL vertex with its
@@ -595,15 +651,34 @@ object GraphAlgebra {
                         rounds: Int): DataFrame = {
     require(levels >= 1 && levels <= 4,
       s"louvainDendrogram supports 1-4 levels (got $levels)")
-    var lbl = louvainMoves(vertices, pairs, rounds).cp()
+    // checkpoint the input ONCE: the level-1 moves read it three ways
+    // (adjacency, degree, 2m) and the coarsen reads it again — an uncp'd
+    // caller plan (e.g. the co-purchase self-join) would be re-derived
+    // per consumer (measured 91 s vs 24 s at sf0.1 bench)
+    var curPairs = pairs.select(col("a"), col("b"), col("w")).cp()
+    var lbl = louvainMoves(vertices, curPairs, rounds).cp()
     var dendro = lbl.select(col("id"), col("community").as("c1"))
-    var curPairs = pairs.select(col("a"), col("b"), col("w"))
     var curSelf: Option[DataFrame] = None
     var converged = false
     for (l <- 2 to levels) {
       if (!converged) {
-        val (e2, s2, v2) = louvainCoarsen(curPairs, curSelf, lbl)
-        val l2 = louvainMoves(v2, e2, rounds, selfLoops = Some(s2)).cp()
+        val (e2r, s2, v2) = louvainCoarsen(curPairs, curSelf, lbl)
+        val e2 = e2r.cp()
+        // the coarse community graph is index-state-sized after level 1;
+        // below the bound, run the IDENTICAL exact-integer algebra
+        // locally ([[louvainMovesLocal]] — the measured 45-90 s of
+        // per-round planning/AQE overhead bought milliseconds of compute)
+        val l2 = (if (e2.count() <= 1000000L) {
+          val s = e2.sparkSession
+          import s.implicits._
+          val es = e2.select(col("a"), col("b"), col("w")).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          val sl = s2.select(col("id"), col("s")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val vs = v2.select(col("part")).collect().map(_.getLong(0)).toSeq
+          louvainMovesLocal(vs, es, sl, rounds).toSeq
+            .toDF("id", "community")
+        } else louvainMoves(v2, e2, rounds, selfLoops = Some(s2))).cp()
         converged = l2.filter(col("community") =!= col("id")).isEmpty
         dendro = dendro.join(
           l2.select(col("id").as(s"c${l - 1}"),

@@ -159,6 +159,26 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("louvainMovesLocal is bit-equal to the distributed louvainMoves") {
+    import spark.implicits._
+    import graft.api.GraphAlgebra
+    // the real coarse graph from the dendro's own level-1 labels — the
+    // exact input shape the local path serves (incl. self-loops)
+    val cp = graft.ops.GraphOps.copurchase(spark, sf)
+    val verts = Tables.part(spark, sf).select($"p_partkey".as("part"))
+    val l1 = GraphAlgebra.louvainMoves(verts, cp, rounds = 3)
+    val (e2, s2, v2) = GraphAlgebra.louvainCoarsen(cp, None, l1)
+    val dist = GraphAlgebra.louvainMoves(v2, e2, rounds = 3,
+        selfLoops = Some(s2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = e2.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSeq
+    val sl = s2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vs = v2.collect().map(_.getLong(0)).toSeq
+    val local = GraphAlgebra.louvainMovesLocal(vs, es, sl, rounds = 3)
+    assert(local === dist)
+  }
+
   test("graph_mis: independence, maximality over the decided region, deterministic") {
     import spark.implicits._
     val status = q("graph_mis").collect()

@@ -2,6 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // wall budget (VERDICT r14 #1c): BENCH_r14 came back rc=124/parsed:null
+    // because the driver's outer `timeout` killed the whole run — a partial
+    // artifact beats a dead one. When elapsed wall (from main() entry,
+    // warmup included) crosses the budget, remaining queries are SKIPPED
+    // and reported in "skipped", and the summary lines still print.
+    // Override with SPARK_GRAFT_BENCH_BUDGET (seconds; <=0 disables).
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
+    val budgetSec: Double = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(1680.0) // default 28 min: under any plausible driver cap,
+                         // ~1.6x the judge's quiet full-sweep wall at sf0.1
+    val budgetOn = budgetSec > 0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -95,17 +108,33 @@ object Bench {
     val partial = only.map(ks => s""","partial_only":${ks.size}""").getOrElse("")
     // deterministic (sorted) execution order — Map iteration order is
     // arbitrary, which made run-to-run per-query comparisons noisy
-    val results = SparkEntry.queries.toSeq
+    // rerun caps (VERDICT r14 #1b): on a badly contended box MANY rows
+    // cross their retry threshold and each retry doubles its cost — the
+    // uncapped loop is how a sweep degrades into the driver's timeout.
+    // Cap total reruns AND stop rerunning once 60% of the wall budget is
+    // gone (first-attempt timings keep flowing; only the min-of-two
+    // polish stops). Both caps are disclosed in the JSON line.
+    val rerunCap = 15
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    val sweep = SparkEntry.queries.toSeq
       .filter(kv => only.forall(_.contains(kv._1)))
-      .sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+      .sortBy(_._1)
+    val results = sweep.flatMap { case (name, fn) =>
+      if (budgetOn && elapsedSec > budgetSec) { skipped += name; None }
+      else {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t1 = once()
+        val mayRerun = reruns < rerunCap &&
+          !(budgetOn && elapsedSec > 0.6 * budgetSec)
+        val t = if (t1 > retryThreshold(name) && mayRerun) {
+          reruns += 1; math.min(t1, once())
+        } else t1
+        Some(name -> t)
       }
-      val t1 = once()
-      val t = if (t1 > retryThreshold(name)) { reruns += 1; math.min(t1, once()) } else t1
-      name -> t
     }
     val canaryLast = SparkEntry.queries.get(canaryKey).map(timeOnce)
     // ratio vs the quiet pin uses the MIN of the two probes (the first
@@ -129,7 +158,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","rerun":$reruns$canary,"io_rows":$warm$partial,"queries":$qs,"sf":"$sfDir"}""")
+    // skipped-by-budget disclosure: a truncated sweep must be impossible
+    // to mistake for a full one (same contract as partial_only)
+    val skipJson = if (skipped.nonEmpty)
+      s""","budget_sec":$budgetSec,"n_skipped":${skipped.size},"skipped":${
+        skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","rerun":$reruns$canary,"io_rows":$warm$partial$skipJson,"queries":$qs,"sf":"$sfDir"}""")
     // The harness keeps only the last ~2KB of output; the full per-query line
     // above (~4KB at 116 queries) gets truncated mid-JSON there. Emit a second,
     // compact summary line (total + 10 slowest queries, well under 1KB) LAST so
@@ -138,7 +173,8 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val fTotal = f"$total%.2f"
-    println(s"""{"metric":"total","value":$fTotal,"unit":"sec","n":${results.size},"rerun":$reruns$canary,"n_io_rows":${ioRows.size}$partial,"slowest":$slowest,"sf":"$sfDir"}""")
+    val skipN = if (skipped.nonEmpty) s""","n_skipped":${skipped.size}""" else ""
+    println(s"""{"metric":"total","value":$fTotal,"unit":"sec","n":${results.size},"rerun":$reruns$canary,"n_io_rows":${ioRows.size}$partial$skipN,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,16 +28,53 @@ object Gdpr {
                          nAfter: Long)
 
   /** Rewrite one parquet dataset dropping every row where `pred` holds.
-    * Returns (rowsBefore, rowsAfter). The caller owns transactionality:
-    * this is an overwrite, crash-safe at the parquet-commit level only.
+    * Returns (rowsBefore, rowsAfter).
+    *
+    * Null semantics (ADVICE r14): a purge must delete exactly the rows
+    * where `pred` IS TRUE. Rows where the key is NULL evaluate pred to
+    * NULL, and a bare `filter(!pred)` would drop them too — silently
+    * over-deleting beyond the requested cohort. `!coalesce(pred, false)`
+    * keeps every not-TRUE row.
+    *
+    * Crash safety (VERDICT r14 #3): the survivors are written to a
+    * sibling temp directory first, then swapped in (delete original →
+    * rename temp). The original store stays intact until the replacement
+    * is fully committed; the only crash window is between the delete and
+    * the rename, and that state (complete temp, missing target) is
+    * detected and finished by the recovery step on the next call.
     */
   def purgePath(s: SparkSession, path: String, pred: Column): (Long, Long) = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".purge-tmp")
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverPending(fs, target, tmp)
     val df = s.read.parquet(path)
-    val keep = df.filter(!pred).cp()
-    val (before, after) = (df.count(), keep.count())
-    keep.write.mode("overwrite").parquet(path)
+    val keep = df.filter(!coalesce(pred, lit(false)))
+    val before = df.count()
+    keep.write.mode("overwrite").parquet(tmp.toString)
+    // count from the committed temp store: validates the write itself
+    val after = s.read.parquet(tmp.toString).count()
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"purge swap failed: $tmp -> $target")
     (before, after)
   }
+
+  /** Finish or discard a previous purge's interrupted swap: a complete
+    * temp beside a MISSING target is the delete→rename crash window —
+    * rename it in (the temp was fully committed before the delete began);
+    * a temp beside an intact target is a pre-swap crash — discard it and
+    * let the purge redo from the untouched original.
+    */
+  private def recoverPending(fs: org.apache.hadoop.fs.FileSystem,
+                             target: org.apache.hadoop.fs.Path,
+                             tmp: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(tmp)) {
+      if (!fs.exists(target)) {
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"purge recovery failed: $tmp -> $target")
+      } else fs.delete(tmp, true)
+    }
 
   /** Sweep `paths`, purging rows where `keyCol` satisfies `pred` from
     * every dataset that carries that column; datasets without the column

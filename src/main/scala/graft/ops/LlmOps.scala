@@ -4544,7 +4544,6 @@ object LlmOps {
     "llm_token_count" -> llmTokenCount,
     "llm_quality_score" -> llmQualityScore,
     "llm_gopher_rules" -> llmGopherRules,
-    "llm_gopher_rules" -> llmGopherRules,
     "llm_lang_id" -> llmLangId,
     "llm_fingerprint" -> llmFingerprint,
     "llm_rolling_hash" -> llmRollingHash,

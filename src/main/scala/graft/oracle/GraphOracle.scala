@@ -20,9 +20,13 @@ object GraphOracle {
       |  GROUP BY 1, 2)""".stripMargin
 
   /** Shared CTE text: canonical co-purchase pairs with shared-order count. */
+  // cp is referenced 2-6× by most graph oracles (both edge directions,
+  // degree frames, scalar count subqueries); MATERIALIZED evaluates the
+  // lineitem self-join once per query instead of once per reference —
+  // identical rows/values, evaluation strategy only.
   private val copurchaseCte =
     """lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-      |cp AS (SELECT x.p AS a, y.p AS b, count(*) AS w
+      |cp AS MATERIALIZED (SELECT x.p AS a, y.p AS b, count(*) AS w
       |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
       |  GROUP BY 1, 2)""".stripMargin
 
@@ -172,15 +176,18 @@ object GraphOracle {
       s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
          |e0 AS (SELECT x.p AS a, y.p AS b FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
          |  GROUP BY 1, 2),
-         |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-         |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg ON e.src = deg.src),
-         |srcs AS (SELECT CAST(s AS BIGINT) AS s FROM (VALUES $srcVals) AS t(s)),
+         |ed AS MATERIALIZED (SELECT e.src, e.dst, deg.deg FROM e JOIN deg ON e.src = deg.src),
+         |srcs AS MATERIALIZED (SELECT CAST(s AS BIGINT) AS s FROM (VALUES $srcVals) AS t(s)),
          |r0 AS (SELECT s, s AS part, CAST(1000000000000 AS BIGINT) AS r FROM srcs)""".stripMargin
+    // ed is hit once per unrolled iteration and r_i chains 10 deep — plain
+    // CTEs redo the lineitem self-join 10× (r14: 87 s); MATERIALIZED pins
+    // each frame to one evaluation, values bit-identical.
     val iters = (1 to 10).map { i =>
       s"""c$i AS (SELECT r.s, ed.dst AS part, CAST(SUM(r.r // ed.deg) AS BIGINT) AS csum
          |  FROM ed JOIN r${i - 1} r ON ed.src = r.part GROUP BY 1, 2),
-         |r$i AS (SELECT s, part, CAST(SUM(rc) AS BIGINT) AS r FROM (
+         |r$i AS MATERIALIZED (SELECT s, part, CAST(SUM(rc) AS BIGINT) AS r FROM (
          |  SELECT s, part, csum * 85 // 100 AS rc FROM c$i
          |  UNION ALL SELECT s, s AS part, CAST(150000000000 AS BIGINT) AS rc FROM srcs) u
          |  GROUP BY 1, 2)""".stripMargin
@@ -252,16 +259,21 @@ object GraphOracle {
        |    * 10000.0 + 0.5) / 10000.0 AS mean_hops
        |FROM md WHERE d > 0""".stripMargin
 
+  // e2 and md are each referenced once per unrolled Brandes level — left
+  // plain, DuckDB re-inlines the recursive BFS per reference and the whole
+  // chain re-expands exponentially (the r14 driver compare spent 156 s on
+  // graph_edge_betweenness alone). MATERIALIZED pins one evaluation each,
+  // same rows, same values — evaluation strategy only (§2.9 discipline).
   private val landmarkBfsCtes: String =
     s"""WITH RECURSIVE $copurchaseCte,
-       |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
-       |lm AS (SELECT p_partkey AS src FROM part ORDER BY 1 LIMIT 8),
+       |e2 AS MATERIALIZED (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+       |lm AS MATERIALIZED (SELECT p_partkey AS src FROM part ORDER BY 1 LIMIT 8),
        |bfs(src, node, d) AS (
        |  SELECT src, src, 0 FROM lm
        |  UNION
        |  SELECT bfs.src, e2.b, bfs.d + 1 FROM bfs JOIN e2 ON e2.a = bfs.node
        |  WHERE bfs.d < 6),
-       |md AS (SELECT src, node, min(d) AS d FROM bfs GROUP BY 1, 2)""".stripMargin
+       |md AS MATERIALIZED (SELECT src, node, min(d) AS d FROM bfs GROUP BY 1, 2)""".stripMargin
 
   /** Landmark Brandes betweenness, unrolled per level over the
     * [[landmarkBfsCtes]] frame: σ path counts s1..s6 chain forward
@@ -275,15 +287,20 @@ object GraphOracle {
     * d6..d1 (see [[betweennessSql]]'s docstring for the arithmetic).
     */
   private val brandesCtes: String = {
+    // every σ/δ frame is referenced 2-3× by the next level (sv, sw, dw,
+    // NOT-IN) — plain CTEs re-expand the whole chain per reference
+    // (branching ~3 per level ⇒ hundreds of BFS re-evaluations; the r14
+    // driver compare burned 156 s + 100 s here). MATERIALIZED = evaluate
+    // once, bit-identical values.
     val sigma = (1 to 6).map { h =>
-      s"""s$h AS (
+      s"""s$h AS MATERIALIZED (
          |  SELECT md.src, md.node, CAST(sum(sp.sigma) AS BIGINT) AS sigma
          |  FROM md JOIN e2 ON e2.b = md.node
          |  JOIN s${h - 1} sp ON sp.src = md.src AND sp.node = e2.a
          |  WHERE md.d = $h GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
     val deltas = (5 to 1 by -1).map { h =>
-      s"""c$h AS (
+      s"""c$h AS MATERIALIZED (
          |  SELECT sv.src, sv.node AS v,
          |    CAST(sum(CAST(floor(CAST(sv.sigma AS DOUBLE) /
          |      CAST(sw.sigma AS DOUBLE) *
@@ -294,16 +311,16 @@ object GraphOracle {
          |  JOIN s${h + 1} sw ON sw.src = sv.src AND sw.node = e2.b
          |  JOIN d${h + 1} dw ON dw.src = sv.src AND dw.node = sw.node
          |  GROUP BY 1, 2),
-         |d$h AS (
+         |d$h AS MATERIALIZED (
          |  SELECT sv.src, sv.node,
          |    CAST(coalesce(c.delta, 0) AS BIGINT) AS delta
          |  FROM s$h sv LEFT JOIN c$h c
          |    ON c.src = sv.src AND c.v = sv.node)""".stripMargin
     }.mkString(",\n")
     s"""$landmarkBfsCtes,
-       |s0 AS (SELECT src, src AS node, CAST(1 AS BIGINT) AS sigma FROM lm),
+       |s0 AS MATERIALIZED (SELECT src, src AS node, CAST(1 AS BIGINT) AS sigma FROM lm),
        |$sigma,
-       |d6 AS (SELECT src, node, CAST(0 AS BIGINT) AS delta
+       |d6 AS MATERIALIZED (SELECT src, node, CAST(0 AS BIGINT) AS delta
        |  FROM md WHERE d = 6),
        |$deltas""".stripMargin
   }
@@ -948,16 +965,20 @@ object GraphOracle {
       |  SELECT p AS s, np AS d, count(*) AS w
       |  FROM t WHERE np IS NOT NULL AND np <> p
       |  GROUP BY 1, 2),
-      |e AS (SELECT s, d FROM e0 WHERE w >= 2),
-      |reach(s, d) AS (
+      |e AS MATERIALIZED (SELECT s, d FROM e0 WHERE w >= 2),
+      |reach0(s, d) AS (
       |  SELECT s, d FROM e
       |  UNION
-      |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+      |  SELECT r.s, e.d FROM reach0 r JOIN e ON r.d = e.s),
+      |-- the recursive closure can't carry MATERIALIZED itself; pin it
+      |-- through a materialized alias so its 2-4 downstream references
+      |-- (mutual twice, bowtie's in/out probes) evaluate it once
+      |reach AS MATERIALIZED (SELECT s, d FROM reach0),
       |mutual AS (
       |  SELECT a.s AS v, a.d AS m
       |  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s),
       |verts AS (SELECT s AS v FROM e UNION SELECT d FROM e),
-      |sccl AS (
+      |sccl AS MATERIALIZED (
       |  SELECT v.v,
       |    coalesce(min(CASE WHEN mu.m < v.v THEN mu.m END), v.v) AS scc
       |  FROM verts v LEFT JOIN mutual mu ON mu.v = v.v
@@ -1037,21 +1058,28 @@ object GraphOracle {
 
     "graph_attack_tolerance" ->
       s"""WITH RECURSIVE $copurchaseCte,
-         |und AS (SELECT a, b FROM cp WHERE w >= 2),
+         |und AS MATERIALIZED (SELECT a, b FROM cp WHERE w >= 2),
          |-- DISTINCT over UNION ALL, not bare UNION: under WITH RECURSIVE
          |-- DuckDB 1.0 treats a two-branch UNION CTE as recursive-shaped
          |-- and skips the dedup (measured 2x vertex count)
-         |verts AS (SELECT DISTINCT v FROM (
+         |verts AS MATERIALIZED (SELECT DISTINCT v FROM (
          |  SELECT a AS v FROM und UNION ALL SELECT b FROM und)),
          |deg AS (
          |  SELECT v, count(*) AS dg FROM (
          |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
          |  GROUP BY 1),
-         |hubs AS (SELECT v FROM deg ORDER BY dg DESC, v LIMIT 8),
-         |e1 AS (SELECT a, b FROM und
+         |hubs AS MATERIALIZED (SELECT v FROM deg ORDER BY dg DESC, v LIMIT 8),
+         |e1 AS MATERIALIZED (SELECT a, b FROM und
          |  UNION ALL SELECT b, a FROM und),
+         |-- both floods seed from LOCAL-MIN nodes only (graph_percolation's
+         |-- value-preserving rewrite: a component's global min is a local
+         |-- min and floods everything, so min(label) per node — and hence
+         |-- the giant-size rollups — are bit-identical)
+         |seed1 AS MATERIALIZED (SELECT v FROM verts vt
+         |  WHERE NOT EXISTS (SELECT 1 FROM e1
+         |    WHERE e1.a = vt.v AND e1.b < vt.v)),
          |r1(node, label) AS (
-         |  SELECT v, v FROM verts
+         |  SELECT v, v FROM seed1
          |  UNION
          |  SELECT e1.b, r1.label FROM r1 JOIN e1 ON e1.a = r1.node),
          |g1 AS (
@@ -1063,11 +1091,14 @@ object GraphOracle {
          |  SELECT a, b FROM und
          |  WHERE a NOT IN (SELECT v FROM hubs)
          |    AND b NOT IN (SELECT v FROM hubs)),
-         |v2 AS (SELECT v FROM verts WHERE v NOT IN (SELECT v FROM hubs)),
-         |e2 AS (SELECT a, b FROM und2
+         |v2 AS MATERIALIZED (SELECT v FROM verts WHERE v NOT IN (SELECT v FROM hubs)),
+         |e2 AS MATERIALIZED (SELECT a, b FROM und2
          |  UNION ALL SELECT b, a FROM und2),
+         |seed2 AS MATERIALIZED (SELECT v FROM v2 vt
+         |  WHERE NOT EXISTS (SELECT 1 FROM e2
+         |    WHERE e2.a = vt.v AND e2.b < vt.v)),
          |r2(node, label) AS (
-         |  SELECT v, v FROM v2
+         |  SELECT v, v FROM seed2
          |  UNION
          |  SELECT e2.b, r2.label FROM r2 JOIN e2 ON e2.a = r2.node),
          |g2 AS (
@@ -1194,7 +1225,7 @@ object GraphOracle {
 
     "graph_condensation" ->
       s"""$sccCtes,
-         |ce AS (
+         |ce AS MATERIALIZED (
          |  SELECT DISTINCT a.scc AS src, b.scc AS dst
          |  FROM e JOIN sccl a ON a.v = e.s JOIN sccl b ON b.v = e.d
          |  WHERE a.scc <> b.scc),
@@ -1838,11 +1869,25 @@ object GraphOracle {
     // three recursive min-label closures over shrinking w-thresholded
     // subgraphs (r14 wave B)
     "graph_percolation" -> {
+      // r14 driver compare: 90 s. Two rewrites, both value-preserving:
+      // (a) e$t MATERIALIZED (the recursion re-derives a plain CTE per
+      // step); (b) seed the label flood from LOCAL-MIN nodes only (id
+      // smaller than every neighbor's). A component's global min is
+      // always a local min and floods the whole component, and every
+      // label is a component member's id ≥ that min, so min(label) per
+      // node — and hence comp/sz/giant rows — is bit-identical while the
+      // (node,label) pair space shrinks by ~the mean-degree factor.
+      // Isolated nodes are local minima vacuously, so coverage of every
+      // part row is preserved.
       val per = Seq(1, 2, 4).map { t =>
-        s"""e$t AS (SELECT a, b FROM cp WHERE w >= $t
+        s"""e$t AS MATERIALIZED (SELECT a, b FROM cp WHERE w >= $t
            |       UNION ALL SELECT b, a FROM cp WHERE w >= $t),
+           |seed$t AS MATERIALIZED (
+           |  SELECT p_partkey AS node FROM part p
+           |  WHERE NOT EXISTS (SELECT 1 FROM e$t
+           |    WHERE e$t.a = p.p_partkey AND e$t.b < p.p_partkey)),
            |reach$t(node, label) AS (
-           |  SELECT p_partkey, p_partkey FROM part
+           |  SELECT node, node FROM seed$t
            |  UNION
            |  SELECT e$t.b, reach$t.label
            |  FROM reach$t JOIN e$t ON e$t.a = reach$t.node),
@@ -1866,10 +1911,14 @@ object GraphOracle {
 
     "graph_cc" ->
       s"""WITH RECURSIVE $copurchaseCte,
-         |e2 AS (SELECT a, b FROM cp WHERE w >= 2
+         |e2 AS MATERIALIZED (SELECT a, b FROM cp WHERE w >= 2
          |       UNION ALL SELECT b, a FROM cp WHERE w >= 2),
+         |seed AS MATERIALIZED (
+         |  SELECT p_partkey AS node FROM part p
+         |  WHERE NOT EXISTS (SELECT 1 FROM e2
+         |    WHERE e2.a = p.p_partkey AND e2.b < p.p_partkey)),
          |reach(node, label) AS (
-         |  SELECT p_partkey, p_partkey FROM part
+         |  SELECT node, node FROM seed
          |  UNION
          |  SELECT e2.b, reach.label FROM reach JOIN e2 ON e2.a = reach.node)
          |SELECT node AS part, min(label) AS comp
@@ -1878,10 +1927,14 @@ object GraphOracle {
     // same fixpoint, pure-DataFrame implementation — same oracle
     "graph_cc_df" ->
       s"""WITH RECURSIVE $copurchaseCte,
-         |e2 AS (SELECT a, b FROM cp WHERE w >= 2
+         |e2 AS MATERIALIZED (SELECT a, b FROM cp WHERE w >= 2
          |       UNION ALL SELECT b, a FROM cp WHERE w >= 2),
+         |seed AS MATERIALIZED (
+         |  SELECT p_partkey AS node FROM part p
+         |  WHERE NOT EXISTS (SELECT 1 FROM e2
+         |    WHERE e2.a = p.p_partkey AND e2.b < p.p_partkey)),
          |reach(node, label) AS (
-         |  SELECT p_partkey, p_partkey FROM part
+         |  SELECT node, node FROM seed
          |  UNION
          |  SELECT e2.b, reach.label FROM reach JOIN e2 ON e2.a = reach.node)
          |SELECT node AS part, min(label) AS comp
@@ -1889,7 +1942,7 @@ object GraphOracle {
 
     "graph_path_count" -> {
       val sigma = (1 to 6).map { h =>
-        s"""s$h AS (
+        s"""s$h AS MATERIALIZED (
            |  SELECT md.node, CAST(sum(sp.sigma) AS BIGINT) AS sigma
            |  FROM md JOIN e2 ON e2.b = md.node
            |  JOIN s${h - 1} sp ON sp.node = e2.a
@@ -1898,13 +1951,13 @@ object GraphOracle {
       val union = (0 to 6).map(h =>
         s"SELECT node, sigma FROM s$h").mkString("\n|  UNION ALL ")
       s"""WITH RECURSIVE $copurchaseCte,
-         |e2 AS (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
+         |e2 AS MATERIALIZED (SELECT a, b FROM cp UNION ALL SELECT b, a FROM cp),
          |bfs(node, d) AS (
          |  SELECT CAST(1 AS BIGINT) AS node, 0 AS d
          |  UNION
          |  SELECT e2.b, bfs.d + 1 FROM bfs JOIN e2 ON e2.a = bfs.node
          |  WHERE bfs.d < 6),
-         |md AS (SELECT node, min(d) AS d FROM bfs GROUP BY 1),
+         |md AS MATERIALIZED (SELECT node, min(d) AS d FROM bfs GROUP BY 1),
          |s0 AS (SELECT CAST(1 AS BIGINT) AS node,
          |  CAST(1 AS BIGINT) AS sigma),
          |$sigma,
@@ -1916,10 +1969,14 @@ object GraphOracle {
 
     "graph_cc_sizes" ->
       s"""WITH RECURSIVE $copurchaseCte,
-         |e2 AS (SELECT a, b FROM cp WHERE w >= 2
+         |e2 AS MATERIALIZED (SELECT a, b FROM cp WHERE w >= 2
          |       UNION ALL SELECT b, a FROM cp WHERE w >= 2),
+         |seed AS MATERIALIZED (
+         |  SELECT p_partkey AS node FROM part p
+         |  WHERE NOT EXISTS (SELECT 1 FROM e2
+         |    WHERE e2.a = p.p_partkey AND e2.b < p.p_partkey)),
          |reach(node, label) AS (
-         |  SELECT p_partkey, p_partkey FROM part
+         |  SELECT node, node FROM seed
          |  UNION
          |  SELECT e2.b, reach.label FROM reach JOIN e2 ON e2.a = reach.node),
          |comp AS (SELECT node, min(label) AS comp FROM reach GROUP BY node),

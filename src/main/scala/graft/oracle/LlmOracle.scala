@@ -196,9 +196,15 @@ object LlmOracle {
        |SELECT rank, token, freq, tok_len FROM r WHERE rank <= 30
        |ORDER BY rank""".stripMargin
 
-  /** llm_mmr_select: 8 unrolled greedy rounds — per round the candidate×
-    * selected dot products (exact BIGINT over the dim join), the max-sim
-    * rollup, and the argmax(rel − maxsim) pick with the vec_id tiebreak.
+  /** llm_mmr_select: 8 unrolled greedy rounds — the argmax(rel − maxsim)
+    * pick with the vec_id tiebreak, maxsim = max dot against the selected
+    * set. r14 driver compare spent 287 s here: each round re-derived the
+    * candidate×selected×dim join, and the chained plain CTEs (a_i
+    * references a_{i−1} 2-3×) re-expanded the whole tree exponentially.
+    * Rewrite memoizes ALL pairwise pool dots once (`pd`, 64×64 exact
+    * BIGINT sums — the identical Σ q·q per pair the per-round join
+    * produced) and MATERIALIZEs every accumulator, so each round is a
+    * 64-row lookup. Values bit-identical: same integers, same argmax.
     */
   private val mmrSelectSql: String = {
     val base =
@@ -217,27 +223,29 @@ object LlmOracle {
         |  FROM e JOIN rel ON e.vec_id = rel.vec_id
         |  WHERE e.vec_id IN
         |    (SELECT vec_id FROM rel ORDER BY rel DESC, vec_id LIMIT 64)),
-        |s1 AS (SELECT vec_id, rel, CAST(0 AS BIGINT) AS maxsim,
+        |pd AS MATERIALIZED (
+        |  SELECT c1.vec_id AS a, c2.vec_id AS b,
+        |    CAST(sum(c1.q * c2.q) AS BIGINT) AS dot
+        |  FROM pool c1 JOIN pool c2
+        |    ON c1.j = c2.j AND c1.vec_id <> c2.vec_id
+        |  GROUP BY 1, 2),
+        |cand AS MATERIALIZED (SELECT DISTINCT vec_id, rel FROM pool),
+        |s1 AS MATERIALIZED (SELECT vec_id, rel, CAST(0 AS BIGINT) AS maxsim,
         |    CAST(1 AS BIGINT) AS pick
-        |  FROM (SELECT DISTINCT vec_id, rel FROM pool)
+        |  FROM cand
         |  ORDER BY rel DESC, vec_id LIMIT 1),
-        |a1 AS (SELECT * FROM s1)""".stripMargin
+        |a1 AS MATERIALIZED (SELECT * FROM s1)""".stripMargin
     val steps = (2 to 8).map { i =>
-      s"""d$i AS (
-         |  SELECT c.vec_id, c.rel, sv.sid,
-         |    CAST(sum(c.q * sv.sq) AS BIGINT) AS dot
-         |  FROM pool c JOIN (
-         |    SELECT a.vec_id AS sid, p.j, p.q AS sq
-         |    FROM a${i - 1} a JOIN pool p ON p.vec_id = a.vec_id) sv
-         |    ON c.j = sv.j
-         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM a${i - 1})
-         |  GROUP BY 1, 2, 3),
-         |s$i AS (
+      s"""s$i AS MATERIALIZED (
          |  SELECT vec_id, rel, maxsim, CAST($i AS BIGINT) AS pick FROM (
-         |    SELECT vec_id, rel, CAST(max(dot) AS BIGINT) AS maxsim
-         |    FROM d$i GROUP BY 1, 2)
+         |    SELECT c.vec_id, c.rel, CAST(max(pd.dot) AS BIGINT) AS maxsim
+         |    FROM cand c JOIN pd ON pd.a = c.vec_id
+         |    JOIN a${i - 1} s ON pd.b = s.vec_id
+         |    WHERE c.vec_id NOT IN (SELECT vec_id FROM a${i - 1})
+         |    GROUP BY 1, 2)
          |  ORDER BY rel - maxsim DESC, vec_id LIMIT 1),
-         |a$i AS (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM s$i)"""
+         |a$i AS MATERIALIZED (
+         |  SELECT * FROM a${i - 1} UNION ALL SELECT * FROM s$i)"""
         .stripMargin
     }.mkString(",\n")
     s"""$base,

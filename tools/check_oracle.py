@@ -70,8 +70,10 @@ def check_key(item):
     key, sql = item
     import pyarrow.parquet as pq
 
+    # heavy keys get a moderately larger slice but stay bounded so several
+    # landing together can't oversubscribe the box _procs-fold (ADVICE r14)
     _CON.execute("SET threads={}".format(
-        max(4, (os.cpu_count() or 8) // 2) if key in HEAVY else _THREADS))
+        min(8, max(4, _THREADS * 2)) if key in HEAVY else _THREADS))
 
     def done(status, detail, rows):
         return key, status, detail, rows, round(time.time() - t0, 2)
@@ -131,9 +133,10 @@ def main(argv):
         else:
             raise SystemExit(f"unknown arg {argv[i]}")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    # longest SQL first: the handful of unrolled-CTE graph oracles dominate
-    # the tail, so schedule them before the sub-second micro rows
-    items = sorted(oracles.items(), key=lambda kv: -len(kv[1]))
+    # measured-heavy keys first (primary), then longest SQL (secondary):
+    # the tail-dominating keys overlap the cheap bulk instead of following it
+    items = sorted(oracles.items(),
+                   key=lambda kv: (kv[0] not in HEAVY, -len(kv[1])))
     duck_threads = max(1, (os.cpu_count() or 8) // procs)
     results = {}
     n_pass = n_fail = 0

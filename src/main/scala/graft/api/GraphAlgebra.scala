@@ -765,6 +765,183 @@ object GraphAlgebra {
     labels.select(col("id"), col("lbl").as("comp"))
   }
 
+  /** Borůvka minimum spanning forest over weighted undirected edges
+    * `(a, b, w)` — THE parallel MST algorithm (each round every component
+    * picks its lightest outgoing edge, then components contract), and the
+    * backbone/sparsification primitive a graph store serves. Edges are
+    * totally ordered by the lexicographic key (w, a, b); since (a, b) is
+    * unique per edge the order is strict, so by the cut property the
+    * returned forest is the UNIQUE minimum spanning forest — bit-stable
+    * across engines and runs, no float, no RNG (Round15Spec's independent
+    * witness is a local Kruskal under the same key).
+    *
+    * Scale: the component count at least HALVES each round (every
+    * component merges along its picked edge), so the outer loop is
+    * ≤ log₂|V| rounds — fixpoint-depth-bounded like
+    * [[connectedComponentsDf]], never data-sized. Per round: two label
+    * joins against |E| and a min-struct collapse of the component
+    * MULTIGRAPH to one row per unordered component pair (lossless by the
+    * cycle property — only the pair-min edge can enter the forest; the
+    * frame shrinks quadratically with the component count) — the only
+    * data-sized work. When the collapsed pair frame is at or under
+    * `localFinishMax` rows, ONE driver-local Kruskal under the global
+    * (w, a, b) order finishes every remaining round at once (Kruskal on
+    * the contracted min-per-pair graph yields exactly the remaining MSF
+    * edges) — the long tail of tiny rounds costs driver time, not
+    * per-round job latency. Contraction runs over the PICKED-edge
+    * component graph (≤ |components| rows, shrinking geometrically);
+    * when that graph is at or under `localContractMax` rows it is a
+    * driver-local union-find + one broadcast relabel join (the
+    * documented ≤1M-row bounded-driver posture of the Louvain coarse
+    * levels — the picked pseudo-forest can be a long CHAIN, so even a
+    * pointer-jumping distributed fixpoint pays O(log diameter) full
+    * passes per outer round for a frame that fits in one task), and only
+    * above the bound does it fall back to the distributed
+    * [[connectedComponentsDf]] fixpoint — at 10⁹ vertices that fallback
+    * runs for the first ~⌈log₂(V/10⁶)⌉ rounds, after which halving pulls
+    * the component graph under the bound. `maxRounds` is a runaway
+    * backstop (48 covers 2⁴⁸ components), not a tuning knob.
+    */
+  def boruvkaForest(edges: DataFrame, maxRounds: Int = 48,
+                    localFinishMax: Long = 2000000L,
+                    localContractMax: Long = 1000000L,
+                    broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("a"), col("b"), col("w").cast("long").as("w"))
+      .cp()
+    // round-0 fast path: labels start as the identity, so the label joins
+    // and the pair collapse are no-ops — if the raw edge list already fits
+    // the local-finish bound (2M rows ≈ 80 MB of longs, the same
+    // bounded-driver posture as the ≤1M-edge coarse Louvain levels), one
+    // local Kruskal IS the whole algorithm; parallel (a, b) duplicates
+    // just fail their union and drop out
+    val nE = e.count()
+    if (nE <= localFinishMax) {
+      val rows = e.collect()
+        .map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+        .sortBy(identity)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val picked = rows.flatMap { case (w, a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) None
+        else {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          Some((a, b, w))
+        }
+      }
+      return picked.toSeq.toDF("a", "b", "w")
+        .select(col("a"), col("b"), col("w").cast("long").as("w"))
+    }
+    var lab = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .distinct().select(col("v"), col("v").as("c")).cp()
+    var forest: DataFrame = e.filter(lit(false))
+    var nComp = lab.count() // labels start 1:1 with vertices
+    var rounds = 0
+    var outgoing = 1L
+    while (rounds < maxRounds && outgoing > 0) {
+      // collapse the component MULTIGRAPH first: between two current
+      // components only the (w, a, b)-min parallel edge can ever enter
+      // the forest (cycle property), so one row per unordered pair is a
+      // lossless frame — it shrinks quadratically with the component
+      // count while |E| stays fixed
+      val el = e
+        .join(lab.select(col("v").as("a"), col("c").as("ca")), "a")
+        .join(lab.select(col("v").as("b"), col("c").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+      val k = struct(col("w"), col("a"), col("b"), col("ca"), col("cb"))
+      val pairMin = el
+        .select(least(col("ca"), col("cb")).as("pa"),
+          greatest(col("ca"), col("cb")).as("pb"), k.as("k"))
+        .groupBy(col("pa"), col("pb")).agg(min(col("k")).as("k"))
+        .select(col("k.w").as("w"), col("k.a").as("a"), col("k.b").as("b"),
+          col("k.ca").as("ca"), col("k.cb").as("cb"))
+        .cp()
+      outgoing = pairMin.count()
+      if (outgoing > 0 && outgoing <= localFinishMax) {
+        // endgame: the whole component-level edge list fits the bounded-
+        // driver posture — ONE local Kruskal under the global (w, a, b)
+        // order finishes every remaining round (Kruskal on the contracted
+        // min-per-pair graph is exactly the remaining MSF edges), instead
+        // of paying per-round job latency down the long tail
+        val rows = pairMin.select(col("w"), col("a"), col("b"),
+            col("ca"), col("cb")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+          .sortBy { case (w, a, b, _, _) => (w, a, b) }
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        val pickedLocal = rows.flatMap { case (w, a, b, ca, cb) =>
+          val (ra, rb) = (find(ca), find(cb))
+          if (ra == rb) None
+          else {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            Some((a, b, w))
+          }
+        }
+        forest = forest.unionAll(
+          pickedLocal.toSeq.toDF("a", "b", "w")
+            .select(col("a"), col("b"), col("w").cast("long").as("w")))
+        outgoing = 0L
+      } else if (outgoing > 0) {
+        // a full Borůvka round on the collapsed pair frame: each endpoint
+        // component picks its min edge (the struct carries the component
+        // ids along, so contraction needs no further edge-list join)
+        val kk = struct(col("w"), col("a"), col("b"), col("ca"), col("cb"))
+        val both = pairMin.select(col("ca").as("c"), kk.as("k"))
+          .unionAll(pairMin.select(col("cb").as("c"), kk.as("k")))
+        // distinct: the two endpoint components of an edge both pick it
+        val picked = both.groupBy(col("c")).agg(min(col("k")).as("k"))
+          .select(col("k.w").as("w"), col("k.a").as("a"), col("k.b").as("b"),
+            col("k.ca").as("ca"), col("k.cb").as("cb"))
+          .distinct().cp()
+        forest = forest.unionAll(picked.select(col("a"), col("b"), col("w")))
+        if (nComp <= localContractMax) {
+          // bounded-driver contraction: ≤ nComp picked pairs, union-find
+          // with min-id roots (deterministic labels), one broadcast
+          // relabel join — no inner fixpoint
+          val pairs = picked.select(col("ca"), col("cb")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val parent = scala.collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            val p = parent.getOrElse(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          pairs.foreach { case (x, y) =>
+            val (rx, ry) = (find(x), find(y))
+            if (rx != ry) {
+              if (rx < ry) parent(ry) = rx else parent(rx) = ry
+            }
+          }
+          val mapping = parent.keys.toSeq.map(cId => (cId, find(cId)))
+            .filter { case (cId, r) => cId != r }
+          nComp -= mapping.length
+          val mapDf = mapping.toDF("c", "newc")
+          lab = lab.join(broadcast(mapDf), Seq("c"), "left")
+            .select(col("v"), coalesce(col("newc"), col("c")).as("c")).cp()
+        } else {
+          // scale path: distributed CC over the picked component graph
+          val pe = picked.select(col("ca").as("a"), col("cb").as("b"))
+          val cverts = lab.select(col("c").as("part")).distinct()
+          val merged = connectedComponentsDf(cverts, pe, broadcastMaxRows)
+            .alias("m")
+          lab = lab.alias("l").join(merged, col("l.c") === col("m.id"))
+            .select(col("l.v").as("v"), col("m.comp").as("c")).cp()
+          nComp = lab.select(col("c")).distinct().count()
+        }
+      }
+      rounds += 1
+    }
+    forest.select(col("a"), col("b"), col("w"))
+  }
+
   /** Directed min-label reach fixpoint: labels flow `from` → `to` along
     * `flow` rows until no label improves. With flow = reversed edges this
     * computes fwd(v) = min id forward-REACHABLE from v; with flow = the
@@ -1050,22 +1227,28 @@ object GraphAlgebra {
     var deeper = resolved // the level-(h+1) deltas for the step below
     var h = maxDist - 1
     while (h >= 1) {
+      // the w-side frame renames EVERY column (wsrc/wid/wsigma/wdelta):
+      // both frames descend from the same dataset `st`, and an unaliased
+      // vlev("src") === wlev("src") would resolve only through dataset-id
+      // metadata (warning spam + a latent ambiguity hazard); distinct
+      // names make the cross-source equality unambiguous by construction
       val vlev = st.filter(col("dist") === h)
         .select(col("src"), col("id"), col("sigma"))
       val wlev = deeper
         .join(st.select(col("src"), col("id"), col("sigma")),
           Seq("src", "id"))
-        .select(col("src"), col("id").as("wid"),
+        .select(col("src").as("wsrc"), col("id").as("wid"),
           col("sigma").as("wsigma"), col("delta").as("wdelta"))
       // predecessor edges v→w (v at level h, w at level h+1): the fixed
       // double tree below is the ONLY float in Brandes here, quantized
       // per contribution then BIGINT-summed (order-independent)
       val contribs = adj
         .join(vlev, adj("a") === vlev("id"))
-        .join(wlev, adj("b") === col("wid") &&
-          vlev("src") === wlev("src"))
-        .select(vlev("src"), vlev("id"),
-          floor(col("sigma").cast("double") / col("wsigma").cast("double") *
+        .join(wlev, col("b") === col("wid") &&
+          col("src") === col("wsrc"))
+        .select(col("src"), col("id"),
+          floor(col("sigma").cast("double") /
+            col("wsigma").cast("double") *
             (lit(1000000L) + col("wdelta")).cast("double") + lit(0.5))
             .cast("long").as("c"))
         .groupBy(col("src"), col("id"))
@@ -1095,17 +1278,24 @@ object GraphAlgebra {
                          deltas: DataFrame): DataFrame = {
     val st = sigmaState.cp()
     val adj = edgesBoth.select(col("a"), col("b")).cp()
+    // same renaming rationale as brandesDeltas: both frames descend from
+    // st, so the w side renames every column (wsrc/wb/wsigma/wdelta/
+    // wdist) and the cross-source src equality is unambiguous names, not
+    // dataset-id metadata
     val v = st.select(col("src"), col("id").as("va"),
       col("sigma").as("vsigma"), col("dist").as("vdist"))
     val w = deltas.select(col("src"), col("id"), col("dist"), col("delta"))
       .join(st.select(col("src"), col("id"), col("sigma")), Seq("src", "id"))
-      .select(col("src"), col("id").as("wb"), col("sigma").as("wsigma"),
-        col("delta").as("wdelta"), col("dist").as("wdist"))
+      .select(col("src").as("wsrc"), col("id").as("wb"),
+        col("sigma").as("wsigma"), col("delta").as("wdelta"),
+        col("dist").as("wdist"))
     adj.join(v, adj("a") === v("va"))
-      .join(w, adj("b") === w("wb") && v("src") === w("src") &&
-        w("wdist") === v("vdist") + lit(1L))
-      .select(v("src").as("src"), col("va"), col("wb"),
-        floor(col("vsigma").cast("double") / col("wsigma").cast("double") *
+      .join(w, col("b") === col("wb") &&
+        col("src") === col("wsrc") &&
+        col("wdist") === col("vdist") + lit(1L))
+      .select(col("src"), col("va"), col("wb"),
+        floor(col("vsigma").cast("double") /
+          col("wsigma").cast("double") *
           (lit(1000000L) + col("wdelta")).cast("double") + lit(0.5))
           .cast("long").as("c"))
   }

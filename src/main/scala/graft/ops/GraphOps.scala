@@ -387,6 +387,131 @@ object GraphOps {
           .as("mean_hops"))
   }
 
+  /** Maximum spanning forest of the co-purchase graph — the "backbone"
+    * sparsification a graph store serves (keep the strongest tie that
+    * connects every part cluster; |V|−1 edges instead of |E|):
+    * [[graft.api.GraphAlgebra.boruvkaForest]] run on the negated weight,
+    * so the unique MINIMUM forest under (−w, a, b) is the unique MAXIMUM
+    * forest under (w desc, a, b). Borůvka = the O(log |V|)-round parallel
+    * MST; no SQL oracle (the contraction fixpoint is not reasonably
+    * expressible) — Round15Spec replays a local Kruskal under the
+    * identical total order and demands the exact edge set, plus the
+    * spanning/acyclicity invariants.
+    */
+  val graphMstBoruvka: Q = (s, dir) => {
+    import s.implicits._
+    val f = graft.api.GraphAlgebra.boruvkaForest(
+      copurchase(s, dir).select($"a", $"b", (-$"w").as("w")))
+    f.select($"a", $"b", (-$"w").as("w"))
+      .orderBy($"a", $"b")
+  }
+
+  /** Landmark harmonic centrality — the closeness variant that stays
+    * well-defined on DISCONNECTED graphs (unreached pairs contribute 0,
+    * not an infinite distance): per node Σ over the 8 landmarks of 1/d,
+    * each term scaled to round(1e9/d) so the fold is an exact BIGINT sum
+    * in any order (the [[graphAdamicAdar]] float-portability discipline).
+    * Rides the same shared 8-landmark bounded traversal as
+    * [[graphAvgPathLength]] — never all-pairs; at 100 TB landmark count,
+    * not graph size, is the knob.
+    */
+  val graphHarmonic: Q = (s, dir) => {
+    import s.implicits._
+    val lm = partVertices(s, dir)
+      .orderBy($"p_partkey").limit(8).select($"p_partkey".as("src"))
+    graft.api.GraphAlgebra
+      .multiBfsHops(copurchaseBoth(s, dir), lm, maxHops = 6)
+      .filter($"dist" > 0)
+      .groupBy($"id".as("part"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(round(lit(1.0e9) / $"dist".cast("double")).cast("long"))
+          .as("harmonic_nano"))
+      .select($"part", $"n_sources", $"harmonic_nano",
+        ($"harmonic_nano".cast("double") / lit(1.0e9)).as("harmonic"))
+      .orderBy($"part")
+  }
+
+  /** Configuration-model edge anomalies — "which ties are far stronger
+    * than their endpoints' popularity predicts": under the configuration
+    * null model an edge's expected weight is deg_w(a)·deg_w(b)/(2m)
+    * (weighted degrees, total edge mass), so the lift w·2m/(deg_a·deg_b)
+    * ranks over-heavy edges. The lift is computed as ONE exact integer
+    * division (w·2m·1e6 div deg_a·deg_b — BIGINT-safe: w·2m·1e6 and
+    * deg·deg both stay ≪ 2⁶³ at any sf where degrees fit BIGINT); w ≥ 3
+    * pre-filters the one-off co-purchases that are pure noise. Top-20,
+    * ties to (a, b). Scale: one |E| frame joined twice against the |V|
+    * degree rollup + a TakeOrdered — no shuffle beyond the rollups.
+    */
+  val graphEdgeAnomaly: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).cp()
+    val deg = cp.select($"a".as("v"), $"w")
+      .unionAll(cp.select($"b".as("v"), $"w"))
+      .groupBy($"v").agg(sum($"w").as("dw"))
+    val m2 = cp.agg((sum($"w") * 2).as("m2"))
+    cp.filter($"w" >= 3)
+      .join(deg.select($"v".as("a"), $"dw".as("da")), "a")
+      .join(deg.select($"v".as("b"), $"dw".as("db")), "b")
+      .crossJoin(broadcast(m2))
+      .select($"a", $"b", $"w", $"da", $"db",
+        expr("(w * m2 * 1000000) div (da * db)").as("lift_ppm"))
+      .orderBy($"lift_ppm".desc, $"a", $"b")
+      .limit(20)
+  }
+
+  /** Circuit rank (cyclomatic number) of the w≥2 co-purchase graph —
+    * E − V + C, the number of independent cycles (0 ⇔ forest; the
+    * redundancy count next to [[graphMstBoruvka]]'s backbone: exactly the
+    * edges a spanning forest drops). V counts ALL part vertices (isolated
+    * parts are their own components, the [[graphCcDf]] convention), so the
+    * three counts are one CC labeling + two tiny rollups — exact integers
+    * end to end.
+    */
+  val graphCircuitRank: Q = (s, dir) => {
+    import s.implicits._
+    val cp = copurchase(s, dir).filter($"w" >= 2).select($"a", $"b").cp()
+    val comps = graft.api.GraphAlgebra
+      .connectedComponentsDf(partVertices(s, dir).toDF("part"), cp)
+    comps.agg(count(lit(1)).as("n_vertices"),
+        countDistinct($"comp").as("n_components"))
+      .crossJoin(broadcast(cp.agg(count(lit(1)).as("n_edges"))))
+      .select($"n_vertices", $"n_edges", $"n_components",
+        ($"n_edges" - $"n_vertices" + $"n_components").as("circuit_rank"))
+  }
+
+  /** Hash-priority dominating set over the w≥2 co-purchase graph — the
+    * facility-placement sibling of [[graphMis]]: every vertex ELECTS the
+    * min-(md5 priority, id) member of its closed neighborhood as its
+    * dominator, and the elected set is the dominating set. ONE synchronous
+    * round is a complete, valid cover by construction (each vertex's
+    * dominator is inside its own closed neighborhood), so unlike the
+    * MIS/matching fixed-round family there is no truncation to declare;
+    * the set is not minimum (greedy never is) but every member has a
+    * witness vertex that elected it. Same portable priority as
+    * [[graphMis]] (conv ↔ '0x'-cast). One |E| frame + one per-vertex
+    * min-struct agg — a single round of the Luby machinery.
+    */
+  val graphDominatingSet: Q = (s, dir) => {
+    import s.implicits._
+    def prio(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    val e = copurchase(s, dir).filter($"w" >= 2).select($"a", $"b")
+    val both = e.unionAll(e.select($"b".as("a"), $"a".as("b")))
+    val parts = partVertices(s, dir).select($"p_partkey".as("v"))
+    // closed neighborhood = the vertex itself + its neighbors
+    val closed = both.select($"a".as("v"), $"b".as("u"))
+      .unionAll(parts.select($"v", $"v".as("u")))
+    val elect = closed.groupBy($"v")
+      .agg(min(struct(prio($"u").as("p"), $"u".as("u"))).as("mn"))
+      .select($"v", $"mn.u".as("dominator"))
+    val doms = elect.select($"dominator".as("v"), lit(true).as("is_dom"))
+      .distinct()
+    elect.join(doms, Seq("v"), "left")
+      .select($"v".as("part"), $"dominator",
+        coalesce($"is_dom", lit(false)).as("is_dominator"))
+      .orderBy($"part")
+  }
+
   /** Shortest-path COUNTS from part 1 — [[graphSssp]]'s distances plus
     * Brandes σ: how many distinct shortest paths reach each node (path
     * redundancy = robustness of the connection; σ=1 nodes hang by a
@@ -2653,6 +2778,11 @@ object GraphOps {
     "graph_ego_net" -> graphEgoNet,
     "graph_adamic_adar" -> graphAdamicAdar,
     "graph_hits" -> graphHits,
-    "graph_eigencentrality" -> graphEigencentrality
+    "graph_eigencentrality" -> graphEigencentrality,
+    "graph_harmonic" -> graphHarmonic,
+    "graph_edge_anomaly" -> graphEdgeAnomaly,
+    "graph_mst_boruvka" -> graphMstBoruvka,
+    "graph_circuit_rank" -> graphCircuitRank,
+    "graph_dominating_set" -> graphDominatingSet
   )
 }

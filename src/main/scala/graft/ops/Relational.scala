@@ -608,6 +608,59 @@ object Relational {
         $"naive_sum_of_dailies")
   }
 
+  /** MERGEABLE quantile sketches — [[aggHllMerge]]'s pattern for
+    * percentiles (VERDICT r14 #7): per DAY a KLL-class equi-depth summary
+    * (K = 64 exact midpoint order statistics, each carrying weight
+    * n_day/K), merged by UNIONING the weighted anchor multisets and
+    * reading the weighted quantile off the combined spine. Pre-aggregated
+    * daily summaries are what a lakehouse stores: the month/quarter
+    * rollup touches n_days·K anchor rows, never the facts. Rank error of
+    * the merged read is ≤ N/K by the equi-depth bound, so the estimate
+    * sits inside the exact [p−2/K, p+2/K] quantile bracket — the spec
+    * asserts exactly that. Interpolated per-day order statistics are an
+    * engine-specific summary (DuckDB's quantile_cont interpolates over a
+    * different midpoint grid) ⇒ declared no-oracle, the [[aggHllMerge]]
+    * discipline. The one unpartitioned window rides the (day × K) anchor
+    * spine — bounded by construction, the agg_chow_test posture.
+    */
+  val aggQuantileMerge: Q = (s, dir) => {
+    import s.implicits._
+    val K = 64
+    val ps = Seq(0.5, 0.9, 0.99)
+    val qs = (0 until K).map(i => (i + 0.5) / K)
+    val ev = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"), $"value")
+    // offline half: one K-anchor summary row per day (the stored artifact)
+    val daily = ev.groupBy($"d")
+      .agg(expr(s"percentile(value, array(${qs.mkString(",")}))")
+        .as("anchors"), count(lit(1)).as("n"))
+    // serving half: union the weighted anchors, one pass for the rollup
+    val anchors = daily
+      .select($"d", ($"n".cast("double") / lit(K)).as("w"),
+        posexplode($"anchors").as(Seq("i", "v")))
+    val spine = anchors
+      .withColumn("cumw", sum($"w").over(Window.orderBy($"v", $"d", $"i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .cp()
+    val tot = anchors.agg(sum($"w").as("totw"),
+      count(lit(1)).as("n_anchors"))
+    val wanted = ps.toDF("p")
+    val est = spine.crossJoin(broadcast(tot))
+      .join(broadcast(wanted), $"cumw" >= $"p" * $"totw")
+      .groupBy($"p").agg(min($"v").as("merged_estimate"),
+        first($"n_anchors").as("n_anchors"))
+    val exact = ev.agg(
+      expr(s"percentile(value, array(${ps.mkString(",")}))").as("ex"),
+      count(lit(1)).as("n_rows"))
+      .select(posexplode($"ex").as(Seq("pi", "exact_value")), $"n_rows")
+      .select(element_at(typedLit(ps), $"pi" + 1).as("p"),
+        $"exact_value", $"n_rows")
+    est.join(exact, "p")
+      .select($"p", $"merged_estimate", $"exact_value", $"n_rows",
+        $"n_anchors")
+      .orderBy($"p")
+  }
+
   /** ROLLUP with grouping_id disambiguation; group keys coalesced to a
     * sentinel so the oracle never sorts NULLs (Spark and DuckDB default
     * NULL order differs).
@@ -1759,6 +1812,439 @@ object Relational {
           ($"sea" * $"sea" / ($"na".cast("double") - lit(1.0)) +
             $"seb" * $"seb" / ($"nb".cast("double") - lit(1.0))))
           .as("df_welch"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  /** TOST equivalence test across event-type pairs — the inferential
+    * mirror image of [[aggTtest]]: instead of asking "do the means
+    * differ?", ask "are they provably WITHIN a margin?" (absence of
+    * evidence ≠ evidence of absence — the A/B question behind no-regression
+    * launches). Margin δ = 0.1·pooled SD (a standardized 'negligible'
+    * band); two one-sided Welch statistics t_lower = (diff+δ)/se and
+    * t_upper = (δ−diff)/se; equivalent ⇔ min(t) > 1.6449 (z₀.₀₅ — the df
+    * here are thousands, so the normal critical value is the honest
+    * constant, no t-table). Same exact machinery as aggTtest: per-group
+    * moments over 1e4-quantized BIGINTs (Σq² in DECIMAL(38,0) — the
+    * aggLevene headroom discipline), one K×K pair cross of the tiny
+    * moment frame, one fixed double tree mirrored by the oracle.
+    */
+  val aggTostEquivalence: Q = (s, dir) => {
+    import s.implicits._
+    val mom = Tables.events(s, dir)
+      .select($"event_type", round($"value" * 10000).cast("long").as("q"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"q").as("s1"),
+        sum($"q".cast("decimal(38,0)") * $"q").as("s2"))
+      .cp()
+    def v(n: Column, s1: Column, s2: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") /
+        n.cast("double")) / (n.cast("double") - lit(1.0))
+    val a = mom.select($"event_type".as("type_a"), $"n".as("na"),
+      $"s1".as("s1a"), $"s2".as("s2a"))
+    val b = mom.select($"event_type".as("type_b"), $"n".as("nb"),
+      $"s1".as("s1b"), $"s2".as("s2b"))
+    a.crossJoin(b).filter($"type_a" < $"type_b")
+      .withColumn("diff", $"s1a".cast("double") / $"na".cast("double") -
+        $"s1b".cast("double") / $"nb".cast("double"))
+      .withColumn("va", v($"na", $"s1a", $"s2a"))
+      .withColumn("vb", v($"nb", $"s1b", $"s2b"))
+      .withColumn("se", sqrt($"va" / $"na".cast("double") +
+        $"vb" / $"nb".cast("double")))
+      .withColumn("delta", lit(0.1) * sqrt(
+        (($"na".cast("double") - lit(1.0)) * $"va" +
+          ($"nb".cast("double") - lit(1.0)) * $"vb") /
+          ($"na".cast("double") + $"nb".cast("double") - lit(2.0))))
+      .select($"type_a", $"type_b", $"na".as("n_a"), $"nb".as("n_b"),
+        ($"diff" / lit(10000.0)).as("mean_diff"),
+        ($"delta" / lit(10000.0)).as("margin"),
+        (($"diff" + $"delta") / $"se").as("t_lower"),
+        (($"delta" - $"diff") / $"se").as("t_upper"),
+        (least(($"diff" + $"delta") / $"se", ($"delta" - $"diff") / $"se") >
+          lit(1.6449)).as("equivalent"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  /** Wilcoxon signed-rank test on paired per-user engagement — the PAIRED
+    * sibling of [[aggMannwhitney]] (same subject, two conditions): each
+    * user's total quantized value in the month's first half (day ≤ 15)
+    * vs the second half; d = Σq₂ − Σq₁ is an EXACT BIGINT paired
+    * difference (sums, not means — no division before the final z). Zero
+    * differences drop (the standard treatment); |d| is bucketed to
+    * 100-quantized-unit granularity ((|d|−1) div 100 — non-negative, so
+    * Spark `div` and DuckDB `//` agree) to keep the rank spine BOUNDED by
+    * the value range, never the user count — the [[aggMannwhitney]]
+    * distinct-value-window posture. Tie-averaged ranks in half-units
+    * (r2 = 2(cum−c)+c+1), W⁺ and Σ(t³−t) fold as BIGINTs, one
+    * tie-corrected normal z at the end, mirrored token-for-token.
+    */
+  val aggWilcoxonSigned: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables.events(s, dir)
+      .select($"user_id", (dayofmonth($"ts") <= 15).as("h1"),
+        round($"value" * 10000).cast("long").as("q"))
+      .groupBy($"user_id")
+      .agg(sum(when($"h1", $"q")).as("s1"),
+        count(when($"h1", 1)).as("n1"),
+        sum(when(!$"h1", $"q")).as("s2"),
+        count(when(!$"h1", 1)).as("n2"))
+      .filter($"n1" > 0 && $"n2" > 0)
+      .select(($"s2" - $"s1").as("d"))
+      .filter($"d" =!= 0)
+    val byB = d
+      .select(expr("(abs(d) - 1) div 100").as("b"), ($"d" > 0).as("pos"))
+      .groupBy($"b")
+      .agg(count(lit(1)).as("c"), count(when($"pos", 1)).as("cpos"))
+    byB
+      .withColumn("cum", sum($"c").over(Window.orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("r2", lit(2L) * ($"cum" - $"c") + $"c" + 1)
+      .agg(sum($"c").as("n"), sum($"cpos" * $"r2").as("w2plus"),
+        sum($"c" * $"c" * $"c" - $"c").as("tsum"))
+      .select($"n",
+        ($"w2plus".cast("double") / lit(2.0)).as("w_plus"),
+        LlmOps.pround4((($"w2plus".cast("double") / lit(2.0) -
+          $"n".cast("double") * ($"n".cast("double") + lit(1.0)) / lit(4.0)) /
+          sqrt($"n".cast("double") * ($"n".cast("double") + lit(1.0)) *
+            (lit(2.0) * $"n".cast("double") + lit(1.0)) / lit(24.0) -
+            $"tsum".cast("double") / lit(48.0)))).as("z_stat"))
+  }
+
+  /** Mood's median test across the 5 event types — "does any group's
+    * MEDIAN differ?", the coarse-but-assumption-free cousin of
+    * [[aggKruskalWallis]] (only counts above/below the grand median, so
+    * it survives any monotone transform and any outlier). Grand LOWER
+    * median off the value-collapsed distinct-value spine (the
+    * [[aggLevene]] integer predicate 2·cum ≥ n — no float threshold);
+    * the 2×k contingency cells and margins are exact BIGINTs; each
+    * (o−e)²/e cell term is nano-quantized BEFORE the BIGINT fold (the
+    * [[aggChisq]] reduction-order discipline), one rounding at the end.
+    */
+  val aggMoodMedian: Q = (s, dir) => {
+    import s.implicits._
+    val byQG = Tables.events(s, dir)
+      .select($"event_type".as("g"),
+        round($"value" * 10000).cast("long").as("q"))
+      .groupBy($"q", $"g").agg(count(lit(1)).as("c")).cp()
+    val spine = byQG.groupBy($"q").agg(sum($"c").as("ct"))
+      .withColumn("cum", sum($"ct").over(Window.orderBy($"q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val med = spine
+      .crossJoin(broadcast(spine.agg(max($"cum").as("n"))))
+      .filter(lit(2L) * $"cum" >= $"n")
+      .agg(min($"q").as("med"))
+    val perG = byQG.crossJoin(broadcast(med))
+      .groupBy($"g")
+      .agg(sum(when($"q" > $"med", $"c").otherwise(0L)).as("oa"),
+        sum(when($"q" <= $"med", $"c").otherwise(0L)).as("ob"))
+      .cp()
+    val tot = perG.agg(sum($"oa").as("ta"), sum($"ob").as("tb"),
+      count(lit(1)).as("k"))
+    perG.crossJoin(broadcast(tot))
+      .withColumn("n", ($"ta" + $"tb").cast("double"))
+      .withColumn("ea", ($"oa" + $"ob").cast("double") *
+        $"ta".cast("double") / $"n")
+      .withColumn("eb", ($"oa" + $"ob").cast("double") *
+        $"tb".cast("double") / $"n")
+      .withColumn("cellq",
+        floor((($"oa".cast("double") - $"ea") *
+          ($"oa".cast("double") - $"ea") / $"ea" +
+          ($"ob".cast("double") - $"eb") *
+            ($"ob".cast("double") - $"eb") / $"eb") * lit(1.0e9) + lit(0.5))
+          .cast("long"))
+      .groupBy($"k", $"ta", $"tb")
+      .agg(sum($"oa" + $"ob").as("n"), sum($"cellq").as("chiq"))
+      .select($"n", $"k", $"ta".as("n_above"),
+        LlmOps.pround4($"chiq".cast("double") / lit(1.0e9)).as("chi2"),
+        ($"k" - 1).cast("long").as("df"))
+  }
+
+  /** Kendall's coefficient of concordance W — "do the days AGREE on which
+    * event types dominate?": judges = days, items = the k event types,
+    * score = the day's total quantized value per type (an exact BIGINT —
+    * sums, not means, so no division before the final W). Only complete
+    * blocks count (days where all k types appear — the standard Friedman/
+    * W design). Within-day tie-averaged ranks in half-units off the
+    * (day, score) collapse (k rows per day — the window spine is k·days,
+    * bounded); rank sums and the tie term Σ(t³−t) fold as BIGINTs;
+    * W = (3·ΣR2²−3m²k(k+1)²)/(m²k(k²−1)−m·ΣT) and the χ² readout
+    * m(k−1)W are one final double tree.
+    */
+  val aggKendallW: Q = (s, dir) => {
+    import s.implicits._
+    val dt = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"event_type".as("g"),
+        round($"value" * 10000).cast("long").as("q"))
+      .groupBy($"d", $"g").agg(sum($"q").as("sq")).cp()
+    val k = dt.select($"g").distinct().count()
+    val full = dt.groupBy($"d").agg(count(lit(1)).as("ng"))
+      .filter($"ng" === k).select($"d")
+    val rows = dt.join(broadcast(full), "d")
+    val byDS = rows.groupBy($"d", $"sq").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(Window.partitionBy($"d")
+        .orderBy($"sq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("r2", lit(2L) * ($"cum" - $"c") + $"c" + 1)
+    val ranked = rows.join(byDS.select($"d", $"sq", $"r2"), Seq("d", "sq"))
+    val perT = byDS.groupBy($"d")
+      .agg(sum($"c" * $"c" * $"c" - $"c").as("t"))
+      .agg(sum($"t").as("tsum"), count(lit(1)).as("m"))
+    val perG = ranked.groupBy($"g").agg(sum($"r2").as("r2g"))
+      .agg(sum($"r2g" * $"r2g").as("sr2"), count(lit(1)).as("kk"))
+    perG.crossJoin(broadcast(perT))
+      .withColumn("md", $"m".cast("double"))
+      .withColumn("kd", $"kk".cast("double"))
+      .withColumn("num", lit(3.0) * $"sr2".cast("double") -
+        lit(3.0) * $"md" * $"md" * $"kd" *
+          ($"kd" + lit(1.0)) * ($"kd" + lit(1.0)))
+      .withColumn("den", $"md" * $"md" * $"kd" *
+        ($"kd" * $"kd" - lit(1.0)) - $"md" * $"tsum".cast("double"))
+      .select($"m".as("m_days"), $"kk".as("k_types"),
+        LlmOps.pround4($"num" / $"den").as("w_concordance"),
+        LlmOps.pround4($"md" * ($"kd" - lit(1.0)) * $"num" / $"den")
+          .as("chi2"))
+  }
+
+  /** Hypergeometric enrichment test on the 2×2 (weekend × high-value)
+    * order table — "are high-value orders over-represented on weekends?",
+    * the contingency readout finance/growth asks of any segment pair.
+    * Weekend is the portable epoch-day arithmetic (ed+4) mod 7 ∈ {0, 6}
+    * (Spark `dayofweek` and DuckDB `dayofweek` disagree on origin — §2.9);
+    * high-value is cents > grand lower median (integer predicate off the
+    * distinct-cents spine). Cells a/b/c/d are exact BIGINTs; the observed
+    * table's log₁₀ hypergeometric pmf runs on ln-factorials from an
+    * explicit 5-term Stirling series (lnΓ(n+7) − ln Π(n+1..n+6), abs
+    * error < 1e-9 for all n ≥ 0) — the SAME fixed double tree on both
+    * engines, since neither shares a lgamma; z is the normal
+    * approximation on the exact hypergeometric mean/variance. pround4
+    * absorbs the ≤1-ulp libm-vs-JVM ln drift.
+    */
+  val aggHypergeomTest: Q = (s, dir) => {
+    import s.implicits._
+    def lnStir(z: Column): Column =
+      (z - lit(0.5)) * log(z) - z + lit(0.5 * math.log(2.0 * math.Pi)) +
+        lit(1.0) / (lit(12.0) * z) -
+        lit(1.0) / (lit(360.0) * z * z * z) +
+        lit(1.0) / (lit(1260.0) * z * z * z * z * z)
+    def lfact(n: Column): Column = {
+      val x = n.cast("double")
+      lnStir(x + lit(7.0)) -
+        log((x + lit(1.0)) * (x + lit(2.0)) * (x + lit(3.0)) *
+          (x + lit(4.0)) * (x + lit(5.0)) * (x + lit(6.0)))
+    }
+    val o = Tables.orders(s, dir)
+      .select(datediff($"o_orderdate", lit("1970-01-01")).cast("long")
+        .as("ed"), round($"o_totalprice" * 100).cast("long").as("cents"))
+    val spine = o.groupBy($"cents").agg(count(lit(1)).as("ct"))
+      .withColumn("cum", sum($"ct").over(Window.orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val med = spine
+      .crossJoin(broadcast(spine.agg(max($"cum").as("n"))))
+      .filter(lit(2L) * $"cum" >= $"n")
+      .agg(min($"cents").as("med"))
+    val cells = o.crossJoin(broadcast(med))
+      .select(((($"ed" + 4) % 7).isin(0L, 6L)).as("we"),
+        ($"cents" > $"med").as("hi"))
+      .agg(count(when($"we" && $"hi", 1)).as("a"),
+        count(when($"we" && !$"hi", 1)).as("b"),
+        count(when(!$"we" && $"hi", 1)).as("c"),
+        count(when(!$"we" && !$"hi", 1)).as("d"))
+    cells
+      .withColumn("n", $"a" + $"b" + $"c" + $"d")
+      .withColumn("lnp",
+        lfact($"a" + $"b") + lfact($"c" + $"d") + lfact($"a" + $"c") +
+          lfact($"b" + $"d") - lfact($"n") - lfact($"a") - lfact($"b") -
+          lfact($"c") - lfact($"d"))
+      .withColumn("mu", ($"a" + $"b").cast("double") *
+        ($"a" + $"c").cast("double") / $"n".cast("double"))
+      .withColumn("vr", $"mu" * ($"c" + $"d").cast("double") *
+        ($"b" + $"d").cast("double") /
+        ($"n".cast("double") * ($"n".cast("double") - lit(1.0))))
+      .select($"n", $"a", $"b", $"c", $"d",
+        LlmOps.pround4(($"a" * $"d").cast("double") /
+          ($"b" * $"c").cast("double")).as("odds_ratio"),
+        LlmOps.pround4($"lnp" / lit(math.log(10.0))).as("log10_p"),
+        LlmOps.pround4(($"a".cast("double") - $"mu") / sqrt($"vr"))
+          .as("z_stat"))
+  }
+
+  /** Cronbach's alpha over the k event types as "scale items" — the
+    * internal-consistency readout ("do the per-user engagement channels
+    * move together?") that gates any composite engagement score. Subjects
+    * = users observed on ALL k items (complete cases — the standard
+    * design); score = per-(user, item) Σq, an exact BIGINT. Item and
+    * total variances come from exact moments (Σx BIGINT, Σx² in
+    * DECIMAL(38,0) ↔ HUGEINT — a user-item sum is ~10⁸ quantized units,
+    * its square ~10¹⁶, and 10⁹ users would pass 2⁶³ — the [[aggLevene]]
+    * headroom); α = k/(k−1)·(1 − Σvarᵢ/var_tot) with the k per-item
+    * variance terms folded ORDER-FREE via the sorted-array aggregate
+    * (the [[aggAnova]] discipline). Population (biased, /n) variances —
+    * the n cancels, so the convention drops out of α.
+    */
+  val aggCronbachAlpha: Q = (s, dir) => {
+    import s.implicits._
+    val ui = Tables.events(s, dir)
+      .select($"user_id".as("u"), $"event_type".as("i"),
+        round($"value" * 10000).cast("long").as("q"))
+      .groupBy($"u", $"i").agg(sum($"q").as("x")).cp()
+    val k = ui.select($"i").distinct().count()
+    val complete = ui.groupBy($"u").agg(count(lit(1)).as("ni"),
+      sum($"x").as("t"))
+      .filter($"ni" === k)
+    val rows = ui.join(complete.select($"u"), "u")
+    val perI = rows.groupBy($"i")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x".cast("decimal(38,0)") * $"x").as("sxx"))
+      .withColumn("vi", ($"sxx".cast("double") -
+        $"sx".cast("double") * $"sx".cast("double") / $"n".cast("double")) /
+        $"n".cast("double"))
+    val tot = complete
+      .agg(count(lit(1)).as("n"), sum($"t").as("st"),
+        sum($"t".cast("decimal(38,0)") * $"t").as("stt"))
+      .select($"n", (($"stt".cast("double") -
+        $"st".cast("double") * $"st".cast("double") / $"n".cast("double")) /
+        $"n".cast("double")).as("vt"))
+    perI
+      .groupBy(lit(1).as("one"))
+      .agg(count(lit(1)).as("k"),
+        sort_array(collect_list(struct($"i", $"vi"))).as("arr"))
+      .select($"k",
+        expr("aggregate(arr, 0D, (acc, x) -> acc + x.vi)").as("svi"))
+      .crossJoin(broadcast(tot))
+      .select($"n".as("n_users"), $"k".as("k_items"),
+        LlmOps.pround4($"k".cast("double") / ($"k" - 1).cast("double") *
+          (lit(1.0) - $"svi" / $"vt")).as("alpha"))
+  }
+
+  /** First-order partial correlation of daily click vs purchase flow,
+    * CONTROLLING for overall activity — "do clicks and purchases move
+    * together beyond both just tracking busy days?", the confounder-
+    * adjusted readout behind any engagement-correlation claim:
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) over the daily
+    * triple (x = Σq clicks, y = Σq purchases, z = event count). All six
+    * cross-moments accumulate exactly (BIGINT sums; pair products in
+    * DECIMAL(38,0) ↔ HUGEINT — a 100 TB day's flow is ~10¹⁰ units, the
+    * square passes 2⁶³); the three Pearson r and the partial are one
+    * fixed double tree. The day spine is time-bounded at any SF.
+    */
+  val aggPartialCorr: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"event_type",
+        round($"value" * 10000).cast("long").as("q"))
+      .groupBy($"d")
+      .agg(sum(when($"event_type" === "click", $"q").otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", $"q").otherwise(0L)).as("y"),
+        count(lit(1)).as("z"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"), sum($"z").as("sz"),
+      sum(d38($"x") * $"x").as("sxx"), sum(d38($"y") * $"y").as("syy"),
+      sum(d38($"z") * $"z").as("szz"), sum(d38($"x") * $"y").as("sxy"),
+      sum(d38($"x") * $"z").as("sxz"), sum(d38($"y") * $"z").as("syz"))
+    def r(n: Column, sa: Column, sb: Column, sab: Column,
+          saa: Column, sbb: Column): Column =
+      (n.cast("double") * sab.cast("double") -
+        sa.cast("double") * sb.cast("double")) /
+        sqrt((n.cast("double") * saa.cast("double") -
+          sa.cast("double") * sa.cast("double")) *
+          (n.cast("double") * sbb.cast("double") -
+            sb.cast("double") * sb.cast("double")))
+    m.withColumn("rxy", r($"n", $"sx", $"sy", $"sxy", $"sxx", $"syy"))
+      .withColumn("rxz", r($"n", $"sx", $"sz", $"sxz", $"sxx", $"szz"))
+      .withColumn("ryz", r($"n", $"sy", $"sz", $"syz", $"syy", $"szz"))
+      .select($"n".as("n_days"),
+        LlmOps.pround4($"rxy").as("r_xy"),
+        LlmOps.pround4($"rxz").as("r_xz"),
+        LlmOps.pround4($"ryz").as("r_yz"),
+        LlmOps.pround4(($"rxy" - $"rxz" * $"ryz") /
+          sqrt((lit(1.0) - $"rxz" * $"rxz") *
+            (lit(1.0) - $"ryz" * $"ryz"))).as("r_partial"))
+  }
+
+  /** Tukey–Kramer HSD post-hoc — WHICH weekday pairs differ, after
+    * [[aggAnova]]'s omnibus F on the same (day-of-week × order cents)
+    * design (an F only says "somewhere"): per pair
+    * q = |m̄ᵢ − m̄ⱼ| / √(MSW/2 · (1/nᵢ + 1/nⱼ)). Group moments are exact
+    * BIGINTs (the aggAnova frame verbatim); MSW = ΣSSWᵢ/(n−k) folds the
+    * k within-group terms order-free (sorted-array aggregate); the 21
+    * pairs come from a K² cross of the 7-row moment table, never of
+    * data. One double tree per pair, mirrored token-for-token.
+    */
+  val aggTukeyHsd: Q = (s, dir) => {
+    import s.implicits._
+    val rows = Tables.orders(s, dir)
+      .select(((tsMs($"o_orderdate".cast("timestamp")) /
+        lit(86400000L)).cast("long") % 7).as("g"),
+        round($"o_totalprice" * 100).cast("long").as("v"))
+    val grp = rows.groupBy($"g")
+      .agg(count(lit(1)).as("ng"), sum($"v").as("sg"),
+        sum($"v".cast("decimal(38,0)") * $"v").as("qg"))
+      .cp()
+    val msw = grp
+      .select($"g", $"ng",
+        ($"qg".cast("double") - $"sg".cast("double") *
+          $"sg".cast("double") / $"ng".cast("double")).as("ssw"))
+      .groupBy(lit(1).as("one"))
+      .agg(sum($"ng").as("n"), count(lit(1)).as("k"),
+        sort_array(collect_list(struct($"g", $"ssw"))).as("arr"))
+      .select($"n", $"k",
+        (expr("aggregate(arr, 0D, (acc, x) -> acc + x.ssw)") /
+          ($"n" - $"k").cast("double")).as("msw"))
+    val a = grp.select($"g".as("g_a"), $"ng".as("na"), $"sg".as("sa"))
+    val b = grp.select($"g".as("g_b"), $"ng".as("nb"), $"sg".as("sb"))
+    a.crossJoin(b).filter($"g_a" < $"g_b")
+      .crossJoin(broadcast(msw))
+      .withColumn("diff", $"sa".cast("double") / $"na".cast("double") -
+        $"sb".cast("double") / $"nb".cast("double"))
+      .select($"g_a", $"g_b", $"na".as("n_a"), $"nb".as("n_b"),
+        LlmOps.pround4($"diff" / lit(100.0)).as("mean_diff"),
+        LlmOps.pround4(abs($"diff") /
+          sqrt($"msw" / lit(2.0) *
+            (lit(1.0) / $"na".cast("double") +
+              lit(1.0) / $"nb".cast("double")))).as("q_stat"))
+      .orderBy($"g_a", $"g_b")
+  }
+
+  /** Dunn's post-hoc test — WHICH event-type pairs differ, after
+    * [[aggKruskalWallis]]'s omnibus H on the same ranks (the
+    * distribution-free twin of [[aggTukeyHsd]]): zᵢⱼ = (R̄ᵢ − R̄ⱼ) /
+    * √((N(N+1)/12 − ΣT/(12(N−1))) · (1/nᵢ + 1/nⱼ)) with the exact same
+    * value-collapsed half-unit rank machinery (R̄ = r2sum/(2n), tie term
+    * Σ(t³−t) as BIGINT — both straight off the Kruskal–Wallis frame).
+    * K² pair cross of the k-row rank-sum table; one double tree per
+    * pair. Σc·r2 in DECIMAL(38,0) (the [[aggKruskalWallis]] headroom).
+    */
+  val aggDunnTest: Q = (s, dir) => {
+    import s.implicits._
+    val byQG = Tables.events(s, dir)
+      .select($"event_type".as("g"),
+        round($"value" * 10000).cast("long").as("q"))
+      .groupBy($"q", $"g").agg(count(lit(1)).as("c")).cp()
+    val r2f = byQG.groupBy($"q").agg(sum($"c").as("ct"))
+      .withColumn("cum", sum($"ct").over(Window.orderBy($"q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("r2", lit(2L) * ($"cum" - $"ct") + $"ct" + 1)
+    val perG = byQG.join(r2f.select($"q", $"r2"), "q")
+      .groupBy($"g").agg(sum($"c").as("ng"),
+        sum($"c".cast("decimal(38,0)") * $"r2").as("r2g"))
+      .cp()
+    val tot = r2f.agg(sum($"ct").as("n"),
+      sum($"ct".cast("decimal(38,0)") * $"ct" * $"ct" - $"ct").as("tsum"))
+    val a = perG.select($"g".as("type_a"), $"ng".as("na"), $"r2g".as("ra"))
+    val b = perG.select($"g".as("type_b"), $"ng".as("nb"), $"r2g".as("rb"))
+    a.crossJoin(b).filter($"type_a" < $"type_b")
+      .crossJoin(broadcast(tot))
+      .withColumn("nd", $"n".cast("double"))
+      .withColumn("sig2", $"nd" * ($"nd" + lit(1.0)) / lit(12.0) -
+        $"tsum".cast("double") / (lit(12.0) * ($"nd" - lit(1.0))))
+      .select($"type_a", $"type_b", $"na".as("n_a"), $"nb".as("n_b"),
+        LlmOps.pround4(($"ra".cast("double") /
+          (lit(2.0) * $"na".cast("double")) -
+          $"rb".cast("double") / (lit(2.0) * $"nb".cast("double"))) /
+          sqrt($"sig2" * (lit(1.0) / $"na".cast("double") +
+            lit(1.0) / $"nb".cast("double")))).as("z_dunn"))
       .orderBy($"type_a", $"type_b")
   }
 
@@ -4260,6 +4746,72 @@ object Relational {
                 (nwD * $"syy" - syD * syD).cast("double"))))
           .as("corr_7d"))
       .orderBy($"d")
+  }
+
+  /** TWAP per (user, day) — [[winVwap]]'s time-weighted sibling: each
+    * event's value holds until the NEXT event, so its weight is that gap
+    * in ms (the last event of the day holds nothing and gets weight 0 —
+    * the standard open-interval convention). The lead window is
+    * partitioned per (user, day) and ordered by the total (ts, event_id)
+    * key — deterministic under same-ms ties. Σ(q·gap) and Σgap fold as
+    * exact BIGINTs (q ≤ ~10⁶ quantized units × gap ≤ 8.64e7 ms — far
+    * under 2⁶³ per group); one division at the end. Single-event days
+    * drop (no time span to average over).
+    */
+  val winTwap: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"d")
+      .orderBy($"ts_ms", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", (tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        tsMs($"ts").as("ts_ms"), $"event_id",
+        round($"value" * 10000).cast("long").as("q"))
+      .withColumn("gap", coalesce(lead($"ts_ms", 1).over(w) - $"ts_ms",
+        lit(0L)))
+      .groupBy($"user_id", $"d")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"q" * $"gap").as("num"), sum($"gap").as("den"))
+      .filter($"den" > 0)
+      .select($"user_id", $"d", $"n_events",
+        LlmOps.pround4($"num".cast("double") / $"den".cast("double") /
+          lit(10000.0)).as("twap"))
+      .orderBy($"user_id", $"d")
+  }
+
+  /** Rolling 7-day CAPM beta of each event type's daily flow against the
+    * all-types "market" — [[winRollingCorr]]'s regression sibling and the
+    * windowed version of [[aggCapm]]: β = cov(x, m)/var(m) over a
+    * trailing 7-row day frame per type. Scores are daily SUMS of
+    * quantized values (exact BIGINTs — no division before the final β);
+    * Σxm and Σm² accumulate in DECIMAL(38,0) (a day's total is ~10¹⁰
+    * quantized units at 100 TB, so the cross product passes 2⁶³ — the
+    * [[aggLevene]] headroom discipline, HUGEINT in the oracle); the
+    * n·Σxm − Σx·Σm numerator/denominator stay in DECIMAL and convert to
+    * double ONCE. The frame rides the (type × day) spine — bounded.
+    */
+  val winBetaRolling: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select((tsMs($"ts") / lit(86400000L)).cast("long").as("d"),
+        $"event_type".as("g"),
+        round($"value" * 10000).cast("long").as("q"))
+      .groupBy($"d", $"g").agg(sum($"q").as("x")).cp()
+    val market = daily.groupBy($"d").agg(sum($"x").as("m"))
+    val w = Window.partitionBy($"g").orderBy($"d").rowsBetween(-6, 0)
+    daily.join(market, "d")
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum($"x").over(w))
+      .withColumn("sm", sum($"m").over(w))
+      .withColumn("sxm", sum($"x".cast("decimal(38,0)") * $"m").over(w))
+      .withColumn("smm", sum($"m".cast("decimal(38,0)") * $"m").over(w))
+      .withColumn("num", ($"n".cast("decimal(38,0)") * $"sxm" -
+        $"sx".cast("decimal(38,0)") * $"sm").cast("double"))
+      .withColumn("den", ($"n".cast("decimal(38,0)") * $"smm" -
+        $"sm".cast("decimal(38,0)") * $"sm").cast("double"))
+      .select($"g".as("event_type"), $"d", $"n".as("n_days"),
+        when($"den" =!= 0.0, LlmOps.pround4($"num" / $"den"))
+          .as("beta_7d"))
+      .orderBy($"event_type", $"d")
   }
 
   /** Running VWAP (volume-weighted average price) over the ship-date
@@ -7373,6 +7925,7 @@ object Relational {
     "win_atr" -> winAtr,
     "agg_column_profile" -> aggColumnProfile,
     "agg_hll_merge" -> aggHllMerge,
+    "agg_quantile_merge" -> aggQuantileMerge,
     "agg_dq_checks" -> aggDqChecks,
     "win_donchian" -> winDonchian,
     "win_mom_growth" -> winMomGrowth,
@@ -7404,6 +7957,8 @@ object Relational {
     "agg_kendall_tau" -> aggKendallTau,
     "win_rolling_corr" -> winRollingCorr,
     "win_vwap" -> winVwap,
+    "win_twap" -> winTwap,
+    "win_beta_rolling" -> winBetaRolling,
     "win_rsi" -> winRsi,
     "agg_assoc_rules" -> aggAssocRules,
     "agg_sample_stratified" -> aggSampleStratified,
@@ -7469,11 +8024,20 @@ object Relational {
     "agg_ohlc" -> aggOhlc,
     "join_asof_tolerance" -> joinAsofTolerance,
     "agg_mannwhitney" -> aggMannwhitney,
+    "agg_wilcoxon_signed" -> aggWilcoxonSigned,
+    "agg_mood_median" -> aggMoodMedian,
+    "agg_kendall_w" -> aggKendallW,
+    "agg_hypergeom_test" -> aggHypergeomTest,
+    "agg_cronbach_alpha" -> aggCronbachAlpha,
+    "agg_partial_corr" -> aggPartialCorr,
+    "agg_tukey_hsd" -> aggTukeyHsd,
+    "agg_dunn_test" -> aggDunnTest,
     "src_schema_evolution" -> srcSchemaEvolution,
     "agg_histogram2d" -> aggHistogram2d,
     "join_lateral" -> joinLateral,
     "join_interval_overlap" -> joinIntervalOverlap,
     "agg_ttest" -> aggTtest,
+    "agg_tost_equivalence" -> aggTostEquivalence,
     "win_cusum" -> winCusum,
     "agg_weighted_median" -> aggWeightedMedian,
     "agg_gini" -> aggGini,

@@ -275,6 +275,37 @@ object GraphOracle {
        |  WHERE bfs.d < 6),
        |md AS MATERIALIZED (SELECT src, node, min(d) AS d FROM bfs GROUP BY 1, 2)""".stripMargin
 
+  /** graph_harmonic: Σ over the 8 landmarks of round(1e9/d) per reached
+    * node — each term nano-quantized BEFORE the fold (1e9/d for d in 1..6
+    * rounds unambiguously), so the sum is an exact BIGINT in any order.
+    */
+  private val harmonicSql: String =
+    s"""$landmarkBfsCtes
+       |SELECT node AS part, count(*) AS n_sources,
+       |  CAST(sum(CAST(round(1000000000.0 / CAST(d AS DOUBLE)) AS BIGINT))
+       |    AS BIGINT) AS harmonic_nano,
+       |  CAST(CAST(sum(CAST(round(1000000000.0 / CAST(d AS DOUBLE))
+       |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0e9 AS harmonic
+       |FROM md WHERE d > 0 GROUP BY node ORDER BY part""".stripMargin
+
+  /** graph_edge_anomaly: configuration-model lift per w≥3 edge —
+    * ONE exact integer division (w·2m·1e6 // deg_a·deg_b), top-20.
+    */
+  private val edgeAnomalySql: String =
+    s"""WITH $copurchaseCte,
+       |deg AS (SELECT v, CAST(sum(w) AS BIGINT) AS dw FROM (
+       |  SELECT a AS v, w FROM cp UNION ALL SELECT b, w FROM cp) u
+       |  GROUP BY 1),
+       |m2t AS (SELECT CAST(sum(w) * 2 AS BIGINT) AS m2 FROM cp)
+       |SELECT a, b, w, da, db,
+       |  CAST((w * m2 * 1000000) // (da * db) AS BIGINT) AS lift_ppm
+       |FROM (
+       |  SELECT cp.a, cp.b, CAST(cp.w AS BIGINT) AS w,
+       |    x.dw AS da, y.dw AS db, m2
+       |  FROM cp JOIN deg x ON cp.a = x.v JOIN deg y ON cp.b = y.v, m2t
+       |  WHERE cp.w >= 3)
+       |ORDER BY lift_ppm DESC, a, b LIMIT 20""".stripMargin
+
   /** Landmark Brandes betweenness, unrolled per level over the
     * [[landmarkBfsCtes]] frame: σ path counts s1..s6 chain forward
     * (σ_h(node) = Σ preds' σ_{h-1}), then micro-quantized dependencies
@@ -1250,6 +1281,50 @@ object GraphOracle {
 
     "graph_betweenness" -> betweennessSql,
     "graph_edge_betweenness" -> edgeBetweennessSql,
+    "graph_harmonic" -> harmonicSql,
+    "graph_edge_anomaly" -> edgeAnomalySql,
+
+    // circuit rank: E − V + C over the w≥2 subgraph, V = all parts —
+    // the same recursive min-label CC frame as graph_cc, then counts
+    "graph_circuit_rank" ->
+      s"""WITH RECURSIVE $copurchaseCte,
+         |e2 AS MATERIALIZED (SELECT a, b FROM cp WHERE w >= 2
+         |       UNION ALL SELECT b, a FROM cp WHERE w >= 2),
+         |seed AS MATERIALIZED (
+         |  SELECT p_partkey AS node FROM part p
+         |  WHERE NOT EXISTS (SELECT 1 FROM e2
+         |    WHERE e2.a = p.p_partkey AND e2.b < p.p_partkey)),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM seed
+         |  UNION
+         |  SELECT e2.b, reach.label FROM reach JOIN e2 ON e2.a = reach.node),
+         |lab AS (SELECT node, min(label) AS comp FROM reach GROUP BY node)
+         |SELECT count(*) AS n_vertices,
+         |  (SELECT count(*) FROM cp WHERE w >= 2) AS n_edges,
+         |  count(DISTINCT comp) AS n_components,
+         |  (SELECT count(*) FROM cp WHERE w >= 2) - count(*)
+         |    + count(DISTINCT comp) AS circuit_rank
+         |FROM lab""".stripMargin,
+
+    // dominating set: one synchronous election round — every vertex picks
+    // the min-(md5 priority, id) member of its closed neighborhood
+    "graph_dominating_set" -> {
+      def p(col: String): String =
+        s"CAST('0x' || substr(md5(CAST($col AS VARCHAR)), 1, 8) AS BIGINT)"
+      s"""WITH $copurchaseCte,
+         |e2 AS MATERIALIZED (SELECT a, b FROM cp WHERE w >= 2
+         |       UNION ALL SELECT b, a FROM cp WHERE w >= 2),
+         |closed AS (
+         |  SELECT a AS v, b AS u FROM e2
+         |  UNION ALL SELECT p_partkey, p_partkey FROM part),
+         |elect AS (
+         |  SELECT v, min({'p': ${p("u")}, 'u': u}).u AS dominator
+         |  FROM closed GROUP BY 1),
+         |doms AS (SELECT DISTINCT dominator AS v FROM elect)
+         |SELECT e.v AS part, e.dominator,
+         |  e.v IN (SELECT v FROM doms) AS is_dominator
+         |FROM elect e ORDER BY part""".stripMargin
+    },
     "graph_walk_pairs" -> walkPairsSql,
 
     // neighborhood property rollup: scaled-long price sum, one quantized
@@ -1688,14 +1763,22 @@ object GraphOracle {
 
     "graph_clustering_coeff" -> clusteringCoeffSql,
 
+    // the outer co-purchase copy is renamed lp0/cp0: the two embedded
+    // subqueries carry their own MATERIALIZED `cp`, and DuckDB rejects an
+    // outer materialized CTE shadowed by an inner one of the same name
+    // (inner-vs-inner is fine — probed on 1.0.0)
     "graph_small_world" ->
       s"""WITH cc AS (SELECT global_cc FROM ($clusteringCoeffSql) t1),
          |apl AS (SELECT mean_hops FROM ($avgPathLengthSql) t2),
-         |$copurchaseCte,
+         |lp0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |  FROM lineitem),
+         |cp0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b
+         |  FROM lp0 x JOIN lp0 y ON x.ok = y.ok AND x.p < y.p
+         |  GROUP BY 1, 2),
          |nm AS (
          |  SELECT (SELECT count(DISTINCT v) FROM (
-         |     SELECT a AS v FROM cp UNION ALL SELECT b FROM cp) u) AS n,
-         |    (SELECT count(*) FROM cp) AS m)
+         |     SELECT a AS v FROM cp0 UNION ALL SELECT b FROM cp0) u) AS n,
+         |    (SELECT count(*) FROM cp0) AS m)
          |SELECT n, m, global_cc, mean_hops,
          |  floor((global_cc / ((2.0 * CAST(m AS DOUBLE) /
          |    CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) /

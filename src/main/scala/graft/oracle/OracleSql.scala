@@ -3895,6 +3895,414 @@ object OracleSql {
         |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) AS z_stat
         |FROM d""".stripMargin,
 
+    // paired signed-rank: per-user Σq half-month diffs, |d| bucketed to
+    // 100-unit granularity ((|d|-1)//100 — non-negative, so // matches
+    // Spark div), half-unit tie-averaged ranks, one mirrored z tree
+    "agg_wilcoxon_signed" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN h1 THEN q END) AS BIGINT) AS s1,
+        |    count(CASE WHEN h1 THEN 1 END) AS n1,
+        |    CAST(sum(CASE WHEN NOT h1 THEN q END) AS BIGINT) AS s2,
+        |    count(CASE WHEN NOT h1 THEN 1 END) AS n2
+        |  FROM (SELECT user_id, date_part('day', ts) <= 15 AS h1,
+        |          CAST(round(value * 10000) AS BIGINT) AS q FROM events)
+        |  GROUP BY 1),
+        |dd AS (
+        |  SELECT s2 - s1 AS d FROM pu
+        |  WHERE n1 > 0 AND n2 > 0 AND s2 - s1 <> 0),
+        |bq AS (
+        |  SELECT (abs(d) - 1) // 100 AS b, count(*) AS c,
+        |    count(CASE WHEN d > 0 THEN 1 END) AS cpos
+        |  FROM dd GROUP BY 1),
+        |cu AS (
+        |  SELECT b, c, cpos,
+        |    CAST(sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM bq),
+        |r AS (SELECT c, cpos, 2 * (cum - c) + c + 1 AS r2 FROM cu),
+        |s AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(cpos * r2) AS BIGINT) AS w2plus,
+        |    CAST(sum(c * c * c - c) AS BIGINT) AS tsum
+        |  FROM r)
+        |SELECT n, CAST(w2plus AS DOUBLE) / 2.0 AS w_plus,
+        |  floor(((CAST(w2plus AS DOUBLE) / 2.0
+        |      - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0) /
+        |    sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) *
+        |      (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |      - CAST(tsum AS DOUBLE) / 48.0)) * 10000.0 + 0.5) / 10000.0
+        |    AS z_stat
+        |FROM s""".stripMargin,
+
+    // Mood's median test: grand lower median off the distinct-value
+    // spine, 2×k exact cells, nano-quantized (o-e)^2/e fold
+    "agg_mood_median" ->
+      """WITH bqg AS (
+        |  SELECT CAST(round(value * 10000) AS BIGINT) AS q,
+        |    event_type AS g, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT q, CAST(sum(c) AS BIGINT) AS ct FROM bqg GROUP BY 1),
+        |cu AS (
+        |  SELECT q, ct,
+        |    CAST(sum(ct) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM sp),
+        |nn AS (SELECT max(cum) AS n FROM cu),
+        |md AS (SELECT min(q) AS med FROM cu, nn WHERE 2 * cum >= n),
+        |pg AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN q > med THEN c ELSE 0 END) AS BIGINT) AS oa,
+        |    CAST(sum(CASE WHEN q <= med THEN c ELSE 0 END) AS BIGINT) AS ob
+        |  FROM bqg, md GROUP BY 1),
+        |tt AS (
+        |  SELECT CAST(sum(oa) AS BIGINT) AS ta, CAST(sum(ob) AS BIGINT) AS tb,
+        |    count(*) AS k
+        |  FROM pg),
+        |ex AS (
+        |  SELECT k, ta, tb, oa, ob,
+        |    CAST(oa + ob AS DOUBLE) * CAST(ta AS DOUBLE)
+        |      / CAST(ta + tb AS DOUBLE) AS ea,
+        |    CAST(oa + ob AS DOUBLE) * CAST(tb AS DOUBLE)
+        |      / CAST(ta + tb AS DOUBLE) AS eb
+        |  FROM pg, tt),
+        |cells AS (
+        |  SELECT k, ta, tb, oa, ob,
+        |    CAST(floor(((CAST(oa AS DOUBLE) - ea) * (CAST(oa AS DOUBLE) - ea)
+        |        / ea
+        |      + (CAST(ob AS DOUBLE) - eb) * (CAST(ob AS DOUBLE) - eb) / eb)
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS cellq
+        |  FROM ex)
+        |SELECT CAST(sum(oa + ob) AS BIGINT) AS n, k, ta AS n_above,
+        |  floor((CAST(sum(cellq) AS DOUBLE) / 1000000000.0) * 10000.0 + 0.5)
+        |    / 10000.0 AS chi2,
+        |  CAST(k - 1 AS BIGINT) AS df
+        |FROM cells GROUP BY k, ta, tb""".stripMargin,
+
+    // Kendall's W: days judge the k event types by exact daily Σq
+    // totals; complete blocks only; half-unit within-day ranks
+    "agg_kendall_w" ->
+      """WITH dt AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d, event_type AS g,
+        |    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM events GROUP BY 1, 2),
+        |kc AS (SELECT count(DISTINCT g) AS k FROM dt),
+        |fd AS (
+        |  SELECT d FROM dt GROUP BY d
+        |  HAVING count(*) = (SELECT k FROM kc)),
+        |rf AS (SELECT dt.* FROM dt JOIN fd USING (d)),
+        |bds AS (SELECT d, sq, count(*) AS c FROM rf GROUP BY 1, 2),
+        |cu AS (
+        |  SELECT d, sq, c,
+        |    CAST(sum(c) OVER (PARTITION BY d ORDER BY sq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM bds),
+        |r AS (SELECT d, sq, c, 2 * (cum - c) + c + 1 AS r2 FROM cu),
+        |rk AS (
+        |  SELECT rf.g, r.r2 FROM rf JOIN r ON rf.d = r.d AND rf.sq = r.sq),
+        |pt AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS tsum, count(*) AS m FROM (
+        |    SELECT d, CAST(sum(c * c * c - c) AS BIGINT) AS t
+        |    FROM cu GROUP BY 1)),
+        |pg AS (
+        |  SELECT CAST(sum(r2g * r2g) AS BIGINT) AS sr2, count(*) AS kk
+        |  FROM (SELECT g, CAST(sum(r2) AS BIGINT) AS r2g FROM rk GROUP BY 1)),
+        |f AS (
+        |  SELECT m, kk, CAST(m AS DOUBLE) AS md, CAST(kk AS DOUBLE) AS kd,
+        |    3.0 * CAST(sr2 AS DOUBLE)
+        |      - 3.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+        |        * CAST(kk AS DOUBLE) * (CAST(kk AS DOUBLE) + 1.0)
+        |        * (CAST(kk AS DOUBLE) + 1.0) AS num,
+        |    CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * CAST(kk AS DOUBLE)
+        |        * (CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE) - 1.0)
+        |      - CAST(m AS DOUBLE) * CAST(tsum AS DOUBLE) AS den
+        |  FROM pg, pt)
+        |SELECT m AS m_days, kk AS k_types,
+        |  floor((num / den) * 10000.0 + 0.5) / 10000.0 AS w_concordance,
+        |  floor((md * (kd - 1.0) * num / den) * 10000.0 + 0.5) / 10000.0
+        |    AS chi2
+        |FROM f""".stripMargin,
+
+    // hypergeometric enrichment on (weekend × high-value): portable
+    // (ed+4)%7 weekend, exact cells, Stirling ln-factorials mirrored
+    "agg_hypergeom_test" -> {
+      def lnStir(z: String): String =
+        s"(($z - 0.5) * ln($z) - $z + 0.9189385332046727" +
+          s" + 1.0 / (12.0 * $z) - 1.0 / (360.0 * $z * $z * $z)" +
+          s" + 1.0 / (1260.0 * $z * $z * $z * $z * $z))"
+      def lfact(n: String): String = {
+        val x = s"CAST($n AS DOUBLE)"
+        s"(${lnStir(s"($x + 7.0)")} - ln(($x + 1.0) * ($x + 2.0)" +
+          s" * ($x + 3.0) * ($x + 4.0) * ($x + 5.0) * ($x + 6.0)))"
+      }
+      s"""WITH o AS (
+         |  SELECT datediff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS ed,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |sp AS (SELECT cents, count(*) AS ct FROM o GROUP BY 1),
+         |cu AS (
+         |  SELECT cents, ct,
+         |    CAST(sum(ct) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM sp),
+         |nn AS (SELECT max(cum) AS n FROM cu),
+         |md AS (SELECT min(cents) AS med FROM cu, nn WHERE 2 * cum >= n),
+         |cells AS (
+         |  SELECT
+         |    count(CASE WHEN we AND hi THEN 1 END) AS a,
+         |    count(CASE WHEN we AND NOT hi THEN 1 END) AS b,
+         |    count(CASE WHEN NOT we AND hi THEN 1 END) AS c,
+         |    count(CASE WHEN NOT we AND NOT hi THEN 1 END) AS d
+         |  FROM (SELECT (ed + 4) % 7 IN (0, 6) AS we, cents > med AS hi
+         |        FROM o, md)),
+         |t AS (
+         |  SELECT a, b, c, d, a + b + c + d AS n,
+         |    ${lfact("a + b")} + ${lfact("c + d")} + ${lfact("a + c")}
+         |      + ${lfact("b + d")} - ${lfact("n")} - ${lfact("a")}
+         |      - ${lfact("b")} - ${lfact("c")} - ${lfact("d")} AS lnp,
+         |    CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+         |      / CAST(a + b + c + d AS DOUBLE) AS mu
+         |  FROM cells),
+         |t2 AS (
+         |  SELECT a, b, c, d, n, lnp, mu,
+         |    mu * CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vr
+         |  FROM t)
+         |SELECT n, a, b, c, d,
+         |  floor((CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)) * 10000.0
+         |    + 0.5) / 10000.0 AS odds_ratio,
+         |  floor((lnp / ${math.log(10.0)}) * 10000.0 + 0.5) / 10000.0
+         |    AS log10_p,
+         |  floor(((CAST(a AS DOUBLE) - mu) / sqrt(vr)) * 10000.0 + 0.5)
+         |    / 10000.0 AS z_stat
+         |FROM t2""".stripMargin
+    },
+
+    // TWAP per (user, day): each event's value holds until the next
+    // event; exact BIGINT Σ(q·gap)/Σgap, one division at the end
+    "win_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    epoch_ms(ts) AS ts_ms, event_id,
+        |    CAST(round(value * 10000) AS BIGINT) AS q
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, d, q,
+        |    coalesce(lead(ts_ms) OVER (PARTITION BY user_id, d
+        |      ORDER BY ts_ms, event_id) - ts_ms, 0) AS gap
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id, d, count(*) AS n_events,
+        |    CAST(sum(q * gap) AS BIGINT) AS num,
+        |    CAST(sum(gap) AS BIGINT) AS den
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, d, n_events,
+        |  floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 10000.0)
+        |    * 10000.0 + 0.5) / 10000.0 AS twap
+        |FROM a WHERE den > 0 ORDER BY user_id, d""".stripMargin,
+
+    // rolling 7-day beta vs the all-types market: exact daily Σq flows,
+    // HUGEINT cross-moments mirror Spark's DECIMAL(38,0)
+    "win_beta_rolling" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d, event_type AS g,
+        |    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |mkt AS (SELECT d, CAST(sum(x) AS BIGINT) AS m FROM daily GROUP BY 1),
+        |j AS (
+        |  SELECT daily.g, daily.d, daily.x, mkt.m
+        |  FROM daily JOIN mkt USING (d)),
+        |wf AS (
+        |  SELECT g, d, count(*) OVER w AS n,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(m) OVER w AS BIGINT) AS sm,
+        |    sum(CAST(x AS HUGEINT) * m) OVER w AS sxm,
+        |    sum(CAST(m AS HUGEINT) * m) OVER w AS smm
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY g ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT g, d, n,
+        |    CAST(CAST(n AS HUGEINT) * sxm - CAST(sx AS HUGEINT) * sm
+        |      AS DOUBLE) AS num,
+        |    CAST(CAST(n AS HUGEINT) * smm - CAST(sm AS HUGEINT) * sm
+        |      AS DOUBLE) AS den
+        |  FROM wf)
+        |SELECT g AS event_type, d, n AS n_days,
+        |  CASE WHEN den <> 0.0
+        |    THEN floor((num / den) * 10000.0 + 0.5) / 10000.0 END AS beta_7d
+        |FROM b ORDER BY event_type, d""".stripMargin,
+
+    // Cronbach's alpha: complete-case per-(user,item) Σq scores, exact
+    // moments (HUGEINT Σx² ↔ DECIMAL(38,0)), sorted-list item-var fold
+    "agg_cronbach_alpha" ->
+      """WITH ui AS (
+        |  SELECT user_id AS u, event_type AS i,
+        |    CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |kc AS (SELECT count(DISTINCT i) AS k FROM ui),
+        |comp AS (
+        |  SELECT u, CAST(sum(x) AS BIGINT) AS t FROM ui GROUP BY 1
+        |  HAVING count(*) = (SELECT k FROM kc)),
+        |rf AS (SELECT ui.* FROM ui JOIN comp USING (u)),
+        |pi AS (
+        |  SELECT i, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM rf GROUP BY 1),
+        |vi AS (
+        |  SELECT i, (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |      * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    AS vi
+        |  FROM pi),
+        |tt AS (
+        |  SELECT count(*) AS n, CAST(sum(t) AS BIGINT) AS st,
+        |    sum(CAST(t AS HUGEINT) * t) AS stt
+        |  FROM comp),
+        |vt AS (
+        |  SELECT n, (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+        |      * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    AS vt
+        |  FROM tt),
+        |fold AS (
+        |  SELECT count(*) AS k,
+        |    list_sort(list({'i': i, 'vi': vi})) AS arr
+        |  FROM vi)
+        |SELECT vt.n AS n_users, fold.k AS k_items,
+        |  floor((CAST(fold.k AS DOUBLE) / CAST(fold.k - 1 AS DOUBLE) *
+        |    (1.0 - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(arr, x -> x.vi)), (acc, x) -> acc + x)
+        |      / vt.vt)) * 10000.0 + 0.5) / 10000.0 AS alpha
+        |FROM fold, vt""".stripMargin,
+
+    // partial correlation of daily (click Σq, purchase Σq) given event
+    // count: HUGEINT cross-moments ↔ DECIMAL(38,0), one double tree
+    "agg_partial_corr" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    count(*) AS z
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(z) AS BIGINT) AS sz,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(z AS HUGEINT) * z) AS szz,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |    sum(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM daily),
+        |r AS (
+        |  SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sy AS DOUBLE)) /
+        |      sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+        |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sz AS DOUBLE)) /
+        |      sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |        (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+        |          - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+        |    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE)
+        |        * CAST(sz AS DOUBLE)) /
+        |      sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) *
+        |        (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+        |          - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz
+        |  FROM m)
+        |SELECT n AS n_days,
+        |  floor(rxy * 10000.0 + 0.5) / 10000.0 AS r_xy,
+        |  floor(rxz * 10000.0 + 0.5) / 10000.0 AS r_xz,
+        |  floor(ryz * 10000.0 + 0.5) / 10000.0 AS r_yz,
+        |  floor(((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz)
+        |    * (1.0 - ryz * ryz))) * 10000.0 + 0.5) / 10000.0 AS r_partial
+        |FROM r""".stripMargin,
+
+    // Tukey–Kramer HSD on the agg_anova weekday design: exact group
+    // moments, order-free MSW fold, 21-pair cross of the moment table
+    "agg_tukey_hsd" ->
+      """WITH r AS (
+        |  SELECT (epoch_ms(o_orderdate) // 86400000) % 7 AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |grp AS (
+        |  SELECT g, count(*) AS ng, CAST(sum(v) AS BIGINT) AS sg,
+        |    sum(CAST(v AS HUGEINT) * v) AS qg
+        |  FROM r GROUP BY 1),
+        |terms AS (
+        |  SELECT g, ng,
+        |    CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE) AS ssw
+        |  FROM grp),
+        |msw AS (
+        |  SELECT CAST(sum(ng) AS BIGINT) AS n, count(*) AS k,
+        |    list_sort(list({'g': g, 'ssw': ssw})) AS arr
+        |  FROM terms),
+        |mw AS (
+        |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(arr, x -> x.ssw)), (acc, x) -> acc + x)
+        |    / CAST(n - k AS DOUBLE) AS msw
+        |  FROM msw),
+        |p AS (
+        |  SELECT a.g AS g_a, b.g AS g_b, a.ng AS na, b.ng AS nb,
+        |    CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+        |      - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE) AS diff
+        |  FROM grp a JOIN grp b ON a.g < b.g)
+        |SELECT g_a, g_b, na AS n_a, nb AS n_b,
+        |  floor((diff / 100.0) * 10000.0 + 0.5) / 10000.0 AS mean_diff,
+        |  floor((abs(diff) / sqrt(msw / 2.0 * (1.0 / CAST(na AS DOUBLE)
+        |    + 1.0 / CAST(nb AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0
+        |    AS q_stat
+        |FROM p, mw ORDER BY g_a, g_b""".stripMargin,
+
+    // Dunn's post-hoc on the Kruskal–Wallis rank frame: half-unit
+    // tie-averaged ranks, HUGEINT rank sums, per-pair z tree
+    "agg_dunn_test" ->
+      """WITH bqg AS (
+        |  SELECT CAST(round(value * 10000) AS BIGINT) AS q,
+        |    event_type AS g, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT q, CAST(sum(c) AS BIGINT) AS ct FROM bqg GROUP BY 1),
+        |cu AS (
+        |  SELECT q, ct,
+        |    CAST(sum(ct) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM sp),
+        |r2f AS (SELECT q, ct, 2 * (cum - ct) + ct + 1 AS r2 FROM cu),
+        |pg AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+        |    sum(CAST(c AS HUGEINT) * r2) AS r2g
+        |  FROM bqg JOIN r2f USING (q) GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS n,
+        |    sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS tsum
+        |  FROM r2f),
+        |p AS (
+        |  SELECT a.g AS type_a, b.g AS type_b, a.ng AS na, b.ng AS nb,
+        |    a.r2g AS ra, b.r2g AS rb, CAST(n AS DOUBLE) AS nd,
+        |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+        |      - CAST(tsum AS DOUBLE)
+        |        / (12.0 * (CAST(n AS DOUBLE) - 1.0)) AS sig2
+        |  FROM pg a JOIN pg b ON a.g < b.g, tot)
+        |SELECT type_a, type_b, na AS n_a, nb AS n_b,
+        |  floor(((CAST(ra AS DOUBLE) / (2.0 * CAST(na AS DOUBLE))
+        |    - CAST(rb AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE))) /
+        |    sqrt(sig2 * (1.0 / CAST(na AS DOUBLE)
+        |      + 1.0 / CAST(nb AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0
+        |    AS z_dunn
+        |FROM p ORDER BY type_a, type_b""".stripMargin,
+
     "src_schema_evolution" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
@@ -4085,6 +4493,43 @@ object OracleSql {
         |    (sea * sea / (CAST(na AS DOUBLE) - 1.0)
         |      + seb * seb / (CAST(nb AS DOUBLE) - 1.0)) AS df_welch
         |FROM se ORDER BY type_a, type_b""".stripMargin,
+
+    // same moment CTEs as agg_ttest; HUGEINT mirrors the Spark side's
+    // DECIMAL(38,0) Σq² exactly, both cast to DOUBLE in the same tree
+    "agg_tost_equivalence" ->
+      """WITH mom AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s1, sum(CAST(q AS HUGEINT) * q) AS s2
+        |  FROM (SELECT event_type,
+        |          CAST(round(value * 10000) AS BIGINT) AS q FROM events)
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.n AS na, a.s1 AS s1a, a.s2 AS s2a,
+        |    b.n AS nb, b.s1 AS s1b, b.s2 AS s2b
+        |  FROM mom a JOIN mom b ON a.event_type < b.event_type),
+        |d AS (
+        |  SELECT type_a, type_b, na, nb,
+        |    CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS diff,
+        |    (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va,
+        |    (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb
+        |  FROM p),
+        |t AS (
+        |  SELECT type_a, type_b, na, nb, diff,
+        |    sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) AS se,
+        |    0.1 * sqrt(((CAST(na AS DOUBLE) - 1.0) * va
+        |        + (CAST(nb AS DOUBLE) - 1.0) * vb)
+        |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0)) AS delta
+        |  FROM d)
+        |SELECT type_a, type_b, na AS n_a, nb AS n_b,
+        |  diff / 10000.0 AS mean_diff, delta / 10000.0 AS margin,
+        |  (diff + delta) / se AS t_lower, (delta - diff) / se AS t_upper,
+        |  least((diff + delta) / se, (delta - diff) / se) > 1.6449
+        |    AS equivalent
+        |FROM t ORDER BY type_a, type_b""".stripMargin,
 
     "win_cusum" ->
       """WITH e AS (

@@ -54,10 +54,10 @@ def _init(sf_dir, out_dir, duck_threads):
         _CON.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
 
-# measured wall-time hogs (sf0.01, r14): these three-four keys each cost
-# 2-17 min alone and BOUND the whole sweep's wall time — give each the
-# lion's share of the cores; they are scheduled first (longest-SQL-first
-# approximates it) so they overlap the cheap tail instead of following it
+# r14's wall-time hogs (2-17 min each). r15 rewrote their SQL with
+# MATERIALIZED CTEs — all five now land <2 s — but keep them front-of-queue
+# with a modest thread bonus: they remain the most expansion-prone plans if
+# a future edit drops a MATERIALIZED again.
 HEAVY = {"graph_edge_betweenness", "graph_betweenness", "llm_mmr_select",
          "graph_ppr_batch", "graph_percolation"}
 
@@ -75,8 +75,15 @@ def check_key(item):
     _CON.execute("SET threads={}".format(
         min(8, max(4, _THREADS * 2)) if key in HEAVY else _THREADS))
 
+    # driver-schema self-grade fields (VERDICT r14 #8): rows_match /
+    # schema_match / hash_match / err, so an empty driver artifact diffs
+    # mechanically against the committed CORRECTNESS_SELF
+    grade = {"rows_match": False, "schema_match": False,
+             "hash_match": False, "err": None}
+
     def done(status, detail, rows):
-        return key, status, detail, rows, round(time.time() - t0, 2)
+        grade["err"] = detail or None
+        return key, status, detail, rows, round(time.time() - t0, 2), dict(grade)
 
     try:
         got = pq.read_table(f"{_OUT}/{key}")
@@ -87,7 +94,9 @@ def check_key(item):
     if gcols != ecols:
         return done("fail", f"columns spark={gcols} duckdb={ecols}", got.num_rows)
     if got.num_rows != exp.num_rows:
+        grade["schema_match"] = True  # columns agreed; types checked below
         return done("fail", f"rows spark={got.num_rows} duckdb={exp.num_rows}", got.num_rows)
+    grade["rows_match"] = True
     gd = {c: got.column(c).to_pylist() for c in gcols}
     ed = {c: exp.column(c).to_pylist() for c in ecols}
     bad = []
@@ -105,14 +114,18 @@ def check_key(item):
                     pass
             if norm_cell(a) != norm_cell(b):
                 bad.append((c, i, a, b, None))
-    if bad:
-        return done("fail", f"{len(bad)} cell diffs; first: {bad[0]}", got.num_rows)
-    # schema check (after value check so we report the more useful error)
+    if not bad:
+        grade["hash_match"] = True
+    # schema check runs even on value failure: the self-grade carries all
+    # three axes independently (the value error stays the reported detail)
     tmismatch = []
     for c in gcols:
         gt, et = str(got.schema.field(c).type), str(exp.schema.field(c).type)
         if gt != et:
             tmismatch.append(f"{c}: spark={gt} duckdb={et}")
+    grade["schema_match"] = not tmismatch
+    if bad:
+        return done("fail", f"{len(bad)} cell diffs; first: {bad[0]}", got.num_rows)
     if tmismatch:
         return done("warn", f"values match but types differ: {tmismatch}", got.num_rows)
     return done("pass", "", got.num_rows)
@@ -141,7 +154,7 @@ def main(argv):
     results = {}
     n_pass = n_fail = 0
     with multiprocessing.Pool(procs, _init, (sf_dir, out_dir, duck_threads)) as pool:
-        for key, status, detail, rows, secs in pool.imap_unordered(check_key, items):
+        for key, status, detail, rows, secs, grade in pool.imap_unordered(check_key, items):
             if status == "fail":
                 n_fail += 1
                 print(f"FAIL {key}: {detail}", flush=True)
@@ -152,6 +165,7 @@ def main(argv):
                 n_pass += 1
                 print(f"PASS {key} ({rows} rows, {secs}s)", flush=True)
             results[key] = {"status": status, "rows": rows, "secs": secs}
+            results[key].update(grade)
             if detail:
                 results[key]["detail"] = detail
             if json_out:  # rewritten per key: a truncated run keeps its grades

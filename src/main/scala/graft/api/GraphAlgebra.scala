@@ -477,13 +477,20 @@ object GraphAlgebra {
           .select(col("id"), (coalesce(col("k"), lit(0L)) +
             lit(2L) * coalesce(col("s"), lit(0L))).as("k"))
     }).cp()
-    val m2 = selfLoops match {
-      case None => cp.agg((sum(col("w")) * 2).as("m2"))
+    // 2m reads the CHECKPOINTED adjacency (Σ_both w = 2·Σ_pairs w — each
+    // edge appears twice in `both`), and the 1-row frame is itself
+    // checkpointed: the old spelling aggregated the caller's raw `pairs`
+    // lineage and was broadcast-rebuilt EVERY round — for graph_louvain
+    // that re-ran the whole co-purchase self-join once per sweep
+    // (measured ~2 s × rounds at sf0.1; guide §2.4 "remove shuffles
+    // outright" / §5 re-computation). Value is bit-identical.
+    val m2 = (selfLoops match {
+      case None => both.agg(coalesce(sum(col("w")), lit(0L)).as("m2"))
       case Some(sl) =>
-        cp.agg(coalesce(sum(col("w")), lit(0L)).as("pw"))
+        both.agg(coalesce(sum(col("w")), lit(0L)).as("bw"))
           .crossJoin(sl.agg(coalesce(sum(col("s")), lit(0L)).as("sw")))
-          .select(((col("pw") + col("sw")) * 2).as("m2"))
-    }
+          .select((col("bw") + lit(2L) * col("sw")).as("m2"))
+    }).cp()
     var labels = vertices.select(col("part").as("id"), col("part").as("c"))
       .join(deg, Seq("id"), "left")
       .select(col("id"), col("c"), coalesce(col("k"), lit(0L)).as("k"))
@@ -502,29 +509,39 @@ object GraphAlgebra {
           nV, broadcastMaxRows), Seq("b"))
         .groupBy(col("a").as("id"), col("nc"))
         .agg(sum(col("w")).as("kic"))
-      val cand = kic
+      // FUSED candidate scoring (r15, guide §2.4 — remove shuffles
+      // outright): the gain 2m·(k_ic − k_ia) − k_i·(tot_c − tot_a + k_i)
+      // differs from score(nc) = 2m·k_ic − k_i·tot_c by the PER-ID
+      // constant thresh = 2m·k_ia − k_i·(tot_a − k_i), so the argmax over
+      // nc (ties to the smallest community id — an affine per-id shift
+      // preserves order AND ties) and the strict-positivity test are both
+      // computed from score alone: argmax per id inside one aggregation
+      // that ALSO folds k_ia out of the nc = c row, then one |V|-sized
+      // tot_a attach. This deletes the old kia self-derivation (which
+      // re-planned the whole kic subtree) and the |E_c|-sized cand ⋈ kia
+      // shuffle join — two exchanges per round gone; the exact-decimal
+      // discipline (same dec/dec38 operands, same 38-digit ANSI ceiling)
+      // is unchanged, so the sweep is bit-identical to the unfused form.
+      val folded = kic
         .join(hinted(labels, nV, broadcastMaxRows), Seq("id"))
         .join(hinted(tot.select(col("c").as("nc"), col("tot").as("tot_c")),
           nV, broadcastMaxRows), Seq("nc"))
+        .crossJoin(broadcast(m2))
+        .groupBy(col("id"), col("c"), col("k"), col("m2"))
+        .agg(
+          max(when(col("nc") =!= col("c"),
+            struct((dec38(col("m2")) * dec(col("kic")) -
+              dec38(col("k")) * dec(col("tot_c"))).as("score"),
+              (-col("nc")).as("neg")))).as("m"),
+          max(when(col("nc") === col("c"), col("kic"))).as("kia"))
+      val scored = folded
+        .filter(col("m").isNotNull)
         .join(hinted(tot.select(col("c"), col("tot").as("tot_a")),
           nV, broadcastMaxRows), Seq("c"))
-      // k_ia = weight into the CURRENT community (0 when no neighbor
-      // shares it) — pulled from the same kic frame via the nc = c row
-      val kia = kic.join(hinted(labels, nV, broadcastMaxRows), Seq("id"))
-        .filter(col("nc") === col("c"))
-        .select(col("id"), col("kic").as("kia"))
-      // gain in exact decimal: 2m·(k_ic − k_ia) − k_i·(tot_c − tot_a + k_i)
-      val scored = cand
-        .join(kia, Seq("id"), "left")
-        .crossJoin(broadcast(m2))
-        .withColumn("kia", coalesce(col("kia"), lit(0L)))
-        .filter(col("nc") =!= col("c"))
-        .withColumn("gain",
-          dec38(col("m2")) * (dec(col("kic")) - dec(col("kia"))) -
-            dec38(col("k")) * (dec(col("tot_c")) - dec(col("tot_a")) + dec(col("k"))))
-        .filter(col("gain") > 0)
-        .groupBy(col("id"))
-        .agg(max(struct(col("gain"), (-col("nc")).as("neg"))).as("m"))
+        // gain > 0  ⟺  score > 2m·k_ia − k_i·(tot_a − k_i)
+        .filter(col("m.score") >
+          dec38(col("m2")) * dec(coalesce(col("kia"), lit(0L))) -
+            dec38(col("k")) * (dec(col("tot_a")) - dec(col("k"))))
         .select(col("id"), (-col("m.neg")).as("newc"))
       labels = labels.join(scored, Seq("id"), "left")
         .select(col("id"), coalesce(col("newc"), col("c")).as("c"), col("k"))
@@ -629,6 +646,34 @@ object GraphAlgebra {
     lbl
   }
 
+  /** [[louvainMoves]] with the coarse-graph fast path: when the pair
+    * frame is at or under `localMax` rows (community graphs after level 1
+    * are index-state-sized at ANY corpus scale — the documented
+    * bounded-driver posture of [[boruvkaForest]]'s contraction and the
+    * knnSearch beam), run the bit-equal driver-local replica
+    * [[louvainMovesLocal]] instead of paying 15-90 s of per-round
+    * planning/AQE overhead for milliseconds of compute; above the bound,
+    * the distributed sweeps run unchanged. `pairs` should already be
+    * checkpointed — the count and the collect both read it. Round14Spec
+    * (dendrogram levels) and Round15Spec (louvain_multi level 2) pin
+    * local ≡ distributed bit-equality.
+    */
+  def louvainMovesAuto(vertices: DataFrame, pairs: DataFrame, rounds: Int,
+                       selfLoops: Option[DataFrame] = None,
+                       localMax: Long = 1000000L): DataFrame = {
+    if (pairs.count() <= localMax) {
+      val s = pairs.sparkSession
+      import s.implicits._
+      val es = pairs.select(col("a"), col("b"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val sl = selfLoops.map(_.select(col("id"), col("s")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        .getOrElse(Map.empty[Long, Long])
+      val vs = vertices.select(col("part")).collect().map(_.getLong(0)).toSeq
+      louvainMovesLocal(vs, es, sl, rounds).toSeq.toDF("id", "community")
+    } else louvainMoves(vertices, pairs, rounds, selfLoops = selfLoops)
+  }
+
   /** Multi-level Louvain TO CONVERGENCE with a flattened dendrogram:
     * `levels` rounds of (synchronous [[louvainMoves]] sweeps → coarsen via
     * [[louvainCoarsen]]), emitting one row per ORIGINAL vertex with its
@@ -668,17 +713,7 @@ object GraphAlgebra {
         // below the bound, run the IDENTICAL exact-integer algebra
         // locally ([[louvainMovesLocal]] — the measured 45-90 s of
         // per-round planning/AQE overhead bought milliseconds of compute)
-        val l2 = (if (e2.count() <= 1000000L) {
-          val s = e2.sparkSession
-          import s.implicits._
-          val es = e2.select(col("a"), col("b"), col("w")).collect()
-            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-          val sl = s2.select(col("id"), col("s")).collect()
-            .map(r => r.getLong(0) -> r.getLong(1)).toMap
-          val vs = v2.select(col("part")).collect().map(_.getLong(0)).toSeq
-          louvainMovesLocal(vs, es, sl, rounds).toSeq
-            .toDF("id", "community")
-        } else louvainMoves(v2, e2, rounds, selfLoops = Some(s2))).cp()
+        val l2 = louvainMovesAuto(v2, e2, rounds, Some(s2)).cp()
         converged = l2.filter(col("community") =!= col("id")).isEmpty
         dendro = dendro.join(
           l2.select(col("id").as(s"c${l - 1}"),
@@ -692,6 +727,26 @@ object GraphAlgebra {
       }
     }
     dendro.select(col("id") +: (1 to levels).map(i => col(s"c$i")): _*)
+  }
+
+  /** Run independent driver-side build thunks CONCURRENTLY (guide §2.6 —
+    * overlap independent jobs so the tail of one fixpoint's tiny rounds
+    * back-fills executors freed by another): each thunk typically drives
+    * its own iterative loop (actions inside). Results come back in input
+    * order, so downstream unions stay deterministic. Spark's scheduler is
+    * designed for concurrent job submission; the only shared mutable
+    * session state on these paths is [[Ckpt.cpByKey]]'s AQE toggle, which
+    * is serialized on the Ckpt monitor (a sibling thread that plans during
+    * that window merely plans that one frame non-adaptively — a physical-
+    * plan nuance, never a result change). A thunk failure propagates.
+    */
+  private[graft] def inParallel[T](thunks: Seq[() => T]): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    try {
+      val futs = thunks.map(t => pool.submit(
+        new java.util.concurrent.Callable[T] { def call(): T = t() }))
+      futs.map(_.get())
+    } finally pool.shutdown()
   }
 
   /** Connected components WITHOUT GraphX: min-label propagation iterated to
@@ -720,7 +775,11 @@ object GraphAlgebra {
     */
   def connectedComponentsDf(vertices: DataFrame, pairs: DataFrame,
                             broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
-    val cp = pairs.select(col("a"), col("b"))
+    // checkpoint the caller's pair lineage ONCE before mirroring: the
+    // union's two branches would otherwise each re-derive it during the
+    // cpByKey materialization (for graph_cc_df that is the whole
+    // co-purchase self-join, twice — guide §2.4)
+    val cp = pairs.select(col("a"), col("b")).cp()
     // clustered on the propagation GROUP key `b`: each round's neighbor-min
     // aggregation inherits it through the broadcast label join (VERDICT #6)
     val both = Ckpt.cpByKey(
@@ -737,30 +796,34 @@ object GraphAlgebra {
         .groupBy(col("b").as("nid")).agg(min(col("lbl")).as("nmin"))
       // checkpointed BEFORE the self-join below — both join sides read it,
       // and an unmaterialized cand would re-execute the propagation join
-      // twice per round
+      // twice per round. `prev` (the pre-round label) rides along so the
+      // round's diff is a FILTER on the checkpointed frame instead of a
+      // third per-round join against the old labels (r15, guide §2.4).
       val cand = labels.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .cp()
       // pointer jumping: also adopt the label OF the current label — takes
       // round count from O(diameter) to O(log diameter); the invariant
       // (label = id of a same-component vertex, monotonically decreasing)
       // is preserved, so the fixpoint is the same min-id labeling
-      val next = cand.as("x").join(hinted(cand.as("y"), nV, broadcastMaxRows),
-          col("x.lbl") === col("y.id"), "left")
-        .select(col("x.id").as("id"),
-          least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"))
+      val next = cand.join(
+          hinted(cand.select(col("id").as("yid"), col("lbl").as("ylbl")),
+            nV, broadcastMaxRows),
+          col("lbl") === col("yid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("lbl"), coalesce(col("ylbl"), col("lbl"))).as("lbl"))
         .cp()
       // the diff IS the next frontier (vertices whose label improved this
       // round — via the edge join or via pointer jumping; either way their
-      // neighbors must observe the new label next round)
-      val diff = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .select(col("n.id").as("id"), col("n.lbl").as("lbl"))
-        .cp()
+      // neighbors must observe the new label next round); labels are
+      // monotone non-increasing, so carried-prev ≠ new ⟺ improved
+      val diff = next.filter(col("lbl") =!= col("prev"))
+        .select(col("id"), col("lbl"))
       changed = diff.count()
       frontier = diff
       frontierRows = changed
-      labels = next
+      labels = next.select(col("id"), col("lbl"))
     }
     labels.select(col("id"), col("lbl").as("comp"))
   }

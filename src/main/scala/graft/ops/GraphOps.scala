@@ -1255,9 +1255,14 @@ object GraphOps {
       .withColumn("x", lit(S)).cp()
     val nV = x.count() // gates the 6 score-side broadcast hints
     for (_ <- 1 to 6) {
+      // cp the |V|-row neighbor-sum BEFORE deriving q from it: the groupBy
+      // is exchange-free (cpByKey clustering), so without a checkpoint
+      // there is no reusable exchange and the broadcast-q subtree re-ran
+      // the whole |E| join+agg a second time every round (r15, guide §2.4)
       val raw = both.join(graft.api.GraphAlgebra.hintedFrame(
           x.withColumnRenamed("id", "b"), nV), "b")
         .groupBy($"a".as("id")).agg(sum($"x").as("xr"))
+        .cp()
       val q = raw.agg(expr(s"greatest(CAST(1 AS BIGINT), max(xr) div $S)").as("q"))
       x = raw.crossJoin(broadcast(q))
         .select($"id", expr("xr div q").as("x"))
@@ -1453,10 +1458,12 @@ object GraphOps {
     */
   val graphModularity: Q = (s, dir) => {
     import s.implicits._
-    val lbl = graft.api.GraphAlgebra.labelPropagation(
-        partVertices(s, dir).toDF("part"), copurchase(s, dir), rounds = 4)
-      .select($"id", $"community").cp()
+    // ONE co-purchase build shared by the LPA sweeps and the Q rollup
+    // (the old spelling derived the self-join twice — guide §2.4)
     val cp = copurchase(s, dir).cp()
+    val lbl = graft.api.GraphAlgebra.labelPropagation(
+        partVertices(s, dir).toDF("part"), cp, rounds = 4)
+      .select($"id", $"community").cp()
     val m2 = cp.agg((sum($"w") * 2).as("m2"))
     val deg = cp.select($"a".as("v"), $"w")
       .unionAll(cp.select($"b".as("v"), $"w"))
@@ -1494,10 +1501,13 @@ object GraphOps {
     */
   val graphLouvain: Q = (s, dir) => {
     import s.implicits._
-    val lbl = graft.api.GraphAlgebra.louvainMoves(
-        partVertices(s, dir).toDF("part"), copurchase(s, dir), rounds = 3)
-      .select($"id", $"community").cp()
+    // ONE co-purchase build: the move sweeps and the Q rollup both read
+    // the checkpointed pair frame (the old spelling derived the self-join
+    // once for the sweeps and once for the rollup — guide §2.4)
     val cp = copurchase(s, dir).cp()
+    val lbl = graft.api.GraphAlgebra.louvainMoves(
+        partVertices(s, dir).toDF("part"), cp, rounds = 3)
+      .select($"id", $"community").cp()
     val m2 = cp.agg((sum($"w") * 2).as("m2"))
     val deg = cp.select($"a".as("v"), $"w")
       .unionAll(cp.select($"b".as("v"), $"w"))
@@ -1555,8 +1565,13 @@ object GraphOps {
     val self = mapped.filter($"ca" === $"cb")
       .groupBy($"ca".as("id")).agg(sum($"w").as("s"))
     val verts2 = l1.select($"community".as("part")).distinct()
-    val l2c = graft.api.GraphAlgebra.louvainMoves(verts2, inter, rounds = 3,
-        selfLoops = Some(self))
+    // level 2 runs on the COMMUNITY graph — index-state-sized at any
+    // corpus scale — through the bounded-driver fast path the dendrogram
+    // levels already use (bit-equal to the distributed sweeps,
+    // Round15Spec pins it); cp because the bound count + collect/sweeps
+    // both read the coarse frame
+    val l2c = graft.api.GraphAlgebra.louvainMovesAuto(verts2, inter.cp(),
+        rounds = 3, selfLoops = Some(self))
       .select($"id".as("c1"), $"community".as("c2"))
     val l2 = l1.join(l2c, $"community" === $"c1")
       .select($"id", $"c2".as("community"))
@@ -1643,20 +1658,26 @@ object GraphOps {
     import s.implicits._
     val cp = copurchase(s, dir).cp()
     val verts = partVertices(s, dir).toDF("part").cp()
-    val frames = Seq(1L, 2L, 4L).map { t =>
-      val e = cp.filter($"w" >= t).select($"a", $"b")
-      val sizes = graft.api.GraphAlgebra.connectedComponentsDf(verts, e)
-        .groupBy($"comp").agg(count(lit(1)).as("sz"))
-      sizes
-        .agg(count(lit(1)).as("n_components"), max($"sz").as("giant_size"),
-          sum($"sz").as("n_nodes"))
-        .crossJoin(broadcast(
-          cp.filter($"w" >= t).agg(count(lit(1)).as("n_edges"))))
-        .select(lit(t).as("w_min"), $"n_edges", $"n_components",
-          $"giant_size",
-          LlmOps.pround4($"giant_size".cast("double") /
-            $"n_nodes".cast("double")).as("giant_share"))
-    }
+    // the three threshold fixpoints are INDEPENDENT — run their driver
+    // loops concurrently (guide §2.6): the t=2/t=4 subgraphs are tiny, so
+    // their convergence-tail rounds back-fill executors the t=1 fixpoint
+    // leaves idle instead of queueing serially behind it. Union order is
+    // the fixed threshold sequence, so results are unchanged.
+    val frames = graft.api.GraphAlgebra.inParallel(Seq(1L, 2L, 4L).map {
+      t => () =>
+        val e = cp.filter($"w" >= t).select($"a", $"b")
+        val sizes = graft.api.GraphAlgebra.connectedComponentsDf(verts, e)
+          .groupBy($"comp").agg(count(lit(1)).as("sz"))
+        sizes
+          .agg(count(lit(1)).as("n_components"), max($"sz").as("giant_size"),
+            sum($"sz").as("n_nodes"))
+          .crossJoin(broadcast(
+            cp.filter($"w" >= t).agg(count(lit(1)).as("n_edges"))))
+          .select(lit(t).as("w_min"), $"n_edges", $"n_components",
+            $"giant_size",
+            LlmOps.pround4($"giant_size".cast("double") /
+              $"n_nodes".cast("double")).as("giant_share"))
+    })
     frames.reduce(_ unionAll _).orderBy($"w_min")
   }
 
@@ -2459,8 +2480,10 @@ object GraphOps {
       graft.api.GraphAlgebra.connectedComponentsDf(v, e)
         .groupBy($"comp").agg(count(lit(1)).as("sz"))
         .agg(max($"sz").as("g"))
-    val before = giant(verts, und)
-    val after = giant(afterV, afterE)
+    // the before/after fixpoints are independent — overlap their driver
+    // loops (guide §2.6); result frames come back in fixed order
+    val Seq(before, after) = graft.api.GraphAlgebra.inParallel(Seq(
+      () => giant(verts, und), () => giant(afterV, afterE)))
     verts.agg(count(lit(1)).as("n_vertices"))
       .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
       .crossJoin(broadcast(before.select($"g".as("giant_before"))))
@@ -2528,17 +2551,21 @@ object GraphOps {
     var p = both.select($"a".as("id")).distinct()
       .withColumn("p", lit(1L)).cp()
     val nV = p.count() // gates the per-round score-side broadcast hints
-    var acc = p.select($"id", lit(256L).as("acc"))
+    // fold 256 + Σ wk·pk at the END as one union+sum instead of a join +
+    // checkpoint of the |V| accumulator per round (r15, guide §2.4):
+    // every vertex in `both` has ≥ 1 neighbor, so each pk covers the full
+    // id set and the BIGINT sum is the identical exact accumulator
+    var terms = Seq(p.select($"id", lit(256L).as("t")))
     for (wk <- Seq(64L, 16L, 4L, 1L)) {
       p = both.join(graft.api.GraphAlgebra.hintedFrame(
           p.withColumnRenamed("id", "b"), nV), "b")
         .groupBy($"a".as("id")).agg(sum($"p").as("p"))
         .cp()
-      acc = acc.join(graft.api.GraphAlgebra.hintedFrame(p, nV), "id")
-        .select($"id", ($"acc" + lit(wk) * $"p").as("acc"))
-        .cp()
+      terms = terms :+ p.select($"id", (lit(wk) * $"p").as("t"))
     }
-    acc.orderBy($"acc".desc, $"id").limit(20)
+    terms.reduce(_ unionAll _)
+      .groupBy($"id").agg(sum($"t").as("acc"))
+      .orderBy($"acc".desc, $"id").limit(20)
       .select($"id".as("part"), $"acc".as("katz_scaled"))
   }
 
@@ -2666,9 +2693,12 @@ object GraphOps {
     */
   val graphMatchingGreedy: Q = (s, dir) => {
     import s.implicits._
-    var e2 = copurchase(s, dir)
-      .select($"a", $"b", $"w")
-      .unionAll(copurchase(s, dir).select($"b".as("a"), $"a".as("b"), $"w"))
+    // build the co-purchase pairs ONCE and checkpoint before mirroring:
+    // the old union of two copurchase() calls planned (and ran) the
+    // lineitem self-join + rollup twice per query (guide §2.4)
+    val cp0 = copurchase(s, dir).select($"a", $"b", $"w").cp()
+    var e2 = cp0
+      .unionAll(cp0.select($"b".as("a"), $"a".as("b"), $"w"))
       .cp()
     var out: DataFrame = null
     for (round <- 1 to 4) {

@@ -368,4 +368,24 @@ class Round15Spec extends SparkSpec {
       .as[Long].collect().sorted.toSeq === Seq(0L, 1L))
     assert(!fs.exists(new Path(s"$p/store2.purge-tmp")))
   }
+
+  test("louvainMovesAuto: local fast path bit-equal to forced-distributed on the multi level-2 input") {
+    import spark.implicits._
+    import graft.api.GraphAlgebra
+    import graft.api.Ckpt._
+    // the exact level-2 input graph_louvain_multi builds: level-1 labels,
+    // coarsened inter edges + self-loops
+    val cp = graft.ops.GraphOps.copurchase(spark, sf).cp()
+    val verts = Tables.part(spark, sf).select($"p_partkey".as("part"))
+    val l1 = GraphAlgebra.louvainMoves(verts, cp, rounds = 3).cp()
+    val (e2r, s2, v2) = GraphAlgebra.louvainCoarsen(cp, None, l1)
+    val e2 = e2r.cp()
+    val viaLocal = GraphAlgebra.louvainMovesAuto(v2, e2, rounds = 3,
+        selfLoops = Some(s2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDist = GraphAlgebra.louvainMovesAuto(v2, e2, rounds = 3,
+        selfLoops = Some(s2), localMax = 0L) // force the distributed sweeps
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLocal === viaDist)
+  }
 }

@@ -1272,7 +1272,7 @@ object GraphAlgebra {
     * agg_chisq determinism discipline), then summed order-independently.
     * Levels are processed deepest-first; each step is one join of the
     * level-h frame against the already-resolved level-(h+1) deltas.
-    * Returns (src, id, dist, delta_micro) for every NON-SOURCE visited
+    * Returns (src, id, dist, delta_micro, sigma) for every NON-SOURCE visited
     * node (dist ≥ 1); level-0 rows (the sources themselves) are excluded,
     * as Brandes excludes δ(s,s).
     */
@@ -1284,10 +1284,18 @@ object GraphAlgebra {
     val adj = edgesBoth.select(col("a"), col("b")).cp()
     val maxDist = st.agg(max(col("dist"))).head().getLong(0)
     if (maxDist < 1) return st.filter(lit(false))
-      .select(col("src"), col("id"), col("dist"), lit(0L).as("delta"))
-    var resolved = st.filter(col("dist") === maxDist)
-      .select(col("src"), col("id"), col("dist"), lit(0L).as("delta")).cp()
-    var deeper = resolved // the level-(h+1) deltas for the step below
+      .select(col("src"), col("id"), col("dist"), lit(0L).as("delta"),
+        col("sigma"))
+    var deeper = st.filter(col("dist") === maxDist)
+      .select(col("src"), col("id"), col("dist"), lit(0L).as("delta"),
+        col("sigma")).cp()
+    // σ rides along in every per-level frame (r15, guide §2.4): the old
+    // w side re-joined the full σ state per level just to re-attach the
+    // sigma it had already carried at level resolution; the output is one
+    // LAZY union of the per-level checkpoints (the accumulation is never
+    // a join target inside the loop, so — unlike the BFS visited set —
+    // nothing re-materializes per level)
+    var out = Seq(deeper)
     var h = maxDist - 1
     while (h >= 1) {
       // the w-side frame renames EVERY column (wsrc/wid/wsigma/wdelta):
@@ -1298,8 +1306,6 @@ object GraphAlgebra {
       val vlev = st.filter(col("dist") === h)
         .select(col("src"), col("id"), col("sigma"))
       val wlev = deeper
-        .join(st.select(col("src"), col("id"), col("sigma")),
-          Seq("src", "id"))
         .select(col("src").as("wsrc"), col("id").as("wid"),
           col("sigma").as("wsigma"), col("delta").as("wdelta"))
       // predecessor edges v→w (v at level h, w at level h+1): the fixed
@@ -1316,15 +1322,15 @@ object GraphAlgebra {
             .cast("long").as("c"))
         .groupBy(col("src"), col("id"))
         .agg(sum(col("c")).as("delta"))
-      val lev = vlev.select(col("src"), col("id"))
+      val lev = vlev
         .join(contribs, Seq("src", "id"), "left")
         .select(col("src"), col("id"), lit(h).as("dist"),
-          coalesce(col("delta"), lit(0L)).as("delta")).cp()
-      resolved = resolved.unionAll(lev).cp()
+          coalesce(col("delta"), lit(0L)).as("delta"), col("sigma")).cp()
+      out = out :+ lev
       deeper = lev
       h -= 1
     }
-    resolved
+    out.reduce(_ unionAll _)
   }
 
   /** Per-EDGE Brandes credits over a resolved ([[multiBfsSigma]],
@@ -1344,11 +1350,11 @@ object GraphAlgebra {
     // same renaming rationale as brandesDeltas: both frames descend from
     // st, so the w side renames every column (wsrc/wb/wsigma/wdelta/
     // wdist) and the cross-source src equality is unambiguous names, not
-    // dataset-id metadata
+    // dataset-id metadata. The δ frame now CARRIES σ (brandesDeltas r15),
+    // so the old per-call σ re-join against the full state is gone.
     val v = st.select(col("src"), col("id").as("va"),
       col("sigma").as("vsigma"), col("dist").as("vdist"))
-    val w = deltas.select(col("src"), col("id"), col("dist"), col("delta"))
-      .join(st.select(col("src"), col("id"), col("sigma")), Seq("src", "id"))
+    val w = deltas
       .select(col("src").as("wsrc"), col("id").as("wb"),
         col("sigma").as("wsigma"), col("delta").as("wdelta"),
         col("dist").as("wdist"))

@@ -983,14 +983,21 @@ object GraphOps {
     val cp = copurchase(s, dir).select($"a", $"b").cp()
     val verts = cp.select($"a".as("id"))
       .unionAll(cp.select($"b".as("id"))).distinct()
-    var pairs = cp
+    // ONE keyed adjacency shared by all four peel levels, and each level
+    // STARTS from the previous level's survivors instead of materializing
+    // the induced edge frame (r15, guide §2.4): k-core(k') ⊆ k-core(k)
+    // for k' > k, and round-1 degrees restricted to the survivor set ARE
+    // the induced-subgraph degrees, so the chained peel is set-identical
+    // to the old per-level kcore() calls (kcorePeelRounds docstring;
+    // Round15Spec pins it). The old spelling paid a cpByKey rebuild + an
+    // unused induced-degree report per level.
+    val both = graft.api.Ckpt.cpByKey(
+      cp.unionAll(cp.select($"b".as("a"), $"a".as("b"))), $"a")
+    var surv = both.select($"a".as("id")).distinct().cp()
+    var nSurv = surv.count()
     val levels = Seq(16, 48, 64, 72).map { k =>
-      val surv = graft.api.GraphAlgebra.kcore(pairs, k, rounds = 6)
-        .select($"part".as("id")).cp()
-      pairs = pairs
-        .join(surv.select($"id".as("a")), Seq("a"), "left_semi")
-        .join(surv.select($"id".as("b")), Seq("b"), "left_semi")
-        .cp()
+      surv = kcorePeelRounds(both, surv, nSurv, k, rounds = 6)
+      nSurv = surv.count()
       surv.withColumn("lvl", lit(k.toLong))
     }
     val lvl = levels.reduce(_ unionAll _)
@@ -1134,17 +1141,30 @@ object GraphOps {
   /** The peel core over any canonical (a < b) pair list — shared by the
     * registry op and the randomized-fixture cross-check in GraphSpec.
     */
-  private[graft] def kcorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val s = pairs.sparkSession
+  /** The peel ROUNDS of [[kcorePeel]], factored out so callers holding a
+    * shared keyed adjacency can chain levels without rebuilding it (r15 —
+    * graph_core_number's 4 nested peels shared nothing): starting from
+    * `surv0` (whose row count the caller already paid for), run up to
+    * `rounds` keep-degree-≥-k rounds over `both` restricted to survivors,
+    * with the monotone early exit. Returns the final survivor id frame
+    * (checkpointed) — membership only, no degree report.
+    *
+    * Chaining identity (why a caller may pass the PREVIOUS level's
+    * survivors instead of re-inducing the edge frame): round 1 computes
+    * degrees over edges with BOTH endpoints in surv0 — exactly the
+    * induced subgraph's degrees — so from round 1 on, the survivor sets
+    * coincide with a peel of the materialized induced subgraph; vertices
+    * of surv0 with no induced edge have no degree row and drop in round 1
+    * either way. Round15Spec pins the chained spelling against fresh
+    * per-level kcore() calls.
+    */
+  private[graft] def kcorePeelRounds(both: DataFrame, surv0: DataFrame,
+                                     nSurv0: Long, k: Int,
+                                     rounds: Int): DataFrame = {
+    val s = both.sparkSession
     import s.implicits._
-    val cp = pairs.select($"a", $"b")
-    // pre-partitioned on the degree-count GROUP key `a`: the broadcast
-    // semi-joins preserve the clustering, so each round's degree agg runs
-    // exchange-free (r6 VERDICT item #6)
-    val both = graft.api.Ckpt.cpByKey(
-      cp.unionAll(cp.select($"b".as("a"), $"a".as("b"))), $"a")
-    var surv = both.select($"a".as("id")).distinct().cp()
-    var nSurv = surv.count()
+    var surv = surv0
+    var nSurv = nSurv0
     // result-identical early exit: peeling is MONOTONE (survivors only
     // shrink), so an unchanged survivor COUNT means an unchanged set and
     // every later round is a no-op — stopping early returns exactly the
@@ -1157,14 +1177,32 @@ object GraphOps {
       r += 1
       prev = nSurv
       val alive = graft.api.GraphAlgebra.hintedFrame(surv, nSurv)
+      // no checkpoint on the degree frame: the survivor filter is its only
+      // consumer and is checkpointed itself — the old per-round deg.cp()
+      // was a second materialization for nothing (r15, guide §5)
       val deg = both
         .join(alive.select($"id".as("a")), Seq("a"), "left_semi")
         .join(alive.select($"id".as("b")), Seq("b"), "left_semi")
         .groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
-        .cp()
       surv = deg.filter($"deg" >= k).select($"id").cp()
       nSurv = surv.count()
     }
+    surv
+  }
+
+  private[graft] def kcorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val cp = pairs.select($"a", $"b")
+    // pre-partitioned on the degree-count GROUP key `a`: the broadcast
+    // semi-joins preserve the clustering, so each round's degree agg runs
+    // exchange-free (r6 VERDICT item #6)
+    val both = graft.api.Ckpt.cpByKey(
+      cp.unionAll(cp.select($"b".as("a"), $"a".as("b"))), $"a")
+    val surv0 = both.select($"a".as("id")).distinct().cp()
+    val nSurv0 = surv0.count()
+    val surv = kcorePeelRounds(both, surv0, nSurv0, k, rounds)
+    val nSurv = surv.count()
     // one extra degree pass over the FINAL survivor set: the loop's last
     // deg frame measures degrees in the previous round's survivors, which
     // overcounts edges to just-peeled vertices when the caller's rounds

@@ -369,6 +369,30 @@ class Round15Spec extends SparkSpec {
     assert(!fs.exists(new Path(s"$p/store2.purge-tmp")))
   }
 
+  test("graph_core_number: chained shared-adjacency peel equals fresh per-level kcore calls") {
+    import spark.implicits._
+    import graft.api.Ckpt._
+    val got = SparkEntry.queries("graph_core_number")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the pre-r15 spelling: a fresh kcore() per level on the materialized
+    // induced edge frame
+    val cp = graft.ops.GraphOps.copurchase(spark, sf).select($"a", $"b").cp()
+    var pairs = cp
+    val want = scala.collection.mutable.Map[Long, Long]()
+    cp.select($"a").unionAll(cp.select($"b")).distinct().collect()
+      .foreach(r => want(r.getLong(0)) = 0L)
+    for (k <- Seq(16, 48, 64, 72)) {
+      val surv = graft.api.GraphAlgebra.kcore(pairs, k, rounds = 6)
+        .select($"part".as("id")).cp()
+      surv.collect().foreach(r => want(r.getLong(0)) = k.toLong)
+      pairs = pairs
+        .join(surv.select($"id".as("a")), Seq("a"), "left_semi")
+        .join(surv.select($"id".as("b")), Seq("b"), "left_semi")
+        .cp()
+    }
+    assert(got === want.toMap)
+  }
+
   test("louvainMovesAuto: local fast path bit-equal to forced-distributed on the multi level-2 input") {
     import spark.implicits._
     import graft.api.GraphAlgebra

@@ -165,6 +165,23 @@ object GraphAlgebra {
   def hintedFrame(df: DataFrame, rows: Long): DataFrame =
     hinted(df, rows, BroadcastMaxRows)
 
+  /** Broadcast gate for ADJACENCY-ARRAY frames (one row per vertex, a
+    * sorted neighbor array per row — the triangle/support family's shape).
+    * The payload is Σdeg = the DIRECTED edge count, not the row count, so
+    * the thin-frame `BroadcastMaxRows` gate is the wrong measure: 1e7
+    * directed edges ≈ 160 MB of longs — comfortably a broadcast — while
+    * the same frame at a 100 TB corpus is terabytes and must stay on the
+    * shuffle path. Joining the edge list against a BROADCAST adjacency
+    * keeps the per-edge array attach map-side; the ungated alternative is
+    * a sort-merge join that shuffles and SORTS kilobyte-array rows per
+    * edge (measured 2-3× the whole query at sf0.1). Callers pass the
+    * directed-edge count their pair frame already materialized.
+    */
+  val AdjacencyBroadcastMaxEdges: Long = 10000000L
+
+  def hintedAdj(adj: DataFrame, directedEdges: Long): DataFrame =
+    if (directedEdges <= AdjacencyBroadcastMaxEdges) broadcast(adj) else adj
+
   /** Public k-core over a caller-supplied canonical (a < b) pair list:
     * fixed-round peel (see `graph_kcore`'s docstring for why fixed rounds
     * — determinism), returning members with their TRUE induced degree
@@ -192,19 +209,28 @@ object GraphAlgebra {
   def ktruss(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"ktruss needs k >= 3 (got $k)")
     require(rounds >= 1, s"ktruss needs rounds >= 1 (got $rounds)")
-    def supports(e: DataFrame): DataFrame = {
+    // the adjacency-array attach is broadcast-gated on the round's
+    // directed-edge count ([[hintedAdj]] — ungated both joins went
+    // sort-merge over kilobyte-array rows), and the adjacency is
+    // checkpointed because the two broadcast builds both read it; the
+    // survivor count per round is already paid by the loop's cp()
+    def supports(e: DataFrame, nDir: Long): DataFrame = {
       val both = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       val adj = both.groupBy(col("a").as("v"))
-        .agg(sort_array(collect_list(col("b"))).as("ns"))
-      e.join(adj.select(col("v").as("a"), col("ns").as("na")), "a")
-        .join(adj.select(col("v").as("b"), col("ns").as("nb")), "b")
+        .agg(sort_array(collect_list(col("b"))).as("ns")).cp()
+      e.join(hintedAdj(adj.select(col("v").as("a"), col("ns").as("na")), nDir), "a")
+        .join(hintedAdj(adj.select(col("v").as("b"), col("ns").as("nb")), nDir), "b")
         .select(col("a"), col("b"),
           size(array_intersect(col("na"), col("nb"))).cast("long").as("sup"))
     }
     var e = pairs.select(col("a"), col("b")).cp()
-    for (_ <- 1 to rounds)
-      e = supports(e).filter(col("sup") >= k - 2).select(col("a"), col("b")).cp()
-    supports(e).select(col("a"), col("b"), col("sup").as("support"))
+    var nE = e.count()
+    for (_ <- 1 to rounds) {
+      e = supports(e, 2L * nE).filter(col("sup") >= k - 2)
+        .select(col("a"), col("b")).cp()
+      nE = e.count()
+    }
+    supports(e, 2L * nE).select(col("a"), col("b"), col("sup").as("support"))
   }
 
   /** EXACT PageRank / personalized PageRank by integer power iteration —

@@ -166,15 +166,32 @@ object GraphOps {
     * 36M at sf0.1, 60s; this runs in ~2s and scales as Σ|N⁺| per edge).
     * Cross-checked against GraphX TriangleCount in GraphSpec.
     */
+  /** Shared triangle-count core: Σ_e |N⁺(a)∩N⁺(b)| over an (a < b)
+    * oriented pair frame via the sorted-adjacency + array_intersect shape
+    * — with the array attach BROADCAST-gated on the adjacency payload
+    * (`nDirEdges` = Σ|N⁺| — [[graft.api.GraphAlgebra.hintedAdj]]): ungated
+    * the two joins went sort-merge and shuffled+sorted the kilobyte
+    * neighbor arrays once per edge. `e` must be checkpointed (three
+    * consumers); the adjacency is checkpointed here because BOTH broadcast
+    * builds read it.
+    */
+  private def triangleSum(e: DataFrame, nDirEdges: Long): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val adj = e.groupBy($"a".as("v"))
+      .agg(sort_array(collect_list($"b")).as("nbrs")).cp()
+    def hA(df: DataFrame) = graft.api.GraphAlgebra.hintedAdj(df, nDirEdges)
+    e.join(hA(adj.select($"v", $"nbrs".as("na"))), $"a" === $"v")
+      .join(hA(adj.select($"v".as("v2"), $"nbrs".as("nb"))), $"b" === $"v2")
+      .select(size(array_intersect($"na", $"nb")).cast("long").as("t"))
+      .agg(coalesce(sum($"t"), lit(0L)).as("n_tri"))
+  }
+
   val graphTriangles: Q = (s, dir) => {
     import s.implicits._
-    val cp = copurchase(s, dir).select($"a", $"b")
-    val adj = cp.groupBy($"a".as("v")).agg(sort_array(collect_list($"b")).as("nbrs"))
-    val tri = cp
-      .join(adj.select($"v", $"nbrs".as("na")), $"a" === $"v")
-      .join(adj.select($"v".as("v2"), $"nbrs".as("nb")), $"b" === $"v2")
-      .select(size(array_intersect($"na", $"nb")).cast("long").as("t"))
-      .agg(coalesce(sum($"t"), lit(0L)).as("n_triangles"))
+    val cp = copurchase(s, dir).select($"a", $"b").cp()
+    val tri = triangleSum(cp, cp.count())
+      .select($"n_tri".as("n_triangles"))
     tri.crossJoin(cp.agg(count(lit(1)).as("n_edges")))
   }
 
@@ -745,12 +762,8 @@ object GraphOps {
   val graphClusteringCoeff: Q = (s, dir) => {
     import s.implicits._
     val cp = copurchase(s, dir).select($"a", $"b").cp() // tri + deg
-    val adj = cp.groupBy($"a".as("v")).agg(sort_array(collect_list($"b")).as("nbrs"))
-    val tri = cp
-      .join(adj.select($"v", $"nbrs".as("na")), $"a" === $"v")
-      .join(adj.select($"v".as("v2"), $"nbrs".as("nb")), $"b" === $"v2")
-      .select(size(array_intersect($"na", $"nb")).cast("long").as("t"))
-      .agg(coalesce(sum($"t"), lit(0L)).as("n_triangles"))
+    val tri = triangleSum(cp, cp.count())
+      .select($"n_tri".as("n_triangles"))
     val wedges = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
       .groupBy($"a").agg(count(lit(1)).as("d"))
       // integral div, not double `/`: exact past 2^53 where the double
@@ -1083,13 +1096,17 @@ object GraphOps {
   val graphLocalCc: Q = (s, dir) => {
     import s.implicits._
     val cp = copurchase(s, dir).select($"a", $"b").cp()
+    val nDir = 2L * cp.count() // directed edges = the adjacency payload
     val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
     val adj = both.groupBy($"a".as("v"))
       .agg(sort_array(collect_list($"b")).as("ns"), count(lit(1)).as("d"))
       .cp() // support join (twice) + degree attach share it
+    // broadcast-gated array attach (hintedAdj): ungated, both joins went
+    // sort-merge and shuffled+sorted a kilobyte neighbor array per edge
+    def hA(df: DataFrame) = graft.api.GraphAlgebra.hintedAdj(df, nDir)
     val sup = cp
-      .join(adj.select($"v".as("a"), $"ns".as("na")), "a")
-      .join(adj.select($"v".as("b"), $"ns".as("nb")), "b")
+      .join(hA(adj.select($"v".as("a"), $"ns".as("na"))), "a")
+      .join(hA(adj.select($"v".as("b"), $"ns".as("nb"))), "b")
       .select($"a", $"b",
         size(array_intersect($"na", $"nb")).cast("long").as("sup"))
     val perV = sup.select($"a".as("v"), $"sup")
@@ -1117,12 +1134,15 @@ object GraphOps {
   val graphEdgeEmbeddedness: Q = (s, dir) => {
     import s.implicits._
     val cp = copurchase(s, dir).select($"a", $"b").cp()
+    val nDir = 2L * cp.count()
     val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
     val adj = both.groupBy($"a".as("v"))
       .agg(sort_array(collect_list($"b")).as("ns"),
         count(lit(1)).as("d"))
-    cp.join(adj.select($"v".as("a"), $"ns".as("na"), $"d".as("da")), "a")
-      .join(adj.select($"v".as("b"), $"ns".as("nb"), $"d".as("db")), "b")
+      .cp() // both broadcast builds read it
+    def hA(df: DataFrame) = graft.api.GraphAlgebra.hintedAdj(df, nDir)
+    cp.join(hA(adj.select($"v".as("a"), $"ns".as("na"), $"d".as("da"))), "a")
+      .join(hA(adj.select($"v".as("b"), $"ns".as("nb"), $"d".as("db"))), "b")
       .select($"a", $"b",
         size(array_intersect($"na", $"nb")).cast("long").as("common"),
         $"da", $"db")
@@ -1848,12 +1868,8 @@ object GraphOps {
   val graphTransitivity: Q = (s, dir) => {
     import s.implicits._
     val cp = copurchase(s, dir).select($"a", $"b").cp()
-    val adj = cp.groupBy($"a".as("v")).agg(sort_array(collect_list($"b")).as("nbrs"))
-    val tri = cp
-      .join(adj.select($"v", $"nbrs".as("na")), $"a" === $"v")
-      .join(adj.select($"v".as("v2"), $"nbrs".as("nb")), $"b" === $"v2")
-      .select(size(array_intersect($"na", $"nb")).cast("long").as("t"))
-      .agg(coalesce(sum($"t"), lit(0L)).as("n_triangles"))
+    val tri = triangleSum(cp, cp.count())
+      .select($"n_tri".as("n_triangles"))
     val wed = cp.select($"a".as("v")).unionAll(cp.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
       .agg((sum($"deg" * ($"deg" - 1)) / 2).cast("long").as("n_wedges"))
@@ -1881,16 +1897,9 @@ object GraphOps {
       "cast(conv(substring(md5(concat(cast(a as string), '_'," +
         " cast(b as string))), 1, 4), 16, 10) as bigint) % 4 = 0"))
       .cp()
-    def triangles(e: DataFrame): DataFrame = {
-      val adj = e.groupBy($"a".as("v"))
-        .agg(sort_array(collect_list($"b")).as("nbrs"))
-      e.join(adj.select($"v", $"nbrs".as("na")), $"a" === $"v")
-        .join(adj.select($"v".as("v2"), $"nbrs".as("nb")), $"b" === $"v2")
-        .select(size(array_intersect($"na", $"nb")).cast("long").as("t"))
-        .agg(coalesce(sum($"t"), lit(0L)).as("n_tri"))
-    }
-    val exact = triangles(cp).select($"n_tri".as("n_exact"))
-    val est = triangles(sampled).select($"n_tri".as("n_tri_sampled"))
+    val exact = triangleSum(cp, cp.count()).select($"n_tri".as("n_exact"))
+    val est = triangleSum(sampled, sampled.count())
+      .select($"n_tri".as("n_tri_sampled"))
     cp.agg(count(lit(1)).as("n_edges"))
       .crossJoin(sampled.agg(count(lit(1)).as("n_edges_sampled")))
       .crossJoin(est).crossJoin(exact)
@@ -2123,11 +2132,14 @@ object GraphOps {
   val graphLocalBridges: Q = (s, dir) => {
     import s.implicits._
     val cp = copurchase(s, dir).select($"a", $"b").cp() // adj + edge scan
+    val nDir = 2L * cp.count()
     val both = cp.unionAll(cp.select($"b".as("a"), $"a".as("b")))
     val adj = both.groupBy($"a".as("v"))
       .agg(sort_array(collect_list($"b")).as("nbrs"))
-    cp.join(adj.select($"v", $"nbrs".as("na")), $"a" === $"v")
-      .join(adj.select($"v".as("v2"), $"nbrs".as("nb")), $"b" === $"v2")
+      .cp() // both broadcast builds read it
+    def hA(df: DataFrame) = graft.api.GraphAlgebra.hintedAdj(df, nDir)
+    cp.join(hA(adj.select($"v", $"nbrs".as("na"))), $"a" === $"v")
+      .join(hA(adj.select($"v".as("v2"), $"nbrs".as("nb"))), $"b" === $"v2")
       .select(size(array_intersect($"na", $"nb")).cast("long").as("sup"))
       .agg(count(lit(1)).as("n_edges"),
         sum(when($"sup" === 0, 1L).otherwise(0L)).as("n_local_bridges"))

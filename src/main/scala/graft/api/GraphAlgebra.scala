@@ -261,7 +261,10 @@ object GraphAlgebra {
                     personalized: Option[Long],
                     broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     val both = edgesBoth.select(col("a"), col("b")).cp()
+    // three consumers (ed build, rank init, isolated anti-join) — cp so
+    // the |E| degree rollup runs once (r15, guide §2.4)
     val deg = both.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+      .cp()
     val parts = vertices.select(col("part"))
     val nDf = parts.agg(count(lit(1)).as("n")).cp()
     // |V| gates every broadcast below; rank/degree frames never exceed it

@@ -1255,7 +1255,10 @@ object GraphOps {
   val graphHits: Q = (s, dir) => {
     import s.implicits._
     val S = 1000000000000L
-    val e0 = edges(s, dir).select($"src", $"dst")
+    // checkpoint the edge build ONCE — the two keyed copies below each
+    // materialize from it (the old raw lineage re-ran orders⋈lineitem per
+    // copy — guide §2.4)
+    val e0 = edges(s, dir).select($"src", $"dst").cp()
     // TWO pre-partitioned edge copies, one per half-step direction: each is
     // hash-clustered on that half-step's GROUP key, so once the (gated)
     // broadcast attaches the scores, the |E|-stream aggregation inherits
@@ -1273,9 +1276,14 @@ object GraphOps {
     def halfStep(scores: DataFrame, nScores: Long, key: String, out: String,
                  eBy: DataFrame): DataFrame = {
       // scores: (id, x) on the `key` side; returns normalized (id, x) on `out`
+      // raw is cp'd BEFORE q derives from it: the exchange-free groupBy
+      // leaves no reusable exchange, so an unmaterialized raw re-ran the
+      // |E| join+agg inside the broadcast-q subtree every half-step
+      // (the graph_eigencentrality r15 fix, ×12 half-steps here)
       val raw = eBy.join(graft.api.GraphAlgebra.hintedFrame(
           scores.withColumnRenamed("id", key), nScores), key)
         .groupBy(col(out).as("id")).agg(sum($"x").as("xr"))
+        .cp()
       val q = raw.agg(expr(s"greatest(CAST(1 AS BIGINT), max(xr) div $S)").as("q"))
       raw.crossJoin(broadcast(q))
         .select($"id", expr("xr div q").as("x"))

@@ -2340,6 +2340,10 @@ object Relational {
       conv(substring(md5(concat(lit(r.toString), lit("_"),
         $"o_orderkey".cast("string"))), 1, 4), 16, 10)
         .cast("long") % 2 === 0
+    // NOTE (r15): the four uses of each coin share one md5 via aggregate
+    // subexpression elimination; materializing the 32 booleans as a
+    // projection was measured SLOWER on the sibling agg_subsample_ci
+    // (wide intermediate row) — deliberately left in aggregate form.
     val aggCols = (0 until 32).flatMap { r =>
       Seq(sum(when(coin(r) && $"arm" === 0, $"v")).as(s"sa$r"),
         count(when(coin(r) && $"arm" === 0, lit(1))).as(s"ca$r"),

@@ -1233,6 +1233,12 @@ object GraphAlgebra {
     var h = 1L
     var done = frontierRows == 0
     while (h <= maxHops && !done) {
+      // NOTE (r15): distinct-FIRST is deliberate — the partial aggregate
+      // collapses the Σdeg expansion map-side before any join, and an
+      // A/B of the anti-before-distinct spelling (broadcast visited set)
+      // measured consistently SLOWER here (the per-hop broadcast build of
+      // the growing visited frame cost more than the smaller dedup saved;
+      // the σ-folding sibling multiBfsSigma is where that reorder wins)
       val next = adj.join(hinted(frontier, frontierRows, broadcastMaxRows),
           col("a") === col("id"))
         .select(col("src"), col("b").as("id")).distinct()
@@ -1269,22 +1275,29 @@ object GraphAlgebra {
       lit(0L).as("dist"), lit(1L).as("sigma")).cp()
     var frontier = state.select(col("src"), col("id"), col("sigma"))
     var frontierRows = frontier.count()
+    var stateRows = frontierRows // gates the visited-side broadcast
     var h = 1L
     var done = frontierRows == 0
     while (h <= maxHops && !done) {
+      // first-visit anti BEFORE the σ fold (identical: visited (src, b)
+      // groups are removed WHOLE either way, so the per-group sums are
+      // untouched), broadcast-gated so it runs map-side and the fold's
+      // exchange carries only new-frontier groups (r15, guide §2.3/§3.1)
       val next = adj.join(hinted(frontier, frontierRows, broadcastMaxRows),
           col("a") === col("id"))
+        .select(col("src"), col("b"), col("sigma"))
+        .join(hinted(state.select(col("src"), col("id").as("b")), stateRows,
+          broadcastMaxRows), Seq("src", "b"), "left_anti")
         .groupBy(col("src"), col("b"))
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("src"), col("b").as("id"), col("sigma"))
-        .join(state.select(col("src"), col("id")), Seq("src", "id"),
-          "left_anti")
         .cp()
       frontierRows = next.count()
       if (frontierRows == 0) done = true
       else {
         state = state.unionAll(next.select(col("src"), col("id"),
           lit(h).as("dist"), col("sigma"))).cp()
+        stateRows += frontierRows
         frontier = next.select(col("src"), col("id"), col("sigma"))
         h += 1
       }

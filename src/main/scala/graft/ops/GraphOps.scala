@@ -2166,8 +2166,11 @@ object GraphOps {
     */
   val graphSmallWorld: Q = (s, dir) => {
     import s.implicits._
-    val cc = graphClusteringCoeff(s, dir).select($"global_cc")
-    val apl = graphAvgPathLength(s, dir).select($"mean_hops")
+    // the two ingredient scalars are independent subqueries with their own
+    // driver loops — overlap them (guide §2.6, the percolation posture)
+    val Seq(cc, apl) = graft.api.GraphAlgebra.inParallel(Seq(
+      () => graphClusteringCoeff(s, dir).select($"global_cc"),
+      () => graphAvgPathLength(s, dir).select($"mean_hops")))
     val cp = copurchase(s, dir).select($"a", $"b").cp()
     val nm = cp.select(explode(array($"a", $"b")).as("v"))
       .agg(countDistinct($"v").as("n"))
@@ -2378,10 +2381,13 @@ object GraphOps {
     val coreLbl = broadcast(core.select($"core_lbl"))
     val coreMembers = scc.join(coreLbl, scc("scc") === col("core_lbl"))
       .select($"id")
-    val toCore = graft.api.GraphAlgebra.reachClosure(coreMembers,
-      e.select($"dst".as("from"), $"src".as("to")))
-    val fromCore = graft.api.GraphAlgebra.reachClosure(coreMembers,
-      e.select($"src".as("from"), $"dst".as("to")))
+    // the two reach fixpoints are independent — overlap their driver
+    // loops (guide §2.6, the attack_tolerance posture)
+    val Seq(toCore, fromCore) = graft.api.GraphAlgebra.inParallel(Seq(
+      () => graft.api.GraphAlgebra.reachClosure(coreMembers,
+        e.select($"dst".as("from"), $"src".as("to"))),
+      () => graft.api.GraphAlgebra.reachClosure(coreMembers,
+        e.select($"src".as("from"), $"dst".as("to")))))
     scc.crossJoin(coreLbl)
       .join(toCore.withColumnRenamed("id", "tid"), $"id" === $"tid", "left")
       .join(fromCore.withColumnRenamed("id", "fid"), $"id" === $"fid", "left")

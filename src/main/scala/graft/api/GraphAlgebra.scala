@@ -337,24 +337,41 @@ object GraphAlgebra {
       both.join(hinted(deg, nV, broadcastMaxRows), col("a") === col("v"))
         .select(col("a").as("esrc"), col("b").as("edst"), col("deg")),
       col("edst"))
-    val srcDf = sources.toDF("s").cp()
-    val reset = srcDf
-      .select(col("s"), col("s").as("part"), lit(PrScale * 15 / 100).as("rc"))
-    var ranks = srcDf
+    var ranks = sources.toDF("s")
       .select(col("s"), col("s").as("part"), lit(PrScale).as("r"))
       .cp()
     for (_ <- 1 to iters) {
       // actual support size of the checkpointed state, not the |S|·|V| cap
       val rankRows = ranks.count()
+      // the contribution agg has ONE row per (s, part) already, so the
+      // reset term folds in as a projection — rank = damped csum, plus
+      // the teleport constant on the part = s row (exact BIGINT addition,
+      // bit-identical to the old unionAll(reset) + re-group — which paid
+      // a second state-size exchange + hash agg EVERY iteration for a
+      // ≤|S|-row insert; r15 round-2 backlog item, guide §2.4). cp BEFORE
+      // the self-hit probe below so the |E| agg runs once.
       val contrib = ed.join(hinted(ranks, rankRows, broadcastMaxRows),
           col("esrc") === col("part"))
         .groupBy(col("s"), col("edst"))
         .agg(sum(expr("r div deg")).as("csum"))
         .select(col("s"), col("edst").as("part"),
-          expr("csum * 85 div 100").as("rc"))
-      ranks = contrib.unionAll(reset)
-        .groupBy(col("s"), col("part")).agg(sum(col("rc")).as("r"))
+          (expr("csum * 85 div 100") +
+            when(col("edst") === col("s"), lit(PrScale * 15 / 100))
+              .otherwise(lit(0L))).as("r"))
         .cp()
+      // sources whose own row got NO inbound mass this iteration still
+      // need their teleport row (absence = rank 0 in the sparse state).
+      // The self-hit set is ≤|S| rows — resolve it with ONE bounded
+      // collect on the cp'd contrib (a dataframe-side anti-join spelling
+      // measured SLOWER: the lazy union re-scanned the state once per
+      // downstream consumer — count, broadcast build — every iteration)
+      val hit = contrib.filter(col("part") === col("s"))
+        .select(col("s")).collect().map(_.getLong(0)).toSet
+      val missing = sources.filterNot(hit)
+      ranks = if (missing.isEmpty) contrib
+        else contrib.unionAll(missing.toDF("s")
+          .select(col("s"), col("s").as("part"),
+            lit(PrScale * 15 / 100).as("r")))
     }
     ranks
   }
@@ -1269,8 +1286,22 @@ object GraphAlgebra {
     * expansion is bounded by construction).
     */
   def multiBfsSigma(edgesBoth: DataFrame, sources: DataFrame, maxHops: Int,
-                    broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
-    val adj = edgesBoth.select(col("a"), col("b")).cp()
+                    broadcastMaxRows: Long = BroadcastMaxRows): DataFrame =
+    multiBfsSigmaOn(edgesBoth.select(col("a"), col("b")).cp(), sources,
+      maxHops, broadcastMaxRows)
+
+  /** [[multiBfsSigma]] over a PRE-CHECKPOINTED (a, b) adjacency — the
+    * Brandes pipeline shares ONE materialized edge frame across the
+    * forward σ pass, the backward δ pass and the edge-credit join
+    * (each public entry point otherwise re-derives AND re-checkpoints
+    * the caller's full edge lineage: for the betweenness ops that was
+    * the co-purchase self-join built 2-3× per query — guide §2.4).
+    * The returned state frame is checkpointed (per-round cp), so
+    * downstream passes can consume it without re-materializing.
+    */
+  private[graft] def multiBfsSigmaOn(adj: DataFrame, sources: DataFrame,
+                                     maxHops: Int,
+                                     broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     var state = sources.select(col("src"), col("src").as("id"),
       lit(0L).as("dist"), lit(1L).as("sigma")).cp()
     var frontier = state.select(col("src"), col("id"), col("sigma"))
@@ -1318,12 +1349,27 @@ object GraphAlgebra {
     * node (dist ≥ 1); level-0 rows (the sources themselves) are excluded,
     * as Brandes excludes δ(s,s).
     */
-  def brandesDeltas(edgesBoth: DataFrame, sigmaState: DataFrame): DataFrame = {
-    val st = sigmaState.cp()
+  def brandesDeltas(edgesBoth: DataFrame, sigmaState: DataFrame): DataFrame =
     // checkpoint the edge frame ONCE: every backward level joins it, and
     // without this each of the ≤5 level joins re-derives the caller's
     // edge lineage (a parquet scan + the co-purchase build, per level)
-    val adj = edgesBoth.select(col("a"), col("b")).cp()
+    brandesDeltasOn(edgesBoth.select(col("a"), col("b")).cp(),
+      sigmaState.cp())
+
+  /** [[brandesDeltas]] over a PRE-CHECKPOINTED adjacency and σ state —
+    * see [[multiBfsSigmaOn]]: [[multiBfsSigma]]'s returned state is
+    * already checkpointed per round, so the public wrapper's `.cp()`
+    * re-materializes it for nothing when the two are piped directly.
+    */
+  private[graft] def brandesDeltasOn(adj: DataFrame, st: DataFrame,
+                                     broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
+    // gates every per-level broadcast below: vlev/wlev/contribs are all
+    // SUBSETS of the σ state (≤ stRows rows), and the state is cp'd so
+    // the count is one cheap job. Ungated, the cp'd state's unknown stats
+    // sent each level's adj ⋈ vlev through a sort-merge join — shuffling
+    // AND sorting the full |E| adjacency once per backward level
+    // (guide §3.1: broadcast the side that fits, stream the big side).
+    val stRows = st.count()
     val maxDist = st.agg(max(col("dist"))).head().getLong(0)
     if (maxDist < 1) return st.filter(lit(false))
       .select(col("src"), col("id"), col("dist"), lit(0L).as("delta"),
@@ -1354,8 +1400,10 @@ object GraphAlgebra {
       // double tree below is the ONLY float in Brandes here, quantized
       // per contribution then BIGINT-summed (order-independent)
       val contribs = adj
-        .join(vlev, adj("a") === vlev("id"))
-        .join(wlev, col("b") === col("wid") &&
+        .join(hinted(vlev, stRows, broadcastMaxRows),
+          adj("a") === vlev("id"))
+        .join(hinted(wlev, stRows, broadcastMaxRows),
+          col("b") === col("wid") &&
           col("src") === col("wsrc"))
         .select(col("src"), col("id"),
           floor(col("sigma").cast("double") /
@@ -1364,8 +1412,11 @@ object GraphAlgebra {
             .cast("long").as("c"))
         .groupBy(col("src"), col("id"))
         .agg(sum(col("c")).as("delta"))
+      // contribs keys are the level's (src, id) set (≤ stRows too):
+      // broadcast keeps the per-level resolve map-side as well
       val lev = vlev
-        .join(contribs, Seq("src", "id"), "left")
+        .join(hinted(contribs, stRows, broadcastMaxRows),
+          Seq("src", "id"), "left")
         .select(col("src"), col("id"), lit(h).as("dist"),
           coalesce(col("delta"), lit(0L)).as("delta"), col("sigma")).cp()
       out = out :+ lev
@@ -1386,22 +1437,36 @@ object GraphAlgebra {
     * the forward σ and backward δ frames are reused as-is.
     */
   def brandesEdgeCredits(edgesBoth: DataFrame, sigmaState: DataFrame,
-                         deltas: DataFrame): DataFrame = {
-    val st = sigmaState.cp()
-    val adj = edgesBoth.select(col("a"), col("b")).cp()
+                         deltas: DataFrame): DataFrame =
+    brandesEdgeCreditsOn(edgesBoth.select(col("a"), col("b")).cp(),
+      sigmaState.cp(), deltas)
+
+  /** [[brandesEdgeCredits]] over the PRE-CHECKPOINTED adjacency and σ
+    * state the forward/backward passes already materialized (see
+    * [[multiBfsSigmaOn]] — one shared edge frame for the whole Brandes
+    * pipeline instead of three derive+checkpoint rounds of it).
+    */
+  private[graft] def brandesEdgeCreditsOn(adj: DataFrame, st: DataFrame,
+                                          deltas: DataFrame,
+                                          broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     // same renaming rationale as brandesDeltas: both frames descend from
     // st, so the w side renames every column (wsrc/wb/wsigma/wdelta/
     // wdist) and the cross-source src equality is unambiguous names, not
     // dataset-id metadata. The δ frame now CARRIES σ (brandesDeltas r15),
     // so the old per-call σ re-join against the full state is gone.
+    // v and w are the σ state and its δ image (≤ stRows rows each):
+    // broadcast-gate both so the |E| adjacency STREAMS through the credit
+    // join instead of a sort-merge shuffle+sort of it (guide §3.1; same
+    // gate as brandesDeltasOn's per-level joins)
+    val stRows = st.count()
     val v = st.select(col("src"), col("id").as("va"),
       col("sigma").as("vsigma"), col("dist").as("vdist"))
     val w = deltas
       .select(col("src").as("wsrc"), col("id").as("wb"),
         col("sigma").as("wsigma"), col("delta").as("wdelta"),
         col("dist").as("wdist"))
-    adj.join(v, adj("a") === v("va"))
-      .join(w, col("b") === col("wb") &&
+    adj.join(hinted(v, stRows, broadcastMaxRows), adj("a") === v("va"))
+      .join(hinted(w, stRows, broadcastMaxRows), col("b") === col("wb") &&
         col("src") === col("wsrc") &&
         col("wdist") === col("vdist") + lit(1L))
       .select(col("src"), col("va"), col("wb"),

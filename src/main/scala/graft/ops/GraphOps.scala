@@ -1452,9 +1452,12 @@ object GraphOps {
     import s.implicits._
     val lm = partVertices(s, dir)
       .orderBy($"p_partkey").limit(8).select($"p_partkey".as("src"))
-    val both = copurchaseBoth(s, dir)
-    val sigma = graft.api.GraphAlgebra.multiBfsSigma(both, lm, maxHops = 6)
-    graft.api.GraphAlgebra.brandesDeltas(both, sigma)
+    // ONE checkpointed adjacency for the forward σ AND backward δ passes
+    // (the public entry points each cp their edge input, so piping the
+    // raw co-purchase lineage ran the self-join build twice — guide §2.4)
+    val both = copurchaseBoth(s, dir).select($"a", $"b").cp()
+    val sigma = graft.api.GraphAlgebra.multiBfsSigmaOn(both, lm, maxHops = 6)
+    graft.api.GraphAlgebra.brandesDeltasOn(both, sigma)
       .groupBy($"id")
       .agg(count(lit(1)).as("n_sources"), sum($"delta").as("bt_micro"))
       .select($"id".as("part"), $"n_sources", $"bt_micro",
@@ -1481,10 +1484,14 @@ object GraphOps {
     import s.implicits._
     val lm = partVertices(s, dir)
       .orderBy($"p_partkey").limit(8).select($"p_partkey".as("src"))
-    val both = copurchaseBoth(s, dir)
-    val sigma = graft.api.GraphAlgebra.multiBfsSigma(both, lm, maxHops = 6)
-    val deltas = graft.api.GraphAlgebra.brandesDeltas(both, sigma)
-    graft.api.GraphAlgebra.brandesEdgeCredits(both, sigma, deltas)
+    // ONE checkpointed adjacency + ONE σ state for all three Brandes
+    // passes — the public wrappers each re-derived AND re-checkpointed
+    // the co-purchase build (3× here) and re-cp'd the already-cp'd σ
+    // state (2×) before this (guide §2.4)
+    val both = copurchaseBoth(s, dir).select($"a", $"b").cp()
+    val sigma = graft.api.GraphAlgebra.multiBfsSigmaOn(both, lm, maxHops = 6)
+    val deltas = graft.api.GraphAlgebra.brandesDeltasOn(both, sigma)
+    graft.api.GraphAlgebra.brandesEdgeCreditsOn(both, sigma, deltas)
       .groupBy(least($"va", $"wb").as("a"), greatest($"va", $"wb").as("b"))
       .agg(count(lit(1)).as("n_contribs"), sum($"c").as("eb_micro"))
       .select($"a", $"b", $"n_contribs", $"eb_micro",
@@ -1645,14 +1652,17 @@ object GraphOps {
     val degv = cp.select($"a".as("v"), $"w")
       .unionAll(cp.select($"b".as("v"), $"w"))
       .groupBy($"v").agg(sum($"w").as("d")).cp()
-    def qOf(lbl: DataFrame, level: Long): DataFrame = {
+    // level 1's in-weight is `self` under a rename — the coarsening's
+    // `mapped` frame already holds both label columns, so deriving it
+    // again via cp ⋈ l1 ⋈ l1 (the level-2 qOf shape below) would re-pay
+    // two |E| broadcast joins for the same scan (r15 round-2; a FULL
+    // coarse-graph Q rollup for level 2 was tried too and measured
+    // SLOWER — the extra eager checkpoints cost more than the saved
+    // |E| pass, see OPTIMIZATION_r15.md negative results)
+    val inC1 = self.select($"id".as("community"), $"s".as("iw"))
+    def qOf(lbl: DataFrame, inC: DataFrame, level: Long): DataFrame = {
       val degC = degv.join(lbl, $"v" === $"id")
         .groupBy($"community").agg(sum($"d").as("dc"))
-      val inC = cp
-        .join(lbl.select($"id".as("a"), $"community".as("ca")), "a")
-        .join(lbl.select($"id".as("b"), $"community".as("cb")), "b")
-        .filter($"ca" === $"cb")
-        .groupBy($"ca".as("community")).agg(sum($"w").as("iw"))
       degC.join(inC, Seq("community"), "left")
         .withColumn("iw", coalesce($"iw", lit(0L)))
         .crossJoin(broadcast(m2))
@@ -1664,7 +1674,12 @@ object GraphOps {
         .select(lit(level).as("level"), $"n_communities",
           ($"qn".cast("double") / lit(1.0e9)).as("q"))
     }
-    qOf(l1, 1L).unionAll(qOf(l2, 2L)).orderBy($"level")
+    val inC2 = cp
+      .join(l2.select($"id".as("a"), $"community".as("ca")), "a")
+      .join(l2.select($"id".as("b"), $"community".as("cb")), "b")
+      .filter($"ca" === $"cb")
+      .groupBy($"ca".as("community")).agg(sum($"w").as("iw"))
+    qOf(l1, inC1, 1L).unionAll(qOf(l2, inC2, 2L)).orderBy($"level")
   }
 
   /** Three-level Louvain dendrogram over the co-purchase graph — the
@@ -2415,23 +2430,32 @@ object GraphOps {
   val graphMotifs: Q = (s, dir) => {
     import s.implicits._
     val e = transitionBackbone(s, dir).cp()
-    val path2 = e.as("x").join(e.as("y"),
+    // ONE streaming pass over the path2 expansion (r15 round-2): the FFL
+    // and cycle closes used to probe a CHECKPOINTED 12M-row path2 with
+    // two separate semi-joins — one materialization pass plus two read
+    // passes. The backbone edge set is distinct-(src,dst) (groupBy
+    // output), so a broadcast LEFT join matches each path2 row at most
+    // once and flag-counting is exactly the semi-join count; both closes
+    // fold in a single aggregation over the un-materialized expansion.
+    val fflE = e.select($"src".as("za"), $"dst".as("zc"))
+    val cycE = e.select($"src".as("cs"), $"dst".as("cd"))
+    val closes = e.as("x").join(e.as("y"),
         $"x.dst" === $"y.src" && $"x.src" =!= $"y.dst")
       .select($"x.src".as("a"), $"x.dst".as("b"), $"y.dst".as("c"))
-      .cp() // the FFL close and the cycle close both probe it
-    val ffl = path2.join(e.as("z"),
-        $"a" === $"z.src" && $"c" === $"z.dst", "left_semi")
-      .agg(count(lit(1)).as("n_ffl"))
-    val cyc = path2.filter($"a" < $"b" && $"a" < $"c")
-      .join(e.as("z"), $"c" === $"z.src" && $"a" === $"z.dst", "left_semi")
-      .agg(count(lit(1)).as("n_cycle3"))
+      .join(broadcast(fflE), $"a" === $"za" && $"c" === $"zc", "left")
+      .join(broadcast(cycE), $"c" === $"cs" && $"a" === $"cd", "left")
+      .agg(
+        // coalesce: an empty expansion must read 0 like the old count()
+        coalesce(sum(when($"za".isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_ffl"),
+        coalesce(sum(when($"a" < $"b" && $"a" < $"c" && $"cs".isNotNull,
+          1L).otherwise(0L)), lit(0L)).as("n_cycle3"))
     val rec = e.as("x").join(e.as("y"),
         $"x.src" === $"y.dst" && $"x.dst" === $"y.src" &&
           $"x.src" < $"x.dst", "left_semi")
       .agg(count(lit(1)).as("n_reciprocal"))
     val tot = e.agg(count(lit(1)).as("n_edges"))
-    tot.crossJoin(broadcast(ffl)).crossJoin(broadcast(cyc))
-      .crossJoin(broadcast(rec))
+    tot.crossJoin(broadcast(closes)).crossJoin(broadcast(rec))
   }
 
   /** SimRank similarity over the coarsened co-purchase sketch — the

@@ -44,10 +44,20 @@ object GraphOps {
     */
   def copurchase(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val lp = Tables.lineitem(s, dir)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
-    lp.as("x").join(lp.as("y"), $"x.ok" === $"y.ok" && $"x.p" < $"y.p")
-      .groupBy($"x.p".as("a"), $"y.p".as("b"))
+    // collect_set + sorted-array pair generation instead of the old
+    // distinct + self-join (r15 round-2, guide §2.2 — shuffle less): ONE
+    // exchange on l_orderkey replaces the distinct's (ok, p) exchange
+    // plus the self-join, and the per-order a < b expansion runs
+    // map-side after the agg. The array is set-deduped and sorted, so
+    // the generated pairs are IDENTICAL to the join's; per-order arrays
+    // are bounded by lines-per-order at any corpus scale.
+    Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .select($"ps", posexplode($"ps"))
+      .select($"col".as("a"),
+        explode(expr("slice(ps, pos + 2, size(ps))")).as("b"))
+      .groupBy($"a", $"b")
       .agg(count(lit(1)).as("w"))
   }
 

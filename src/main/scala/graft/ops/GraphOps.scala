@@ -213,15 +213,20 @@ object GraphOps {
     */
   val graphCommonNeighbors: Q = (s, dir) => {
     import s.implicits._
-    // three consumers (budget histogram, e1, e2) — cp() so the
+    // two consumers (budget histogram, array rollup) — cp() so the
     // orders⋈lineitem edge build runs once, not per consumer
     val adj = edges(s, dir).select($"src", $"dst").cp()
-    // gate ONE side: the guard fires identically, the histogram runs once
     val g1 = graft.api.PairBudget.gate(adj, Seq($"src"),
       "graph_common_neighbors", "graph_common_neighbors_approx")
-    g1.as("e1")
-      .join(adj.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
-      .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
+    // pairs from the per-customer sorted part array instead of the
+    // src-keyed self-join (the copurchase r15 shape, guide §2.2): one
+    // exchange into the array agg replaces the join's two; the a < b
+    // expansion is identical (set-deduped, sorted) and runs map-side
+    g1.groupBy($"src").agg(sort_array(collect_set($"dst")).as("ds"))
+      .select($"ds", posexplode($"ds"))
+      .select($"col".as("p1"),
+        explode(expr("slice(ds, pos + 2, size(ds))")).as("p2"))
+      .groupBy($"p1", $"p2")
       .agg(count(lit(1)).as("common"))
       .orderBy($"common".desc, $"p1", $"p2")
       .limit(20)
@@ -658,8 +663,8 @@ object GraphOps {
     */
   val graphJaccardNodes: Q = (s, dir) => {
     import s.implicits._
-    // four consumers (degree agg, budget histogram, e1, e2) — cp() so the
-    // orders⋈lineitem edge build runs once, not per consumer
+    // three consumers (degree agg, budget histogram, array rollup) —
+    // cp() so the orders⋈lineitem edge build runs once, not per consumer
     val adj = edges(s, dir).select($"src", $"dst").cp()
     val deg = adj.groupBy($"dst".as("p")).agg(count(lit(1)).as("d"))
     // annotate each edge with its part's degree BEFORE pairing (one
@@ -668,13 +673,20 @@ object GraphOps {
     // (≫ |E|) aggregate twice against deg, two extra shuffles of the
     // biggest intermediate in the query
     val adjd = adj.join(broadcast(deg), $"dst" === $"p").select($"src", $"dst", $"d")
-    // gate ONE side: the guard fires identically, the histogram runs once
     val g1 = graft.api.PairBudget.gate(adjd, Seq($"src"),
       "graph_jaccard_nodes", "graph_jaccard_approx")
-    g1.as("e1")
-      .join(adjd.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
-      .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
-      .agg(count(lit(1)).as("common"), max($"e1.d").as("d1"), max($"e2.d").as("d2"))
+    // pairs from the per-customer sorted (dst, d) struct array instead of
+    // the src-keyed self-join (the copurchase r15 shape): dst is unique
+    // per customer, so the struct sort orders by dst and the a < b
+    // expansion is identical; each part's degree rides in the struct
+    g1.groupBy($"src")
+      .agg(sort_array(collect_set(struct($"dst", $"d"))).as("ds"))
+      .select($"ds", posexplode($"ds"))
+      .select($"col.dst".as("p1"), $"col.d".as("d1"),
+        explode(expr("slice(ds, pos + 2, size(ds))")).as("y"))
+      .select($"p1", $"d1", $"y.dst".as("p2"), $"y.d".as("d2"))
+      .groupBy($"p1", $"p2")
+      .agg(count(lit(1)).as("common"), max($"d1").as("d1"), max($"d2").as("d2"))
       .withColumn("jac", round($"common" / ($"d1" + $"d2" - $"common"), 4))
       .select($"p1", $"p2", $"common", $"jac")
       .orderBy($"jac".desc, $"p1", $"p2")
@@ -1362,8 +1374,8 @@ object GraphOps {
     */
   val graphAdamicAdar: Q = (s, dir) => {
     import s.implicits._
-    // the adjacency feeds THREE consumers (degree agg, e1, e2) — cp() it
-    // once so the orders⋈lineitem edge build runs once, not per consumer
+    // two consumers (budget histogram, array rollup) — cp() so the
+    // orders⋈lineitem edge build runs once, not per consumer
     val adj = edges(s, dir).select($"src", $"dst").cp()
     // gate ONE side: the guard fires identically, the budget histogram
     // runs once over the cheap checkpointed frame (full per-customer
@@ -1371,20 +1383,22 @@ object GraphOps {
     // pair count below, same Σdeg² shape)
     val g1 = graft.api.PairBudget.gate(adj, Seq($"src"),
       "graph_adamic_adar", "graph_common_neighbors_approx")
-    // the per-customer term attaches to the |E|-row adjacency BEFORE the
-    // deg² pair explosion — joining deg after pairing would run the join
-    // against the (13M at sf0.1) pair stream instead of 60k edges
-    val withT = g1
-      .join(adj.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
-      // deg-1 customers generate no pairs — and ln(1) = 0 would be an ANSI
-      // divide-by-zero when the term is computed pre-pairing
-      .filter($"deg" >= 2)
-      .select($"src", $"dst",
-        round(lit(1.0e9) / log($"deg".cast("double"))).cast("long").as("t"))
-    withT.as("e1")
-      .join(adj.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
-      .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
-      .agg(sum($"e1.t").as("aa_scaled"), count(lit(1)).as("common"))
+    // pairs from the per-customer sorted part array (the copurchase r15
+    // shape): the degree IS the array size, so the old separate deg
+    // rollup + pre-pair attach join disappear with the self-join; the
+    // per-customer term computes once per src row and rides the
+    // expansion. deg-1 customers generate no pairs — and ln(1) = 0 would
+    // be an ANSI divide-by-zero — hence the size >= 2 filter (identical
+    // to the old deg >= 2).
+    g1.groupBy($"src").agg(sort_array(collect_set($"dst")).as("ds"))
+      .filter(size($"ds") >= 2)
+      .select(round(lit(1.0e9) / log(size($"ds").cast("double")))
+        .cast("long").as("t"), $"ds")
+      .select($"t", $"ds", posexplode($"ds"))
+      .select($"t", $"col".as("p1"),
+        explode(expr("slice(ds, pos + 2, size(ds))")).as("p2"))
+      .groupBy($"p1", $"p2")
+      .agg(sum($"t").as("aa_scaled"), count(lit(1)).as("common"))
       .orderBy($"aa_scaled".desc, $"p1", $"p2").limit(20)
       .select($"p1", $"p2", $"common",
         ($"aa_scaled".cast("double") / 1.0e9).as("aa"))
@@ -2250,9 +2264,13 @@ object GraphOps {
     val adj = edges(s, dir).select($"src", $"dst").cp()
     val g1 = graft.api.PairBudget.gate(adj, Seq($"src"),
       "graph_butterflies", "graph_common_neighbors_approx")
-    g1.as("e1")
-      .join(adj.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
-      .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
+    // per-customer sorted part array instead of the self-join — see
+    // graphCommonNeighbors (identical a < b expansion, one less exchange)
+    g1.groupBy($"src").agg(sort_array(collect_set($"dst")).as("ds"))
+      .select($"ds", posexplode($"ds"))
+      .select($"col".as("p1"),
+        explode(expr("slice(ds, pos + 2, size(ds))")).as("p2"))
+      .groupBy($"p1", $"p2")
       .agg(count(lit(1)).as("cn"))
       .agg(count(lit(1)).as("n_part_pairs"),
         sum(expr("(cn * (cn - 1)) div 2")).as("n_butterflies"),
@@ -2686,11 +2704,17 @@ object GraphOps {
       .select($"src", $"dst", $"d")
     val g1 = graft.api.PairBudget.gate(adjd, Seq($"src"),
       "graph_overlap", "graph_jaccard_approx")
-    g1.as("e1")
-      .join(adjd.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" < $"e2.dst")
-      .groupBy($"e1.dst".as("p1"), $"e2.dst".as("p2"))
+    // per-customer sorted (dst, d) struct array instead of the self-join
+    // — see graphJaccardNodes (identical expansion, one less exchange)
+    g1.groupBy($"src")
+      .agg(sort_array(collect_set(struct($"dst", $"d"))).as("ds"))
+      .select($"ds", posexplode($"ds"))
+      .select($"col.dst".as("p1"), $"col.d".as("d1"),
+        explode(expr("slice(ds, pos + 2, size(ds))")).as("y"))
+      .select($"p1", $"d1", $"y.dst".as("p2"), $"y.d".as("d2"))
+      .groupBy($"p1", $"p2")
       .agg(count(lit(1)).as("common"),
-        max($"e1.d").as("d1"), max($"e2.d").as("d2"))
+        max($"d1").as("d1"), max($"d2").as("d2"))
       .filter($"common" >= 3)
       .select($"p1", $"p2", $"common",
         graft.ops.LlmOps.pround4($"common".cast("double") /

@@ -312,15 +312,19 @@ object GraphAlgebra {
     *
     * The rank state is SUPPORT-SPARSE: a (s, part) row exists only once
     * mass has reached `part` from `s` (rank-0 vertices are represented by
-    * absence — `unionAll` of the per-source reset row re-injects the
-    * teleport term each iteration), so state grows with the personalized
-    * mass spread, not |S|·|V|. Each iteration shuffles on the (s, part)
-    * key; the rank-side broadcast is gated on the frame's ACTUAL row
-    * count, re-measured per iteration — a count on the eagerly
-    * checkpointed frame is noise next to the iteration's |E| shuffle. The
-    * static |S|·|V| worst case would disable the hint exactly when
-    * batching many sources over a support-sparse state, the case this
-    * method exists for.
+    * absence), so state grows with the personalized mass spread, not
+    * |S|·|V|. The teleport term folds into the contribution projection
+    * (the agg already has one row per (s, part)); sources whose own row
+    * got no inbound mass re-enter through a LAZY anti-join of the |S|-row
+    * source frame against the state's part = s rows — one pure dataflow,
+    * no driver collect (r16, ADVICE — the collect spelling broke the
+    * no-collect contract at exactly the large-|S| scale this batch op
+    * exists for). Each iteration shuffles on the (s, part) key; the
+    * rank-side broadcast is gated on the STATIC |S|·|V| ceiling (both
+    * factors already counted once), so the support-sparse loop pays no
+    * per-iteration count job — the ceiling only disables the hint for
+    * state sizes where the measured count could not have allowed it
+    * either at full spread.
     */
   def pageRankBatch(vertices: DataFrame, edgesBoth: DataFrame,
                     sources: Seq[Long], iters: Int,
@@ -337,20 +341,26 @@ object GraphAlgebra {
       both.join(hinted(deg, nV, broadcastMaxRows), col("a") === col("v"))
         .select(col("a").as("esrc"), col("b").as("edst"), col("deg")),
       col("edst"))
-    var ranks = sources.toDF("s")
+    // a LocalRelation — free to re-evaluate, so no checkpoint needed for
+    // its two consumers (initial ranks, per-iteration anti-join probe)
+    val srcDf = sources.toDF("s")
+    // static gate: state rows can never exceed |S|·|V| (guard the product
+    // against overflow); saturating here trades the old per-iteration
+    // count job for a slightly conservative hint
+    val rankCap = if (sources.isEmpty || nV > Long.MaxValue / math.max(1, sources.size))
+      Long.MaxValue else sources.size * nV
+    var ranks = srcDf
       .select(col("s"), col("s").as("part"), lit(PrScale).as("r"))
-      .cp()
     for (_ <- 1 to iters) {
-      // actual support size of the checkpointed state, not the |S|·|V| cap
-      val rankRows = ranks.count()
       // the contribution agg has ONE row per (s, part) already, so the
       // reset term folds in as a projection — rank = damped csum, plus
       // the teleport constant on the part = s row (exact BIGINT addition,
       // bit-identical to the old unionAll(reset) + re-group — which paid
       // a second state-size exchange + hash agg EVERY iteration for a
       // ≤|S|-row insert; r15 round-2 backlog item, guide §2.4). cp BEFORE
-      // the self-hit probe below so the |E| agg runs once.
-      val contrib = ed.join(hinted(ranks, rankRows, broadcastMaxRows),
+      // the self-hit anti-join below so the |E| agg runs once (the union
+      // branches below then read the cp'd frame, not the lineage).
+      val contrib = ed.join(hinted(ranks, rankCap, broadcastMaxRows),
           col("esrc") === col("part"))
         .groupBy(col("s"), col("edst"))
         .agg(sum(expr("r div deg")).as("csum"))
@@ -360,18 +370,15 @@ object GraphAlgebra {
               .otherwise(lit(0L))).as("r"))
         .cp()
       // sources whose own row got NO inbound mass this iteration still
-      // need their teleport row (absence = rank 0 in the sparse state).
-      // The self-hit set is ≤|S| rows — resolve it with ONE bounded
-      // collect on the cp'd contrib (a dataframe-side anti-join spelling
-      // measured SLOWER: the lazy union re-scanned the state once per
-      // downstream consumer — count, broadcast build — every iteration)
-      val hit = contrib.filter(col("part") === col("s"))
-        .select(col("s")).collect().map(_.getLong(0)).toSet
-      val missing = sources.filterNot(hit)
-      ranks = if (missing.isEmpty) contrib
-        else contrib.unionAll(missing.toDF("s")
-          .select(col("s"), col("s").as("part"),
-            lit(PrScale * 15 / 100).as("r")))
+      // need their teleport row (absence = rank 0 in the sparse state):
+      // a lazy broadcast anti-join of the |S|-row source frame against
+      // the cp'd state's ≤|S| part = s rows — no action, no collect
+      val missing = srcDf.join(
+          broadcast(contrib.filter(col("part") === col("s")).select(col("s"))),
+          Seq("s"), "left_anti")
+        .select(col("s"), col("s").as("part"),
+          lit(PrScale * 15 / 100).as("r"))
+      ranks = contrib.unionAll(missing)
     }
     ranks
   }
@@ -589,7 +596,12 @@ object GraphAlgebra {
           dec38(col("m2")) * dec(coalesce(col("kia"), lit(0L))) -
             dec38(col("k")) * (dec(col("tot_a")) - dec(col("k"))))
         .select(col("id"), (-col("m.neg")).as("newc"))
-      labels = labels.join(scored, Seq("id"), "left")
+      // scored is ≤ |V| rows (one per moved node) but descends from an
+      // aggregate, so its stats are unknown — unhinted this join planned
+      // sort-merge (two exchanges + sorts per round for a tiny frame);
+      // the |V| gate is the same as every other label-loop broadcast
+      labels = labels.join(hinted(scored, nV, broadcastMaxRows),
+          Seq("id"), "left")
         .select(col("id"), coalesce(col("newc"), col("c")).as("c"), col("k"))
         .cp()
     }
@@ -1235,13 +1247,106 @@ object GraphAlgebra {
   /** MULTI-source BFS hop distances: [[bfsHops]] generalized to a frame of
     * source vertices — one frontier loop computes distances from EVERY
     * source simultaneously (the landmark pattern: k-source BFS costs one
-    * traversal, not k). State is keyed (src, id); the per-hop expansion,
-    * first-visit anti-join and broadcast gating are bfsHops' unchanged —
-    * the frontier row budget now counts (src, id) pairs, which is exactly
-    * what the broadcast would ship. `sources` must expose a `src` column.
+    * traversal, not k). `sources` must expose a `src` column.
+    *
+    * With ≤ [[MsBfsMaxSources]] sources (the landmark ops pass 8), the
+    * traversal runs the MS-BFS BITMASK formulation (Then et al., "The
+    * More the Merrier: Efficient Multi-Source BFS", VLDB 2015): state is
+    * keyed by VERTEX with one BIGINT whose bit i records "source i has
+    * reached this vertex", instead of one (src, id) row per pair. The
+    * per-hop expansion then joins one row per frontier VERTEX (not per
+    * reached pair — up to k× fewer rows once the sources' frontiers
+    * overlap, which on a small-world graph is every hop past the first),
+    * the dedup/agg keys on the vertex id alone, and the visited state is
+    * ≤ |V| rows instead of ≤ k·|V|. First-reach bits are
+    * `contrib & ~visited`, so per (source, vertex) exactly one hop emits
+    * the bit — the exploded (src, id, dist) output is row-identical to
+    * the pair-keyed spelling (ApiSpec pins it). Above the source cap (or
+    * with duplicate source rows) the pair-keyed loop below runs unchanged.
     */
+  val MsBfsMaxSources: Int = 60
+
   def multiBfsHops(edgesBoth: DataFrame, sources: DataFrame, maxHops: Int,
                    broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
+    // probe the source list: landmark frames are tiny by construction
+    // (orderBy+limit), so the ≤(cap+1)-row collect is bounded driver
+    // state — the same accepted posture as the landmark limit itself
+    val probe = sources.select(col("src")).limit(MsBfsMaxSources + 1)
+      .collect().map(_.getLong(0)).toSeq
+    val ids = probe.distinct.sorted
+    if (probe.size > MsBfsMaxSources || ids.size != probe.size)
+      multiBfsHopsPairs(edgesBoth, sources, maxHops, broadcastMaxRows)
+    else {
+      val sess = edgesBoth.sparkSession
+      import sess.implicits._
+      val adj = edgesBoth.select(col("a"), col("b")).cp()
+      // bit i = the i-th source in sorted id order (any fixed order works;
+      // sorted makes the mapping deterministic and debuggable)
+      val bitsDf = ids.zipWithIndex.toDF("bsrc", "bit")
+      var visited = ids.zipWithIndex
+        .map { case (s, i) => (s, 1L << i) }.toDF("id", "mask").cp()
+      var frontier = visited
+      var frontierRows = ids.size.toLong
+      var visitedRows = frontierRows // upper bound is enough for the gate
+      var h = 1L
+      var levels = Seq.empty[DataFrame] // (id, dist, mask) first-reach rows
+      var done = frontierRows == 0
+      while (h <= maxHops && !done) {
+        // expansion: one row per (frontier vertex, neighbor); bit_or folds
+        // the reaching-source sets map-side (the mask aggregate is the
+        // partial-agg-friendly analogue of the pair spelling's distinct)
+        val contrib = adj
+          .join(hinted(frontier, frontierRows, broadcastMaxRows),
+            col("a") === col("id"))
+          .groupBy(col("b").as("nid"))
+          .agg(expr("bit_or(mask)").as("cmask"))
+        val fresh = contrib
+          .join(hinted(visited, visitedRows, broadcastMaxRows),
+            col("nid") === col("id"), "left")
+          .select(col("nid").as("id"),
+            col("cmask").bitwiseAND(
+              coalesce(col("mask"), lit(0L)).bitwiseXOR(lit(-1L)))
+              .as("mask"))
+          .filter(col("mask") =!= 0L)
+          .cp()
+        frontierRows = fresh.count()
+        if (frontierRows == 0) done = true
+        else {
+          levels = levels :+ fresh.select(col("id"),
+            lit(h).as("dist"), col("mask"))
+          visited = visited.unionAll(fresh).groupBy(col("id"))
+            .agg(expr("bit_or(mask)").as("mask")).cp()
+          visitedRows += frontierRows
+          frontier = fresh
+          h += 1
+        }
+      }
+      // explode masks back to (src, id, dist): ≤ k tiny bit rows against
+      // the first-reach frames — linear, map-side, once at the END (never
+      // inside the hop loop). The hop-0 self rows come from the RAW probe
+      // list, preserving the pair spelling's duplicate-source behavior.
+      val zero = probe.map(s => (s, s, 0L)).toDF("src", "id", "dist")
+      if (levels.isEmpty) zero
+      else {
+        val expl = levels.reduce(_ unionAll _)
+          .join(broadcast(bitsDf),
+            expr("(mask & shiftleft(cast(1 as bigint), bit)) != 0"))
+          .select(col("bsrc").as("src"), col("id"), col("dist"))
+        zero.unionAll(expl)
+      }
+    }
+  }
+
+  /** The pair-keyed [[multiBfsHops]] spelling — state is one (src, id)
+    * row per reached pair; the per-hop expansion, first-visit anti-join
+    * and broadcast gating are bfsHops' unchanged (the frontier row budget
+    * counts (src, id) pairs, which is exactly what the broadcast would
+    * ship). Kept as the fallback for > [[MsBfsMaxSources]] or duplicate
+    * sources, where the bitmask packing does not apply.
+    */
+  private[graft] def multiBfsHopsPairs(edgesBoth: DataFrame, sources: DataFrame,
+                                       maxHops: Int,
+                                       broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     val adj = edgesBoth.select(col("a"), col("b")).cp()
     var dist = sources.select(col("src"), col("src").as("id"),
       lit(0L).as("dist")).cp()
@@ -1363,12 +1468,15 @@ object GraphAlgebra {
     */
   private[graft] def brandesDeltasOn(adj: DataFrame, st: DataFrame,
                                      broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
-    // gates every per-level broadcast below: vlev/wlev/contribs are all
-    // SUBSETS of the σ state (≤ stRows rows), and the state is cp'd so
-    // the count is one cheap job. Ungated, the cp'd state's unknown stats
-    // sent each level's adj ⋈ vlev through a sort-merge join — shuffling
-    // AND sorting the full |E| adjacency once per backward level
-    // (guide §3.1: broadcast the side that fits, stream the big side).
+    // NODE-betweenness path: per-level adjacency joins, NO materialized
+    // DAG frame. An r16 A/B moved this op onto [[brandesBackward]]'s
+    // shared DAG spelling and it measured ~30% SLOWER (min-of-5 12.98 s
+    // vs 9.82 s at sf0.1/32): with a single downstream consumer the
+    // ≤|sources|·|E|-row DAG materialization costs more than the ≤5
+    // per-level |E|-stream broadcast joins it replaces. The DAG pays off
+    // only when the edge-credit pass REUSES it (graphEdgeBetweenness,
+    // measured ~18% faster there) — so the two ops deliberately take
+    // different backward spellings.
     val stRows = st.count()
     val maxDist = st.agg(max(col("dist"))).head().getLong(0)
     if (maxDist < 1) return st.filter(lit(false))
@@ -1426,6 +1534,97 @@ object GraphAlgebra {
     out.reduce(_ unionAll _)
   }
 
+  /** Backward pass for the EDGE-betweenness pipeline: returns (δ frame,
+    * shortest-path-DAG edge frame). The DAG frame — one row per
+    * (src, v→w) edge with dist_s(w) = dist_s(v)+1, σ attached at both
+    * ends — is materialized ONCE and shared by every backward level AND
+    * by [[brandesEdgeCreditsDag]] (r16, guide §2.4): the old spelling
+    * re-joined the |E| adjacency against the σ state per backward level
+    * (≤5×) and then a sixth time for the edge credits — six |E|-stream
+    * joins collapse into one. The tradeoff is one landmark-scaled
+    * materialization (≤ |sources|·|E| rows); it pays ONLY because the
+    * edge-credit pass reuses the frame — [[brandesDeltasOn]] keeps the
+    * per-level spelling for the single-consumer node op (measured A/B in
+    * its docstring).
+    */
+  private[graft] def brandesBackward(adj: DataFrame, st: DataFrame,
+                                     broadcastMaxRows: Long = BroadcastMaxRows): (DataFrame, DataFrame) = {
+    // gates every broadcast below: v/w sides and contribs are all SUBSETS
+    // of the σ state (≤ stRows rows), and the state is cp'd so the count
+    // is one cheap job. Ungated, the cp'd state's unknown stats sent the
+    // DAG build through a sort-merge join — shuffling AND sorting the
+    // full |E| adjacency (guide §3.1: broadcast the side that fits,
+    // stream the big side).
+    val stRows = st.count()
+    val maxDist = st.agg(max(col("dist"))).head().getLong(0)
+    val empty = st.filter(lit(false))
+      .select(col("src"), col("id"), col("dist"), lit(0L).as("delta"),
+        col("sigma"))
+    if (maxDist < 1) return (empty, empty
+      .select(col("src"), col("id").as("vid"), col("id").as("wid"),
+        col("dist").as("vdist"), col("sigma").as("vsigma"),
+        col("sigma").as("wsigma")))
+    // the v/w sides rename EVERY column: both descend from the same
+    // dataset `st`, and an unaliased v("src") === w("src") would resolve
+    // only through dataset-id metadata (warning spam + a latent ambiguity
+    // hazard); distinct names make the cross-source equality unambiguous
+    // by construction
+    val v = st.select(col("src").as("vsrc"), col("id").as("vid"),
+      col("sigma").as("vsigma"), col("dist").as("vdist"))
+    val w = st.select(col("src").as("wsrc"), col("id").as("wid"),
+      col("sigma").as("wsigma"), col("dist").as("wdist"))
+    val dagE = adj
+      .join(hinted(v, stRows, broadcastMaxRows), adj("a") === col("vid"))
+      .join(hinted(w, stRows, broadcastMaxRows),
+        col("b") === col("wid") && col("vsrc") === col("wsrc") &&
+          col("wdist") === col("vdist") + lit(1L))
+      .select(col("vsrc").as("src"), col("vid"), col("wid"),
+        col("vdist"), col("vsigma"), col("wsigma"))
+      .cp()
+    var deeper = st.filter(col("dist") === maxDist)
+      .select(col("src"), col("id"), col("dist"), lit(0L).as("delta"),
+        col("sigma")).cp()
+    // σ rides along in every per-level frame (r15, guide §2.4): the old
+    // w side re-joined the full σ state per level just to re-attach the
+    // sigma it had already carried at level resolution; the output is one
+    // LAZY union of the per-level checkpoints (the accumulation is never
+    // a loop join target inside the loop, so — unlike the BFS visited set
+    // — nothing re-materializes per level)
+    var out = Seq(deeper)
+    var h = maxDist - 1
+    while (h >= 1) {
+      val wdelta = deeper
+        .select(col("src").as("wsrc"), col("id").as("dwid"),
+          col("delta").as("wdelta"))
+      // predecessor edges v→w (v at level h, w at level h+1) come from
+      // the shared DAG frame — a filter, not an |E| join; the fixed
+      // double tree below is the ONLY float in Brandes here, quantized
+      // per contribution then BIGINT-summed (order-independent)
+      val contribs = dagE.filter(col("vdist") === h)
+        .join(hinted(wdelta, stRows, broadcastMaxRows),
+          col("wid") === col("dwid") && col("src") === col("wsrc"))
+        .select(col("src"), col("vid").as("id"),
+          floor(col("vsigma").cast("double") /
+            col("wsigma").cast("double") *
+            (lit(1000000L) + col("wdelta")).cast("double") + lit(0.5))
+            .cast("long").as("c"))
+        .groupBy(col("src"), col("id"))
+        .agg(sum(col("c")).as("delta"))
+      // contribs keys are the level's (src, id) set (≤ stRows too):
+      // broadcast keeps the per-level resolve map-side as well
+      val lev = st.filter(col("dist") === h)
+        .select(col("src"), col("id"), col("sigma"))
+        .join(hinted(contribs, stRows, broadcastMaxRows),
+          Seq("src", "id"), "left")
+        .select(col("src"), col("id"), lit(h).as("dist"),
+          coalesce(col("delta"), lit(0L)).as("delta"), col("sigma")).cp()
+      out = out :+ lev
+      deeper = lev
+      h -= 1
+    }
+    (out.reduce(_ unionAll _), dagE)
+  }
+
   /** Per-EDGE Brandes credits over a resolved ([[multiBfsSigma]],
     * [[brandesDeltas]]) pair — the Girvan–Newman edge-betweenness
     * ingredient: every shortest-path DAG edge v→w (dist_s(w) =
@@ -1440,6 +1639,28 @@ object GraphAlgebra {
                          deltas: DataFrame): DataFrame =
     brandesEdgeCreditsOn(edgesBoth.select(col("a"), col("b")).cp(),
       sigmaState.cp(), deltas)
+
+  /** [[brandesEdgeCredits]] over the SHARED shortest-path-DAG frame the
+    * backward pass already materialized ([[brandesBackward]]'s second
+    * return): the credit pass is then one broadcast-gated join of the δ
+    * frame into the DAG edges — the old spelling re-streamed the |E|
+    * adjacency through a three-way join a sixth time (r16, guide §2.4).
+    * Every DAG edge's head w is a non-source row (wdist = vdist+1 ≥ 1),
+    * so the δ frame covers every head; the v-side σ/dist ride in dagE.
+    */
+  private[graft] def brandesEdgeCreditsDag(dagE: DataFrame, deltas: DataFrame,
+                                           stRows: Long,
+                                           broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
+    val wd = deltas.select(col("src").as("wsrc"), col("id").as("dwid"),
+      col("delta").as("wdelta"))
+    dagE.join(hinted(wd, stRows, broadcastMaxRows),
+        col("wid") === col("dwid") && col("src") === col("wsrc"))
+      .select(col("src"), col("vid").as("va"), col("wid").as("wb"),
+        floor(col("vsigma").cast("double") /
+          col("wsigma").cast("double") *
+          (lit(1000000L) + col("wdelta")).cast("double") + lit(0.5))
+          .cast("long").as("c"))
+  }
 
   /** [[brandesEdgeCredits]] over the PRE-CHECKPOINTED adjacency and σ
     * state the forward/backward passes already materialized (see

@@ -37,10 +37,11 @@ object GraphOps {
   }
 
   /** Part–part co-purchase projection: canonical (a < b) pairs appearing in
-    * the same order, w = number of shared orders. The self-join is keyed on
-    * l_orderkey (bounded fan-out: lines per order), NOT on the quadratic
-    * customer–part adjacency — per-order pair blow-up is ~k² for k lines,
-    * which is the scalable shape.
+    * the same order, w = number of shared orders. Pairs come from each
+    * order's sorted part-set array (collect_set + posexplode/slice a < b
+    * expansion — one l_orderkey exchange, no self-join); the per-order
+    * fan-out is bounded by lines-per-order (~k² for k lines), NOT the
+    * quadratic customer–part adjacency — the scalable shape.
     */
   def copurchase(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1514,8 +1515,11 @@ object GraphOps {
     // state (2×) before this (guide §2.4)
     val both = copurchaseBoth(s, dir).select($"a", $"b").cp()
     val sigma = graft.api.GraphAlgebra.multiBfsSigmaOn(both, lm, maxHops = 6)
-    val deltas = graft.api.GraphAlgebra.brandesDeltasOn(both, sigma)
-    graft.api.GraphAlgebra.brandesEdgeCreditsOn(both, sigma, deltas)
+    // the backward pass hands back the shortest-path-DAG frame it built;
+    // the credit pass joins δ into it instead of re-streaming the |E|
+    // adjacency through a third three-way join (r16, guide §2.4)
+    val (deltas, dagE) = graft.api.GraphAlgebra.brandesBackward(both, sigma)
+    graft.api.GraphAlgebra.brandesEdgeCreditsDag(dagE, deltas, sigma.count())
       .groupBy(least($"va", $"wb").as("a"), greatest($"va", $"wb").as("b"))
       .agg(count(lit(1)).as("n_contribs"), sum($"c").as("eb_micro"))
       .select($"a", $"b", $"n_contribs", $"eb_micro",
@@ -2465,6 +2469,11 @@ object GraphOps {
     // output), so a broadcast LEFT join matches each path2 row at most
     // once and flag-counting is exactly the semi-join count; both closes
     // fold in a single aggregation over the un-materialized expansion.
+    // ungated broadcast is safe BY CONSTRUCTION here: the backbone is the
+    // ≤512-cell transition sketch, so the full edge set is ≤ 512² ≈ 262k
+    // possible rows (≤ ~4 MB framed) at ANY data scale — the bound is the
+    // sketch's cell cap, not a data-volume estimate (ADVICE r15; every
+    // data-sized adjacency goes through hinted()/hintedAdj instead)
     val fflE = e.select($"src".as("za"), $"dst".as("zc"))
     val cycE = e.select($"src".as("cs"), $"dst".as("cd"))
     val closes = e.as("x").join(e.as("y"),
@@ -2746,13 +2755,33 @@ object GraphOps {
       .cp() // gated left side + pair right side share the rollup
     val g1 = graft.api.PairBudget.gate(tx, Seq($"item"),
       "graph_temporal_reach", "graph_temporal_density")
+    // NOTE (r16 negative result, kept honest): a sorted-array rewrite of
+    // this pair stage (the copurchase shape, window folded into the slice
+    // filter so only the ~21% surviving pairs explode) measured 2×
+    // SLOWER (17.6 s vs 8.8 s at sf0.1/32): the fixture has ~100 items ×
+    // ~730 touches, so posexplode carries a 730-struct array per source
+    // row — an O(c²) array copy per item that the join never pays. The
+    // item-keyed self-join stays.
+    // WEEK-BAND pre-key (r16, guide §2.3 — shuffle/generate fewer
+    // candidate pairs): b.ms ∈ (a.ms, a.ms+7d] ⟹ week(b) ∈ {week(a),
+    // week(a)+1} for week = floor(ms/7d), so expanding the a side into
+    // its two candidate weeks and equi-joining on (item, week) prunes
+    // cross-week candidates BEFORE the quadratic block expansion — the
+    // join_theta_range banding, lossless by the implication above. At
+    // sf0.1 (4.3 weeks of events) this trims generated candidates 53M →
+    // 42M; on a real multi-year corpus the cut is the week count.
+    val winMs = 604800000L
+    val banded = g1
+      .withColumn("wcand", explode(array(floor($"ms" / winMs),
+        floor($"ms" / winMs) + 1L)))
     // two-level agg instead of countDistinct: the (a,b) pre-aggregation
     // map-side-combines the quadratic pair stream down to <= |users|² rows
     // BEFORE the exchange (53M pairs -> ~2M at sf0.1; the same 25× at any
     // scale where items fan wide)
-    g1.as("a")
-      .join(tx.as("b"), $"a.item" === $"b.item" &&
-        $"b.ms" > $"a.ms" && $"b.ms" <= $"a.ms" + 604800000L &&
+    banded.as("a")
+      .join(tx.withColumn("wb", floor($"ms" / winMs)).as("b"),
+        $"a.item" === $"b.item" && $"a.wcand" === $"b.wb" &&
+        $"b.ms" > $"a.ms" && $"b.ms" <= $"a.ms" + winMs &&
         $"a.u" =!= $"b.u")
       .groupBy($"a.u".as("user_id"), $"b.u".as("bu"))
       .agg(count(lit(1)).as("np"))
@@ -2787,11 +2816,24 @@ object GraphOps {
         .select($"walk", $"a".as("v"), $"b", $"prev",
           md5(concat($"walk".cast("string"), lit("_"),
             lit(step.toString), lit("_"), $"b".cast("string"))).as("h"))
+      // in-triangle probe in two broadcast-hash-friendly joins (r16,
+      // guide §3.1): an INNER probe of the |E| edge set against the
+      // BROADCAST candidate keys (BuildRight — the edge frame streams
+      // map-side) yields the ≤ 4·deg matched (walk, b) rows, and a
+      // broadcast LEFT join marks the candidates from that tiny frame.
+      // The old spelling left-joined cand INTO the edge set, which
+      // planned sort-merge and shuffled+sorted the full |E| frame once
+      // per step to mark ≤ 4·deg rows. (pa, pb) rows are distinct by
+      // construction, so each candidate matches at most once —
+      // row-identical to the old join.
+      val tri = both.select($"a".as("pa"), $"b".as("pb"))
+        .join(broadcast(cand.select($"walk".as("tw"), $"prev".as("tp"),
+          $"b".as("tb"))), $"pa" === $"tp" && $"pb" === $"tb")
+        .select($"tw", $"tb")
       val marked = cand
-        .join(both.select($"a".as("pa"), $"b".as("pb")),
-          $"pa" === $"prev" && $"pb" === $"b", "left")
+        .join(broadcast(tri), $"walk" === $"tw" && $"b" === $"tb", "left")
         .withColumn("cls", when($"b" === $"prev", 2L)
-          .when($"pb".isNotNull, 1L).otherwise(0L))
+          .when($"tb".isNotNull, 1L).otherwise(0L))
       cur = marked.groupBy($"walk")
         .agg(min(struct($"cls", $"h", $"b")).as("m"), max($"v").as("v"))
         .select($"walk", $"m.b".as("node"), $"v".as("prev"))

@@ -16,6 +16,8 @@ object ProfileLouvain {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "true"))
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 class RelationalSpec extends SparkSpec {
@@ -82,9 +82,35 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("registry: every query returns rows at sf0.001") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    // the full 530-key sweep ran SEQUENTIALLY here and was the suite's
+    // single biggest wall item (338 s of the driver's test gate — r15
+    // VERIFY tests_ok: false was the suite exceeding the gate's budget).
+    // Run it on a small worker pool with one isolated newSession() per
+    // worker — the exact graft.Verify production pattern (shared
+    // SparkContext, isolated SQLConf for the few conf-toggling ops);
+    // every key still runs and asserts, coverage is unchanged.
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    SparkEntry.queries.foreach(queue.add)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val workers = (1 to 8).map { _ =>
+      new Thread(() => {
+        val session = spark.newSession()
+        var next = queue.poll()
+        while (next != null) {
+          val (name, fn) = next
+          try {
+            if (fn(session, sf).count() == 0L) bad.add(s"$name returned 0 rows")
+          } catch {
+            case e: Throwable => bad.add(s"$name threw $e")
+          }
+          next = queue.poll()
+        }
+      })
     }
+    workers.foreach(_.start())
+    workers.foreach(_.join())
+    assert(bad.isEmpty, bad.toArray.mkString("; "))
   }
 
   test("agg_pricing: 6 groups, positive sums, charge >= disc_price") {
@@ -336,20 +362,39 @@ class RelationalSpec extends SparkSpec {
     // with the equi+range policy off, the only plan allowed to carry the
     // generated band attributes is join_theta_rule, whose pure range join
     // is exactly what the rule exists for
-    graft.plans.BandRangeJoin.install(spark)
+    // 530 optimizedPlan builds, each executing the op's eager checkpoint
+    // loops — 210 s sequential, the suite's #3 wall item (r16 test-gate
+    // cut). Same worker-pool pattern as the registry smoke: each worker
+    // installs the rule and sets the policy on its OWN isolated session,
+    // so the shared session's conf is never touched.
     val confKey = graft.plans.BandRangeJoinRule.WithEquiKeysConf
-    spark.conf.set(confKey, "false")
-    try {
-      for ((key, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-        val p = q(spark, sf).queryExecution.optimizedPlan.toString
-        if (key == "join_theta_rule")
-          assert(p.contains("graft_band"),
-            s"$key lost its optimizer banding:\n$p")
-        else
-          assert(!p.contains("graft_band"),
-            s"$key unexpectedly banded with the equi+range policy off:\n$p")
-      }
-    } finally spark.conf.unset(confKey)
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (SparkSession, String) => DataFrame)]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach(queue.add)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val workers = (1 to 8).map { _ =>
+      new Thread(() => {
+        val session = spark.newSession()
+        graft.plans.BandRangeJoin.install(session)
+        session.conf.set(confKey, "false")
+        var next = queue.poll()
+        while (next != null) {
+          val (key, q) = next
+          try {
+            val p = q(session, sf).queryExecution.optimizedPlan.toString
+            if (key == "join_theta_rule") {
+              if (!p.contains("graft_band"))
+                bad.add(s"$key lost its optimizer banding")
+            } else if (p.contains("graft_band"))
+              bad.add(s"$key unexpectedly banded with the equi+range policy off")
+          } catch { case e: Throwable => bad.add(s"$key threw $e") }
+          next = queue.poll()
+        }
+      })
+    }
+    workers.foreach(_.start())
+    workers.foreach(_.join())
+    assert(bad.isEmpty, bad.toArray.mkString("; "))
   }
 
   test("BandRangeJoinRule is exact for negative and extreme time values") {
